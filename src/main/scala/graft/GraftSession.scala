@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Tuned for the dev harness (`local[32]`, single JVM) but every knob is the
+  * one you'd set on a real cluster too: AQE for runtime re-planning (skew
+  * joins, partition coalescing), zstd parquet at rest (reference lake files
+  * are ZSTD parquet — /root/reference lib/rust/lake_writer/src/common.rs:52),
+  * UTC session time zone for deterministic timestamp semantics.
+  */
+object GraftSession {
+
+  /** Apply graft's standard config to a builder. `shufflePartitions` should
+    * match available parallelism locally; on a real cluster leave AQE to
+    * coalesce from a higher initial number.
+    */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffledHashJoinFactor", "3")
+
+  /** Local session for tests/tools. */
+  def local(cores: Int = 32): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
