@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment-table lookup joins.
+  *
+  * The reference resolves `get_enrichment_table_record(table, {key: value})`
+  * with an mmap'd Avro file + per-key offset index (reference
+  * lib/rust/shared/src/functions.rs:108-255, avro_index.rs:30-156). In Spark
+  * the idiomatic equivalent is a broadcast hash join: the enrichment table is
+  * small by construction, so the lookup side ships to every executor once and
+  * the probe is a hash-map hit inside whole-stage codegen — same point-lookup
+  * cost, no custom index machinery, and it scales to any event volume because
+  * the big side never shuffles.
+  */
+object Enrichment {
+
+  /** Left-join `events` against a small `enrichment` table on equality of
+    * `eventKey == lookupKey`, exposing the matched record as one struct
+    * column `as` (null when no match) — the shape VRL's
+    * get_enrichment_table_record returns.
+    */
+  def lookupJoin(
+      events: DataFrame,
+      enrichment: DataFrame,
+      eventKey: Column,
+      lookupKey: String,
+      as: String): DataFrame = {
+    val packed = enrichment
+      .select(col(lookupKey).as("__graft_lookup_key"),
+        struct(enrichment.columns.map(col).toIndexedSeq: _*).as(as))
+    events.join(broadcast(packed), eventKey === col("__graft_lookup_key"), "left")
+      .drop("__graft_lookup_key")
+  }
+
+  /** Flat variant: append selected enrichment columns (optionally prefixed)
+    * instead of a struct. Columns absent on miss are null, as in the
+    * reference's left-lookup semantics.
+    */
+  def lookupJoinFlat(
+      events: DataFrame,
+      enrichment: DataFrame,
+      eventKey: Column,
+      lookupKey: String,
+      prefix: String = ""): DataFrame = {
+    val renamed = enrichment.columns.foldLeft(enrichment) { (d, c) =>
+      d.withColumnRenamed(c, prefix + c)
+    }
+    events.join(broadcast(renamed), eventKey === col(prefix + lookupKey), "left")
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Enrichment
+import graft.transform.Grok
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryDef._
+
+/** Log-analytics operator surface over the `events`/`documents` stream
+  * stand-ins: JSON payload extraction (P1/P2), event-time hourly windows
+  * (the reference's pervasive `hour(ts)` structure), sessionization,
+  * enrichment lookup joins (J1), threshold detections (A1 batch shape),
+  * ingest dedup (S11), array context merge (A2), grok parsing, and record
+  * expansion (S5).
+  */
+object LogAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q20: JSON payload field extraction + aggregation (P1/P2) ----
+    QueryDef(
+      "q20_json_extract",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            (sum(col("k")).cast(DoubleType) / count(col("k"))).as("avg_k"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               SUM(k) AS sum_k,
+               CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+        FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- q21: event-time hourly tumbling window (hour(ts) partitioning) --
+    QueryDef(
+      "q21_hourly_window",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("ts_hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            msum(col("value")).as("sum_value"))
+          .orderBy(col("ts_hour"), col("event_type")),
+      Some("""
+        SELECT date_trunc('hour', ts) AS ts_hour, event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY ts_hour, event_type""")),
+
+    // ---- q22: gap-based sessionization (window functions over event time) -
+    QueryDef(
+      "q22_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, ts,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_us
+                FROM events))
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ---- q23: enrichment lookup join (J1, broadcast hash join) ----
+    QueryDef(
+      "q23_enrichment_join",
+      (s, dir) => {
+        val enriched = Enrichment.lookupJoinFlat(
+          t(s, dir, "events"), t(s, dir, "customer"),
+          col("user_id"), "c_custkey")
+        enriched
+          .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("segment"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            msum(col("value")).as("sum_value"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY 1
+        ORDER BY segment""")),
+
+    // ---- q24: threshold detection (A1 batch shape: count >= threshold) ----
+    QueryDef(
+      "q24_threshold_alert",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts_hour"))
+          .agg(count(lit(1)).as("n_matches"), min(col("event_id")).as("first_event"))
+          .filter(col("n_matches") >= 2)
+          .orderBy(col("user_id"), col("ts_hour")),
+      Some("""
+        SELECT user_id, date_trunc('hour', ts) AS ts_hour,
+               COUNT(*) AS n_matches, MIN(event_id) AS first_event
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+        ORDER BY user_id, ts_hour""")),
+
+    // ---- q25: ingest dedup — keep first record per logical key (S11) ----
+    QueryDef(
+      "q25_dedup_first",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_seen"))
+          .orderBy(col("user_id"), col("event_type")),
+      Some("""
+        SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_seen
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY user_id, event_type""")),
+
+    // ---- q26: array context merge (A2: unique+flatten+sort, as string) ----
+    QueryDef(
+      "q26_array_merge",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ---- q27: grok parse (compiled to regexp_extract, no UDF) ----
+    QueryDef(
+      "q27_grok_parse",
+      (s, dir) => {
+        val g = Grok.compile("%{WORD:w1} %{WORD:w2}")
+        val cols = g.columns(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), cols("w1").as("w1"), cols("w2").as("w2"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               NULLIF(regexp_extract(text, '(\b\w+\b) (\b\w+\b)', 1), '') AS w1,
+               NULLIF(regexp_extract(text, '(\b\w+\b) (\b\w+\b)', 2), '') AS w2
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- q28: record expansion (S5 UDTF shape: explode tokens) ----
+    QueryDef(
+      "q28_token_explode",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(40),
+      Some("""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 40"""))
+  )
+}

@@ -1,0 +1,116 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** VRL-capability transform DSL compiled to Catalyst `Column` graphs.
+  *
+  * The reference mutates records with compiled VRL programs (reference
+  * lib/rust/transformer/src/main.rs:874-1011, lib/rust/shared/src/
+  * vrl_util.rs:12-113). Here a transform is a declarative list of steps over
+  * dotted paths; `Transform.apply` folds them into one `select`/`withColumn`
+  * plan, so Catalyst sees ordinary expressions — whole-stage codegen, no
+  * row-at-a-time interpreter in the hot path, and program "compilation" is
+  * plan construction (cached by Spark's plan cache, the analogue of VRL's
+  * 400-entry LRU program cache).
+  *
+  * Path semantics: `a.b.c` addresses nested struct fields. Setting a path
+  * whose root doesn't exist creates the nested struct; deleting a leaf drops
+  * the field; renames are set+del, as VRL's `del(.x)`+assignment idiom.
+  */
+object TransformDsl {
+
+  sealed trait Step
+  /** `.path = expr` — set/overwrite a (possibly nested) field. */
+  final case class SetPath(path: String, value: Column) extends Step
+  /** `del(.path)` — remove a field (leaf or subtree). */
+  final case class DelPath(path: String) extends Step
+  /** `.to = del(.from)` — the VRL rename idiom. */
+  final case class Rename(from: String, to: String) extends Step
+  /** `abort` under a condition — drop the record (reference P4). */
+  final case class AbortWhen(cond: Column) extends Step
+  /** Keep only records matching `cond` (the complement of AbortWhen). */
+  final case class KeepWhen(cond: Column) extends Step
+
+  final case class Transform(steps: Seq[Step]) {
+    def apply(df: DataFrame): DataFrame = steps.foldLeft(df) {
+      case (d, SetPath(p, v))   => setPath(d, p, v)
+      case (d, DelPath(p))      => delPath(d, p)
+      case (d, Rename(f, tTo))  => delPath(setPath(d, tTo, getPath(d, f)), f)
+      case (d, AbortWhen(c))    => d.filter(!coalesce(c, lit(false)))
+      case (d, KeepWhen(c))     => d.filter(coalesce(c, lit(false)))
+    }
+  }
+
+  def transform(steps: Step*): Transform = Transform(steps)
+
+  /** Column for a dotted path (null-safe: missing roots resolve to null
+    * literals so downstream expressions stay total, as VRL's fallible get).
+    */
+  def getPath(df: DataFrame, path: String): Column = {
+    val root = path.split('.').head
+    if (df.columns.contains(root)) col(path) else lit(null)
+  }
+
+  /** Set a dotted path, creating intermediate structs as needed. */
+  def setPath(df: DataFrame, path: String, value: Column): DataFrame = {
+    val parts = path.split('.')
+    val root = parts.head
+    if (parts.length == 1) df.withColumn(root, value)
+    else if (df.columns.contains(root))
+      df.withColumn(root, col(root).withField(parts.tail.mkString("."), value))
+    else
+      df.withColumn(root, nestedStruct(parts.tail.toIndexedSeq, value))
+  }
+
+  /** Delete a dotted path. Deleting the last field of a struct leaves an
+    * empty struct (fixed-schema engines can't drop to zero columns).
+    */
+  def delPath(df: DataFrame, path: String): DataFrame = {
+    val parts = path.split('.')
+    val root = parts.head
+    if (!df.columns.contains(root)) df
+    else if (parts.length == 1) df.drop(root)
+    else df.withColumn(root, col(root).dropFields(parts.tail.mkString(".")))
+  }
+
+  private def nestedStruct(parts: Seq[String], leaf: Column): Column =
+    parts match {
+      case Seq(last) => struct(leaf.as(last))
+      case head +: tail => struct(nestedStruct(tail, leaf).as(head))
+    }
+
+  // ---- VRL stdlib equivalents (SURVEY.md §2.6) --------------------------
+  // Fallible-call semantics: `f(x) ?? default` → tryOr; `f!(x)` (abort on
+  // error) → the expression returns null and AbortWhen(isnull) drops it.
+
+  /** `expr ?? default` — VRL's error-coalescing operator. */
+  def tryOr(c: Column, default: Column): Column = coalesce(c, default)
+
+  /** Seed `related.{ip,user,hash}` arrays (transform prelude, reference
+    * main.rs:267-282).
+    */
+  def relatedPrelude(df: DataFrame): DataFrame =
+    df.withColumn("related", struct(
+      array().cast(ArrayType(StringType)).as("ip"),
+      array().cast(ArrayType(StringType)).as("user"),
+      array().cast(ArrayType(StringType)).as("hash")))
+
+  /** Transform footer (reference main.rs:339-351): stamp ecs.version. The
+    * reference also runs `compact(.)` — see [[Compact]].
+    */
+  def ecsFooter(df: DataFrame, version: String = "8.5.0"): DataFrame =
+    setPath(df, "ecs.version", lit(version))
+
+  /** parse_key_value: `k1=v1 k2=v2` → map column. */
+  def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column =
+    str_to_map(c, lit(pairSep), lit(kvSep))
+
+  /** to_timestamp with VRL-style fallibility (invalid → null, never throws). */
+  def tryTimestamp(c: Column, fmt: String): Column = try_to_timestamp(c, lit(fmt))
+
+  /** is_ipv4 heuristic (VRL is_ipv4): dotted-quad with 0-255 octets. */
+  def isIpv4(c: Column): Column =
+    c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+}
