@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text primitives for the LLM-data-pipeline operators: tokenization,
+  * shingling, MinHash, SimHash, fingerprints. Everything is a codegen'd
+  * Column expression — no UDFs — so these run inside whole-stage codegen
+  * and scale linearly with input bytes.
+  *
+  * Two hash families are provided:
+  *   - md5-hex (string min): slower, but reproducible in any engine —
+  *     used by oracle-checked queries.
+  *   - xxhash64 (long min): the fast path for production-scale runs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lowercased trimmed text (empty tokens dropped). */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles joined by single spaces; < n tokens → empty. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)
+    when(size(toks) >= n, transform(sequence(lit(0), size(toks) - n), gram))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Distinct shingle set (the unit of Jaccard similarity). */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(wordShingles(tokens(text), n))
+
+  /** MinHash signature element, md5 family: lexicographic min of
+    * md5(shingle + "|" + seed). Engine-portable (md5 is md5 everywhere).
+    * Empty set → null.
+    */
+  def minhashMd5(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => md5(concat(s, lit("|" + seed)))))
+
+  /** MinHash signature element, xxhash64 family (fast path). */
+  def minhashFast(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => xxhash64(s, lit(seed))))
+
+  /** 16-bit SimHash from md5-derived per-token 32-bit hashes.
+    *
+    * For bit b: sum +1/-1 over tokens according to bit b of
+    * conv(md5(token)[0:8], 16, 10); simhash bit b is 1 iff the sum >= 0.
+    * Integer arithmetic end-to-end → engine-portable.
+    */
+  def simhash16(toks: Column): Column = {
+    val h = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+    val bitContribution = (b: Int, t: Column) =>
+      when(shiftright(h(t), b) % 2 === 1, lit(1L)).otherwise(lit(-1L))
+    val bits = (0 until 16).map { b =>
+      val s = aggregate(toks, lit(0L), (acc, t) => acc + bitContribution(b, t))
+      when(s >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text.
+    * The exact-dedup key (normalization makes trivial reformat dups equal).
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " "))
+
+  /** Winnowing-style robust fingerprint: min shingle hash (documents
+    * sharing any low-hash shingle window collide → near-dup candidate key).
+    */
+  def minShingleFingerprint(text: Column, n: Int, seed: Int = 0): Column =
+    minhashMd5(shingleSet(text, n), seed)
+
+  /** Token count by BPE-ish regex (letters runs / digit runs / punct). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Type-token ratio and friends live in operators.TextAnalysis. */
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector math over `array<float>` embedding columns, as sequential
+  * fold expressions (`zip_with` + `aggregate`): left-to-right summation is
+  * deterministic and matches a scalar reference implementation bit-for-bit,
+  * so similarity scores are engine-portable without tolerance comparisons.
+  * All codegen'd — no UDFs in the hot path.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (exact widening). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Sequential left-to-right sum of an array<double>. */
+  def seqSum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (no sqrt — ranking-equivalent, cheaper). */
+  def l2sq(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale design: the corpus is the big side and never shuffles for scoring —
+  * queries (and centroids) broadcast. Brute force is the exactness baseline;
+  * IVF cuts scored candidates by the bucket fraction: the corpus is
+  * partitioned once by nearest centroid (a broadcast argmin, no shuffle of
+  * vectors beyond the bucket write), and a query scores only its probe
+  * bucket(s). On a cluster the bucketed corpus would be written bucketed/
+  * sorted by `bucket` so probe joins are co-partitioned scans.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * `queries`/`corpus`: (id, vec: array<double>). Output: qid, rank (1..k),
+    * neighbor, cos.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid").as("neighbor"), col("cos"))
+  }
+
+  /** Assign each vector to its nearest centroid (exact L2, ties → lowest
+    * centroid id). `centroids`: (cid, cvec). Adds a `bucket` column.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(
+        centroids.select(col("cid"), col("cvec"))))
+      .withColumn("dist", l2sq(col("vec"), col("cvec")))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "dist", "cvec")
+      .withColumnRenamed("cid", "bucket")
+  }
+
+  /** IVF top-k: score only corpus vectors in the query's own bucket
+    * (nprobe=1). `assigned` must carry (id, vec, bucket) for the corpus;
+    * queries are assigned with the same centroids then joined by bucket.
+    */
+  def ivfTopK(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val qAssigned = ivfAssign(queries, centroids)
+      .select(col("id").as("qid"), col("vec").as("qv"), col("bucket"))
+    val c = assigned.select(col("id").as("cid"), col("vec").as("cv"), col("bucket"))
+    val scored = c.join(broadcast(qAssigned), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid").as("neighbor"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket pairs above a cosine
+    * threshold (IVF bucket as the blocking key).
+    */
+  def embeddingNearDup(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
+    val b = assigned.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token statistics, fingerprinting. All ratios are exact integer divisions
+  * surfaced as doubles (engine-portable); everything is codegen'd
+  * expressions over one pass of the text column.
+  */
+object TextAnalysis {
+
+  /** Small English stopword set used by the n-gram/stopword language
+    * heuristic (the managed-source vocabulary is English-centric).
+    */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "it")
+
+  /** Stopword-ratio language ID: en if the stopword share of tokens clears
+    * `threshold`, else unk. (A real pipeline adds per-language lists; the
+    * operator shape — token-set ratio against a broadcast lexicon — is the
+    * same.)
+    */
+  def languageId(df: DataFrame, textCol: String, threshold: Double = 0.08): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(enStopwords: _*)))
+    df.withColumn("n_tokens", nTok.cast(LongType))
+      .withColumn("en_ratio", nStop.cast(DoubleType) / nTok)
+      .withColumn("lang_pred", when(col("en_ratio") >= threshold, "en").otherwise("unk"))
+  }
+
+  /** Quality metrics + a composite score in [0,1]:
+    * length credit (tokens/100 capped at 1) and alphabetic density.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", ""))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len", sumLen.cast(DoubleType) / nTok)
+      .withColumn("alpha_ratio", alpha.cast(DoubleType) / length(text))
+      .withColumn("quality_score",
+        least(lit(1.0), nTok.cast(DoubleType) / 100.0) * 0.5 + col("alpha_ratio") * 0.5)
+  }
+
+  /** Token statistics: whitespace tokens, regex (BPE-ish) tokens, distinct
+    * tokens, type-token ratio.
+    */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("ws_tokens", size(toks).cast(LongType))
+      .withColumn("re_tokens", regexTokenCount(col(textCol)).cast(LongType))
+      .withColumn("distinct_tokens", size(array_distinct(toks)).cast(LongType))
+      .withColumn("ttr",
+        size(array_distinct(toks)).cast(DoubleType) / size(toks))
+  }
+
+  /** Document fingerprints: exact content hash + min-shingle rolling hash. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      contentFingerprint(col(textCol)).as("content_fp"),
+      minShingleFingerprint(col(textCol), 4).as("shingle_fp"))
+}

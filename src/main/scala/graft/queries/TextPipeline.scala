@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** Training-data pipeline operators over the `documents` table:
+  * fingerprint/exact dedup, MinHash signatures + LSH candidate pairs with
+  * exact Jaccard verification, SimHash keys, language ID, quality scoring,
+  * token statistics, and multimodal binary metadata. Every query routes
+  * through the operator library (graft.operators / graft.functions); the
+  * oracle SQL re-derives the same integer/md5 arithmetic in DuckDB.
+  */
+object TextPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Shared DuckDB scaffolding: whitespace tokens + distinct n-gram
+    * shingles (1-based list indexing; range upper bound exclusive —
+    * mirrors Spark's sequence(0, size-n) inclusive).
+    */
+  private def sqlToks = raw"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+  private def sqlShingles(n: Int): String = {
+    val parts = (1 to n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(0, len(tk)-${n - 1}), i -> $parts))"
+  }
+  private def sqlMinhash(shCol: String, seed: Int): String =
+    s"list_min(list_transform($shCol, x -> md5(x || '|$seed')))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q30: document fingerprints (exact + min-shingle rolling hash) ----
+    QueryDef(
+      "q30_fingerprints",
+      (s, dir) =>
+        TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, tk, ${sqlShingles(4)} AS sh FROM t)
+        SELECT doc_id,
+               md5(array_to_string(tk, ' ')) AS content_fp,
+               ${sqlMinhash("sh", 0)} AS shingle_fp
+        FROM s
+        ORDER BY doc_id""")),
+
+    // ---- q31: MinHash signatures (4 hashes over 2-gram shingles) ----
+    QueryDef(
+      "q31_minhash_signatures",
+      (s, dir) =>
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", numHashes = 4)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t)
+        SELECT doc_id,
+               ${sqlMinhash("sh", 0)} AS mh0,
+               ${sqlMinhash("sh", 1)} AS mh1,
+               ${sqlMinhash("sh", 2)} AS mh2,
+               ${sqlMinhash("sh", 3)} AS mh3
+        FROM s
+        ORDER BY doc_id""")),
+
+    // ---- q32: MinHash LSH candidates + exact Jaccard verification ----
+    QueryDef(
+      "q32_lsh_jaccard",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cands = Dedup.lshCandidatePairs(d, "doc_id", "text",
+          bands = 2, rowsPerBand = 3)
+        Dedup.jaccardVerify(d, cands, "doc_id", "text", minJaccard = 0.2)
+          .select(col("id1"), col("id2"), col("n1"), col("n2"), col("common"), col("jaccard"))
+          .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             m AS (SELECT doc_id, len(sh) AS n_sh,
+                     ${sqlMinhash("sh", 0)} || '#' || ${sqlMinhash("sh", 1)} || '#' || ${sqlMinhash("sh", 2)} AS band0,
+                     ${sqlMinhash("sh", 3)} || '#' || ${sqlMinhash("sh", 4)} || '#' || ${sqlMinhash("sh", 5)} AS band1
+                   FROM s),
+             e AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                   UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+                                       AND a.doc_id < b.doc_id),
+             shx AS (SELECT doc_id, unnest(sh) AS sx FROM s),
+             j AS (SELECT id1, id2, COUNT(*) AS common
+                   FROM cand
+                   JOIN shx x ON x.doc_id = id1
+                   JOIN shx y ON y.doc_id = id2 AND y.sx = x.sx
+                   GROUP BY id1, id2)
+        SELECT id1, id2, m1.n_sh AS n1, m2.n_sh AS n2, common,
+               CAST(common AS DOUBLE) / (m1.n_sh + m2.n_sh - common) AS jaccard
+        FROM j JOIN m m1 ON m1.doc_id = id1 JOIN m m2 ON m2.doc_id = id2
+        WHERE CAST(common AS DOUBLE) / (m1.n_sh + m2.n_sh - common) >= 0.2
+        ORDER BY jaccard DESC, id1, id2""")),
+
+    // ---- q33: SimHash keys (16-bit signature + 8-bit bands) ----
+    QueryDef(
+      "q33_simhash",
+      (s, dir) =>
+        Dedup.simhashKeys(docs(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             h AS (SELECT doc_id,
+                     CAST(list_sum(list_transform(range(0, 16), b ->
+                       CASE WHEN list_sum(list_transform(tk, tok ->
+                              CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> b) & 1 = 1
+                                   THEN 1 ELSE -1 END)) >= 0
+                            THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+                   FROM t)
+        SELECT doc_id, simhash, simhash >> 8 AS band_hi, simhash % 256 AS band_lo
+        FROM h
+        ORDER BY doc_id""")),
+
+    // ---- q36: language ID (stopword-ratio heuristic) ----
+    QueryDef(
+      "q36_langid",
+      (s, dir) =>
+        TextAnalysis.languageId(docs(s, dir), "text")
+          .select(col("doc_id"), col("n_tokens"), col("en_ratio"), col("lang_pred"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents)
+        SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+               len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','is','on','for','it')))::DOUBLE
+                 / len(tk) AS en_ratio,
+               CASE WHEN len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','is','on','for','it')))::DOUBLE
+                         / len(tk) >= 0.08
+                    THEN 'en' ELSE 'unk' END AS lang_pred
+        FROM t
+        ORDER BY doc_id""")),
+
+    // ---- q37: quality scoring ----
+    QueryDef(
+      "q37_quality",
+      (s, dir) =>
+        TextAnalysis.qualityScore(docs(s, dir), "text")
+          .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+            col("alpha_ratio"), col("quality_score"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $sqlToks AS tk FROM documents)
+        SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+               list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk) AS avg_token_len,
+               len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(text) AS alpha_ratio,
+               least(1.0, len(tk)::DOUBLE / 100.0) * 0.5
+                 + len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(text) * 0.5
+                 AS quality_score
+        FROM t
+        ORDER BY doc_id""")),
+
+    // ---- q38: token statistics (whitespace + BPE-ish regex counting) ----
+    QueryDef(
+      "q38_token_stats",
+      (s, dir) =>
+        TextAnalysis.tokenStats(docs(s, dir), "text")
+          .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+            col("distinct_tokens"), col("ttr"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $sqlToks AS tk FROM documents)
+        SELECT doc_id, len(tk)::BIGINT AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS re_tokens,
+               len(list_distinct(tk))::BIGINT AS distinct_tokens,
+               len(list_distinct(tk))::DOUBLE / len(tk) AS ttr
+        FROM t
+        ORDER BY doc_id""")),
+
+    // ---- q39: multimodal binary metadata (opaque bytes + typed meta) ----
+    QueryDef(
+      "q39_binary_meta",
+      (s, dir) => {
+        val withBin = docs(s, dir).withColumn("payload", encode(col("text"), "utf-8"))
+        Multimodal.withBinaryMeta(withBin, "payload")
+          .withColumn("modality",
+            when(col("n_bytes") % 3 === 0, "image")
+              .when(col("n_bytes") % 3 === 1, "audio")
+              .otherwise("video"))
+          .select(col("doc_id"), col("n_bytes"), col("header_hex"), col("modality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               hex(encode(substring(text, 1, 8))) AS header_hex,
+               CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+                    WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, and IVF-bucketed
+  * top-k as the scale path (corpus partitioned by nearest centroid,
+  * queries probe one bucket). Cosines are sequential-fold doubles —
+  * bit-identical to the scalar oracle, no tolerance needed.
+  */
+object Vectors {
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+
+  /** DuckDB scalar mirrors of VectorFunctions (sequential list_sum). */
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q34: brute-force cosine top-k (exact baseline) ----
+    QueryDef(
+      "q34_cosine_topk",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        Similarity.bruteForceTopK(
+          corpus = v.filter(col("id") >= 5),
+          queries = v.filter(col("id") < 5),
+          k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             q AS (SELECT id AS qid, vec AS qv FROM v WHERE id < 5),
+             c AS (SELECT id AS cid, vec AS cv FROM v WHERE id >= 5),
+             s AS (SELECT qid, cid,
+                     ${sqlDot("qv", "cv")} /
+                     (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS cos
+                   FROM c CROSS JOIN q)
+        SELECT qid, rank, cid AS neighbor, cos
+        FROM (SELECT qid, cid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+              FROM s)
+        WHERE rank <= 5
+        ORDER BY qid, rank""")),
+
+    // ---- q35: IVF ANN (centroid-bucketed search, the scale path) ----
+    QueryDef(
+      "q35_ivf_ann",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val centroids = v.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        val corpus = v.filter(col("id") >= 8)
+        val assigned = Similarity.ivfAssign(corpus, centroids)
+        val queries = v.filter(col("id") >= 8 && col("id") <= 12)
+        Similarity.ivfTopK(assigned, queries, centroids, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             corpus AS (SELECT * FROM v WHERE id >= 8),
+             scored AS (SELECT corpus.id, corpus.vec, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, vec, cid AS bucket
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM scored)
+                          WHERE rn = 1),
+             q AS (SELECT id AS qid, vec AS qv, bucket FROM assigned
+                   WHERE id >= 8 AND id <= 12),
+             cand AS (SELECT qid, qv, a.id AS cid, a.vec AS cv
+                      FROM assigned a JOIN q USING (bucket) WHERE a.id <> qid),
+             s AS (SELECT qid, cid,
+                     ${sqlDot("qv", "cv")} /
+                     (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS cos
+                   FROM cand)
+        SELECT qid, rank, cid AS neighbor, cos
+        FROM (SELECT qid, cid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+              FROM s)
+        WHERE rank <= 3
+        ORDER BY qid, rank"""))
+  )
+}
