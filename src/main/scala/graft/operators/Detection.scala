@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Detections-as-code over event tables.
+  *
+  * The reference runs Python `detect(record) -> bool` per record with
+  * metadata hooks (lib/python/matano_detection/detection/common.py:225-259).
+  * Here a rule is declarative: `detect` is a Catalyst predicate Column, so
+  * rules participate in pushdown/pruning and run inside codegen instead of
+  * a per-record interpreter — evaluating N rules over a table is one scan
+  * with N filters, not N×rows function calls. (An imperative escape hatch
+  * can wrap a Row=>Boolean in a typed filter; none of the reference's
+  * example rules need it.)
+  */
+object Detection {
+
+  /** Mirrors the reference rule hooks: detect + title/dedupe/severity/
+    * threshold/deduplication window (common.py:262-345 defaults:
+    * threshold 1, window 3600 s).
+    */
+  trait Rule {
+    def name: String
+    def detect: Column
+    def dedupe: Column = lit("")
+    def severity: String = "notice"
+    def threshold: Int = 1
+    def windowSeconds: Long = 3600
+  }
+
+  final case class SimpleRule(
+      name: String, detect: Column,
+      override val dedupe: Column = lit(""),
+      override val severity: String = "notice",
+      override val threshold: Int = 1,
+      override val windowSeconds: Long = 3600) extends Rule
+
+  /** Evaluate rules against an event frame: one scan, a union of filtered
+    * projections — Catalyst merges the scans and pushes each predicate.
+    * Output is the rule-match shape Alerts.aggregate consumes, plus the
+    * `matano.alert`-style metadata columns the reference's create_alert
+    * emits.
+    */
+  def ruleMatches(events: DataFrame, rules: Seq[Rule], matchId: Column,
+      ts: Column = col("ts")): DataFrame =
+    rules.map { r =>
+      events.filter(r.detect).select(
+        lit(r.name).as("rule_name"),
+        r.dedupe.cast("string").as("dedupe"),
+        matchId.cast("long").as("match_id"),
+        ts.as("ts"),
+        lit(r.severity).as("severity"),
+        lit(r.threshold).as("threshold"),
+        lit(r.windowSeconds).as("deduplication_window"))
+    }.reduce(_.unionAll(_))
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Alerts, Detection}
+import graft.streaming.AlertStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** The alerting pipeline over `events`: declarative rule evaluation →
+  * rule matches → alert dedup/threshold aggregation (anchored windows,
+  * batch and streaming forms). q40/q41 have no ANSI-SQL oracle (the
+  * anchored-window fold is sequential per key) — the driver records
+  * rows-only checks; batch/stream parity and the state-machine scenarios
+  * are covered by ScalaTest (AlertsSpec).
+  */
+object Alerting {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val rules: Seq[Detection.Rule] = Seq(
+    Detection.SimpleRule(
+      name = "error_burst",
+      detect = col("event_type") === "error",
+      dedupe = col("user_id"),
+      severity = "warning", threshold = 2, windowSeconds = 1800),
+    Detection.SimpleRule(
+      name = "big_purchase",
+      detect = col("event_type") === "purchase" && col("value") > 190.0,
+      dedupe = col("user_id"),
+      severity = "info", threshold = 1, windowSeconds = 3600))
+
+  private def matches(s: SparkSession, dir: String): DataFrame =
+    Detection.ruleMatches(events(s, dir), rules, matchId = col("event_id"))
+
+  /** Alert rows with configs applied per rule (threshold/window vary). */
+  private def alerts(s: SparkSession, dir: String): DataFrame =
+    rules.map { r =>
+      Alerts.aggregate(s,
+        matches(s, dir).filter(col("rule_name") === r.name),
+        Alerts.AlertConfig(r.threshold, r.windowSeconds)).toDF
+    }.reduce(_.unionAll(_))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q40: batch alert aggregation (anchored dedup windows) ----
+    QueryDef(
+      "q40_alerts_batch",
+      (s, dir) =>
+        alerts(s, dir)
+          .select(col("rule_name"), col("dedupe"), col("alert_id"),
+            col("match_count"), col("activated"),
+            unix_micros(col("first_matched_at")).as("first_us"))
+          .orderBy(col("rule_name"), col("dedupe"), col("first_us")),
+      None),
+
+    // ---- q41: streaming alert aggregation (flatMapGroupsWithState) ----
+    QueryDef(
+      "q41_alerts_stream",
+      (s, dir) => {
+        val m = matches(s, dir).filter(col("rule_name") === "error_burst")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_matches").toString
+        m.write.mode("overwrite").parquet(tmp)
+        val sink = "graft_alerts_" + math.abs(dir.hashCode).toString
+        AlertStream.runAvailableNow(s, tmp,
+          m.schema, Alerts.AlertConfig(threshold = 2, windowSeconds = 1800), sink)
+          .select(col("rule_name"), col("dedupe"), col("alert_id"),
+            col("match_count"), col("activated"),
+            unix_micros(col("first_matched_at")).as("first_us"))
+          .orderBy(col("rule_name"), col("dedupe"), col("first_us"))
+      },
+      None),
+
+    // ---- q42: rule evaluation itself (declarative detections) ----
+    QueryDef(
+      "q42_rule_matches",
+      (s, dir) =>
+        matches(s, dir)
+          .groupBy(col("rule_name"), col("severity"))
+          .agg(count(lit(1)).as("n_matches"),
+            countDistinct(col("dedupe")).as("n_keys"))
+          .orderBy(col("rule_name")),
+      Some("""
+        SELECT rule_name, severity, COUNT(*) AS n_matches,
+               COUNT(DISTINCT dedupe) AS n_keys
+        FROM (
+          SELECT 'error_burst' AS rule_name, 'warning' AS severity,
+                 CAST(user_id AS VARCHAR) AS dedupe
+          FROM events WHERE event_type = 'error'
+          UNION ALL
+          SELECT 'big_purchase', 'info', CAST(user_id AS VARCHAR)
+          FROM events WHERE event_type = 'purchase' AND value > 190.0)
+        GROUP BY rule_name, severity
+        ORDER BY rule_name"""))
+  )
+}

@@ -81,7 +81,7 @@ object Framing {
   def csvWithHeaders(lines: DataFrame, headers: Seq[String], messageCol: String = "message"): DataFrame = {
     val parts = split(col(messageCol), ",")
     headers.zipWithIndex.foldLeft(lines) { case (d, (h, i)) =>
-      d.withColumn(h, trim(element_at(parts, i + 1)))
+      d.withColumn(h, trim(try_element_at(parts, lit(i + 1))))
     }.drop(messageCol)
   }
 

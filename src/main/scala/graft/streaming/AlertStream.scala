@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.operators.Alerts._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming alert aggregation: the stateful continuous form of
+  * operators.Alerts (reference E2 — the "continuous query"), as
+  * `flatMapGroupsWithState` keyed on (rule_name, dedupe).
+  *
+  * State per key = the open alert {anchor, count, activated}; each
+  * micro-batch folds its new matches through the same transition function
+  * the batch operator uses (single shared implementation → batch/stream
+  * parity is by construction, and tested). Emissions are alert snapshots
+  * per trigger; the sink upserts by alert_id — re-emission of a grown
+  * alert is the MERGE-INTO retro-activation path of the reference
+  * (matano_alerts.rs:309-444) without partition rewrites.
+  *
+  * State is bounded: one open alert per active (rule, dedupe) key; closed
+  * alerts leave state immediately, and an event-time timeout (window width
+  * past the watermark) reaps idle keys.
+  */
+object AlertStream {
+
+  final case class KeyState(firstUs: Long, lastUs: Long, count: Long,
+      createdUs: Option[Long])
+
+  def stateToRow(rule: String, dedupe: String, s: KeyState, cfg: AlertConfig): AlertRow =
+    AlertRow(rule, dedupe,
+      alertId(rule, dedupe, usToTs(s.firstUs)),
+      usToTs(s.firstUs), usToTs(s.lastUs), s.count,
+      s.count >= cfg.threshold, s.createdUs.map(usToTs))
+
+  /** Transition: fold one match into the open state; returns (closedOpt,
+    * newState) — closed alert emitted when the window rolls over.
+    */
+  def step(s: Option[KeyState], tsUs: Long, cfg: AlertConfig): (Option[KeyState], KeyState) =
+    s match {
+      case Some(open) if tsUs < open.firstUs + cfg.windowSeconds * 1000000L =>
+        val n = open.count + 1
+        val created = open.createdUs.orElse(
+          if (n >= cfg.threshold) Some(tsUs) else None)
+        (None, open.copy(lastUs = math.max(open.lastUs, tsUs), count = n, createdUs = created))
+      case other =>
+        val fresh = KeyState(tsUs, tsUs, 1,
+          if (cfg.threshold <= 1) Some(tsUs) else None)
+        (other, fresh)
+    }
+
+  /** Streaming aggregation over a stream of MatchRow. Emits snapshots of
+    * every alert touched in the trigger (upsert-by-alert_id semantics).
+    */
+  def aggregate(spark: SparkSession, matches: Dataset[MatchRow],
+      cfg: AlertConfig): Dataset[AlertRow] = {
+    import spark.implicits._
+    matches
+      .groupByKey(m => (m.rule_name, m.dedupe))
+      .flatMapGroupsWithState[KeyState, AlertRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), it: Iterator[MatchRow], state: GroupState[KeyState]) =>
+          val (rule, dd) = key
+          val sorted = it.toSeq.sortBy(m => tsToUs(m.ts))
+          var cur = state.getOption
+          val emitted = scala.collection.mutable.ArrayBuffer.empty[AlertRow]
+          for (m <- sorted) {
+            val (closed, next) = step(cur, tsToUs(m.ts), cfg)
+            closed.foreach(c => emitted += stateToRow(rule, dd, c, cfg))
+            cur = Some(next)
+          }
+          cur.foreach { c =>
+            state.update(c)
+            emitted += stateToRow(rule, dd, c, cfg)
+          }
+          // snapshots of the same alert within one trigger collapse to the
+          // latest (max count) — sink upserts by alert_id
+          emitted.groupBy(_.alert_id).map(_._2.maxBy(_.match_count)).iterator
+      }
+  }
+
+  /** Run a match stream from parquet through the aggregation into a memory
+    * sink (AvailableNow), returning the collected alerts — the test/verify
+    * entry; production uses the same plan with a durable sink +
+    * checkpoint.
+    */
+  def runAvailableNow(spark: SparkSession, parquetPath: String,
+      schema: org.apache.spark.sql.types.StructType, cfg: AlertConfig,
+      sinkName: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema).parquet(parquetPath)
+      .select(col("rule_name"), col("dedupe"), col("match_id"), col("ts"))
+      .as[MatchRow]
+    val q = aggregate(spark, stream, cfg)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Apply the sink's upsert-by-alert_id contract: when the stream ran as
+    // several micro-batches, an alert that grew across batches has several
+    // snapshots — the one with the highest match_count wins.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("alert_id"))
+      .orderBy(col("match_count").desc, col("last_matched_at").desc)
+    spark.table(sinkName)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

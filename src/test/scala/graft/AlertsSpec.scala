@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Alerts
+import graft.operators.Alerts._
+import graft.streaming.AlertStream
+
+/** Alert state machine scenarios (FIXTURES.md F7). */
+class AlertsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+  private def m(minute: Int, id: Long = 0, rule: String = "r", key: String = "k") =
+    MatchRow(rule, key, id, ts(minute))
+
+  test("activates exactly at threshold; created_at = crossing match") {
+    val cfg = AlertConfig(threshold = 5, windowSeconds = 900)
+    val out = foldKey("r", "k", (1 to 5).map(i => m(i, i)), cfg)
+    assert(out.size == 1)
+    val a = out.head
+    assert(a.match_count == 5 && a.activated)
+    assert(a.created_at.contains(ts(5)))
+    assert(a.first_matched_at == ts(1))
+  }
+
+  test("below threshold: alert row exists but not activated") {
+    val cfg = AlertConfig(threshold = 5, windowSeconds = 900)
+    val out = foldKey("r", "k", (1 to 4).map(i => m(i, i)), cfg)
+    assert(out.size == 1 && !out.head.activated && out.head.created_at.isEmpty)
+  }
+
+  test("match after window expiry starts a new alert with a new id") {
+    val cfg = AlertConfig(threshold = 1, windowSeconds = 600) // 10 min
+    val out = foldKey("r", "k", Seq(m(0), m(5), m(11)), cfg)
+    assert(out.size == 2)
+    assert(out(0).match_count == 2 && out(1).match_count == 1)
+    assert(out(0).alert_id != out(1).alert_id)
+    assert(out(1).first_matched_at == ts(11))
+  }
+
+  test("attach is anchored to first_matched_at, not last") {
+    val cfg = AlertConfig(threshold = 1, windowSeconds = 600)
+    // 0, 9 within window of 0; 12 is within 600s of 9 but NOT of anchor 0
+    val out = foldKey("r", "k", Seq(m(0), m(9), m(12)), cfg)
+    assert(out.map(_.match_count) == Seq(2, 1))
+  }
+
+  test("idempotent re-run: deterministic alert ids") {
+    val cfg = AlertConfig(2, 900)
+    val a = foldKey("r", "k", Seq(m(1), m(2)), cfg)
+    val b = foldKey("r", "k", Seq(m(1), m(2)), cfg)
+    assert(a == b)
+  }
+
+  test("batch and streaming aggregation agree on real data") {
+    import org.apache.spark.sql.functions._
+    val q40 = SparkEntry.queries("q40_alerts_batch")(spark, sf)
+      .filter(col("rule_name") === "error_burst")
+    val q41 = SparkEntry.queries("q41_alerts_stream")(spark, sf)
+    val b = q40.collect().toSeq
+    val s = q41.collect().toSeq
+    assert(b.nonEmpty)
+    assert(b.toSet == s.toSet)
+  }
+
+  test("streaming step transition closes windows correctly") {
+    val cfg = AlertConfig(2, 600)
+    val (none, s1) = AlertStream.step(None, 0L, cfg)
+    assert(none.isEmpty && s1.count == 1)
+    val (none2, s2) = AlertStream.step(Some(s1), 60000L, cfg)
+    assert(none2.isEmpty && s2.count == 2 && s2.createdUs.contains(60000L))
+    val (closed, s3) = AlertStream.step(Some(s2), 601000000L, cfg)
+    assert(closed.contains(s2) && s3.count == 1)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, Enrichment, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Dedup / similarity / enrichment / multimodal operator behavior. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups normalized duplicates") {
+    val df = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "other text"))
+      .toDF("id", "text").withColumn("text", lower(col("text")))
+    val out = Dedup.exact(df, "id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds a near-duplicate pair and jaccard verifies it") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val far = (100 to 130).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(df, "doc_id", "text", bands = 2, rowsPerBand = 3)
+    val verified = Dedup.jaccardVerify(df, cands, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+    assert(verified.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet == Set((1L, 2L)))
+    assert(verified.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash of identical token sets is identical; disjoint sets differ") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val keys = Dedup.simhashKeys(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(keys(1L) == keys(2L))
+    assert(keys(1L) != keys(3L))
+    assert(keys.values.forall(s => s >= 0 && s < 65536))
+  }
+
+  test("brute-force top-k returns self-similar vectors first") {
+    val mk = (s: Double) => Seq(1.0 * s, 2.0 * s, 3.0 * s)
+    val corpus = Seq((10L, mk(2)), (11L, Seq(3.0, -1.0, 0.5)), (12L, mk(-1)))
+      .toDF("id", "vec")
+    val queries = Seq((1L, mk(1))).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect()
+    // scaled copy has cosine 1, negated copy −1
+    assert(out(0).getAs[Long]("neighbor") == 10L)
+    assert(math.abs(out(0).getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(out(2).getAs[Long]("neighbor") == 12L)
+  }
+
+  test("ivf assigns vectors to nearest centroid with deterministic ties") {
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("cid", "cvec")
+    val vecs = Seq((5L, Seq(1.0, 1.0)), (6L, Seq(9.0, 9.0)), (7L, Seq(5.0, 5.0)))
+      .toDF("id", "vec")
+    val out = Similarity.ivfAssign(vecs, cents).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(out(5L) == 0L && out(6L) == 1L)
+    assert(out(7L) == 0L) // equidistant → lowest centroid id
+  }
+
+  test("enrichment lookup join: hit returns record struct, miss returns null") {
+    val events = Seq(("john", 1), ("ghost", 2)).toDF("user", "i")
+    val enrich = Seq(("john", "John Doe")).toDF("user_id", "name")
+    val out = Enrichment.lookupJoin(events, enrich, col("user"), "user_id", "user_info")
+      .orderBy("i").collect()
+    assert(out(0).getAs[Row]("user_info").getAs[String]("name") == "John Doe")
+    assert(out(1).isNullAt(out(1).fieldIndex("user_info")))
+  }
+
+  test("multimodal feature extraction is deterministic over binary columns") {
+    val df = Seq((1L, "payload-one"), (2L, "payload-two"))
+      .toDF("doc_id", "text").withColumn("bin", encode(col("text"), "utf-8"))
+    val a = Multimodal.extractFeatures(spark, df, "doc_id", "bin").collect()
+    val b = Multimodal.extractFeatures(spark, df, "doc_id", "bin").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(r => r.getAs[Int]("width") >= 16 && r.getAs[Int]("channels") == 3))
+  }
+
+  test("frame sampling splits payload bytes with stride") {
+    val df = Seq((1L, "x" * 100)).toDF("id", "text")
+      .withColumn("bin", encode(col("text"), "utf-8"))
+    val frames = Multimodal.sampleFrames(df, "bin", frameBytes = 16, stride = 2)
+    val idxs = frames.select("frame_idx").as[Int].collect().toSeq
+    assert(idxs == Seq(0, 2, 4, 6)) // ceil(100/16)=7 frames, stride 2
+  }
+}
