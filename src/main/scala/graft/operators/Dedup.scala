@@ -26,56 +26,61 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Distinct shingle sets: (doc, sh, n_sh). The single pass every LSH
+    * stage derives from — persist it when feeding several stages so text
+    * is tokenized once, not per signature.
+    */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc"), shingleSet(col(textCol), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+
   /** Per-document MinHash signature (md5 family), `numHashes` elements. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 2): DataFrame = {
-    val sh = shingleSet(col(textCol), shingleN)
-    val sigs = (0 until numHashes).map(j => minhashMd5(sh, j).as(s"mh$j"))
-    df.select((col(idCol) +: sigs).toIndexedSeq: _*)
+    val sets = shingleFrame(df, idCol, textCol, shingleN)
+    val sigs = (0 until numHashes).map(j => minhashMd5(col("sh"), j).as(s"mh$j"))
+    sets.select((col("doc").as(idCol) +: sigs).toIndexedSeq: _*)
   }
 
-  /** LSH candidate pairs: docs agreeing on a whole band of `rowsPerBand`
-    * MinHashes. Returns (band, id1, id2) distinct pairs with id1 < id2.
+  /** LSH candidate pairs from a shingle frame: docs agreeing on a whole
+    * band of `rowsPerBand` MinHashes. One shuffle keyed on (band, sig) —
+    * the quadratic pair space is never materialized, only same-bucket
+    * pairs.
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, shingleN: Int = 2): DataFrame = {
-    val sh = shingleSet(col(textCol), shingleN)
+  def lshCandidatePairs(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandSigs = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => minhashMd5(sh, b * rowsPerBand + r))
+      val parts = (0 until rowsPerBand).map(r => minhashMd5(col("sh"), b * rowsPerBand + r))
       concat_ws("#", parts: _*).as(s"band$b")
     }
-    val sigDf = df.select((col(idCol) +: bandSigs).toIndexedSeq: _*)
-    val exploded = sigDf.select(col(idCol),
+    val sigDf = sets.select((col("doc") +: bandSigs).toIndexedSeq: _*)
+    val exploded = sigDf.select(col("doc"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for candidate pairs: joins distinct shingle sets
-    * of both sides, counts the intersection, and derives
-    * |A∩B| / (|A| + |B| − |A∩B|). Exact integer arithmetic.
+  /** Exact n-gram Jaccard for candidate pairs: fetch both shingle arrays
+    * (two hash joins on doc id) and intersect per pair in one codegen'd
+    * expression — no exploded shuffle of candidates × shingles.
+    * common = |{s ∈ A : s ∈ B}| over distinct sets; J = common/(n1+n2−common).
     */
-  def jaccardVerify(df: DataFrame, candidates: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 2, minJaccard: Double = 0.0): DataFrame = {
-    val sets = df.select(col(idCol).as("doc"), shingleSet(col(textCol), shingleN).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val exploded = sets.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
-    val common = candidates
-      .join(exploded.as("x"), col("id1") === col("x.doc"))
-      .join(exploded.as("y"), col("id2") === col("y.doc") && col("x.s") === col("y.s"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("common"),
-        first(col("x.n_sh")).as("n1"), first(col("y.n_sh")).as("n2"))
-    common
+  def jaccardVerify(sets: DataFrame, candidates: DataFrame,
+      minJaccard: Double = 0.0): DataFrame = {
+    val s1 = sets.select(col("doc").as("id1"), col("sh").as("sh1"), col("n_sh").as("n1"))
+    val s2 = sets.select(col("doc").as("id2"), col("sh").as("sh2"), col("n_sh").as("n2"))
+    candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("common", size(filter(col("sh1"), s => array_contains(col("sh2"), s))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("common"), col("jaccard"))
   }
 
   /** SimHash near-dup keys: 16-bit signature + two 8-bit bands. Documents

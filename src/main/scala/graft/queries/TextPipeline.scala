@@ -68,11 +68,10 @@ object TextPipeline {
     QueryDef(
       "q32_lsh_jaccard",
       (s, dir) => {
-        val d = docs(s, dir)
-        val cands = Dedup.lshCandidatePairs(d, "doc_id", "text",
-          bands = 2, rowsPerBand = 3)
-        Dedup.jaccardVerify(d, cands, "doc_id", "text", minJaccard = 0.2)
-          .select(col("id1"), col("id2"), col("n1"), col("n2"), col("common"), col("jaccard"))
+        val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3)
+        Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       },
       Some(s"""
@@ -87,16 +86,15 @@ object TextPipeline {
              cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
                       FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
                                        AND a.doc_id < b.doc_id),
-             shx AS (SELECT doc_id, unnest(sh) AS sx FROM s),
-             j AS (SELECT id1, id2, COUNT(*) AS common
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
                    FROM cand
-                   JOIN shx x ON x.doc_id = id1
-                   JOIN shx y ON y.doc_id = id2 AND y.sx = x.sx
-                   GROUP BY id1, id2)
-        SELECT id1, id2, m1.n_sh AS n1, m2.n_sh AS n2, common,
-               CAST(common AS DOUBLE) / (m1.n_sh + m2.n_sh - common) AS jaccard
-        FROM j JOIN m m1 ON m1.doc_id = id1 JOIN m m2 ON m2.doc_id = id2
-        WHERE CAST(common AS DOUBLE) / (m1.n_sh + m2.n_sh - common) >= 0.2
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2)
+        SELECT id1, id2, n1, n2, common,
+               CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
+        FROM j
+        WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2
         ORDER BY jaccard DESC, id1, id2""")),
 
     // ---- q33: SimHash keys (16-bit signature + 8-bit bands) ----

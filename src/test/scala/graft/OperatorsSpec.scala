@@ -22,8 +22,9 @@ class OperatorsSpec extends SparkSpec {
     val near = (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"
     val far = (100 to 130).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
-    val cands = Dedup.lshCandidatePairs(df, "doc_id", "text", bands = 2, rowsPerBand = 3)
-    val verified = Dedup.jaccardVerify(df, cands, "doc_id", "text", minJaccard = 0.5)
+    val sets = Dedup.shingleFrame(df, "doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3)
+    val verified = Dedup.jaccardVerify(sets, cands, minJaccard = 0.5)
       .collect()
     assert(verified.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet == Set((1L, 2L)))
     assert(verified.head.getAs[Double]("jaccard") > 0.8)
