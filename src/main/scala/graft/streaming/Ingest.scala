@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.lake.Lake
+import graft.schema.SchemaResolver
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The E1 pipeline as ONE Structured Streaming query (SURVEY.md §3 E1):
+  * landing files → framing/transform → schema resolution with sidelining →
+  * hour-partitioned lake append. The reference's five Lambda/SQS hops
+  * collapse into stages of this query; checkpointing makes file ingestion
+  * exactly-once (each input file processed once, recorded in the
+  * checkpoint's file log — the DDB sequencer-dedup S11 equivalent), and
+  * the Iceberg-style commit is the atomic per-batch sink write.
+  */
+object Ingest {
+
+  final case class Pipeline(
+      transform: DataFrame => DataFrame,
+      target: StructType,
+      lakePath: String,
+      sidelinePath: String)
+
+  /** Apply one micro-batch: transform → resolve → append clean rows to the
+    * lake, mismatches to the sideline (grouped by error_kind, reference
+    * S17). Used by both the streaming sink and batch backfills — same
+    * code, same layout.
+    */
+  def processBatch(p: Pipeline)(batch: DataFrame, batchId: Long): Unit = {
+    val shaped = p.transform(batch)
+    val r = SchemaResolver.resolve(shaped, p.target)
+    Lake.append(r.resolved, p.lakePath)
+    val bad = r.sidelined
+    if (!bad.isEmpty) {
+      bad.withColumn("ts", coalesce(col("ts").cast("timestamp"), current_timestamp()))
+        .write.mode("append").partitionBy("error_kind").json(p.sidelinePath)
+    }
+  }
+
+  /** Start the continuous ingest query over a landing directory. */
+  def start(spark: SparkSession, landingPath: String, landingSchema: StructType,
+      p: Pipeline, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(landingSchema)
+      .option("maxFilesPerTrigger", 1000)
+      .json(landingPath)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(p)(b, id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Convenience: run to completion with AvailableNow (tests/backfill). */
+  def runOnce(spark: SparkSession, landingPath: String, landingSchema: StructType,
+      p: Pipeline, checkpoint: String): Unit = {
+    val q = start(spark, landingPath, landingSchema, p, checkpoint)
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Compression, Framing}
+import graft.streaming.Ingest
+import graft.transform.managed.CloudTrail
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end ingest: raw line → transform → resolve → hour-partitioned
+  * lake, plus compression inference and the CloudTrail managed mapping
+  * (FIXTURES.md F1).
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ctLine =
+    """{"eventVersion":"1.08","eventTime":"2023-01-10T21:31:12Z","eventSource":"iam.amazonaws.com","eventName":"AddUserToGroup","awsRegion":"us-east-1","sourceIPAddress":"1.2.3.4","userAgent":"aws-cli/2.9","userIdentity":{"type":"Root","principalId":"AIDA1","arn":"arn:aws:iam::123456789012:root","accountId":"123456789012","accessKeyId":"AKIA1","userName":"root"},"requestParameters":{"userName":"bob"},"responseElements":null,"requestID":"r-1","eventID":"e-1","eventType":"AwsApiCall","managementEvent":true,"readOnly":false,"recipientAccountId":"123456789012"}"""
+
+  test("cloudtrail managed transform maps the F1 fixture to ECS") {
+    val framed = Framing.preTransformJsonParse(
+      Seq(ctLine, "not json at all").toDF("message"))
+    val out = CloudTrail(framed)
+    val rows = out.collect()
+    assert(rows.length == 1) // non-JSON line has no ts → aborted
+    val r = rows.head
+    assert(out.select("event.action").head.getString(0) == "AddUserToGroup")
+    assert(out.select("cloud.account.id").head.getString(0) == "123456789012")
+    assert(out.select("related.ip").head.getSeq[String](0) == Seq("1.2.3.4"))
+    assert(out.select("related.user").head.getSeq[String](0) == Seq("root"))
+    assert(out.select("aws.cloudtrail.request_parameters").head.getString(0)
+      == """{"userName":"bob"}""")
+    assert(out.select("ecs.version").head.getString(0) == "8.5.0")
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString
+      == "2023-01-10T21:31:12Z")
+  }
+
+  test("streaming ingest: landing json → transform → lake with sidelining") {
+    val tmp = Files.createTempDirectory("graft_ingest")
+    val landing = tmp.resolve("landing").toString
+    val lake = tmp.resolve("lake").toString
+    val side = tmp.resolve("side").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Seq(
+      """{"ts":"2024-01-01T05:30:00Z","event_type":"click","user_id":"7"}""",
+      """{"ts":"2024-01-01T06:10:00Z","event_type":"error","user_id":"8"}""",
+      """{"ts":"2024-01-01T06:20:00Z","event_type":"error","user_id":"not-a-number"}"""
+    ).toDF("value").coalesce(1).write.text(landing)
+
+    val landingSchema = StructType(Seq(
+      StructField("ts", StringType), StructField("event_type", StringType),
+      StructField("user_id", StringType)))
+    val target = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    val p = Ingest.Pipeline(
+      transform = df => df.withColumn("ts", to_timestamp(col("ts"))),
+      target = target, lakePath = lake, sidelinePath = side)
+    Ingest.runOnce(spark, landing, landingSchema, p, ckpt)
+
+    val lakeDf = graft.lake.Lake.read(spark, lake)
+    assert(lakeDf.count() == 2)
+    assert(lakeDf.select("ts_hour").as[String].collect().toSet
+      == Set("2024-01-01-05", "2024-01-01-06"))
+    val sidelined = spark.read.option("recursiveFileLookup", "true").json(side)
+    assert(sidelined.count() == 1)
+    // exactly-once: re-running with the same checkpoint ingests nothing new
+    Ingest.runOnce(spark, landing, landingSchema, p, ckpt)
+    assert(graft.lake.Lake.read(spark, lake).count() == 2)
+  }
+
+  test("magic-byte inference decodes misnamed gzip next to plain text") {
+    val tmp = Files.createTempDirectory("graft_gz")
+    val gzPath = tmp.resolve("mislabeled.log") // gzip content, no .gz ext
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("line-a\nline-b\n".getBytes("UTF-8")); gz.close()
+    Files.write(gzPath, bos.toByteArray)
+    Files.write(tmp.resolve("plain.log"), "line-c\n".getBytes("UTF-8"))
+    val out = Compression.readLinesInferred(spark, tmp.toString)
+    assert(out.select("line").as[String].collect().sorted.toSeq
+      == Seq("line-a", "line-b", "line-c"))
+  }
+
+  test("streaming dedup within watermark drops re-delivered file ids") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp)](spark)
+    val deduped = input.toDF().toDF("file_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("file_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(("f1", t), ("f1", t), ("f2", t))
+    q.processAllAvailable()
+    input.addData(("f1", t)) // re-delivery in a later batch
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_sink").count() == 2)
+  }
+}
