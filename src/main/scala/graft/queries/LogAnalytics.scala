@@ -199,6 +199,57 @@ object LogAnalytics {
         WHERE token <> ''
         GROUP BY token
         ORDER BY n DESC, token
-        LIMIT 40"""))
+        LIMIT 40""")),
+
+    // ---- q43: detection counter over TTL window (A4: RemoteCache shape) --
+    QueryDef(
+      "q43_ttl_counter",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0)
+        t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("n_last_hour"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, n_last_hour
+        FROM (SELECT event_id, user_id,
+                     COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+              FROM events WHERE event_type = 'error')
+        ORDER BY event_id""")),
+
+    // ---- q44: alert context union-merge + CDC diff (A2/A3) ----
+    QueryDef(
+      "q44_context_merge",
+      (s, dir) => {
+        val ctx = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            collect_set(when(col("event_id") % 2 === 0, col("event_type"))).as("ctx_old"),
+            collect_set(when(col("event_id") % 2 === 1, col("event_type"))).as("ctx_new"))
+        ctx.select(
+          col("user_id"),
+          array_join(sort_array(
+            graft.operators.AlertContext.merge(col("ctx_old"), col("ctx_new"))), ",").as("merged"),
+          array_join(sort_array(
+            graft.operators.AlertContext.diff(col("ctx_old"), col("ctx_new"))), ",").as("added"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id,
+                 list_distinct(list(event_type) FILTER (WHERE event_id % 2 = 0)) AS ctx_old,
+                 list_distinct(list(event_type) FILTER (WHERE event_id % 2 = 1)) AS ctx_new
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               array_to_string(list_sort(list_distinct(ctx_old || ctx_new)), ',') AS merged,
+               COALESCE(array_to_string(list_sort(list_filter(ctx_new,
+                 x -> NOT coalesce(list_contains(ctx_old, x), false))), ','), '') AS added
+        FROM c
+        ORDER BY user_id"""))
   )
 }

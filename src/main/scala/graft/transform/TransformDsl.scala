@@ -113,4 +113,25 @@ object TransformDsl {
   /** is_ipv4 heuristic (VRL is_ipv4): dotted-quad with 0-255 octets. */
   def isIpv4(c: Column): Column =
     c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+
+  /** parse_url → {scheme, host, path, query} struct (VRL parse_url). */
+  def parseUrl(c: Column): Column = struct(
+    parse_url(c, lit("PROTOCOL")).as("scheme"),
+    parse_url(c, lit("HOST")).as("host"),
+    parse_url(c, lit("PATH")).as("path"),
+    parse_url(c, lit("QUERY")).as("query"))
+
+  /** parse_user_agent → {name, version, device} via regex heuristics (VRL
+    * parse_user_agent; a UA-parser lexicon would slot in the same shape).
+    */
+  def parseUserAgent(c: Column): Column = {
+    val pattern = "(aws-cli|aws-sdk-[\\w-]+|Firefox|Chrome|Safari|Edg|curl|Wget|python-requests|okhttp)[/ ]([\\w.]+)"
+    val name = regexp_extract(c, pattern, 1)
+    val ver = regexp_extract(c, pattern, 2)
+    struct(
+      when(name =!= "", name).as("name"),
+      when(ver =!= "", ver).as("version"),
+      when(c.rlike("(?i)mobile|android|iphone"), "mobile")
+        .when(c.isNotNull, "other").as("device"))
+  }
 }
