@@ -43,22 +43,31 @@ object TextFunctions {
   def minhashFast(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => xxhash64(s, lit(seed))))
 
-  /** 16-bit SimHash from md5-derived per-token 32-bit hashes.
+  /** md5-derived 32-bit token hash (engine-portable integer). */
+  def md5Hash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+
+  /** 16-bit SimHash over precomputed per-token hashes (see md5Hash32).
     *
-    * For bit b: sum +1/-1 over tokens according to bit b of
-    * conv(md5(token)[0:8], 16, 10); simhash bit b is 1 iff the sum >= 0.
-    * Integer arithmetic end-to-end → engine-portable.
+    * For bit b: sum +1/-1 over tokens according to bit b; simhash bit b is
+    * 1 iff the sum >= 0. Integer arithmetic end-to-end → engine-portable.
+    * Callers should stage the hash array as its own projection — hashing
+    * once per token, not once per (token × bit).
     */
-  def simhash16(toks: Column): Column = {
-    val h = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
-    val bitContribution = (b: Int, t: Column) =>
-      when(shiftright(h(t), b) % 2 === 1, lit(1L)).otherwise(lit(-1L))
+  def simhash16FromHashes(hashes: Column): Column = {
     val bits = (0 until 16).map { b =>
-      val s = aggregate(toks, lit(0L), (acc, t) => acc + bitContribution(b, t))
+      val s = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
       when(s >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** Convenience form over raw tokens (prefer the staged variant in
+    * operators — this re-hashes per bit).
+    */
+  def simhash16(toks: Column): Column =
+    simhash16FromHashes(transform(toks, t => md5Hash32(t)))
 
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
     * The exact-dedup key (normalization makes trivial reformat dups equal).

@@ -32,7 +32,12 @@ object Dedup {
     */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame =
-    df.select(col(idCol).as("doc"), shingleSet(col(textCol), shingleN).as("sh"))
+    // tokens materialize as their own projection: inside the shingle
+    // lambda each element_at then references a bound attribute — without
+    // this the split/filter re-evaluates per gram (no CSE inside
+    // higher-order-function lambdas) and shingling goes quadratic.
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), array_distinct(wordShingles(col("__tk"), shingleN)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
   /** Per-document MinHash signature (md5 family), `numHashes` elements. */
@@ -76,7 +81,9 @@ object Dedup {
     val s1 = sets.select(col("doc").as("id1"), col("sh").as("sh1"), col("n_sh").as("n1"))
     val s2 = sets.select(col("doc").as("id2"), col("sh").as("sh2"), col("n_sh").as("n2"))
     candidates.join(s1, "id1").join(s2, "id2")
-      .withColumn("common", size(filter(col("sh1"), s => array_contains(col("sh2"), s))))
+      // sets are distinct → |array_intersect| == count of common shingles,
+      // and array_intersect is hash-based (O(n+m) per pair, not O(n·m))
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= minJaccard)
@@ -87,10 +94,12 @@ object Dedup {
     * within Hamming distance 8 share at least one band (pigeonhole), so
     * banding the signature gives candidate buckets without pair explosion.
     */
-  def simhashKeys(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = simhash16(tokens(col(textCol)))
-    df.select(col(idCol), sig.as("simhash"))
+  def simhashKeys(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // stage tokens, then per-token hashes, then fold bits — each md5 runs
+    // once per token (lambdas get no CSE; see shingleFrame)
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), transform(col("__tk"), t => md5Hash32(t)).as("__h"))
+      .select(col(idCol), simhash16FromHashes(col("__h")).as("simhash"))
       .withColumn("band_hi", shiftright(col("simhash"), 8))
       .withColumn("band_lo", col("simhash") % 256)
-  }
 }

@@ -60,9 +60,12 @@ object TextAnalysis {
         size(array_distinct(toks)).cast(DoubleType) / size(toks))
   }
 
-  /** Document fingerprints: exact content hash + min-shingle rolling hash. */
+  /** Document fingerprints: exact content hash + min-shingle rolling hash.
+    * Tokens stage as their own projection (no CSE inside shingle lambdas).
+    */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      contentFingerprint(col(textCol)).as("content_fp"),
-      minShingleFingerprint(col(textCol), 4).as("shingle_fp"))
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        md5(array_join(col("__tk"), " ")).as("content_fp"),
+        minhashMd5(array_distinct(wordShingles(col("__tk"), 4)), 0).as("shingle_fp"))
 }
