@@ -11,9 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query isn't charged
-    // session-setup costs (no table data is cached).
+    // JVM/codegen/parquet-reader warmup so the first measured query isn't
+    // charged session-setup costs (warms codepaths on the tiniest table;
+    // no bench table data is cached).
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full computation of every output column (count() would

@@ -24,8 +24,13 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Fold-composed cosine (reference form; bit-equal to cosine below). */
+  def cosineFold(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused native cosine (one generated loop — the hot-path form). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
 
   /** Squared L2 distance (no sqrt — ranking-equivalent, cheaper). */
   def l2sq(a: Column, b: Column): Column =

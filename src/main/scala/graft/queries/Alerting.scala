@@ -61,7 +61,7 @@ object Alerting {
       (s, dir) => {
         val m = matches(s, dir).filter(col("rule_name") === "error_burst")
         val tmp = java.nio.file.Files.createTempDirectory("graft_matches").toString
-        m.write.mode("overwrite").parquet(tmp)
+        m.coalesce(4).write.mode("overwrite").parquet(tmp)
         val sink = "graft_alerts_" + math.abs(dir.hashCode).toString
         AlertStream.runAvailableNow(s, tmp,
           m.schema, Alerts.AlertConfig(threshold = 2, windowSeconds = 1800), sink)
