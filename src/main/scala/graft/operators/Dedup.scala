@@ -53,7 +53,8 @@ object Dedup {
     * the quadratic pair space is never materialized, only same-bucket
     * pairs.
     */
-  def lshCandidatePairs(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidatePairs(sets: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val bandSigs = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => minhashMd5(col("sh"), b * rowsPerBand + r))
       concat_ws("#", parts: _*).as(s"band$b")
@@ -63,8 +64,21 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    // Skew guard: a degenerate signature (empty docs, boilerplate) makes
+    // one bucket quadratic. Capping bucket width bounds the worst pair
+    // count at buckets×cap² — at corpus scale an uncapped hot bucket is a
+    // straggler task that never finishes, so production callers set a cap
+    // (capped buckets are boilerplate clusters, not near-dup signal).
+    val bucketed = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = exploded.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bucket_n"))
+        exploded.join(sizes, Seq("band", "sig"))
+          .filter(col("__bucket_n") <= cap).drop("__bucket_n")
+      case None => exploded
+    }
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"))

@@ -54,4 +54,34 @@ object Detection {
         lit(r.threshold).as("threshold"),
         lit(r.windowSeconds).as("deduplication_window"))
     }.reduce(_.unionAll(_))
+
+  /** Project aggregated alerts into the reference's matano_alerts row shape
+    * (FIXTURES.md F8 / managed matano_alerts log_source): `ts` +
+    * `matano.alert.{id,dedupe,severity,created,first_matched_at,activated,
+    * rule.{name,severity,threshold,deduplication_window}}`. These rows
+    * re-enter the lake pipeline as their own log source, exactly as the
+    * reference recurses alerts through E1.
+    */
+  def matanoAlertRows(alerts: DataFrame, rules: Seq[Rule], table: String): DataFrame = {
+    val meta = rules.map(r => (r.name, r.severity, r.threshold, r.windowSeconds))
+    val metaDf = alerts.sparkSession.createDataFrame(meta)
+      .toDF("rule_name", "severity", "threshold", "deduplication_window")
+    alerts.join(broadcast(metaDf), Seq("rule_name"))
+      .select(
+        col("last_matched_at").as("ts"),
+        struct(
+          lit(table).as("table"),
+          struct(
+            col("alert_id").as("id"),
+            col("dedupe"),
+            col("severity"),
+            col("created_at").as("created"),
+            col("first_matched_at"),
+            col("activated"),
+            struct(
+              col("rule_name").as("name"),
+              col("severity"),
+              col("threshold"),
+              col("deduplication_window")).as("rule")).as("alert")).as("matano"))
+  }
 }

@@ -30,6 +30,14 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("LSH bucket cap suppresses degenerate boilerplate buckets") {
+    val boiler = (1 to 5).map(i => (i.toLong, "same boilerplate text here over and over"))
+    val df = boiler.toDF("doc_id", "text")
+    val sets = Dedup.shingleFrame(df, "doc_id", "text")
+    assert(Dedup.lshCandidatePairs(sets, 2, 3).count() == 10) // C(5,2) uncapped
+    assert(Dedup.lshCandidatePairs(sets, 2, 3, maxBucketSize = Some(3)).count() == 0)
+  }
+
   test("simhash of identical token sets is identical; disjoint sets differ") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
       .toDF("doc_id", "text")
