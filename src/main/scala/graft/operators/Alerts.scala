@@ -95,4 +95,32 @@ object Alerts {
         foldKey(key._1, key._2, it.toSeq.sortBy(m => tsToUs(m.ts)), cfg).iterator
       }
   }
+
+  /** Retro-activation (reference matano_alerts.rs:309-444): when a late
+    * match pushes an alert over its threshold, rows already committed for
+    * that alert must flip `activated`/`created_at`. With an Iceberg catalog
+    * this is `MERGE INTO ... WHEN MATCHED UPDATE`; here it rewrites only
+    * the hour partitions containing touched alert ids — read back the
+    * affected partitions, overwrite the flagged columns from the fresh
+    * aggregate, dynamic-partition-overwrite them. Partitions not touched
+    * by any updated alert are never rewritten.
+    */
+  def applyRetroActivation(spark: SparkSession, lakePath: String,
+      updated: DataFrame): Unit = {
+    import graft.lake.Lake
+    val fresh = updated.select(
+      col("alert_id").as("__id"), col("activated").as("__activated"),
+      col("created_at").as("__created_at"), col("match_count").as("__match_count"))
+    val lake = Lake.read(spark, lakePath)
+    val touchedHours = lake.join(broadcast(fresh), col("alert_id") === col("__id"))
+      .select(col(Lake.PartitionCol)).distinct()
+    val affected = lake.join(broadcast(touchedHours), Seq(Lake.PartitionCol))
+    val rewritten = affected.join(broadcast(fresh),
+        col("alert_id") === col("__id"), "left")
+      .withColumn("activated", coalesce(col("__activated"), col("activated")))
+      .withColumn("created_at", coalesce(col("__created_at"), col("created_at")))
+      .withColumn("match_count", coalesce(col("__match_count"), col("match_count")))
+      .drop("__id", "__activated", "__created_at", "__match_count", Lake.PartitionCol)
+    Lake.overwritePartitions(rewritten, lakePath)
+  }
 }

@@ -59,12 +59,17 @@ object Alerting {
     QueryDef(
       "q41_alerts_stream",
       (s, dir) => {
-        val m = matches(s, dir).filter(col("rule_name") === "error_burst")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_matches").toString
-        m.coalesce(4).write.mode("overwrite").parquet(tmp)
+        // the whole detection pipeline as ONE streaming query: file
+        // source → rule predicates → stateful alert aggregation
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        // glob form: the file source needs a directory-rooted pattern
+        val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val m = Detection.ruleMatches(stream,
+          rules.filter(_.name == "error_burst"), matchId = col("event_id"))
         val sink = "graft_alerts_" + math.abs(dir.hashCode).toString
-        AlertStream.runAvailableNow(s, tmp,
-          m.schema, Alerts.AlertConfig(threshold = 2, windowSeconds = 1800), sink)
+        AlertStream.runMatches(s, m,
+          Alerts.AlertConfig(threshold = 2, windowSeconds = 1800), sink)
           .select(col("rule_name"), col("dedupe"), col("alert_id"),
             col("match_count"), col("activated"),
             unix_micros(col("first_matched_at")).as("first_us"))

@@ -87,9 +87,18 @@ object AlertStream {
     */
   def runAvailableNow(spark: SparkSession, parquetPath: String,
       schema: org.apache.spark.sql.types.StructType, cfg: AlertConfig,
+      sinkName: String): DataFrame =
+    runMatches(spark,
+      spark.readStream.schema(schema).parquet(parquetPath), cfg, sinkName)
+
+  /** Run any (streaming) match frame through the aggregation into a memory
+    * sink with AvailableNow — the whole detection pipeline stays one
+    * streaming query, no intermediate spool.
+    */
+  def runMatches(spark: SparkSession, matches: DataFrame, cfg: AlertConfig,
       sinkName: String): DataFrame = {
     import spark.implicits._
-    val stream = spark.readStream.schema(schema).parquet(parquetPath)
+    val stream = matches
       .select(col("rule_name"), col("dedupe"), col("match_id"), col("ts"))
       .as[MatchRow]
     val q = aggregate(spark, stream, cfg)

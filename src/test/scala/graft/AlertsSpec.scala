@@ -63,6 +63,38 @@ class AlertsSpec extends SparkSpec {
     assert(b.toSet == s.toSet)
   }
 
+  test("retro-activation rewrites only partitions containing the alert") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    // three hours of committed alert rows; alert "a1" spans hours 0 and 1,
+    // alert "zz" lives alone in hour 2
+    val rows = Seq(
+      ("a1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), false, 1L),
+      ("a1", java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), false, 2L),
+      ("zz", java.sql.Timestamp.valueOf("2024-01-01 02:10:00"), false, 1L)
+    ).toDF("alert_id", "ts", "activated", "match_count")
+      .withColumn("created_at", lit(null).cast("timestamp"))
+    graft.lake.Lake.append(rows, tmp)
+    val before = new java.io.File(s"$tmp/ts_hour=2024-01-01-02").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+
+    val updated = Seq(("a1", true, 5L)).toDF("alert_id", "activated", "match_count")
+      .withColumn("created_at", lit(java.sql.Timestamp.valueOf("2024-01-01 01:10:00")))
+    Alerts.applyRetroActivation(spark, tmp, updated)
+
+    val after = graft.lake.Lake.read(spark, tmp)
+    val a1 = after.filter(col("alert_id") === "a1").collect()
+    assert(a1.length == 2 && a1.forall(_.getAs[Boolean]("activated")))
+    assert(a1.forall(_.getAs[Long]("match_count") == 5L))
+    val zz = after.filter(col("alert_id") === "zz").head
+    assert(!zz.getAs[Boolean]("activated"))
+    // the untouched hour partition kept its original files (not rewritten)
+    val afterFiles = new java.io.File(s"$tmp/ts_hour=2024-01-01-02").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(afterFiles == before)
+  }
+
   test("streaming step transition closes windows correctly") {
     val cfg = AlertConfig(2, 600)
     val (none, s1) = AlertStream.step(None, 0L, cfg)
