@@ -34,6 +34,12 @@ object GraftSession {
   def local(cores: Int = 32): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
   }
+
+  /** Register graft's native expressions for spark.sql callers. */
+  def registerFunctions(s: SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(s, "cosine_similarity",
+      exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)))
 }

@@ -32,6 +32,28 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("k1", "old1"), Row("k2", "new2"), Row("k3", "new3")))
   }
 
+  test("cosine_similarity is callable from spark.sql") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("delivery renderers produce deterministic CDC and slack payloads") {
+    import graft.operators.{Alerts => A, Delivery}
+    val alerts = Seq(A.AlertRow("r1", "k", "id1",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+      3L, true, None)).toDF
+    val cdc = Delivery.cdcPayload(alerts).head
+    assert(cdc.getString(0) == "id1" && cdc.getString(1).contains("\"match_count\":3"))
+    val slack = Delivery.slackText(alerts).head
+    assert(slack.getString(1).contains("*r1*") && slack.getString(1).contains("3 matches"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    Delivery.deliver(Delivery.cdcPayload(alerts),
+      batch => got ++= batch)
+    assert(got.size == 1 && got.head._1 == "id1")
+  }
+
   test("parse_url extracts scheme/host/path/query") {
     val df = Seq("https://example.com:8443/a/b?x=1&y=2").toDF("u")
     val r = df.select(TransformDsl.parseUrl(col("u")).as("p"))
