@@ -15,6 +15,8 @@ object Bench {
     // charged session-setup costs (warms codepaths on the tiniest table;
     // no bench table data is cached).
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(100000L).selectExpr("id % 10 as k", "id")
+      .groupBy("k").count().collect() // warm shuffle + agg codegen
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

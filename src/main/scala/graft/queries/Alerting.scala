@@ -97,6 +97,34 @@ object Alerting {
           SELECT 'big_purchase', 'info', CAST(user_id AS VARCHAR)
           FROM events WHERE event_type = 'purchase' AND value > 190.0)
         GROUP BY rule_name, severity
-        ORDER BY rule_name"""))
+        ORDER BY rule_name""")),
+
+    // ---- q45: lake round-trip with partition pruning (S13-S15 + P8) ----
+    QueryDef(
+      "q45_lake_roundtrip",
+      (s, dir) => {
+        import graft.lake.Lake
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lake_rt").toString
+        Lake.append(events(s, dir).filter(col("event_type").isin("error", "purchase"))
+          .coalesce(4), tmp)
+        // read back with a partition predicate — only matching ts_hour
+        // directories are listed/scanned
+        Lake.read(s, tmp)
+          .filter(col(Lake.PartitionCol) >= "2024-01-03-00" &&
+            col(Lake.PartitionCol) < "2024-01-05-00")
+          .groupBy(col(Lake.PartitionCol).as("ts_hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+          .orderBy(col("ts_hour"), col("event_type"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS ts_hour,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_type IN ('error', 'purchase')
+          AND strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') >= '2024-01-03-00'
+          AND strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') < '2024-01-05-00'
+        GROUP BY 1, 2
+        ORDER BY ts_hour, event_type"""))
   )
 }

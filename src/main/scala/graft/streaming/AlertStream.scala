@@ -101,11 +101,18 @@ object AlertStream {
     val stream = matches
       .select(col("rule_name"), col("dedupe"), col("match_id"), col("ts"))
       .as[MatchRow]
-    val q = aggregate(spark, stream, cfg)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // state-store width: alert key cardinality is modest (rules × dedupe
+    // keys), so fewer state partitions beat the session default — set for
+    // the duration of query planning, then restore.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      aggregate(spark, stream, cfg)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     // Apply the sink's upsert-by-alert_id contract: when the stream ran as
     // several micro-batches, an alert that grew across batches has several
