@@ -39,6 +39,20 @@ object TextFunctions {
   def minhashMd5(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => md5(concat(s, lit("|" + seed)))))
 
+  /** Per-shingle salted md5 array: salt 0 is plain md5; each md5 yields
+    * four independent 8-hex-char chunk hashes (see minhashChunk), so k
+    * MinHashes need only ceil(k/4) md5 passes instead of k.
+    */
+  def saltedHashes(shingles: Column, salt: Int): Column =
+    if (salt == 0) transform(shingles, s => md5(s))
+    else transform(shingles, s => md5(concat(s, lit("#" + salt))))
+
+  /** MinHash element from a staged hash array: lexicographic min of the
+    * chunk'th 8-char slice. chunk ∈ 0..3.
+    */
+  def minhashChunk(hashes: Column, chunk: Int): Column =
+    array_min(transform(hashes, h => substring(h, chunk * 8 + 1, 8)))
+
   /** MinHash signature element, xxhash64 family (fast path). */
   def minhashFast(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => xxhash64(s, lit(seed))))

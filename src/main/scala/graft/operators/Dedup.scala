@@ -40,11 +40,25 @@ object Dedup {
       .select(col("doc"), array_distinct(wordShingles(col("__tk"), shingleN)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
-  /** Per-document MinHash signature (md5 family), `numHashes` elements. */
+  /** Stage ceil(k/4) salted hash arrays next to the shingle set, so k
+    * MinHash elements cost k/4 md5 passes (each md5 yields 4 chunk
+    * hashes). Hash arrays are their own projection — lambda CSE again.
+    */
+  private def withHashArrays(sets: DataFrame, numHashes: Int): DataFrame = {
+    val nSalts = (numHashes + 3) / 4
+    val salted = (0 until nSalts).map(s => saltedHashes(col("sh"), s).as(s"__hs$s"))
+    sets.select((sets.columns.map(col).toIndexedSeq ++ salted): _*)
+  }
+
+  private def chunkMinhash(j: Int): Column = minhashChunk(col(s"__hs${j / 4}"), j % 4)
+
+  /** Per-document MinHash signature (md5-chunk family), `numHashes`
+    * elements.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 2): DataFrame = {
-    val sets = shingleFrame(df, idCol, textCol, shingleN)
-    val sigs = (0 until numHashes).map(j => minhashMd5(col("sh"), j).as(s"mh$j"))
+    val sets = withHashArrays(shingleFrame(df, idCol, textCol, shingleN), numHashes)
+    val sigs = (0 until numHashes).map(j => chunkMinhash(j).as(s"mh$j"))
     sets.select((col("doc").as(idCol) +: sigs).toIndexedSeq: _*)
   }
 
@@ -55,11 +69,12 @@ object Dedup {
     */
   def lshCandidatePairs(sets: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Option[Int] = None): DataFrame = {
+    val staged = withHashArrays(sets, bands * rowsPerBand)
     val bandSigs = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => minhashMd5(col("sh"), b * rowsPerBand + r))
+      val parts = (0 until rowsPerBand).map(r => chunkMinhash(b * rowsPerBand + r))
       concat_ws("#", parts: _*).as(s"band$b")
     }
-    val sigDf = sets.select((col("doc") +: bandSigs).toIndexedSeq: _*)
+    val sigDf = staged.select((col("doc") +: bandSigs).toIndexedSeq: _*)
     val exploded = sigDf.select(col("doc"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))

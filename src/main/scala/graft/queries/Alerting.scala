@@ -105,8 +105,14 @@ object Alerting {
       (s, dir) => {
         import graft.lake.Lake
         val tmp = java.nio.file.Files.createTempDirectory("graft_lake_rt").toString
-        Lake.append(events(s, dir).filter(col("event_type").isin("error", "purchase"))
-          .coalesce(4), tmp)
+        // one week of hour partitions; cluster rows by partition value so
+        // each hour directory is written by a single task (the write
+        // distribution an Iceberg sink would request)
+        Lake.append(
+          events(s, dir)
+            .filter(col("event_type").isin("error", "purchase") &&
+              col("ts") < lit("2024-01-08").cast("timestamp"))
+            .repartition(8, date_format(col("ts"), "yyyy-MM-dd-HH")), tmp)
         // read back with a partition predicate — only matching ts_hour
         // directories are listed/scanned
         Lake.read(s, tmp)
@@ -122,6 +128,7 @@ object Alerting {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
         WHERE event_type IN ('error', 'purchase')
+          AND ts < TIMESTAMP '2024-01-08 00:00:00'
           AND strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') >= '2024-01-03-00'
           AND strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') < '2024-01-05-00'
         GROUP BY 1, 2

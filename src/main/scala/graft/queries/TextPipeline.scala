@@ -29,6 +29,12 @@ object TextPipeline {
   }
   private def sqlMinhash(shCol: String, seed: Int): String =
     s"list_min(list_transform($shCol, x -> md5(x || '|$seed')))"
+  /** Chunk-family mirrors (one md5 per shingle yields 4 chunk hashes). */
+  private def sqlHashArr(salt: Int): String =
+    if (salt == 0) "list_transform(sh, x -> md5(x))"
+    else s"list_transform(sh, x -> md5(x || '#$salt'))"
+  private def sqlMhChunk(j: Int): String =
+    s"list_min(list_transform(hs${j / 4}, h -> substr(h, ${(j % 4) * 8 + 1}, 8)))"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -55,13 +61,14 @@ object TextPipeline {
           .orderBy(col("doc_id")),
       Some(s"""
         WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t)
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0 FROM s)
         SELECT doc_id,
-               ${sqlMinhash("sh", 0)} AS mh0,
-               ${sqlMinhash("sh", 1)} AS mh1,
-               ${sqlMinhash("sh", 2)} AS mh2,
-               ${sqlMinhash("sh", 3)} AS mh3
-        FROM s
+               ${sqlMhChunk(0)} AS mh0,
+               ${sqlMhChunk(1)} AS mh1,
+               ${sqlMhChunk(2)} AS mh2,
+               ${sqlMhChunk(3)} AS mh3
+        FROM h
         ORDER BY doc_id""")),
 
     // ---- q32: MinHash LSH candidates + exact Jaccard verification ----
@@ -77,10 +84,11 @@ object TextPipeline {
       Some(s"""
         WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
              s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
-             m AS (SELECT doc_id, len(sh) AS n_sh,
-                     ${sqlMinhash("sh", 0)} || '#' || ${sqlMinhash("sh", 1)} || '#' || ${sqlMinhash("sh", 2)} AS band0,
-                     ${sqlMinhash("sh", 3)} || '#' || ${sqlMinhash("sh", 4)} || '#' || ${sqlMinhash("sh", 5)} AS band1
-                   FROM s),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
              e AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
                    UNION ALL SELECT doc_id, 1, band1 FROM m),
              cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
