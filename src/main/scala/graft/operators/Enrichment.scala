@@ -50,6 +50,18 @@ object Enrichment {
     events.join(broadcast(renamed), eventKey === col(prefix + lookupKey), "left")
   }
 
+  /** Point-lookup form for imperative consumers (the reference's
+    * detection-side `get_enrichment_table_record`): collect the small
+    * table once into a broadcast map keyed by `lookupKey`. Use inside
+    * rules/foreachBatch bodies; plan-level joins should use lookupJoin.
+    */
+  def lookupMap(enrichment: DataFrame, lookupKey: String)
+      : org.apache.spark.broadcast.Broadcast[Map[String, org.apache.spark.sql.Row]] = {
+    val keyed = enrichment.collect()
+      .map(r => String.valueOf(r.getAs[Any](lookupKey)) -> r).toMap
+    enrichment.sparkSession.sparkContext.broadcast(keyed)
+  }
+
   /** MERGE upsert for enrichment tables with a primary key (reference J2,
     * Enrichment.kt:305-324: `MERGE INTO main USING temp ON pk WHEN MATCHED
     * UPDATE WHEN NOT MATCHED INSERT`). Without an Iceberg catalog this is

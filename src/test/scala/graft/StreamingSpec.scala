@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics beyond alerts: watermarked windowed aggregation
+  * (SURVEY.md §2.7) and the enrichment broadcast-map point lookup.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked hourly window aggregates and drops too-late rows") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val agg = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 00:10:00"), "a"), (t("2024-01-01 00:40:00"), "a"))
+    q.processAllAvailable()
+    // advance watermark far past hour 0 → hour-0 window finalizes
+    input.addData((t("2024-01-01 05:00:00"), "a"))
+    q.processAllAvailable()
+    // this row is hours behind the watermark → dropped, window stays closed
+    input.addData((t("2024-01-01 00:50:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_sink").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n") == 2)
+    assert(rows.head.getAs[java.sql.Timestamp]("hour") == t("2024-01-01 00:00:00"))
+  }
+
+  test("enrichment broadcast map answers point lookups like the join") {
+    val enrich = Seq(("john", "John Doe"), ("ana", "Ana B"))
+      .toDF("user_id", "name")
+    val bc = graft.operators.Enrichment.lookupMap(enrich, "user_id")
+    assert(bc.value("john").getAs[String]("name") == "John Doe")
+    assert(!bc.value.contains("ghost"))
+  }
+
+  test("ecs master schema composes table schemas for managed sources") {
+    val dns = graft.schema.EcsSchema.tableSchema(
+      Seq("dns", "source.ip", "source.port", "destination", "network.transport",
+        "event", "related"))
+    assert(dns.fieldNames.head == "ts")
+    assert(dns("dns").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("question"))
+    val src = dns("source").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(src.fieldNames.toSet == Set("ip", "port"))
+    // the zeek transform's output resolves onto it without sidelining
+    val line =
+      """{"ts":1658256000.1,"uid":"C1","id.orig_h":"10.0.0.5","id.orig_p":1,"id.resp_h":"8.8.8.8",
+        |"id.resp_p":53,"proto":"udp","query":"example.com","qclass_name":"C_INTERNET",
+        |"qtype_name":"A","rcode_name":"NOERROR","answers":["1.2.3.4"],"TTLs":[1.0],"rejected":false}"""
+        .stripMargin.replace("\n", "")
+    val out = graft.transform.managed.ZeekDns(
+      graft.sources.Framing.preTransformJsonParse(Seq(line).toDF("message")))
+    val r = graft.schema.SchemaResolver.resolve(out, dns)
+    assert(r.sidelined.isEmpty)
+    assert(r.resolved.select("dns.question.name").head.getString(0) == "example.com")
+  }
+}
