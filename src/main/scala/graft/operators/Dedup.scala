@@ -110,9 +110,9 @@ object Dedup {
     val s1 = sets.select(col("doc").as("id1"), col("sh").as("sh1"), col("n_sh").as("n1"))
     val s2 = sets.select(col("doc").as("id2"), col("sh").as("sh2"), col("n_sh").as("n2"))
     candidates.join(s1, "id1").join(s2, "id2")
-      // sets are distinct → |array_intersect| == count of common shingles,
-      // and array_intersect is hash-based (O(n+m) per pair, not O(n·m))
-      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))))
+      // fused native count: hash set of the smaller side, membership scan
+      // of the other — no intermediate intersection array per pair
+      .withColumn("common", graft.plans.CommonCount(col("sh1"), col("sh2")).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= minJaccard)

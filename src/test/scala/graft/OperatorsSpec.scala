@@ -30,6 +30,20 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("CommonCount matches size(array_intersect) on distinct sets") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val sets = Dedup.shingleFrame(docs, "doc_id", "text")
+    val a = sets.select(col("doc").as("id1"), col("sh").as("sh1"))
+    val b = sets.select(col("doc").as("id2"), col("sh").as("sh2"))
+    val pairs = a.crossJoin(b).filter(col("id1") < col("id2")).limit(5000)
+      .withColumn("fused", graft.plans.CommonCount(col("sh1"), col("sh2")))
+      .withColumn("builtin", size(array_intersect(col("sh1"), col("sh2"))))
+    assert(pairs.filter(col("fused") =!= col("builtin")).count() == 0)
+    val nullCase = Seq((Some(Seq("a")), None: Option[Seq[String]])).toDF("x", "y")
+      .select(graft.plans.CommonCount(col("x"), col("y")).as("c")).head
+    assert(nullCase.isNullAt(0))
+  }
+
   test("LSH bucket cap suppresses degenerate boilerplate buckets") {
     val boiler = (1 to 5).map(i => (i.toLong, "same boilerplate text here over and over"))
     val df = boiler.toDF("doc_id", "text")
