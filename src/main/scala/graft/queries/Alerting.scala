@@ -34,12 +34,15 @@ object Alerting {
   private def matches(s: SparkSession, dir: String): DataFrame =
     Detection.ruleMatches(events(s, dir), rules, matchId = col("event_id"))
 
-  /** Alert rows with configs applied per rule (threshold/window vary). */
+  /** Alert rows with configs applied per rule (threshold/window vary).
+    * Uses the native AnchoredSession operator (plans.AnchoredSession) —
+    * one hash exchange + sort per rule, streaming InternalRow fold.
+    */
   private def alerts(s: SparkSession, dir: String): DataFrame =
     rules.map { r =>
-      Alerts.aggregate(s,
+      graft.plans.AnchoredSession.aggregate(s,
         matches(s, dir).filter(col("rule_name") === r.name),
-        Alerts.AlertConfig(r.threshold, r.windowSeconds)).toDF
+        Alerts.AlertConfig(r.threshold, r.windowSeconds))
     }.reduce(_.unionAll(_))
 
   val defs: Seq[QueryDef] = Seq(
