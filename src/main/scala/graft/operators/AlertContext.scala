@@ -20,10 +20,11 @@ object AlertContext {
   def diff(existing: Column, incoming: Column): Column =
     array_except(coalesce(incoming, array()), coalesce(existing, array()))
 
-  /** Merge two map<string,array<string>> contexts key-wise. */
+  /** Merge two map<string,array<string>> contexts key-wise; a null side
+    * yields the other unchanged (types stay those of the real input).
+    */
   def mergeMaps(existing: Column, incoming: Column): Column =
-    map_zip_with(
-      coalesce(existing, map()),
-      coalesce(incoming, map()),
-      (_, a, b) => merge(a, b))
+    when(existing.isNull, incoming)
+      .when(incoming.isNull, existing)
+      .otherwise(map_zip_with(existing, incoming, (_, a, b) => merge(a, b)))
 }

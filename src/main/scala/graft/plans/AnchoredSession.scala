@@ -165,8 +165,19 @@ object AnchoredSession {
         registered += spark
       }
     }
-    val child = matches.select(
-      col("rule_name").cast(StringType), col("dedupe").cast(StringType), col("ts"))
+    // null keys normalize to "" and null event times are dropped (the
+    // reference sidelines records without a parseable ts, P8) — keeps the
+    // InternalRow fold total without per-row null branches.
+    val child = matches
+      .filter(col("ts").isNotNull)
+      .select(
+        org.apache.spark.sql.functions.coalesce(
+          col("rule_name").cast(StringType),
+          org.apache.spark.sql.functions.lit("")).as("rule_name"),
+        org.apache.spark.sql.functions.coalesce(
+          col("dedupe").cast(StringType),
+          org.apache.spark.sql.functions.lit("")).as("dedupe"),
+        col("ts"))
     val plan = GraftBridge.logicalPlan(child)
     val Seq(r, d, t) = plan.output.toSeq
     GraftBridge.ofRows(spark, AnchoredSessionAgg(plan, r, d, t,

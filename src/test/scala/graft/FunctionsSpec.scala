@@ -24,6 +24,18 @@ class FunctionsSpec extends SparkSpec {
     assert(out.getSeq[String](0) == Seq("x"))
   }
 
+  test("mergeMaps merges key-wise and passes through null sides") {
+    val df = Seq(
+      (Map("ip" -> Seq("1.1.1.1")), Map("ip" -> Seq("2.2.2.2"), "user" -> Seq("u"))),
+      (null.asInstanceOf[Map[String, Seq[String]]], Map("ip" -> Seq("3.3.3.3")))
+    ).toDF("old", "new")
+    val out = df.select(AlertContext.mergeMaps(col("old"), col("new")).as("m")).collect()
+    val m0 = out(0).getMap[String, scala.collection.Seq[String]](0)
+    assert(m0("ip").toList == List("1.1.1.1", "2.2.2.2"))
+    assert(m0("user").toList == List("u"))
+    assert(out(1).getMap[String, scala.collection.Seq[String]](0)("ip").toList == List("3.3.3.3"))
+  }
+
   test("enrichment mergeUpsert: updates win, unmatched rows survive") {
     val main = Seq(("k1", "old1"), ("k2", "old2")).toDF("pk", "v")
     val temp = Seq(("k2", "new2"), ("k3", "new3")).toDF("pk", "v")
