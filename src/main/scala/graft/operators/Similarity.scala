@@ -46,14 +46,21 @@ object Similarity {
       .withColumnRenamed("cid", "bucket")
   }
 
-  /** IVF top-k: score only corpus vectors in the query's own bucket
-    * (nprobe=1). `assigned` must carry (id, vec, bucket) for the corpus;
-    * queries are assigned with the same centroids then joined by bucket.
+  /** IVF top-k: score only corpus vectors in the query's `nprobe` nearest
+    * centroid buckets. `assigned` must carry (id, vec, bucket) for the
+    * corpus; queries get their probe buckets from the same centroids and
+    * join by bucket — recall grows with nprobe while scored candidates
+    * stay ~nprobe/buckets of the corpus.
     */
   def ivfTopK(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int): DataFrame = {
-    val qAssigned = ivfAssign(queries, centroids)
-      .select(col("id").as("qid"), col("vec").as("qv"), col("bucket"))
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val scoredQ = queries.crossJoin(broadcast(
+        centroids.select(col("cid"), col("cvec"))))
+      .withColumn("dist", l2sq(col("vec"), col("cvec")))
+    val wq = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+    val qAssigned = scoredQ.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("vec").as("qv"), col("cid").as("bucket"))
     val c = assigned.select(col("id").as("cid"), col("vec").as("cv"), col("bucket"))
     val scored = c.join(broadcast(qAssigned), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))

@@ -61,7 +61,7 @@ object Vectors {
         val corpus = v.filter(col("id") >= 8)
         val assigned = Similarity.ivfAssign(corpus, centroids)
         val queries = v.filter(col("id") >= 8 && col("id") <= 12)
-        Similarity.ivfTopK(assigned, queries, centroids, k = 3)
+        Similarity.ivfTopK(assigned, queries, centroids, k = 3, nprobe = 2)
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
@@ -76,8 +76,15 @@ object Vectors {
                           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
                                           ORDER BY dist, cid) AS rn FROM scored)
                           WHERE rn = 1),
-             q AS (SELECT id AS qid, vec AS qv, bucket FROM assigned
-                   WHERE id >= 8 AND id <= 12),
+             qs AS (SELECT corpus.id AS qid, corpus.vec AS qv, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent
+                        WHERE corpus.id >= 8 AND corpus.id <= 12),
+             q AS (SELECT qid, qv, cid AS bucket
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY dist, cid) AS rn FROM qs)
+                   WHERE rn <= 2),
              cand AS (SELECT qid, qv, a.id AS cid, a.vec AS cv
                       FROM assigned a JOIN q USING (bucket) WHERE a.id <> qid),
              s AS (SELECT qid, cid,

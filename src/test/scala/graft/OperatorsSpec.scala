@@ -30,6 +30,20 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("salted join and salted count match their unsalted equivalents") {
+    import graft.operators.Skew
+    val big = (1 to 3000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H")).toDF("k", "tag") // only the hot key matches
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).head.getLong(0) == plain.agg(sum("v")).head.getLong(0))
+    val counts = Skew.saltedCount(big, "k", salts = 8)
+      .filter(col("k") === "hot").head.getAs[Long]("n")
+    assert(counts == big.filter(col("k") === "hot").count())
+  }
+
   test("CommonCount matches size(array_intersect) on distinct sets") {
     val docs = Tables.load(spark, sf, "documents").limit(200)
     val sets = Dedup.shingleFrame(docs, "doc_id", "text")
