@@ -18,18 +18,27 @@ object Bench {
     spark.range(100000L).selectExpr("id % 10 as k", "id")
       .groupBy("k").count().collect() // warm shuffle + agg codegen
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full computation of every output column (count() would
       // let Catalyst prune projections and under-measure map-only queries)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        // NonFatal only: an OOM'd JVM can't produce trustworthy timings
+        case scala.util.control.NonFatal(e) =>
+          errors += name
+          System.err.println(s"[bench] $name failed: $e")
+          None // time-to-fail is not a benchmark result
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
