@@ -44,7 +44,13 @@ object Detection {
     */
   def ruleMatches(events: DataFrame, rules: Seq[Rule], matchId: Column,
       ts: Column = col("ts")): DataFrame =
-    rules.map { r =>
+    if (rules.isEmpty)
+      // zero rules → zero matches with the match schema, not a crash
+      events.limit(0).select(
+        lit("").as("rule_name"), lit("").as("dedupe"),
+        lit(0L).as("match_id"), ts.as("ts"), lit("").as("severity"),
+        lit(0).as("threshold"), lit(0L).as("deduplication_window"))
+    else rules.map { r =>
       events.filter(r.detect).select(
         lit(r.name).as("rule_name"),
         r.dedupe.cast("string").as("dedupe"),

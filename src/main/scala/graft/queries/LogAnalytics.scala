@@ -242,8 +242,8 @@ object LogAnalytics {
       Some("""
         WITH c AS (
           SELECT user_id,
-                 list_distinct(list(event_type) FILTER (WHERE event_id % 2 = 0)) AS ctx_old,
-                 list_distinct(list(event_type) FILTER (WHERE event_id % 2 = 1)) AS ctx_new
+                 COALESCE(list_distinct(list(event_type) FILTER (WHERE event_id % 2 = 0)), []) AS ctx_old,
+                 COALESCE(list_distinct(list(event_type) FILTER (WHERE event_id % 2 = 1)), []) AS ctx_new
           FROM events GROUP BY user_id)
         SELECT user_id,
                array_to_string(list_sort(list_distinct(ctx_old || ctx_new)), ',') AS merged,

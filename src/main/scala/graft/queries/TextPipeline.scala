@@ -194,7 +194,7 @@ object TextPipeline {
       Some("""
         SELECT doc_id,
                octet_length(encode(text))::BIGINT AS n_bytes,
-               hex(encode(substring(text, 1, 8))) AS header_hex,
+               substr(hex(encode(text)), 1, 16) AS header_hex,
                CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
                     WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality

@@ -33,9 +33,10 @@ object SchemaResolver {
         val built = struct(t.fields.zip(parts).map { case (tf, (v, _)) => v.as(tf.name) }.toIndexedSeq: _*)
         (when(c.isNull, lit(null).cast(t)).otherwise(built), coalesce(err, lit(false)))
       case (ArrayType(se, _), ArrayType(te, n)) =>
-        // element-level errors collapse to null elements; flag if any
+        // flag the row if ANY element's (possibly nested) cast failed —
+        // the element-level error expression recurses like the value one
         val casted = transform(c, x => castTo(se, te, x)._1)
-        val anyErr = exists(zip_with(c, casted, (orig, cast) => orig.isNotNull && cast.isNull), identity)
+        val anyErr = exists(c, x => coalesce(castTo(se, te, x)._2, lit(false)))
         (casted.cast(ArrayType(te, n)), coalesce(anyErr, lit(false)))
       case (_, t) =>
         val casted = c.try_cast(t)

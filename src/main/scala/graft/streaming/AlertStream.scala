@@ -20,8 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (matano_alerts.rs:309-444) without partition rewrites.
   *
   * State is bounded: one open alert per active (rule, dedupe) key; closed
-  * alerts leave state immediately, and an event-time timeout (window width
-  * past the watermark) reaps idle keys.
+  * alerts leave state immediately. For continuous triggers, pass
+  * reapIdleState=true to arm a processing-time timeout of twice the dedup
+  * window that removes idle keys (a key silent that long can only start a
+  * new alert anyway, so removal never changes results). Leave it off for
+  * AvailableNow runs — pending timers keep an available-now query alive
+  * past its data.
   */
 object AlertStream {
 
@@ -54,29 +58,40 @@ object AlertStream {
     * every alert touched in the trigger (upsert-by-alert_id semantics).
     */
   def aggregate(spark: SparkSession, matches: Dataset[MatchRow],
-      cfg: AlertConfig): Dataset[AlertRow] = {
+      cfg: AlertConfig, reapIdleState: Boolean = false): Dataset[AlertRow] = {
     import spark.implicits._
+    val timeoutConf =
+      if (reapIdleState) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     matches
       .groupByKey(m => (m.rule_name, m.dedupe))
       .flatMapGroupsWithState[KeyState, AlertRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: (String, String), it: Iterator[MatchRow], state: GroupState[KeyState]) =>
           val (rule, dd) = key
-          val sorted = it.toSeq.sortBy(m => tsToUs(m.ts))
-          var cur = state.getOption
-          val emitted = scala.collection.mutable.ArrayBuffer.empty[AlertRow]
-          for (m <- sorted) {
-            val (closed, next) = step(cur, tsToUs(m.ts), cfg)
-            closed.foreach(c => emitted += stateToRow(rule, dd, c, cfg))
-            cur = Some(next)
+          if (!it.hasNext && state.hasTimedOut) {
+            // idle past 2× the dedup window: the open alert (already
+            // emitted as a snapshot) can never grow — drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(m => tsToUs(m.ts))
+            var cur = state.getOption
+            val emitted = scala.collection.mutable.ArrayBuffer.empty[AlertRow]
+            for (m <- sorted) {
+              val (closed, next) = step(cur, tsToUs(m.ts), cfg)
+              closed.foreach(c => emitted += stateToRow(rule, dd, c, cfg))
+              cur = Some(next)
+            }
+            cur.foreach { c =>
+              state.update(c)
+              if (reapIdleState) state.setTimeoutDuration(cfg.windowSeconds * 2 * 1000L)
+              emitted += stateToRow(rule, dd, c, cfg)
+            }
+            // snapshots of the same alert within one trigger collapse to the
+            // latest (max count) — sink upserts by alert_id
+            emitted.groupBy(_.alert_id).map(_._2.maxBy(_.match_count)).iterator
           }
-          cur.foreach { c =>
-            state.update(c)
-            emitted += stateToRow(rule, dd, c, cfg)
-          }
-          // snapshots of the same alert within one trigger collapse to the
-          // latest (max count) — sink upserts by alert_id
-          emitted.groupBy(_.alert_id).map(_._2.maxBy(_.match_count)).iterator
       }
   }
 

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types.StructType
 /** The E1 pipeline as ONE Structured Streaming query (SURVEY.md §3 E1):
   * landing files → framing/transform → schema resolution with sidelining →
   * hour-partitioned lake append. The reference's five Lambda/SQS hops
-  * collapse into stages of this query; checkpointing makes file ingestion
-  * exactly-once (each input file processed once, recorded in the
-  * checkpoint's file log — the DDB sequencer-dedup S11 equivalent), and
-  * the Iceberg-style commit is the atomic per-batch sink write.
+  * collapse into stages of this query. The checkpointed file source gives
+  * each input file exactly one processing (the DDB sequencer-dedup S11
+  * equivalent); the sink appends are at-least-once if a crash replays an
+  * uncommitted batch — a transactional table format whose commit carries
+  * the batch id (Iceberg, as the reference uses) upgrades the sink side
+  * to exactly-once; the engine's deterministic ids are chosen so such
+  * replays stay idempotent for downstream MERGE sinks.
   */
 object Ingest {
 

@@ -28,10 +28,12 @@ object Compact {
       val cleaned = map_filter(c, (_, v) => compact(v, vt).isNotNull)
       when(c.isNull || size(cleaned) === 0, lit(null).cast(MapType(kt, vt, n))).otherwise(cleaned)
     case st: StructType =>
-      val fields = st.fields.map(f => compact(c.getField(f.name), f.dataType).as(f.name))
-      val rebuilt = struct(fields.toIndexedSeq: _*)
-      val allNull = st.fields.map(f => compact(c.getField(f.name), f.dataType).isNull)
-        .reduceOption(_ && _).getOrElse(lit(true))
+      // compute each field's compacted expression ONCE and reuse the same
+      // instance for the struct and the all-null probe — building the tree
+      // twice per level would blow up 2^depth on nested schemas
+      val compacted = st.fields.map(f => compact(c.getField(f.name), f.dataType))
+      val rebuilt = struct(st.fields.zip(compacted).map { case (f, cc) => cc.as(f.name) }.toIndexedSeq: _*)
+      val allNull = compacted.map(_.isNull).reduceOption(_ && _).getOrElse(lit(true))
       when(c.isNull || allNull, lit(null).cast(st)).otherwise(rebuilt)
     case _ => c
   }

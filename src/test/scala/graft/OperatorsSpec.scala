@@ -76,6 +76,37 @@ class OperatorsSpec extends SparkSpec {
     assert(keys.values.forall(s => s >= 0 && s < 65536))
   }
 
+  test("cosine on mismatched-dimension vectors is null, matching the fold form") {
+    import graft.functions.VectorFunctions
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      graft.plans.CosineSimilarity(col("a"), col("b")).as("fused"),
+      VectorFunctions.cosineFold(col("a"), col("b")).as("fold")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("resolver sidelines rows whose array-of-struct elements fail to cast") {
+    import graft.schema.SchemaResolver
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(StructField("xs",
+      ArrayType(StructType(Seq(StructField("n", LongType)))))))
+    val df = Seq(Tuple1(Seq(Tuple1("7"))), Tuple1(Seq(Tuple1("bad"))))
+      .toDF("xs")
+      .select(transform(col("xs"), x => struct(x.getField("_1").as("n"))).as("xs"))
+    val r = SchemaResolver.resolve(df, target)
+    assert(r.resolved.count() == 1)
+    assert(r.sidelined.count() == 1)
+  }
+
+  test("ruleMatches with zero rules yields an empty match frame") {
+    import graft.operators.Detection
+    val events = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "ts")
+    val out = Detection.ruleMatches(events, Seq.empty, matchId = col("event_id"))
+    assert(out.count() == 0)
+    assert(out.columns.contains("rule_name") && out.columns.contains("deduplication_window"))
+  }
+
   test("brute-force top-k returns self-similar vectors first") {
     val mk = (s: Double) => Seq(1.0 * s, 2.0 * s, 3.0 * s)
     val corpus = Seq((10L, mk(2)), (11L, Seq(3.0, -1.0, 0.5)), (12L, mk(-1)))

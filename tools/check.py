@@ -51,6 +51,11 @@ def main():
     n_pass = n_fail = 0
     result_dirs = sorted(glob.glob(f"{out_dir}/*/"))
     names = [d.rstrip("/").split("/")[-1] for d in result_dirs]
+    # a query that crashed in Verify writes no dir — that's a FAIL, not a skip
+    for name in sorted(oracle):
+        if name not in names:
+            print(f"NOOUT {name}: verify wrote no result")
+            n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
