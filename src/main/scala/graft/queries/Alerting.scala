@@ -70,7 +70,9 @@ object Alerting {
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         val m = Detection.ruleMatches(stream,
           rules.filter(_.name == "error_burst"), matchId = col("event_id"))
-        val sink = "graft_alerts_" + math.abs(dir.hashCode).toString
+        // unique sink name per invocation — a repeated call in one session
+        // must not collide with the previous run's memory table
+        val sink = "graft_alerts_" + java.util.UUID.randomUUID.toString.replace("-", "")
         AlertStream.runMatches(s, m,
           Alerts.AlertConfig(threshold = 2, windowSeconds = 1800), sink)
           .select(col("rule_name"), col("dedupe"), col("alert_id"),
