@@ -54,6 +54,39 @@ object AlertStream {
         (other, fresh)
     }
 
+  /** Per-trigger processing of one key's new matches against its state —
+    * the flatMapGroupsWithState body, extracted so the timeout branch is
+    * unit-testable without wall-clock streaming runs.
+    */
+  def processKey(key: (String, String), it: Iterator[MatchRow],
+      state: GroupState[KeyState], cfg: AlertConfig,
+      reapIdleState: Boolean): Iterator[AlertRow] = {
+    val (rule, dd) = key
+    if (!it.hasNext && state.hasTimedOut) {
+      // idle past 2× the dedup window: the open alert (already emitted as
+      // a snapshot) can never grow — drop the state
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = it.toSeq.sortBy(m => tsToUs(m.ts))
+      var cur = state.getOption
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[AlertRow]
+      for (m <- sorted) {
+        val (closed, next) = step(cur, tsToUs(m.ts), cfg)
+        closed.foreach(c => emitted += stateToRow(rule, dd, c, cfg))
+        cur = Some(next)
+      }
+      cur.foreach { c =>
+        state.update(c)
+        if (reapIdleState) state.setTimeoutDuration(cfg.windowSeconds * 2 * 1000L)
+        emitted += stateToRow(rule, dd, c, cfg)
+      }
+      // snapshots of the same alert within one trigger collapse to the
+      // latest (max count) — sink upserts by alert_id
+      emitted.groupBy(_.alert_id).map(_._2.maxBy(_.match_count)).iterator
+    }
+  }
+
   /** Streaming aggregation over a stream of MatchRow. Emits snapshots of
     * every alert touched in the trigger (upsert-by-alert_id semantics).
     */
@@ -68,30 +101,7 @@ object AlertStream {
       .flatMapGroupsWithState[KeyState, AlertRow](
         OutputMode.Append, timeoutConf) {
         (key: (String, String), it: Iterator[MatchRow], state: GroupState[KeyState]) =>
-          val (rule, dd) = key
-          if (!it.hasNext && state.hasTimedOut) {
-            // idle past 2× the dedup window: the open alert (already
-            // emitted as a snapshot) can never grow — drop the state
-            state.remove()
-            Iterator.empty
-          } else {
-            val sorted = it.toSeq.sortBy(m => tsToUs(m.ts))
-            var cur = state.getOption
-            val emitted = scala.collection.mutable.ArrayBuffer.empty[AlertRow]
-            for (m <- sorted) {
-              val (closed, next) = step(cur, tsToUs(m.ts), cfg)
-              closed.foreach(c => emitted += stateToRow(rule, dd, c, cfg))
-              cur = Some(next)
-            }
-            cur.foreach { c =>
-              state.update(c)
-              if (reapIdleState) state.setTimeoutDuration(cfg.windowSeconds * 2 * 1000L)
-              emitted += stateToRow(rule, dd, c, cfg)
-            }
-            // snapshots of the same alert within one trigger collapse to the
-            // latest (max count) — sink upserts by alert_id
-            emitted.groupBy(_.alert_id).map(_._2.maxBy(_.match_count)).iterator
-          }
+          processKey(key, it, state, cfg, reapIdleState)
       }
   }
 

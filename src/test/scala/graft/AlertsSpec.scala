@@ -95,6 +95,47 @@ class AlertsSpec extends SparkSpec {
     assert(afterFiles == before)
   }
 
+  test("timeout branch removes idle state; live keys re-arm their timer") {
+    import org.apache.spark.sql.streaming.GroupState
+    // minimal fake: tracks update/remove/timeout interactions
+    class FakeState(var value: Option[AlertStream.KeyState], timedOut: Boolean)
+        extends GroupState[AlertStream.KeyState] {
+      var removed = false
+      var timeoutSet: Option[Long] = None
+      override def exists: Boolean = value.isDefined
+      override def get: AlertStream.KeyState = value.get
+      override def getOption: Option[AlertStream.KeyState] = value
+      override def update(s: AlertStream.KeyState): Unit = { value = Some(s) }
+      override def remove(): Unit = { removed = true; value = None }
+      override def hasTimedOut: Boolean = timedOut
+      override def setTimeoutDuration(ms: Long): Unit = { timeoutSet = Some(ms) }
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(ms: Long): Unit = ()
+      override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val cfg = AlertConfig(2, 600)
+    // timed-out idle key → state removed, nothing emitted
+    val idle = new FakeState(Some(AlertStream.KeyState(0L, 0L, 1, None)), timedOut = true)
+    val out = AlertStream.processKey(("r", "k"), Iterator.empty, idle, cfg,
+      reapIdleState = true)
+    assert(out.isEmpty && idle.removed)
+    // live key → state updated, timer re-armed at 2× window
+    val live = new FakeState(None, timedOut = false)
+    val out2 = AlertStream.processKey(("r", "k"),
+      Iterator(m(1, 1)), live, cfg, reapIdleState = true).toSeq
+    assert(out2.size == 1 && live.value.isDefined)
+    assert(live.timeoutSet.contains(600L * 2 * 1000L))
+    // reapIdleState=false never arms a timer (AvailableNow safety)
+    val live2 = new FakeState(None, timedOut = false)
+    AlertStream.processKey(("r", "k"), Iterator(m(1, 1)), live2, cfg,
+      reapIdleState = false).toSeq
+    assert(live2.timeoutSet.isEmpty)
+  }
+
   test("streaming step transition closes windows correctly") {
     val cfg = AlertConfig(2, 600)
     val (none, s1) = AlertStream.step(None, 0L, cfg)
