@@ -40,9 +40,13 @@ object Delivery {
     def send(batch: Seq[(String, String)]): Unit
   }
 
-  /** Drive a sink from a payload frame (foreachBatch body). */
-  def deliver(payloads: DataFrame, sink: AlertSink): Unit = {
-    val rows = payloads.collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    if (rows.nonEmpty) sink.send(rows)
-  }
+  /** Drive a sink from a payload frame (foreachBatch body). Sends run
+    * executor-side, one call per non-empty partition — an alert storm fans
+    * out across tasks instead of choking the driver on a collect().
+    */
+  def deliver(payloads: DataFrame, sink: AlertSink): Unit =
+    payloads.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val rows = it.map(r => (r.getString(0), r.getString(1))).toSeq
+      if (rows.nonEmpty) sink.send(rows)
+    }
 }

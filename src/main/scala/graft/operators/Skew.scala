@@ -18,9 +18,11 @@ object Skew {
     * Result columns = big ++ small (minus the duplicate key column).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // Salt from a hash of the full row: deterministic under task retry
+    // (monotonically_increasing_id / spark_partition_id are not — a retried
+    // stage could re-salt rows differently mid-join).
+    val saltedBig = big.withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(salts)))
     val saltedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-      .withColumn("__salt", col("__salt").cast("long"))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
@@ -29,7 +31,7 @@ object Skew {
     * `salts` partial groups before the final (tiny) shuffle.
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -37,7 +37,7 @@ object LogAnalytics {
           .orderBy(col("event_type")),
       Some("""
         SELECT event_type, COUNT(*) AS n,
-               SUM(k) AS sum_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
                CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
         FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
@@ -78,7 +78,7 @@ object LogAnalytics {
           .orderBy(col("user_id"))
       },
       Some("""
-        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM (
           SELECT user_id,
                  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000

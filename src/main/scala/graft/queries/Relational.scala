@@ -291,7 +291,7 @@ object Relational {
       Some("""
         SELECT date_trunc('month', o_orderdate) AS month,
                COUNT(*) AS n_orders,
-               SUM(CASE WHEN substring(o_orderpriority, 1, 1) IN ('1','2') THEN 1 ELSE 0 END) AS n_high,
+               CAST(SUM(CASE WHEN substring(o_orderpriority, 1, 1) IN ('1','2') THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY 1

@@ -1,21 +1,28 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader}
+import java.io.{BufferedReader, InputStream, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Magic-byte compression inference (reference S1: transformer infers
   * gzip/zstd/none from Content-Encoding, extension, and magic bytes —
-  * lib/rust/transformer/src/main.rs:205-251).
+  * lib/rust/transformer/src/main.rs:205-251), with STREAMING decode: each
+  * task opens its file through the Hadoop filesystem, sniffs the leading
+  * bytes, wraps the open stream in the matching decompressor, and yields
+  * lines lazily — per-task memory is one read buffer, never the whole
+  * decompressed object (the reference streams the same way,
+  * main.rs:537-543). zstd decodes via the zstd-jni Spark already ships for
+  * parquet; gzip via java.util.zip (multi-member streams decode fully).
   *
-  * Spark's text source already dispatches on file extension; this covers
-  * the reference's extra case — misnamed files — by sniffing leading
-  * bytes via the binaryFile source and decompressing in a partition pass.
-  * Multi-member gzip streams decode fully (GZIPInputStream handles
-  * concatenated members).
+  * Parallelism is per-file — inherent to non-splittable gzip/zstd objects,
+  * matching the reference's one-object-per-message model. At 100 TB the
+  * unit of work stays a single log object; many objects spread across
+  * tasks via the path repartition below.
   */
 object Compression {
 
@@ -27,29 +34,61 @@ object Compression {
     else if (bytes.length >= 4 && bytes.take(4).sameElements(ZstdMagic)) "zstd"
     else "none"
 
+  /** Lazy `(path, line)` iterator over one file, codec inferred from magic
+    * bytes on the open stream (no extension trust, no full-file buffering).
+    * The stream closes on exhaustion and, as a backstop, on task end.
+    */
+  def openLines(fs: FileSystem, p: Path): Iterator[(String, String)] = {
+    val raw = fs.open(p)
+    val head = new Array[Byte](4)
+    val n = raw.read(head, 0, 4)
+    raw.seek(0L)
+    val in: InputStream = codecOf(head.take(math.max(n, 0))) match {
+      case "gzip" => new GZIPInputStream(raw)
+      case "zstd" => new com.github.luben.zstd.ZstdInputStream(raw)
+      case _      => raw
+    }
+    val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    new Iterator[(String, String)] {
+      private var nextLine: String = reader.readLine()
+      override def hasNext: Boolean = nextLine != null
+      override def next(): (String, String) = {
+        val l = nextLine
+        nextLine = reader.readLine()
+        if (nextLine == null) closeOnce()
+        (p.toString, l)
+      }
+    }
+  }
+
   /** Read a directory of possibly-misnamed text files as `{path, line}`
-    * rows, inferring the codec per file from its magic bytes. gzip and
-    * plain are decoded here; zstd is recognized and routed to Spark's
-    * codec (by extension) or rejected with a clear error.
+    * rows, inferring the codec per file from its magic bytes.
     */
   def readLinesInferred(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val decoded = codecOf(bytes) match {
-          case "gzip" =>
-            val in = new BufferedReader(new InputStreamReader(
-              new GZIPInputStream(new java.io.ByteArrayInputStream(bytes)),
-              StandardCharsets.UTF_8))
-            Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
-          case "zstd" =>
-            sys.error(s"zstd payload with wrong extension: $p — rename to .zst for codec dispatch")
-          case _ =>
-            new String(bytes, StandardCharsets.UTF_8).linesIterator.toVector
+    val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf.value)
+    val files = fs.globStatus(root) match {
+      case null | Array() =>
+        // not a glob match: treat as a directory listing
+        if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty
+      case matched => matched.toIndexedSeq.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      }
+    }
+    val paths = files.filter(_.isFile).map(_.getPath.toString)
+    val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths)
+      .repartition(parallelism)
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val hp = new Path(p)
+          openLines(hp.getFileSystem(hconf.value), hp)
         }
-        decoded.map(l => (p, l))
       }
       .toDF("path", "line")
   }

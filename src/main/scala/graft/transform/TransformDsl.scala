@@ -45,13 +45,24 @@ object TransformDsl {
 
   def transform(steps: Step*): Transform = Transform(steps)
 
-  /** Column for a dotted path (null-safe: missing roots resolve to null
-    * literals so downstream expressions stay total, as VRL's fallible get).
+  /** Column for a dotted path (null-safe: a path missing at ANY level —
+    * root or intermediate struct field — resolves to a null literal so
+    * downstream expressions stay total, as VRL's fallible get).
     */
-  def getPath(df: DataFrame, path: String): Column = {
-    val root = path.split('.').head
-    if (df.columns.contains(root)) col(path) else lit(null)
-  }
+  def getPath(df: DataFrame, path: String): Column =
+    if (pathExists(df.schema, path.split('.').toList)) col(path) else lit(null)
+
+  @annotation.tailrec
+  private def pathExists(dt: DataType, parts: List[String]): Boolean =
+    (dt, parts) match {
+      case (_, Nil) => true
+      case (st: StructType, p :: rest) =>
+        st.fields.find(_.name == p) match {
+          case Some(f) => pathExists(f.dataType, rest)
+          case None    => false
+        }
+      case _ => false
+    }
 
   /** Set a dotted path, creating intermediate structs as needed. */
   def setPath(df: DataFrame, path: String, value: Column): DataFrame = {
@@ -113,6 +124,66 @@ object TransformDsl {
   /** is_ipv4 heuristic (VRL is_ipv4): dotted-quad with 0-255 octets. */
   def isIpv4(c: Column): Column =
     c.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+
+  /** is_ipv6 / ip_pton / ip_ntop (VRL net fns) — see [[graft.functions.NetFunctions]]. */
+  def isIpv6(c: Column): Column = graft.functions.NetFunctions.isIpv6(c)
+  def ipPton(c: Column): Column = graft.functions.NetFunctions.ipPton(c)
+  def ipNtop(c: Column): Column = graft.functions.NetFunctions.ipNtop(c)
+
+  /** decode_percent (VRL): percent-decode, invalid escape → null. */
+  def decodePercent(c: Column): Column = try_url_decode(c)
+
+  /** VRL `merge(to, from, deep: true)` over struct columns: field-wise
+    * union, `from` wins on conflicts, struct-struct conflicts recurse.
+    * Static schema can't distinguish an absent key from a null value, so a
+    * runtime-null `from` leaf falls back to `to` (null-as-absent), and a
+    * whole-null side yields the other side's fields.
+    */
+  def deepMerge(df: DataFrame, toPath: String, fromPath: String): Column = {
+    def typeAt(path: String): StructType = {
+      val t = path.split('.').toList.foldLeft(df.schema: DataType) {
+        case (st: StructType, p) => st.fields.find(_.name == p)
+          .getOrElse(sys.error(s"deepMerge: no field $p in $path")).dataType
+        case (other, p) => sys.error(s"deepMerge: $p in $path addresses non-struct $other")
+      }
+      t match {
+        case st: StructType => st
+        case other => sys.error(s"deepMerge: $path is $other, expected struct")
+      }
+    }
+    mergeStructCols(col(toPath), typeAt(toPath), col(fromPath), typeAt(fromPath))
+  }
+
+  private def mergeStructCols(a: Column, at: StructType, b: Column, bt: StructType): Column = {
+    val merged = struct(mergedFieldCols(a, at, b, bt): _*)
+    when(a.isNull && b.isNull, lit(null).cast(mergedType(at, bt))).otherwise(merged)
+  }
+
+  private def mergedFieldCols(a: Column, at: StructType, b: Column, bt: StructType): Seq[Column] =
+    (at.fieldNames ++ bt.fieldNames).distinct.toIndexedSeq.map { n =>
+      (at.fields.find(_.name == n), bt.fields.find(_.name == n)) match {
+        case (Some(fa), Some(fb)) => (fa.dataType, fb.dataType) match {
+          case (sa: StructType, sb: StructType) =>
+            mergeStructCols(a.getField(n), sa, b.getField(n), sb).as(n)
+          case (ta, tb) if ta == tb => coalesce(b.getField(n), a.getField(n)).as(n)
+          case _ => b.getField(n).as(n) // type conflict: from wins outright
+        }
+        case (Some(_), None) => a.getField(n).as(n)
+        case (None, _)       => b.getField(n).as(n)
+      }
+    }
+
+  private def mergedType(at: StructType, bt: StructType): StructType =
+    StructType((at.fieldNames ++ bt.fieldNames).distinct.map { n =>
+      (at.fields.find(_.name == n), bt.fields.find(_.name == n)) match {
+        case (Some(fa), Some(fb)) => (fa.dataType, fb.dataType) match {
+          case (sa: StructType, sb: StructType) => StructField(n, mergedType(sa, sb))
+          case _ => StructField(n, fb.dataType)
+        }
+        case (Some(fa), None) => StructField(n, fa.dataType)
+        case (None, fb)       => StructField(n, fb.get.dataType)
+      }
+    })
 
   /** parse_url → {scheme, host, path, query} struct (VRL parse_url). */
   def parseUrl(c: Column): Column = struct(

@@ -60,10 +60,11 @@ class FunctionsSpec extends SparkSpec {
     assert(cdc.getString(0) == "id1" && cdc.getString(1).contains("\"match_count\":3"))
     val slack = Delivery.slackText(alerts).head
     assert(slack.getString(1).contains("*r1*") && slack.getString(1).contains("3 matches"))
-    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    Delivery.deliver(Delivery.cdcPayload(alerts),
-      batch => got ++= batch)
-    assert(got.size == 1 && got.head._1 == "id1")
+    // deliver sends executor-side (foreachPartition); in local mode the
+    // executor shares the JVM, so a singleton collector observes the sends.
+    FunctionsSpec.collected.clear()
+    Delivery.deliver(Delivery.cdcPayload(alerts), FunctionsSpec.CollectorSink)
+    assert(FunctionsSpec.collected.size == 1 && FunctionsSpec.collected.peek()._1 == "id1")
   }
 
   test("parse_url extracts scheme/host/path/query") {
@@ -80,5 +81,76 @@ class FunctionsSpec extends SparkSpec {
       .select("p.name", "p.version", "p.device").collect()
     assert(rows(0) == Row("aws-cli", "2.9", "other"))
     assert(rows(1) == Row("Safari", "604.1", "mobile"))
+  }
+
+  test("ip_pton/ip_ntop round-trip and is_ipv6 on VRL-documented forms") {
+    import graft.functions.NetFunctions
+    val df = Seq(
+      "192.168.0.1",                 // plain v4
+      "2001:db8::1",                 // compressed v6
+      "::1",                         // loopback
+      "::ffff:192.0.2.128",          // v4-mapped tail
+      "2001:0db8:0000:0000:0000:ff00:0042:8329", // full form
+      "256.1.1.1",                   // invalid octet
+      "2001:db8:::1",                // double '::'
+      "not-an-ip"
+    ).toDF("ip")
+    val rows = df.select(
+      NetFunctions.isIpv6(col("ip")).as("v6"),
+      NetFunctions.ipNtop(NetFunctions.ipPton(col("ip"))).as("canon")).collect()
+    assert(rows.map(_.getBoolean(0)).toSeq ==
+      Seq(false, true, true, true, true, false, false, false))
+    assert(rows(0).getString(1) == "192.168.0.1")
+    assert(rows(1).getString(1) == "2001:db8::1")
+    assert(rows(2).getString(1) == "::1")
+    assert(rows(4).getString(1) == "2001:db8::ff00:42:8329") // RFC 5952 compression
+    assert(rows(5).isNullAt(1) && rows(6).isNullAt(1) && rows(7).isNullAt(1))
+  }
+
+  test("ip_pton packs v4 and v6 bytes network-order") {
+    import graft.functions.NetFunctions
+    val r = Seq(("10.0.0.255", "2001:db8::1")).toDF("a", "b")
+      .select(NetFunctions.ipPton(col("a")), NetFunctions.ipPton(col("b"))).head
+    assert(r.getAs[Array[Byte]](0).toSeq == Seq[Byte](10, 0, 0, -1))
+    val v6 = r.getAs[Array[Byte]](1)
+    assert(v6.length == 16 && (v6(0) & 0xff) == 0x20 && (v6(1) & 0xff) == 0x01 &&
+      (v6(2) & 0xff) == 0x0d && (v6(3) & 0xff) == 0xb8 && (v6(15) & 0xff) == 1)
+  }
+
+  test("decode_percent decodes and returns null on bad escapes") {
+    val rows = Seq("a%20b%2Fc", "bad%zz").toDF("s")
+      .select(TransformDsl.decodePercent(col("s"))).collect()
+    assert(rows(0).getString(0) == "a b/c")
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("deepMerge unions struct fields, from wins, struct-struct recurses") {
+    val df = spark.sql(
+      """SELECT named_struct('keep', 'x', 'both', 'old',
+           'nest', named_struct('a', 1, 'b', 2)) AS t,
+         named_struct('both', 'new', 'extra', 'y',
+           'nest', named_struct('b', 20, 'c', 30)) AS f""")
+    val out = df.select(TransformDsl.deepMerge(df, "t", "f").as("m"))
+      .select("m.keep", "m.both", "m.extra", "m.nest.a", "m.nest.b", "m.nest.c").head
+    assert(out == Row("x", "new", "y", 1, 20, 30))
+  }
+
+  test("deepMerge: null from-side leaf falls back; whole-null side passes through") {
+    val df = spark.sql(
+      """SELECT named_struct('v', 'old') AS t,
+         CAST(named_struct('v', CAST(NULL AS STRING)) AS struct<v:string>) AS f,
+         CAST(NULL AS struct<v:string>) AS fnull""")
+    val out = df.select(
+      TransformDsl.deepMerge(df, "t", "f").getField("v").as("a"),
+      TransformDsl.deepMerge(df, "t", "fnull").getField("v").as("b")).head
+    assert(out == Row("old", "old"))
+  }
+}
+
+object FunctionsSpec {
+  import graft.operators.Delivery
+  val collected = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+  object CollectorSink extends Delivery.AlertSink {
+    def send(batch: Seq[(String, String)]): Unit = batch.foreach(collected.add)
   }
 }

@@ -83,6 +83,34 @@ class IngestSpec extends SparkSpec {
       == Seq("line-a", "line-b", "line-c"))
   }
 
+  test("magic-byte inference decodes misnamed zstd via zstd-jni") {
+    val tmp = Files.createTempDirectory("graft_zst")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zs = new com.github.luben.zstd.ZstdOutputStream(bos)
+    zs.write("zline-1\nzline-2\n".getBytes("UTF-8")); zs.close()
+    Files.write(tmp.resolve("mislabeled.json"), bos.toByteArray)
+    val out = Compression.readLinesInferred(spark, tmp.toString)
+    assert(out.select("line").as[String].collect().sorted.toSeq
+      == Seq("zline-1", "zline-2"))
+  }
+
+  test("openLines is lazy: first lines of a large gzip stream come without full decode") {
+    val tmp = Files.createTempDirectory("graft_lazy")
+    val f = tmp.resolve("big.log")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    val w = new java.io.PrintWriter(gz)
+    (1 to 200000).foreach(i => w.println(s"line-$i"))
+    w.close()
+    val hp = new org.apache.hadoop.fs.Path(f.toString)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = Compression.openLines(fs, hp)
+    // pull only the head of the iterator — a buffering implementation would
+    // have to decode all 200k lines before yielding the first
+    assert(it.take(3).map(_._2).toList == List("line-1", "line-2", "line-3"))
+    assert(it.hasNext) // stream still open, rest not materialized
+  }
+
   test("streaming dedup within watermark drops re-delivered file ids") {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp)](spark)
     val deduped = input.toDF().toDF("file_id", "ts")

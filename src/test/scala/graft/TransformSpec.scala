@@ -23,6 +23,15 @@ class TransformSpec extends SparkSpec {
     assert(out.select("s.a", "s.b").head == Row("z", "y"))
   }
 
+  test("getPath resolves missing roots AND missing intermediate fields to null") {
+    val df = Seq(("a", 1)).toDF("name", "v")
+      .select(struct(col("name")).as("user"), col("v"))
+    assert(df.select(getPath(df, "nope.x")).head.isNullAt(0))          // missing root
+    assert(df.select(getPath(df, "user.meta.score")).head.isNullAt(0)) // missing intermediate
+    assert(df.select(getPath(df, "user.name")).head.getString(0) == "a")
+    assert(df.select(getPath(df, "v.x")).head.isNullAt(0))             // path through non-struct
+  }
+
   test("rename implements the del+assign idiom") {
     val df = Seq(("ev1", 5)).toDF("eventName", "n")
     val out = Transform(Seq(Rename("eventName", "event.action")))(df)
