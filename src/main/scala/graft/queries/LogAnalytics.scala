@@ -201,6 +201,58 @@ object LogAnalytics {
         ORDER BY n DESC, token
         LIMIT 40""")),
 
+    // ---- q29: managed ELB grok transform, end-to-end distributed ----
+    // Synthesizes classic-ELB access lines deterministically from `events`
+    // columns, runs the full managed AwsElb transform (4-alternative grok
+    // via single-pass RegexpMatchGroups + ECS shaping), and checks the
+    // parsed fields against an INDEPENDENT derivation: the oracle computes
+    // the expected values straight from the source columns — no regex —
+    // so grok extraction, casts, url parse, and outcome logic are all
+    // cross-verified.
+    QueryDef(
+      "q29_elb_parse",
+      (s, dir) => {
+        val status = (col("user_id") % 4) * 100 + 200 // 200|300|400|500
+        val lines = t(s, dir, "events")
+          .filter(col("event_id") % 17 === 0) // sample: regex cost control
+          .select(col("event_id"), col("user_id"))
+          .withColumn("message", concat(
+            lit("2024-01-01T00:00:00.000000Z my-lb 192.168."),
+            col("user_id") % 200, lit("."), col("event_id") % 250 + 1,
+            lit(":"), col("event_id") % 60000 + 1024,
+            lit(" 10.0.0.1:80 0.001 0.002 0.003 "), status,
+            lit(" 200 "), col("event_id") % 1000,
+            lit(" "), col("event_id") % 5000,
+            lit(" \"GET http://example.com:80/p/"), col("event_id") % 100,
+            lit("?u="), col("user_id"),
+            lit(" HTTP/1.1\" \"agent/1.0\" - -")))
+        graft.transform.managed.AwsElb(lines)
+          .select(
+            col("event_id"),
+            col("source.ip").as("src_ip"),
+            col("source.port").as("src_port"),
+            col("http.response.status_code").as("status_code"),
+            col("event.outcome").as("outcome"),
+            col("url.path").as("url_path"),
+            col("url.query").as("url_query"),
+            col("url.port").as("url_port"),
+            col("http.response.body.bytes").as("resp_bytes"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id,
+               '192.168.' || (user_id % 200) || '.' || (event_id % 250 + 1) AS src_ip,
+               CAST(event_id % 60000 + 1024 AS INT) AS src_port,
+               CAST((user_id % 4) * 100 + 200 AS BIGINT) AS status_code,
+               CASE WHEN (user_id % 4) * 100 + 200 >= 400 THEN 'failure' ELSE 'success' END AS outcome,
+               '/p/' || (event_id % 100) AS url_path,
+               'u=' || user_id AS url_query,
+               CAST(80 AS BIGINT) AS url_port,
+               CAST(event_id % 5000 AS BIGINT) AS resp_bytes
+        FROM events
+        WHERE event_id % 17 = 0
+        ORDER BY event_id""")),
+
     // ---- q43: detection counter over TTL window (A4: RemoteCache shape) --
     QueryDef(
       "q43_ttl_counter",

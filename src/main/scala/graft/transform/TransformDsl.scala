@@ -64,33 +64,51 @@ object TransformDsl {
       case _ => false
     }
 
-  /** Set a dotted path, creating intermediate structs as needed. */
+  /** Set a dotted path, creating intermediate structs as needed — including
+    * missing intermediates under an EXISTING root (Column.withField alone
+    * can't add through an absent parent), and replacing a non-struct value
+    * sitting mid-path (VRL overwrites it with an object).
+    */
   def setPath(df: DataFrame, path: String, value: Column): DataFrame = {
-    val parts = path.split('.')
+    val parts = path.split('.').toList
     val root = parts.head
-    if (parts.length == 1) df.withColumn(root, value)
-    else if (df.columns.contains(root))
-      df.withColumn(root, col(root).withField(parts.tail.mkString("."), value))
-    else
-      df.withColumn(root, nestedStruct(parts.tail.toIndexedSeq, value))
+    val cur =
+      if (df.columns.contains(root))
+        Some((col(root), df.schema.fields.find(_.name == root).get.dataType))
+      else None
+    df.withColumn(root, buildSet(cur, parts.tail, value))
   }
 
-  /** Delete a dotted path. Deleting the last field of a struct leaves an
-    * empty struct (fixed-schema engines can't drop to zero columns).
+  private def buildSet(cur: Option[(Column, DataType)], parts: List[String], value: Column): Column =
+    parts match {
+      case Nil => value
+      case head :: rest =>
+        cur match {
+          case Some((c, st: StructType)) =>
+            val child = st.fields.find(_.name == head)
+              .map(f => (c.getField(head), f.dataType))
+            c.withField(head, buildSet(child, rest, value))
+          case _ => // absent or non-struct mid-path: build the chain fresh
+            struct(buildSet(None, rest, value).as(head))
+        }
+    }
+
+  /** Delete a dotted path (no-op when any level is missing). Deleting the
+    * last field of a struct leaves an empty struct (fixed-schema engines
+    * can't drop to zero columns).
     */
   def delPath(df: DataFrame, path: String): DataFrame = {
     val parts = path.split('.')
     val root = parts.head
-    if (!df.columns.contains(root)) df
+    if (!pathExists(df.schema, parts.toList)) df
     else if (parts.length == 1) df.drop(root)
     else df.withColumn(root, col(root).dropFields(parts.tail.mkString(".")))
   }
 
-  private def nestedStruct(parts: Seq[String], leaf: Column): Column =
-    parts match {
-      case Seq(last) => struct(leaf.as(last))
-      case head +: tail => struct(nestedStruct(tail, leaf).as(head))
-    }
+  /** Cast the value at a dotted path in place (try-cast: bad → null). */
+  def castPath(df: DataFrame, path: String, to: DataType): DataFrame =
+    if (!pathExists(df.schema, path.split('.').toList)) df
+    else setPath(df, path, getPath(df, path).try_cast(to))
 
   // ---- VRL stdlib equivalents (SURVEY.md §2.6) --------------------------
   // Fallible-call semantics: `f(x) ?? default` → tryOr; `f!(x)` (abort on

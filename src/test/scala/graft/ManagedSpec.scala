@@ -50,6 +50,295 @@ class ManagedSpec extends SparkSpec {
       == Set("10.0.0.5", "8.8.8.8", "93.184.216.34"))
   }
 
+  test("aws_elb: classic HTTP line maps to ECS http/source/tls") {
+    import graft.transform.managed.AwsElb
+    val line = "2015-05-13T23:39:43.945958Z my-loadbalancer 192.168.131.39:2817 10.0.0.1:80 0.000073 0.001048 0.000057 200 200 0 29 \"GET http://www.example.com:80/ HTTP/1.1\" \"curl/7.38.0\" - -"
+    val out = AwsElb(Seq(line).toDF("message"))
+    assert(out.select("aws.elb.name").head.getString(0) == "my-loadbalancer")
+    assert(out.select("source.ip").head.getString(0) == "192.168.131.39")
+    assert(out.select("source.port").head.getInt(0) == 2817)
+    assert(out.select("aws.elb.backend.ip").head.getString(0) == "10.0.0.1")
+    assert(out.select("http.response.status_code").head.getLong(0) == 200L)
+    assert(out.select("http.request.method").head.getString(0) == "GET")
+    assert(out.select("http.version").head.getString(0) == "1.1")
+    assert(out.select("url.original").head.getString(0) == "http://www.example.com:80/")
+    assert(out.select("url.domain").head.getString(0) == "www.example.com")
+    assert(out.select("url.port").head.getLong(0) == 80L)
+    assert(out.select("user_agent.original").head.getString(0) == "curl/7.38.0")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("web"))
+    assert(out.select("aws.elb.protocol").head.getString(0) == "http")
+    assert(out.select("aws.elb.request_processing_time.sec").head.getFloat(0) == 0.000073f)
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2015-05-13T23:39:43.945958Z")
+  }
+
+  test("aws_elb: ALB v2 line captures target group, trace id, actions, duration") {
+    import graft.transform.managed.AwsElb
+    val line = "http 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 \"GET http://www.example.com:80/?a=1 HTTP/1.1\" \"curl/7.46.0\" - - arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 \"Root=1-58337262-36d228ad5d99923122bbe354\" \"-\" \"-\" 0 2018-07-02T22:22:48.364000Z \"forward\" \"-\" \"-\" \"10.0.0.1:80\" \"200\""
+    val out = AwsElb(Seq(line).toDF("message"))
+    assert(out.select("aws.elb.type").head.getString(0) == "http")
+    assert(out.select("aws.elb.target_group.arn").head.getString(0)
+      .endsWith("targetgroup/my-targets/73e2d6bc24d8a067"))
+    assert(out.select("trace.id").head.getString(0) == "Root=1-58337262-36d228ad5d99923122bbe354")
+    assert(out.select("aws.elb.action_executed").head.getSeq[String](0) == Seq("forward"))
+    assert(out.select("aws.elb.target_status_code").head.getString(0) == "200")
+    assert(out.select("url.query").head.getString(0) == "a=1")
+    // duration = ts(22:23:00.186641) - start(22:22:48.364) in nanos
+    assert(out.select("event.duration").head.getLong(0) == 11822641000L)
+    assert(out.select("event.outcome").head.getString(0) == "success")
+  }
+
+  test("aws_elb: NLB tls line and classic TCP line take the non-http branches") {
+    import graft.transform.managed.AwsElb
+    val nlb = "tls 2.0 2018-12-20T02:59:40 my-nlb-c6e77e28c25b2234 g3d4b5e8bb8464cd 72.21.218.154:51341 172.100.100.185:443 5 2 98 246 - arn:aws:acm:us-east-2:123456789012:certificate/2a108f19 - ECDHE-RSA-AES128-SHA256 tlsv12 - my-nlb.elb.us-east-2.amazonaws.com"
+    val tcp = "2015-05-13T23:39:43.945958Z my-loadbalancer 192.168.131.39:2817 10.0.0.1:80 0.001 0.000073 0.000049 - - 82 305 \"- - - \" \"-\" - -"
+    val out = AwsElb(Seq(nlb, tcp).toDF("message"))
+    val rows = out.selectExpr("aws.elb.protocol", "event.category", "source.bytes",
+      "tls.version", "tls.version_protocol", "aws.elb.connection_time.ms",
+      "aws.elb.type", "tls.cipher").collect()
+    val nlbRow = rows.find(_.getString(6) == "tls").get
+    val tcpRow = rows.find(_.getString(6) == null).get
+    assert(nlbRow.getString(0) == "tcp" && nlbRow.getSeq[String](1) == Seq("network"))
+    assert(nlbRow.getLong(2) == 98L)
+    assert(nlbRow.isNullAt(3)) // "tlsv12" has no dotted version → VRL errs, stays unset
+    assert(nlbRow.getString(4) == "tls")
+    assert(nlbRow.getLong(5) == 5L)
+    assert(nlbRow.getString(7) == "ECDHE-RSA-AES128-SHA256")
+    assert(tcpRow.getString(0) == "tcp" && tcpRow.getLong(2) == 82L)
+    assert(tcpRow.getSeq[String](1) == Seq("network"))
+  }
+
+  test("aws_s3access: server access log line maps to ECS web/event/tls") {
+    import graft.transform.managed.S3Access
+    val line = "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be awsexamplebucket1 [06/Feb/2019:00:00:38 +0000] 192.0.2.3 79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be 3E57427F3EXAMPLE REST.GET.VERSIONING - \"GET /awsexamplebucket1?versioning HTTP/1.1\" 200 - 113 - 7 - \"-\" \"S3Console/0.4\" - s9lzHYrFp76ZVxRcpX9+5cjAnEH2ROuNkd2BHfIa6UkFVdtjf5mKR3/eTPFvsiP/XV/VLi31234= SigV4 ECDHE-RSA-AES128-GCM-SHA256 AuthHeader awsexamplebucket1.s3.us-west-1.amazonaws.com TLSV1.2"
+    val out = S3Access(Seq(line).toDF("message"))
+    assert(out.select("aws.s3access.bucket").head.getString(0) == "awsexamplebucket1")
+    assert(out.select("client.ip").head.getString(0) == "192.0.2.3")
+    assert(out.select("event.id").head.getString(0) == "3E57427F3EXAMPLE")
+    assert(out.select("event.action").head.getString(0) == "REST.GET.VERSIONING")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("event.duration").head.getLong(0) == 7000000L)
+    assert(out.select("http.request.method").head.getString(0) == "GET")
+    assert(out.select("http.response.status_code").head.getLong(0) == 200L)
+    assert(out.select("http.response.body.bytes").head.getLong(0) == 113L)
+    assert(out.select("url.original").head.getString(0) == "/awsexamplebucket1?versioning")
+    assert(out.select("url.query").head.getString(0) == "versioning")
+    assert(out.select("user_agent.original").head.getString(0) == "S3Console/0.4")
+    assert(out.select("cloud.region").head.getString(0) == "us-west-1")
+    assert(out.select("tls.version").head.getString(0) == "1.2")
+    assert(out.select("tls.version_protocol").head.getString(0) == "tls")
+    assert(out.select("tls.cipher").head.getString(0) == "ECDHE-RSA-AES128-GCM-SHA256")
+    assert(out.select("related.user").head.getSeq[String](0).head.startsWith("79a59df9"))
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2019-02-06T00:00:38Z")
+    assert(out.select("aws.s3access.http_status").head.getLong(0) == 200L)
+  }
+
+  test("aws_s3access: failed request with error code maps outcome failure") {
+    import graft.transform.managed.S3Access
+    val line = "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be awsexamplebucket1 [06/Feb/2019:00:01:00 +0000] 192.0.2.3 - 891CE47D2EXAMPLE REST.GET.LOGGING_STATUS - \"GET /awsexamplebucket1?logging HTTP/1.1\" 403 AccessDenied 243 - 11 - \"-\" \"S3Console/0.4\" - s9lzHYrFp76ZVxRcpX9+5cjAnEH2ROuNkd2BHfIa6UkFVdtjf5mKR3/eTPFvsiP/XV/VLi31234= SigV4 ECDHE-RSA-AES128-GCM-SHA256 AuthHeader awsexamplebucket1.s3.us-west-1.amazonaws.com TLSV1.2"
+    val out = S3Access(Seq(line).toDF("message"))
+    assert(out.select("event.outcome").head.getString(0) == "failure")
+    assert(out.select("event.code").head.getString(0) == "AccessDenied")
+    assert(out.select("client.user.id").head.isNullAt(0)) // '-' requester
+    assert(out.select("http.response.status_code").head.getLong(0) == 403L)
+  }
+
+  test("okta: session-start event maps categories, identities, outcome, UA") {
+    import graft.transform.managed.Okta
+    val line =
+      """{"published":"2024-03-05T12:30:00.123Z","eventType":"user.session.start",
+        |"displayMessage":"User login to Okta","uuid":"a1b2c3d4-0000-1111-2222-333344445555",
+        |"actor":{"alternateId":"jdoe@example.com","displayName":"Jane Doe","id":"00u1abc","type":"User"},
+        |"client":{"device":"Computer","ipAddress":"198.51.100.7","zone":"null",
+        |"userAgent":{"browser":"CHROME","os":"Mac OS X","rawUserAgent":"Mozilla/5.0 Chrome/120.0"},
+        |"geographicalContext":{"city":"Toronto","state":"Ontario","country":"Canada",
+        |"geolocation":{"lat":43.6,"lon":-79.3}}},
+        |"outcome":{"reason":null,"result":"SUCCESS"},
+        |"target":[{"id":"0oa1xyz","type":"AppInstance","alternateId":"app","displayName":"MyApp"}],
+        |"transaction":{"id":"tx1","type":"WEB"},
+        |"securityContext":{"asNumber":13335,"asOrg":"ExampleNet","domain":"example.net","isProxy":false,"isp":"ExampleISP"},
+        |"authenticationContext":{"externalSessionId":"102...","authenticationStep":0},
+        |"debugContext":{"debugData":{"requestId":"req1","requestUri":"/api/v1/authn","threatSuspected":"false"}}}"""
+        .stripMargin.replace("\n", "")
+    val out = Okta(Seq(line).toDF("json"))
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2024-03-05T12:30:00.123Z")
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("authentication", "session"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("start", "user"))
+    assert(out.select("event.action").head.getString(0) == "user.session.start")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("event.id").head.getString(0) == "a1b2c3d4-0000-1111-2222-333344445555")
+    assert(out.select("source.ip").head.getString(0) == "198.51.100.7")
+    assert(out.select("client.user.id").head.getString(0) == "00u1abc")
+    assert(out.select("user.full_name").head.getString(0) == "Jane Doe")
+    assert(out.select("client.geo.city_name").head.getString(0) == "Toronto")
+    assert(out.select("client.as.organization.name").head.getString(0) == "ExampleNet")
+    assert(out.select("okta.security_context.as.number").head.getLong(0) == 13335L)
+    assert(out.select("related.user").head.getSeq[String](0) == Seq("Jane Doe"))
+    assert(out.select("related.ip").head.getSeq[String](0) == Seq("198.51.100.7"))
+    assert(out.select("user_agent.original").head.getString(0) == "Mozilla/5.0 Chrome/120.0")
+    assert(out.select("user_agent.name").head.getString(0) == "Chrome")
+    // AppInstance target is not a user/group target for a session event
+    assert(out.select("user.target.id").head.isNullAt(0))
+  }
+
+  test("okta: group membership event picks group target and iam category") {
+    import graft.transform.managed.Okta
+    val line =
+      """{"published":"2024-03-05T13:00:00Z","eventType":"group.user_membership.add",
+        |"uuid":"u2","actor":{"displayName":"Admin","id":"00uadmin"},
+        |"client":{"ipAddress":"null"},
+        |"outcome":{"result":"DENY"},
+        |"target":[{"id":"00u9","type":"User","displayName":"Bob","login":"bob@example.com"},
+        |{"id":"00g7","type":"UserGroup","displayName":"Engineers"}]}"""
+        .stripMargin.replace("\n", "")
+    val out = Okta(Seq(line).toDF("json"))
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("iam"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("group", "change"))
+    assert(out.select("event.outcome").head.getString(0) == "failure")
+    assert(out.select("user.target.group.name").head.getString(0) == "Engineers")
+    assert(out.select("user.target.group.id").head.getString(0) == "00g7")
+    // group.* event: user-target pick is gated on a user.* event_type
+    assert(out.select("user.target.id").head.isNullAt(0))
+    assert(out.select("client.ip").head.isNullAt(0)) // "null" literal cleaned
+    assert(out.select("related.user").head.getSeq[String](0) == Seq("Admin"))
+    assert(out.select("related.ip").head.getSeq[String](0) == Seq())
+  }
+
+  test("suricata: eve alert event maps rule/severity/endpoints/category") {
+    import graft.transform.managed.Suricata
+    val line =
+      """{"timestamp":"2019-07-24T17:42:28.146831+0000","flow_id":1397900,
+        |"event_type":"alert","src_ip":"10.10.3.2","src_port":53381,
+        |"dest_ip":"10.10.1.10","dest_port":80,"proto":"TCP","app_proto":"http",
+        |"ether":{"src_mac":"52:54:00:36:3e:ff","dest_mac":"52:54:00:a6:43:de"},
+        |"alert":{"action":"blocked","signature_id":2101327,"signature":"GPL WEB_SERVER test",
+        |"category":"Web Application Attack","severity":1,
+        |"metadata":{"created_at":["2010_09_23"],"cve":["CVE-2020-0001"]}},
+        |"flow":{"pkts_toserver":9,"pkts_toclient":5,"bytes_toserver":1111,"bytes_toclient":525,"state":"new"}}"""
+        .stripMargin.replace("\n", "")
+    val out = Suricata(Seq(line).toDF("json"))
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2019-07-24T17:42:28.146831Z")
+    assert(out.select("event.kind").head.getString(0) == "alert")
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("network", "intrusion_detection"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("start", "denied"))
+    assert(out.select("event.severity").head.getLong(0) == 1L)
+    assert(out.select("rule.id").head.getString(0) == "2101327")
+    assert(out.select("rule.name").head.getString(0) == "GPL WEB_SERVER test")
+    assert(out.select("message").head.getString(0) == "Web Application Attack")
+    assert(out.select("source.mac").head.getString(0) == "52-54-00-36-3E-FF")
+    assert(out.select("source.ip").head.getString(0) == "10.10.3.2")
+    assert(out.select("destination.port").head.getInt(0) == 80)
+    assert(out.select("network.transport").head.getString(0) == "tcp")
+    assert(out.select("network.protocol").head.getString(0) == "http")
+    assert(out.select("source.packets").head.getLong(0) == 9L)
+    assert(out.select("destination.bytes").head.getLong(0) == 525L)
+    assert(out.select("related.ip").head.getSeq[String](0).toSet == Set("10.10.3.2", "10.10.1.10"))
+    assert(out.select("suricata.eve.alert.metadata.cve").head.getSeq[String](0) == Seq("CVE-2020-0001"))
+  }
+
+  test("suricata: dns v2 answer yields answers array, resolved_ip, header flags") {
+    import graft.transform.managed.Suricata
+    val line =
+      """{"timestamp":"2021-01-01T00:00:01.000000+0000","event_type":"dns",
+        |"src_ip":"10.0.0.5","dest_ip":"8.8.8.8","proto":"UDP",
+        |"dns":{"version":2,"type":"answer","id":1234,"rcode":"NOERROR",
+        |"rrname":"example.com","rrtype":"A","rd":true,"ra":true,
+        |"answers":[{"rrname":"example.com","rrtype":"A","rdata":"93.184.216.34","ttl":3600}]}}"""
+        .stripMargin.replace("\n", "")
+    val out = Suricata(Seq(line).toDF("json"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("protocol"))
+    assert(out.select("network.protocol").head.getString(0) == "dns")
+    assert(out.select("dns.id").head.getString(0) == "1234")
+    assert(out.select("dns.question.name").head.getString(0) == "example.com")
+    assert(out.select("dns.resolved_ip").head.getSeq[String](0) == Seq("93.184.216.34"))
+    assert(out.select("dns.header_flags").head.getSeq[String](0) == Seq("RD", "RA"))
+    assert(out.select("related.ip").head.getSeq[String](0).toSet
+      == Set("10.0.0.5", "8.8.8.8", "93.184.216.34"))
+  }
+
+  test("suricata: tls event parses version, sni, x509 subject, sha1") {
+    import graft.transform.managed.Suricata
+    val line =
+      """{"timestamp":"2021-01-01T00:00:02.000000+0000","event_type":"tls",
+        |"src_ip":"10.0.0.5","dest_ip":"1.2.3.4","proto":"TCP",
+        |"tls":{"version":"TLS 1.2","sni":"example.com.","subject":"C=US, O=Example Org, CN=example.com",
+        |"issuerdn":"C=US, O=Example CA, CN=Example Root","fingerprint":"5c:9c:ed:e6","serial":"0a:1b",
+        |"session_resumed":false,"ja3":{"hash":"j3hash"},"ja3s":{"hash":"j3shash"}}}"""
+        .stripMargin.replace("\n", "")
+    val out = Suricata(Seq(line).toDF("json"))
+    assert(out.select("tls.version").head.getString(0) == "1.2")
+    assert(out.select("tls.version_protocol").head.getString(0) == "tls")
+    assert(out.select("tls.client.server_name").head.getString(0) == "example.com")
+    assert(out.select("destination.domain").head.getString(0) == "example.com")
+    assert(out.select("tls.server.x509.subject.organization").head.getSeq[String](0) == Seq("Example Org"))
+    assert(out.select("tls.server.x509.issuer.common_name").head.getSeq[String](0) == Seq("Example Root"))
+    assert(out.select("tls.server.hash.sha1").head.getString(0) == "5C9CEDE6")
+    assert(out.select("tls.server.x509.serial_number").head.getString(0) == "0a1b")
+    assert(out.select("tls.client.ja3").head.getString(0) == "j3hash")
+    assert(out.select("related.hosts").head.getSeq[String](0) == Seq("example.com"))
+    assert(out.select("related.hash").head.getSeq[String](0) == Seq("5C9CEDE6"))
+  }
+
+  test("suricata: http event maps method/status/url and outcome") {
+    import graft.transform.managed.Suricata
+    val line =
+      """{"timestamp":"2021-01-01T00:00:03.000000+0000","event_type":"http",
+        |"src_ip":"10.0.0.5","dest_ip":"1.2.3.4","proto":"TCP",
+        |"http":{"http_method":"GET","hostname":"example.com","url":"/index.html?x=1",
+        |"status":404,"length":512,"http_refer":"http://ref.example.com"}}"""
+        .stripMargin.replace("\n", "")
+    val out = Suricata(Seq(line).toDF("json"))
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("network", "web"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("access", "protocol"))
+    assert(out.select("event.outcome").head.getString(0) == "failure")
+    assert(out.select("http.request.method").head.getString(0) == "GET")
+    assert(out.select("http.response.status_code").head.getLong(0) == 404L)
+    assert(out.select("http.response.body.bytes").head.getLong(0) == 512L)
+    assert(out.select("url.original").head.getString(0) == "/index.html?x=1")
+    assert(out.select("url.path").head.getString(0) == "/index.html")
+    assert(out.select("url.query").head.getString(0) == "x=1")
+    assert(out.select("url.domain").head.getString(0) == "example.com")
+    assert(out.select("destination.domain").head.getString(0) == "example.com")
+  }
+
+  test("github_audit: org membership event maps iam category and group") {
+    import graft.transform.managed.GithubAudit
+    val line =
+      """{"_document_id":"abc123","created_at":1709640000123,"action":"org.update_member",
+        |"actor":"octoadmin","actor_ip":"203.0.113.5","actor_location":{"country_code":"US"},
+        |"user":"hubot","org":"acme","operation_type":"modify"}"""
+        .stripMargin.replace("\n", "")
+    val out = GithubAudit(Seq(line).toDF("json"))
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toEpochMilli == 1709640000123L)
+    assert(out.select("event.action").head.getString(0) == "org.update_member")
+    assert(out.select("github.category").head.getString(0) == "org")
+    assert(out.select("event.category").head.getSeq[String](0)
+      == Seq("configuration", "web", "iam"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("group", "user"))
+    assert(out.select("user.name").head.getString(0) == "octoadmin")
+    assert(out.select("user.target.name").head.getString(0) == "hubot")
+    assert(out.select("group.name").head.getString(0) == "acme")
+    assert(out.select("user.target.group.name").head.getString(0) == "acme")
+    assert(out.select("client.ip").head.getString(0) == "203.0.113.5")
+    assert(out.select("client.geo.country_iso_code").head.getString(0) == "US")
+    assert(out.select("related.user").head.getSeq[String](0).toSet == Set("octoadmin", "hubot"))
+    assert(out.select("related.ip").head.getSeq[String](0) == Seq("203.0.113.5"))
+  }
+
+  test("github_audit: repo create and workflow events derive types and duration") {
+    import graft.transform.managed.GithubAudit
+    val create = """{"_document_id":"d1","created_at":1709640001000,"action":"repo.create","actor":"dev1","repo":"acme/api","operation_type":"create"}"""
+    val workflow = """{"_document_id":"d2","@timestamp":1709640002000,"action":"workflows.completed_workflow_run","actor":"dev2","repo":"acme/api","workflow_id":77,"workflow_run_id":991,"started_at":"2024-03-05T12:00:00Z","completed_at":"2024-03-05T12:00:30Z"}"""
+    val out = GithubAudit(Seq(create, workflow).toDF("json")).orderBy("event.id")
+    val rows = out.select("event.type", "github.workflow_run_id", "event.duration",
+      "github.category", "event.id").collect()
+    assert(rows(0).getSeq[String](0) == Seq("creation"))
+    assert(rows(1).getSeq[String](0) == Seq("change"))
+    assert(rows(1).getLong(1) == 991L)
+    assert(rows(1).getLong(2) == 30000000000L) // 30 s in ns
+    assert(rows(1).getString(3) == "workflows")
+  }
+
   test("matano alert rows carry the F8 nested shape") {
     val rules = Seq(Detection.SimpleRule("r1", lit(true),
       severity = "warning", threshold = 2, windowSeconds = 900))
