@@ -9,12 +9,22 @@ import org.apache.spark.sql.functions._
   * retro-updates, hourly bin-pack OPTIMIZE — IcebergMetadataWriter.kt,
   * AlertsIcebergHelper.kt:56-102, iceberg-maintenance.ts:63-66).
   *
-  * This environment ships no Iceberg jars, so the physical layer is
-  * hour-partitioned zstd parquet with Spark dynamic partition overwrite —
-  * the same layout and commit semantics class; on a cluster with an
-  * Iceberg catalog these calls become `writeTo(t).append()` /
-  * `overwritePartitions()` / `CALL rewrite_data_files` with no operator
-  * changes above them.
+  * Iceberg integration attempt (documented per round-1 review): this
+  * sandbox has zero network egress, `iceberg-spark-runtime` is absent
+  * from /opt/spark/jars and from the offline coursier cache, and
+  * `libraryDependencies` beyond build.sbt are disallowed — so a real
+  * catalog (`PARTITIONED BY (hours(ts))`, `MERGE INTO`,
+  * `expire_snapshots`/`rewrite_manifests`) cannot load. The physical
+  * layer is therefore hour-partitioned zstd parquet with Spark dynamic
+  * partition overwrite — the same layout and commit-semantics class; on a
+  * cluster with an Iceberg catalog these calls become
+  * `writeTo(t).append()` / `overwritePartitions()` /
+  * `CALL rewrite_data_files` with no operator changes above them. The
+  * catalog-only features that ARE expressible without the jars live
+  * here: schema evolution ([[evolveAppend]] = the reference's
+  * `unionByNameWith`, MatanoIcebergTableCustomResource.kt:194-212) and
+  * key-based MERGE scoped to touched partitions ([[mergeUpsert]],
+  * Enrichment.kt:305-324).
   */
 object Lake {
 
@@ -51,5 +61,70 @@ object Lake {
     val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = math.max(1, (BigDecimal(bytes) / targetBytes).setScale(0, BigDecimal.RoundingMode.CEILING).toInt)
     overwritePartitions(part.repartition(files).drop(PartitionCol), path)
+  }
+
+  /** Schema-evolving append — the reference evolves the Iceberg table
+    * schema by name-union when a source mapping grows fields
+    * (`unionByNameWith`): columns new in `df` appear in the table (old
+    * rows read null there via parquet schema merge); columns the table
+    * has but `df` lacks are null-filled on the incoming side. Top-level
+    * name union; struct-internal evolution follows parquet's by-name
+    * field resolution on read.
+    */
+  def evolveAppend(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val existing = scala.util.Try(
+      spark.read.option("basePath", path).option("mergeSchema", "true").parquet(path))
+    val aligned = existing.toOption match {
+      case None => df
+      case Some(table) =>
+        val have = df.columns.toSet
+        val missing = table.schema.fields.filterNot(f =>
+          have.contains(f.name) || f.name == PartitionCol)
+        missing.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    append(aligned, path)
+  }
+
+  /** Evolution-aware read: parquet schema merge unions all file schemas
+    * (old files resolve new columns to null by name).
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).option("mergeSchema", "true").parquet(path)
+
+  /** Key-based MERGE INTO on the lake (reference Enrichment.kt:305-324:
+    * `WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT`), rewriting ONLY the
+    * hour partitions that contain matched keys; unmatched-key updates
+    * append into their own event-time partitions. Partitions untouched by
+    * any update are never read or rewritten — at 100 TB the rewrite cost
+    * scales with the update's partition footprint, not table size.
+    */
+  def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame, pk: String): Unit = {
+    val lake = read(spark, path)
+    val renamed = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, "__u_" + c))
+    // ONE scan locates matched keys + their partitions (tiny result:
+    // bounded by |updates| × partitions-per-key); persisted so the rewrite
+    // and insert branches below don't rescan the lake
+    val matched = lake.join(broadcast(renamed), col(pk) === col("__u_" + pk))
+      .select(col(PartitionCol), col(pk)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touchedHours = matched.select(col(PartitionCol)).distinct()
+      val affected = lake.join(broadcast(touchedHours), Seq(PartitionCol))
+      val updatedCols = updates.columns.filterNot(_ == pk)
+      val rewritten = updatedCols.foldLeft(
+          affected.join(broadcast(renamed), col(pk) === col("__u_" + pk), "left")) {
+          (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
+        }
+        .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
+        .drop(PartitionCol)
+      overwritePartitions(rewritten, path)
+      // inserts: update keys matched nowhere (rows must carry event time
+      // for their partition, as any lake append does)
+      val inserts = renamed.join(matched.select(col(pk)).distinct(),
+          col("__u_" + pk) === col(pk), "left_anti")
+      val insertDf = updates.columns.foldLeft(inserts)((d, c) =>
+        d.withColumnRenamed("__u_" + c, c))
+      if (!insertDf.isEmpty) append(insertDf, path)
+    } finally matched.unpersist()
   }
 }

@@ -62,6 +62,40 @@ object Enrichment {
     enrichment.sparkSession.sparkContext.broadcast(keyed)
   }
 
+  /** Streaming refresh (reference Enrichment.kt:122-128: enrichment data
+    * re-resolves with ~1 minute staleness): a handle that re-reads the
+    * enrichment table from storage when the cached load is older than
+    * `stalenessMs`. In a `foreachBatch` body each micro-batch calls
+    * `get`, so a refreshed enrichment table becomes visible to the next
+    * batch — the broadcast in lookupJoin is rebuilt from the fresh read
+    * rather than frozen into the streaming plan at start.
+    */
+  final class RefreshingTable(path: String, stalenessMs: Long = 60000L)
+      extends Serializable {
+    @transient private var cached: DataFrame = _
+    @transient private var loadedAtMs = 0L
+    def get(spark: org.apache.spark.sql.SparkSession): DataFrame = synchronized {
+      val now = System.currentTimeMillis()
+      if (cached == null || now - loadedAtMs > stalenessMs) {
+        // a fresh read re-lists files, so upserted/compacted enrichment
+        // snapshots are picked up; between refreshes the cached frame's
+        // file index avoids re-listing on every batch
+        cached = spark.read.parquet(path)
+        loadedAtMs = now
+      }
+      cached
+    }
+  }
+
+  /** foreachBatch body factory: join each micro-batch against the
+    * (staleness-refreshed) enrichment table, then hand to `write`.
+    */
+  def enrichedForeachBatch(
+      refresher: RefreshingTable, eventKey: Column, lookupKey: String, as: String)(
+      write: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      write(lookupJoin(batch, refresher.get(batch.sparkSession), eventKey, lookupKey, as))
+
   /** MERGE upsert for enrichment tables with a primary key (reference J2,
     * Enrichment.kt:305-324: `MERGE INTO main USING temp ON pk WHEN MATCHED
     * UPDATE WHEN NOT MATCHED INSERT`). Without an Iceberg catalog this is

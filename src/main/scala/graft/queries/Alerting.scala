@@ -9,10 +9,11 @@ import QueryDef._
 
 /** The alerting pipeline over `events`: declarative rule evaluation →
   * rule matches → alert dedup/threshold aggregation (anchored windows,
-  * batch and streaming forms). q40/q41 have no ANSI-SQL oracle (the
-  * anchored-window fold is sequential per key) — the driver records
-  * rows-only checks; batch/stream parity and the state-machine scenarios
-  * are covered by ScalaTest (AlertsSpec).
+  * batch and streaming forms). The anchored-window fold is sequential per
+  * key, but still deterministic SQL: q40/q41's oracles thread the window
+  * anchor through a DuckDB recursive CTE. Batch/stream parity and the
+  * state-machine scenarios are additionally covered by ScalaTest
+  * (AlertsSpec).
   */
 object Alerting {
 
@@ -59,7 +60,46 @@ object Alerting {
             col("match_count"), col("activated"),
             unix_micros(col("first_matched_at")).as("first_us"))
           .orderBy(col("rule_name"), col("dedupe"), col("first_us")),
-      None),
+      // The anchored fold is sequential per key but still deterministic
+      // SQL: a recursive CTE threads the window anchor row-to-row (new
+      // anchor when a match falls >= window past it), then alerts group by
+      // (key, anchor). alert_id re-derives the md5 of rule|dedupe|millis.
+      Some("""
+        WITH RECURSIVE cfg(rule_name, threshold, window_us) AS (
+          VALUES ('error_burst', 2, CAST(1800000000 AS BIGINT)),
+                 ('big_purchase', 1, CAST(3600000000 AS BIGINT))
+        ),
+        matches AS (
+          SELECT 'error_burst' AS rule_name, CAST(user_id AS VARCHAR) AS dedupe,
+                 epoch_ns(ts) // 1000 AS us
+          FROM events WHERE event_type = 'error'
+          UNION ALL
+          SELECT 'big_purchase', CAST(user_id AS VARCHAR), epoch_ns(ts) // 1000
+          FROM events WHERE event_type = 'purchase' AND value > 190.0
+        ),
+        m AS (
+          SELECT rule_name, dedupe, us,
+                 row_number() OVER (PARTITION BY rule_name, dedupe ORDER BY us) AS rn
+          FROM matches
+        ),
+        r AS (
+          SELECT rule_name, dedupe, us, rn, us AS anchor FROM m WHERE rn = 1
+          UNION ALL
+          SELECT m2.rule_name, m2.dedupe, m2.us, m2.rn,
+                 CASE WHEN m2.us >= r.anchor + c.window_us THEN m2.us ELSE r.anchor END
+          FROM m m2
+          JOIN r ON m2.rule_name = r.rule_name AND m2.dedupe = r.dedupe
+                AND m2.rn = r.rn + 1
+          JOIN cfg c ON c.rule_name = m2.rule_name
+        )
+        SELECT r.rule_name, r.dedupe,
+               md5(r.rule_name || '|' || r.dedupe || '|' || CAST(r.anchor // 1000 AS VARCHAR)) AS alert_id,
+               COUNT(*) AS match_count,
+               COUNT(*) >= c.threshold AS activated,
+               r.anchor AS first_us
+        FROM r JOIN cfg c ON c.rule_name = r.rule_name
+        GROUP BY r.rule_name, r.dedupe, r.anchor, c.threshold
+        ORDER BY r.rule_name, r.dedupe, first_us""")),
 
     // ---- q41: streaming alert aggregation (flatMapGroupsWithState) ----
     QueryDef(
@@ -83,7 +123,35 @@ object Alerting {
             unix_micros(col("first_matched_at")).as("first_us"))
           .orderBy(col("rule_name"), col("dedupe"), col("first_us"))
       },
-      None),
+      // same recursive-CTE fold as q40, error_burst only: batch/stream
+      // parity means one oracle covers both execution paths
+      Some("""
+        WITH RECURSIVE matches AS (
+          SELECT 'error_burst' AS rule_name, CAST(user_id AS VARCHAR) AS dedupe,
+                 epoch_ns(ts) // 1000 AS us
+          FROM events WHERE event_type = 'error'
+        ),
+        m AS (
+          SELECT rule_name, dedupe, us,
+                 row_number() OVER (PARTITION BY rule_name, dedupe ORDER BY us) AS rn
+          FROM matches
+        ),
+        r AS (
+          SELECT rule_name, dedupe, us, rn, us AS anchor FROM m WHERE rn = 1
+          UNION ALL
+          SELECT m2.rule_name, m2.dedupe, m2.us, m2.rn,
+                 CASE WHEN m2.us >= r.anchor + CAST(1800000000 AS BIGINT) THEN m2.us ELSE r.anchor END
+          FROM m m2
+          JOIN r ON m2.dedupe = r.dedupe AND m2.rn = r.rn + 1
+        )
+        SELECT rule_name, dedupe,
+               md5(rule_name || '|' || dedupe || '|' || CAST(anchor // 1000 AS VARCHAR)) AS alert_id,
+               COUNT(*) AS match_count,
+               COUNT(*) >= 2 AS activated,
+               anchor AS first_us
+        FROM r
+        GROUP BY rule_name, dedupe, anchor
+        ORDER BY rule_name, dedupe, first_us""")),
 
     // ---- q42: rule evaluation itself (declarative detections) ----
     QueryDef(

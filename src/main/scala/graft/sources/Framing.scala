@@ -97,4 +97,28 @@ object Framing {
     */
   def routedTables(df: DataFrame, tables: Seq[String]): Map[String, DataFrame] =
     tables.map(t => t -> df.filter(col("__table") === t).drop("__table")).toMap
+
+  /** One object-metadata routing rule: key pattern → table, or skip the
+    * whole object (`table = None`), reference S6's
+    * `select_table_from_payload_metadata` (transformer/src/main.rs:405-490;
+    * CloudTrail's Digest/Insights routing,
+    * aws_cloudtrail/log_source.yml:1-9).
+    */
+  final case class MetadataRoute(pattern: String, table: Option[String])
+
+  /** Table routing by object metadata: first matching rule on the source
+    * file path wins; no match → `default`; a skip rule drops every record
+    * of that object. Declarative — `input_file_name()` is constant per
+    * file split, so the routing predicate evaluates in codegen with no
+    * extra pass, and downstream `partitionBy(__table)` writers fan out in
+    * the same scan.
+    */
+  def routeByFileMetadata(df: DataFrame, routes: Seq[MetadataRoute],
+      default: String = "default"): DataFrame = {
+    val tableCol = routes.foldRight(lit(default): Column) { case (r, acc) =>
+      when(input_file_name().rlike(r.pattern),
+        r.table.map(lit).getOrElse(lit(null))).otherwise(acc)
+    }
+    df.withColumn("__table", tableCol).filter(col("__table").isNotNull)
+  }
 }

@@ -19,15 +19,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * alert is the MERGE-INTO retro-activation path of the reference
   * (matano_alerts.rs:309-444) without partition rewrites.
   *
-  * State is bounded: one open alert per active (rule, dedupe) key; closed
-  * alerts leave state immediately. For continuous triggers, pass
-  * reapIdleState=true to arm a processing-time timeout of twice the dedup
-  * window that removes idle keys (a key silent that long can only start a
-  * new alert anyway, so removal never changes results). Leave it off for
-  * AvailableNow runs — pending timers keep an available-now query alive
-  * past its data.
+  * State is bounded two ways: structurally (one open alert per active
+  * (rule, dedupe) key; closed alerts leave state immediately) and in TIME —
+  * by default an event-time watermark bound ([[EventTimeBound]], mirroring
+  * the reference's 24 h alert lookback, AlertsIcebergHelper.kt:104-128):
+  * the match stream carries `withWatermark("ts", delay)` and each key arms
+  * an event-time timeout at last-match + 2× the dedup window, so idle keys
+  * are reaped as the watermark passes them — no unbounded state store at
+  * high key cardinality, and no reliance on anyone remembering a flag.
+  * Removal never changes results: a key idle past 2× the window can only
+  * start a new alert anyway. [[ProcessingTimeBound]] is the wall-clock
+  * alternative for processing-time pipelines; [[NoBound]] opts out (unit
+  * tests with tiny keyspaces).
   */
 object AlertStream {
+
+  /** How streaming alert state is bounded in time. */
+  sealed trait StateBound
+  /** No time bound — state lives until its key closes (test-scale only). */
+  case object NoBound extends StateBound
+  /** Wall-clock idle reaping at 2× the dedup window (continuous
+    * triggers on processing time).
+    */
+  case object ProcessingTimeBound extends StateBound
+  /** DEFAULT: watermark-driven event-time reaping; `delay` is the
+    * allowed event-time lateness (reference default: 24 hours).
+    */
+  final case class EventTimeBound(delay: String = "24 hours") extends StateBound
 
   final case class KeyState(firstUs: Long, lastUs: Long, count: Long,
       createdUs: Option[Long])
@@ -60,11 +78,11 @@ object AlertStream {
     */
   def processKey(key: (String, String), it: Iterator[MatchRow],
       state: GroupState[KeyState], cfg: AlertConfig,
-      reapIdleState: Boolean): Iterator[AlertRow] = {
+      bound: StateBound): Iterator[AlertRow] = {
     val (rule, dd) = key
     if (!it.hasNext && state.hasTimedOut) {
-      // idle past 2× the dedup window: the open alert (already emitted as
-      // a snapshot) can never grow — drop the state
+      // idle past 2× the dedup window (wall clock or watermark): the open
+      // alert (already emitted as a snapshot) can never grow — drop state
       state.remove()
       Iterator.empty
     } else {
@@ -78,7 +96,17 @@ object AlertStream {
       }
       cur.foreach { c =>
         state.update(c)
-        if (reapIdleState) state.setTimeoutDuration(cfg.windowSeconds * 2 * 1000L)
+        bound match {
+          case ProcessingTimeBound =>
+            state.setTimeoutDuration(cfg.windowSeconds * 2 * 1000L)
+          case EventTimeBound(_) =>
+            // reap when the watermark passes last-match + 2× window; clamp
+            // above the current watermark (Spark rejects stale timestamps)
+            state.setTimeoutTimestamp(math.max(
+              c.lastUs / 1000L + cfg.windowSeconds * 2 * 1000L,
+              state.getCurrentWatermarkMs + 1L))
+          case NoBound => ()
+        }
         emitted += stateToRow(rule, dd, c, cfg)
       }
       // snapshots of the same alert within one trigger collapse to the
@@ -91,17 +119,20 @@ object AlertStream {
     * every alert touched in the trigger (upsert-by-alert_id semantics).
     */
   def aggregate(spark: SparkSession, matches: Dataset[MatchRow],
-      cfg: AlertConfig, reapIdleState: Boolean = false): Dataset[AlertRow] = {
+      cfg: AlertConfig, bound: StateBound = EventTimeBound()): Dataset[AlertRow] = {
     import spark.implicits._
-    val timeoutConf =
-      if (reapIdleState) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    matches
+    val (src, timeoutConf) = bound match {
+      case EventTimeBound(delay) =>
+        (matches.withWatermark("ts", delay), GroupStateTimeout.EventTimeTimeout)
+      case ProcessingTimeBound => (matches, GroupStateTimeout.ProcessingTimeTimeout)
+      case NoBound => (matches, GroupStateTimeout.NoTimeout)
+    }
+    src
       .groupByKey(m => (m.rule_name, m.dedupe))
       .flatMapGroupsWithState[KeyState, AlertRow](
         OutputMode.Append, timeoutConf) {
         (key: (String, String), it: Iterator[MatchRow], state: GroupState[KeyState]) =>
-          processKey(key, it, state, cfg, reapIdleState)
+          processKey(key, it, state, cfg, bound)
       }
   }
 

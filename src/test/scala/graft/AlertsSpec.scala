@@ -121,19 +121,59 @@ class AlertsSpec extends SparkSpec {
     // timed-out idle key → state removed, nothing emitted
     val idle = new FakeState(Some(AlertStream.KeyState(0L, 0L, 1, None)), timedOut = true)
     val out = AlertStream.processKey(("r", "k"), Iterator.empty, idle, cfg,
-      reapIdleState = true)
+      AlertStream.ProcessingTimeBound)
     assert(out.isEmpty && idle.removed)
     // live key → state updated, timer re-armed at 2× window
     val live = new FakeState(None, timedOut = false)
     val out2 = AlertStream.processKey(("r", "k"),
-      Iterator(m(1, 1)), live, cfg, reapIdleState = true).toSeq
+      Iterator(m(1, 1)), live, cfg, AlertStream.ProcessingTimeBound).toSeq
     assert(out2.size == 1 && live.value.isDefined)
     assert(live.timeoutSet.contains(600L * 2 * 1000L))
-    // reapIdleState=false never arms a timer (AvailableNow safety)
+    // NoBound never arms a timer
     val live2 = new FakeState(None, timedOut = false)
     AlertStream.processKey(("r", "k"), Iterator(m(1, 1)), live2, cfg,
-      reapIdleState = false).toSeq
+      AlertStream.NoBound).toSeq
     assert(live2.timeoutSet.isEmpty)
+  }
+
+  test("event-time bound (default) arms watermark timers and reaps on timeout") {
+    import org.apache.spark.sql.streaming.GroupState
+    class FakeState(var value: Option[AlertStream.KeyState], timedOut: Boolean,
+        watermarkMs: Long) extends GroupState[AlertStream.KeyState] {
+      var removed = false
+      var timeoutTs: Option[Long] = None
+      override def exists: Boolean = value.isDefined
+      override def get: AlertStream.KeyState = value.get
+      override def getOption: Option[AlertStream.KeyState] = value
+      override def update(s: AlertStream.KeyState): Unit = { value = Some(s) }
+      override def remove(): Unit = { removed = true; value = None }
+      override def hasTimedOut: Boolean = timedOut
+      override def setTimeoutDuration(ms: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(ms: Long): Unit = { timeoutTs = Some(ms) }
+      override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = watermarkMs
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val cfg = AlertConfig(2, 600)
+    // live key: timer at last-match + 2× window (in event time)
+    val live = new FakeState(None, timedOut = false, watermarkMs = 0L)
+    AlertStream.processKey(("r", "k"),
+      Iterator(m(1, 1)), live, cfg, AlertStream.EventTimeBound()).toSeq
+    assert(live.timeoutTs.contains(m(1, 1).ts.getTime + 600L * 2 * 1000L))
+    // stale key behind the watermark: timer clamps to watermark + 1
+    val stale = new FakeState(None, timedOut = false, watermarkMs = 10_000_000_000L)
+    AlertStream.processKey(("r", "k"),
+      Iterator(m(1, 1)), stale, cfg, AlertStream.EventTimeBound()).toSeq
+    assert(stale.timeoutTs.contains(10_000_000_001L))
+    // watermark passed the timer → state reaped WITHOUT any wall-clock flag
+    val expired = new FakeState(Some(AlertStream.KeyState(0L, 0L, 1, None)),
+      timedOut = true, watermarkMs = 10_000_000_000L)
+    val out = AlertStream.processKey(("r", "k"), Iterator.empty, expired, cfg,
+      AlertStream.EventTimeBound())
+    assert(out.isEmpty && expired.removed)
   }
 
   test("streaming step transition closes windows correctly") {

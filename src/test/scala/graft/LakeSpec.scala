@@ -46,6 +46,49 @@ class LakeSpec extends SparkSpec {
     assert(out.columns.contains("path"))
   }
 
+  test("evolveAppend: new columns appear, old rows read null, old columns null-fill") {
+    import graft.lake.Lake
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val v1 = Seq((1L, "a")).toDF("id", "name")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+    Lake.append(v1, dir)
+    // v2 adds `score`, drops `name` (the reference's unionByNameWith)
+    val v2 = Seq((2L, 9.5)).toDF("id", "score")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 01:10:00")))
+    Lake.evolveAppend(spark, v2, dir)
+    val out = Lake.readEvolved(spark, dir).orderBy("id")
+    assert(out.columns.toSet == Set("id", "name", "score", "ts", Lake.PartitionCol))
+    val rows = out.select("id", "name", "score").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a" && rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.5)
+  }
+
+  test("lake mergeUpsert: matched keys update in place, new keys insert") {
+    import graft.lake.Lake
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val base = Seq(
+      (1L, "old1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (2L, "old2", java.sql.Timestamp.valueOf("2024-01-01 01:10:00")),
+      (3L, "keep", java.sql.Timestamp.valueOf("2024-01-01 02:10:00"))
+    ).toDF("id", "v", "ts")
+    Lake.append(base, dir)
+    val before = new java.io.File(s"$dir/ts_hour=2024-01-01-02")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val updates = Seq(
+      (1L, "new1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")), // matched
+      (9L, "ins9", java.sql.Timestamp.valueOf("2024-01-01 03:10:00"))  // insert
+    ).toDF("id", "v", "ts")
+    Lake.mergeUpsert(spark, dir, updates, "id")
+    val out = Lake.read(spark, dir).orderBy("id")
+    assert(out.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "new1"), (2L, "old2"), (3L, "keep"), (9L, "ins9")))
+    // the untouched hour partition kept its original files
+    val after = new java.io.File(s"$dir/ts_hour=2024-01-01-02")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(after == before)
+  }
+
   test("fast minhash (xxhash64) is deterministic and seed-sensitive") {
     import graft.functions.TextFunctions
     val sh = TextFunctions.shingleSet(lit("a b c d e f"), 2)

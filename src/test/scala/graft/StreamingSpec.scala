@@ -42,6 +42,34 @@ class StreamingSpec extends SparkSpec {
     assert(!bc.value.contains("ghost"))
   }
 
+  test("streaming enrichment refresh: an update is visible to the next batch") {
+    import graft.operators.Enrichment
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    Seq(("u1", "low")).toDF("user_id", "risk")
+      .write.mode("overwrite").parquet(dir)
+    // staleness 0 → every batch re-resolves (the reference's ~1 min rule,
+    // shrunk so the test doesn't sleep)
+    val refresher = new Enrichment.RefreshingTable(dir, stalenessMs = 0L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val body = Enrichment.enrichedForeachBatch(
+      refresher, col("user_id"), "user_id", "enr") { out =>
+      seen ++= out.select(col("v"), col("enr.risk"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    val input = MemoryStream[(String, Long)](spark)
+    val q = input.toDF().toDF("user_id", "v")
+      .writeStream.foreachBatch(body).outputMode("append").start()
+    input.addData(("u1", 1L))
+    q.processAllAvailable()
+    // enrichment table upserted between batches
+    Seq(("u1", "high")).toDF("user_id", "risk")
+      .write.mode("overwrite").parquet(dir)
+    input.addData(("u1", 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sortBy(_._1).toList == List((1L, "low"), (2L, "high")))
+  }
+
   test("ecs master schema composes table schemas for managed sources") {
     val dns = graft.schema.EcsSchema.tableSchema(
       Seq("dns", "source.ip", "source.port", "destination", "network.transport",
