@@ -34,8 +34,10 @@ object Grok {
     "POSINT" -> "\\b[1-9][0-9]*\\b",
     "USERNAME" -> "[a-zA-Z0-9._-]+",
     "IPV4" -> "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
-    "IPV6" -> "[0-9A-Fa-f:.]{2,}",
-    "IP" -> "(?:[0-9A-Fa-f:.]{2,})",
+    // the standard grok IPV6 pattern (compressed forms + IPv4-mapped tails,
+    // optional zone); a loose [0-9A-Fa-f:.]+ would also swallow dotted quads
+    "IPV6" -> ("((([0-9A-Fa-f]{1,4}:){7}([0-9A-Fa-f]{1,4}|:))|(([0-9A-Fa-f]{1,4}:){6}(:[0-9A-Fa-f]{1,4}|((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3})|:))|(([0-9A-Fa-f]{1,4}:){5}(((:[0-9A-Fa-f]{1,4}){1,2})|:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3})|:))|(([0-9A-Fa-f]{1,4}:){4}(((:[0-9A-Fa-f]{1,4}){1,3})|((:[0-9A-Fa-f]{1,4})?:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(([0-9A-Fa-f]{1,4}:){3}(((:[0-9A-Fa-f]{1,4}){1,4})|((:[0-9A-Fa-f]{1,4}){0,2}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(([0-9A-Fa-f]{1,4}:){2}(((:[0-9A-Fa-f]{1,4}){1,5})|((:[0-9A-Fa-f]{1,4}){0,3}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(([0-9A-Fa-f]{1,4}:){1}(((:[0-9A-Fa-f]{1,4}){1,6})|((:[0-9A-Fa-f]{1,4}){0,4}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(:(((:[0-9A-Fa-f]{1,4}){1,7})|((:[0-9A-Fa-f]{1,4}){0,5}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:)))(%.+)?"),
+    "IP" -> "(?:%{IPV6}|%{IPV4})",
     "HOSTNAME" -> "\\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\\.?\\b",
     "TIMESTAMP_ISO8601" -> "[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}(?::[0-9]{2}(?:\\.[0-9]+)?)?(?:Z|[+-][0-9]{2}:?[0-9]{2})?",
     "MONTHDAY" -> "(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
@@ -150,11 +152,18 @@ object Grok {
     def fields: Seq[String] = alternatives.flatMap(_.fields).distinct
     def matches(input: Column): Column =
       alternatives.map(_.matches(input)).reduce(_ || _)
-    def columns(input: Column): Map[String, Column] = {
-      // one anchored match array per alternative (regex runs per row =
-      // #alternatives, not #fields); guard each alternative's extracts so
-      // only the first matching pattern contributes (earlier wins)
-      val groupArrs = alternatives.map(_.groupsArray(input, anchored = true))
+    def columns(input: Column): Map[String, Column] =
+      columnsFrom(alternatives.map(_.groupsArray(input, anchored = true)))
+
+    /** Field columns over per-alternative match arrays. Callers that fan
+      * the fields into MANY projections should materialize the arrays
+      * first ([[materialized]]) so each regex provably runs once per row —
+      * a column reference cannot be duplicated by plan rewrites, whereas
+      * an inline expression relies on subexpression elimination.
+      */
+    def columnsFrom(groupArrs: Seq[Column]): Map[String, Column] = {
+      // guard each alternative's extracts so only the first matching
+      // pattern contributes (ordered-alternative semantics)
       val guards = groupArrs.map(_.isNotNull)
       val notEarlier = guards.scanLeft(lit(true))((acc, g) => acc && !g)
       fields.map { f =>
@@ -166,6 +175,19 @@ object Grok {
         }
         f -> coalesce(cands: _*)
       }.toMap
+    }
+
+    /** Materialize one match-array column per alternative, returning the
+      * widened frame, the field columns reading from them, and the
+      * temporary column names for the caller to drop when done.
+      */
+    def materialized(df: org.apache.spark.sql.DataFrame, input: Column)
+        : (org.apache.spark.sql.DataFrame, Map[String, Column], Seq[String]) = {
+      val names = alternatives.indices.map(i => s"__grok_arr_$i")
+      val widened = alternatives.zip(names).foldLeft(df) { case (d, (alt, n)) =>
+        d.withColumn(n, alt.groupsArray(input, anchored = true))
+      }
+      (widened, columnsFrom(names.map(col)), names)
     }
   }
 

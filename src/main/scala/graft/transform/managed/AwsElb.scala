@@ -47,12 +47,14 @@ object AwsElb {
     val withIngest =
       if (df.columns.contains("ts")) df.withColumn("_ingest_ts", col("ts"))
       else df.withColumn("_ingest_ts", lit(null).cast(TimestampType))
-    val cols = grok.columns(col("message"))
+    // materialize the 4 match arrays as columns: each alternative's regex
+    // runs exactly once per row no matter how many fields read from it
+    val (widened, cols, tmpCols) = grok.materialized(withIngest, col("message"))
     // land every capture at its dotted path (deterministic order; sorting
     // places deeper paths consistently)
-    val placed = cols.toSeq.sortBy(_._1).foldLeft(withIngest) {
+    val placed = cols.toSeq.sortBy(_._1).foldLeft(widened) {
       case (d, (p, c)) => setPath(d, p, c)
-    }
+    }.drop(tmpCols: _*)
 
     var out = placed
     def g(p: String): Column = getPath(out, p)

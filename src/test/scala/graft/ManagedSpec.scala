@@ -3,6 +3,7 @@ package graft
 import graft.operators.{Alerts, Detection}
 import graft.sources.Framing
 import graft.transform.managed.{VpcFlow, ZeekDns}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Managed source mappings (FIXTURES.md F2/F3) + matano_alerts rows (F8). */
@@ -337,6 +338,156 @@ class ManagedSpec extends SparkSpec {
     assert(rows(1).getLong(1) == 991L)
     assert(rows(1).getLong(2) == 30000000000L) // 30 s in ns
     assert(rows(1).getString(3) == "workflows")
+  }
+
+  test("aws_waf: web acl log maps arn decomposition, action types, rule details") {
+    import graft.transform.managed.AwsWaf
+    val line =
+      """{"timestamp":1576280412771,"webaclId":"arn:aws:wafv2:ap-southeast-2:111122223333:regional/webacl/STMTest/1EXAMPLE",
+        |"action":"BLOCK","httpSourceName":"APIGW","httpSourceId":"10q1id","terminatingRuleId":"STMTest_SQLi_XSS",
+        |"terminatingRuleType":"REGULAR","httpRequest":{"clientIp":"198.51.100.9","country":"AU","httpMethod":"POST",
+        |"httpVersion":"HTTP/1.1","requestId":"rid1","uri":"/foo","args":"x=1",
+        |"headers":[{"name":"Host","value":"api.example.com"}]},
+        |"labels":[{"name":"awswaf:managed:aws:sqli"}],
+        |"terminatingRuleMatchDetails":[{"conditionType":"SQL_INJECTION","sensitivityLevel":"HIGH",
+        |"location":"UNKNOWN","matchedData":["10","AND","1"]}]}"""
+        .stripMargin.replace("\n", "")
+    val out = AwsWaf(Seq(line).toDF("json"))
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toEpochMilli == 1576280412771L)
+    assert(out.select("event.action").head.getString(0) == "BLOCK")
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("access", "denied"))
+    assert(out.select("cloud.account.id").head.getString(0) == "111122223333")
+    assert(out.select("cloud.region").head.getString(0) == "ap-southeast-2")
+    assert(out.select("cloud.service.name").head.getString(0) == "wafv2")
+    assert(out.select("aws.waf.id").head.getString(0) == "regional/webacl/STMTest/1EXAMPLE")
+    assert(out.select("http.version").head.getString(0) == "1.1")
+    assert(out.select("network.protocol").head.getString(0) == "http")
+    assert(out.select("network.transport").head.getString(0) == "tcp")
+    assert(out.select("rule.id").head.getString(0) == "STMTest_SQLi_XSS")
+    assert(out.select("source.ip").head.getString(0) == "198.51.100.9")
+    assert(out.select("source.geo.country_iso_code").head.getString(0) == "AU")
+    assert(out.select("tags").head.getSeq[String](0) == Seq("awswaf:managed:aws:sqli"))
+    val det = out.select("aws.waf.terminating_rule_match_details").head.getSeq[Row](0)
+    assert(det.head.getAs[String]("condition_type") == "SQL_INJECTION")
+    assert(det.head.getAs[scala.collection.Seq[String]]("matched_data").toList
+      == List("10", "AND", "1"))
+  }
+
+  test("route53 resolver: query log maps dns answers, related, network typing") {
+    import graft.transform.managed.Route53Resolver
+    val line =
+      """{"version":"1.1","account_id":"111122223333","region":"us-east-1","vpc_id":"vpc-7example",
+        |"query_timestamp":"2021-02-04T17:51:55Z","query_name":"cname.example.com.","query_type":"A",
+        |"query_class":"IN","rcode":"NOERROR","answers":[
+        |{"Rdata":"target.example.com.","Type":"CNAME","Class":"IN"},
+        |{"Rdata":"203.0.113.9","Type":"A","Class":"IN"}],
+        |"srcaddr":"10.0.0.4","srcport":"56067","transport":"UDP",
+        |"srcids":{"instance":"i-0d15cd0d3example"},
+        |"firewall_rule_action":"BLOCK","firewall_rule_group_id":"rslvr-frg-01",
+        |"firewall_domain_list_id":"rslvr-fdl-01"}"""
+        .stripMargin.replace("\n", "")
+    val out = Route53Resolver(Seq(line).toDF("json"))
+    assert(out.select("dns.question.name").head.getString(0) == "cname.example.com")
+    assert(out.select("dns.response_code").head.getString(0) == "NOERROR")
+    val answers = out.select("dns.answers").head.getSeq[Row](0)
+    assert(answers(0).getAs[String]("data") == "target.example.com")
+    assert(answers(0).getAs[String]("name") == "target.example.com") // CNAME naming
+    assert(answers(1).getAs[String]("data") == "203.0.113.9")
+    assert(out.select("related.ip").head.getSeq[String](0) == Seq("203.0.113.9"))
+    assert(out.select("related.hosts").head.getSeq[String](0) == Seq("target.example.com"))
+    assert(out.select("network.transport").head.getString(0) == "udp")
+    assert(out.select("network.iana_number").head.getString(0) == "17")
+    assert(out.select("network.type").head.getString(0) == "ipv4")
+    assert(out.select("source.port").head.getInt(0) == 56067)
+    assert(out.select("cloud.instance.id").head.getString(0) == "i-0d15cd0d3example")
+    assert(out.select("aws.route53.firewall.action").head.getString(0) == "BLOCK")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+  }
+
+  test("gcp_audit: audit log maps identity, outcome, k8s; non-audit aborts") {
+    import graft.transform.managed.GcpAudit
+    val audit =
+      """{"insertId":"ins1","logName":"projects/p1/logs/cloudaudit.googleapis.com%2Factivity",
+        |"severity":"NOTICE","timestamp":"2021-10-20T11:49:29.101Z",
+        |"resource":{"type":"gke_cluster","labels":{"project_id":"p1","cluster_name":"c1"}},
+        |"protoPayload":{"@type":"type.googleapis.com/google.cloud.audit.AuditLog",
+        |"methodName":"io.k8s.core.v1.configmaps.update","serviceName":"k8s.io",
+        |"resourceName":"core/v1/namespaces/default/configmaps/cm1",
+        |"authenticationInfo":{"principalEmail":"system:foo","principalSubject":"sub1"},
+        |"authorizationInfo":[{"resource":"configmaps/cm1","permission":"io.k8s.update","granted":true}],
+        |"requestMetadata":{"callerIp":"gce-internal-ip","callerSuppliedUserAgent":"kube/1.21"},
+        |"status":{}}}"""
+        .stripMargin.replace("\n", "")
+    val nonAudit = """{"insertId":"x","protoPayload":{"@type":"other"}}"""
+    val out = GcpAudit(Seq(audit, nonAudit).toDF("json"))
+    assert(out.count() == 1) // non-audit entry aborted
+    assert(out.select("event.id").head.getString(0) == "ins1")
+    assert(out.select("event.provider").head.getString(0) == "activity")
+    assert(out.select("cloud.project.id").head.getString(0) == "p1")
+    assert(out.select("orchestrator.type").head.getString(0) == "kubernetes")
+    assert(out.select("orchestrator.cluster.name").head.getString(0) == "c1")
+    assert(out.select("client.user.email").head.getString(0) == "system:foo")
+    assert(out.select("source.ip").head.isNullAt(0)) // internal marker filtered
+    assert(out.select("user_agent.original").head.getString(0) == "kube/1.21")
+    assert(out.select("event.action").head.getString(0) == "io.k8s.core.v1.configmaps.update")
+    assert(out.select("cloud.service.name").head.getString(0) == "k8s.io")
+    // no status code, single authz entry granted → success
+    assert(out.select("event.outcome").head.getString(0) == "success")
+  }
+
+  test("cloudflare dns + audit tables map per-table ECS shapes") {
+    import graft.transform.managed.Cloudflare
+    val dnsLine =
+      """{"Timestamp":1591980072,"SourceIP":"203.0.113.50","QueryName":"cf.example.com",
+        |"QueryType":1,"ColoCode":"SJC","EDNSSubnet":"203.0.113.0","EDNSSubnetLength":24,
+        |"ResponseCached":false,"ResponseCode":0}""".stripMargin.replace("\n", "")
+    val d = Cloudflare.dns(Seq(dnsLine).toDF("json"))
+    assert(d.select("dns.question.name").head.getString(0) == "cf.example.com")
+    assert(d.select("cloudflare.dns.response.code").head.getLong(0) == 0L)
+    assert(d.select("related.ip").head.getSeq[String](0) == Seq("203.0.113.50", "203.0.113.0"))
+    assert(d.select("ts").head.getTimestamp(0).toInstant.getEpochSecond == 1591980072L)
+
+    val auditLine =
+      """{"When":1591980073,"ID":"aud1","ActionType":"token_create","ActionResult":true,
+        |"ActorEmail":"admin@example.com","ActorID":"actor1","ActorIP":"198.51.100.1",
+        |"ActorType":"user","Interface":"API","ResourceID":"res1","ResourceType":"account",
+        |"NewValue":"{\"k\":1}"}""".stripMargin.replace("\n", "")
+    val a = Cloudflare.audit(Seq(auditLine).toDF("json"))
+    assert(a.select("event.action").head.getString(0) == "token_create")
+    assert(a.select("event.outcome").head.getString(0) == "success")
+    assert(a.select("user.email").head.getString(0) == "admin@example.com")
+    assert(a.select("event.provider").head.getString(0) == "API")
+    assert(a.select("cloudflare.audit.resource.type").head.getString(0) == "account")
+    assert(a.select("related.user").head.getSeq[String](0) == Seq("actor1"))
+  }
+
+  test("duo auth: ip:port split, identities, outcome; empty response aborts") {
+    import graft.transform.managed.DuoAuth
+    val line =
+      """{"timestamp":1532951962,"result":"success","reason":"user_approved","event_type":"authentication",
+        |"factor":"duo_push","txid":"tx-1","email":"jdoe@example.com",
+        |"user":{"key":"DU1","name":"jdoe","groups":["g1","g2"]},
+        |"access_device":{"ip":"192.0.2.7:50022","hostname":"laptop-1","browser":"Chrome",
+        |"browser_version":"67.0","os":"Mac OS X","os_version":"10.14.1",
+        |"location":{"city":"Ann Arbor","country":"United States","state":"Michigan"}},
+        |"auth_device":{"ip":"192.0.2.8","name":"+1 555-0100",
+        |"location":{"city":"Ann Arbor","country":"United States","state":"Michigan"}},
+        |"application":{"key":"DIY2","name":"Web SDK"}}""".stripMargin.replace("\n", "")
+    val aborted = """{"timestamp":1532951963,"response":[],"result":"success"}"""
+    val out = DuoAuth(Seq(line, aborted).toDF("json"))
+    assert(out.count() == 1) // empty-response event aborted
+    assert(out.select("source.ip").head.getString(0) == "192.0.2.7")
+    assert(out.select("source.port").head.getInt(0) == 50022)
+    assert(out.select("source.address").head.getString(0) == "laptop-1")
+    assert(out.select("user.name").head.getString(0) == "jdoe")
+    assert(out.select("source.user.group.name").head.getString(0) == "g1, g2")
+    assert(out.select("user_agent.os.name").head.getString(0) == "Mac OS X")
+    assert(out.select("duo.auth.factor").head.getString(0) == "duo_push")
+    assert(out.select("duo.auth.auth_device.ip").head.getString(0) == "192.0.2.8")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("related.ip").head.getSeq[String](0).toSet
+      == Set("192.0.2.7", "192.0.2.8"))
+    assert(out.select("related.hosts").head.getSeq[String](0) == Seq("laptop-1"))
   }
 
   test("matano alert rows carry the F8 nested shape") {
