@@ -490,6 +490,140 @@ class ManagedSpec extends SparkSpec {
     assert(out.select("related.hosts").head.getSeq[String](0) == Seq("laptop-1"))
   }
 
+  test("s3inventory: csv manifest line maps file shape and md5 relation") {
+    import graft.transform.managed.S3Inventory
+    val line = "\"my-bucket\",\"photos/cat.jpg\",\"v1\",\"true\",\"false\",\"102400\"," +
+      "\"2024-02-01T00:00:00.000Z\",\"d41d8cd98f00b204e9800998ecf8427e\",\"STANDARD\",\"false\"," +
+      "\"\",\"SSE-S3\",\"\",\"\",\"\",\"\",\"ENABLED\",\"SHA256\""
+    val out = S3Inventory(Seq(line).toDF("message"))
+    assert(out.select("file.path").head.getString(0) == "s3://my-bucket/photos/cat.jpg")
+    assert(out.select("file.size").head.getLong(0) == 102400L)
+    assert(out.select("file.hash.md5").head.getString(0) == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(out.select("aws.s3inventory.is_latest").head.getBoolean(0))
+    assert(out.select("aws.s3inventory.storage_class").head.getString(0) == "STANDARD")
+    assert(out.select("related.hash").head.getSeq[String](0).head.startsWith("d41d8"))
+    assert(out.select("cloud.service.name").head.getString(0) == "s3")
+  }
+
+  test("config_history: configuration item maps resource, tags, event typing") {
+    import graft.transform.managed.ConfigHistory
+    val line =
+      """{"version":"1.3","configurationItemCaptureTime":"2024-01-15T10:00:00.000Z",
+        |"configurationItemStatus":"ResourceDiscovered","configurationItemMD5Hash":"abc123",
+        |"configurationStateId":"1705312800000","arn":"arn:aws:sqs:us-east-1:111122223333:q1",
+        |"resourceType":"AWS::SQS::Queue","resourceId":"q1","resourceName":"my-queue",
+        |"awsRegion":"us-east-1","awsAccountId":"111122223333","availabilityZone":"Not Applicable",
+        |"relationships":[{"resourceName":"vpc-1","resourceType":"AWS::EC2::VPC",
+        |"resourceId":"vpc-1"," relationshipName":"x","relationshipName":" Is contained in "}],
+        |"tags":{"env":"prod","team":"sec"}}""".stripMargin.replace("\n", "")
+    val out = ConfigHistory(Seq(line).toDF("json"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("creation"))
+    assert(out.select("cloud.service.name").head.getString(0) == "sqs")
+    assert(out.select("cloud.availability_zone").head.isNullAt(0))
+    assert(out.select("aws.config_history.resource.name").head.getString(0) == "my-queue")
+    val rel = out.select("aws.config_history.relationship").head.getSeq[Row](0)
+    assert(rel.head.getAs[String]("name") == "Is contained in")
+    assert(out.select("tags").head.getSeq[String](0).toSet == Set("env=prod", "team=sec"))
+    assert(out.select("event.hash").head.getString(0) == "abc123")
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2024-01-15T10:00:00Z")
+  }
+
+  test("teleport: session and network audit events map ECS process/network") {
+    import graft.transform.managed.Teleport
+    val cmd =
+      """{"event":"session.command","time":"2022-06-20T19:03:54.626Z","uid":"u1","code":"T4000I",
+        |"cluster_name":"c1","user":"alice","login":"root","server_hostname":"node-1","sid":"s1",
+        |"program":"bash","path":"/usr/bin/bash","argv":["-c","ls"],"return_code":0,
+        |"pid":100,"ppid":99,"addr.remote":"203.0.113.9:45022","addr.local":"10.0.0.5:3022",
+        |"success":true}""".stripMargin.replace("\n", "")
+    val net =
+      """{"event":"session.network","time":"2022-06-20T19:04:00.000Z","uid":"u2","code":"T4002I",
+        |"user":"alice","login":"root","server_hostname":"node-1","dst_addr":"198.51.100.7",
+        |"dst_port":443,"src_addr":"10.0.0.5","version":4,"participants":["alice","bob"]}"""
+        .stripMargin.replace("\n", "")
+    val out = Teleport(Seq(cmd, net).toDF("json")).orderBy("event.id")
+    val rows = out.selectExpr("event.action", "process.name", "source.ip", "source.port",
+      "event.outcome", "network.type", "destination.port", "related.user",
+      "event.category").collect()
+    assert(rows(0).getString(0) == "session.command")
+    assert(rows(0).getString(1) == "bash")
+    assert(rows(0).getString(2) == "203.0.113.9" && rows(0).getInt(3) == 45022)
+    assert(rows(0).getString(4) == "success")
+    assert(rows(1).getString(0) == "session.network")
+    assert(rows(1).getString(5) == "ipv4" && rows(1).getInt(6) == 443)
+    assert(rows(1).getSeq[String](7).toSet == Set("alice", "root", "bob"))
+    assert(rows(1).getSeq[String](8) == Seq("network", "session").take(1)) // network only
+  }
+
+  test("1password signin: outcome mapping, identity fan-out, no-ts abort") {
+    import graft.transform.managed.OnePassword
+    val ok =
+      """{"uuid":"e1","session_uuid":"s1","timestamp":"2023-03-15T12:00:00Z",
+        |"category":"firewall_reported_success","type":"credentials_ok","country":"CA",
+        |"target_user":{"uuid":"U7","name":"Jane Doe","email":"jane@example.com"},
+        |"client":{"app_name":"1Password CLI","app_version":"2.16","os_name":"macOS",
+        |"os_version":"13.2","ip_address":"203.0.113.1"}}""".stripMargin.replace("\n", "")
+    val noTs = """{"uuid":"e2","category":"success"}"""
+    val out = OnePassword(Seq(ok, noTs).toDF("json"))
+    assert(out.count() == 1)
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("event.action").head.getString(0) == "firewall_reported_success")
+    assert(out.select("user.email").head.getString(0) == "jane@example.com")
+    assert(out.select("os.name").head.getString(0) == "macOS")
+    assert(out.select("source.ip").head.getString(0) == "203.0.113.1")
+    assert(out.select("related.user").head.getSeq[String](0).toSet
+      == Set("U7", "jane@example.com", "Jane Doe"))
+    assert(out.select("onepassword.client.app_name").head.getString(0) == "1Password CLI")
+  }
+
+  test("snyk audit: vendor ids and action map; ts from created") {
+    import graft.transform.managed.SnykAudit
+    val line =
+      """{"groupId":"g1","orgId":"o1","projectId":"p1","userId":"u1",
+        |"event":"org.project.test","created":"2023-05-01T09:30:00.000Z",
+        |"content":"{\"after\":{}}"}""".stripMargin.replace("\n", "")
+    val out = SnykAudit(Seq(line).toDF("json"))
+    assert(out.select("event.action").head.getString(0) == "org.project.test")
+    assert(out.select("user.group.id").head.getString(0) == "g1")
+    assert(out.select("snyk.audit.org_id").head.getString(0) == "o1")
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2023-05-01T09:30:00Z")
+  }
+
+  test("o365 audit: record types, AAD user CRUD, sts logon, sp file ops") {
+    import graft.transform.managed.O365Audit
+    val aad =
+      """{"CreationTime":"2020-02-07T16:43:53","Id":"id-aad","Operation":"Add user.",
+        |"OrganizationId":"org1","RecordType":8,"ResultStatus":"Success","UserType":4,
+        |"UserId":"admin@contoso.com","Workload":"AzureActiveDirectory",
+        |"ObjectId":"newuser@contoso.com","ActorIpAddress":"198.51.100.9"}"""
+        .stripMargin.replace("\n", "")
+    val sp =
+      """{"CreationTime":"2020-02-07T17:00:00Z","Id":"id-sp","Operation":"FileDeleted",
+        |"RecordType":6,"UserId":"jdoe@contoso.com","Workload":"SharePoint",
+        |"ObjectId":"https://contoso.sharepoint.com/x/doc.docx","ClientIP":"203.0.113.2",
+        |"SourceRelativeUrl":"x","SourceFileName":"doc.docx","SourceFileExtension":"docx",
+        |"Parameters":[{"Name":"Mailbox","Value":"m1"},{"Name":"Empty"}]}"""
+        .stripMargin.replace("\n", "")
+    val out = O365Audit(Seq(aad, sp).toDF("json")).orderBy("event.id")
+    val rows = out.selectExpr("event.code", "event.action", "event.category",
+      "event.type", "user.target.id", "source.ip", "file.name", "event.outcome",
+      "event.id").collect()
+    assert(rows(0).getString(0) == "AzureActiveDirectory")
+    assert(rows(0).getString(1) == "added-user-account")
+    assert(rows(0).getSeq[String](2) == Seq("web", "iam"))
+    assert(rows(0).getSeq[String](3) == Seq("info", "user", "creation"))
+    assert(rows(0).getString(4) == "newuser@contoso.com")
+    assert(rows(0).getString(5) == "198.51.100.9")
+    assert(rows(0).getString(7) == "success")
+    assert(rows(1).getString(0) == "SharePointFileOperation")
+    assert(rows(1).getSeq[String](2) == Seq("web", "file"))
+    assert(rows(1).getSeq[String](3) == Seq("info", "deletion"))
+    assert(rows(1).getString(6) == "doc.docx")
+    val params = out.filter(col("event.id") === "id-sp")
+      .select("o365.audit.parameters").head.getMap[String, String](0)
+    assert(params("Mailbox") == "m1" && !params.contains("Empty"))
+  }
+
   test("matano alert rows carry the F8 nested shape") {
     val rules = Seq(Detection.SimpleRule("r1", lit(true),
       severity = "warning", threshold = 2, windowSeconds = 900))
