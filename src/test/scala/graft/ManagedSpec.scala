@@ -624,6 +624,65 @@ class ManagedSpec extends SparkSpec {
     assert(params("Mailbox") == "m1" && !params.contains("Empty"))
   }
 
+  test("google_workspace login: email split, outcome, params map, target user") {
+    import graft.transform.managed.GoogleWorkspaceLogin
+    val line =
+      """{"kind":"admin#reports#activity","ipAddress":"203.0.113.99","ownerDomain":"example.com",
+        |"id":{"time":"2022-01-10T15:04:05.000Z","uniqueQualifier":"q1","applicationName":"login",
+        |"customerId":"C03abc"},"actor":{"email":"kate@example.com","profileId":"114"},
+        |"events":[{"name":"login_failure","type":"login",
+        |"parameters":[{"name":"login_type","value":"google_password"},
+        |{"name":"login_challenge_status","value":"Challenge Failed"},
+        |{"name":"affected_email_address","value":"victim@example.com"},
+        |{"name":"login_timestamp","intValue":"1641826245000000"}]}]}"""
+        .stripMargin.replace("\n", "")
+    val out = GoogleWorkspaceLogin(Seq(line).toDF("json"))
+    assert(out.select("event.action").head.getString(0) == "login_failure")
+    assert(out.select("event.outcome").head.getString(0) == "failure")
+    assert(out.select("event.category").head.getSeq[String](0)
+      == Seq("authentication", "session"))
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("start"))
+    assert(out.select("user.name").head.getString(0) == "kate")
+    assert(out.select("user.domain").head.getString(0) == "example.com")
+    assert(out.select("google_workspace.login.type").head.getString(0) == "google_password")
+    assert(out.select("google_workspace.login.challenge_status").head.getString(0)
+      == "Challenge Failed")
+    assert(out.select("user.target.name").head.getString(0) == "victim")
+    assert(out.select("related.user").head.getSeq[String](0) == Seq("kate", "victim"))
+    assert(out.select("event.start").head.getTimestamp(0).toInstant.toString
+      == "2022-01-10T14:50:45Z")
+    assert(out.select("organization.id").head.getString(0) == "C03abc")
+  }
+
+  test("aad signin: upn split, outcome from error code, geo, message compose") {
+    import graft.transform.managed.AadSignin
+    val line =
+      """{"callerIpAddress":"198.51.100.30","level":"4","durationMs":120,
+        |"operationName":"Sign-in activity","tenantId":"t1","correlationId":"c1",
+        |"properties":{"id":"sig1","createdDateTime":"2019-10-18T04:45:48.0729893Z",
+        |"userPrincipalName":"mika@example.com","userDisplayName":"Mika P","userId":"uid1",
+        |"appDisplayName":"Azure Portal","ipAddress":"198.51.100.30","isInteractive":false,
+        |"status":{"errorCode":50126,"failureReason":"Invalid credentials",
+        |"additionalDetails":"The user didn't enter the right credentials."},
+        |"userAgent":"Mozilla/5.0","location":{"city":"Espoo","state":"Uusimaa",
+        |"countryOrRegion":"FI","geoCoordinates":{"latitude":60.2,"longitude":24.7}}}}"""
+        .stripMargin.replace("\n", "")
+    val out = AadSignin(Seq(line).toDF("json"))
+    assert(out.select("event.outcome").head.getString(0) == "failure")
+    assert(out.select("user.name").head.getString(0) == "mika")
+    assert(out.select("user.domain").head.getString(0) == "example.com")
+    assert(out.select("message").head.getString(0)
+      == "Invalid credentials (The user didn't enter the right credentials.)")
+    assert(out.select("geo.country_iso_code").head.getString(0) == "FI")
+    assert(out.select("geo.location.lat").head.getDouble(0) == 60.2)
+    assert(out.select("event.duration").head.getLong(0) == 120000000L)
+    assert(out.select("azure.aad_signinlogs.app_display_name").head.getString(0) == "Azure Portal")
+    assert(out.select("related.user").head.getSeq[String](0).toSet
+      == Set("uid1", "mika", "Mika P"))
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString
+      == "2019-10-18T04:45:48.072989Z")
+  }
+
   test("matano alert rows carry the F8 nested shape") {
     val rules = Seq(Detection.SimpleRule("r1", lit(true),
       severity = "warning", threshold = 2, windowSeconds = 900))
