@@ -59,6 +59,62 @@ object Multimodal {
     }.toDF(idCol, "width", "height", "channels", "checksum")
   }
 
+  /** REAL decode + resize for RAW 8-bit grayscale payloads — no codec
+    * library needed (each byte IS a pixel), so this path is fully
+    * implemented, not stubbed: height derives from length/width,
+    * block-mean pooling resamples to (targetW × targetH), and mean/stddev
+    * luminance come from the full-resolution pixels. Compressed codecs
+    * (JPEG/PNG/...) still route through [[decodeStub]] until a codec
+    * library is present; the partition/batch shape is identical.
+    */
+  def resizeRawGrayscale(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String, widthCol: String, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val wIdx = df.schema.fieldIndex(widthCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val w = r.getInt(wIdx)
+        if (bytes == null || w <= 0 || bytes.length < w) None
+        else {
+          val h = bytes.length / w
+          // block-mean pooling: output pixel = integer mean of its source
+          // rectangle (deterministic; pure integer arithmetic)
+          val thumb = new Array[Byte](targetW * targetH)
+          var ty = 0
+          while (ty < targetH) {
+            val y0 = ty * h / targetH
+            val y1 = math.max(y0 + 1, (ty + 1) * h / targetH)
+            var tx = 0
+            while (tx < targetW) {
+              val x0 = tx * w / targetW
+              val x1 = math.max(x0 + 1, (tx + 1) * w / targetW)
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { sum += bytes(y * w + x) & 0xff; n += 1; x += 1 }
+                y += 1
+              }
+              thumb(ty * targetW + tx) = (sum / n).toByte
+              tx += 1
+            }
+            ty += 1
+          }
+          var s = 0.0; var s2 = 0.0
+          val total = w * h
+          var i = 0
+          while (i < total) { val v = (bytes(i) & 0xff).toDouble; s += v; s2 += v * v; i += 1 }
+          val mean = s / total
+          val stddev = math.sqrt(math.max(0.0, s2 / total - mean * mean))
+          Some((r.getLong(idIdx), w, h, thumb, mean, stddev))
+        }
+      }
+    }.toDF(idCol, "width", "height", "thumbnail", "mean_luminance", "stddev_luminance")
+  }
+
   /** Frame-sampling shape for video-like payloads: split the byte stream
     * into fixed-size "frames", keep every `stride`-th — the plumbing of a
     * frame sampler with a stubbed decoder.

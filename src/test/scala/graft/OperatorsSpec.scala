@@ -149,6 +149,24 @@ class OperatorsSpec extends SparkSpec {
     assert(a.forall(r => r.getAs[Int]("width") >= 16 && r.getAs[Int]("channels") == 3))
   }
 
+  test("raw grayscale resize: block-mean pooling and luminance stats are exact") {
+    // 4x2 image with known pixels → 2x1 thumbnail: each output pixel is the
+    // mean of a 2x2 block
+    val px = Array[Byte](10, 20, 30, 40,
+                         50, 60, 70, 80)
+    val df = Seq((7L, px, 4)).toDF("doc_id", "bin", "w")
+    val out = Multimodal.resizeRawGrayscale(spark, df, "doc_id", "bin", "w",
+      targetW = 2, targetH = 1).head
+    assert(out.getAs[Int]("width") == 4 && out.getAs[Int]("height") == 2)
+    val thumb = out.getAs[Array[Byte]]("thumbnail")
+    assert(thumb.toSeq == Seq[Byte](35, 55)) // mean(10,20,50,60)=35, mean(30,40,70,80)=55
+    assert(out.getAs[Double]("mean_luminance") == 45.0)
+    assert(math.abs(out.getAs[Double]("stddev_luminance") - 22.9128784747792) < 1e-9)
+    // malformed payload (shorter than one row) is skipped, not crashed
+    val bad = Seq((8L, Array[Byte](1, 2), 4)).toDF("doc_id", "bin", "w")
+    assert(Multimodal.resizeRawGrayscale(spark, bad, "doc_id", "bin", "w", 2, 1).count() == 0)
+  }
+
   test("frame sampling splits payload bytes with stride") {
     val df = Seq((1L, "x" * 100)).toDF("id", "text")
       .withColumn("bin", encode(col("text"), "utf-8"))
