@@ -683,6 +683,54 @@ class ManagedSpec extends SparkSpec {
       == "2019-10-18T04:45:48.072989Z")
   }
 
+  test("zeek conn: state table, icmp repurposing, direction matrix, totals") {
+    import graft.transform.managed.ZeekConn
+    val tcp =
+      """{"ts":1591367999.3,"uid":"CMdzit1AMNsmfAIiQc","id.orig_h":"192.168.4.76","id.orig_p":36844,
+        |"id.resp_h":"192.168.4.1","id.resp_p":53,"proto":"udp","service":"dns","duration":0.0676,
+        |"conn_state":"SF","local_orig":true,"local_resp":true,"missed_bytes":0,"history":"Dd",
+        |"orig_pkts":2,"orig_ip_bytes":142,"resp_pkts":2,"resp_ip_bytes":320}"""
+        .stripMargin.replace("\n", "")
+    val icmp =
+      """{"ts":1591368000.0,"uid":"Cicmp1","id.orig_h":"10.0.0.1","id.orig_p":8,
+        |"id.resp_h":"10.0.0.2","id.resp_p":0,"proto":"icmp","conn_state":"OTH",
+        |"local_orig":true,"local_resp":false,"orig_pkts":1,"orig_ip_bytes":64,"resp_pkts":0,"resp_ip_bytes":0}"""
+        .stripMargin.replace("\n", "")
+    val out = ZeekConn(Seq(tcp, icmp).toDF("json")).orderBy("event.id")
+    val rows = out.selectExpr("event.type", "zeek.connection.state_message",
+      "network.bytes", "network.direction", "zeek.connection.icmp.type",
+      "source.port", "event.duration", "event.id").collect()
+    val sf = rows.find(_.getString(7).startsWith("CMdzit")).get
+    val ic = rows.find(_.getString(7) == "Cicmp1").get
+    assert(sf.getSeq[String](0) == Seq("connection", "start", "end"))
+    assert(sf.getString(1) == "Normal establishment and termination.")
+    assert(sf.getLong(2) == 462L)
+    assert(sf.getString(3) == "internal")
+    assert(sf.getInt(5) == 36844)
+    assert(sf.getLong(6) == 67600000L) // 0.0676 s in ns
+    assert(ic.getInt(4) == 8) // icmp type from orig port
+    assert(ic.isNullAt(5))    // icmp: no source.port
+    assert(ic.getString(3) == "outbound")
+  }
+
+  test("zeek http: request/response mapping and outcome from status") {
+    import graft.transform.managed.ZeekHttp
+    val line =
+      """{"ts":1591367999.5,"uid":"Chttp1","id.orig_h":"192.168.4.76","id.orig_p":46378,
+        |"id.resp_h":"31.3.245.133","id.resp_p":80,"trans_depth":1,"method":"GET",
+        |"host":"testmyids.com","uri":"/","version":"1.1","user_agent":"curl/7.47.0",
+        |"request_body_len":0,"response_body_len":39,"status_code":200,"status_msg":"OK",
+        |"resp_mime_types":["text/plain"]}""".stripMargin.replace("\n", "")
+    val out = ZeekHttp(Seq(line).toDF("json"))
+    assert(out.select("http.request.method").head.getString(0) == "GET")
+    assert(out.select("url.domain").head.getString(0) == "testmyids.com")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("http.response.body.bytes").head.getLong(0) == 39L)
+    assert(out.select("zeek.http.status_msg").head.getString(0) == "OK")
+    assert(out.select("related.ip").head.getSeq[String](0).toSet
+      == Set("192.168.4.76", "31.3.245.133"))
+  }
+
   test("matano alert rows carry the F8 nested shape") {
     val rules = Seq(Detection.SimpleRule("r1", lit(true),
       severity = "warning", threshold = 2, windowSeconds = 900))
