@@ -731,6 +731,87 @@ class ManagedSpec extends SparkSpec {
       == Set("192.168.4.76", "31.3.245.133"))
   }
 
+  test("inspector: vulnerability finding maps score max, packages, ec2 ips") {
+    import graft.transform.managed.Inspector
+    val line =
+      """{"updatedAt":"2023-04-11T17:04:11Z","firstObservedAt":"2023-04-01T00:00:00Z",
+        |"description":"A use-after-free flaw...","awsAccountId":"111122223333","severity":"HIGH",
+        |"findingArn":"arn:aws:inspector2:us-east-1:111122223333:finding/f1","fixAvailable":"YES",
+        |"inspectorScore":7.8,"status":"ACTIVE","title":"CVE-2023-1111 - kernel","type":"PACKAGE_VULNERABILITY",
+        |"packageVulnerabilityDetails":{"vulnerabilityId":"CVE-2023-1111",
+        |"referenceUrls":["https://a.example","https://b.example"],
+        |"vendorSeverity":"important","source":"NVD",
+        |"cvss":[{"baseScore":7.0,"scoringVector":"CVSS:3.1/...","source":"NVD","version":"3.1"},
+        |{"baseScore":7.8,"scoringVector":"CVSS:2.0/...","source":"NVD","version":"2.0"}],
+        |"vulnerablePackages":[{"name":"kernel","version":"5.10","arch":"X86_64",
+        |"fixedInVersion":"5.11","packageManager":"OS","sourceLayerHash":"sha256:lay1"}]},
+        |"resources":[{"id":"i-0abc","type":"AWS_EC2_INSTANCE","region":"us-east-1",
+        |"details":{"awsEc2Instance":{"imageId":"ami-1","ipV4Addresses":["10.0.0.7"],
+        |"ipV6Addresses":[],"type":"t3.micro","vpcId":"vpc-1"}}}]}"""
+        .stripMargin.replace("\n", "")
+    val out = Inspector(Seq(line).toDF("json"))
+    assert(out.select("vulnerability.id").head.getString(0) == "CVE-2023-1111")
+    assert(out.select("vulnerability.score.base").head.getDouble(0) == 7.8)
+    assert(out.select("vulnerability.score.version").head.getString(0) == "3.1,2.0")
+    assert(out.select("vulnerability.reference").head.getString(0)
+      == "https://a.example,https://b.example")
+    assert(out.select("vulnerability.severity").head.getString(0) == "important")
+    assert(out.select("aws.inspector.severity").head.getString(0) == "HIGH")
+    assert(out.select("aws.inspector.inspector_score").head.getDouble(0) == 7.8)
+    assert(out.select("related.hash").head.getSeq[String](0) == Seq("sha256:lay1"))
+    assert(out.select("related.ip").head.getSeq[String](0) == Seq("10.0.0.7"))
+    assert(out.select("cloud.region").head.getString(0) == "us-east-1")
+    assert(out.select("message").head.getString(0).startsWith("A use-after-free"))
+    val pkg = out.select("aws.inspector.package_vulnerability_details.vulnerable_packages")
+      .head.getSeq[Row](0).head
+    assert(pkg.getAs[String]("fixed_in_version") == "5.11")
+  }
+
+  test("crowdstrike fdr: process rollup and network connect map ECS") {
+    import graft.transform.managed.CrowdstrikeFdr
+    val proc =
+      """{"id":"ev1","event_simpleName":"ProcessRollup2","event_platform":"Win",
+        |"timestamp":"1659640730000","ContextTimeStamp":"1659640729.895",
+        |"aid":"agent1","aip":"203.0.113.20","AgentVersion":"6.44",
+        |"ComputerName":"WIN-HOST","MachineDomain":"CORP",
+        |"SHA256HashData":"a7c8e0f1","MD5HashData":"0000000000",
+        |"CommandLine":"  \"C:\\Program\" -x  run ","ImageFileName":"\\Device\\HarddiskVolume1\\Windows\\System32\\cmd.exe",
+        |"RawProcessId":"4321","TargetProcessId":"tp1","ParentBaseFileName":"explorer.exe",
+        |"UserName":"jdoe","UserPrincipal":"jdoe@corp.example","UserIsAdmin":"1",
+        |"ProcessStartTime":"1659640000.5"}""".stripMargin.replace("\n", "")
+    val net =
+      """{"id":"ev2","event_simpleName":"NetworkConnectIP4","event_platform":"Lin",
+        |"timestamp":"1659640731000","aid":"agent1","ComputerName":"lin-host",
+        |"LocalAddressIP4":"10.0.0.3","LocalPort":"51000","RemoteAddressIP4":"198.51.100.44",
+        |"RemotePort":"443","Protocol":"6","ConnectionDirection":"0","UserSid":"-"}"""
+        .stripMargin.replace("\n", "")
+    val out = CrowdstrikeFdr(Seq(proc, net).toDF("json")).orderBy("event.id")
+    val p = out.filter(col("event.id") === "ev1")
+    assert(p.select("event.category").head.getSeq[String](0) == Seq("process"))
+    assert(p.select("event.type").head.getSeq[String](0) == Seq("start"))
+    assert(p.select("process.name").head.getString(0) == "cmd.exe")
+    assert(p.select("process.args").head.getSeq[String](0)
+      == Seq("C:\\Program", "-x", "run"))
+    assert(p.select("process.pid").head.getLong(0) == 4321L)
+    assert(p.select("user.roles").head.getSeq[String](0) == Seq("admin"))
+    assert(p.select("user.full_name").head.getString(0) == "jdoe")
+    assert(p.select("user.domain").head.getString(0) == "corp.example")
+    assert(p.select("os.type").head.getString(0) == "windows")
+    // zero-filled md5 filtered; sha256 kept; process event carries hashes
+    assert(p.select("related.hash").head.getSeq[String](0) == Seq("a7c8e0f1"))
+    assert(p.select("process.hash.sha256").head.getString(0) == "a7c8e0f1")
+    assert(p.select("ts").head.getTimestamp(0).toInstant.toString
+      == "2022-08-04T19:18:49.895Z") // ContextTimeStamp wins over wall clock
+    val n = out.filter(col("event.id") === "ev2")
+    assert(n.select("event.category").head.getSeq[String](0) == Seq("network"))
+    assert(n.select("network.transport").head.getString(0) == "tcp")
+    assert(n.select("network.direction").head.getString(0) == "outbound")
+    assert(n.select("source.port").head.getInt(0) == 51000)
+    assert(n.select("user.id").head.isNullAt(0)) // "-" marker nulled
+    assert(n.select("related.ip").head.getSeq[String](0).toSet
+      == Set("10.0.0.3", "198.51.100.44"))
+  }
+
   test("matano alert rows carry the F8 nested shape") {
     val rules = Seq(Detection.SimpleRule("r1", lit(true),
       severity = "warning", threshold = 2, windowSeconds = 900))
