@@ -812,6 +812,46 @@ class ManagedSpec extends SparkSpec {
       == Set("10.0.0.3", "198.51.100.44"))
   }
 
+  test("panw traffic: syslog prefix + positional csv maps endpoints and outcome") {
+    import graft.transform.managed.PanwTraffic
+    // 0:future 1:receive_time 2:serial 3:type 4:subtype 5:cfgver 6:generated, then positional values
+    val vals = Array.fill(108)(" ")
+    vals(0) = "10.1.1.10"; vals(1) = "203.0.113.30"; vals(2) = "192.0.2.1"; vals(3) = "203.0.113.30"
+    vals(4) = "allow-web"; vals(5) = "CORP\\jdoe"; vals(6) = "svc@partner.example"
+    vals(7) = "web-browsing"; vals(9) = "trust"; vals(10) = "untrust"
+    vals(11) = "ethernet1/1"; vals(12) = "ethernet1/2"; vals(15) = "1199"; vals(16) = "1"
+    vals(17) = "54321"; vals(18) = "443"; vals(19) = "10148"; vals(20) = "443"
+    vals(22) = "tcp"; vals(23) = "allow"; vals(24) = "7734"; vals(25) = "1995"; vals(26) = "5739"
+    vals(27) = "33"; vals(28) = "2023/03/01 11:59:30"; vals(29) = "60"; vals(30) = "business"
+    vals(37) = "20"; vals(38) = "13"; vals(39) = "tcp-fin"; vals(45) = "fw-edge-1"
+    vals(58) = "rule-uuid-1"
+    val line = "1," + "2023/03/01 12:00:00,007200001056,TRAFFIC,end,2561," +
+      "2023/03/01 12:00:01," + vals.mkString(",")
+    val out = PanwTraffic(Seq(line).toDF("message"))
+    assert(out.select("panw.panos.type").head.getString(0) == "TRAFFIC")
+    assert(out.select("panw.panos.sub_type").head.getString(0) == "end")
+    assert(out.select("observer.serial_number").head.getString(0) == "007200001056")
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2023-03-01T12:00:01Z")
+    assert(out.select("source.ip").head.getString(0) == "10.1.1.10")
+    assert(out.select("source.user.name").head.getString(0) == "jdoe")
+    assert(out.select("source.user.domain").head.getString(0) == "CORP")
+    assert(out.select("destination.user.name").head.getString(0) == "svc")
+    assert(out.select("destination.user.domain").head.getString(0) == "partner.example")
+    assert(out.select("source.nat.port").head.getInt(0) == 10148)
+    assert(out.select("destination.port").head.getInt(0) == 443)
+    assert(out.select("network.application").head.getString(0) == "web-browsing")
+    assert(out.select("network.bytes").head.getLong(0) == 7734L)
+    assert(out.select("source.packets").head.getLong(0) == 20L)
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("event.duration").head.getLong(0) == 60L)
+    assert(out.select("observer.ingress.zone").head.getString(0) == "trust")
+    assert(out.select("rule.uuid").head.getString(0) == "rule-uuid-1")
+    assert(out.select("panw.panos.endreason").head.getString(0) == "tcp-fin")
+    assert(out.select("related.user").head.getSeq[String](0).toSet == Set("jdoe", "svc"))
+    assert(out.select("event.start").head.getTimestamp(0).toInstant.toString
+      == "2023-03-01T11:59:30Z")
+  }
+
   test("matano alert rows carry the F8 nested shape") {
     val rules = Seq(Detection.SimpleRule("r1", lit(true),
       severity = "warning", threshold = 2, windowSeconds = 900))
