@@ -35,17 +35,17 @@ object Bench {
       // let Catalyst prune projections and under-measure map-only queries)
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // queries that persist intermediates (q32's shingle frame) must not
-        // leak executor memory into the next measurement
-        spark.catalog.clearCache()
-        Some(name -> dt)
+        Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         // NonFatal only: an OOM'd JVM can't produce trustworthy timings
         case scala.util.control.NonFatal(e) =>
           errors += name
           System.err.println(s"[bench] $name failed: $e")
           None // time-to-fail is not a benchmark result
+      } finally {
+        // queries that persist intermediates (q32's shingle frame) must not
+        // leak executor memory into the next measurement — even on failure
+        spark.catalog.clearCache()
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Lake layout + maintenance: hour-partitioned columnar storage with
   * partition-level rewrite, mirroring the reference's Iceberg usage
@@ -30,9 +31,15 @@ object Lake {
 
   val PartitionCol = "ts_hour"
 
-  /** Stamp the reference's `%Y-%m-%d-%H` partition value from event time. */
+  /** Stamp the reference's `%Y-%m-%d-%H` partition value from event time.
+    * A frame that already carries the partition column keeps it — updates
+    * flowing back through [[overwritePartitions]] must stay in their
+    * ORIGINAL partition (dynamic overwrite would otherwise delete every
+    * row of any partition a re-derived value happens to land in).
+    */
   def withHourPartition(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    df.withColumn(PartitionCol, date_format(col(tsCol), "yyyy-MM-dd-HH"))
+    if (df.columns.contains(PartitionCol)) df
+    else df.withColumn(PartitionCol, date_format(col(tsCol), "yyyy-MM-dd-HH"))
 
   /** Append rows into hour partitions. */
   def append(df: DataFrame, path: String): Unit =
@@ -71,18 +78,33 @@ object Lake {
     * name union; struct-internal evolution follows parquet's by-name
     * field resolution on read.
     */
+  /** Evolved-schema cache: merging every file footer per append would be
+    * O(total files) at scale (a real catalog stores the schema in table
+    * metadata); one merge per session per path, then evolved in-memory as
+    * appends widen it.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap.empty[String, StructType]
+
   def evolveAppend(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val existing = scala.util.Try(
-      spark.read.option("basePath", path).option("mergeSchema", "true").parquet(path))
-    val aligned = existing.toOption match {
+    val existing = schemaCache.get(path).orElse(scala.util.Try(
+      spark.read.option("basePath", path).option("mergeSchema", "true")
+        .parquet(path).schema).toOption)
+    val aligned = existing match {
       case None => df
-      case Some(table) =>
+      case Some(tableSchema) =>
         val have = df.columns.toSet
-        val missing = table.schema.fields.filterNot(f =>
+        val missing = tableSchema.fields.filterNot(f =>
           have.contains(f.name) || f.name == PartitionCol)
         missing.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     }
     append(aligned, path)
+    // table schema after this append = name-union of what was there + df
+    val union = existing match {
+      case None => aligned.schema
+      case Some(prev) => StructType(prev.fields ++
+        aligned.schema.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+    }
+    schemaCache.put(path, StructType(union.filterNot(_.name == PartitionCol)))
   }
 
   /** Evolution-aware read: parquet schema merge unions all file schemas
@@ -111,12 +133,17 @@ object Lake {
       val touchedHours = matched.select(col(PartitionCol)).distinct()
       val affected = lake.join(broadcast(touchedHours), Seq(PartitionCol))
       val updatedCols = updates.columns.filterNot(_ == pk)
+      // keep each rewritten row in its ORIGINAL hour partition (even if an
+      // updated ts would re-derive differently) — the rewrite set covers
+      // only matched partitions, so letting a row migrate into an
+      // untouched partition would dynamic-overwrite that partition down to
+      // the single migrated row. Cross-partition moves are delete+insert,
+      // as in Iceberg.
       val rewritten = updatedCols.foldLeft(
           affected.join(broadcast(renamed), col(pk) === col("__u_" + pk), "left")) {
           (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
         }
         .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
-        .drop(PartitionCol)
       overwritePartitions(rewritten, path)
       // inserts: update keys matched nowhere (rows must carry event time
       // for their partition, as any lake append does)

@@ -69,6 +69,12 @@ object Enrichment {
     * `get`, so a refreshed enrichment table becomes visible to the next
     * batch — the broadcast in lookupJoin is rebuilt from the fresh read
     * rather than frozen into the streaming plan at start.
+    *
+    * Update contract: publish updates NON-destructively within the
+    * staleness window (append new files, or write a new snapshot dir and
+    * repoint) — an in-place overwrite deletes files the cached frame's
+    * index still references, failing batches until the next refresh. A
+    * real catalog (Iceberg) gives this snapshot isolation for free.
     */
   final class RefreshingTable(path: String, stalenessMs: Long = 60000L)
       extends Serializable {

@@ -17,11 +17,17 @@ object Skew {
   /** Equi-join `big` (skewed) with `small` on `key`, salting the big side.
     * Result columns = big ++ small (minus the duplicate key column).
     */
+  /** Seeded-random salt: spreads IDENTICAL rows (the canonical hot-key
+    * case — hashing row content would give duplicates the same salt and
+    * re-concentrate the key), and `rand(seed)` recomputes the same values
+    * on task retry for a given partition layout, unlike
+    * monotonically_increasing_id + spark_partition_id arithmetic.
+    */
+  private def saltCol(salts: Int): org.apache.spark.sql.Column =
+    floor(rand(42) * salts).cast("int")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    // Salt from a hash of the full row: deterministic under task retry
-    // (monotonically_increasing_id / spark_partition_id are not — a retried
-    // stage could re-salt rows differently mid-join).
-    val saltedBig = big.withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(salts)))
+    val saltedBig = big.withColumn("__salt", saltCol(salts))
     val saltedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
@@ -31,7 +37,7 @@ object Skew {
     * `salts` partial groups before the final (tiny) shuffle.
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    df.withColumn("__salt", saltCol(salts))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -116,8 +116,13 @@ object Alerting {
         // unique sink name per invocation — a repeated call in one session
         // must not collide with the previous run's memory table
         val sink = "graft_alerts_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        // NoBound here by design: the oracle folds the FULL event history,
+        // so the verify run must not watermark-drop late rows if the file
+        // source ever splits into multiple batches (the production default
+        // stays EventTimeBound — AlertsSpec covers it)
         AlertStream.runMatches(s, m,
-          Alerts.AlertConfig(threshold = 2, windowSeconds = 1800), sink)
+          Alerts.AlertConfig(threshold = 2, windowSeconds = 1800), sink,
+          AlertStream.NoBound)
           .select(col("rule_name"), col("dedupe"), col("alert_id"),
             col("match_count"), col("activated"),
             unix_micros(col("first_matched_at")).as("first_us"))

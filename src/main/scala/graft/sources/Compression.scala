@@ -40,8 +40,15 @@ object Compression {
     */
   def openLines(fs: FileSystem, p: Path): Iterator[(String, String)] = {
     val raw = fs.open(p)
+    // loop to 4 bytes: a single read() may legally return short (network
+    // filesystems), which would misclassify a compressed file as text
     val head = new Array[Byte](4)
-    val n = raw.read(head, 0, 4)
+    var n = 0
+    var r = 0
+    while (n < 4 && r >= 0) {
+      r = raw.read(head, n, 4 - n)
+      if (r > 0) n += r
+    }
     raw.seek(0L)
     val in: InputStream = codecOf(head.take(math.max(n, 0))) match {
       case "gzip" => new GZIPInputStream(raw)

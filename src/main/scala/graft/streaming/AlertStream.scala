@@ -152,7 +152,7 @@ object AlertStream {
     * streaming query, no intermediate spool.
     */
   def runMatches(spark: SparkSession, matches: DataFrame, cfg: AlertConfig,
-      sinkName: String): DataFrame = {
+      sinkName: String, bound: StateBound = EventTimeBound()): DataFrame = {
     import spark.implicits._
     val stream = matches
       .select(col("rule_name"), col("dedupe"), col("match_id"), col("ts"))
@@ -163,7 +163,7 @@ object AlertStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
-      aggregate(spark, stream, cfg)
+      aggregate(spark, stream, cfg, bound)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

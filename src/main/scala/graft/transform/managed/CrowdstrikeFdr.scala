@@ -186,7 +186,10 @@ object CrowdstrikeFdr {
     val pEnd = col("r.ProcessEndTime").try_cast(DoubleType)
     set("process.start", timestamp_seconds(pStart))
     set("process.end", timestamp_seconds(pEnd))
-    set("process.uptime", ((pEnd - pStart) / 1000d).cast(LongType))
+    // ECS process.uptime is seconds; start/end are epoch seconds, so the
+    // difference is already seconds (the reference's extra /1000 would
+    // make a 10-minute process report uptime 0)
+    set("process.uptime", (pEnd - pStart).cast(LongType))
     set("process.pid", col("r.RawProcessId").try_cast(LongType))
     set("process.entity_id", col("r.TargetProcessId"))
     set("process.parent.entity_id", col("r.ParentProcessId"))

@@ -89,6 +89,27 @@ class LakeSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("lake mergeUpsert: an update whose ts re-derives another hour cannot nuke it") {
+    import graft.lake.Lake
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_mv").toString
+    Lake.append(Seq(
+      (1L, "old1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (2L, "bystander", java.sql.Timestamp.valueOf("2024-01-01 02:10:00"))
+    ).toDF("id", "v", "ts"), dir)
+    // key 1's update carries a ts INSIDE hour 02 — the bystander's hour;
+    // the row must stay in its original partition, hour 02 untouched
+    Lake.mergeUpsert(spark, dir,
+      Seq((1L, "new1", java.sql.Timestamp.valueOf("2024-01-01 02:30:00")))
+        .toDF("id", "v", "ts"), "id")
+    val out = Lake.read(spark, dir)
+    assert(out.count() == 2)
+    assert(out.filter(col("id") === 2L).select("v").head.getString(0) == "bystander")
+    val k1 = out.filter(col("id") === 1L).head
+    assert(k1.getAs[String]("v") == "new1")
+    assert(k1.getAs[String](graft.lake.Lake.PartitionCol) == "2024-01-01-00") // original hour
+  }
+
   test("fast minhash (xxhash64) is deterministic and seed-sensitive") {
     import graft.functions.TextFunctions
     val sh = TextFunctions.shingleSet(lit("a b c d e f"), 2)
