@@ -302,6 +302,71 @@ object LogAnalytics {
                COALESCE(array_to_string(list_sort(list_filter(ctx_new,
                  x -> NOT coalesce(list_contains(ctx_old, x), false))), ','), '') AS added
         FROM c
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---- q46: managed zeek ssl transform, end-to-end cross-verified ----
+    // Synthesizes zeek ssl.log JSON lines deterministically from `events`
+    // columns, runs the full managed ZeekSsl transform (dotted-id lift, TLS
+    // version split, X.509 DN parse into component arrays, ja3 related.hash),
+    // and checks against an INDEPENDENT derivation: the oracle computes the
+    // expected values straight from the source columns — no JSON, no DN
+    // parsing — so the whole mapping path is cross-verified.
+    QueryDef(
+      "q46_zeek_ssl",
+      (s, dir) => {
+        val ver = when(col("user_id") % 3 === 0, "SSLv3")
+          .when(col("user_id") % 3 === 1, "TLSv12").otherwise("TLSv13")
+        val lines = t(s, dir, "events")
+          .filter(col("event_id") % 13 === 0) // sample: JSON-build cost control
+          .select(col("event_id"), col("user_id"))
+          .withColumn("json", concat(
+            lit("{\"ts\":"), col("event_id") + 1700000000L,
+            lit(".0,\"uid\":\"C"), col("event_id"),
+            lit("\",\"id.orig_h\":\"10.0."), col("user_id") % 250,
+            lit("."), col("event_id") % 250 + 1,
+            lit("\",\"id.orig_p\":"), col("event_id") % 60000 + 1024,
+            lit(",\"id.resp_h\":\"93.184.216.34\",\"id.resp_p\":443,\"version\":\""), ver,
+            lit("\",\"cipher\":\"TLS_AES_128_GCM_SHA256\",\"curve\":\"x25519\",\"established\":"),
+            when(col("event_id") % 2 === 0, "true").otherwise("false"),
+            lit(",\"resumed\":false,\"server_name\":\"host-"), col("user_id"),
+            lit(".example.com\",\"subject\":\"CN=host-"), col("user_id"),
+            lit(".example.com,O=Org"), col("user_id") % 10,
+            lit(",C=US\",\"issuer\":\"CN=Issuing CA,O=Example Trust,C=US\","),
+            lit("\"validation_status\":\"ok\",\"ja3\":\"j"), col("event_id") % 7,
+            lit("\",\"ja3s\":\"s5\"}")))
+        graft.transform.managed.ZeekSsl(lines)
+          .select(
+            col("event_id"),
+            col("zeek.session_id").as("sid"),
+            col("source.ip").as("src_ip"),
+            col("source.port").as("src_port"),
+            col("tls.version").as("tls_version"),
+            col("tls.version_protocol").as("tls_proto"),
+            col("tls.established").cast(IntegerType).as("established"),
+            col("zeek.ssl.server.name").as("sni"),
+            element_at(col("tls.server.x509.subject.common_name"), 1).as("subj_cn"),
+            element_at(col("tls.server.x509.subject.organization"), 1).as("subj_org"),
+            element_at(col("tls.server.x509.issuer.common_name"), 1).as("issuer_cn"),
+            array_join(col("related.hash"), ",").as("rel_hash"),
+            unix_seconds(col("ts")).as("ts_epoch"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id,
+               'C' || event_id AS sid,
+               '10.0.' || (user_id % 250) || '.' || (event_id % 250 + 1) AS src_ip,
+               CAST(event_id % 60000 + 1024 AS INT) AS src_port,
+               CASE user_id % 3 WHEN 0 THEN '3.0' WHEN 1 THEN '1.2' ELSE '1.3' END AS tls_version,
+               CASE WHEN user_id % 3 = 0 THEN 'ssl' ELSE 'tls' END AS tls_proto,
+               CAST(event_id % 2 = 0 AS INT) AS established,
+               'host-' || user_id || '.example.com' AS sni,
+               'host-' || user_id || '.example.com' AS subj_cn,
+               'Org' || (user_id % 10) AS subj_org,
+               'Issuing CA' AS issuer_cn,
+               's5,j' || (event_id % 7) AS rel_hash,
+               CAST(event_id + 1700000000 AS BIGINT) AS ts_epoch
+        FROM events
+        WHERE event_id % 13 = 0
+        ORDER BY event_id"""))
   )
 }

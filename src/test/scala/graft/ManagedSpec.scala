@@ -867,4 +867,207 @@ class ManagedSpec extends SparkSpec {
       == java.sql.Timestamp.valueOf("2024-01-01 00:10:00"))
     assert(rows.select("matano.alert.rule.deduplication_window").head.getLong(0) == 900L)
   }
+
+  test("zeek ssl: version split, DN parse to x509 arrays, ja3 related.hash") {
+    import graft.transform.managed.ZeekSsl
+    val line =
+      """{"ts":1591367999.7,"uid":"Cssl1","id.orig_h":"192.168.4.76","id.orig_p":46378,
+        |"id.resp_h":"131.107.255.255","id.resp_p":443,"version":"TLSv12",
+        |"cipher":"TLS_ECDHE_RSA_WITH_AES_256_GCM_SHA384","curve":"secp256r1",
+        |"server_name":"example.com","resumed":false,"established":true,
+        |"cert_chain_fuids":["F1","F2"],
+        |"subject":"CN=example.com,O=Example Inc,L=Los Angeles,ST=California,C=US",
+        |"issuer":"CN=DigiCert CA,OU=www.digicert.com,O=DigiCert Inc,C=US",
+        |"validation_status":"ok","ja3":"a0e9f5d64349fb13191bc781f81f42e1","ja3s":"ae4edc6faf64d08308082ad26be60767",
+        |"resp_certificate_sha1":"abcd1234","not_valid_before":1577836800.0,"not_valid_after":1640995200.0}"""
+        .stripMargin.replace("\n", "")
+    val out = ZeekSsl(Seq(line).toDF("json"))
+    assert(out.select("tls.version").head.getString(0) == "1.2")
+    assert(out.select("tls.version_protocol").head.getString(0) == "tls")
+    assert(out.select("tls.cipher").head.getString(0) == "TLS_ECDHE_RSA_WITH_AES_256_GCM_SHA384")
+    assert(out.select("tls.established").head.getBoolean(0))
+    assert(out.select("zeek.ssl.server.name").head.getString(0) == "example.com")
+    assert(out.select("tls.server.x509.subject.common_name").head.getSeq[String](0) == Seq("example.com"))
+    assert(out.select("tls.server.x509.subject.organization").head.getSeq[String](0) == Seq("Example Inc"))
+    assert(out.select("tls.server.x509.subject.state_or_province").head.getSeq[String](0) == Seq("California"))
+    assert(out.select("tls.server.x509.issuer.organizational_unit").head.getSeq[String](0) == Seq("www.digicert.com"))
+    assert(out.select("zeek.ssl.server.subject.common_name").head.getString(0) == "example.com")
+    assert(out.select("zeek.ssl.server.issuer.organization").head.getString(0) == "DigiCert Inc")
+    assert(out.select("tls.server.hash.sha1").head.getString(0) == "ABCD1234")
+    assert(out.select("related.hash").head.getSeq[String](0)
+      == Seq("ae4edc6faf64d08308082ad26be60767", "a0e9f5d64349fb13191bc781f81f42e1"))
+    assert(out.select("tls.server.not_before").head.getTimestamp(0).toInstant.toString
+      == "2020-01-01T00:00:00Z")
+    assert(out.select("client.address").head.getString(0) == "192.168.4.76")
+    assert(out.select("server.address").head.getString(0) == "131.107.255.255")
+  }
+
+  test("zeek ssl: SSLv3 version and missing DNs stay null") {
+    import graft.transform.managed.ZeekSsl
+    val line = """{"ts":1591368000.0,"uid":"Cssl2","id.orig_h":"10.0.0.1","id.orig_p":1024,
+      |"id.resp_h":"10.0.0.2","id.resp_p":443,"version":"SSLv3"}""".stripMargin.replace("\n", "")
+    val out = ZeekSsl(Seq(line).toDF("json"))
+    assert(out.select("tls.version").head.getString(0) == "3.0")
+    assert(out.select("tls.version_protocol").head.getString(0) == "ssl")
+    assert(out.select("tls.server.x509.subject.common_name").head.isNullAt(0))
+    assert(out.select("related.hash").head.getSeq[String](0).isEmpty)
+  }
+
+  test("zeek ssh: auth outcome, algorithm struct") {
+    import graft.transform.managed.ZeekSsh
+    val line =
+      """{"ts":1591367999.0,"uid":"Cssh1","id.orig_h":"192.168.4.76","id.orig_p":53442,
+        |"id.resp_h":"192.168.4.37","id.resp_p":22,"version":2,"auth_success":false,
+        |"auth_attempts":3,"client":"SSH-2.0-OpenSSH_8.2","server":"SSH-2.0-OpenSSH_7.4",
+        |"cipher_alg":"chacha20-poly1305@openssh.com","mac_alg":"umac-64-etm@openssh.com",
+        |"compression_alg":"none","kex_alg":"curve25519-sha256","host_key_alg":"ssh-ed25519",
+        |"host_key":"3e:a8:4f"}""".stripMargin.replace("\n", "")
+    val out = ZeekSsh(Seq(line).toDF("json"))
+    assert(out.select("event.outcome").head.getString(0) == "failure")
+    assert(out.select("zeek.ssh.auth.attempts").head.getInt(0) == 3)
+    assert(out.select("zeek.ssh.algorithm.key_exchange").head.getString(0) == "curve25519-sha256")
+    assert(out.select("zeek.ssh.algorithm.host_key").head.getString(0) == "ssh-ed25519")
+    assert(out.select("network.protocol").head.getString(0) == "ssh")
+    assert(out.select("destination.port").head.getInt(0) == 22)
+  }
+
+  test("zeek notice: alert kind, src/dst fallback endpoints, dropped → denied") {
+    import graft.transform.managed.ZeekNotice
+    val withConn =
+      """{"ts":1591367999.0,"uid":"Cn1","id.orig_h":"192.168.4.76","id.orig_p":36844,
+        |"id.resp_h":"192.168.4.1","id.resp_p":53,"proto":"tcp","note":"Scan::Port_Scan",
+        |"msg":"10.0.0.1 scanned 50 ports","sub":"local","dropped":true,
+        |"actions":["Notice::ACTION_LOG"],"suppress_for":3600.0}""".stripMargin.replace("\n", "")
+    val connless =
+      """{"ts":1591368000.0,"note":"Weird::Activity","msg":"something odd",
+        |"src":"10.9.9.9","dst":"10.8.8.8","p":8080,"dropped":false}""".stripMargin.replace("\n", "")
+    val out = ZeekNotice(Seq(withConn, connless).toDF("json"))
+    val conn = out.filter(col("rule.name") === "Scan::Port_Scan")
+    val noConn = out.filter(col("rule.name") === "Weird::Activity")
+    assert(conn.select("event.kind").head.getString(0) == "alert")
+    assert(conn.select("event.type").head.getSeq[String](0) == Seq("info", "denied"))
+    assert(conn.select("rule.description").head.getString(0) == "10.0.0.1 scanned 50 ports")
+    assert(conn.select("source.ip").head.getString(0) == "192.168.4.76")
+    assert(noConn.select("event.type").head.getSeq[String](0) == Seq("info", "allowed"))
+    assert(noConn.select("source.ip").head.getString(0) == "10.9.9.9")
+    assert(noConn.select("destination.ip").head.getString(0) == "10.8.8.8")
+    assert(noConn.select("destination.port").head.getInt(0) == 8080)
+    assert(noConn.select("related.ip").head.getSeq[String](0).toSet == Set("10.9.9.9", "10.8.8.8"))
+  }
+
+  test("zeek files: hashes to file.hash + related, tx/rx hosts, conn uid") {
+    import graft.transform.managed.ZeekFiles
+    val line =
+      """{"ts":1591367999.0,"fuid":"FBbQxG1GXLXgmWhbk9","tx_hosts":["192.168.4.37"],
+        |"rx_hosts":["192.168.4.76"],"conn_uids":["CuKFds1"],"source":"HTTP","depth":0,
+        |"analyzers":["MD5","SHA1"],"mime_type":"application/x-executable","filename":"a.out",
+        |"duration":0.005,"is_orig":false,"seen_bytes":179272,"total_bytes":179272,
+        |"missing_bytes":0,"overflow_bytes":0,"timedout":false,
+        |"md5":"d41d8cd98f00b204e9800998ecf8427e","sha1":"da39a3ee5e6b4b0d3255bfef95601890afd80709"}"""
+        .stripMargin.replace("\n", "")
+    val out = ZeekFiles(Seq(line).toDF("json"))
+    assert(out.select("file.name").head.getString(0) == "a.out")
+    assert(out.select("file.size").head.getLong(0) == 179272L)
+    assert(out.select("file.hash.md5").head.getString(0) == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(out.select("zeek.session_id").head.getString(0) == "CuKFds1")
+    assert(out.select("server.ip").head.getString(0) == "192.168.4.37")
+    assert(out.select("client.ip").head.getString(0) == "192.168.4.76")
+    assert(out.select("related.hash").head.getSeq[String](0).size == 2)
+    assert(out.select("related.ip").head.getSeq[String](0).toSet
+      == Set("192.168.4.37", "192.168.4.76"))
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("file"))
+  }
+
+  test("zeek weird: name to rule, additional info") {
+    import graft.transform.managed.ZeekWeird
+    val line =
+      """{"ts":1591367999.0,"uid":"Cw1","id.orig_h":"192.168.4.76","id.orig_p":36844,
+        |"id.resp_h":"192.168.4.1","id.resp_p":53,"name":"bad_TCP_checksum","addl":"extra",
+        |"notice":false,"peer":"zeek"}""".stripMargin.replace("\n", "")
+    val out = ZeekWeird(Seq(line).toDF("json"))
+    assert(out.select("rule.name").head.getString(0) == "bad_TCP_checksum")
+    assert(out.select("zeek.weird.additional_info").head.getString(0) == "extra")
+    assert(out.select("zeek.weird.notice").head.getBoolean(0) == false)
+    assert(out.select("event.type").head.getSeq[String](0) == Seq("info"))
+  }
+
+  test("zeek smtp: envelope fields, tls.established, date parse") {
+    import graft.transform.managed.ZeekSmtp
+    val line =
+      """{"ts":1591367999.0,"uid":"Csm1","id.orig_h":"192.168.4.76","id.orig_p":25345,
+        |"id.resp_h":"192.168.4.1","id.resp_p":25,"trans_depth":1,"helo":"mail.example.com",
+        |"mailfrom":"alice@example.com","rcptto":["bob@example.org"],"date":1591367000.0,
+        |"from":"\"Alice\" <alice@example.com>","to":["bob@example.org"],"msg_id":"<m1@example>",
+        |"subject":"hello","last_reply":"250 OK","path":["192.168.4.1"],"user_agent":"mailer/1.0",
+        |"tls":true,"fuids":[],"is_webmail":false}""".stripMargin.replace("\n", "")
+    val out = ZeekSmtp(Seq(line).toDF("json"))
+    assert(out.select("zeek.smtp.mail_from").head.getString(0) == "alice@example.com")
+    assert(out.select("zeek.smtp.rcpt_to").head.getSeq[String](0) == Seq("bob@example.org"))
+    assert(out.select("zeek.smtp.transaction_depth").head.getInt(0) == 1)
+    assert(out.select("tls.established").head.getBoolean(0))
+    assert(out.select("zeek.smtp.date").head.getTimestamp(0).toInstant.getEpochSecond == 1591367000L)
+    assert(out.select("network.protocol").head.getString(0) == "smtp")
+  }
+
+  test("zeek kerberos: user/domain split, valid days, cert DN x509") {
+    import graft.transform.managed.ZeekKerberos
+    val line =
+      """{"ts":1591367999.0,"uid":"Ck1","id.orig_h":"192.168.4.76","id.orig_p":49242,
+        |"id.resp_h":"192.168.4.10","id.resp_p":88,"request_type":"TGS","client":"valid.user/EXAMPLE.COM",
+        |"service":"krbtgt/EXAMPLE.COM","success":true,"from":1591367000.0,"till":1591453400.0,
+        |"cipher":"aes256-cts-hmac-sha1-96","forwardable":true,"renewable":true,
+        |"cert.client_subject":"CN=valid.user,OU=Users,O=Example,C=US"}""".stripMargin.replace("\n", "")
+    val out = ZeekKerberos(Seq(line).toDF("json"))
+    assert(out.select("user.name").head.getString(0) == "valid.user")
+    assert(out.select("user.domain").head.getString(0) == "EXAMPLE.COM")
+    assert(out.select("event.action").head.getString(0) == "TGS")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("zeek.kerberos.valid.days").head.getLong(0) == 1L)
+    assert(out.select("tls.client.x509.subject.common_name").head.getSeq[String](0) == Seq("valid.user"))
+    assert(out.select("tls.client.x509.subject.organizational_unit").head.getSeq[String](0) == Seq("Users"))
+    assert(out.select("related.user").head.getSeq[String](0) == Seq("valid.user"))
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("network", "authentication"))
+  }
+
+  test("zeek ntlm: user/domain, server names, outcome") {
+    import graft.transform.managed.ZeekNtlm
+    val line =
+      """{"ts":1591367999.0,"uid":"Cnt1","id.orig_h":"192.168.4.76","id.orig_p":49798,
+        |"id.resp_h":"192.168.4.10","id.resp_p":445,"hostname":"WS01","domainname":"EXAMPLE",
+        |"username":"jdoe","server_nb_computer_name":"DC01","server_dns_computer_name":"dc01.example.com",
+        |"server_tree_name":"example.com","success":true}""".stripMargin.replace("\n", "")
+    val out = ZeekNtlm(Seq(line).toDF("json"))
+    assert(out.select("user.name").head.getString(0) == "jdoe")
+    assert(out.select("user.domain").head.getString(0) == "EXAMPLE")
+    assert(out.select("zeek.ntlm.server.name.dns").head.getString(0) == "dc01.example.com")
+    assert(out.select("zeek.ntlm.server.name.netbios").head.getString(0) == "DC01")
+    assert(out.select("event.outcome").head.getString(0) == "success")
+    assert(out.select("related.user").head.getSeq[String](0) == Seq("jdoe"))
+  }
+
+  test("zeek rdp: client/desktop/cert/encryption struct, ssl flag") {
+    import graft.transform.managed.ZeekRdp
+    val line =
+      """{"ts":1591367999.0,"uid":"Cr1","id.orig_h":"192.168.4.76","id.orig_p":58405,
+        |"id.resp_h":"192.168.4.161","id.resp_p":3389,"cookie":"jdoe","result":"encrypted",
+        |"security_protocol":"HYBRID","client_build":"RDP 8.1","client_name":"WS01",
+        |"client_dig_product_id":"pid-1","desktop_width":1920,"desktop_height":1080,
+        |"requested_color_depth":"32bit","cert_type":"RSA","cert_count":1,"cert_permanent":true,
+        |"encryption_level":"High","encryption_method":"FIPS","ssl":true}""".stripMargin.replace("\n", "")
+    val out = ZeekRdp(Seq(line).toDF("json"))
+    assert(out.select("zeek.rdp.client.name").head.getString(0) == "WS01")
+    assert(out.select("zeek.rdp.desktop.width").head.getInt(0) == 1920)
+    assert(out.select("zeek.rdp.cert.count").head.getInt(0) == 1)
+    assert(out.select("zeek.rdp.encryption.method").head.getString(0) == "FIPS")
+    assert(out.select("tls.established").head.getBoolean(0))
+    assert(out.select("network.protocol").head.getString(0) == "rdp")
+  }
+
+  test("zeek tables: no-ts records abort across new mappings") {
+    import graft.transform.managed.{ZeekFiles, ZeekSsh, ZeekSsl}
+    val noTs = Seq("""{"uid":"Cx1","id.orig_h":"10.0.0.1"}""").toDF("json")
+    assert(ZeekSsl(noTs).count() == 0)
+    assert(ZeekSsh(noTs).count() == 0)
+    assert(ZeekFiles(Seq("""{"fuid":"F1"}""").toDF("json")).count() == 0)
+  }
 }
