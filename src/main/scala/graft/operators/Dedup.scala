@@ -68,7 +68,7 @@ object Dedup {
     * pairs.
     */
   def lshCandidatePairs(sets: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
     val staged = withHashArrays(sets, bands * rowsPerBand)
     val bandSigs = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => chunkMinhash(b * rowsPerBand + r))
@@ -79,11 +79,12 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // Skew guard: a degenerate signature (empty docs, boilerplate) makes
-    // one bucket quadratic. Capping bucket width bounds the worst pair
-    // count at buckets×cap² — at corpus scale an uncapped hot bucket is a
-    // straggler task that never finishes, so production callers set a cap
-    // (capped buckets are boilerplate clusters, not near-dup signal).
+    // Skew guard, ON BY DEFAULT: a degenerate signature (empty docs,
+    // boilerplate) makes one bucket quadratic. Capping bucket width bounds
+    // the worst pair count at buckets×cap² — at corpus scale an uncapped
+    // hot bucket is a straggler task that never finishes. Capped-out
+    // buckets are boilerplate clusters, not near-dup signal; callers that
+    // need exhaustive pairs (small corpora, oracle checks) pass None.
     val bucketed = maxBucketSize match {
       case Some(cap) =>
         val sizes = exploded.groupBy(col("band"), col("sig"))

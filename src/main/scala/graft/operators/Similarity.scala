@@ -73,10 +73,24 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: same-bucket pairs above a cosine
     * threshold (IVF bucket as the blocking key).
+    *
+    * Skew guard, ON BY DEFAULT: clustered embeddings make centroid buckets
+    * hot, and a hot bucket's within-bucket self-join is quadratic — one
+    * never-finishing task at corpus scale. Buckets wider than
+    * `maxBucketSize` are dropped (they need a finer centroid set, not
+    * all-pairs); callers that want exhaustive pairs pass None.
     */
-  def embeddingNearDup(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
-    val b = assigned.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
+  def embeddingNearDup(assigned: DataFrame, threshold: Double,
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("__bucket_n"))
+        assigned.join(sizes, Seq("bucket"))
+          .filter(col("__bucket_n") <= cap).drop("__bucket_n")
+      case None => assigned
+    }
+    val a = bounded.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
+    val b = bounded.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
       .withColumn("cos", cosine(col("v1"), col("v2")))
       .filter(col("cos") >= threshold)

@@ -75,9 +75,18 @@ object TextPipeline {
     QueryDef(
       "q32_lsh_jaccard",
       (s, dir) => {
+        // Scoped cache: sets is persisted only for the LSH pass (two scans
+        // of the hash-array stage), eagerly materialized into the small
+        // candidate-pair frame via localCheckpoint (RDD-storage, reclaimed
+        // by the ContextCleaner — not a CacheManager entry), and unpersisted
+        // before returning, so library callers don't inherit a cached frame.
+        // The verify joins recompute the cheap tokenize+shingle pass only.
         val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3)
+        // the oracle derivation is exhaustive: opt out of the default cap
+        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
+          maxBucketSize = None).localCheckpoint(true)
+        sets.unpersist(false)
         Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       },

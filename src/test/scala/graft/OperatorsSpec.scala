@@ -62,8 +62,43 @@ class OperatorsSpec extends SparkSpec {
     val boiler = (1 to 5).map(i => (i.toLong, "same boilerplate text here over and over"))
     val df = boiler.toDF("doc_id", "text")
     val sets = Dedup.shingleFrame(df, "doc_id", "text")
-    assert(Dedup.lshCandidatePairs(sets, 2, 3).count() == 10) // C(5,2) uncapped
+    assert(Dedup.lshCandidatePairs(sets, 2, 3, maxBucketSize = None).count() == 10) // C(5,2)
     assert(Dedup.lshCandidatePairs(sets, 2, 3, maxBucketSize = Some(3)).count() == 0)
+  }
+
+  test("LSH default cap bounds a degenerate signature; real near-dups survive") {
+    // 1200 copies of one boilerplate doc: one band bucket of width 1200 →
+    // C(1200,2) ≈ 719k pairs uncapped. The DEFAULT entry point must bound
+    // this without being told.
+    val boiler = (1 to 1200).map(i => (i.toLong, "same boilerplate text here over and over"))
+    val near = Seq(
+      (2001L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (2002L, (1 to 28).map(i => s"tok$i").mkString(" ") + " tokX tokY"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val sets = Dedup.shingleFrame(df, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3).collect()
+    // boilerplate bucket (width 1200 > default cap) contributes nothing;
+    // the genuine near-dup pair still comes through its own bucket
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2001L, 2002L)))
+  }
+
+  test("embeddingNearDup default cap drops hot centroid buckets") {
+    val hot = (1 to 1200).map(i => (i.toLong, Seq(1.0, 0.0), 0))
+    val cool = Seq((5001L, Seq(0.0, 1.0), 1), (5002L, Seq(0.0, 1.0), 1))
+    val assigned = (hot ++ cool).toDF("id", "vec", "bucket")
+    val out = Similarity.embeddingNearDup(assigned, threshold = 0.9).collect()
+    // hot bucket (1200 > cap) suppressed; the cool near-dup pair survives
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5001L, 5002L)))
+    val uncapped = Similarity.embeddingNearDup(assigned, 0.9, maxBucketSize = None)
+    assert(uncapped.count() == 1200L * 1199 / 2 + 1)
+  }
+
+  test("q32 leaves no cached frame behind after the query fn returns") {
+    val q = SparkEntry.queries("q32_lsh_jaccard")
+    val out = q(spark, sf)
+    out.collect() // consume like a library caller would
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q32 must scope its persist — no CacheManager entries after return")
   }
 
   test("simhash of identical token sets is identical; disjoint sets differ") {
