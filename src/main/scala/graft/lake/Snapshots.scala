@@ -1,0 +1,250 @@
+package graft.lake
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-pointer commit protocol: MVCC for the parquet lake facade
+  * without Iceberg jars (sandbox constraint documented in [[Lake]]).
+  *
+  * Layout (all data files immutable once written):
+  * {{{
+  *   <table>/data/c<uuid>/ts_hour=<H>/part-*.parquet   commit-staged files
+  *   <table>/_graft_lake/v<NNNNNN>.manifest            snapshot = file list
+  * }}}
+  *
+  * A manifest is the COMPLETE table state: one `hour\tfile` line per live
+  * data file. Committing = staging new files, then claiming the next
+  * version number with an atomic create-no-overwrite of its manifest —
+  * the analogue of Iceberg's metadata-pointer swap. Losers of the race
+  * re-derive their manifest against the new current (their staged files
+  * stay valid) and retry: optimistic concurrency, no locks. Readers pin
+  * the manifest they planned against; since commits never delete data
+  * files (only [[expireSnapshots]] does, and only files unreferenced by
+  * the retained manifests), a pinned reader sees a consistent snapshot
+  * while writers commit — the hazard documented on
+  * [[graft.operators.Enrichment.RefreshingTable]] disappears.
+  *
+  * Atomicity relies on create-no-overwrite being atomic, true on POSIX
+  * and HDFS; on S3 the same protocol needs a conditional PUT
+  * (If-None-Match), which object stores expose natively.
+  *
+  * Scale: a manifest line is ~100 bytes/file, so even 10⁶ live files is a
+  * ~100 MB driver-side read — the same order as an Iceberg manifest scan.
+  * Partition pruning happens at manifest level ([[readHours]] selects the
+  * file subset before the scan is planned), so a pruned read never lists
+  * or opens untouched partitions.
+  */
+object Snapshots {
+
+  final case class Entry(hour: String, file: String)
+  final case class Snapshot(version: Int, entries: Vector[Entry])
+
+  private def metaDir(table: String): Path = Paths.get(table, "_graft_lake")
+
+  private def manifestPath(table: String, version: Int): Path =
+    metaDir(table).resolve(f"v$version%06d.manifest")
+
+  private val ManifestRe = raw"v(\d{6})\.manifest".r
+
+  /** Highest committed version, or None for an empty/unsnapshotted table. */
+  def currentVersion(table: String): Option[Int] = {
+    val dir = metaDir(table)
+    if (!Files.isDirectory(dir)) None
+    else Files.list(dir).iterator.asScala
+      .flatMap(p => ManifestRe.findFirstMatchIn(p.getFileName.toString))
+      .map(_.group(1).toInt).maxOption
+  }
+
+  def snapshot(table: String, version: Int): Snapshot = {
+    val lines = Files.readAllLines(manifestPath(table, version), UTF_8).asScala
+    Snapshot(version, lines.iterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      Entry(l.substring(0, i), l.substring(i + 1))
+    }.toVector)
+  }
+
+  def current(table: String): Option[Snapshot] =
+    currentVersion(table).map(snapshot(table, _))
+
+  // ---- reads --------------------------------------------------------------
+
+  /** Read a pinned snapshot (default: current). The frame keeps reading
+    * exactly this snapshot's files even while later versions commit.
+    * `ts_hour` is recovered from the file path, as partition discovery
+    * would. Empty table → empty-schema frame is not constructible without
+    * a schema, so callers check [[currentVersion]] first (as with any
+    * not-yet-created table).
+    */
+  def read(spark: SparkSession, table: String, version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    val snap = version.map(snapshot(table, _))
+      .orElse(current(table))
+      .getOrElse(sys.error(s"no snapshot committed at $table"))
+    readEntries(spark, table, snap.entries, mergeSchema)
+  }
+
+  /** Manifest-level partition pruning: plan a scan over only the files of
+    * `hours` — untouched partitions are never listed or opened.
+    */
+  def readHours(spark: SparkSession, table: String, hours: Set[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val snap = current(table).getOrElse(sys.error(s"no snapshot committed at $table"))
+    readEntries(spark, table, snap.entries.filter(e => hours(e.hour)), mergeSchema)
+  }
+
+  private def readEntries(spark: SparkSession, table: String,
+      entries: Seq[Entry], mergeSchema: Boolean): DataFrame = {
+    val paths = entries.map(e => Paths.get(table).resolve(e.file).toString)
+    val base = spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(paths: _*)
+    base.withColumn(Lake.PartitionCol,
+      regexp_extract(input_file_name(), "ts_hour=([^/]+)/", 1))
+  }
+
+  // ---- commits ------------------------------------------------------------
+
+  /** Stage `df` as immutable hour-partitioned files under a fresh commit
+    * dir; returns (hour, relative file) entries for the manifest.
+    */
+  private def stage(df: DataFrame, table: String): Vector[Entry] = {
+    val commitDir = s"data/c${UUID.randomUUID().toString.take(12)}"
+    val abs = Paths.get(table).resolve(commitDir)
+    Lake.withHourPartition(df).write
+      .partitionBy(Lake.PartitionCol).parquet(abs.toString)
+    val hourRe = raw"ts_hour=([^/]+)".r
+    Files.walk(abs).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val rel = Paths.get(table).relativize(p).toString
+        Entry(hourRe.findFirstMatchIn(rel).map(_.group(1))
+          .getOrElse(sys.error(s"unpartitioned staged file $rel")), rel)
+      }.toVector
+  }
+
+  /** Claim the next version with `entries` derived from the then-current
+    * manifest by `evolve`. Retries on a concurrent claim (staged data files
+    * remain valid; only the manifest derivation re-runs).
+    */
+  private def commit(table: String)(evolve: Vector[Entry] => Vector[Entry]): Int = {
+    Files.createDirectories(metaDir(table))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val cur = current(table)
+      val next = cur.map(_.version + 1).getOrElse(1)
+      val entries = evolve(cur.map(_.entries).getOrElse(Vector.empty))
+      val body = entries.map(e => s"${e.hour}\t${e.file}").mkString("\n")
+      try {
+        Files.write(manifestPath(table, next), body.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException if attempts < 20 => // lost the race; retry
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Append commit: new snapshot = previous files + staged files. */
+  def append(df: DataFrame, table: String): Int = {
+    val staged = stage(df, table)
+    commit(table)(prev => prev ++ staged)
+  }
+
+  /** Partition-overwrite commit: staged hours replace those hours' files;
+    * all other partitions carry forward untouched (no data movement).
+    */
+  def overwritePartitions(df: DataFrame, table: String): Int = {
+    val staged = stage(df, table)
+    val touched = staged.map(_.hour).toSet
+    commit(table)(prev => prev.filterNot(e => touched(e.hour)) ++ staged)
+  }
+
+  /** Bin-pack one hour to ~targetBytes files — same rewrite as
+    * [[Lake.compactHour]], but the swap is one atomic snapshot commit and
+    * concurrent pinned readers keep their file set.
+    */
+  def compactHour(spark: SparkSession, table: String, hour: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val part = readHours(spark, table, Set(hour))
+    val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (BigDecimal(bytes) / targetBytes)
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toInt)
+    val staged = stage(part.repartition(files).drop(Lake.PartitionCol), table)
+    commit(table)(prev => prev.filterNot(_.hour == hour) ++ staged)
+  }
+
+  /** Key-based MERGE INTO as ONE atomic commit (vs [[Lake.mergeUpsert]]'s
+    * two visible writes): rewritten matched partitions and inserted rows
+    * become visible together, or not at all. Only partitions containing
+    * matched keys are rewritten; the broadcast of the update side is
+    * size-gated (backfill-scale updates fall back to a shuffle join under
+    * AQE).
+    */
+  def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
+      pk: String): Int = {
+    val lake = read(spark, table)
+    val renamed = updates.columns.foldLeft(updates)(
+      (d, c) => d.withColumnRenamed(c, "__u_" + c))
+    val gated = Lake.sizeGatedBroadcast(renamed)
+    val matched = lake.join(gated, col(pk) === col("__u_" + pk))
+      .select(col(Lake.PartitionCol), col(pk)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = matched.select(col(Lake.PartitionCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+      val affected = readHours(spark, table, touched)
+      val updatedCols = updates.columns.filterNot(_ == pk)
+      val rewritten = updatedCols.foldLeft(
+          affected.join(gated, col(pk) === col("__u_" + pk), "left")) {
+          (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
+        }
+        .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
+      val stagedRewrites =
+        if (touched.isEmpty) Vector.empty
+        else stage(rewritten, table)
+      val inserts = renamed.join(matched.select(col(pk)).distinct(),
+          col("__u_" + pk) === col(pk), "left_anti")
+      val insertDf = updates.columns.foldLeft(inserts)(
+        (d, c) => d.withColumnRenamed("__u_" + c, c))
+      val stagedInserts =
+        if (insertDf.isEmpty) Vector.empty
+        else stage(insertDf, table)
+      commit(table)(prev =>
+        prev.filterNot(e => touched(e.hour)) ++ stagedRewrites ++ stagedInserts)
+    } finally matched.unpersist()
+  }
+
+  // ---- maintenance ---------------------------------------------------------
+
+  /** Drop all but the newest `keepLast` manifests and delete data files no
+    * retained manifest references. The only destructive operation in the
+    * protocol — run it with a retention window longer than any reader's
+    * pin (as Iceberg's expire_snapshots does).
+    */
+  def expireSnapshots(table: String, keepLast: Int = 2): Unit = {
+    val cur = currentVersion(table).getOrElse(return)
+    val keepFrom = cur - keepLast + 1
+    val live = (keepFrom to cur)
+      .filter(v => Files.exists(manifestPath(table, v)))
+      .flatMap(v => snapshot(table, v).entries.map(_.file)).toSet
+    // delete expired manifests first: a concurrent reader can no longer pin them
+    (1 until keepFrom).map(manifestPath(table, _)).foreach(Files.deleteIfExists)
+    val dataDir = Paths.get(table, "data")
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).iterator.asScala.toVector.reverseIterator.foreach { p =>
+        val rel = Paths.get(table).relativize(p).toString
+        if (Files.isRegularFile(p) && rel.endsWith(".parquet") && !live(rel))
+          Files.deleteIfExists(p)
+        else if (Files.isDirectory(p) && !Files.list(p).iterator.hasNext)
+          Files.deleteIfExists(p) // prune emptied commit/partition dirs
+      }
+    }
+  }
+}
