@@ -113,6 +113,17 @@ object Lake {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).option("mergeSchema", "true").parquet(path)
 
+  /** Broadcast hint only when the plan-estimated size fits a broadcast
+    * (enrichment-sized update batches); a backfill-scale update frame
+    * falls back to a plain join and lets AQE pick the strategy — an
+    * unconditional `broadcast()` there blows the driver/broadcast limit.
+    */
+  def sizeGatedBroadcast(df: DataFrame,
+      maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) broadcast(df) else df
+  }
+
   /** Key-based MERGE INTO on the lake (reference Enrichment.kt:305-324:
     * `WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT`), rewriting ONLY the
     * hour partitions that contain matched keys; unmatched-key updates
@@ -126,7 +137,8 @@ object Lake {
     // ONE scan locates matched keys + their partitions (tiny result:
     // bounded by |updates| × partitions-per-key); persisted so the rewrite
     // and insert branches below don't rescan the lake
-    val matched = lake.join(broadcast(renamed), col(pk) === col("__u_" + pk))
+    val gated = sizeGatedBroadcast(renamed)
+    val matched = lake.join(gated, col(pk) === col("__u_" + pk))
       .select(col(PartitionCol), col(pk)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -140,7 +152,7 @@ object Lake {
       // the single migrated row. Cross-partition moves are delete+insert,
       // as in Iceberg.
       val rewritten = updatedCols.foldLeft(
-          affected.join(broadcast(renamed), col(pk) === col("__u_" + pk), "left")) {
+          affected.join(gated, col(pk) === col("__u_" + pk), "left")) {
           (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
         }
         .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)

@@ -55,9 +55,13 @@ object Snapshots {
   def currentVersion(table: String): Option[Int] = {
     val dir = metaDir(table)
     if (!Files.isDirectory(dir)) None
-    else Files.list(dir).iterator.asScala
-      .flatMap(p => ManifestRe.findFirstMatchIn(p.getFileName.toString))
-      .map(_.group(1).toInt).maxOption
+    else {
+      val s = Files.list(dir)
+      try s.iterator.asScala
+        .flatMap(p => ManifestRe.findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toInt).maxOption
+      finally s.close()
+    }
   }
 
   def snapshot(table: String, version: Int): Snapshot = {
@@ -118,13 +122,15 @@ object Snapshots {
     Lake.withHourPartition(df).write
       .partitionBy(Lake.PartitionCol).parquet(abs.toString)
     val hourRe = raw"ts_hour=([^/]+)".r
-    Files.walk(abs).iterator.asScala
+    val s = Files.walk(abs)
+    try s.iterator.asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val rel = Paths.get(table).relativize(p).toString
         Entry(hourRe.findFirstMatchIn(rel).map(_.group(1))
           .getOrElse(sys.error(s"unpartitioned staged file $rel")), rel)
       }.toVector
+    finally s.close()
   }
 
   /** Claim the next version with `entries` derived from the then-current
@@ -189,6 +195,12 @@ object Snapshots {
     */
   def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
       pk: String): Int = {
+    // Iceberg's MERGE cardinality rule: multiple source rows per key would
+    // silently multiply matched target rows through the join below.
+    val dupes = updates.groupBy(col(pk)).count().filter(col("count") > 1).limit(1)
+    if (!dupes.isEmpty)
+      throw new IllegalArgumentException(
+        s"mergeUpsert: updates contain duplicate values of primary key '$pk'")
     val lake = read(spark, table)
     val renamed = updates.columns.foldLeft(updates)(
       (d, c) => d.withColumnRenamed(c, "__u_" + c))
@@ -199,16 +211,20 @@ object Snapshots {
     try {
       val touched = matched.select(col(Lake.PartitionCol)).distinct()
         .collect().map(_.getString(0)).toSet
-      val affected = readHours(spark, table, touched)
-      val updatedCols = updates.columns.filterNot(_ == pk)
-      val rewritten = updatedCols.foldLeft(
-          affected.join(gated, col(pk) === col("__u_" + pk), "left")) {
-          (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
-        }
-        .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
+      // insert-only merges (no key matched — the bootstrap case) must not
+      // plan a zero-path read: short-circuit the whole rewrite branch
       val stagedRewrites =
         if (touched.isEmpty) Vector.empty
-        else stage(rewritten, table)
+        else {
+          val affected = readHours(spark, table, touched)
+          val updatedCols = updates.columns.filterNot(_ == pk)
+          val rewritten = updatedCols.foldLeft(
+              affected.join(gated, col(pk) === col("__u_" + pk), "left")) {
+              (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
+            }
+            .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
+          stage(rewritten, table)
+        }
       val inserts = renamed.join(matched.select(col(pk)).distinct(),
           col("__u_" + pk) === col(pk), "left_anti")
       val insertDf = updates.columns.foldLeft(inserts)(
@@ -223,28 +239,72 @@ object Snapshots {
 
   // ---- maintenance ---------------------------------------------------------
 
-  /** Drop all but the newest `keepLast` manifests and delete data files no
-    * retained manifest references. The only destructive operation in the
-    * protocol — run it with a retention window longer than any reader's
-    * pin (as Iceberg's expire_snapshots does).
+  /** Drop all but the newest `keepLast` manifests and delete the data
+    * files they referenced that no retained manifest still references.
+    * Deliberately does NOT touch unreferenced files outside the expired
+    * manifests: a concurrent writer stages data BEFORE its manifest CAS,
+    * so an orphan sweep here would delete an in-flight commit's files and
+    * corrupt the table once its manifest lands. (Iceberg splits these the
+    * same way: expire_snapshots never removes orphans; that is
+    * remove_orphan_files with an age gate — see [[removeOrphans]].)
+    * Run with a retention window longer than any reader's pin.
     */
   def expireSnapshots(table: String, keepLast: Int = 2): Unit = {
     val cur = currentVersion(table).getOrElse(return)
     val keepFrom = cur - keepLast + 1
-    val live = (keepFrom to cur)
+    val retained = (keepFrom to cur)
+      .filter(v => Files.exists(manifestPath(table, v)))
+      .flatMap(v => snapshot(table, v).entries.map(_.file)).toSet
+    val expired = (1 until keepFrom)
       .filter(v => Files.exists(manifestPath(table, v)))
       .flatMap(v => snapshot(table, v).entries.map(_.file)).toSet
     // delete expired manifests first: a concurrent reader can no longer pin them
     (1 until keepFrom).map(manifestPath(table, _)).foreach(Files.deleteIfExists)
+    val doomed = expired -- retained
+    val emptied = scala.collection.mutable.Set.empty[Path]
+    doomed.foreach { rel =>
+      val p = Paths.get(table).resolve(rel)
+      Files.deleteIfExists(p)
+      emptied += p.getParent
+    }
+    // prune only dirs we ourselves emptied (never a writer's fresh stage dir)
+    emptied.toVector.sortBy(-_.getNameCount).foreach { d =>
+      pruneIfEmpty(d); pruneIfEmpty(d.getParent)
+    }
+  }
+
+  private def pruneIfEmpty(dir: Path): Unit =
+    if (dir != null && Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      val empty = try !s.iterator.hasNext finally s.close()
+      if (empty) Files.deleteIfExists(dir)
+    }
+
+  /** Age-gated orphan sweep (Iceberg's remove_orphan_files): delete data
+    * files referenced by NO manifest at all whose mtime is older than
+    * `olderThanMillis` — old enough that no in-flight commit can still be
+    * racing toward a manifest that references them.
+    */
+  def removeOrphans(table: String,
+      olderThanMillis: Long = 3L * 24 * 3600 * 1000): Unit = {
+    val cur = currentVersion(table).getOrElse(return)
+    val referenced = (1 to cur)
+      .filter(v => Files.exists(manifestPath(table, v)))
+      .flatMap(v => snapshot(table, v).entries.map(_.file)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
     val dataDir = Paths.get(table, "data")
-    if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).iterator.asScala.toVector.reverseIterator.foreach { p =>
-        val rel = Paths.get(table).relativize(p).toString
-        if (Files.isRegularFile(p) && rel.endsWith(".parquet") && !live(rel))
-          Files.deleteIfExists(p)
-        else if (Files.isDirectory(p) && !Files.list(p).iterator.hasNext)
-          Files.deleteIfExists(p) // prune emptied commit/partition dirs
-      }
+    if (!Files.isDirectory(dataDir)) return
+    val s = Files.walk(dataDir)
+    val orphans = try s.iterator.asScala.filter { p =>
+      Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !referenced(Paths.get(table).relativize(p).toString) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+    }.toVector finally s.close()
+    val emptied = scala.collection.mutable.Set.empty[Path]
+    orphans.foreach { p => Files.deleteIfExists(p); emptied += p.getParent }
+    emptied.toVector.sortBy(-_.getNameCount).foreach { d =>
+      pruneIfEmpty(d); pruneIfEmpty(d.getParent)
     }
   }
 }

@@ -210,17 +210,9 @@ object TransformDsl {
     parse_url(c, lit("PATH")).as("path"),
     parse_url(c, lit("QUERY")).as("query"))
 
-  /** parse_user_agent → {name, version, device} via regex heuristics (VRL
-    * parse_user_agent; a UA-parser lexicon would slot in the same shape).
+  /** parse_user_agent → ECS {name, version, os{name,version,full},
+    * device{name}} from the [[UaLexicon]] pattern table (VRL
+    * parse_user_agent enriched mode / uap-core evaluation order).
     */
-  def parseUserAgent(c: Column): Column = {
-    val pattern = "(aws-cli|aws-sdk-[\\w-]+|Firefox|Chrome|Safari|Edg|curl|Wget|python-requests|okhttp)[/ ]([\\w.]+)"
-    val name = regexp_extract(c, pattern, 1)
-    val ver = regexp_extract(c, pattern, 2)
-    struct(
-      when(name =!= "", name).as("name"),
-      when(ver =!= "", ver).as("version"),
-      when(c.rlike("(?i)mobile|android|iphone"), "mobile")
-        .when(c.isNotNull, "other").as("device"))
-  }
+  def parseUserAgent(c: Column): Column = UaLexicon.parse(c)
 }

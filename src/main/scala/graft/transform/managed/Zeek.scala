@@ -69,7 +69,9 @@ object Zeek {
     */
   def dnMap(c: Column): Column = {
     val m = str_to_map(regexp_replace(c, "\\\\,", ""), lit(","), lit("="))
-    transform_values(m, (_, v) => trim(v))
+    // trim keys too: "CN=x, O=y" would otherwise yield a ' O' key and a
+    // null organization (reference parse_key_value tolerates whitespace)
+    transform_keys(transform_values(m, (_, v) => trim(v)), (k, _) => trim(k))
   }
 
   /** DN map → the zeek-side issuer/subject struct (scalar fields). */

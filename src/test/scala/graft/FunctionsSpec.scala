@@ -74,13 +74,35 @@ class FunctionsSpec extends SparkSpec {
     assert(r == Row("https", "example.com", "/a/b", "x=1&y=2"))
   }
 
-  test("parse_user_agent classifies cli and browser agents") {
+  test("parse_user_agent lexicon: cli and mobile agents") {
     val df = Seq("aws-cli/2.9 Python/3.9",
       "Mozilla/5.0 (iPhone) Safari/604.1").toDF("ua")
     val rows = df.select(TransformDsl.parseUserAgent(col("ua")).as("p"))
-      .select("p.name", "p.version", "p.device").collect()
-    assert(rows(0) == Row("aws-cli", "2.9", "other"))
-    assert(rows(1) == Row("Safari", "604.1", "mobile"))
+      .select("p.name", "p.version", "p.device.name").collect()
+    assert(rows(0) == Row("aws-cli", "2.9", "Other"))
+    assert(rows(1) == Row("Mobile Safari", "604.1", "iPhone"))
+  }
+
+  test("parse_user_agent lexicon: uap-core family ordering and os mapping") {
+    val uas = Seq(
+      // every WebKit UA advertises Safari — Chrome must win over it
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.71 Safari/537.36",
+      // Edge must win over Chrome
+      "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+      // desktop Safari reports its real version in Version/x
+      "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+      // Android Chrome = Chrome Mobile family, Samsung hardware model
+      "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36",
+      "Mozilla/5.0 (Windows NT 6.1; rv:102.0) Gecko/20100101 Firefox/102.0")
+      .toDF("ua")
+    val rows = uas.select(TransformDsl.parseUserAgent(col("ua")).as("p"))
+      .select("p.name", "p.version", "p.os.name", "p.os.version", "p.os.full",
+        "p.device.name").collect()
+    assert(rows(0) == Row("Chrome", "120.0.6099.71", "Windows", "10", "Windows 10", "Other"))
+    assert(rows(1) == Row("Edge", "120.0.2210.91", "Windows", "10", "Windows 10", "Other"))
+    assert(rows(2) == Row("Safari", "17.1", "Mac OS X", "10.15.7", "Mac OS X 10.15.7", "Mac"))
+    assert(rows(3) == Row("Chrome Mobile", "119.0.6045.163", "Android", "13", "Android 13", "Samsung SM-S918B"))
+    assert(rows(4) == Row("Firefox", "102.0", "Windows", "7", "Windows 7", "Other"))
   }
 
   test("ip_pton/ip_ntop round-trip and is_ipv6 on VRL-documented forms") {

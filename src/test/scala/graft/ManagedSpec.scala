@@ -461,6 +461,103 @@ class ManagedSpec extends SparkSpec {
     assert(a.select("related.user").head.getSeq[String](0) == Seq("actor1"))
   }
 
+  test("cloudflare firewall_event: rule/action/http, protocol grok, UA parse") {
+    import graft.transform.managed.Cloudflare
+    val line =
+      """{"Datetime":1591980072,"Action":"Block","ClientRequestMethod":"GET",
+        |"EdgeResponseStatus":403,"RuleID":"r123","Ref":"ref-1","Description":"SQLi block",
+        |"ClientASN":13335,"ClientASNDescription":"CLOUDFLARENET","ClientCountry":"us",
+        |"ClientIP":"203.0.113.9","ClientIPClass":"noRecord","ClientRefererHost":"ref.example.com",
+        |"ClientRequestHost":"www.example.com","ClientRequestPath":"/login",
+        |"ClientRequestProtocol":"HTTP/1.1","ClientRequestQuery":"?id=1","ClientRequestScheme":"https",
+        |"ClientRequestUserAgent":"Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        |"EdgeColoCode":"SJC","Kind":"firewall","MatchIndex":0,"Metadata":{"type":"customPage"},
+        |"OriginResponseStatus":0,"OriginatorRayID":"00","RayID":"ray77","Source":"firewallrules"}"""
+        .stripMargin.replace("\n", "")
+    val f = Cloudflare.firewallEvent(Seq(line).toDF("json"))
+    assert(f.select("event.action").head.getString(0) == "block")
+    assert(f.select("rule.id").head.getString(0) == "r123")
+    assert(f.select("rule.description").head.getString(0) == "SQLi block")
+    assert(f.select("http.response.status_code").head.getLong(0) == 403L)
+    assert(f.select("network.protocol").head.getString(0) == "http")
+    assert(f.select("http.version").head.getString(0) == "1.1")
+    assert(f.select("source.as.number").head.getLong(0) == 13335L)
+    assert(f.select("user_agent.name").head.getString(0) == "Chrome")
+    assert(f.select("user_agent.os.full").head.getString(0) == "Windows 10")
+    assert(f.select("cloudflare.firewall_event.ray.id").head.getString(0) == "ray77")
+    assert(f.select("cloudflare.firewall_event.metadata").head.getString(0)
+      == """{"type":"customPage"}""")
+    assert(f.select("related.hosts").head.getSeq[String](0).toSet
+      == Set("ref.example.com", "www.example.com"))
+    assert(f.select("ts").head.getTimestamp(0).toInstant.getEpochSecond == 1591980072L)
+  }
+
+  test("cloudflare http_request: edge/cache/origin telemetry, tls split") {
+    import graft.transform.managed.Cloudflare
+    val line =
+      """{"EdgeStartTimestamp":1591980072,"EdgeEndTimestamp":1591980073,"OriginIP":"10.1.2.3",
+        |"ClientRequestMethod":"POST","EdgeResponseContentType":"application/json",
+        |"EdgeResponseStatus":201,"EdgeResponseBytes":512,"ClientASN":64496,"ClientCountry":"de",
+        |"ClientIP":"198.51.100.7","ClientDeviceType":"desktop","BotScore":30,"BotScoreSrc":"ml",
+        |"CacheCacheStatus":"miss","CacheResponseBytes":600,"CacheResponseStatus":201,
+        |"CacheTieredFill":false,"ClientRequestBytes":1024,"ClientRequestHost":"api.example.com",
+        |"ClientRequestPath":"/v1/items","ClientRequestProtocol":"HTTP/2",
+        |"ClientRequestScheme":"https","ClientRequestURI":"/v1/items?x=1",
+        |"ClientRequestUserAgent":"curl/8.5.0","ClientSSLCipher":"AEAD-AES128-GCM-SHA256",
+        |"ClientSSLProtocol":"TLSv1.3","EdgeServerIP":"172.16.0.9","OriginResponseStatus":201,
+        |"OriginResponseBytes":480,"OriginResponseDurationMs":41,"RayID":"ray88",
+        |"WAFAction":"unknown","WAFRuleID":"","ZoneID":5}""".stripMargin.replace("\n", "")
+    val h = Cloudflare.httpRequest(Seq(line).toDF("json"))
+    assert(h.select("http.request.method").head.getString(0) == "POST")
+    assert(h.select("http.response.status_code").head.getLong(0) == 201L)
+    assert(h.select("http.response.mime_type").head.getString(0) == "application/json")
+    assert(h.select("network.protocol").head.getString(0) == "http")
+    assert(h.select("http.version").head.getString(0) == "2")
+    assert(h.select("tls.version_protocol").head.getString(0) == "tls")
+    assert(h.select("tls.version").head.getString(0) == "1.3")
+    assert(h.select("destination.ip").head.getString(0) == "10.1.2.3")
+    assert(h.select("user_agent.name").head.getString(0) == "curl")
+    assert(h.select("user_agent.version").head.getString(0) == "8.5.0")
+    assert(h.select("cloudflare.http_request.cache.status").head.getString(0) == "miss")
+    assert(h.select("cloudflare.http_request.bot.score.value").head.getLong(0) == 30L)
+    assert(h.select("cloudflare.http_request.origin.response.duration_ms").head.getLong(0) == 41L)
+    assert(h.select("related.ip").head.getSeq[String](0).toSet
+      == Set("198.51.100.7", "10.1.2.3", "172.16.0.9"))
+  }
+
+  test("aad auditlogs: category/opType refine event.type, targets snake_case") {
+    import graft.transform.managed.AadAudit
+    val line =
+      """{"id":"a1","time":"2022-07-19T18:40:00Z","operationName":"Add user","category":"AuditLogs",
+        |"tenantId":"t-1","correlationId":"c-1","durationMs":12,"callerIpAddress":"192.0.2.20",
+        |"Level":"4","properties":{"category":"UserManagement","operationType":"Add",
+        |"activityDateTime":"2022-07-19T18:40:00.5Z","activityDisplayName":"Add user",
+        |"result":"success","resultReason":"","loggedByService":"Core Directory",
+        |"additionalDetails":[{"key":"UserType","value":"Member"}],
+        |"initiatedBy":{"user":{"id":"u-9","displayName":"Jo Admin",
+        |"ipAddress":"192.0.2.20","userPrincipalName":"jo@example.com"}},
+        |"targetResources":[{"id":"tr-1","displayName":"New User","type":"User",
+        |"userPrincipalName":"new@example.com","modifiedProperties":[
+        |{"displayName":"AccountEnabled","newValue":"[true]","oldValue":"[]"}]}]}}"""
+        .stripMargin.replace("\n", "")
+    val a = AadAudit(Seq(line).toDF("json"))
+    assert(a.select("event.type").head.getSeq[String](0) == Seq("change", "user", "creation"))
+    assert(a.select("event.outcome").head.getString(0) == "success")
+    assert(a.select("event.action").head.getString(0) == "Add user")
+    assert(a.select("event.duration").head.getLong(0) == 12000000L)
+    assert(a.select("azure.tenant_id").head.getString(0) == "t-1")
+    assert(a.select("user.name").head.getString(0) == "jo@example.com")
+    assert(a.select("source.ip").head.getString(0) == "192.0.2.20")
+    assert(a.select("azure.aad_auditlogs.operation_type").head.getString(0) == "Add")
+    val tr = a.select("azure.aad_auditlogs.target_resources").head.getSeq[Row](0)
+    assert(tr.head.getAs[String]("user_principal_name") == "new@example.com")
+    assert(tr.head.getAs[Seq[Row]]("modified_properties").head
+      .getAs[String]("display_name") == "AccountEnabled")
+    assert(a.select("related.user").head.getSeq[String](0).toSet
+      == Set("u-9", "Jo Admin", "jo@example.com"))
+    assert(a.select("ts").head.getTimestamp(0).toInstant.getEpochSecond == 1658256000L)
+  }
+
   test("duo auth: ip:port split, identities, outcome; empty response aborts") {
     import graft.transform.managed.DuoAuth
     val line =
