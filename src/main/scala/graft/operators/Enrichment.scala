@@ -70,11 +70,17 @@ object Enrichment {
     * batch — the broadcast in lookupJoin is rebuilt from the fresh read
     * rather than frozen into the streaming plan at start.
     *
-    * Update contract: publish updates NON-destructively within the
-    * staleness window (append new files, or write a new snapshot dir and
-    * repoint) — an in-place overwrite deletes files the cached frame's
-    * index still references, failing batches until the next refresh. A
-    * real catalog (Iceberg) gives this snapshot isolation for free.
+    * When the table is published through the snapshot-pointer protocol
+    * ([[graft.lake.Snapshots]] — detected by its `_graft_lake` metadata
+    * dir), each refresh pins the then-current snapshot, so destructive
+    * rewrites (overwritePartitions, compactHour, mergeUpsert) commit
+    * freely: the cached frame keeps reading the file set of its pinned
+    * manifest until the staleness refresh picks up the new version — the
+    * isolation a real Iceberg catalog would provide. For a bare parquet
+    * directory the old contract stands: publish updates NON-destructively
+    * within the staleness window (an in-place overwrite deletes files the
+    * cached frame's index still references, failing batches until the
+    * next refresh).
     */
   final class RefreshingTable(path: String, stalenessMs: Long = 60000L)
       extends Serializable {
@@ -83,10 +89,13 @@ object Enrichment {
     def get(spark: org.apache.spark.sql.SparkSession): DataFrame = synchronized {
       val now = System.currentTimeMillis()
       if (cached == null || now - loadedAtMs > stalenessMs) {
-        // a fresh read re-lists files, so upserted/compacted enrichment
-        // snapshots are picked up; between refreshes the cached frame's
-        // file index avoids re-listing on every batch
-        cached = spark.read.parquet(path)
+        // a fresh read re-lists (or re-pins a snapshot), so upserted /
+        // compacted enrichment snapshots are picked up; between refreshes
+        // the cached frame's file index avoids re-listing on every batch
+        cached =
+          if (graft.lake.Snapshots.currentVersion(path).isDefined)
+            graft.lake.Snapshots.read(spark, path)
+          else spark.read.parquet(path)
         loadedAtMs = now
       }
       cached

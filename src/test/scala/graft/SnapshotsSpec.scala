@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.lake.{Lake, Snapshots}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-pointer commit protocol: MVCC isolation, atomic merge,
+  * expire/orphan safety.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mkRows(ids: Range, hour: String) =
+    ids.map(i => (i.toLong, s"v$i", ts(s"$hour:10:00"))).toDF("id", "name", "ts")
+
+  test("append commits advance the version; reads see committed state") {
+    val t = Files.createTempDirectory("snap_append").toString
+    assert(Snapshots.currentVersion(t).isEmpty)
+    val v1 = Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    assert(v1 == 1)
+    val v2 = Snapshots.append(mkRows(11 to 20, "2024-03-01 06"), t)
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, t).count() == 20)
+    // pinned read of v1 sees only the first commit
+    assert(Snapshots.read(spark, t, version = Some(1)).count() == 10)
+  }
+
+  test("a reader pinned to snapshot N stays consistent while N+1 commits") {
+    val t = Files.createTempDirectory("snap_pin").toString
+    Snapshots.append(mkRows(1 to 100, "2024-03-01 05"), t)
+    val pinnedVersion = Snapshots.currentVersion(t).get
+    val pinned = Snapshots.read(spark, t, version = Some(pinnedVersion))
+    // writer overwrites the same partition (destructive rewrite of hour 05)
+    Snapshots.overwritePartitions(mkRows(1 to 5, "2024-03-01 05"), t)
+    // the pinned frame still reads the v1 file set: 100 rows, original sum
+    assert(pinned.count() == 100)
+    assert(pinned.select(sum("id")).head.getLong(0) == (1 to 100).map(_.toLong).sum)
+    // an unpinned read sees the new state
+    assert(Snapshots.read(spark, t).count() == 5)
+  }
+
+  test("overwritePartitions replaces only staged hours") {
+    val t = Files.createTempDirectory("snap_ow").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    Snapshots.append(mkRows(11 to 20, "2024-03-01 06"), t)
+    Snapshots.overwritePartitions(mkRows(21 to 22, "2024-03-01 05"), t)
+    val out = Snapshots.read(spark, t)
+    assert(out.count() == 12)
+    assert(out.filter(col(Lake.PartitionCol) === "2024-03-01-06").count() == 10)
+  }
+
+  test("mergeUpsert: one atomic commit updates matched rows, inserts the rest") {
+    val t = Files.createTempDirectory("snap_merge").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    Snapshots.append(mkRows(11 to 20, "2024-03-01 06"), t)
+    val before = Snapshots.currentVersion(t).get
+    val updates = Seq(
+      (5L, "UPD5", ts("2024-03-01 05:10:00")),
+      (15L, "UPD15", ts("2024-03-01 06:10:00")),
+      (99L, "NEW99", ts("2024-03-01 07:10:00"))).toDF("id", "name", "ts")
+    val v = Snapshots.mergeUpsert(spark, t, updates, "id")
+    assert(v == before + 1) // exactly one commit
+    val out = Snapshots.read(spark, t)
+    assert(out.count() == 21)
+    assert(out.filter(col("id") === 5L).select("name").head.getString(0) == "UPD5")
+    assert(out.filter(col("id") === 15L).select("name").head.getString(0) == "UPD15")
+    assert(out.filter(col("id") === 99L).select("name").head.getString(0) == "NEW99")
+    assert(out.filter(col("id") === 99L).select(col(Lake.PartitionCol))
+      .head.getString(0) == "2024-03-01-07")
+  }
+
+  test("mergeUpsert: insert-only updates (no key matches) append cleanly") {
+    val t = Files.createTempDirectory("snap_insert_only").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    val fresh = Seq((100L, "n100", ts("2024-03-01 08:10:00")),
+      (101L, "n101", ts("2024-03-01 08:10:00"))).toDF("id", "name", "ts")
+    Snapshots.mergeUpsert(spark, t, fresh, "id") // must not throw
+    assert(Snapshots.read(spark, t).count() == 12)
+  }
+
+  test("mergeUpsert rejects duplicate primary keys in updates") {
+    val t = Files.createTempDirectory("snap_dup").toString
+    Snapshots.append(mkRows(1 to 5, "2024-03-01 05"), t)
+    val dup = Seq((1L, "a", ts("2024-03-01 05:10:00")),
+      (1L, "b", ts("2024-03-01 05:10:00"))).toDF("id", "name", "ts")
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeUpsert(spark, t, dup, "id")
+    }
+  }
+
+  test("compactHour preserves rows and commits atomically") {
+    val t = Files.createTempDirectory("snap_compact").toString
+    (0 until 5).foreach(i => Snapshots.append(
+      mkRows(i * 10 + 1 to i * 10 + 10, "2024-03-01 05"), t))
+    val filesBefore = Snapshots.current(t).get.entries.size
+    Snapshots.compactHour(spark, t, "2024-03-01-05")
+    val snap = Snapshots.current(t).get
+    assert(snap.entries.size < filesBefore)
+    val out = Snapshots.read(spark, t)
+    assert(out.count() == 50)
+    assert(out.select(sum("id")).head.getLong(0) == (1 to 50).map(_.toLong).sum)
+  }
+
+  test("expireSnapshots drops old manifests + their exclusive files, keeps staged orphans") {
+    val t = Files.createTempDirectory("snap_expire").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    Snapshots.overwritePartitions(mkRows(1 to 3, "2024-03-01 05"), t) // v2 replaces v1 files
+    Snapshots.append(mkRows(11 to 12, "2024-03-01 06"), t)            // v3
+    // simulate an in-flight commit: data staged, manifest not yet claimed
+    val staged = Paths.get(t, "data", "cinflight", "ts_hour=2024-03-01-09")
+    Files.createDirectories(staged)
+    val inflight = staged.resolve("part-inflight.parquet")
+    Files.write(inflight, Array[Byte](1, 2, 3))
+    val v1Files = Snapshots.snapshot(t, 1).entries.map(_.file)
+    Snapshots.expireSnapshots(t, keepLast = 2)
+    // v1's manifest and its replaced files are gone
+    assert(Snapshots.currentVersion(t).contains(3))
+    assert(!Files.exists(Paths.get(t, "_graft_lake", "v000001.manifest")))
+    assert(v1Files.forall(f => !Files.exists(Paths.get(t).resolve(f))))
+    // the in-flight stage was NOT swept (expire is not an orphan GC)
+    assert(Files.exists(inflight))
+    // retained snapshots still read
+    assert(Snapshots.read(spark, t).count() == 5)
+    // age-gated orphan sweep with a zero window reclaims it
+    Snapshots.removeOrphans(t, olderThanMillis = -1)
+    assert(!Files.exists(inflight))
+  }
+
+  test("RefreshingTable over a snapshot table survives destructive rewrite") {
+    import graft.operators.Enrichment
+    val t = Files.createTempDirectory("snap_refresh").toString
+    Snapshots.append(mkRows(1 to 50, "2024-03-01 05"), t)
+    // staleness=1h: the handle pins the current snapshot for the test's life
+    val handle = new Enrichment.RefreshingTable(t, stalenessMs = 3600000L)
+    val pinned = handle.get(spark)
+    assert(pinned.count() == 50)
+    // destructive rewrite: compact + overwrite the hour the pin reads
+    Snapshots.compactHour(spark, t, "2024-03-01-05")
+    Snapshots.overwritePartitions(mkRows(1 to 2, "2024-03-01 05"), t)
+    Snapshots.expireSnapshots(t, keepLast = 3) // keeps the pinned version's files
+    // the pinned frame still answers from its snapshot
+    assert(handle.get(spark).count() == 50)
+    // a new handle (fresh pin) sees the rewritten table
+    val fresh = new Enrichment.RefreshingTable(t, stalenessMs = 3600000L)
+    assert(fresh.get(spark).count() == 2)
+  }
+
+  test("sizeGatedBroadcast passes large frames through without the hint") {
+    val small = Seq((1L, "a")).toDF("id", "v")
+    val gatedSmall = Lake.sizeGatedBroadcast(small)
+    // small side carries the hint → planner picks broadcast join
+    val joined = small.join(gatedSmall, "id")
+    val planned = joined.queryExecution.sparkPlan.toString
+    assert(planned.contains("Broadcast"))
+    // a frame whose estimated size exceeds the gate comes back unhinted
+    val big = spark.range(0, 1000000).withColumn("pad", lit("x" * 64))
+    val gatedBig = Lake.sizeGatedBroadcast(big.toDF(), maxBytes = 1024)
+    assert(gatedBig.queryExecution.logical == big.toDF().queryExecution.logical)
+  }
+}
