@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Detections-as-code over event tables.
@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * Here a rule is declarative: `detect` is a Catalyst predicate Column, so
   * rules participate in pushdown/pruning and run inside codegen instead of
   * a per-record interpreter — evaluating N rules over a table is one scan
-  * with N filters, not N×rows function calls. (An imperative escape hatch
-  * can wrap a Row=>Boolean in a typed filter; none of the reference's
-  * example rules need it.)
+  * with N filters, not N×rows function calls. For the rare rule the
+  * Column algebra can't express (imperative loops with early exit,
+  * cross-field recursion), [[ImperativeRule]] wraps a `Row => Boolean` in
+  * a typed filter — the reference's whole execution model, available as
+  * the escape hatch, with [[deepget]] standing in for the Python
+  * `DeepDict.deepget` record accessor (detection/util.py:109-132).
   */
 object Detection {
 
@@ -27,6 +30,11 @@ object Detection {
     def severity: String = "notice"
     def threshold: Int = 1
     def windowSeconds: Long = 3600
+    /** How this rule selects matching events. Declarative rules filter by
+      * the `detect` Column (pushdown + codegen); the imperative escape
+      * hatch overrides with a typed filter.
+      */
+    def filterEvents(events: DataFrame): DataFrame = events.filter(detect)
   }
 
   final case class SimpleRule(
@@ -35,6 +43,52 @@ object Detection {
       override val severity: String = "notice",
       override val threshold: Int = 1,
       override val windowSeconds: Long = 3600) extends Rule
+
+  /** The imperative escape hatch: `detect` is the reference's
+    * `detect(record) -> bool`, evaluated per row via a typed filter. The
+    * cost is explicit and confined to the rules that need it: a
+    * deserialization boundary per row and no predicate pushdown — the
+    * scan itself still prunes columns, and every other (declarative) rule
+    * in the same `ruleMatches` call keeps its codegen'd path.
+    */
+  final case class ImperativeRule(
+      name: String, detectRow: Row => Boolean,
+      override val dedupe: Column = lit(""),
+      override val severity: String = "notice",
+      override val threshold: Int = 1,
+      override val windowSeconds: Long = 3600) extends Rule {
+    def detect: Column = lit(true) // selection happens in filterEvents
+    override def filterEvents(events: DataFrame): DataFrame =
+      events.filter(detectRow(_))
+  }
+
+  /** Dotted-path accessor over nested Row/Map/Seq data — the Python
+    * `DeepDict.deepget(path, default)` (detection/util.py:109-132): any
+    * missing step OR an explicit null returns `default` (the reference
+    * deliberately collapses the two). Integer path segments index into
+    * arrays, as `deepget(r, "entries.0.name")`.
+    */
+  @annotation.tailrec
+  def deepget(o: Any, path: Seq[String], default: Any): Any =
+    if (o == null) default
+    else path match {
+      case Seq() => o
+      case key +: rest => o match {
+        case r: Row =>
+          val i = try r.fieldIndex(key) catch { case _: IllegalArgumentException => -1 }
+          if (i < 0) default else deepget(r.get(i), rest, default)
+        case m: Map[_, _] =>
+          deepget(m.asInstanceOf[Map[Any, Any]].getOrElse(key, null), rest, default)
+        case s: Seq[_] =>
+          val i = key.toIntOption.getOrElse(-1)
+          if (i < 0 || i >= s.size) default else deepget(s(i), rest, default)
+        case _ => default // scalar hit before the path ended
+      }
+    }
+
+  def deepget(row: Row, path: String): Any = deepget(row, path.split('.').toSeq, null)
+  def deepget(row: Row, path: String, default: Any): Any =
+    deepget(row, path.split('.').toSeq, default)
 
   /** Evaluate rules against an event frame: one scan, a union of filtered
     * projections — Catalyst merges the scans and pushes each predicate.
@@ -51,7 +105,7 @@ object Detection {
         lit(0L).as("match_id"), ts.as("ts"), lit("").as("severity"),
         lit(0).as("threshold"), lit(0L).as("deduplication_window"))
     else rules.map { r =>
-      events.filter(r.detect).select(
+      r.filterEvents(events).select(
         lit(r.name).as("rule_name"),
         r.dedupe.cast("string").as("dedupe"),
         matchId.cast("long").as("match_id"),

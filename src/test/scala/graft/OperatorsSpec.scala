@@ -209,4 +209,64 @@ class OperatorsSpec extends SparkSpec {
     val idxs = frames.select("frame_idx").as[Int].collect().toSeq
     assert(idxs == Seq(0, 2, 4, 6)) // ceil(100/16)=7 frames, stride 2
   }
+
+  test("imperative rule escape hatch: loop-with-early-exit over nested structs") {
+    import graft.operators.Detection
+    import graft.operators.Detection.{ImperativeRule, SimpleRule, deepget}
+    import java.sql.Timestamp
+    // events carry an ordered array of auth attempts; the rule fires when a
+    // failure is LATER followed by a success from the SAME ip — sequential
+    // state with early exit, not expressible as a single Column predicate
+    def attempts(a: (String, String)*) = a.map { case (ip, res) => (ip, res) }
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-05-01 10:00:00"),
+        attempts("10.0.0.1" -> "fail", "10.0.0.1" -> "success")),     // fires
+      (2L, Timestamp.valueOf("2024-05-01 10:01:00"),
+        attempts("10.0.0.1" -> "fail", "10.0.0.2" -> "success")),     // different ip
+      (3L, Timestamp.valueOf("2024-05-01 10:02:00"),
+        attempts("10.0.0.3" -> "success", "10.0.0.3" -> "fail")),     // wrong order
+      (4L, Timestamp.valueOf("2024-05-01 10:03:00"), attempts()))     // empty
+      .toDF("event_id", "ts", "tries")
+      .withColumn("tries", org.apache.spark.sql.functions.transform(col("tries"),
+        t => struct(t.getField("_1").as("ip"), t.getField("_2").as("result"))))
+    val rule = ImperativeRule("fail_then_success", { row =>
+      val tries = row.getAs[Seq[Row]]("tries")
+      var failedIps = Set.empty[String]
+      var hit = false
+      val it = tries.iterator
+      while (!hit && it.hasNext) {               // early exit
+        val t = it.next()
+        val ip = String.valueOf(deepget(t, "ip", ""))
+        if (deepget(t, "result", "") == "fail") failedIps += ip
+        else if (deepget(t, "result", "") == "success" && failedIps(ip)) hit = true
+      }
+      hit
+    })
+    val declarative = SimpleRule("any_failure", exists(col("tries"),
+      t => t.getField("result") === "fail"))
+    val matches = Detection.ruleMatches(events, Seq(rule, declarative),
+      matchId = col("event_id"))
+    val byRule = matches.groupBy("rule_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRule("fail_then_success") == 1L)
+    assert(byRule("any_failure") == 3L)
+    assert(matches.filter(col("rule_name") === "fail_then_success")
+      .select("match_id").head.getLong(0) == 1L)
+  }
+
+  test("deepget traverses rows, maps, arrays; missing and null both default") {
+    import graft.operators.Detection.deepget
+    val df = Seq((1L, ("x", Seq(("a", 1), ("b", 2)), Map("k" -> "v")))).toDF("id", "nested")
+      .selectExpr("id",
+        "named_struct('s', nested._1, 'arr', transform(nested._2, t -> named_struct('name', t._1, 'n', t._2)), 'm', nested._3, 'nul', cast(null as string)) as nested")
+    val row = df.head
+    assert(deepget(row, "nested.s") == "x")
+    assert(deepget(row, "nested.arr.1.name") == "b")
+    assert(deepget(row, "nested.arr.1.n") == 2)
+    assert(deepget(row, "nested.m.k") == "v")
+    assert(deepget(row, "nested.missing", "dflt") == "dflt")
+    assert(deepget(row, "nested.nul", "dflt") == "dflt")      // null collapses to default
+    assert(deepget(row, "nested.arr.9.name", "dflt") == "dflt") // OOB index
+    assert(deepget(row, "nested.s.deeper", "dflt") == "dflt")   // scalar mid-path
+  }
 }
