@@ -131,7 +131,19 @@ object Lake {
     * any update are never read or rewritten — at 100 TB the rewrite cost
     * scales with the update's partition footprint, not table size.
     */
+  /** Iceberg's MERGE cardinality rule, shared by both merge entry points
+    * (here and [[Snapshots.mergeUpsert]]): multiple source rows per key
+    * would silently multiply matched target rows through the merge join.
+    */
+  private[lake] def requireUniquePk(updates: DataFrame, pk: String): Unit = {
+    val dupes = updates.groupBy(col(pk)).count().filter(col("count") > 1).limit(1)
+    if (!dupes.isEmpty)
+      throw new IllegalArgumentException(
+        s"mergeUpsert: updates contain duplicate values of primary key '$pk'")
+  }
+
   def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame, pk: String): Unit = {
+    requireUniquePk(updates, pk)
     val lake = read(spark, path)
     val renamed = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, "__u_" + c))
     // ONE scan locates matched keys + their partitions (tiny result:

@@ -75,6 +75,17 @@ object Snapshots {
   def current(table: String): Option[Snapshot] =
     currentVersion(table).map(snapshot(table, _))
 
+  /** Manifest read that tolerates a concurrent expire deleting the file
+    * between the caller's existence check and the read (maintenance sweeps
+    * must not abort mid-run on that race — the expired manifest simply no
+    * longer contributes entries).
+    */
+  private def snapshotIfExists(table: String, version: Int): Option[Snapshot] =
+    try {
+      if (Files.exists(manifestPath(table, version))) Some(snapshot(table, version))
+      else None
+    } catch { case _: java.nio.file.NoSuchFileException => None }
+
   // ---- reads --------------------------------------------------------------
 
   /** Read a pinned snapshot (default: current). The frame keeps reading
@@ -195,12 +206,7 @@ object Snapshots {
     */
   def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
       pk: String): Int = {
-    // Iceberg's MERGE cardinality rule: multiple source rows per key would
-    // silently multiply matched target rows through the join below.
-    val dupes = updates.groupBy(col(pk)).count().filter(col("count") > 1).limit(1)
-    if (!dupes.isEmpty)
-      throw new IllegalArgumentException(
-        s"mergeUpsert: updates contain duplicate values of primary key '$pk'")
+    Lake.requireUniquePk(updates, pk)
     val lake = read(spark, table)
     val renamed = updates.columns.foldLeft(updates)(
       (d, c) => d.withColumnRenamed(c, "__u_" + c))
@@ -253,11 +259,9 @@ object Snapshots {
     val cur = currentVersion(table).getOrElse(return)
     val keepFrom = cur - keepLast + 1
     val retained = (keepFrom to cur)
-      .filter(v => Files.exists(manifestPath(table, v)))
-      .flatMap(v => snapshot(table, v).entries.map(_.file)).toSet
+      .flatMap(v => snapshotIfExists(table, v).toSeq.flatMap(_.entries.map(_.file))).toSet
     val expired = (1 until keepFrom)
-      .filter(v => Files.exists(manifestPath(table, v)))
-      .flatMap(v => snapshot(table, v).entries.map(_.file)).toSet
+      .flatMap(v => snapshotIfExists(table, v).toSeq.flatMap(_.entries.map(_.file))).toSet
     // delete expired manifests first: a concurrent reader can no longer pin them
     (1 until keepFrom).map(manifestPath(table, _)).foreach(Files.deleteIfExists)
     val doomed = expired -- retained
@@ -277,7 +281,11 @@ object Snapshots {
     if (dir != null && Files.isDirectory(dir)) {
       val s = Files.list(dir)
       val empty = try !s.iterator.hasNext finally s.close()
-      if (empty) Files.deleteIfExists(dir)
+      // a file can land between the empty check and the delete (concurrent
+      // writer staging into the dir) — the dir is simply no longer empty
+      if (empty)
+        try Files.deleteIfExists(dir)
+        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
     }
 
   /** Age-gated orphan sweep (Iceberg's remove_orphan_files): delete data
@@ -289,17 +297,20 @@ object Snapshots {
       olderThanMillis: Long = 3L * 24 * 3600 * 1000): Unit = {
     val cur = currentVersion(table).getOrElse(return)
     val referenced = (1 to cur)
-      .filter(v => Files.exists(manifestPath(table, v)))
-      .flatMap(v => snapshot(table, v).entries.map(_.file)).toSet
+      .flatMap(v => snapshotIfExists(table, v).toSeq.flatMap(_.entries.map(_.file))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return
     val s = Files.walk(dataDir)
+    // mtime read tolerates a concurrent sweep deleting the file mid-walk
+    def mtimeBefore(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.nio.file.NoSuchFileException => false }
     val orphans = try s.iterator.asScala.filter { p =>
       Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet") &&
         !referenced(Paths.get(table).relativize(p).toString) &&
-        Files.getLastModifiedTime(p).toMillis < cutoff
+        mtimeBefore(p)
     }.toVector finally s.close()
     val emptied = scala.collection.mutable.Set.empty[Path]
     orphans.foreach { p => Files.deleteIfExists(p); emptied += p.getParent }

@@ -58,8 +58,13 @@ object Detection {
       override val threshold: Int = 1,
       override val windowSeconds: Long = 3600) extends Rule {
     def detect: Column = lit(true) // selection happens in filterEvents
-    override def filterEvents(events: DataFrame): DataFrame =
-      events.filter(detectRow(_))
+    override def filterEvents(events: DataFrame): DataFrame = {
+      // bind the function to a local so the filter closure serializes just
+      // it — referencing the field would capture the whole rule instance,
+      // whose Column members are not serializable
+      val f = detectRow
+      events.filter(f(_))
+    }
   }
 
   /** Dotted-path accessor over nested Row/Map/Seq data — the Python
@@ -77,9 +82,13 @@ object Detection {
         case r: Row =>
           val i = try r.fieldIndex(key) catch { case _: IllegalArgumentException => -1 }
           if (i < 0) default else deepget(r.get(i), rest, default)
-        case m: Map[_, _] =>
-          deepget(m.asInstanceOf[Map[Any, Any]].getOrElse(key, null), rest, default)
-        case s: Seq[_] =>
+        // match the collection ROOT types: Spark rows hand back
+        // scala.collection.Map and mutable.ArraySeq, which the 2.13
+        // immutable aliases `Map`/`Seq` would silently NOT match
+        case m: scala.collection.Map[_, _] =>
+          deepget(m.asInstanceOf[scala.collection.Map[Any, Any]].getOrElse(key, null),
+            rest, default)
+        case s: scala.collection.Seq[_] =>
           val i = key.toIntOption.getOrElse(-1)
           if (i < 0 || i >= s.size) default else deepget(s(i), rest, default)
         case _ => default // scalar hit before the path ended

@@ -75,20 +75,24 @@ object TextPipeline {
     QueryDef(
       "q32_lsh_jaccard",
       (s, dir) => {
-        // Scoped cache: sets is persisted only for the LSH pass (two scans
-        // of the hash-array stage), eagerly materialized into the small
-        // candidate-pair frame via localCheckpoint (RDD-storage, reclaimed
-        // by the ContextCleaner — not a CacheManager entry), and unpersisted
-        // before returning, so library callers don't inherit a cached frame.
-        // The verify joins recompute the cheap tokenize+shingle pass only.
+        // Scoped cache: sets (tokenize + shingle + md5 — the expensive
+        // pass) stays persisted through BOTH consumers: the LSH bucketing
+        // and the two verify joins. The final result is tiny (candidate
+        // pairs that survive the Jaccard floor), so it is eagerly
+        // materialized via localCheckpoint (RDD-storage, reclaimed by the
+        // ContextCleaner — not a CacheManager entry) and only then is sets
+        // unpersisted, so library callers don't inherit a cached frame and
+        // nothing recomputes the shingle pass.
         val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // the oracle derivation is exhaustive: opt out of the default cap
         val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
-          maxBucketSize = None).localCheckpoint(true)
-        sets.unpersist(false)
-        Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
+          maxBucketSize = None)
+        val out = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+          .localCheckpoint(true)
+        sets.unpersist(false)
+        out
       },
       Some(s"""
         WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),

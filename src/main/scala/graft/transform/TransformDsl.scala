@@ -132,9 +132,25 @@ object TransformDsl {
   def ecsFooter(df: DataFrame, version: String = "8.5.0"): DataFrame =
     setPath(df, "ecs.version", lit(version))
 
-  /** parse_key_value: `k1=v1 k2=v2` → map column. */
-  def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column =
-    str_to_map(c, lit(pairSep), lit(kvSep))
+  /** parse_key_value: `k1=v1 k2=v2` → map column. Repeated keys keep the
+    * last value (str_to_map would throw DUPLICATED_MAP_KEY under the
+    * default spark.sql.mapKeyDedupPolicy=EXCEPTION — a batch failure on
+    * e.g. multi-OU X.509 DNs). Separators are regexes, as in str_to_map;
+    * tokens without a kvSep are dropped.
+    */
+  def parseKeyValue(c: Column, pairSep: String = " ", kvSep: String = "="): Column = {
+    import org.apache.spark.sql.functions.{transform => arrTransform}
+    val split2 = arrTransform(split(c, pairSep), e => split(e, kvSep, 2))
+    val entries = arrTransform(
+      filter(split2, a => size(a) === 2),
+      a => struct(element_at(a, 1).as("k"), element_at(a, 2).as("v")))
+    val deduped = aggregate(
+      entries,
+      array().cast("array<struct<k:string,v:string>>"),
+      (acc, e) => concat(
+        filter(acc, x => !(x.getField("k") <=> e.getField("k"))), array(e)))
+    map_from_entries(deduped)
+  }
 
   /** to_timestamp with VRL-style fallibility (invalid → null, never throws). */
   def tryTimestamp(c: Column, fmt: String): Column = try_to_timestamp(c, lit(fmt))

@@ -57,7 +57,13 @@ object UaLexicon {
     Rule("""Firefox/([\w.]+)""", "Firefox"),
     Rule("""MSIE ([\w.]+)""", "IE"),
     Rule("""Trident/.*rv:([\w.]+)""", "IE"),
-    // Safari reports its version in Version/x; bare Safari/x is the build
+    // Safari reports its version in Version/x; bare Safari/x is the build.
+    // iPhone/iPad must be checked BEFORE the desktop Version/ rule: real
+    // mobile UAs carry "Version/17.1 Mobile/15E148 Safari/604.1", which the
+    // desktop rule's optional " Mobile/\w+" group would otherwise claim
+    // (uap-core families this as "Mobile Safari").
+    Rule("""(?:iPhone|iPad|iPod).*Version/[\w.]+.*Safari""", "Mobile Safari",
+      Some("""Version/([\w.]+)""")),
     Rule("""Version/([\w.]+)(?: Mobile/\w+)? Safari""", "Safari",
       Some("""Version/([\w.]+)""")),
     Rule("""(?:iPhone|iPad).*Safari/([\w.]+)""", "Mobile Safari"),

@@ -319,9 +319,18 @@ object Cloudflare {
     set("source.as.number", col("r.ClientASN"))
     set("source.geo.country_iso_code", col("r.ClientCountry"))
     set("source.ip", col("r.ClientIP"))
+    // Intentional deviation from the reference's http_request.yml, which
+    // derives url.* by parsing ClientRequestReferer (the REFERRING page's
+    // URL): we describe the REQUESTED resource — scheme/host/path from the
+    // ClientRequest* fields — which is what ECS url.* consumers expect.
+    // url.original/url.query keep ECS parity from ClientRequestURI
+    // (path + query string of the actual request).
     set("url.scheme", col("r.ClientRequestScheme"))
     set("url.domain", col("r.ClientRequestHost"))
     set("url.path", col("r.ClientRequestPath"))
+    set("url.original", col("r.ClientRequestURI"))
+    set("url.query", when(col("r.ClientRequestURI").contains("?"),
+      substring_index(col("r.ClientRequestURI"), "?", -1)))
     set("tls.cipher", col("r.ClientSSLCipher"))
     set("tls.version_protocol",
       when(sslParses, lower(substring_index(ssl, "v", 1))))

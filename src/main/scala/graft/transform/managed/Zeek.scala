@@ -66,12 +66,25 @@ object Zeek {
 
   /** Parse an X.509 distinguished-name string `CN=x,O=y,C=US` into a map
     * (VRL: strip escaped commas, parse_key_value("=", ","), trim).
+    *
+    * Built entry-by-entry with last-win key dedup rather than str_to_map:
+    * real DNs repeat attribute types (`OU=a, OU=b, CN=x`, `DC=a,DC=b`), and
+    * a map with duplicate keys throws DUPLICATED_MAP_KEY under Spark's
+    * default spark.sql.mapKeyDedupPolicy=EXCEPTION — a whole-batch failure
+    * on valid input. DN components are few, so the O(n²) fold is free.
     */
   def dnMap(c: Column): Column = {
-    val m = str_to_map(regexp_replace(c, "\\\\,", ""), lit(","), lit("="))
-    // trim keys too: "CN=x, O=y" would otherwise yield a ' O' key and a
-    // null organization (reference parse_key_value tolerates whitespace)
-    transform_keys(transform_values(m, (_, v) => trim(v)), (k, _) => trim(k))
+    val parts = filter(split(regexp_replace(c, "\\\\,", ""), ","),
+      p => p.contains("="))
+    val entries = org.apache.spark.sql.functions.transform(parts, e => struct(
+      trim(substring_index(e, "=", 1)).as("k"),
+      trim(regexp_extract(e, "^[^=]*=(.*)$", 1)).as("v")))
+    val deduped = aggregate(
+      entries,
+      array().cast("array<struct<k:string,v:string>>"),
+      (acc, e) => concat(
+        filter(acc, a => !(a.getField("k") <=> e.getField("k"))), array(e)))
+    map_from_entries(deduped)
   }
 
   /** DN map → the zeek-side issuer/subject struct (scalar fields). */

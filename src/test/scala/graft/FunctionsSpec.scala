@@ -76,11 +76,17 @@ class FunctionsSpec extends SparkSpec {
 
   test("parse_user_agent lexicon: cli and mobile agents") {
     val df = Seq("aws-cli/2.9 Python/3.9",
-      "Mozilla/5.0 (iPhone) Safari/604.1").toDF("ua")
+      "Mozilla/5.0 (iPhone) Safari/604.1",
+      // REAL mobile Safari carries Version/x Mobile/x Safari/x — it must
+      // family as Mobile Safari (with the Version/ version), not desktop
+      // Safari via that rule's optional " Mobile/\w+" group
+      "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1")
+      .toDF("ua")
     val rows = df.select(TransformDsl.parseUserAgent(col("ua")).as("p"))
       .select("p.name", "p.version", "p.device.name").collect()
     assert(rows(0) == Row("aws-cli", "2.9", "Other"))
     assert(rows(1) == Row("Mobile Safari", "604.1", "iPhone"))
+    assert(rows(2) == Row("Mobile Safari", "17.1", "iPhone"))
   }
 
   test("parse_user_agent lexicon: uap-core family ordering and os mapping") {

@@ -1010,6 +1010,25 @@ class ManagedSpec extends SparkSpec {
     assert(out.select("related.hash").head.getSeq[String](0).isEmpty)
   }
 
+  test("zeek ssl: repeated DN attribute types dedup last-win, no batch failure") {
+    import graft.transform.managed.ZeekSsl
+    // multi-OU/DC subjects are common in enterprise X.509; with the default
+    // spark.sql.mapKeyDedupPolicy=EXCEPTION a duplicate-key map would fail
+    // the whole batch. Both the spaced and the no-space duplicate forms
+    // must parse, keeping the last value per attribute type.
+    val line =
+      """{"ts":1591368001.0,"uid":"Cssl3","id.orig_h":"10.0.0.1","id.orig_p":1025,
+        |"id.resp_h":"10.0.0.2","id.resp_p":443,"version":"TLSv12",
+        |"subject":"OU=a, OU=b, CN=multi.example.com, O=Example",
+        |"issuer":"DC=corp,DC=example,CN=Issuing CA"}""".stripMargin.replace("\n", "")
+    val out = ZeekSsl(Seq(line).toDF("json"))
+    assert(out.select("tls.server.x509.subject.common_name").head.getSeq[String](0)
+      == Seq("multi.example.com"))
+    assert(out.select("tls.server.x509.subject.organizational_unit").head.getSeq[String](0)
+      == Seq("b"))
+    assert(out.select("zeek.ssl.server.issuer.common_name").head.getString(0) == "Issuing CA")
+  }
+
   test("zeek ssh: auth outcome, algorithm struct") {
     import graft.transform.managed.ZeekSsh
     val line =

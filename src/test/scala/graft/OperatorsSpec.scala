@@ -230,7 +230,7 @@ class OperatorsSpec extends SparkSpec {
       .withColumn("tries", org.apache.spark.sql.functions.transform(col("tries"),
         t => struct(t.getField("_1").as("ip"), t.getField("_2").as("result"))))
     val rule = ImperativeRule("fail_then_success", { row =>
-      val tries = row.getAs[Seq[Row]]("tries")
+      val tries = row.getAs[scala.collection.Seq[Row]]("tries")
       var failedIps = Set.empty[String]
       var hit = false
       val it = tries.iterator

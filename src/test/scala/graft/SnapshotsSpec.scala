@@ -89,6 +89,13 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.mergeUpsert(spark, t, dup, "id")
     }
+    // both merge entry points share the cardinality guard — Lake.mergeUpsert
+    // must reject the same bad input rather than multiplying matched rows
+    val t2 = Files.createTempDirectory("lake_dup").toString
+    Lake.append(mkRows(1 to 5, "2024-03-01 05"), t2)
+    intercept[IllegalArgumentException] {
+      Lake.mergeUpsert(spark, t2, dup, "id")
+    }
   }
 
   test("compactHour preserves rows and commits atomically") {

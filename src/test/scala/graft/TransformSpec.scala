@@ -45,6 +45,19 @@ class TransformSpec extends SparkSpec {
     assert(out.select("i").as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("parseKeyValue keeps last value for repeated keys, drops bare tokens") {
+    val df = Seq("OU=a, OU=b, CN=x, garbage", "k=v1 v2=").toDF("s")
+    val out1 = df.filter(col("s").contains("OU"))
+      .select(parseKeyValue(col("s"), ", ", "=").as("m"))
+    assert(out1.select(element_at(col("m"), "OU")).head.getString(0) == "b")
+    assert(out1.select(element_at(col("m"), "CN")).head.getString(0) == "x")
+    assert(out1.select(element_at(col("m"), "garbage")).head.isNullAt(0))
+    val out2 = df.filter(col("s").startsWith("k"))
+      .select(parseKeyValue(col("s")).as("m"))
+    assert(out2.select(element_at(col("m"), "k")).head.getString(0) == "v1")
+    assert(out2.select(element_at(col("m"), "v2")).head.getString(0) == "")
+  }
+
   test("grok compiles patterns to regex and extracts typed fields") {
     val g = Grok.compile("%{IPV4:ip} - %{WORD:user} \"%{DATA:msg}\" %{INT:code}")
     val df = Seq("10.0.0.5 - alice \"GET /x\" 200", "not a log line").toDF("line")
