@@ -525,6 +525,152 @@ class ManagedSpec extends SparkSpec {
       == Set("198.51.100.7", "10.1.2.3", "172.16.0.9"))
   }
 
+  test("cloudflare nel_report: error type and client asn") {
+    import graft.transform.managed.Cloudflare
+    val line = """{"Timestamp":1591980072,"Type":"network-error","ClientIPASN":"64496",
+      |"ClientIPASNDescription":"EXAMPLE-AS","ClientIPCountry":"US",
+      |"LastKnownGoodColoCode":"SJC","Phase":"connection"}""".stripMargin.replace("\n", "")
+    val n = Cloudflare.nelReport(Seq(line).toDF("json"))
+    assert(n.select("error.type").head.getString(0) == "network-error")
+    assert(n.select("cloudflare.nel_report.client.ip.asn.value").head.getLong(0) == 64496L)
+    assert(n.select("cloudflare.nel_report.last_known_good.colo.code").head.getString(0) == "SJC")
+    assert(n.select("cloudflare.nel_report.phase").head.getString(0) == "connection")
+  }
+
+  test("cloudflare network_analytics: pass/drop outcome, L3/L4 lift, geo hashes") {
+    import graft.transform.managed.Cloudflare
+    val line = """{"Datetime":1591980072,"Outcome":"drop","Direction":"ingress",
+      |"Verdict":"drop","IPSourceAddress":"203.0.113.9","SourcePort":42001,
+      |"SourceASN":"64500","SourceCountry":"US","SourceGeoHash":"9q8yy",
+      |"IPDestinationAddress":"198.51.100.2","DestinationPort":443,
+      |"DestinationASN":"13335","DestinationGeoHash":"9q9hv","IPProtocolName":"TCP",
+      |"IPProtocol":6,"IPTtl":54,"TCPFlags":2,"TCPFlagsString":"S","TCPWindowSize":64240,
+      |"RuleID":"rule-7","AttackID":"atk-1","MitigationSystem":"flowtrackd",
+      |"ColoGeoHash":"9q8zz","ColoName":"SJC"}""".stripMargin.replace("\n", "")
+    val n = Cloudflare.networkAnalytics(Seq(line).toDF("json"))
+    assert(n.select("event.outcome").head.getString(0) == "failure")
+    assert(n.select("network.transport").head.getString(0) == "tcp")
+    assert(n.select("source.as.number").head.getLong(0) == 64500L)
+    assert(n.select("rule.id").head.getString(0) == "rule-7")
+    assert(n.select("cloudflare.network_analytics.tcp.flags.string").head.getString(0) == "S")
+    assert(n.select("cloudflare.network_analytics.ip.ttl.value").head.getLong(0) == 54L)
+    assert(n.select("related.ip").head.getSeq[String](0).toSet
+      == Set("203.0.113.9", "198.51.100.2"))
+    assert(n.select("related.hash").head.getSeq[String](0).toSet
+      == Set("9q8yy", "9q9hv", "9q8zz"))
+  }
+
+  test("cloudflare spectrum_event: session lifecycle, tls split, byte directions") {
+    import graft.transform.managed.Cloudflare
+    val line = """{"Timestamp":1591980072,"ConnectTimestamp":1591980070,
+      |"DisconnectTimestamp":1591980090,"Event":"Disconnect","Application":"app-1",
+      |"Status":0,"ClientAsn":64496,"ClientBytes":2048,"ClientCountry":"de",
+      |"ClientIP":"198.51.100.7","ClientPort":50123,"ClientProto":"TCP",
+      |"ClientTlsProtocol":"TLSv1.2","ClientTlsCipher":"AES128","ColoCode":"FRA",
+      |"IpFirewall":true,"OriginBytes":4096,"OriginIP":"10.1.2.3","OriginPort":443,
+      |"OriginProto":"TCP","OriginTlsMode":"full","ProxyProtocol":"off"}""".stripMargin.replace("\n", "")
+    val s = Cloudflare.spectrumEvent(Seq(line).toDF("json"))
+    assert(s.select("event.action").head.getString(0) == "disconnect")
+    assert(s.select("event.start").head.getTimestamp(0).toInstant.getEpochSecond == 1591980070L)
+    assert(s.select("event.end").head.getTimestamp(0).toInstant.getEpochSecond == 1591980090L)
+    assert(s.select("source.bytes").head.getLong(0) == 2048L)
+    assert(s.select("destination.bytes").head.getLong(0) == 4096L)
+    assert(s.select("tls.version_protocol").head.getString(0) == "tls")
+    assert(s.select("tls.version").head.getString(0) == "1.2")
+    assert(s.select("network.transport").head.getString(0) == "tcp")
+    assert(s.select("cloudflare.spectrum_event.origin.tls.mode").head.getString(0) == "full")
+  }
+
+  test("crowdstrike falcon: detection summary branch — alert kind, hashes, threat") {
+    import graft.transform.managed.CrowdstrikeFalcon
+    val line =
+      """{"metadata":{"eventType":"DetectionSummaryEvent","eventCreationTime":1591980072000,
+        |"offset":12,"customerIDString":"cust1","version":"1.0"},
+        |"event":{"UserName":"alice","ComputerName":"HOST-1","MachineDomain":"CORP",
+        |"SensorId":"sen-1","CommandLine":"  powershell.exe -enc AAA  ",
+        |"ProcessId":"4242","ParentImageFileName":"C:\\Windows\\explorer.exe",
+        |"ParentCommandLine":"explorer.exe","PatternDispositionDescription":"Prevention, process killed.",
+        |"FalconHostLink":"https://falcon.crowdstrike.com/x","Severity":"4",
+        |"DetectName":"NtdsFileAccessAttempt","DetectDescription":"Credential theft attempt",
+        |"FileName":"powershell.exe","SHA256String":"a1b2","MD5String":"00000000",
+        |"SHA1String":"c3d4","Technique":"Credential Dumping","Tactic":"Credential Access",
+        |"LocalIP":"10.0.0.5"}}""".stripMargin.replace("\n", "")
+    val out = CrowdstrikeFalcon(Seq(line).toDF("json"))
+    assert(out.select("event.kind").head.getString(0) == "alert")
+    assert(out.select("event.category").head.getSeq[String](0) == Seq("malware"))
+    assert(out.select("event.severity").head.getLong(0) == 4L)
+    assert(out.select("process.pid").head.getLong(0) == 4242L)
+    assert(out.select("process.executable").head.getString(0) == "powershell.exe")
+    assert(out.select("process.args").head.getSeq[String](0)
+      == Seq("powershell.exe", "-enc", "AAA"))
+    assert(out.select("threat.tactic.name").head.getSeq[String](0) == Seq("credential access"))
+    // all-zero md5 placeholder excluded; real hashes kept
+    assert(out.select("related.hash").head.getSeq[String](0).toSet == Set("a1b2", "c3d4"))
+    assert(out.select("user.domain").head.getString(0) == "CORP")
+    assert(out.select("source.ip").head.getString(0) == "10.0.0.5")
+    assert(out.select("ts").head.getTimestamp(0).toInstant.getEpochSecond == 1591980072L)
+  }
+
+  test("crowdstrike falcon: firewall match orients endpoints by direction") {
+    import graft.transform.managed.CrowdstrikeFalcon
+    val mk = (dir: String) =>
+      s"""{"metadata":{"eventType":"FirewallMatchEvent","eventCreationTime":1591980072},
+        |"event":{"RuleName":"Block RDP","RuleId":"fw-1","RuleGroupName":"grp",
+        |"ConnectionDirection":"$dir","LocalAddress":"10.0.0.5","LocalPort":3389,
+        |"RemoteAddress":"203.0.113.9","RemotePort":50111,"Ipv":"ipv4",
+        |"PID":"77","HostName":"HOST-2","EventType":"FirewallRuleIP4Matched"}}""".stripMargin.replace("\n", "")
+    val out = CrowdstrikeFalcon(Seq(mk("1"), mk("0")).toDF("json"))
+      .orderBy("network.direction")
+    val rows = out.select("network.direction", "source.ip", "destination.ip",
+      "source.port", "destination.port").collect()
+    assert(rows(0).getString(0) == "egress" && rows(0).getString(1) == "10.0.0.5"
+      && rows(0).getString(2) == "203.0.113.9" && rows(0).getLong(4) == 50111L)
+    assert(rows(1).getString(0) == "ingress" && rows(1).getString(1) == "203.0.113.9"
+      && rows(1).getString(2) == "10.0.0.5" && rows(1).getLong(4) == 3389L)
+    assert(out.select("rule.name").head.getString(0) == "Block RDP")
+    assert(out.select("message").head.getString(0) == "Firewall Rule 'Block RDP' triggered")
+  }
+
+  test("crowdstrike falcon: auth audit and remote response branches") {
+    import graft.transform.managed.CrowdstrikeFalcon
+    val auth = """{"metadata":{"eventType":"AuthActivityAuditEvent","eventCreationTime":1591980072},
+      |"event":{"UserId":"bob@example.com","UserIp":"198.51.100.7",
+      |"OperationName":"userAuthenticate","ServiceName":"CrowdStrike Authentication",
+      |"Success":true}}""".stripMargin.replace("\n", "")
+    val rrEnd = """{"metadata":{"eventType":"RemoteResponseSessionEndEvent","eventCreationTime":1591980073},
+      |"event":{"UserName":"admin1","HostnameField":"HOST-3"}}""".stripMargin.replace("\n", "")
+    val out = CrowdstrikeFalcon(Seq(auth, rrEnd).toDF("json")).orderBy("ts")
+    val a = out.filter(col("event.action") === "userAuthenticate")
+    assert(a.select("event.category").head.getSeq[String](0) == Seq("authentication"))
+    assert(a.select("event.outcome").head.getString(0) == "success")
+    assert(a.select("user.email").head.getString(0) == "bob@example.com")
+    assert(a.select("source.ip").head.getString(0) == "198.51.100.7")
+    val r = out.filter(col("event.action") === "remote_response_session_end_event")
+    assert(r.select("event.type").head.getSeq[String](0) == Seq("end"))
+    assert(r.select("message").head.getString(0) == "Remote response session ended.")
+    assert(r.select("related.hosts").head.getSeq[String](0) == Seq("HOST-3"))
+    assert(r.select("event.outcome").head.getString(0) == "unknown")
+  }
+
+  test("matano_alerts re-ingest: ISO timestamps parse, rule metadata kept") {
+    import graft.transform.managed.MatanoAlerts
+    val line = """{"ts":"2024-01-01T00:10:00Z","event":{"kind":"signal","id":"e1"},
+      |"message":"threshold breach","matano":{"table":"events","alert":{"id":"al-1",
+      |"dedupe":"k1","severity":"notice","activated":true,
+      |"first_matched_at":"2024-01-01T00:00:00Z",
+      |"original_timestamp":"2024-01-01T00:09:30Z",
+      |"rule":{"name":"r1","severity":"notice","threshold":2,
+      |"deduplication_window":900}}}}""".stripMargin.replace("\n", "")
+    val out = MatanoAlerts(Seq(line).toDF("json"))
+    assert(out.select("ts").head.getTimestamp(0).toInstant.toString == "2024-01-01T00:10:00Z")
+    assert(out.select("matano.alert.first_matched_at").head.getTimestamp(0)
+      .toInstant.toString == "2024-01-01T00:00:00Z")
+    assert(out.select("matano.alert.rule.threshold").head.getInt(0) == 2)
+    assert(out.select("matano.alert.activated").head.getBoolean(0))
+    // no-ts records abort
+    assert(MatanoAlerts(Seq("""{"message":"x"}""").toDF("json")).count() == 0)
+  }
+
   test("aad auditlogs: category/opType refine event.type, targets snake_case") {
     import graft.transform.managed.AadAudit
     val line =
