@@ -212,6 +212,71 @@ object TextPipeline {
                     WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ---- q47: REAL multimodal decode path — raw-grayscale block-mean
+    // resize (4×4 thumbnail) + luminance stats, oracled byte-for-byte.
+    // The doc's UTF-8 bytes stand in for a w=16 raw 8-bit image; the
+    // DuckDB oracle re-derives the identical integer block-pool and the
+    // exact-integer mean/stddev arithmetic (sums of bytes are exactly
+    // representable, so the IEEE double math matches bit-for-bit).
+    QueryDef(
+      "q47_thumbnail",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .filter(length(col("payload")) >= 16)
+          .withColumn("w", lit(16))
+          .select("doc_id", "payload", "w")
+        graft.operators.Multimodal
+          .resizeRawGrayscale(s, d, "doc_id", "payload", "w", targetW = 4, targetH = 4)
+          .select(col("doc_id"), col("width"), col("height"),
+            hex(col("thumbnail")).as("thumb_hex"),
+            col("mean_luminance"), col("stddev_luminance"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 (octet_length(encode(text)) // 16) AS h
+          FROM documents
+          WHERE octet_length(encode(text)) >= 16
+        ),
+        bl AS (
+          SELECT doc_id, h,
+                 list_transform(range(0, 16 * h), i ->
+                   ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS px
+          FROM t
+        ),
+        pix AS (
+          SELECT doc_id, h, px, ty, tx,
+                 (ty*h)//4 AS y0, greatest((ty*h)//4 + 1, ((ty+1)*h)//4) AS y1,
+                 (tx*16)//4 AS x0, greatest((tx*16)//4 + 1, ((tx+1)*16)//4) AS x1
+          FROM bl, (SELECT unnest(range(0,4)) AS ty), (SELECT unnest(range(0,4)) AS tx)
+        ),
+        vals AS (
+          SELECT doc_id, ty, tx,
+                 list_sum(flatten(list_transform(range(y0, y1), y ->
+                   list_transform(range(x0, x1), x -> px[y*16 + x + 1])))) AS s,
+                 (y1 - y0) * (x1 - x0) AS n
+          FROM pix
+        ),
+        thumbs AS (
+          SELECT doc_id,
+                 string_agg(lpad(hex(s // n), 2, '0'), '' ORDER BY ty, tx) AS thumb_hex
+          FROM vals GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                 list_sum(px)::DOUBLE / (16*h) AS mean_luminance,
+                 sqrt(greatest(0.0, list_sum(list_transform(px, v -> v*v))::DOUBLE / (16*h)
+                   - (list_sum(px)::DOUBLE / (16*h)) * (list_sum(px)::DOUBLE / (16*h))))
+                   AS stddev_luminance
+          FROM bl
+        )
+        SELECT s.doc_id, s.width, s.height, t.thumb_hex,
+               s.mean_luminance, s.stddev_luminance
+        FROM stats s JOIN thumbs t USING (doc_id)
         ORDER BY doc_id"""))
   )
 }
