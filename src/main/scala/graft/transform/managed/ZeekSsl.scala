@@ -68,10 +68,20 @@ object ZeekSsl {
     set("tls.client.issuer", col("r.client_issuer"))
     set("tls.client.ja3", col("r.ja3"))
 
-    val serverIssuer = Zeek.dnMap(col("r.issuer"))
-    val serverSubject = Zeek.dnMap(col("r.subject"))
-    val clientIssuer = Zeek.dnMap(col("r.client_issuer"))
-    val clientSubject = Zeek.dnMap(col("r.client_subject"))
+    // Stage each parsed DN map as its OWN column before fanning out into
+    // the 12 component fields below: dnMap is a split+dedup-fold chain, and
+    // inlining it per element_at would re-evaluate it per component
+    // (CollapseProject only re-inlines cheap expressions, so a staged
+    // column is computed once per row).
+    out = out
+      .withColumn("__dn_si", Zeek.dnMap(col("r.issuer")))
+      .withColumn("__dn_ss", Zeek.dnMap(col("r.subject")))
+      .withColumn("__dn_ci", Zeek.dnMap(col("r.client_issuer")))
+      .withColumn("__dn_cs", Zeek.dnMap(col("r.client_subject")))
+    val serverIssuer = col("__dn_si")
+    val serverSubject = col("__dn_ss")
+    val clientIssuer = col("__dn_ci")
+    val clientSubject = col("__dn_cs")
     set("tls.server.x509.issuer", Zeek.x509Dn(serverIssuer))
     set("tls.server.x509.subject", Zeek.x509Dn(serverSubject))
     set("tls.client.x509.issuer", Zeek.x509Dn(clientIssuer))
@@ -102,6 +112,6 @@ object ZeekSsl {
 
     // ja3s pushed before ja3, as the reference does
     set("related.hash", filter(array(col("r.ja3s"), col("r.ja3")), x => x.isNotNull))
-    Zeek.finish(out)
+    Zeek.finish(out.drop("__dn_si", "__dn_ss", "__dn_ci", "__dn_cs"))
   }
 }

@@ -401,8 +401,12 @@ object ZeekKerberos {
 
     val validDays = when(col("r.from").isNotNull && col("r.till").isNotNull,
       round((col("r.till") - col("r.from")) / 86400d).cast(LongType))
-    val clientDn = Zeek.dnMap(Zeek.r("cert.client_subject"))
-    val serverDn = Zeek.dnMap(Zeek.r("cert.server_subject"))
+    // staged: dnMap fans out into many component fields (see ZeekSsl)
+    out = out
+      .withColumn("__dn_c", Zeek.dnMap(Zeek.r("cert.client_subject")))
+      .withColumn("__dn_s", Zeek.dnMap(Zeek.r("cert.server_subject")))
+    val clientDn = col("__dn_c")
+    val serverDn = col("__dn_s")
     set("zeek.kerberos", struct(
       col("r.request_type").as("request_type"),
       col("r.client").as("client"),
@@ -435,6 +439,6 @@ object ZeekKerberos {
     set("event.outcome",
       when(col("r.success") === true, "success")
         .when(col("r.success") === false, "failure"))
-    Zeek.finish(out)
+    Zeek.finish(out.drop("__dn_c", "__dn_s"))
   }
 }

@@ -206,8 +206,12 @@ object ZeekX509 {
     set("zeek.session_id", col("r.id"))
     set("event.id", col("r.id"))
 
-    val subjDn = Zeek.dnMap(Zeek.r("certificate.subject"))
-    val issDn = Zeek.dnMap(Zeek.r("certificate.issuer"))
+    // staged: dnMap fans out into many component fields (see ZeekSsl)
+    out = out
+      .withColumn("__dn_s", Zeek.dnMap(Zeek.r("certificate.subject")))
+      .withColumn("__dn_i", Zeek.dnMap(Zeek.r("certificate.issuer")))
+    val subjDn = col("__dn_s")
+    val issDn = col("__dn_i")
     val notBefore = timestamp_seconds(Zeek.r("certificate.not_valid_before"))
     val notAfter = timestamp_seconds(Zeek.r("certificate.not_valid_after"))
     val sigAlg = Zeek.r("certificate.sig_alg")
@@ -257,7 +261,7 @@ object ZeekX509 {
       Zeek.r("certificate.serial").as("serial_number"),
       sigAlgDisplay.as("signature_algorithm"),
       Zeek.r("certificate.version").cast(StringType).as("version_number")))
-    Zeek.finish(out)
+    Zeek.finish(out.drop("__dn_s", "__dn_i"))
   }
 }
 
