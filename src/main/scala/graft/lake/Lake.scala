@@ -82,8 +82,19 @@ object Lake {
     * O(total files) at scale (a real catalog stores the schema in table
     * metadata); one merge per session per path, then evolved in-memory as
     * appends widen it.
+    *
+    * SINGLE-WRITER ASSUMPTION: the cache is per-JVM, so a second writer
+    * process appending to the same path with a schema this JVM hasn't seen
+    * would evolve from a stale union (reads still self-heal via
+    * mergeSchema). Multi-writer deployments should route appends through
+    * [[Snapshots]], whose manifest CAS serializes commits; [[invalidateSchema]]
+    * drops a path's cached entry for callers that know the table changed
+    * underneath them.
     */
   private val schemaCache = scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  /** Drop the cached evolved schema for `path` (re-derived on next append). */
+  def invalidateSchema(path: String): Unit = schemaCache.remove(path)
 
   def evolveAppend(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val existing = schemaCache.get(path).orElse(scala.util.Try(

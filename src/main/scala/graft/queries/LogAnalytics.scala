@@ -367,6 +367,114 @@ object LogAnalytics {
                CAST(event_id + 1700000000 AS BIGINT) AS ts_epoch
         FROM events
         WHERE event_id % 13 = 0
+        ORDER BY event_id""")),
+
+    // ---- q48: managed zeek smb_files transform, end-to-end cross-verified
+    // Exercises the epoch-in-JSON → ECS timestamp lifts, the
+    // action → event.type map (delete→deletion, rename/attr→change), and
+    // the windows path composition — oracled from the source columns with
+    // no JSON on the oracle side.
+    QueryDef(
+      "q48_zeek_smb",
+      (s, dir) => {
+        val action = when(col("user_id") % 4 === 0, "SMB::FILE_OPEN")
+          .when(col("user_id") % 4 === 1, "SMB::FILE_DELETE")
+          .when(col("user_id") % 4 === 2, "SMB::FILE_RENAME")
+          .otherwise("SMB::FILE_SET_ATTRIBUTE")
+        val lines = t(s, dir, "events")
+          .filter(col("event_id") % 17 === 0)
+          .select(col("event_id"), col("user_id"))
+          .withColumn("json", concat(
+            lit("{\"ts\":"), col("event_id") + 1700000000L,
+            lit(".0,\"uid\":\"C"), col("event_id"),
+            lit("\",\"id.orig_h\":\"10.1."), col("user_id") % 250,
+            lit(".9\",\"id.orig_p\":445,\"id.resp_h\":\"10.2.0.7\",\"id.resp_p\":445,"),
+            lit("\"fuid\":\"F"), col("event_id"),
+            lit("\",\"action\":\""), action,
+            lit("\",\"path\":\"\\\\\\\\srv\\\\share"), col("user_id") % 5,
+            lit("\",\"name\":\"f"), col("event_id"),
+            lit(".txt\",\"size\":"), col("event_id") % 100000,
+            lit(",\"times.created\":"), col("event_id") + 1699913600L,
+            lit(".0,\"times.modified\":"), col("event_id") + 1699917200L,
+            lit(".0}")))
+        graft.transform.managed.ZeekSmbFiles(lines)
+          .select(
+            col("zeek.session_id").as("sid"),
+            col("event.action").as("action"),
+            array_join(col("event.type"), ",").as("etype"),
+            col("file.path").as("fpath"),
+            col("file.size").as("fsize"),
+            unix_seconds(col("file.created")).as("created_epoch"),
+            unix_seconds(col("file.mtime")).as("mtime_epoch"),
+            unix_seconds(col("ts")).as("ts_epoch"))
+          .orderBy(col("sid"))
+      },
+      Some("""
+        SELECT 'C' || event_id AS sid,
+               CASE user_id % 4 WHEN 0 THEN 'SMB::FILE_OPEN' WHEN 1 THEN 'SMB::FILE_DELETE'
+                    WHEN 2 THEN 'SMB::FILE_RENAME' ELSE 'SMB::FILE_SET_ATTRIBUTE' END AS action,
+               'connection,protocol,' ||
+                 CASE user_id % 4 WHEN 0 THEN 'info' WHEN 1 THEN 'deletion' ELSE 'change' END AS etype,
+               '\\srv\share' || (user_id % 5) || '\f' || event_id || '.txt' AS fpath,
+               CAST(event_id % 100000 AS BIGINT) AS fsize,
+               CAST(event_id + 1699913600 AS BIGINT) AS created_epoch,
+               CAST(event_id + 1699917200 AS BIGINT) AS mtime_epoch,
+               CAST(event_id + 1700000000 AS BIGINT) AS ts_epoch
+        FROM events
+        WHERE event_id % 17 = 0
+        ORDER BY sid""")),
+
+    // ---- q49: crowdstrike falcon detection branch, cross-verified ----
+    // Exercises the seconds-vs-milliseconds timestamp magnitude branch,
+    // the command-line → args/executable split, placeholder-hash
+    // filtering, and the severity lift.
+    QueryDef(
+      "q49_falcon_detect",
+      (s, dir) => {
+        val ms = (col("event_id") + 1700000000L) * 1000L
+        val secs = col("event_id") + 1700000000L
+        val lines = t(s, dir, "events")
+          .filter(col("event_id") % 19 === 0)
+          .select(col("event_id"), col("user_id"))
+          .withColumn("json", concat(
+            lit("{\"metadata\":{\"eventType\":\"DetectionSummaryEvent\",\"eventCreationTime\":"),
+            when(col("event_id") % 2 === 0, ms).otherwise(secs),
+            lit(",\"offset\":"), col("event_id"),
+            lit("},\"event\":{\"UserName\":\"alice"), col("user_id"),
+            lit("\",\"CommandLine\":\"  tool"), col("user_id") % 5,
+            lit(".exe  -x "), col("event_id"),
+            lit(" \",\"Severity\":\""), col("user_id") % 5 + 1,
+            lit("\",\"SHA256String\":\""),
+            when(col("user_id") % 4 === 0, lit("00000000"))
+              .otherwise(concat(lit("h"), col("event_id"))),
+            lit("\",\"DetectName\":\"Rule"), col("event_id") % 3,
+            lit("\",\"LocalIP\":\"10.3.0."), col("user_id") % 250,
+            lit("\"}}")))
+        graft.transform.managed.CrowdstrikeFalcon(lines)
+          .select(
+            col("crowdstrike.metadata.offset").as("event_id"),
+            unix_seconds(col("ts")).as("ts_epoch"),
+            col("user.name").as("uname"),
+            col("process.executable").as("exe"),
+            size(col("process.args")).as("nargs"),
+            col("event.severity").as("sev"),
+            col("rule.name").as("rule_name"),
+            array_join(col("related.hash"), ",").as("hashes"),
+            col("source.ip").as("src_ip"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id,
+               CAST(event_id + 1700000000 AS BIGINT) AS ts_epoch,
+               'alice' || user_id AS uname,
+               'tool' || (user_id % 5) || '.exe' AS exe,
+               3 AS nargs,
+               CAST(user_id % 5 + 1 AS BIGINT) AS sev,
+               'Rule' || (event_id % 3) AS rule_name,
+               CASE WHEN user_id % 4 = 0 THEN '' ELSE 'h' || event_id END AS hashes,
+               '10.3.0.' || (user_id % 250) AS src_ip
+        FROM events
+        WHERE event_id % 19 = 0
         ORDER BY event_id"""))
   )
 }
