@@ -96,6 +96,44 @@ object Vectors {
                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
               FROM s)
         WHERE rank <= 3
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ---- q50: embedding near-duplicate pairs (IVF bucket blocking) ----
+    // Same-bucket pairs above a cosine floor; the oracle re-derives the
+    // centroid assignment and within-bucket all-pairs scan. The query opts
+    // out of the production bucket cap because the oracle is exhaustive.
+    QueryDef(
+      "q50_embedding_neardup",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val centroids = v.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        val corpus = v.filter(col("id") >= 8)
+        val assigned = Similarity.ivfAssign(corpus, centroids)
+        Similarity.embeddingNearDup(assigned, threshold = 0.2, maxBucketSize = None)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             corpus AS (SELECT * FROM v WHERE id >= 8),
+             scored AS (SELECT corpus.id, corpus.vec, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, vec, cid AS bucket
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM scored)
+                          WHERE rn = 1),
+             pairs AS (SELECT a.id AS id1, b.id AS id2, a.vec AS v1, b.vec AS v2
+                       FROM assigned a JOIN assigned b USING (bucket)
+                       WHERE a.id < b.id),
+             s AS (SELECT id1, id2,
+                     ${sqlDot("v1", "v2")} /
+                     (sqrt(${sqlDot("v1", "v1")}) * sqrt(${sqlDot("v2", "v2")})) AS cos
+                   FROM pairs)
+        SELECT id1, id2, cos FROM s
+        WHERE cos >= 0.2
+        ORDER BY id1, id2"""))
   )
 }
