@@ -180,6 +180,53 @@ object Alerting {
         GROUP BY rule_name, severity
         ORDER BY rule_name""")),
 
+    // ---- q51: the imperative rule escape hatch (§2.8), oracle-checked --
+    // A sequential loop-with-early-exit over each user's ordered event
+    // list (error LATER followed by a big purchase) — the reference's
+    // Python `detect(record)` execution model, run through ImperativeRule
+    // + deepget. Imperative on the Spark side; the ORACLE can still verify
+    // it because the fired-set has a relational characterization
+    // (min error id < max qualifying-purchase id).
+    QueryDef(
+      "q51_imperative_rule",
+      (s, dir) => {
+        import graft.operators.Detection
+        import graft.operators.Detection.ImperativeRule
+        val seqs = events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            sort_array(collect_list(
+              struct(col("event_id"), col("event_type"), col("value")))).as("evs"),
+            unix_seconds(date_trunc("second", max(col("ts")))).as("mts"))
+        val rule = ImperativeRule("error_then_big_purchase", { row =>
+          val evs = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("evs")
+          var err = false; var hit = false
+          val it = evs.iterator
+          while (!hit && it.hasNext) {               // early exit
+            val e = it.next()
+            val t = String.valueOf(Detection.deepget(e, "event_type", ""))
+            if (t == "error") err = true
+            else if (t == "purchase" && err &&
+              e.getAs[Double]("value") > 150.0) hit = true
+          }
+          hit
+        })
+        Detection.ruleMatches(seqs, Seq(rule),
+            matchId = col("user_id"), ts = col("mts"))
+          .select(col("rule_name"), col("match_id"), col("ts").as("ts_epoch"))
+          .orderBy(col("match_id"))
+      },
+      Some("""
+        SELECT 'error_then_big_purchase' AS rule_name,
+               user_id AS match_id,
+               epoch(date_trunc('second', max(ts)))::BIGINT AS ts_epoch
+        FROM events
+        GROUP BY user_id
+        HAVING min(CASE WHEN event_type = 'error' THEN event_id END)
+             < max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                        THEN event_id END)
+        ORDER BY match_id""")),
+
     // ---- q45: lake round-trip with partition pruning (S13-S15 + P8) ----
     QueryDef(
       "q45_lake_roundtrip",
