@@ -475,6 +475,36 @@ object LogAnalytics {
                '10.3.0.' || (user_id % 250) AS src_ip
         FROM events
         WHERE event_id % 19 = 0
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- q52: as-of join — latest click state as of each purchase ----
+    // Point-in-time enrichment the reference leaves to its SQL engines;
+    // here the scale-safe union+window formulation (AsOfJoin.asOf: one
+    // exchange, no join explosion), cross-checked against DuckDB's native
+    // ASOF LEFT JOIN.
+    QueryDef(
+      "q52_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.operators.AsOfJoin
+          .asOf(
+            left = ev.filter(col("event_type") === "purchase")
+              .select("event_id", "user_id", "ts", "value"),
+            right = ev.filter(col("event_type") === "click"),
+            keys = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ts",
+            carry = Seq("ts" -> "click_ts", "value" -> "click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.ts AS click_ts, c.value AS click_value
+        FROM (SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value
+                        FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id"""))
   )
 }
