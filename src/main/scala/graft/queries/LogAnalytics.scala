@@ -505,6 +505,40 @@ object LogAnalytics {
         ASOF LEFT JOIN (SELECT user_id, ts, value
                         FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
-        ORDER BY p.event_id"""))
+        ORDER BY p.event_id""")),
+
+    // ---- q53: range join — point-in-interval feed enrichment ----
+    // The IP-in-CIDR shape the reference's exact-key enrichment can't do;
+    // bucketed to an equi hash join (RangeJoin.pointInRange) instead of the
+    // BETWEEN theta-join Spark would plan as a nested loop. The synthetic
+    // "address" and feed ranges are derived deterministically so the DuckDB
+    // oracle builds the identical inputs.
+    QueryDef(
+      "q53_range_join",
+      (s, dir) => {
+        val pts = t(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") * lit(2654435761L)) % lit(1000000L) as "ip")
+        val rng = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"),
+            (col("s_suppkey") * lit(104729L)) % lit(1000000L) as "lo")
+          .withColumn("hi", col("lo") + lit(200L) + (col("s_suppkey") % 97) * 13)
+        graft.operators.RangeJoin
+          .pointInRange(pts, "ip", rng, "lo", "hi",
+            bucketWidth = 1024, broadcastRanges = true)
+          .select("event_id", "ip", "s_suppkey", "s_name")
+          .orderBy(col("event_id"), col("s_suppkey"))
+      },
+      Some("""
+        WITH pts AS (SELECT event_id, (event_id * 2654435761) % 1000000 AS ip
+                     FROM events),
+        rng AS (SELECT s_suppkey, s_name,
+                       (s_suppkey * 104729) % 1000000 AS lo,
+                       (s_suppkey * 104729) % 1000000
+                         + 200 + (s_suppkey % 97) * 13 AS hi
+                FROM supplier)
+        SELECT p.event_id, p.ip, r.s_suppkey, r.s_name
+        FROM pts p JOIN rng r ON p.ip BETWEEN r.lo AND r.hi
+        ORDER BY p.event_id, r.s_suppkey"""))
   )
 }
