@@ -41,7 +41,11 @@ import scala.jdk.CollectionConverters._
   */
 object Snapshots {
 
-  final case class Entry(hour: String, file: String)
+  /** @param stats per-file column zone-map, None for pre-stats manifests
+    *              (or an unreadable footer) — absent stats never prune.
+    */
+  final case class Entry(hour: String, file: String,
+      stats: Option[FileStats.Stats] = None)
   final case class Snapshot(version: Int, entries: Vector[Entry])
 
   private def metaDir(table: String): Path = Paths.get(table, "_graft_lake")
@@ -67,8 +71,11 @@ object Snapshots {
   def snapshot(table: String, version: Int): Snapshot = {
     val lines = Files.readAllLines(manifestPath(table, version), UTF_8).asScala
     Snapshot(version, lines.iterator.filter(_.nonEmpty).map { l =>
-      val i = l.indexOf('\t')
-      Entry(l.substring(0, i), l.substring(i + 1))
+      l.split("\t", -1) match {
+        case Array(hour, file) => Entry(hour, file) // pre-stats manifest line
+        case Array(hour, file, stats) => Entry(hour, file, FileStats.parse(stats))
+        case _ => sys.error(s"malformed manifest line in v$version: $l")
+      }
     }.toVector)
   }
 
@@ -112,6 +119,26 @@ object Snapshots {
     readEntries(spark, table, snap.entries.filter(e => hours(e.hour)), mergeSchema)
   }
 
+  /** Zone-map file skipping: plan a scan over only the files whose
+    * manifest min/max stats may satisfy `filters`
+    * (`org.apache.spark.sql.sources.Filter`, the public pushdown algebra).
+    * Purely an optimization — callers still apply the real `.where`; files
+    * without stats are always kept. Composes with the hour partition level:
+    * stats prune WITHIN the hours a caller reads.
+    */
+  def readWhere(spark: SparkSession, table: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
+    val snap = version.map(snapshot(table, _))
+      .orElse(current(table))
+      .getOrElse(sys.error(s"no snapshot committed at $table"))
+    val kept = snap.entries.filter(e =>
+      e.stats.forall(st => filters.forall(f => FileStats.mayMatch(f, st))))
+    if (kept.nonEmpty) readEntries(spark, table, kept, mergeSchema)
+    // every file pruned: keep the snapshot's schema, read no data
+    else readEntries(spark, table, snap.entries, mergeSchema).limit(0)
+  }
+
   private def readEntries(spark: SparkSession, table: String,
       entries: Seq[Entry], mergeSchema: Boolean): DataFrame = {
     val paths = entries.map(e => Paths.get(table).resolve(e.file).toString)
@@ -133,13 +160,18 @@ object Snapshots {
     Lake.withHourPartition(df).write
       .partitionBy(Lake.PartitionCol).parquet(abs.toString)
     val hourRe = raw"ts_hour=([^/]+)".r
+    // footer stats at commit time — the reference's IcebergMetadataWriter
+    // move (`IcebergMetadataWriter.kt:199-216`): O(staged files) footer
+    // reads, no second data pass
+    val conf = df.sparkSession.sessionState.newHadoopConf()
     val s = Files.walk(abs)
     try s.iterator.asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val rel = Paths.get(table).relativize(p).toString
         Entry(hourRe.findFirstMatchIn(rel).map(_.group(1))
-          .getOrElse(sys.error(s"unpartitioned staged file $rel")), rel)
+            .getOrElse(sys.error(s"unpartitioned staged file $rel")),
+          rel, FileStats.collect(conf, p))
       }.toVector
     finally s.close()
   }
@@ -156,7 +188,10 @@ object Snapshots {
       val cur = current(table)
       val next = cur.map(_.version + 1).getOrElse(1)
       val entries = evolve(cur.map(_.entries).getOrElse(Vector.empty))
-      val body = entries.map(e => s"${e.hour}\t${e.file}").mkString("\n")
+      val body = entries.map { e =>
+        e.stats.fold(s"${e.hour}\t${e.file}")(
+          st => s"${e.hour}\t${e.file}\t${FileStats.encode(st)}")
+      }.mkString("\n")
       try {
         Files.write(manifestPath(table, next), body.getBytes(UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
