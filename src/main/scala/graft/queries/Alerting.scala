@@ -23,6 +23,9 @@ object Alerting {
   /** q45's written lake dirs, keyed by sf dir (see q45 for why). */
   private val lakeRoundtripDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q54's snapshot tables: (dir -> (table path, id cut)), memoized like q45. */
+  private val zoneMapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
   val rules: Seq[Detection.Rule] = Seq(
     Detection.SimpleRule(
       name = "error_burst",
@@ -266,6 +269,51 @@ object Alerting {
           AND strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') >= '2024-01-03-00'
           AND strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') < '2024-01-05-00'
         GROUP BY 1, 2
-        ORDER BY ts_hour, event_type"""))
+        ORDER BY ts_hour, event_type""")),
+
+    // ---- q54: zone-map file skipping on the snapshot lake (S14 + §4) ----
+    // Four append commits with disjoint event_id ranges, then a
+    // stats-pruned read: readWhere drops the three quarters of the files
+    // whose manifest min/max exclude the predicate BEFORE the scan is
+    // planned; the residual .where keeps semantics exact. Oracle is the
+    // same predicate over the raw table.
+    QueryDef(
+      "q54_lake_pruned",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        val (tmp, cut) = zoneMapDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_lake_zm").toString
+          val ev = events(s, dir)
+            .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+            .select("event_id", "ts", "event_type", "value")
+          // quartiles of the WRITTEN subset (day-1 event_ids are the low,
+          // ts-correlated range — a full-table cut would select nothing)
+          val n = ev.count()
+          // quartile appends: each file's id range is tight and disjoint
+          for (q <- 0L until 4L)
+            Snapshots.append(
+              ev.filter(col("event_id") >= q * n / 4 && col("event_id") < (q + 1) * n / 4)
+                .repartition(1), t)
+          (t, 3 * n / 4)
+        })
+        Snapshots
+          .readWhere(s, tmp,
+            Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("event_id", cut)))
+          .where(col("event_id") >= cut)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+          AND event_id >= 3 * (SELECT COUNT(*) FROM events
+                               WHERE ts < TIMESTAMP '2024-01-02 00:00:00') // 4
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
