@@ -96,4 +96,71 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  // ---- sign-random-projection (hyperplane) LSH ------------------------------
+
+  /** One sign bit per hyperplane: bit_j = [dot(vec, plane_j) >= 0]. Planes
+    * are deterministic Rademacher (±1-component) projections — a seeded
+    * formula instead of stored plane vectors, so executors need no
+    * broadcast side data and any engine can re-derive the sketch (the
+    * DuckDB oracle does). Sequential double fold keeps the dot
+    * bit-identical cross-engine.
+    */
+  def hyperplaneBits(vec: Column, planes: Int): Column =
+    array((0 until planes).map { j =>
+      val dot = aggregate(
+        transform(vec, (x, i) =>
+          x * when(pmod(i * lit(19349663L) + lit(j * 73856093L), lit(97L)) < 48,
+            lit(1.0d)).otherwise(lit(-1.0d))),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L)).otherwise(lit(0L))
+    }: _*)
+
+  /** Cosine near-duplicate pairs via banded hyperplane LSH — the
+    * cosine-space analogue of MinHash banding ([[graft.operators.Dedup]]):
+    * `bands` bands of `rowsPerBand` sign bits each; vectors agreeing on ALL
+    * bits of at least one band become candidates; exact cosine verifies.
+    * P[same band] = (1 - θ/π)^rowsPerBand for angle θ, so more rows per
+    * band sharpen precision, more bands recover recall.
+    *
+    * Scale shape: |corpus| x bands exploded rows, ONE shuffle on
+    * (band, bucket); candidate dedup + two id-joins to re-attach vectors
+    * for verification. All-pairs never forms outside a bucket, and
+    * [[maxBucketSize]] (ON by default) drops degenerate buckets — e.g. the
+    * all-zeros bucket that near-origin vectors share — which would
+    * otherwise go quadratic in one task.
+    */
+  def hyperplaneNearDup(vectors: DataFrame, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    val withBits = vectors
+      .withColumn("__bits", hyperplaneBits(col("vec"), bands * rowsPerBand))
+    val banded = withBits.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until rowsPerBand).map(r =>
+            col("__bits")(b * rowsPerBand + r) * lit(1L << r)).reduce(_ + _)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+        banded.join(sizes, Seq("band", "bucket"))
+          .filter(col("__n") <= cap).drop("__n")
+      case None => banded
+    }
+    val cand = bounded.select(col("band"), col("bucket"), col("id").as("id1"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id2")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cand
+      .join(vectors.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
+      .join(vectors.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
 }

@@ -134,6 +134,48 @@ object Vectors {
                    FROM pairs)
         SELECT id1, id2, cos FROM s
         WHERE cos >= 0.2
+        ORDER BY id1, id2""")),
+
+    // ---- q55: cosine near-dup via sign-random-projection (hyperplane) LSH --
+    // The cosine-space analogue of MinHash banding and the second ANN
+    // blocking scheme next to IVF (q50): 3 bands x 4 sign bits from
+    // deterministic Rademacher planes, candidates verified by exact cosine.
+    // The oracle re-derives the sketch from the same seeded formula —
+    // nothing engine-private in the sketch. Cap off: oracle is exhaustive.
+    QueryDef(
+      "q55_hyperplane_neardup",
+      (s, dir) =>
+        Similarity.hyperplaneNearDup(vecs(s, dir),
+            bands = 3, rowsPerBand = 4, threshold = 0.3, maxBucketSize = None)
+          .orderBy(col("id1"), col("id2")),
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        bits AS (
+          SELECT id, j,
+            CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> vec[i] * CASE WHEN (CAST(i-1 AS BIGINT)*19349663
+                                       + CAST(j AS BIGINT)*73856093) % 97 < 48
+                                 THEN 1.0 ELSE -1.0 END)) >= 0
+                 THEN 1 ELSE 0 END AS bit
+          FROM v CROSS JOIN range(12) t(j)
+        ),
+        banded AS (
+          SELECT id, j // 4 AS band,
+                 CAST(SUM(bit * CAST(POW(2, j % 4) AS BIGINT)) AS BIGINT) AS bucket
+          FROM bits GROUP BY id, j // 4
+        ),
+        cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                 FROM banded a JOIN banded b USING (band, bucket)
+                 WHERE a.id < b.id),
+        pairs AS (SELECT id1, id2, v1.vec AS p1, v2.vec AS p2
+                  FROM cand JOIN v v1 ON v1.id = cand.id1
+                            JOIN v v2 ON v2.id = cand.id2),
+        s AS (SELECT id1, id2,
+                ${sqlDot("p1", "p2")} /
+                (sqrt(${sqlDot("p1", "p1")}) * sqrt(${sqlDot("p2", "p2")})) AS cos
+              FROM pairs)
+        SELECT id1, id2, cos FROM s
+        WHERE cos >= 0.3
         ORDER BY id1, id2"""))
   )
 }

@@ -93,6 +93,32 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.count() == 1200L * 1199 / 2 + 1)
   }
 
+  test("hyperplane LSH finds parallel vectors, rejects orthogonal ones, caps hot buckets") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val near = base.map(_ * 2.0 + 0.001) // same direction, cos ~ 1
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) base(i + 1) else -base(i - 1))
+    val df = Seq(
+      (1L, base.toSeq), (2L, near.toSeq), (3L, ortho.toSeq)).toDF("id", "vec")
+    val out = Similarity
+      .hyperplaneNearDup(df, bands = 3, rowsPerBand = 4, threshold = 0.9)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getAs[Double]("cos") > 0.999)
+    // sign bits are deterministic: same input, same sketch, run to run
+    val bits = df.select(Similarity.hyperplaneBits(col("vec"), 12).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    val bits2 = df.select(Similarity.hyperplaneBits(col("vec"), 12).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    assert(bits.toSeq == bits2.toSeq)
+    assert(bits(0) == bits(1)) // parallel vectors share every sign bit
+    // a degenerate corpus (everything identical) trips the bucket cap
+    val degenerate = (1 to 50).map(i => (i.toLong, base.toSeq)).toDF("id", "vec")
+    val capped = Similarity
+      .hyperplaneNearDup(degenerate, 3, 4, 0.0, maxBucketSize = Some(10))
+    assert(capped.count() == 0)
+  }
+
   test("q32 leaves no cached frame behind after the query fn returns") {
     val q = SparkEntry.queries("q32_lsh_jaccard")
     val out = q(spark, sf)
