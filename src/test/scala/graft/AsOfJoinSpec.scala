@@ -80,6 +80,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> None))
   }
 
+  test("randomized: matches an independent per-row scan model (800 x 600 rows)") {
+    val rnd = new scala.util.Random(13)
+    def randTs() = new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)
+    val lrows = (1 to 800).map(i => (i.toLong, s"k${rnd.nextInt(12)}", randTs()))
+    val rrows = (1 to 600).map(i => (s"k${rnd.nextInt(15)}", randTs(), rnd.nextDouble()))
+    val l = lrows.toDF("id", "k", "ts")
+    val r = rrows.toDF("k", "ts", "v")
+    for (strict <- Seq(false, true)) {
+      val got = byId(AsOfJoin.asOf(l, r, Seq("k"), "ts", "ts", Seq("v" -> "rv"),
+        strict = strict))
+      val want = lrows.map { case (id, k, ts) =>
+        val qualifying = rrows.filter { case (rk, rts, _) =>
+          rk == k && (if (strict) rts.getTime < ts.getTime else rts.getTime <= ts.getTime)
+        }
+        // random millisecond timestamps: collisions vanishingly unlikely,
+        // so maxBy is unambiguous
+        id -> (if (qualifying.isEmpty) None else Some(qualifying.maxBy(_._2.getTime)._3))
+      }.toMap
+      assert(got == want, s"strict=$strict")
+      assert(want.values.count(_.isDefined) > 500) // the model isn't vacuous
+    }
+  }
+
   test("plan shape: exactly one exchange, no join operator") {
     val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("v" -> "rv"))
     val plan = out.queryExecution.executedPlan.toString
