@@ -277,6 +277,41 @@ object TextPipeline {
         SELECT s.doc_id, s.width, s.height, t.thumb_hex,
                s.mean_luminance, s.stddev_luminance
         FROM stats s JOIN thumbs t USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Frame sampling over video-like binary payloads: fixed-size byte
+    // frames, every stride-th kept (Multimodal.sampleFrames — the real
+    // plumbing of a frame sampler; the codec stays stubbed per the
+    // sandbox constraint). The oracle re-slices the identical frames from
+    // the hex encoding, so the byte arithmetic (ceil framing, stride
+    // walk, short final frame) is verified end to end.
+    QueryDef(
+      "q56_frame_sample",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .select("doc_id", "payload")
+        Multimodal.sampleFrames(d, "payload", frameBytes = 64, stride = 2)
+          .select(col("doc_id"), col("frame_idx"),
+            length(col("frame")).cast("int").as("frame_len"),
+            hex(col("frame")).as("frame_hex"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS nf
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, hx,
+                 unnest(range(0, greatest(nf - 1, 0) + 1, 2)) AS fi
+          FROM t
+        )
+        SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+               CAST(length(substr(hx, fi*128 + 1, 128)) // 2 AS INTEGER) AS frame_len,
+               substr(hx, fi*128 + 1, 128) AS frame_hex
+        FROM f
+        ORDER BY doc_id, frame_idx"""))
   )
 }
