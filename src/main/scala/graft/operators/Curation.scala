@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * train/val/test splitting, test-set decontamination (n-gram overlap
+  * against a training corpus), and sequence packing by token budget.
+  *
+  * All assignment is hash- or prefix-sum-derived — never `rand()` — so a
+  * split or pack is reproducible across runs, engines, and retries
+  * (Spark task retries re-evaluate expressions; a nondeterministic split
+  * would tear a dataset apart between attempts).
+  */
+object Curation {
+
+  /** Stable bucket in [0, buckets) from the md5 of the id rendered as a
+    * string: first 8 hex chars → integer → mod. Any engine reproduces the
+    * exact assignment (the DuckDB oracle does), and adding rows never
+    * reshuffles existing ones — the property that makes hash splits the
+    * standard for corpus versioning.
+    */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % buckets
+
+  /** Deterministic split assignment. `splits` are (name, percent) in
+    * order; percents must sum to 100. A row's bucket (md5-derived) picks
+    * the first range it falls in. Pure per-row projection: no shuffle, no
+    * state — safe at any scale and under AQE retries.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      : DataFrame = {
+    require(splits.map(_._2).sum == 100, s"split percents must sum to 100: $splits")
+    val bucket = hashBucket(col(idCol))
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), rest) => when(bucket < hi, name).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", assign)
+  }
+
+  /** Test-set decontamination: for each test document, how many of its
+    * distinct word n-grams appear anywhere in the training corpus.
+    * Returns (id, n_shingles, n_contaminated, contamination_ratio).
+    *
+    * Scale shape: both sides reduce to distinct-shingle frames
+    * ([[Dedup.shingleFrame]] — one tokenize pass each); the training side
+    * collapses to its GLOBAL distinct shingle set before the join, so the
+    * join's build side is vocabulary-sized, not corpus-sized, and each
+    * test shingle matches at most one training row (no fan-out). One
+    * shuffle on the shingle key; bodies never move.
+    */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val trainGrams = Dedup.shingleFrame(train, idCol, textCol, shingleN)
+      .select(explode(col("sh")).as("gram")).distinct()
+    val testGrams = Dedup.shingleFrame(test, idCol, textCol, shingleN)
+      .select(col("doc"), col("n_sh"), explode(col("sh")).as("gram"))
+    testGrams
+      .join(trainGrams.withColumn("__hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(max(col("n_sh")).cast(LongType).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+  }
+
+  /** Sequence packing by token budget: within each `partitionCol` stratum,
+    * walk documents in `orderCol` order and assign
+    * `pack_id = floor(exclusive_prefix_tokens / budget)` — the
+    * deterministic streaming-pack rule (a document opens a new pack when
+    * the tokens before it have crossed a budget boundary; packs can
+    * overfill by at most one document, never underfill by more than a
+    * straggler).
+    *
+    * Scale shape: ONE window per stratum — packing parallelizes across
+    * strata (language, source, shard key), which is how a 100 TB corpus
+    * is packed in practice. A global (unpartitioned) pack would serialize
+    * into a single task; callers wanting one global stream should
+    * pre-shard ids into strata and offset pack ids per stratum.
+    */
+  def packByBudget(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, partitionCol: String, orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("pack_id",
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef._
@@ -312,6 +312,94 @@ object TextPipeline {
                CAST(length(substr(hx, fi*128 + 1, 128)) // 2 AS INTEGER) AS frame_len,
                substr(hx, fi*128 + 1, 128) AS frame_hex
         FROM f
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ---- corpus curation (graft.operators.Curation) -----------------------
+
+    // Deterministic train/val/test split: md5-hash bucket, no rand() —
+    // the oracle re-derives the exact assignment from the same hex
+    // arithmetic, proving the split is engine- and run-reproducible.
+    QueryDef(
+      "q57_split",
+      (s, dir) =>
+        Curation.deterministicSplit(docs(s, dir), "doc_id")
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+        ORDER BY doc_id""")),
+
+    // Test-set decontamination: distinct 3-gram overlap of each held-out
+    // doc against the global training-corpus shingle vocabulary. The
+    // training side collapses to its distinct gram set before the join
+    // (vocabulary-sized build side), each test gram matches at most once.
+    QueryDef(
+      "q58_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Curation.decontaminate(
+            train = d.filter(col("doc_id") % 10 =!= 0),
+            test = d.filter(col("doc_id") % 10 === 0),
+            idCol = "doc_id", textCol = "text", shingleN = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH tr AS (
+          SELECT DISTINCT unnest(sh) AS gram FROM (
+            SELECT ${sqlShingles(3)} AS sh FROM (
+              SELECT $sqlToks AS tk FROM documents WHERE doc_id % 10 <> 0))
+        ),
+        te AS (
+          SELECT doc_id, ${sqlShingles(3)} AS sh FROM (
+            SELECT doc_id, $sqlToks AS tk FROM documents WHERE doc_id % 10 = 0)
+        ),
+        teg AS (
+          SELECT doc_id, len(sh)::BIGINT AS n_shingles, unnest(sh) AS gram
+          FROM te
+        )
+        SELECT teg.doc_id, teg.n_shingles,
+               SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_contaminated,
+               SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / teg.n_shingles AS contamination_ratio
+        FROM teg LEFT JOIN tr ON teg.gram = tr.gram
+        GROUP BY teg.doc_id, teg.n_shingles
+        ORDER BY doc_id""")),
+
+    // Sequence packing by token budget: exclusive-prefix-sum pack rule,
+    // windows parallel per language stratum (the scale shape — a global
+    // unpartitioned pack would serialize into one task).
+    QueryDef(
+      "q59_sequence_pack",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("n_tokens",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+        Curation.packByBudget(d, "doc_id", "n_tokens",
+            budget = 512L, partitionCol = "lang", orderCol = "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+                 AS BIGINT) AS pack_id
+        FROM t
+        ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic split: stable across evaluations, ranges honored") {
+    val df = spark.range(0, 2000).toDF("id")
+    val a = Curation.deterministicSplit(df, "id").select("id", "bucket", "split")
+    val b = Curation.deterministicSplit(df, "id").select("id", "bucket", "split")
+    assert(a.collect().sortBy(_.getLong(0)).sameElements(b.collect().sortBy(_.getLong(0))))
+    val rows = a.collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+    rows.foreach { r =>
+      val expected =
+        if (r.getLong(1) < 90) "train" else if (r.getLong(1) < 95) "val" else "test"
+      assert(r.getString(2) == expected, s"id=${r.getLong(0)}")
+    }
+    // all three splits populated and train dominates on 2000 ids
+    val counts = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") + counts("test"))
+  }
+
+  test("deterministic split rejects percents that do not sum to 100") {
+    val df = spark.range(0, 10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Curation.deterministicSplit(df, "id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("decontaminate counts distinct n-gram overlap against the train corpus") {
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "dogs bark loudly at night"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the cat sat on a chair"),  // shares "the cat sat", "cat sat on"
+      (11L, "completely novel words here entirely"), // zero overlap
+      (12L, "on the mat"))               // exactly one trigram, contaminated
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, test, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) == (4L, 2L))
+    assert(out(11L) == (3L, 0L))
+    assert(out(12L) == (1L, 1L))
+  }
+
+  test("decontaminate drops docs shorter than the shingle width on both sides") {
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val test = Seq((10L, "alpha beta"), (11L, "alpha beta gamma")).toDF("doc_id", "text")
+    val ids = Curation.decontaminate(train, test, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(11L)) // 2-token doc has no trigram rows to aggregate
+  }
+
+  test("packByBudget: exclusive prefix sum opens packs at budget boundaries") {
+    val df = Seq(
+      ("en", 1L, 100L), ("en", 2L, 400L), ("en", 3L, 100L), ("en", 4L, 512L),
+      ("fr", 1L, 600L), ("fr", 2L, 10L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Curation.packByBudget(df, "doc_id", "n_tokens", 512L, "lang", "doc_id")
+      .select("lang", "doc_id", "pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // en prefix sums (exclusive): 0, 100, 500, 600 → packs 0,0,0,1
+    assert(out(("en", 1L)) == 0L && out(("en", 2L)) == 0L)
+    assert(out(("en", 3L)) == 0L && out(("en", 4L)) == 1L)
+    // fr stratum packs independently: 0, 600 → packs 0, 1
+    assert(out(("fr", 1L)) == 0L && out(("fr", 2L)) == 1L)
+  }
+}
