@@ -43,6 +43,24 @@ object Curation {
     df.withColumn("bucket", bucket).withColumn("split", assign)
   }
 
+  /** Deterministic stratified downsampling: keep a row iff its id's
+    * md5 bucket (out of 10000, for basis-point precision) falls below the
+    * stratum's sampling rate. Like [[deterministicSplit]] this is a pure
+    * per-row projection — no shuffle, no rand(), retry- and
+    * engine-reproducible — which is what lets a 100 TB corpus be
+    * re-sampled to the same rows on every run.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): DataFrame = {
+    val bucket = hashBucket(col(idCol), 10000)
+    val thresh = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit((defaultFraction * 10000).toLong): Column) {
+        case (rest, (k, f)) =>
+          when(col(strataCol) === k, lit((f * 10000).toLong)).otherwise(rest)
+      }
+    df.filter(bucket < thresh)
+  }
+
   /** Test-set decontamination: for each test document, how many of its
     * distinct word n-grams appear anywhere in the training corpus.
     * Returns (id, n_shingles, n_contaminated, contamination_ratio).

@@ -400,6 +400,22 @@ object TextPipeline {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
                  AS BIGINT) AS pack_id
         FROM t
+        ORDER BY doc_id""")),
+
+    // Deterministic stratified downsampling: per-language keep rates from
+    // md5 basis-point buckets — the oracle re-derives exact membership, so
+    // the sample is proven reproducible (same rows every run, any engine).
+    QueryDef(
+      "q60_stratified_sample",
+      (s, dir) =>
+        Curation.stratifiedSample(docs(s, dir), "doc_id", "lang",
+            Map("en" -> 0.25, "zh" -> 0.5))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+              < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END
         ORDER BY doc_id"""))
   )
 }

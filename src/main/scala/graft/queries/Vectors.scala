@@ -176,6 +176,36 @@ object Vectors {
               FROM pairs)
         SELECT id1, id2, cos FROM s
         WHERE cos >= 0.3
-        ORDER BY id1, id2"""))
+        ORDER BY id1, id2""")),
+
+    // ---- q61: symmetric int8 embedding quantization ----
+    // The 4x memory cut that makes a 100 TB fp32 corpus RAM-resident for
+    // ANN. floor(x*scale + 0.5), never round(): floor is the same IEEE op
+    // in every engine, so codes are bit-reproducible (the oracle re-derives
+    // them exactly — no tolerance).
+    QueryDef(
+      "q61_quantize_int8",
+      (s, dir) => {
+        import graft.functions.VectorFunctions
+        vecs(s, dir)
+          .withColumn("scale", VectorFunctions.int8Scale(col("vec")))
+          .withColumn("q", VectorFunctions.quantizeInt8(col("vec"), col("scale")))
+          .select(col("id"), col("scale"),
+            // codes as CSV: the driver's compare hashes scalar cells
+            array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
+          .orderBy("id")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        m AS (SELECT id, vec,
+                     list_max(list_transform(vec, x -> abs(x))) AS ma FROM v),
+        s AS (SELECT id, vec,
+                     CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale FROM m)
+        SELECT id, scale,
+               array_to_string(list_transform(vec, x ->
+                 greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT)))), ',')
+                 AS q_csv
+        FROM s
+        ORDER BY id"""))
   )
 }

@@ -54,6 +54,53 @@ class CurationSpec extends SparkSpec {
     assert(ids == Set(11L)) // 2-token doc has no trigram rows to aggregate
   }
 
+  test("stratifiedSample: per-stratum rates honored exactly and reproducibly") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("grp", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = Curation.stratifiedSample(df, "id", "grp", Map("a" -> 0.2))
+    // membership is exactly bucket < rate, per row
+    val check = kept.withColumn("b", Curation.hashBucket(col("id"), 10000))
+      .collect()
+    assert(check.forall { r =>
+      val cap = if (r.getString(1) == "a") 2000L else 10000L
+      r.getLong(2) < cap
+    })
+    // stratum b untouched (default fraction 1.0), stratum a downsampled
+    val counts = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("b") == 1500L)
+    assert(counts("a") > 200 && counts("a") < 400) // ~20% of 1500
+    // reproducible: second evaluation keeps the identical id set
+    val again = Curation.stratifiedSample(df, "id", "grp", Map("a" -> 0.2))
+    assert(kept.select("id").as[Long].collect().sorted
+      .sameElements(again.select("id").as[Long].collect().sorted))
+  }
+
+  test("quantizeInt8: codes reconstruct within half a step, zero vector safe") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, -2.0f, 1.0f, -0.5f)))
+      .toDF("id", "emb")
+      .withColumn("vec", asDouble(col("emb")))
+      .withColumn("scale", int8Scale(col("vec")))
+      .withColumn("q", quantizeInt8(col("vec"), col("scale")))
+    val rows = df.select("id", "scale", "q", "vec").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2), r.getSeq[Double](3))).toMap
+    // max-magnitude component always maps to ±127
+    assert(rows(1L)._2 == Seq(64L, -127L, 32L, 0L))
+    assert(rows(3L)._2 == Seq(127L, -127L, 64L, -32L))
+    // zero vector: scale 0.0, all-zero codes (no NaN/div-by-zero)
+    assert(rows(2L)._1 == 0.0 && rows(2L)._2.forall(_ == 0L))
+    // dequantization error bounded by half a quantization step
+    val (s1, q1, v1) = rows(1L)
+    q1.zip(v1).foreach { case (q, x) =>
+      assert(math.abs(q / s1 - x) <= 0.5 / s1 + 1e-12)
+    }
+  }
+
   test("packByBudget: exclusive prefix sum opens packs at budget boundaries") {
     val df = Seq(
       ("en", 1L, 100L), ("en", 2L, 400L), ("en", 3L, 100L), ("en", 4L, 512L),
