@@ -74,10 +74,25 @@ object Curation {
     */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
+    // explode_outer + isNotNull instead of plain explode — deliberately.
+    // On a non-outer Generate, Spark's InferFiltersFromGenerate adds
+    // `size(sh) > 0` under the explode, and predicate pushdown then clones
+    // the ENTIRE tokenize+shingle expression into the parquet scan's
+    // DataFilters — where the token-staging projection of
+    // [[Dedup.shingleFrame]] does not exist, so split() re-evaluates per
+    // gram reference and the tokenize pass goes quadratic in document
+    // length (measured 54× vs compute floor at sf0.1). The rule matches
+    // only `outer = false` generates; explode_outer emits one null-gram
+    // row for an empty shingle set, and the isNotNull filter on the
+    // GENERATED attribute (which no rule can push below the Generate)
+    // restores plain-explode semantics exactly. Net: identical rows, zero
+    // materialization, and the scan keeps its staged linear plan.
     val trainGrams = Dedup.shingleFrame(train, idCol, textCol, shingleN)
-      .select(explode(col("sh")).as("gram")).distinct()
+      .select(explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull).distinct()
     val testGrams = Dedup.shingleFrame(test, idCol, textCol, shingleN)
-      .select(col("doc"), col("n_sh"), explode(col("sh")).as("gram"))
+      .select(col("doc"), col("n_sh"), explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
     testGrams
       .join(trainGrams.withColumn("__hit", lit(1L)), Seq("gram"), "left")
       .groupBy(col("doc").as(idCol))
