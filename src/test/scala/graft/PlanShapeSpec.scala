@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.types.{ArrayType, MapType}
+
+/** Plan-shape guard for the generator-filter-pushdown trap (round-5 q58
+  * defect): Spark's `InferFiltersFromGenerate` adds `size(arr) > 0` under a
+  * non-outer explode, and predicate pushdown can clone the ENTIRE derived
+  * expression for `arr` (tokenize + shingle, band signatures, frame
+  * sequences, ...) into the parquet scan's `DataFilters`, where staged
+  * projections do not exist, so the derivation re-evaluates per element
+  * reference — measured at 54× the compute floor on decontamination.
+  *
+  * The guard: across every declared query's physical plan, no FileScan
+  * data filter may contain a non-column expression that PRODUCES an array
+  * or map. Cheap scalar predicates (`isnotnull(c)`, comparisons,
+  * `size(stored_array) > 0` on a real column) pass; any re-derivation of a
+  * generator input inside a scan fails. Applied to the whole query surface
+  * so a future generator query inherits the guard for free.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Queries whose construction has external side effects (streaming
+    * checkpoints, lake temp-dir round-trips) — their scans are exercised by
+    * their own specs and the driver gate.
+    */
+  private val sideEffecting = Set("q41_alerts_stream", "q45_lake_roundtrip", "q54_lake_pruned")
+
+  private def scanDataFilters(df: DataFrame): Seq[Expression] =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.dataFilters
+    }.flatten
+
+  /** An expression a scan filter must not contain: any node that builds an
+    * array/map value (split, sequence, transform/filter lambdas, shingle
+    * CASE chains, ...) rather than reading one from a column.
+    */
+  private def derivesCollection(e: Expression): Boolean = e.exists {
+    case _: Attribute | _: Literal => false
+    case n => n.dataType.isInstanceOf[ArrayType] || n.dataType.isInstanceOf[MapType]
+  }
+
+  for ((name, fn) <- SparkEntry.queries if !sideEffecting(name))
+    test(s"$name: no derived-collection expression in any FileScan data filter") {
+      val offenders = scanDataFilters(fn(spark, sf)).filter(derivesCollection)
+      assert(offenders.isEmpty,
+        s"scan filters re-derive a collection (generator-pushdown trap):\n" +
+          offenders.map(_.toString).mkString("\n"))
+    }
+
+  test("guard has teeth: the round-5 defect shape (plain explode over a " +
+    "derived shingle array) IS flagged") {
+    import org.apache.spark.sql.functions._
+    // Reconstruct the pre-fix decontaminate gram side: a non-outer explode
+    // over shingleFrame reading straight from parquet. InferFiltersFromGenerate
+    // + pushdown clone the tokenize+shingle expression into the scan filter.
+    val bad = operators.Dedup
+      .shingleFrame(spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3)
+      .select(explode(col("sh")).as("gram"))
+    val flagged = scanDataFilters(bad).filter(derivesCollection)
+    assert(flagged.nonEmpty,
+      "expected the plain-explode shape to push a derived-collection filter " +
+        "into the scan; if Spark stopped doing this, the guard (and the " +
+        "explode_outer workaround in Curation.decontaminate) can be revisited")
+  }
+}
