@@ -31,6 +31,12 @@ object Bench {
     spark.catalog.clearCache()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      // Settle the heap OUTSIDE the timed region: without this, garbage
+      // from an allocation-heavy neighbor lands as GC pauses inside the
+      // next queries' windows — the round-5 sweep showed q05–q08 at up to
+      // 3x their steady-state times with unchanged code, and the round-6
+      // sweep (same code) recovered on its own. See BENCHNOTES.md.
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink: full computation of every output column (count() would
       // let Catalyst prune projections and under-measure map-only queries)
