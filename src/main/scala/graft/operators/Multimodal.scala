@@ -7,15 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in batch-shaped partition passes.
   *
-  * The decode step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, batching, partition-wise
-  * processing, metadata extraction — is real: swap `decodeStub` for a
-  * JNI/codec call and the operator is production-shaped. At cluster scale
-  * the binary column stays columnar (parquet binary), partitions are sized
-  * by `spark.sql.files.maxPartitionBytes`, and the decode pass is
-  * mapPartitions so per-partition library init (codec contexts) happens
-  * once, not per row.
+  * Image decode is REAL for JPEG/PNG (and any other `javax.imageio`
+  * service-provider format — GIF/BMP/WBMP ship with the JDK): see
+  * [[decodeImageToGrayscale]] / [[decodeResizeGrayscale]]. Audio/video
+  * codecs have no JDK decoder, so those stay on [[decodeStub]], which
+  * derives deterministic fake features from the bytes — everything around
+  * the stub (schema, batching, partition-wise processing, metadata
+  * extraction) is real, so swapping in a JNI/codec call is a one-function
+  * change. At cluster scale the binary column stays columnar (parquet
+  * binary), partitions are sized by `spark.sql.files.maxPartitionBytes`,
+  * and decode passes are mapPartitions so per-partition library init
+  * (codec contexts) happens once, not per row.
   */
 object Multimodal {
 
@@ -78,38 +80,138 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         val w = r.getInt(wIdx)
         if (bytes == null || w <= 0 || bytes.length < w) None
+        else Some(thumbRow(r.getLong(idIdx), bytes, w, bytes.length / w, targetW, targetH))
+      }
+    }.toDF(idCol, "width", "height", "thumbnail", "mean_luminance", "stddev_luminance")
+  }
+
+  /** Block-mean pooling + full-resolution luminance stats over a w×h
+    * 8-bit grayscale pixel buffer. Output pixel = integer mean of its
+    * source rectangle — deterministic pure-integer arithmetic, so an
+    * external engine (the DuckDB oracle) reproduces it bit-for-bit.
+    */
+  private def thumbRow(id: Long, pix: Array[Byte], w: Int, h: Int,
+      targetW: Int, targetH: Int): (Long, Int, Int, Array[Byte], Double, Double) = {
+    val thumb = new Array[Byte](targetW * targetH)
+    var ty = 0
+    while (ty < targetH) {
+      val y0 = ty * h / targetH
+      val y1 = math.max(y0 + 1, (ty + 1) * h / targetH)
+      var tx = 0
+      while (tx < targetW) {
+        val x0 = tx * w / targetW
+        val x1 = math.max(x0 + 1, (tx + 1) * w / targetW)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += pix(y * w + x) & 0xff; n += 1; x += 1 }
+          y += 1
+        }
+        thumb(ty * targetW + tx) = (sum / n).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    var s = 0.0; var s2 = 0.0
+    val total = w * h
+    var i = 0
+    while (i < total) { val v = (pix(i) & 0xff).toDouble; s += v; s2 += v * v; i += 1 }
+    val mean = s / total
+    val stddev = math.sqrt(math.max(0.0, s2 / total - mean * mean))
+    (id, w, h, thumb, mean, stddev)
+  }
+
+  /** One-time per-JVM ImageIO setup: headless AWT (executors have no
+    * display) and no disk-backed stream cache (decode stays in-memory —
+    * an executor-local temp file per image would be a hidden I/O tax).
+    */
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** REAL image decode via `javax.imageio` (JDK built-in; PNG, JPEG, GIF,
+    * BMP, WBMP): bytes → (width, height, 8-bit grayscale pixels, row-major).
+    * Grayscale sources read their raster directly (bit-exact — the
+    * property the PNG round-trip oracle relies on); color sources reduce
+    * through integer ITU-R BT.601 luma ((299R + 587G + 114B) / 1000), the
+    * same deterministic arithmetic an external oracle can re-derive.
+    * Returns None for bytes no installed reader recognizes (caller routes
+    * those to [[decodeStub]] / sidelining).
+    */
+  def decodeImageToGrayscale(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    imageIoReady
+    if (bytes == null || bytes.length == 0) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val pix = new Array[Byte](w * h)
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      img.getRaster.getDataElements(0, 0, w, h, pix)
+    } else {
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        val lum = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+        pix(i) = lum.toByte
+        i += 1
+      }
+    }
+    Some((w, h, pix))
+  }
+
+  /** PNG-encode a raw 8-bit grayscale payload (height = length/width) —
+    * the producer side of the image path, used to build real compressed
+    * payloads from raw pixels inside a pipeline (and to prove the decode
+    * path round-trips losslessly). Rows whose payload is shorter than one
+    * row of pixels are dropped, mirroring [[resizeRawGrayscale]].
+    */
+  def encodeGrayscalePng(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String, widthCol: String): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val wIdx = df.schema.fieldIndex(widthCol)
+    df.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val w = r.getInt(wIdx)
+        if (bytes == null || w <= 0 || bytes.length < w) None
         else {
           val h = bytes.length / w
-          // block-mean pooling: output pixel = integer mean of its source
-          // rectangle (deterministic; pure integer arithmetic)
-          val thumb = new Array[Byte](targetW * targetH)
-          var ty = 0
-          while (ty < targetH) {
-            val y0 = ty * h / targetH
-            val y1 = math.max(y0 + 1, (ty + 1) * h / targetH)
-            var tx = 0
-            while (tx < targetW) {
-              val x0 = tx * w / targetW
-              val x1 = math.max(x0 + 1, (tx + 1) * w / targetW)
-              var sum = 0L; var n = 0L
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) { sum += bytes(y * w + x) & 0xff; n += 1; x += 1 }
-                y += 1
-              }
-              thumb(ty * targetW + tx) = (sum / n).toByte
-              tx += 1
-            }
-            ty += 1
-          }
-          var s = 0.0; var s2 = 0.0
-          val total = w * h
-          var i = 0
-          while (i < total) { val v = (bytes(i) & 0xff).toDouble; s += v; s2 += v * v; i += 1 }
-          val mean = s / total
-          val stddev = math.sqrt(math.max(0.0, s2 / total - mean * mean))
-          Some((r.getLong(idIdx), w, h, thumb, mean, stddev))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, w, h, java.util.Arrays.copyOf(bytes, w * h))
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          Some((r.getLong(idIdx), out.toByteArray))
+        }
+      }
+    }.toDF(idCol, "png")
+  }
+
+  /** REAL compressed-image pipeline stage: decode (JPEG/PNG/... via
+    * `javax.imageio`) → grayscale → block-mean resize + luminance stats —
+    * the same output contract as [[resizeRawGrayscale]], for payloads that
+    * are actual image files rather than raw pixel buffers. Undecodable
+    * payloads are dropped (a production pipeline sidelines them; keeping
+    * the operator total-on-decodable keeps its schema clean). Decoder
+    * setup happens once per partition via [[imageIoReady]].
+    */
+  def decodeResizeGrayscale(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap { r =>
+        decodeImageToGrayscale(r.getAs[Array[Byte]](binIdx)).map {
+          case (w, h, pix) => thumbRow(r.getLong(idIdx), pix, w, h, targetW, targetH)
         }
       }
     }.toDF(idCol, "width", "height", "thumbnail", "mean_luminance", "stddev_luminance")

@@ -36,6 +36,57 @@ object TextPipeline {
   private def sqlMhChunk(j: Int): String =
     s"list_min(list_transform(hs${j / 4}, h -> substr(h, ${(j % 4) * 8 + 1}, 8)))"
 
+  /** Shared oracle for the 16-wide grayscale → 4×4 block-mean thumbnail +
+    * luminance stats pipeline. q47 feeds it raw pixel payloads; q62 first
+    * PNG-encodes and javax.imageio-decodes the same pixels (PNG is
+    * lossless, so both paths must produce identical bytes). The integer
+    * block-pool and the exact-integer mean/stddev arithmetic match Spark
+    * bit-for-bit (sums of bytes are exactly representable as doubles).
+    */
+  private val thumbOracle: Option[String] = Some("""
+        WITH t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 (octet_length(encode(text)) // 16) AS h
+          FROM documents
+          WHERE octet_length(encode(text)) >= 16
+        ),
+        bl AS (
+          SELECT doc_id, h,
+                 list_transform(range(0, 16 * h), i ->
+                   ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS px
+          FROM t
+        ),
+        pix AS (
+          SELECT doc_id, h, px, ty, tx,
+                 (ty*h)//4 AS y0, greatest((ty*h)//4 + 1, ((ty+1)*h)//4) AS y1,
+                 (tx*16)//4 AS x0, greatest((tx*16)//4 + 1, ((tx+1)*16)//4) AS x1
+          FROM bl, (SELECT unnest(range(0,4)) AS ty), (SELECT unnest(range(0,4)) AS tx)
+        ),
+        vals AS (
+          SELECT doc_id, ty, tx,
+                 list_sum(flatten(list_transform(range(y0, y1), y ->
+                   list_transform(range(x0, x1), x -> px[y*16 + x + 1])))) AS s,
+                 (y1 - y0) * (x1 - x0) AS n
+          FROM pix
+        ),
+        thumbs AS (
+          SELECT doc_id,
+                 string_agg(lpad(hex(s // n), 2, '0'), '' ORDER BY ty, tx) AS thumb_hex
+          FROM vals GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                 list_sum(px)::DOUBLE / (16*h) AS mean_luminance,
+                 sqrt(greatest(0.0, list_sum(list_transform(px, v -> v*v))::DOUBLE / (16*h)
+                   - (list_sum(px)::DOUBLE / (16*h)) * (list_sum(px)::DOUBLE / (16*h))))
+                   AS stddev_luminance
+          FROM bl
+        )
+        SELECT s.doc_id, s.width, s.height, t.thumb_hex,
+               s.mean_luminance, s.stddev_luminance
+        FROM stats s JOIN thumbs t USING (doc_id)
+        ORDER BY doc_id""")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q30: document fingerprints (exact + min-shingle rolling hash) ----
@@ -235,56 +286,39 @@ object TextPipeline {
             col("mean_luminance"), col("stddev_luminance"))
           .orderBy("doc_id")
       },
-      Some("""
-        WITH t AS (
-          SELECT doc_id, hex(encode(text)) AS hx,
-                 (octet_length(encode(text)) // 16) AS h
-          FROM documents
-          WHERE octet_length(encode(text)) >= 16
-        ),
-        bl AS (
-          SELECT doc_id, h,
-                 list_transform(range(0, 16 * h), i ->
-                   ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS px
-          FROM t
-        ),
-        pix AS (
-          SELECT doc_id, h, px, ty, tx,
-                 (ty*h)//4 AS y0, greatest((ty*h)//4 + 1, ((ty+1)*h)//4) AS y1,
-                 (tx*16)//4 AS x0, greatest((tx*16)//4 + 1, ((tx+1)*16)//4) AS x1
-          FROM bl, (SELECT unnest(range(0,4)) AS ty), (SELECT unnest(range(0,4)) AS tx)
-        ),
-        vals AS (
-          SELECT doc_id, ty, tx,
-                 list_sum(flatten(list_transform(range(y0, y1), y ->
-                   list_transform(range(x0, x1), x -> px[y*16 + x + 1])))) AS s,
-                 (y1 - y0) * (x1 - x0) AS n
-          FROM pix
-        ),
-        thumbs AS (
-          SELECT doc_id,
-                 string_agg(lpad(hex(s // n), 2, '0'), '' ORDER BY ty, tx) AS thumb_hex
-          FROM vals GROUP BY doc_id
-        ),
-        stats AS (
-          SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-                 list_sum(px)::DOUBLE / (16*h) AS mean_luminance,
-                 sqrt(greatest(0.0, list_sum(list_transform(px, v -> v*v))::DOUBLE / (16*h)
-                   - (list_sum(px)::DOUBLE / (16*h)) * (list_sum(px)::DOUBLE / (16*h))))
-                   AS stddev_luminance
-          FROM bl
-        )
-        SELECT s.doc_id, s.width, s.height, t.thumb_hex,
-               s.mean_luminance, s.stddev_luminance
-        FROM stats s JOIN thumbs t USING (doc_id)
-        ORDER BY doc_id""")),
+      thumbOracle),
+
+    // ---- q62: REAL compressed-image decode (javax.imageio, JDK built-in).
+    // The doc's UTF-8 bytes are PNG-ENCODED into an actual image file
+    // in-operator (16-wide 8-bit grayscale), then decodeResizeGrayscale
+    // decodes the PNG back to pixels and runs the identical block-mean
+    // thumbnail + luminance stats. PNG is lossless, so the DuckDB oracle
+    // over the ORIGINAL bytes verifies the whole encode→decode→pool path
+    // bit-for-bit — same oracle as q47, now with a real codec inside.
+    QueryDef(
+      "q62_image_decode",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .filter(length(col("payload")) >= 16)
+          .withColumn("w", lit(16))
+          .select("doc_id", "payload", "w")
+        val pngs = Multimodal.encodeGrayscalePng(s, d, "doc_id", "payload", "w")
+        Multimodal.decodeResizeGrayscale(s, pngs, "doc_id", "png", targetW = 4, targetH = 4)
+          .select(col("doc_id"), col("width"), col("height"),
+            hex(col("thumbnail")).as("thumb_hex"),
+            col("mean_luminance"), col("stddev_luminance"))
+          .orderBy("doc_id")
+      },
+      thumbOracle),
 
     // Frame sampling over video-like binary payloads: fixed-size byte
     // frames, every stride-th kept (Multimodal.sampleFrames — the real
-    // plumbing of a frame sampler; the codec stays stubbed per the
-    // sandbox constraint). The oracle re-slices the identical frames from
-    // the hex encoding, so the byte arithmetic (ceil framing, stride
-    // walk, short final frame) is verified end to end.
+    // plumbing of a frame sampler; VIDEO codecs stay stubbed, the JDK has
+    // no decoder for them — images are real, see q62). The oracle
+    // re-slices the identical frames from the hex encoding, so the byte
+    // arithmetic (ceil framing, stride walk, short final frame) is
+    // verified end to end.
     QueryDef(
       "q56_frame_sample",
       (s, dir) => {

@@ -228,6 +228,49 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.resizeRawGrayscale(spark, bad, "doc_id", "bin", "w", 2, 1).count() == 0)
   }
 
+  test("png encode -> javax.imageio decode round-trips grayscale pixels exactly") {
+    // deterministic pseudo-random pixels, 16 wide x 3 high
+    val px = Array.tabulate[Byte](48)(i => ((i * 37 + 11) % 256).toByte)
+    val df = Seq((5L, px, 16)).toDF("doc_id", "bin", "w")
+    val png = Multimodal.encodeGrayscalePng(spark, df, "doc_id", "bin", "w").head
+    val bytes = png.getAs[Array[Byte]]("png")
+    // actual PNG magic
+    assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 0x50, 0x4e, 0x47))
+    val Some((w, h, decoded)) = Multimodal.decodeImageToGrayscale(bytes)
+    assert(w == 16 && h == 3)
+    assert(decoded.toSeq == px.toSeq) // lossless: decode(encode(px)) == px
+    // and the distributed decode+resize path matches the raw-pixel path
+    val viaPng = Multimodal.decodeResizeGrayscale(spark,
+      Seq((5L, bytes)).toDF("doc_id", "png"), "doc_id", "png", 4, 1).head
+    val viaRaw = Multimodal.resizeRawGrayscale(spark, df, "doc_id", "bin", "w", 4, 1).head
+    assert(viaPng.getAs[Array[Byte]]("thumbnail").toSeq ==
+      viaRaw.getAs[Array[Byte]]("thumbnail").toSeq)
+    assert(viaPng.getAs[Double]("mean_luminance") == viaRaw.getAs[Double]("mean_luminance"))
+  }
+
+  test("jpeg decode: real codec path, lossy but close on a smooth gradient") {
+    val w = 32; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array.tabulate[Byte](w * h)(i => (((i / w) * 4 + 60) & 0xff).toByte)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out)) // writer present headless
+    val Some((dw, dh, decoded)) = Multimodal.decodeImageToGrayscale(out.toByteArray)
+    assert(dw == w && dh == h)
+    // lossy: per-pixel error small on a smooth vertical gradient
+    val maxErr = decoded.zip(px).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 8, s"jpeg round-trip drifted by $maxErr levels")
+  }
+
+  test("undecodable payloads return None / are dropped, not crashed") {
+    assert(Multimodal.decodeImageToGrayscale("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageToGrayscale(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImageToGrayscale(null).isEmpty)
+    val junk = Seq((1L, "plain text bytes".getBytes)).toDF("doc_id", "png")
+    assert(Multimodal.decodeResizeGrayscale(spark, junk, "doc_id", "png", 2, 2).count() == 0)
+  }
+
   test("frame sampling splits payload bytes with stride") {
     val df = Seq((1L, "x" * 100)).toDF("id", "text")
       .withColumn("bin", encode(col("text"), "utf-8"))
