@@ -56,4 +56,34 @@ object VectorFunctions {
   def quantizeInt8(vec: Column, scale: Column): Column =
     transform(vec, x =>
       greatest(lit(-127L), least(lit(127L), floor(x * scale + lit(0.5)))))
+
+  /** [[quantizeInt8]] narrowed to `array<tinyint>` — the true 1-byte
+    * at-rest representation (4x smaller than fp32, 8x than the double
+    * working form). This is the column an ANN index stores and shuffles;
+    * scoring widens each code back to long inside the generated loop
+    * (register-level, free).
+    */
+  def quantizeInt8Bytes(vec: Column, scale: Column): Column =
+    transform(quantizeInt8(vec, scale), x => x.cast(ByteType))
+
+  /** Exact int64 dot product of two int8 code arrays. Codes are in
+    * [-127, 127], so 64-dim dots stay below 2^21 — no overflow, and every
+    * intermediate is exactly representable, which is what lets an external
+    * engine reproduce quantized scores bit-for-bit.
+    */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(LongType) * y.cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity computed ENTIRELY in the int8 code domain. The
+    * per-vector symmetric scales cancel:
+    * (qa/sa)·(qb/sb) / (|qa/sa|·|qb/sb|) = qa·qb / (|qa||qb|) — so no
+    * scale column is needed at scoring time and the only inputs are the
+    * 1-byte codes. Integer dots are exact; the final sqrt/divide is the
+    * same IEEE arithmetic in any engine (no tolerance needed in oracles).
+    */
+  def cosineInt8(a: Column, b: Column): Column =
+    dotInt(a, b).cast(DoubleType) /
+      (sqrt(dotInt(a, a).cast(DoubleType)) * sqrt(dotInt(b, b).cast(DoubleType)))
 }

@@ -46,6 +46,20 @@ object Similarity {
       .withColumnRenamed("cid", "bucket")
   }
 
+  /** Probe-bucket assignment for queries: each query's `nprobe` nearest
+    * centroids (exact L2, ties → lowest cid) → (qid, qv, bucket) rows.
+    */
+  private def probeBuckets(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val scoredQ = queries.crossJoin(broadcast(
+        centroids.select(col("cid"), col("cvec"))))
+      .withColumn("dist", l2sq(col("vec"), col("cvec")))
+    val wq = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+    scoredQ.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col("vec").as("qv"), col("cid").as("bucket"))
+  }
+
   /** IVF top-k: score only corpus vectors in the query's `nprobe` nearest
     * centroid buckets. `assigned` must carry (id, vec, bucket) for the
     * corpus; queries get their probe buckets from the same centroids and
@@ -54,13 +68,7 @@ object Similarity {
     */
   def ivfTopK(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 1): DataFrame = {
-    val scoredQ = queries.crossJoin(broadcast(
-        centroids.select(col("cid"), col("cvec"))))
-      .withColumn("dist", l2sq(col("vec"), col("cvec")))
-    val wq = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
-    val qAssigned = scoredQ.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("id").as("qid"), col("vec").as("qv"), col("cid").as("bucket"))
+    val qAssigned = probeBuckets(queries, centroids, nprobe)
     val c = assigned.select(col("id").as("cid"), col("vec").as("cv"), col("bucket"))
     val scored = c.join(broadcast(qAssigned), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
@@ -69,6 +77,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid").as("neighbor"), col("cos"))
+  }
+
+  /** IVF top-k scored ENTIRELY in the int8 code domain — the memory-cut
+    * search path: the corpus side reduces to 1-byte codes
+    * ([[graft.functions.VectorFunctions.quantizeInt8Bytes]]) before the
+    * probe join, so what an executor holds (and what a prebuilt index
+    * would store) is 4x smaller than fp32, 8x smaller than the double
+    * working form. Per-vector symmetric scales cancel in cosine, so no
+    * scale column travels either — scoring inputs are codes alone, and
+    * quantized scores are exact int64/IEEE arithmetic any engine
+    * reproduces bit-for-bit.
+    *
+    * Probing stays fp (centroids are tiny and broadcast); only bucket
+    * scoring — the corpus-sized work — is quantized, which is how IVF-PQ
+    * style systems split precision too. Output contract matches
+    * [[ivfTopK]] with `cos_q` (quantized cosine) as the score; ranks
+    * displace from fp ranks only where quantization rounding reorders
+    * near-ties.
+    */
+  def ivfTopKInt8(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val qAssigned = probeBuckets(queries, centroids, nprobe)
+      .withColumn("qcode", quantizeInt8Bytes(col("qv"), int8Scale(col("qv"))))
+      .drop("qv")
+    val c = assigned.select(col("id").as("cid"),
+      quantizeInt8Bytes(col("vec"), int8Scale(col("vec"))).as("ccode"), col("bucket"))
+    val scored = c.join(broadcast(qAssigned), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_q", cosineInt8(col("qcode"), col("ccode")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_q").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid").as("neighbor"), col("cos_q"))
   }
 
   /** Embedding near-duplicate pairs: same-bucket pairs above a cosine

@@ -23,6 +23,17 @@ object Vectors {
   private def sqlDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
 
+  /** Integer-domain dot over int8 code lists (exact — mirrors dotInt). */
+  private def sqlDotInt(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+
+  /** Symmetric int8 codes of a DOUBLE[] column (mirrors quantizeInt8). */
+  private def sqlCodes(v: String) =
+    s"""list_transform($v, x -> greatest(-127, least(127,
+       CAST(floor(x * (CASE WHEN list_max(list_transform($v, y -> abs(y))) > 0
+                       THEN 127.0 / list_max(list_transform($v, y -> abs(y)))
+                       ELSE 0.0 END) + 0.5) AS BIGINT))))"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q34: brute-force cosine top-k (exact baseline) ----
@@ -206,6 +217,75 @@ object Vectors {
                  greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT)))), ',')
                  AS q_csv
         FROM s
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // ---- q63: IVF top-k scored in the int8 code domain (the 4x memory
+    // cut proven IN the search path). Per-vector symmetric scales cancel
+    // in cosine, so scoring inputs are 1-byte codes alone; quantized
+    // scores are exact int64 + IEEE arithmetic, so the oracle re-derives
+    // the quantized ranking bit-for-bit. Each quantized top-k row also
+    // carries the neighbor's rank under FP scoring over the SAME probed
+    // candidates — the displacement column measures pure quantization
+    // reordering (bounded by a unit test; typically 0-1 on near-ties).
+    QueryDef(
+      "q63_ivf_int8",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val centroids = v.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        val corpus = v.filter(col("id") >= 8)
+        val assigned = Similarity.ivfAssign(corpus, centroids)
+        val queries = v.filter(col("id") >= 8 && col("id") <= 12)
+        val qtop = Similarity.ivfTopKInt8(assigned, queries, centroids, k = 3, nprobe = 2)
+        val fpAll = Similarity.ivfTopK(assigned, queries, centroids,
+            k = Int.MaxValue, nprobe = 2)
+          .select(col("qid"), col("neighbor"), col("rank").as("fp_rank"))
+        qtop.join(fpAll, Seq("qid", "neighbor"))
+          .withColumn("displacement", abs(col("rank") - col("fp_rank")))
+          .select(col("qid"), col("rank"), col("neighbor"), col("cos_q"),
+            col("fp_rank"), col("displacement"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             corpus AS (SELECT * FROM v WHERE id >= 8),
+             scored AS (SELECT corpus.id, corpus.vec, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, vec, cid AS bucket
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM scored)
+                          WHERE rn = 1),
+             qs AS (SELECT corpus.id AS qid, corpus.vec AS qv, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent
+                        WHERE corpus.id >= 8 AND corpus.id <= 12),
+             q AS (SELECT qid, qv, cid AS bucket
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY dist, cid) AS rn FROM qs)
+                   WHERE rn <= 2),
+             qc AS (SELECT qid, qv, bucket, ${sqlCodes("qv")} AS qcode FROM q),
+             cc AS (SELECT id, vec, bucket, ${sqlCodes("vec")} AS ccode FROM assigned),
+             cand AS (SELECT qid, qv, qcode, cc.id AS cid, cc.vec AS cv, ccode
+                      FROM cc JOIN qc USING (bucket) WHERE cc.id <> qid),
+             sq AS (SELECT qid, cid,
+                      CAST(${sqlDotInt("qcode", "ccode")} AS DOUBLE) /
+                      (sqrt(CAST(${sqlDotInt("qcode", "qcode")} AS DOUBLE)) *
+                       sqrt(CAST(${sqlDotInt("ccode", "ccode")} AS DOUBLE))) AS cos_q,
+                      ${sqlDot("qv", "cv")} /
+                      (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS cos_fp
+                    FROM cand),
+             r AS (SELECT qid, cid, cos_q,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_q DESC, cid) AS rank,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_fp DESC, cid) AS fp_rank
+                   FROM sq)
+        SELECT qid, rank, cid AS neighbor, cos_q, fp_rank,
+               abs(rank - fp_rank) AS displacement
+        FROM r
+        WHERE rank <= 3
+        ORDER BY qid, rank"""))
   )
 }

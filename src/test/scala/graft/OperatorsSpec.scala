@@ -192,6 +192,50 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L) == 0L) // equidistant → lowest centroid id
   }
 
+  test("int8-domain cosine: scales cancel, codes are bytes, error bounded") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val df = Seq(
+      (1L, Seq(0.8, -0.3, 0.05, 0.41), Seq(0.79, -0.28, 0.07, 0.40)),
+      (2L, Seq(12.0, 5.0, -3.0, 0.0), Seq(-1.0, 2.5, 8.0, 0.25)))
+      .toDF("id", "a", "b")
+      .withColumn("ca", quantizeInt8Bytes(col("a"), int8Scale(col("a"))))
+      .withColumn("cb", quantizeInt8Bytes(col("b"), int8Scale(col("b"))))
+      .withColumn("cos_fp", cosineFold(col("a"), col("b")))
+      .withColumn("cos_q", cosineInt8(col("ca"), col("cb")))
+    // at-rest representation is genuinely 1-byte
+    assert(df.schema("ca").dataType == ArrayType(ByteType, containsNull = false))
+    df.select("cos_fp", "cos_q").collect().foreach { r =>
+      // codes have <= 1/254 relative error per component; cosine of 4-dim
+      // vectors stays within ~2% of fp — scales cancelled, no scale column
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+        s"fp=${r.getDouble(0)} q=${r.getDouble(1)}")
+    }
+  }
+
+  test("ivfTopKInt8: same neighbors as fp scoring, bounded rank displacement") {
+    val dim = 8
+    def v(seed: Int): Seq[Double] =
+      Seq.tabulate(dim)(i => math.sin(seed * 7 + i * 13).abs + 0.01)
+    val cents = Seq((0L, v(1)), (1L, v(50))).toDF("cid", "cvec")
+    val corpus = (10L to 29L).map(i => (i, v(i.toInt))).toDF("id", "vec")
+    val assigned = Similarity.ivfAssign(corpus, cents)
+    val queries = (10L to 12L).map(i => (i, v(i.toInt))).toDF("id", "vec")
+    val fp = Similarity.ivfTopK(assigned, queries, cents, k = 5, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor")).toMap
+    val q8 = Similarity.ivfTopKInt8(assigned, queries, cents, k = 5, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor")).toMap
+    assert(fp.keySet == q8.keySet)
+    // quantization may swap near-ties but each top-5 neighbor moves <= 1 rank
+    val displaced = q8.flatMap { case ((qid, rank), n) =>
+      fp.collectFirst { case ((`qid`, fpRank), `n`) => math.abs(rank - fpRank) }
+    }
+    assert(displaced.nonEmpty && displaced.max <= 1,
+      s"rank displacement too large: $displaced")
+  }
+
   test("enrichment lookup join: hit returns record struct, miss returns null") {
     val events = Seq(("john", 1), ("ghost", 2)).toDF("user", "i")
     val enrich = Seq(("john", "John Doe")).toDF("user_id", "name")
