@@ -72,8 +72,23 @@ object Curation {
     * test shingle matches at most one training row (no fan-out). One
     * shuffle on the shingle key; bodies never move.
     */
+  /** @param bloomFpp when set, a Bloom filter of the TEST gram vocabulary
+    *   prefilters TRAIN grams before their corpus-wide `distinct()` — the
+    *   100 TB ergonomics lever. The direction matters: train is the big
+    *   side, and its distinct-vocabulary shuffle is the only corpus-scale
+    *   shuffle in this plan. Bloom filters have no false negatives, so a
+    *   dropped train gram provably matches no test gram and the output is
+    *   IDENTICAL with the option on or off; false positives (rate `fpp`)
+    *   merely ride the shuffle and fail the exact join. Building the
+    *   filter costs one map-side pass over the (small) test gram set —
+    *   sketches merge, rows never move. Lower fpp buys fewer stray train
+    *   grams for more filter bits (monotone — see CurationSpec).
+    * @param bloomExpectedItems sizing for the filter (distinct test grams;
+    *   overestimating costs bits, underestimating costs fpp).
+    */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 3): DataFrame = {
+      textCol: String, shingleN: Int = 3, bloomFpp: Option[Double] = None,
+      bloomExpectedItems: Long = 4L << 20): DataFrame = {
     // explode_outer + isNotNull instead of plain explode — deliberately.
     // On a non-outer Generate, Spark's InferFiltersFromGenerate adds
     // `size(sh) > 0` under the explode, and predicate pushdown then clones
@@ -87,12 +102,20 @@ object Curation {
     // GENERATED attribute (which no rule can push below the Generate)
     // restores plain-explode semantics exactly. Net: identical rows, zero
     // materialization, and the scan keeps its staged linear plan.
-    val trainGrams = Dedup.shingleFrame(train, idCol, textCol, shingleN)
-      .select(explode_outer(col("sh")).as("gram"))
-      .filter(col("gram").isNotNull).distinct()
     val testGrams = Dedup.shingleFrame(test, idCol, textCol, shingleN)
       .select(col("doc"), col("n_sh"), explode_outer(col("sh")).as("gram"))
       .filter(col("gram").isNotNull)
+    val trainGramsRaw = Dedup.shingleFrame(train, idCol, textCol, shingleN)
+      .select(explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val trainGrams = bloomFpp match {
+      case Some(fpp) =>
+        val bloom = testGrams.stat.bloomFilter("gram", bloomExpectedItems, fpp)
+        trainGramsRaw
+          .filter(graft.plans.BloomMightContain(bloom, col("gram")))
+          .distinct()
+      case None => trainGramsRaw.distinct()
+    }
     testGrams
       .join(trainGrams.withColumn("__hit", lit(1L)), Seq("gram"), "left")
       .groupBy(col("doc").as(idCol))

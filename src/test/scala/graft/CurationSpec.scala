@@ -54,6 +54,41 @@ class CurationSpec extends SparkSpec {
     assert(ids == Set(11L)) // 2-token doc has no trigram rows to aggregate
   }
 
+  test("decontaminate with bloom pre-pass: identical output (no false negatives)") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"token${i % 17} alpha token${i % 7} beta token${i % 29} gamma delta word$i"))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val test_ = docs.filter(col("doc_id") % 10 === 0)
+    val off = Curation.decontaminate(train, test_, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    for (fpp <- Seq(0.5, 0.03)) {
+      val on = Curation.decontaminate(train, test_, "doc_id", "text", 3,
+        bloomFpp = Some(fpp), bloomExpectedItems = 1000L)
+        .orderBy("doc_id").collect().toSeq
+      assert(on == off, s"bloom fpp=$fpp changed the answer")
+    }
+  }
+
+  test("bloom pre-pass fpp monotonicity: lower fpp never passes more strays") {
+    import graft.plans.BloomMightContain
+    val members = (0 until 50).map(i => s"member-gram-$i")
+    val strays = (0 until 2000).map(i => s"stray-gram-$i")
+    val memberDf = members.toDF("gram")
+    val strayDf = strays.toDF("gram")
+    val passCounts = Seq(0.5, 0.05, 0.005).map { fpp =>
+      val bloom = memberDf.stat.bloomFilter("gram", 50L, fpp)
+      // no false negatives at any fpp
+      assert(memberDf.filter(BloomMightContain(bloom, col("gram"))).count() == 50L)
+      fpp -> strayDf.filter(BloomMightContain(bloom, col("gram"))).count()
+    }
+    // monotone: more bits (lower fpp) never lets MORE non-members through
+    assert(passCounts.sliding(2).forall { case Seq((_, hi), (_, lo)) => lo <= hi },
+      s"stray pass counts not monotone in fpp: $passCounts")
+    // and the tightest filter is actually tight on 2000 strays
+    assert(passCounts.last._2 <= 40, s"fpp=0.005 passed ${passCounts.last._2}/2000 strays")
+  }
+
   test("stratifiedSample: per-stratum rates honored exactly and reproducibly") {
     val df = spark.range(0, 3000).toDF("id")
       .withColumn("grp", when(col("id") % 2 === 0, "a").otherwise("b"))
