@@ -42,18 +42,35 @@ object Ingest {
     }
   }
 
-  /** Start the continuous ingest query over a landing directory. */
-  def start(spark: SparkSession, landingPath: String, landingSchema: StructType,
-      p: Pipeline, checkpoint: String,
+  /** Start the ingest query over ANY streaming source — the queue-shaped
+    * entry (reference S9): the caller provides a streaming DataFrame of
+    * raw messages (Kafka `format("kafka")...selectExpr("CAST(value AS
+    * STRING)")`, a cloud-queue connector, or a memory/rate source in
+    * tests) and `p.transform` frames messages into the target shape. The
+    * pipeline downstream — resolve, sideline, hour-partitioned lake
+    * append — is byte-identical to the file path: source choice is a
+    * one-line swap, not a second pipeline. Offsets live in the checkpoint,
+    * so each message is processed exactly once across restarts; sink
+    * appends stay idempotent for replayed uncommitted batches as in
+    * [[start]].
+    */
+  def startFromStream(source: DataFrame, p: Pipeline, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.schema(landingSchema)
-      .option("maxFilesPerTrigger", 1000)
-      .json(landingPath)
-      .writeStream
+    source.writeStream
       .foreachBatch((b: DataFrame, id: Long) => processBatch(p)(b, id))
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Start the continuous ingest query over a landing directory. */
+  def start(spark: SparkSession, landingPath: String, landingSchema: StructType,
+      p: Pipeline, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFromStream(
+      spark.readStream.schema(landingSchema)
+        .option("maxFilesPerTrigger", 1000)
+        .json(landingPath),
+      p, checkpoint, trigger)
 
   /** Convenience: run to completion with AvailableNow (tests/backfill). */
   def runOnce(spark: SparkSession, landingPath: String, landingSchema: StructType,

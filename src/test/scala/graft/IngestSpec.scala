@@ -70,6 +70,49 @@ class IngestSpec extends SparkSpec {
     assert(graft.lake.Lake.read(spark, lake).count() == 2)
   }
 
+  test("queue-source ingest: identical pipeline from a non-file stream (S9 parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft_qingest")
+    val lake = tmp.resolve("lake").toString
+    val side = tmp.resolve("side").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val landingSchema = StructType(Seq(
+      StructField("ts", StringType), StructField("event_type", StringType),
+      StructField("user_id", StringType)))
+    val target = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    // same Pipeline contract as the file test; only the framing differs
+    // (queue messages arrive as a `value` payload, Kafka-style)
+    val p = Ingest.Pipeline(
+      transform = df => df
+        .select(from_json(col("value"), landingSchema).as("j")).select("j.*")
+        .withColumn("ts", to_timestamp(col("ts"))),
+      target = target, lakePath = lake, sidelinePath = side)
+
+    val input = MemoryStream[String](spark)
+    input.addData(
+      """{"ts":"2024-01-01T05:30:00Z","event_type":"click","user_id":"7"}""",
+      """{"ts":"2024-01-01T06:20:00Z","event_type":"error","user_id":"not-a-number"}""")
+    Ingest.startFromStream(input.toDF(), p, ckpt, Trigger.AvailableNow())
+      .awaitTermination()
+    assert(graft.lake.Lake.read(spark, lake).count() == 1)
+    assert(spark.read.option("recursiveFileLookup", "true").json(side).count() == 1)
+
+    // restart from the same checkpoint: old messages are not reprocessed,
+    // new ones are — queue offsets live in the checkpoint (exactly-once)
+    input.addData(
+      """{"ts":"2024-01-01T07:00:00Z","event_type":"click","user_id":"9"}""")
+    Ingest.startFromStream(input.toDF(), p, ckpt, Trigger.AvailableNow())
+      .awaitTermination()
+    val lakeDf = graft.lake.Lake.read(spark, lake)
+    assert(lakeDf.count() == 2)
+    import spark.implicits._
+    assert(lakeDf.select("ts_hour").as[String].collect().toSet
+      == Set("2024-01-01-05", "2024-01-01-07"))
+  }
+
   test("magic-byte inference decodes misnamed gzip next to plain text") {
     val tmp = Files.createTempDirectory("graft_gz")
     val gzPath = tmp.resolve("mislabeled.log") // gzip content, no .gz ext
