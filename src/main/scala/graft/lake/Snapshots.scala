@@ -46,7 +46,17 @@ object Snapshots {
     */
   final case class Entry(hour: String, file: String,
       stats: Option[FileStats.Stats] = None)
-  final case class Snapshot(version: Int, entries: Vector[Entry])
+
+  /** @param schema the table's logical data schema (partition column
+    *   excluded), recorded in the manifest and name-union-evolved on every
+    *   commit — the `unionByNameWith` semantic of the reference's table
+    *   CRD (MatanoIcebergTableCustomResource.kt:194-212), but versioned
+    *   with the snapshot so a pinned reader sees the schema its files were
+    *   committed under. None for pre-schema manifests (read falls back to
+    *   footer inference, exactly the old behavior).
+    */
+  final case class Snapshot(version: Int, entries: Vector[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def metaDir(table: String): Path = Paths.get(table, "_graft_lake")
 
@@ -68,15 +78,24 @@ object Snapshots {
     }
   }
 
+  private val SchemaHeader = "#schema\t"
+
   def snapshot(table: String, version: Int): Snapshot = {
     val lines = Files.readAllLines(manifestPath(table, version), UTF_8).asScala
-    Snapshot(version, lines.iterator.filter(_.nonEmpty).map { l =>
-      l.split("\t", -1) match {
-        case Array(hour, file) => Entry(hour, file) // pre-stats manifest line
-        case Array(hour, file, stats) => Entry(hour, file, FileStats.parse(stats))
-        case _ => sys.error(s"malformed manifest line in v$version: $l")
-      }
-    }.toVector)
+    val schema = lines.collectFirst {
+      case l if l.startsWith(SchemaHeader) =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix(SchemaHeader))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    Snapshot(version, lines.iterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+        l.split("\t", -1) match {
+          case Array(hour, file) => Entry(hour, file) // pre-stats manifest line
+          case Array(hour, file, stats) => Entry(hour, file, FileStats.parse(stats))
+          case _ => sys.error(s"malformed manifest line in v$version: $l")
+        }
+      }.toVector, schema)
   }
 
   def current(table: String): Option[Snapshot] =
@@ -107,7 +126,7 @@ object Snapshots {
     val snap = version.map(snapshot(table, _))
       .orElse(current(table))
       .getOrElse(sys.error(s"no snapshot committed at $table"))
-    readEntries(spark, table, snap.entries, mergeSchema)
+    readEntries(spark, table, snap.entries, mergeSchema, snap.schema)
   }
 
   /** Manifest-level partition pruning: plan a scan over only the files of
@@ -116,7 +135,8 @@ object Snapshots {
   def readHours(spark: SparkSession, table: String, hours: Set[String],
       mergeSchema: Boolean = false): DataFrame = {
     val snap = current(table).getOrElse(sys.error(s"no snapshot committed at $table"))
-    readEntries(spark, table, snap.entries.filter(e => hours(e.hour)), mergeSchema)
+    readEntries(spark, table, snap.entries.filter(e => hours(e.hour)), mergeSchema,
+      snap.schema)
   }
 
   /** Zone-map file skipping: plan a scan over only the files whose
@@ -134,18 +154,24 @@ object Snapshots {
       .getOrElse(sys.error(s"no snapshot committed at $table"))
     val kept = snap.entries.filter(e =>
       e.stats.forall(st => filters.forall(f => FileStats.mayMatch(f, st))))
-    if (kept.nonEmpty) readEntries(spark, table, kept, mergeSchema)
+    if (kept.nonEmpty) readEntries(spark, table, kept, mergeSchema, snap.schema)
     // every file pruned: keep the snapshot's schema, read no data
-    else readEntries(spark, table, snap.entries, mergeSchema).limit(0)
+    else readEntries(spark, table, snap.entries, mergeSchema, snap.schema).limit(0)
   }
 
   private def readEntries(spark: SparkSession, table: String,
-      entries: Seq[Entry], mergeSchema: Boolean): DataFrame = {
+      entries: Seq[Entry], mergeSchema: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val paths = entries.map(e => Paths.get(table).resolve(e.file).toString)
-    val base = spark.read
-      .option("mergeSchema", mergeSchema.toString)
-      .parquet(paths: _*)
-    base.withColumn(Lake.PartitionCol,
+    // With a manifest schema, plan against IT: files written before a
+    // column existed read that column as null (evolution-on-read), newer
+    // files project down — and planning skips footer schema inference
+    // entirely (no sample-file read, no mergeSchema listing pass).
+    // Pre-schema manifests keep the old footer-inference path.
+    val reader = schema.fold(
+      spark.read.option("mergeSchema", mergeSchema.toString))(
+      s => spark.read.schema(s))
+    reader.parquet(paths: _*).withColumn(Lake.PartitionCol,
       regexp_extract(input_file_name(), "ts_hour=([^/]+)/", 1))
   }
 
@@ -176,11 +202,32 @@ object Snapshots {
     finally s.close()
   }
 
+  /** Name-union schema evolution (additive; the reference's
+    * `unionByNameWith` semantic): existing fields keep their position and
+    * type, new fields append.
+    */
+  private def unionSchema(prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(prev.fields ++
+      next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+
+  /** The logical data schema a frame commits under (partition column
+    * excluded — it is path-derived on read).
+    */
+  private def dataSchema(df: DataFrame): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Lake.withHourPartition(df).schema.filterNot(_.name == Lake.PartitionCol))
+
   /** Claim the next version with `entries` derived from the then-current
     * manifest by `evolve`. Retries on a concurrent claim (staged data files
-    * remain valid; only the manifest derivation re-runs).
+    * remain valid; only the manifest derivation re-runs). The committed
+    * schema is the name-union of the then-current schema and `staged` —
+    * recomputed INSIDE the retry loop, so columns added by a concurrent
+    * winner survive this commit's manifest too.
     */
-  private def commit(table: String)(evolve: Vector[Entry] => Vector[Entry]): Int = {
+  private def commit(table: String,
+      staged: Option[org.apache.spark.sql.types.StructType] = None)(
+      evolve: Vector[Entry] => Vector[Entry]): Int = {
     Files.createDirectories(metaDir(table))
     var attempts = 0
     while (true) {
@@ -188,10 +235,15 @@ object Snapshots {
       val cur = current(table)
       val next = cur.map(_.version + 1).getOrElse(1)
       val entries = evolve(cur.map(_.entries).getOrElse(Vector.empty))
-      val body = entries.map { e =>
-        e.stats.fold(s"${e.hour}\t${e.file}")(
-          st => s"${e.hour}\t${e.file}\t${FileStats.encode(st)}")
-      }.mkString("\n")
+      val schema = (cur.flatMap(_.schema), staged) match {
+        case (Some(a), Some(b)) => Some(unionSchema(a, b))
+        case (a, b) => b.orElse(a)
+      }
+      val body = (schema.map(s => SchemaHeader + s.json).toSeq ++
+        entries.map { e =>
+          e.stats.fold(s"${e.hour}\t${e.file}")(
+            st => s"${e.hour}\t${e.file}\t${FileStats.encode(st)}")
+        }).mkString("\n")
       try {
         Files.write(manifestPath(table, next), body.getBytes(UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
@@ -203,10 +255,13 @@ object Snapshots {
     -1 // unreachable
   }
 
-  /** Append commit: new snapshot = previous files + staged files. */
+  /** Append commit: new snapshot = previous files + staged files; schema
+    * name-union-evolves, so an append with new columns upgrades the table
+    * and old files read those columns as null — atomically with the data.
+    */
   def append(df: DataFrame, table: String): Int = {
     val staged = stage(df, table)
-    commit(table)(prev => prev ++ staged)
+    commit(table, Some(dataSchema(df)))(prev => prev ++ staged)
   }
 
   /** Partition-overwrite commit: staged hours replace those hours' files;
@@ -215,7 +270,8 @@ object Snapshots {
   def overwritePartitions(df: DataFrame, table: String): Int = {
     val staged = stage(df, table)
     val touched = staged.map(_.hour).toSet
-    commit(table)(prev => prev.filterNot(e => touched(e.hour)) ++ staged)
+    commit(table, Some(dataSchema(df)))(
+      prev => prev.filterNot(e => touched(e.hour)) ++ staged)
   }
 
   /** Bin-pack one hour to ~targetBytes files — same rewrite as
@@ -228,8 +284,10 @@ object Snapshots {
     val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = math.max(1, (BigDecimal(bytes) / targetBytes)
       .setScale(0, BigDecimal.RoundingMode.CEILING).toInt)
-    val staged = stage(part.repartition(files).drop(Lake.PartitionCol), table)
-    commit(table)(prev => prev.filterNot(_.hour == hour) ++ staged)
+    val compacted = part.repartition(files).drop(Lake.PartitionCol)
+    val staged = stage(compacted, table)
+    commit(table, Some(dataSchema(compacted)))(
+      prev => prev.filterNot(_.hour == hour) ++ staged)
   }
 
   /** Key-based MERGE INTO as ONE atomic commit (vs [[Lake.mergeUpsert]]'s
@@ -273,7 +331,13 @@ object Snapshots {
       val stagedInserts =
         if (insertDf.isEmpty) Vector.empty
         else stage(insertDf, table)
-      commit(table)(prev =>
+      // updates' columns are a subset of the lake's (the rewrite references
+      // them), so the merged schema is the lake's own, union any stragglers
+      val merged = unionSchema(
+        org.apache.spark.sql.types.StructType(
+          lake.schema.filterNot(_.name == Lake.PartitionCol)),
+        updates.schema)
+      commit(table, Some(merged))(prev =>
         prev.filterNot(e => touched(e.hour)) ++ stagedRewrites ++ stagedInserts)
     } finally matched.unpersist()
   }

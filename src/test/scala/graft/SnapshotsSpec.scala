@@ -52,6 +52,57 @@ class SnapshotsSpec extends SparkSpec {
     assert(out.filter(col(Lake.PartitionCol) === "2024-03-01-06").count() == 10)
   }
 
+  test("schema evolution: appends with new columns union-evolve the manifest schema") {
+    val t = Files.createTempDirectory("snap_evo").toString
+    Snapshots.append(mkRows(1 to 5, "2024-03-01 05"), t)
+    // second commit adds `score`, drops nothing — the evolveAppend shape
+    val withScore = (6 to 8).map(i => (i.toLong, s"v$i", ts("2024-03-01 06:10:00"), i * 1.5))
+      .toDF("id", "name", "ts", "score")
+    Snapshots.append(withScore, t)
+    val out = Snapshots.read(spark, t)
+    // evolved schema visible over the whole table, ordered prev-then-new
+    assert(out.columns.toSeq == Seq("id", "name", "ts", "score", Lake.PartitionCol))
+    // rows from before the column existed read as null (evolution-on-read)
+    assert(out.filter(col("score").isNull).count() == 5)
+    assert(out.filter(col("score").isNotNull).count() == 3)
+    // a reader pinned to v1 still sees v1's schema — no `score`
+    assert(!Snapshots.read(spark, t, version = Some(1)).columns.contains("score"))
+    // and matches what Lake.evolveAppend produces for the same sequence
+    val lakeDir = Files.createTempDirectory("snap_evo_lake").toString
+    Lake.evolveAppend(spark, mkRows(1 to 5, "2024-03-01 05"), lakeDir)
+    Lake.evolveAppend(spark, withScore, lakeDir)
+    val viaLake = Lake.readEvolved(spark, lakeDir)
+      .select("id", "name", "score").orderBy("id").collect().toSeq
+    val viaSnap = out.select("id", "name", "score").orderBy("id").collect().toSeq
+    assert(viaSnap == viaLake)
+  }
+
+  test("schema evolution survives overwrite and a subset-column append") {
+    val t = Files.createTempDirectory("snap_evo2").toString
+    Snapshots.append(mkRows(1 to 4, "2024-03-01 05"), t)
+    Snapshots.append((5 to 6).map(i => (i.toLong, s"v$i", ts("2024-03-01 06:10:00"), i * 1.0))
+      .toDF("id", "name", "ts", "score"), t)
+    // a later commit WITHOUT score must not shrink the table schema
+    Snapshots.overwritePartitions(mkRows(7 to 9, "2024-03-01 05"), t)
+    val out = Snapshots.read(spark, t)
+    assert(out.columns.contains("score"))
+    assert(out.count() == 5) // 3 overwritten + 2 from hour 06
+    assert(out.filter(col("score").isNotNull).count() == 2)
+  }
+
+  test("pre-schema manifests (no #schema header) still read via footer inference") {
+    val t = Files.createTempDirectory("snap_preschema").toString
+    Snapshots.append(mkRows(1 to 6, "2024-03-01 05"), t)
+    // strip the schema header from the manifest, simulating an old table
+    val mf = Files.list(Paths.get(t, "_graft_lake")).iterator().next()
+    val stripped = new String(Files.readAllBytes(mf), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#")).mkString("\n")
+    Files.write(mf, stripped.getBytes("UTF-8"))
+    val out = Snapshots.read(spark, t)
+    assert(out.count() == 6)
+    assert(out.columns.toSet == Set("id", "name", "ts", Lake.PartitionCol))
+  }
+
   test("mergeUpsert: one atomic commit updates matched rows, inserts the rest") {
     val t = Files.createTempDirectory("snap_merge").toString
     Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
