@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** The one dev-tool entry point (plan review + steady-state timing):
+  *
+  * {{{
+  *   runMain graft.tools.Dev bench q32_lsh_jaccard [q55_...] [--sf DIR] [--runs N]
+  *   runMain graft.tools.Dev explain q05_snowflake_join,q28_token_explode [DIR]
+  *   runMain graft.tools.Dev plan q58_decontaminate [DIR]     # exchanges/scans only
+  *   runMain graft.tools.Dev profile-lsh [DIR]                # stage timing
+  * }}}
+  *
+  * `bench` times single queries warm (steady state, noop sink — full
+  * column computation, no projection pruning) without paying the full
+  * `graft.Bench` sweep; `explain` prints formatted physical plans;
+  * `plan` compresses a plan to its exchanges/scans/broadcasts — the lines
+  * a scale review reads first. One shared session/config path
+  * (GraftSession) so tool numbers match Bench/Verify behavior.
+  */
+object Dev {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "bench" :: rest =>
+      val (flags, names) = rest.partition(_.startsWith("--"))
+      def flag(k: String) = flags.collectFirst {
+        case f if f.startsWith(s"--$k=") => f.stripPrefix(s"--$k=") }
+      val sfDir = flag("sf").orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+        .getOrElse("/root/testdata/sf0.1")
+      val runs = flag("runs").map(_.toInt).getOrElse(3)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val spark = session(cpus)
+      warmup(spark, sfDir)
+      for (name <- names; i <- 1 to runs) {
+        spark.catalog.clearCache()
+        System.gc() // settled heap, as the Bench sweep measures
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[bench] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+
+    case "explain" :: rest =>
+      val spark = session(8)
+      val dir = rest.lift(1).getOrElse("/root/testdata/sf0.01")
+      for (n <- rest.headOption.toSeq.flatMap(_.split(',').toSeq)) {
+        println(s"===== $n =====")
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+      }
+      spark.stop()
+
+    case "plan" :: rest =>
+      val spark = session(4)
+      val dir = rest.lift(1).getOrElse("/root/testdata/sf0.001")
+      for (n <- rest.headOption.toSeq.flatMap(_.split(',').toSeq)) {
+        println(s"##### $n")
+        val plan = SparkEntry.queries(n)(spark, dir)
+          .queryExecution.executedPlan.toString
+        println(plan.linesIterator
+          .filter(l => l.contains("Exchange") || l.contains("Scan ") ||
+            l.contains("Broadcast"))
+          .map(_.trim.take(120)).mkString("\n"))
+      }
+      spark.stop()
+
+    case "profile-lsh" :: rest =>
+      val spark = session(32)
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val docs = Tables.load(spark, dir, "documents")
+      val sets = Dedup.shingleFrame(docs, "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("shingleFrame materialize") { sets.count() }
+      val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3)
+      val nc = time("candidates") { cands.count() }
+      println(s"[profile] n_candidates=$nc")
+      time("verify") { Dedup.jaccardVerify(sets, cands, 0.2).count() }
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"usage: Dev bench|explain|plan|profile-lsh ... (got: $other)")
+      sys.exit(2)
+  }
+}
