@@ -68,4 +68,56 @@ object TextAnalysis {
       .select(col(idCol),
         md5(array_join(col("__tk"), " ")).as("content_fp"),
         minhashMd5(array_distinct(wordShingles(col("__tk"), 4)), 0).as("shingle_fp"))
+
+  /** Intra-document repetition (the "repeated boilerplate inside one doc"
+    * quality signal): over NON-distinct n-grams, the duplicate-gram ratio
+    * (1 − distinct/total) and the share of the single most frequent gram.
+    * Docs shorter than the shingle width have no grams and drop.
+    *
+    * Scale shape: per-gram histogram via one (doc, gram) shuffle with
+    * map-side partial counts, folded to one row per doc by a second
+    * doc-keyed shuffle of gram-count rows — no row ever carries the text.
+    * explode_outer + isNotNull keeps the shingle derivation out of scan
+    * filters (see [[Curation.decontaminate]]).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), wordShingles(col("__tk"), shingleN).as("__g"))
+      .select(col("doc"), size(col("__g")).as("__n"), explode_outer(col("__g")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("doc"), col("__n"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc").as(idCol))
+      .agg(max(col("__n")).cast(LongType).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("__top"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams"))
+      .withColumn("top_gram_share", col("__top").cast(DoubleType) / col("n_grams"))
+      .drop("__top")
+
+  /** Inter-document duplicate-text coverage (the C4/RefinedWeb-style
+    * boilerplate signal): per document, the fraction of its DISTINCT
+    * n-gram shingles that appear in at least one OTHER document.
+    *
+    * Scale shape: the corpus reduces to (doc, gram) pairs once; the
+    * per-gram document count is one gram-keyed shuffle with map-side
+    * partials, and the count join is co-partitioned on the same key, so
+    * the corpus-scale data moves over the network once. Bodies never move.
+    */
+  def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val grams = Dedup.shingleFrame(df, idCol, textCol, shingleN)
+      .select(col("doc"), col("n_sh"), explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
+    // (doc, gram) is unique (distinct sets) → count per gram = doc count
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("__docs"))
+    grams.join(counts, Seq("gram"))
+      .groupBy(col("doc").as(idCol))
+      .agg(max(col("n_sh")).cast(LongType).as("n_shingles"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_coverage",
+        col("n_shared").cast(DoubleType) / col("n_shingles"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Privacy, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef._
@@ -26,6 +26,11 @@ object TextPipeline {
   private def sqlShingles(n: Int): String = {
     val parts = (1 to n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(0, len(tk)-${n - 1}), i -> $parts))"
+  }
+  /** Non-distinct shingle list (repetition metrics count multiplicity). */
+  private def sqlShinglesRaw(n: Int): String = {
+    val parts = (1 to n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(0, len(tk)-${n - 1}), i -> $parts)"
   }
   private def sqlMinhash(shCol: String, seed: Int): String =
     s"list_min(list_transform($shCol, x -> md5(x || '|$seed')))"
@@ -434,6 +439,100 @@ object TextPipeline {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
                  AS BIGINT) AS pack_id
         FROM t
+        ORDER BY doc_id""")),
+
+    // ---- q64: PII detection + redaction. The documents table carries no
+    // PII, so deterministic synthetic PII (derived from doc_id — email on
+    // every 3rd doc, an IPv4 on every 4th, a phone on every 5th, zeros on
+    // the rest) is injected IN the query, identically on both engines; the
+    // operator's counts and masked rewrite are then oracled byte-for-byte
+    // (the patterns use only Java-regex/RE2-identical syntax).
+    QueryDef(
+      "q64_pii_redact",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("text", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id"), lit("@mail.example.org"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, concat(lit(" src 10."),
+            (col("doc_id") % 200) + 1, lit(".0."), col("doc_id") % 250))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        graft.operators.Privacy.redactPii(d, "text")
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            col("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@mail.example.org'
+                    ELSE '' END
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' src 10.' || (doc_id % 200 + 1) || '.0.' || (doc_id % 250)
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '${Privacy.EmailRe}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text, '${Privacy.Ipv4Re}'))::BIGINT AS n_ips,
+               len(regexp_extract_all(text, '${Privacy.PhoneRe}'))::BIGINT AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '${Privacy.EmailRe}', '<EMAIL>', 'g'),
+                 '${Privacy.Ipv4Re}', '<IP>', 'g'),
+                 '${Privacy.PhoneRe}', '<PHONE>', 'g') AS redacted
+        FROM d
+        ORDER BY doc_id""")),
+
+    // ---- q65: intra-document repetition (duplicate-gram ratio + top-gram
+    // share over NON-distinct 3-grams) — the "repeated boilerplate inside
+    // one doc" quality signal. Exact integer arithmetic throughout.
+    QueryDef(
+      "q65_repetition",
+      (s, dir) =>
+        TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text", shingleN = 3)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShinglesRaw(3)} AS g FROM t),
+             f AS (SELECT doc_id, len(g)::BIGINT AS n_grams, unnest(g) AS gram FROM s),
+             c AS (SELECT doc_id, n_grams, gram, count(*) AS cnt
+                   FROM f GROUP BY doc_id, n_grams, gram)
+        SELECT doc_id, max(n_grams) AS n_grams, count(*)::BIGINT AS n_distinct,
+               1.0 - count(*)::DOUBLE / max(n_grams) AS dup_ratio,
+               max(cnt)::DOUBLE / max(n_grams) AS top_gram_share
+        FROM c
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ---- q66: inter-document duplicate-text coverage — per doc, the
+    // fraction of its distinct 5-gram shingles shared with any OTHER doc
+    // (the C4/RefinedWeb boilerplate-coverage signal). One gram-keyed
+    // shuffle + a co-partitioned count join; bodies never move.
+    QueryDef(
+      "q66_dup_coverage",
+      (s, dir) =>
+        TextAnalysis.duplicateCoverage(docs(s, dir), "doc_id", "text", shingleN = 5)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(5)} AS sh FROM t),
+             g AS (SELECT doc_id, len(sh)::BIGINT AS n_sh, unnest(sh) AS gram FROM s),
+             c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+        SELECT g.doc_id, max(g.n_sh) AS n_shingles,
+               SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+               SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / max(g.n_sh)
+                 AS dup_coverage
+        FROM g JOIN c USING (gram)
+        GROUP BY g.doc_id
         ORDER BY doc_id""")),
 
     // Deterministic stratified downsampling: per-language keep rates from

@@ -315,6 +315,59 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeResizeGrayscale(spark, junk, "doc_id", "png", 2, 2).count() == 0)
   }
 
+  test("pii redaction: counts over original text, masks applied in order") {
+    import graft.operators.Privacy
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e.org at 10.0.0.1 call 555-123-4567 ok"),
+      (2L, "no pii here at all"),
+      (3L, "just 1.2.3.4 and 5.6.7.8"))
+      .toDF("id", "text")
+    val out = Privacy.redactPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 2)
+    assert(out(1L).getAs[Long]("n_ips") == 1)
+    assert(out(1L).getAs[Long]("n_phones") == 1)
+    assert(out(1L).getAs[String]("redacted")
+      == "mail <EMAIL> and <EMAIL> at <IP> call <PHONE> ok")
+    assert(out(2L).getAs[Long]("n_emails") == 0 && out(2L).getAs[String]("redacted")
+      == "no pii here at all")
+    assert(out(3L).getAs[Long]("n_ips") == 2)
+    assert(out(3L).getAs[String]("redacted") == "just <IP> and <IP>")
+  }
+
+  test("repetition stats: duplicate-gram ratio and top-gram share are exact") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b a b a b"),  // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct, top 3
+      (2L, "x y z w"),      // all distinct
+      (3L, "q"))            // shorter than the shingle width -> dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text", shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).getAs[Long]("n_grams") == 5 && out(1L).getAs[Long]("n_distinct") == 2)
+    assert(out(1L).getAs[Double]("dup_ratio") == 1.0 - 2.0 / 5.0)
+    assert(out(1L).getAs[Double]("top_gram_share") == 3.0 / 5.0)
+    assert(out(2L).getAs[Double]("dup_ratio") == 0.0)
+  }
+
+  test("duplicate coverage: shared shingles across docs, unique docs at zero") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "the quick brown fox sleeps here"),   // shares 2 of its 4-grams? (5-gram default too wide; use 3)
+      (3L, "completely different words entirely now"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateCoverage(df, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 2 share the trigrams "the quick brown" and "quick brown fox"
+    assert(out(1L).getAs[Long]("n_shared") == 2)
+    assert(out(2L).getAs[Long]("n_shared") == 2)
+    assert(out(3L).getAs[Long]("n_shared") == 0)
+    assert(out(1L).getAs[Double]("dup_coverage") == 2.0 / 4.0)
+    assert(out(3L).getAs[Double]("dup_coverage") == 0.0)
+  }
+
   test("frame sampling splits payload bytes with stride") {
     val df = Seq((1L, "x" * 100)).toDF("id", "text")
       .withColumn("bin", encode(col("text"), "utf-8"))
