@@ -120,6 +120,62 @@ object Dedup {
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("common"), col("jaccard"))
   }
 
+  /** Connected components over duplicate pairs — the step that turns pair
+    * DETECTION (LSH/SimHash/embedding blocking) into actual DEDUPLICATION:
+    * transitively-linked documents form one cluster, the minimum id is the
+    * canonical representative, and a pipeline keeps exactly the canonical
+    * row of each cluster.
+    *
+    * Algorithm: min-label propagation with pointer doubling — each round a
+    * node takes the min of its own label, its neighbors' labels, and its
+    * label's label (`label(label(v))`, the doubling step that contracts
+    * chains in O(log n) rounds instead of O(diameter)). Near-dup graphs
+    * cluster tightly (diameter 2-4), so convergence is typically 2-3
+    * rounds. Each round is two co-partitioned joins + one min-aggregation;
+    * labels localCheckpoint eagerly per round, truncating lineage (the
+    * standard requirement for iterative Spark — an uncheckpointed loop
+    * re-executes every prior round per action).
+    *
+    * @param nodes  (id) — every document to label; docs in no pair become
+    *               their own singleton cluster.
+    * @param pairs  (id1, id2) undirected duplicate/candidate edges.
+    * @return (id, cluster_id, cluster_size, is_canonical)
+    */
+  def duplicateClusters(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    // materialize the edge list once: the loop joins it every round, and an
+    // unmaterialized frame would re-execute the (expensive) pair-derivation
+    // pipeline per round per action
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      // neighbor labels: dst inherits src's current label
+      val viaNeighbor = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      // pointer doubling: v proposes label(label(v))
+      val l2 = labels.select(col("id").as("__lid"), col("label").as("__llabel"))
+      val viaDouble = labels.join(l2, labels("label") === l2("__lid"))
+        .select(col("id"), col("__llabel").as("label"))
+      val proposed = labels.select("id", "label")
+        .union(viaNeighbor).union(viaDouble)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = proposed.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") =!= col("__old")).isEmpty
+      labels = proposed
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("id") === col("label")).as("is_canonical"))
+  }
+
   /** SimHash near-dup keys: 16-bit signature + two 8-bit bands. Documents
     * within Hamming distance 8 share at least one band (pigeonhole), so
     * banding the signature gives candidate buckets without pair explosion.

@@ -174,6 +174,65 @@ object TextPipeline {
         WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2
         ORDER BY jaccard DESC, id1, id2""")),
 
+    // ---- q67: duplicate clustering — LSH pairs (the q32 pipeline) folded
+    // into connected components: transitively-linked docs share a cluster,
+    // min id is canonical, and a dedup keeps exactly the canonical rows.
+    // The oracle re-derives the same components with a recursive CTE
+    // (min-reachable-id per node), so the clustering is verified exactly.
+    QueryDef(
+      "q67_dedup_clusters",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sets = Dedup.shingleFrame(d, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
+          maxBucketSize = None)
+        val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
+          .select(col("id1"), col("id2"))
+        val out = Dedup.duplicateClusters(d.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("is_canonical").cast("long").as("is_canonical"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+        sets.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH RECURSIVE
+             t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                    UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e0 a JOIN e0 b ON a.band = b.band AND a.sig = b.sig
+                                         AND a.doc_id < b.doc_id),
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2),
+             jp AS (SELECT id1, id2 FROM j
+                    WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+             ed AS (SELECT id1 AS src, id2 AS dst FROM jp
+                    UNION SELECT id2, id1 FROM jp),
+             reach(id, r) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, reach.r FROM reach JOIN ed e ON reach.id = e.src),
+             lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                    FROM lab GROUP BY cluster_id)
+        SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size,
+               CASE WHEN lab.id = lab.cluster_id THEN 1 ELSE 0 END::BIGINT
+                 AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
+        ORDER BY doc_id""")),
+
     // ---- q33: SimHash keys (16-bit signature + 8-bit bands) ----
     QueryDef(
       "q33_simhash",

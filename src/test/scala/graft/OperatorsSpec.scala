@@ -315,6 +315,28 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeResizeGrayscale(spark, junk, "doc_id", "png", 2, 2).count() == 0)
   }
 
+  test("duplicate clusters: transitive closure, canonical min id, singletons kept") {
+    val nodes = (0L to 12L).toDF("id")
+    // components: {0,1,2,3} via chain, {5,6} pair, {7..12} a long chain
+    // (exercises pointer doubling), 4 singleton
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L), (11L, 12L))
+      .toDF("id1", "id2")
+    val out = Dedup.duplicateClusters(nodes, pairs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    assert((0L to 3L).forall(i => out(i)._1 == 0L && out(i)._2 == 4L))
+    assert(out(5L) == ((5L, 2L, true)) && out(6L) == ((5L, 2L, false)))
+    assert((7L to 12L).forall(i => out(i)._1 == 7L && out(i)._2 == 6L))
+    assert(out(4L) == ((4L, 1L, true))) // singleton is its own canonical
+    // exactly one canonical per cluster
+    val canon = out.collect { case (_, (c, _, true)) => c }.toSeq
+    assert(canon.sorted == canon.distinct.sorted)
+    assert(canon.toSet == Set(0L, 4L, 5L, 7L))
+  }
+
   test("pii redaction: counts over original text, masks applied in order") {
     import graft.operators.Privacy
     val df = Seq(
