@@ -97,6 +97,27 @@ object TextAnalysis {
       .withColumn("top_gram_share", col("__top").cast(DoubleType) / col("n_grams"))
       .drop("__top")
 
+  /** Per-stratum corpus profile — the data-card operator: document count,
+    * exact length distribution (sum/avg/min/max + interpolated p50/p90,
+    * Spark's exact `percentile`, bit-identical to `quantile_cont`), and
+    * source diversity. One shuffle keyed on the stratum; the exact
+    * percentile's per-group value buffer is bounded by stratum size (for
+    * open-ended cardinality strata switch to `percentile_approx`, which
+    * folds into fixed-size sketches).
+    */
+  def corpusProfile(df: DataFrame, strataCol: String, lenCol: String,
+      sourceCol: String): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(lenCol)).as("total_len"),
+        (sum(col(lenCol)).cast(DoubleType) / count(lit(1))).as("avg_len"),
+        min(col(lenCol)).as("min_len"),
+        max(col(lenCol)).as("max_len"),
+        percentile(col(lenCol), lit(0.5)).as("p50_len"),
+        percentile(col(lenCol), lit(0.9)).as("p90_len"),
+        countDistinct(col(sourceCol)).as("n_sources"))
+
   /** Inter-document duplicate-text coverage (the C4/RefinedWeb-style
     * boilerplate signal): per document, the fraction of its DISTINCT
     * n-gram shingles that appear in at least one OTHER document.

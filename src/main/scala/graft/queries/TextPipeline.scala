@@ -594,6 +594,64 @@ object TextPipeline {
         GROUP BY g.doc_id
         ORDER BY doc_id""")),
 
+    // ---- q68: corpus profiling (the data-card pass): per-language doc
+    // counts, exact length distribution with interpolated p50/p90 (Spark's
+    // exact percentile is bit-identical to DuckDB's quantile_cont — probed,
+    // including interpolated fractional values), and source diversity.
+    QueryDef(
+      "q68_corpus_profile",
+      (s, dir) =>
+        TextAnalysis.corpusProfile(docs(s, dir), "lang", "n_chars", "source")
+          .orderBy("lang"),
+      Some("""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_len,
+               sum(n_chars)::DOUBLE / count(*) AS avg_len,
+               min(n_chars) AS min_len, max(n_chars) AS max_len,
+               quantile_cont(n_chars, 0.5) AS p50_len,
+               quantile_cont(n_chars, 0.9) AS p90_len,
+               count(DISTINCT source)::BIGINT AS n_sources
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // ---- q69: decontamination WITH the Bloom pre-pass, against the SAME
+    // oracle as q58 — the driver gate itself proves the pruning changes
+    // nothing (no false negatives), not just a unit test.
+    QueryDef(
+      "q69_decontaminate_bloom",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Curation.decontaminate(
+            train = d.filter(col("doc_id") % 10 =!= 0),
+            test = d.filter(col("doc_id") % 10 === 0),
+            idCol = "doc_id", textCol = "text", shingleN = 3,
+            bloomFpp = Some(0.01), bloomExpectedItems = 1L << 16)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH tr AS (
+          SELECT DISTINCT unnest(sh) AS gram FROM (
+            SELECT ${sqlShingles(3)} AS sh FROM (
+              SELECT $sqlToks AS tk FROM documents WHERE doc_id % 10 <> 0))
+        ),
+        te AS (
+          SELECT doc_id, ${sqlShingles(3)} AS sh FROM (
+            SELECT doc_id, $sqlToks AS tk FROM documents WHERE doc_id % 10 = 0)
+        ),
+        teg AS (
+          SELECT doc_id, len(sh)::BIGINT AS n_shingles, unnest(sh) AS gram
+          FROM te
+        )
+        SELECT teg.doc_id, teg.n_shingles,
+               SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_contaminated,
+               SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / teg.n_shingles AS contamination_ratio
+        FROM teg LEFT JOIN tr ON teg.gram = tr.gram
+        GROUP BY teg.doc_id, teg.n_shingles
+        ORDER BY doc_id""")),
+
     // Deterministic stratified downsampling: per-language keep rates from
     // md5 basis-point buckets — the oracle re-derives exact membership, so
     // the sample is proven reproducible (same rows every run, any engine).
