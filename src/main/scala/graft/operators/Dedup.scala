@@ -85,11 +85,15 @@ object Dedup {
     // hot bucket is a straggler task that never finishes. Capped-out
     // buckets are boilerplate clusters, not near-dup signal; callers that
     // need exhaustive pairs (small corpora, oracle checks) pass None.
+    // The count is a WINDOW over the bucket key, not a groupBy+self-join:
+    // one exchange instead of two, and the result stays partitioned on
+    // (band, sig) — exactly what the pair self-join below needs, so the
+    // planner reuses the exchange instead of reshuffling.
     val bucketed = maxBucketSize match {
       case Some(cap) =>
-        val sizes = exploded.groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("__bucket_n"))
-        exploded.join(sizes, Seq("band", "sig"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))
+        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
           .filter(col("__bucket_n") <= cap).drop("__bucket_n")
       case None => exploded
     }

@@ -123,10 +123,12 @@ object Similarity {
     */
   def embeddingNearDup(assigned: DataFrame, threshold: Double,
       maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    // window count, not groupBy+join: one exchange, and the frame stays
+    // partitioned on the bucket key the pair self-join needs
     val bounded = maxBucketSize match {
       case Some(cap) =>
-        val sizes = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("__bucket_n"))
-        assigned.join(sizes, Seq("bucket"))
+        val w = Window.partitionBy(col("bucket"))
+        assigned.withColumn("__bucket_n", count(lit(1)).over(w))
           .filter(col("__bucket_n") <= cap).drop("__bucket_n")
       case None => assigned
     }
@@ -184,11 +186,12 @@ object Similarity {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // window count over (band, bucket): one exchange, partitioning reused
+    // by the candidate self-join below
     val bounded = maxBucketSize match {
       case Some(cap) =>
-        val sizes = banded.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__n"))
-        banded.join(sizes, Seq("band", "bucket"))
+        val w = Window.partitionBy(col("band"), col("bucket"))
+        banded.withColumn("__n", count(lit(1)).over(w))
           .filter(col("__n") <= cap).drop("__n")
       case None => banded
     }
