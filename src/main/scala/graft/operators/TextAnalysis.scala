@@ -122,10 +122,12 @@ object TextAnalysis {
     * boilerplate signal): per document, the fraction of its DISTINCT
     * n-gram shingles that appear in at least one OTHER document.
     *
-    * Scale shape: the corpus reduces to (doc, gram) pairs once; the
-    * per-gram document count is one gram-keyed shuffle with map-side
-    * partials, and the count join is co-partitioned on the same key, so
-    * the corpus-scale data moves over the network once. Bodies never move.
+    * Scale shape: the corpus reduces to (doc, gram) pairs ONCE — the
+    * per-gram document count is a window over the gram key, not a
+    * groupBy+join (which would evaluate the tokenize+shingle pass twice:
+    * the aggregate's partial-combine exchange differs from the join
+    * exchange, so the planner cannot reuse one for the other). One gram
+    * shuffle, one doc-keyed fold; bodies never move.
     */
   def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5): DataFrame = {
@@ -133,8 +135,8 @@ object TextAnalysis {
       .select(col("doc"), col("n_sh"), explode_outer(col("sh")).as("gram"))
       .filter(col("gram").isNotNull)
     // (doc, gram) is unique (distinct sets) → count per gram = doc count
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("__docs"))
-    grams.join(counts, Seq("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    grams.withColumn("__docs", count(lit(1)).over(w))
       .groupBy(col("doc").as(idCol))
       .agg(max(col("n_sh")).cast(LongType).as("n_shingles"),
         sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
