@@ -258,10 +258,39 @@ object Snapshots {
   /** Append commit: new snapshot = previous files + staged files; schema
     * name-union-evolves, so an append with new columns upgrades the table
     * and old files read those columns as null — atomically with the data.
+    *
+    * @param clusterBy range-partition + sort the staged files on these
+    *   columns (one range shuffle — the cost of clustering, same as an
+    *   Iceberg sort order at write). Clustering is what makes the zone
+    *   maps BITE: range partitioning gives files DISJOINT key ranges, so
+    *   a point/range filter in [[readWhere]] prunes to a handful of files
+    *   instead of keeping all of them (every unclustered file spans the
+    *   whole key range).
     */
-  def append(df: DataFrame, table: String): Int = {
-    val staged = stage(df, table)
+  def append(df: DataFrame, table: String, clusterBy: Seq[String] = Nil): Int = {
+    val clustered =
+      if (clusterBy.isEmpty) df
+      else df.repartitionByRange(clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val staged = stage(clustered, table)
     commit(table, Some(dataSchema(df)))(prev => prev ++ staged)
+  }
+
+  /** Snapshot history as a DataFrame — the metadata-table surface
+    * (Iceberg's `<table>.snapshots` / `.files` parity): one row per
+    * retained manifest with file/partition/row-group-stats rollups. Reads
+    * only manifests, never data files.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val rows = (1 to currentVersion(table).getOrElse(0)).flatMap(v =>
+      snapshotIfExists(table, v).map { s =>
+        (s.version, s.entries.size.toLong,
+          s.entries.map(_.hour).distinct.size.toLong,
+          s.entries.count(_.stats.isDefined).toLong,
+          s.schema.map(_.fieldNames.length.toLong).getOrElse(0L))
+      })
+    rows.toDF("version", "n_files", "n_hours", "n_files_with_stats", "n_columns")
   }
 
   /** Partition-overwrite commit: staged hours replace those hours' files;

@@ -90,6 +90,47 @@ class SnapshotsSpec extends SparkSpec {
     assert(out.filter(col("score").isNotNull).count() == 2)
   }
 
+  test("cluster-on-write: disjoint file key ranges make zone-map pruning bite") {
+    import org.apache.spark.sql.sources.EqualTo
+    def ids = new scala.util.Random(7).shuffle((1 to 4000).toList)
+      .map(i => (i.toLong, s"v$i", ts("2024-03-01 05:10:00")))
+    val spread = Files.createTempDirectory("snap_unclustered").toString
+    Snapshots.append(ids.toDF("id", "name", "ts").repartition(8), spread)
+    val tight = Files.createTempDirectory("snap_clustered").toString
+    Snapshots.append(ids.toDF("id", "name", "ts").repartition(8), tight,
+      clusterBy = Seq("id"))
+    def filesKept(t: String): Int = {
+      val snap = Snapshots.current(t).get
+      snap.entries.count(e =>
+        e.stats.forall(st => graft.lake.FileStats.mayMatch(EqualTo("id", 17L), st)))
+    }
+    val total = Snapshots.current(spread).get.entries.size
+    assert(total >= 8)
+    // unclustered: files span nearly the whole id range -> pruning keeps
+    // most of them (a random 500-id sample can miss a small id by chance)
+    assert(filesKept(spread) >= total / 2, s"kept ${filesKept(spread)} of $total")
+    // clustered: ranges are disjoint -> a point lookup keeps 1 file (2 on a boundary)
+    assert(filesKept(tight) <= 2, s"kept ${filesKept(tight)} of ${filesKept(spread)}")
+    // same rows either way
+    assert(Snapshots.read(spark, tight).count() == 4000)
+    assert(Snapshots.readWhere(spark, tight, Seq(EqualTo("id", 17L)))
+      .filter(col("id") === 17L).count() == 1)
+  }
+
+  test("history: one row per retained manifest with rollups") {
+    val t = Files.createTempDirectory("snap_hist").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    Snapshots.append((11 to 12).map(i => (i.toLong, s"v$i", ts("2024-03-01 06:10:00"), 1.0))
+      .toDF("id", "name", "ts", "extra"), t)
+    val h = Snapshots.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq == Seq(1, 2))
+    assert(h(1).getAs[Long]("n_files") > h(0).getAs[Long]("n_files"))
+    assert(h(0).getAs[Long]("n_hours") == 1 && h(1).getAs[Long]("n_hours") == 2)
+    assert(h(0).getAs[Long]("n_columns") == 3 && h(1).getAs[Long]("n_columns") == 4)
+    // rollups come from manifests only; stats present on every committed file
+    assert(h.forall(r => r.getAs[Long]("n_files_with_stats") == r.getAs[Long]("n_files")))
+  }
+
   test("pre-schema manifests (no #schema header) still read via footer inference") {
     val t = Files.createTempDirectory("snap_preschema").toString
     Snapshots.append(mkRows(1 to 6, "2024-03-01 05"), t)
