@@ -21,6 +21,38 @@ class PropertiesSpec extends SparkSpec {
     (ms, cfg)
   }
 
+  test("duplicateClusters matches brute-force union-find on random graphs") {
+    import spark.implicits._
+    val g = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 20 + g.nextInt(30)
+      val nEdges = g.nextInt(n) // sparse → many components, some chains
+      val edges = List.fill(nEdges)((g.nextInt(n).toLong, g.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: textbook union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n)
+        .map(i => i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong)
+        .toMap
+      val out = graft.operators.Dedup.duplicateClusters(
+          (0L until n.toLong).toDF("id"),
+          edges.toDF("id1", "id2"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(out == expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
   test("fold conserves matches, orders alerts, respects window anchoring") {
     for (_ <- 1 to 300) {
       val (ms, cfg) = randomCase()
