@@ -79,6 +79,18 @@ object Snapshots {
   }
 
   private val SchemaHeader = "#schema\t"
+  private val CommittedAtHeader = "#committed_at\t"
+
+  /** Commit wall-clock of a version (epoch millis), None for pre-header
+    * manifests. Basis for [[readAsOf]] time travel.
+    */
+  def committedAt(table: String, version: Int): Option[Long] = {
+    val lines = Files.readAllLines(manifestPath(table, version), UTF_8).asScala
+    lines.collectFirst {
+      case l if l.startsWith(CommittedAtHeader) =>
+        l.stripPrefix(CommittedAtHeader).trim.toLong
+    }
+  }
 
   def snapshot(table: String, version: Int): Snapshot = {
     val lines = Files.readAllLines(manifestPath(table, version), UTF_8).asScala
@@ -127,6 +139,22 @@ object Snapshots {
       .orElse(current(table))
       .getOrElse(sys.error(s"no snapshot committed at $table"))
     readEntries(spark, table, snap.entries, mergeSchema, snap.schema)
+  }
+
+  /** Time travel: read the newest snapshot committed at or before
+    * `epochMillis` (Iceberg's timestamp-as-of). Versions without a
+    * commit-time header (pre-header manifests) are treated as older than
+    * any timestamp, matching their actual age.
+    */
+  def readAsOf(spark: SparkSession, table: String, epochMillis: Long): DataFrame = {
+    val cur = currentVersion(table)
+      .getOrElse(sys.error(s"no snapshot committed at $table"))
+    val v = (1 to cur)
+      .filter(v => committedAt(table, v).forall(_ <= epochMillis))
+      .maxOption
+      .getOrElse(sys.error(
+        s"no snapshot at or before $epochMillis in $table (earliest is v1)"))
+    read(spark, table, version = Some(v))
   }
 
   /** Manifest-level partition pruning: plan a scan over only the files of
@@ -239,7 +267,8 @@ object Snapshots {
         case (Some(a), Some(b)) => Some(unionSchema(a, b))
         case (a, b) => b.orElse(a)
       }
-      val body = (schema.map(s => SchemaHeader + s.json).toSeq ++
+      val body = (Seq(CommittedAtHeader + System.currentTimeMillis()) ++
+        schema.map(s => SchemaHeader + s.json).toSeq ++
         entries.map { e =>
           e.stats.fold(s"${e.hour}\t${e.file}")(
             st => s"${e.hour}\t${e.file}\t${FileStats.encode(st)}")

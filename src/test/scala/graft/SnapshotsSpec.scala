@@ -117,6 +117,19 @@ class SnapshotsSpec extends SparkSpec {
       .filter(col("id") === 17L).count() == 1)
   }
 
+  test("readAsOf: timestamp time travel picks the newest snapshot at-or-before") {
+    val t = Files.createTempDirectory("snap_asof").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5) // ensure v2's commit-time is strictly later
+    Snapshots.append(mkRows(11 to 30, "2024-03-01 06"), t)
+    assert(Snapshots.readAsOf(spark, t, afterV1).count() == 10)
+    assert(Snapshots.readAsOf(spark, t, System.currentTimeMillis()).count() == 30)
+    // before any commit → error, not silent empty
+    val tooEarly = Snapshots.committedAt(t, 1).get - 1
+    intercept[RuntimeException] { Snapshots.readAsOf(spark, t, tooEarly) }
+  }
+
   test("history: one row per retained manifest with rollups") {
     val t = Files.createTempDirectory("snap_hist").toString
     Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
