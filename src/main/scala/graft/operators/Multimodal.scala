@@ -9,15 +9,18 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL for JPEG/PNG (and any other `javax.imageio`
   * service-provider format — GIF/BMP/WBMP ship with the JDK): see
-  * [[decodeImageToGrayscale]] / [[decodeResizeGrayscale]]. Audio/video
-  * codecs have no JDK decoder, so those stay on [[decodeStub]], which
-  * derives deterministic fake features from the bytes — everything around
-  * the stub (schema, batching, partition-wise processing, metadata
-  * extraction) is real, so swapping in a JNI/codec call is a one-function
-  * change. At cluster scale the binary column stays columnar (parquet
-  * binary), partitions are sized by `spark.sql.files.maxPartitionBytes`,
-  * and decode passes are mapPartitions so per-partition library init
-  * (codec contexts) happens once, not per row.
+  * [[decodeImageToGrayscale]] / [[decodeResizeGrayscale]]. Audio decode is
+  * REAL for the JDK container formats (WAV/AIFF/AU PCM via
+  * `javax.sound.sampled`): see [[decodeAudioFeatures]]. Only COMPRESSED
+  * audio (MP3/AAC) and video codecs have no JDK decoder and stay on
+  * [[decodeStub]], which derives deterministic fake features from the
+  * bytes — everything around the stub (schema, batching, partition-wise
+  * processing, metadata extraction) is real, so swapping in a JNI/codec
+  * call is a one-function change. At cluster scale the binary column
+  * stays columnar (parquet binary), partitions are sized by
+  * `spark.sql.files.maxPartitionBytes`, and decode passes are
+  * mapPartitions so per-partition library init (codec contexts) happens
+  * once, not per row.
   */
 object Multimodal {
 
@@ -215,6 +218,107 @@ object Multimodal {
         }
       }
     }.toDF(idCol, "width", "height", "thumbnail", "mean_luminance", "stddev_luminance")
+  }
+
+  /** PCM16 → WAV container (44-byte RIFF header + little-endian samples) —
+    * the producer side of the audio path. Odd trailing bytes are dropped
+    * (a sample is two bytes). Pure byte assembly; PCM is lossless, so
+    * decode(encode(samples)) must round-trip exactly.
+    */
+  def encodePcm16Wav(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String, sampleRate: Int = 16000): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.length < 2) None
+        else {
+          val dataLen = bytes.length & ~1
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(36 + dataLen)
+          bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(16)            // PCM fmt chunk size
+          bb.putShort(1)           // audio format: PCM
+          bb.putShort(1)           // channels: mono
+          bb.putInt(sampleRate)
+          bb.putInt(sampleRate * 2) // byte rate (16-bit mono)
+          bb.putShort(2)           // block align
+          bb.putShort(16)          // bits per sample
+          bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(dataLen)
+          bb.put(bytes, 0, dataLen)
+          Some((r.getLong(idIdx), bb.array()))
+        }
+      }
+    }.toDF(idCol, "wav")
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in; WAV, AIFF,
+    * AU — headless): container bytes → PCM16 samples → deterministic
+    * features (sample count, duration, peak amplitude, RMS energy,
+    * zero-crossing count). Sample sums of squares stay below 2^52, so the
+    * double arithmetic is exact and an external engine reproduces every
+    * feature bit-for-bit from the same samples. Undecodable payloads are
+    * dropped (sidelining territory); compressed audio codecs (MP3/AAC/...)
+    * have no JDK decoder and stay on [[decodeStub]].
+    */
+  def decodeAudioFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.length == 0) None
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+            else {
+              val raw = in.readAllBytes()
+              val little =
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  !fmt.isBigEndian
+              val n = raw.length / 2
+              var i = 0
+              var sumSq = 0.0
+              var peak = 0L
+              var zc = 0L
+              var prevSign = 0
+              while (i < n) {
+                val lo = raw(2 * i) & 0xff
+                val hi = raw(2 * i + 1) & 0xff
+                val u = if (little) lo | (hi << 8) else hi | (lo << 8)
+                val s = if (u >= 0x8000) u - 0x10000 else u
+                sumSq += s.toDouble * s
+                if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+                val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+                if (sign != 0) {
+                  if (prevSign != 0 && sign != prevSign) zc += 1
+                  prevSign = sign
+                }
+                i += 1
+              }
+              val rate = fmt.getSampleRate.toDouble
+              Some((r.getLong(idIdx), rate.toInt, n.toLong, n / rate,
+                peak, math.sqrt(sumSq / n), zc))
+            }
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+    }.toDF(idCol, "sample_rate", "n_samples", "duration_s",
+      "peak_abs", "rms", "zero_crossings")
   }
 
   /** Frame-sampling shape for video-like payloads: split the byte stream

@@ -376,6 +376,62 @@ object TextPipeline {
       },
       thumbOracle),
 
+    // ---- q70: REAL audio decode (javax.sound.sampled, JDK built-in).
+    // The doc's UTF-8 bytes become PCM16 samples, wrapped in an actual WAV
+    // container in-operator, then decodeAudioFeatures parses the container
+    // back through the JDK codec and computes deterministic features. PCM
+    // is lossless and every sum of squares stays under 2^52, so the DuckDB
+    // oracle re-derives the identical int16 samples from the ORIGINAL
+    // bytes and matches every feature bit-for-bit — the audio analogue of
+    // q62's PNG round-trip proof.
+    QueryDef(
+      "q70_audio_decode",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .select("doc_id", "payload")
+        val wav = Multimodal.encodePcm16Wav(s, d, "doc_id", "payload", sampleRate = 16000)
+        Multimodal.decodeAudioFeatures(s, wav, "doc_id", "wav")
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            col("duration_s"), col("peak_abs"), col("rms"), col("zero_crossings"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 (octet_length(encode(text)) // 2) AS n
+          FROM documents
+          WHERE octet_length(encode(text)) >= 2
+        ),
+        sm AS (
+          SELECT doc_id, n,
+                 list_transform(range(0, n), i ->
+                   CASE WHEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+                             + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT >= 32768
+                        THEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+                             + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT - 65536
+                        ELSE ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+                             + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT END) AS s
+          FROM t
+        ),
+        sg AS (
+          SELECT doc_id, n, s,
+                 list_filter(list_transform(s, x ->
+                   CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END),
+                   x -> x <> 0) AS signs
+          FROM sm
+        )
+        SELECT doc_id,
+               CAST(16000 AS INTEGER) AS sample_rate,
+               n::BIGINT AS n_samples,
+               n / 16000.0 AS duration_s,
+               list_max(list_transform(s, x -> abs(x)))::BIGINT AS peak_abs,
+               sqrt(list_sum(list_transform(s, x -> x*x))::DOUBLE / n) AS rms,
+               len(list_filter(range(2, len(signs) + 1),
+                 i -> signs[i] <> signs[i-1]))::BIGINT AS zero_crossings
+        FROM sg
+        ORDER BY doc_id""")),
+
     // Frame sampling over video-like binary payloads: fixed-size byte
     // frames, every stride-th kept (Multimodal.sampleFrames — the real
     // plumbing of a frame sampler; VIDEO codecs stay stubbed, the JDK has

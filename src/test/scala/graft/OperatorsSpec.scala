@@ -307,6 +307,33 @@ class OperatorsSpec extends SparkSpec {
     assert(maxErr <= 8, s"jpeg round-trip drifted by $maxErr levels")
   }
 
+  test("wav encode -> javax.sound decode: exact features from known samples") {
+    import graft.operators.Multimodal
+    // samples: +1000, -1000, +1000, 0, -32768  (little-endian pairs)
+    def le(s: Int): Seq[Byte] = {
+      val u = if (s < 0) s + 0x10000 else s
+      Seq((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+    }
+    val pcm = (Seq(1000, -1000, 1000, 0, -32768).flatMap(le)).toArray
+    val df = Seq((9L, pcm)).toDF("doc_id", "bin")
+    val wav = Multimodal.encodePcm16Wav(spark, df, "doc_id", "bin", 8000).head
+    val bytes = wav.getAs[Array[Byte]]("wav")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val out = Multimodal.decodeAudioFeatures(spark,
+      Seq((9L, bytes)).toDF("doc_id", "wav"), "doc_id", "wav").head
+    assert(out.getAs[Int]("sample_rate") == 8000)
+    assert(out.getAs[Long]("n_samples") == 5L)
+    assert(out.getAs[Long]("peak_abs") == 32768L)
+    // sign sequence +,-,+,(0 skipped),- -> 3 crossings
+    assert(out.getAs[Long]("zero_crossings") == 3L)
+    val sumSq = 1000.0 * 1000 * 3 + 32768.0 * 32768
+    assert(out.getAs[Double]("rms") == math.sqrt(sumSq / 5))
+    assert(out.getAs[Double]("duration_s") == 5.0 / 8000)
+    // non-audio bytes are dropped, not crashed
+    val junk = Seq((1L, "definitely not audio".getBytes)).toDF("doc_id", "wav")
+    assert(Multimodal.decodeAudioFeatures(spark, junk, "doc_id", "wav").count() == 0)
+  }
+
   test("undecodable payloads return None / are dropped, not crashed") {
     assert(Multimodal.decodeImageToGrayscale("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeImageToGrayscale(Array.emptyByteArray).isEmpty)
