@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * service-provider format — GIF/BMP/WBMP ship with the JDK): see
   * [[decodeImageToGrayscale]] / [[decodeResizeGrayscale]]. Audio decode is
   * REAL for the JDK container formats (WAV/AIFF/AU PCM via
-  * `javax.sound.sampled`): see [[decodeAudioFeatures]]. Only COMPRESSED
-  * audio (MP3/AAC) and video codecs have no JDK decoder and stay on
+  * `javax.sound.sampled`): see [[decodeAudioFeatures]]. Multi-frame
+  * container sampling is REAL via animated GIF ([[decodeGifFrames]] — an
+  * actual container index + LZW decode in the loop). Only COMPRESSED
+  * audio (MP3/AAC) and true video codecs have no JDK decoder and stay on
   * [[decodeStub]], which derives deterministic fake features from the
   * bytes — everything around the stub (schema, batching, partition-wise
   * processing, metadata extraction) is real, so swapping in a JNI/codec
@@ -218,6 +220,111 @@ object Multimodal {
         }
       }
     }.toDF(idCol, "width", "height", "thumbnail", "mean_luminance", "stddev_luminance")
+  }
+
+  /** 256-gray palette shared by the GIF frame path (palette index == gray
+    * value, so indexed encode/decode is bit-lossless).
+    */
+  @transient private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Raw grayscale payload → ANIMATED GIF (GIF89a, one image per
+    * consecutive frameW×frameH byte block; partial tail dropped) — the
+    * producer side of the real video-like container path. Interlacing is
+    * explicitly disabled: the JDK writer's progressive mode permutes rows
+    * on short frames. Palette index == gray value, and GIF LZW is
+    * lossless, so decode must recover every frame byte exactly.
+    */
+  def encodeFramesGif(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String, frameW: Int, frameH: Int): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val frameBytes = frameW * frameH
+    df.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.length < frameBytes) None
+        else {
+          val n = bytes.length / frameBytes
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          wr.setOutput(ios)
+          val p = wr.getDefaultWriteParam
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val img = new java.awt.image.BufferedImage(frameW, frameH,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+            img.getRaster.setDataElements(0, 0, frameW, frameH,
+              java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+            wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+            f += 1
+          }
+          wr.endWriteSequence()
+          ios.close()
+          wr.dispose()
+          Some((r.getLong(idIdx), bos.toByteArray))
+        }
+      }
+    }.toDF(idCol, "gif")
+  }
+
+  /** REAL frame sampling from an animated-image container: decode every
+    * `stride`-th frame of a multi-frame GIF through the JDK codec and
+    * return its grayscale bytes + mean luminance. This is [[sampleFrames]]
+    * with an actual container and codec in the loop — frame count comes
+    * from the container index, pixels from LZW decode, grayscale via the
+    * same integer luma as [[decodeImageToGrayscale]]. Undecodable payloads
+    * are dropped.
+    */
+  def decodeGifFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String, stride: Int): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.length == 0) Iterator.empty
+        else {
+          val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          // decode eagerly INSIDE the try: a lazy iterator would pull
+          // rd.read() after this block, escaping both catch and dispose
+          try {
+            rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            val n = rd.getNumImages(true)
+            (0 until n by stride).toVector.map { f =>
+              val img = rd.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = new Array[Byte](w * h)
+              var sum = 0L
+              var i = 0
+              while (i < px.length) {
+                val p = img.getRGB(i % w, i / w)
+                val lum = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                  114 * (p & 0xff)) / 1000
+                px(i) = lum.toByte
+                sum += lum
+                i += 1
+              }
+              (r.getLong(idIdx), f, w, h, px, sum.toDouble / (w * h))
+            }.iterator
+          } catch {
+            case _: java.io.IOException => Iterator.empty
+            case _: java.util.NoSuchElementException => Iterator.empty
+          } finally rd.dispose()
+        }
+      }
+    }.toDF(idCol, "frame_idx", "width", "height", "frame", "mean_luminance")
   }
 
   /** PCM16 → WAV container (44-byte RIFF header + little-endian samples) —

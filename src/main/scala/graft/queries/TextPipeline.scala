@@ -432,6 +432,43 @@ object TextPipeline {
         FROM sg
         ORDER BY doc_id""")),
 
+    // ---- q71: REAL container frame sampling — the doc's bytes become
+    // 16×4 grayscale frames of an actual ANIMATED GIF (encoded in-operator,
+    // interlace off, 256-gray palette so index == value), then
+    // decodeGifFrames pulls every 2nd frame back through the JDK codec.
+    // GIF LZW is lossless, so the oracle re-slices the identical frames
+    // and exact means from the ORIGINAL bytes — q56's sampling arithmetic
+    // with a real multi-frame container + codec in the loop.
+    QueryDef(
+      "q71_gif_frames",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .select("doc_id", "payload")
+        val gifs = Multimodal.encodeFramesGif(s, d, "doc_id", "payload",
+          frameW = 16, frameH = 4)
+        Multimodal.decodeGifFrames(s, gifs, "doc_id", "gif", stride = 2)
+          .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+            hex(col("frame")).as("frame_hex"), col("mean_luminance"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) // 64 AS nf
+          FROM documents
+          WHERE octet_length(encode(text)) >= 64
+        ),
+        f AS (SELECT doc_id, hx, unnest(range(0, nf, 2)) AS fi FROM t)
+        SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+               CAST(16 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+               substr(hx, fi*128 + 1, 128) AS frame_hex,
+               list_sum(list_transform(range(0, 64), i ->
+                 ('0x' || substr(hx, fi*128 + 2*i + 1, 2))::BIGINT))::DOUBLE / 64
+                 AS mean_luminance
+        FROM f
+        ORDER BY doc_id, frame_idx""")),
+
     // Frame sampling over video-like binary payloads: fixed-size byte
     // frames, every stride-th kept (Multimodal.sampleFrames — the real
     // plumbing of a frame sampler; VIDEO codecs stay stubbed, the JDK has

@@ -307,6 +307,36 @@ class OperatorsSpec extends SparkSpec {
     assert(maxErr <= 8, s"jpeg round-trip drifted by $maxErr levels")
   }
 
+  test("animated gif encode -> decode: frames round-trip byte-exact") {
+    import graft.operators.Multimodal
+    // two full 4x2 frames + a partial tail byte (dropped)
+    val f0 = Array.tabulate[Byte](8)(i => (i * 30).toByte)
+    val f1 = Array.tabulate[Byte](8)(i => (255 - i * 30).toByte)
+    val df = Seq((3L, f0 ++ f1 ++ Array[Byte](99))).toDF("doc_id", "bin")
+    val gif = Multimodal.encodeFramesGif(spark, df, "doc_id", "bin",
+      frameW = 4, frameH = 2).head
+    val bytes = gif.getAs[Array[Byte]]("gif")
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a")
+    val frames = Multimodal.decodeGifFrames(spark,
+      Seq((3L, bytes)).toDF("doc_id", "gif"), "doc_id", "gif", stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 2)
+    assert(frames(0).getAs[Array[Byte]]("frame").toSeq == f0.toSeq)
+    assert(frames(1).getAs[Array[Byte]]("frame").toSeq == f1.toSeq)
+    assert(frames(0).getAs[Double]("mean_luminance")
+      == f0.map(_ & 0xff).sum.toDouble / 8)
+    // stride skips frames by container index
+    val strided = Multimodal.decodeGifFrames(spark,
+      Seq((3L, bytes)).toDF("doc_id", "gif"), "doc_id", "gif", stride = 2)
+      .collect()
+    assert(strided.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0))
+    // payload shorter than one frame -> dropped at encode; junk -> dropped at decode
+    val short = Seq((4L, Array[Byte](1, 2, 3))).toDF("doc_id", "bin")
+    assert(Multimodal.encodeFramesGif(spark, short, "doc_id", "bin", 4, 2).count() == 0)
+    val junk = Seq((5L, "not a gif".getBytes)).toDF("doc_id", "gif")
+    assert(Multimodal.decodeGifFrames(spark, junk, "doc_id", "gif", 1).count() == 0)
+  }
+
   test("wav encode -> javax.sound decode: exact features from known samples") {
     import graft.operators.Multimodal
     // samples: +1000, -1000, +1000, 0, -32768  (little-endian pairs)
