@@ -317,6 +317,61 @@ object Relational {
               FROM customer GROUP BY c_nationkey) a
           ON c_nationkey = nk
         WHERE c_acctbal > nation_avg
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- q72: pivot (wide-format counts per hour × event type). A FIXED
+    // value list keeps the plan single-pass (no values-discovery job); the
+    // oracle is the portable CASE form. Empty cells coalesce to 0 so both
+    // engines agree. ns-ts gotcha: hour-truncate on both sides.
+    QueryDef(
+      "q72_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("ts_hour"))
+          .pivot("event_type", types)
+          .count()
+        types.foldLeft(p)((d, c) => d.withColumn(c, coalesce(col(c), lit(0L))))
+          .orderBy(col("ts_hour"))
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS ts_hour,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY ts_hour""")),
+
+    // ---- q73: extended window functions (lag/lead/ntile/percent_rank/
+    // cume_dist) in one per-user pass — ANSI semantics in both engines;
+    // (value, event_id) ordering makes every rank deterministic, and the
+    // rank ratios are exact integer divisions.
+    QueryDef(
+      "q73_window_extended",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            lag(col("event_id"), 1).over(w).as("prev_id"),
+            lead(col("event_id"), 1).over(w).as("next_id"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               LAG(event_id, 1) OVER w AS prev_id,
+               LEAD(event_id, 1) OVER w AS next_id,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        ORDER BY event_id"""))
   )
 }
