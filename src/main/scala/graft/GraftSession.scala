@@ -38,8 +38,11 @@ object GraftSession {
     s
   }
 
-  /** Register graft's native expressions for spark.sql callers. */
+  /** Register graft's native expressions for spark.sql callers — the same
+    * set `spark.sql.extensions=graft.GraftExtensions` injects.
+    */
   def registerFunctions(s: SparkSession): Unit =
-    org.apache.spark.sql.GraftBridge.registerFunction(s, "cosine_similarity",
-      exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)))
+    GraftExtensions.functions.foreach { case (id, _, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(s, id.funcName, builder)
+    }
 }

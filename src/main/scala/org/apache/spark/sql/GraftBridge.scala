@@ -24,4 +24,22 @@ object GraftBridge {
   /** Logical plan of a DataFrame. */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Mutable copy of the session's function registry (for tests proving
+    * extension injection without touching the live session).
+    */
+  def cloneFunctionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.sessionState.functionRegistry.clone()
+
+  /** private[sql] accessors on SparkSessionExtensions, surfaced for
+    * extension-injection tests.
+    */
+  def plannerStrategies(e: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    e.buildPlannerStrategies(spark)
+
+  def applyExtensionFunctions(e: SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    e.registerFunctions(reg)
 }
