@@ -345,6 +345,32 @@ object Relational {
         GROUP BY 1
         ORDER BY ts_hour""")),
 
+    // ---- q74: salted skew join under the gate. events is the canonical
+    // hot-key shape (5 event types across 100k rows — every key is hot);
+    // Skew.saltedJoin fans each hot key across 8 salt sub-keys and
+    // replicates the dim side per salt, so the shuffle spreads to 8 tasks
+    // per key instead of one straggler. Salting must be SEMANTICALLY
+    // INVISIBLE: the oracle is the plain inner join, so the gate proves
+    // the salt fan-out/replication changes nothing.
+    QueryDef(
+      "q74_salted_join",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        val dim = events.select(col("event_type")).distinct()
+          .withColumn("weight", length(col("event_type")))
+        graft.operators.Skew.saltedJoin(events, dim, "event_type", salts = 8)
+          .groupBy(col("event_type"), col("weight"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT e.event_type, len(e.event_type) AS weight,
+               COUNT(*) AS n, SUM(user_id)::BIGINT AS sum_users
+        FROM events e
+        JOIN (SELECT DISTINCT event_type FROM events) d USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type""")),
+
     // ---- q73: extended window functions (lag/lead/ntile/percent_rank/
     // cume_dist) in one per-user pass — ANSI semantics in both engines;
     // (value, event_id) ordering makes every rank deterministic, and the
