@@ -507,6 +507,43 @@ object LogAnalytics {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id""")),
 
+    // ---- q75: as-of join, FORWARD direction with a tolerance gate —
+    // "next click within an hour of each purchase". Same one-exchange
+    // union+window plan as q52; the tolerance nulls matches further than
+    // the interval while preserving the left-outer row count. The oracle
+    // is DuckDB's native ASOF (<= picks the nearest following row) with
+    // the tolerance applied as a post-CASE — legal because ASOF returns
+    // the nearest match, the only candidate the gate could keep.
+    QueryDef(
+      "q75_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.operators.AsOfJoin
+          .asOf(
+            left = ev.filter(col("event_type") === "purchase")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "click"),
+            keys = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ts",
+            carry = Seq("ts" -> "next_click_ts", "value" -> "next_click_value"),
+            direction = graft.operators.AsOfJoin.Forward,
+            tolerance = Some(expr("INTERVAL 1 HOUR")))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN c.ts END
+                 AS next_click_ts,
+               CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN c.value END
+                 AS next_click_value
+        FROM (SELECT event_id, user_id, ts
+              FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value
+                        FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.event_id""")),
+
     // ---- q53: range join — point-in-interval feed enrichment ----
     // The IP-in-CIDR shape the reference's exact-key enrichment can't do;
     // bucketed to an equi hash join (RangeJoin.pointInRange) instead of the
