@@ -149,9 +149,14 @@ object Dedup {
       maxRounds: Int = 20): DataFrame = {
     // materialize the edge list once: the loop joins it every round, and an
     // unmaterialized frame would re-execute the (expensive) pair-derivation
-    // pipeline per round per action
+    // pipeline per round per action. Both endpoints are restricted to
+    // `nodes` first — a stray pair id would otherwise inject ghost labels
+    // and inflate cluster sizes.
+    val ids = nodes.select(col("id"))
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)

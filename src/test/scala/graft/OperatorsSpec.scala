@@ -388,6 +388,11 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) == ((5L, 2L, true)) && out(6L) == ((5L, 2L, false)))
     assert((7L to 12L).forall(i => out(i)._1 == 7L && out(i)._2 == 6L))
     assert(out(4L) == ((4L, 1L, true))) // singleton is its own canonical
+    // stray pair ids outside the node set must not leak into the output
+    val strayOut = Dedup.duplicateClusters(nodes,
+      pairs.union(Seq((99L, 0L), (98L, 97L)).toDF("id1", "id2")))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(strayOut == (0L to 12L).toSet)
     // exactly one canonical per cluster
     val canon = out.collect { case (_, (c, _, true)) => c }.toSeq
     assert(canon.sorted == canon.distinct.sorted)
