@@ -44,10 +44,21 @@ class PlanShapeSpec extends SparkSpec {
 
   for ((name, fn) <- SparkEntry.queries if !sideEffecting(name))
     test(s"$name: no derived-collection expression in any FileScan data filter") {
-      val offenders = scanDataFilters(fn(spark, sf)).filter(derivesCollection)
+      val df = fn(spark, sf)
+      val offenders = scanDataFilters(df).filter(derivesCollection)
       assert(offenders.isEmpty,
         s"scan filters re-derive a collection (generator-pushdown trap):\n" +
           offenders.map(_.toString).mkString("\n"))
+      // second scale guard: a non-broadcast cross product pairs every
+      // partition with every other — |A|x|B| rows through one stage. The
+      // intentional cross joins (brute-force scoring, centroid argmin)
+      // all broadcast their small side and plan as BroadcastNestedLoop;
+      // a CartesianProduct node is always a planning accident.
+      val cartesian = df.queryExecution.sparkPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesian.isEmpty,
+        s"plan contains a non-broadcast cartesian product:\n${cartesian.mkString("\n")}")
     }
 
   test("guard has teeth: the round-5 defect shape (plain explode over a " +
