@@ -576,6 +576,43 @@ object LogAnalytics {
                 FROM supplier)
         SELECT p.event_id, p.ip, r.s_suppkey, r.s_name
         FROM pts p JOIN rng r ON p.ip BETWEEN r.lo AND r.hi
-        ORDER BY p.event_id, r.s_suppkey"""))
+        ORDER BY p.event_id, r.s_suppkey""")),
+
+    // ---- q76: range ENRICHMENT — most-specific-wins, left-preserving.
+    // q53 emits every overlapping range; enrichment semantics pick ONE
+    // (the narrowest span, ties by lo then key — the longest-prefix-match
+    // rule of CIDR feeds) and keep unmatched points with null attributes.
+    // One min_by shuffle on the point id after the bucketed equi join.
+    QueryDef(
+      "q76_range_enrich",
+      (s, dir) => {
+        val pts = t(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_id") * lit(2654435761L)) % lit(1000000L) as "ip")
+        val rng = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"),
+            (col("s_suppkey") * lit(104729L)) % lit(1000000L) as "lo")
+          .withColumn("hi", col("lo") + lit(200L) + (col("s_suppkey") % 97) * 13)
+        graft.operators.RangeJoin
+          .enrich(pts, "event_id", "ip", rng, "lo", "hi",
+            bucketWidth = 1024, broadcastRanges = true, pickOne = true)
+          .select("event_id", "ip", "s_suppkey", "s_name")
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH pts AS (SELECT event_id, (event_id * 2654435761) % 1000000 AS ip
+                     FROM events),
+        rng AS (SELECT s_suppkey, s_name,
+                       (s_suppkey * 104729) % 1000000 AS lo,
+                       (s_suppkey * 104729) % 1000000
+                         + 200 + (s_suppkey % 97) * 13 AS hi
+                FROM supplier),
+        m AS (SELECT p.event_id, r.s_suppkey, r.s_name,
+                     ROW_NUMBER() OVER (PARTITION BY p.event_id
+                       ORDER BY r.hi - r.lo, r.lo, r.s_suppkey) AS rn
+              FROM pts p JOIN rng r ON p.ip BETWEEN r.lo AND r.hi)
+        SELECT p.event_id, p.ip, m.s_suppkey, m.s_name
+        FROM pts p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
+        ORDER BY p.event_id"""))
   )
 }
