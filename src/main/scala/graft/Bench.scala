@@ -24,7 +24,9 @@ object Bench {
     // the partition-pruned read path, not temp-dir disk throughput.
     for (fn <- SparkEntry.queries.headOption.map(_._2) ++
                SparkEntry.queries.get("q45_lake_roundtrip") ++
-               SparkEntry.queries.get("q54_lake_pruned")) {
+               SparkEntry.queries.get("q54_lake_pruned") ++
+               SparkEntry.queries.get("q77_merge_upsert") ++
+               SparkEntry.queries.get("q78_compression_inference")) {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
     }

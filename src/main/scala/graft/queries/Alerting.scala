@@ -22,6 +22,8 @@ object Alerting {
 
   /** q45's written lake dirs, keyed by sf dir (see q45 for why). */
   private val lakeRoundtripDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mergeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val compDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** q54's snapshot tables: (dir -> (table path, id cut)), memoized like q45. */
   private val zoneMapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
@@ -314,6 +316,100 @@ object Alerting {
           AND event_id >= 3 * (SELECT COUNT(*) FROM events
                                WHERE ts < TIMESTAMP '2024-01-02 00:00:00') // 4
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ---- q77: atomic MERGE INTO on the snapshot lake (J2/S15) — one
+    // commit carries both halves: matched rows (event_id % 7 = 0) get a
+    // patched type and value, unmatched update rows insert as new ids.
+    // The oracle reconstructs the exact post-merge table from the raw
+    // events, so the rewrite-touched-partitions + insert protocol is
+    // verified end to end, not just spec'd.
+    QueryDef(
+      "q77_merge_upsert",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        val tmp = mergeDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_lake_mg").toString
+          val base = events(s, dir)
+            .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+            .select("event_id", "ts", "event_type", "value")
+          Snapshots.append(base, t)
+          val patches = base.filter(col("event_id") % 7 === 0)
+            .select(col("event_id"), col("ts"), lit("patched").as("event_type"),
+              (col("value") + 1000.0).as("value"))
+          val inserts = base.filter(col("event_id") % 100 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+              lit("inserted").as("event_type"), col("value"))
+          Snapshots.mergeUpsert(s, t, patches.unionByName(inserts), "event_id")
+          t
+        })
+        Snapshots.read(s, tmp)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"),
+            max(col("event_id")).as("max_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id, event_type, value FROM events
+          WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        ),
+        merged AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 7 = 0 THEN 'patched' ELSE event_type END
+                   AS event_type,
+                 CASE WHEN event_id % 7 = 0 THEN value + 1000.0 ELSE value END
+                   AS value
+          FROM base
+          UNION ALL
+          SELECT event_id + 10000000, 'inserted', value
+          FROM base WHERE event_id % 100 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               MAX(event_id) AS max_id
+        FROM merged
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- q78: magic-byte compression inference (S1) under the gate —
+    // the same document lines land in a plain file, a gzip file, and a
+    // MISNAMED zstd file (.log extension, so only the magic bytes can
+    // route the decode); readLinesInferred must recover every line of all
+    // three. The oracle recomputes the aggregate from the source table.
+    QueryDef(
+      "q78_compression_inference",
+      (s, dir) => {
+        val tmp = compDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_comp").toString
+          val rows = graft.Tables.load(s, dir, "documents")
+            .select("lang", "text").collect()
+          def lines(p: String => Boolean) =
+            rows.filter(r => p(r.getString(0))).map(_.getString(1))
+          def write(name: String, wrap: java.io.OutputStream => java.io.OutputStream,
+              ls: Array[String]): Unit = {
+            val out = wrap(java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(t, name)))
+            val w = new java.io.PrintWriter(out)
+            ls.foreach(w.println)
+            w.close()
+          }
+          write("plain.log", identity, lines(l => l != "en" && l != "zh"))
+          write("mislabeled_gzip.log",
+            o => new java.util.zip.GZIPOutputStream(o), lines(_ == "en"))
+          write("mislabeled_zstd.log",
+            o => new com.github.luben.zstd.ZstdOutputStream(o), lines(_ == "zh"))
+          t
+        })
+        graft.sources.Compression.readLinesInferred(s, tmp)
+          .agg(count(lit(1)).as("n_lines"),
+            countDistinct(col("line")).as("n_distinct"),
+            sum(length(col("line"))).as("total_chars"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_lines,
+               COUNT(DISTINCT text) AS n_distinct,
+               SUM(len(text))::BIGINT AS total_chars
+        FROM documents"""))
   )
 }

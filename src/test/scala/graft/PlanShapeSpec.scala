@@ -26,7 +26,8 @@ class PlanShapeSpec extends SparkSpec {
     * checkpoints, lake temp-dir round-trips) — their scans are exercised by
     * their own specs and the driver gate.
     */
-  private val sideEffecting = Set("q41_alerts_stream", "q45_lake_roundtrip", "q54_lake_pruned")
+  private val sideEffecting = Set("q41_alerts_stream", "q45_lake_roundtrip",
+    "q54_lake_pruned", "q77_merge_upsert", "q78_compression_inference")
 
   private def scanDataFilters(df: DataFrame): Seq[Expression] =
     df.queryExecution.sparkPlan.collect {
