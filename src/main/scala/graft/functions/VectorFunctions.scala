@@ -82,8 +82,12 @@ object VectorFunctions {
     * scale column is needed at scoring time and the only inputs are the
     * 1-byte codes. Integer dots are exact; the final sqrt/divide is the
     * same IEEE arithmetic in any engine (no tolerance needed in oracles).
+    * A degenerate all-zero vector (norm 0) scores 0.0, not NaN — NaN
+    * ordering differs between Spark and external engines, so a NaN here
+    * would silently reorder top-k results against an oracle.
     */
-  def cosineInt8(a: Column, b: Column): Column =
-    dotInt(a, b).cast(DoubleType) /
-      (sqrt(dotInt(a, a).cast(DoubleType)) * sqrt(dotInt(b, b).cast(DoubleType)))
+  def cosineInt8(a: Column, b: Column): Column = {
+    val denom = sqrt(dotInt(a, a).cast(DoubleType)) * sqrt(dotInt(b, b).cast(DoubleType))
+    when(denom > 0d, dotInt(a, b).cast(DoubleType) / denom).otherwise(lit(0d))
+  }
 }

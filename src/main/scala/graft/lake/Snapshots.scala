@@ -141,19 +141,27 @@ object Snapshots {
     readEntries(spark, table, snap.entries, mergeSchema, snap.schema)
   }
 
-  /** Time travel: read the newest snapshot committed at or before
-    * `epochMillis` (Iceberg's timestamp-as-of). Versions without a
+  /** Time travel: read the newest RETAINED snapshot committed at or
+    * before `epochMillis` (Iceberg's timestamp-as-of). Versions without a
     * commit-time header (pre-header manifests) are treated as older than
-    * any timestamp, matching their actual age.
+    * any timestamp, matching their actual age. Manifests deleted by
+    * [[expireSnapshots]] (or deleted concurrently mid-probe) simply no
+    * longer qualify — time travel keeps working over the retained window,
+    * erroring only when no retained version is old enough.
     */
   def readAsOf(spark: SparkSession, table: String, epochMillis: Long): DataFrame = {
     val cur = currentVersion(table)
       .getOrElse(sys.error(s"no snapshot committed at $table"))
     val v = (1 to cur)
-      .filter(v => committedAt(table, v).forall(_ <= epochMillis))
+      .filter { v =>
+        try Files.exists(manifestPath(table, v)) &&
+          committedAt(table, v).forall(_ <= epochMillis)
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
       .maxOption
       .getOrElse(sys.error(
-        s"no snapshot at or before $epochMillis in $table (earliest is v1)"))
+        s"no retained snapshot at or before $epochMillis in $table " +
+          "(older versions may have been expired)"))
     read(spark, table, version = Some(v))
   }
 
@@ -232,12 +240,41 @@ object Snapshots {
 
   /** Name-union schema evolution (additive; the reference's
     * `unionByNameWith` semantic): existing fields keep their position and
-    * type, new fields append.
+    * type, new fields append. A staged field that REUSES an existing name
+    * with an incompatible type fails the commit here — Iceberg validates
+    * types at evolution time; silently keeping the old type would commit
+    * files the table schema can no longer read (or would miscast).
+    * Nullability is not a compatibility dimension (the read schema is
+    * nullable anyway).
     */
   private def unionSchema(prev: org.apache.spark.sql.types.StructType,
-      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val byName = prev.fields.map(f => f.name -> f.dataType).toMap
+    for (f <- next.fields; prevType <- byName.get(f.name))
+      if (asNullable(prevType) != asNullable(f.dataType))
+        sys.error(
+          s"schema evolution conflict on column '${f.name}': table type " +
+            s"${prevType.catalogString} vs staged ${f.dataType.catalogString} — " +
+            "renaming or explicit casting is required (type changes are not additive)")
     org.apache.spark.sql.types.StructType(prev.fields ++
-      next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+      next.fields.filterNot(f => byName.contains(f.name)))
+  }
+
+  /** Structural type with every nested nullability flag forced true —
+    * the equality basis for evolution compatibility.
+    */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(asNullable(m.keyType), asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
 
   /** The logical data schema a frame commits under (partition column
     * excluded — it is path-derived on read).

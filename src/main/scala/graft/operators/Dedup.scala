@@ -160,6 +160,7 @@ object Dedup {
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    val labelType = labels.schema("label").dataType
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -171,14 +172,27 @@ object Dedup {
       val l2 = labels.select(col("id").as("__lid"), col("label").as("__llabel"))
       val viaDouble = labels.join(l2, labels("label") === l2("__lid"))
         .select(col("id"), col("__llabel").as("label"))
-      val proposed = labels.select("id", "label")
-        .union(viaNeighbor).union(viaDouble)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      converged = proposed.join(labels.withColumnRenamed("label", "__old"), "id")
-        .filter(col("label") =!= col("__old")).isEmpty
-      labels = proposed
+      // The convergence probe rides the SAME aggregation (and the same
+      // action) as the label update: the current-label branch carries its
+      // label in `__old` (exactly one per id — max() recovers it), so
+      // changed = (min proposal != __old) per row. A LAZY localCheckpoint
+      // materializes during the count() — one job per round in the UI,
+      // where an eager checkpoint + isEmpty probe was two.
+      val proposed = labels.select(col("id"), col("label"), col("label").as("__old"))
+        .union(viaNeighbor.select(col("id"), col("label"),
+          lit(null).cast(labelType).as("__old")))
+        .union(viaDouble.select(col("id"), col("label"),
+          lit(null).cast(labelType).as("__old")))
+        .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
+        .localCheckpoint(eager = false)
+      converged = proposed.filter(col("label") =!= col("__old")).count() == 0
+      labels = proposed.select("id", "label")
     }
+    // A partially-converged labeling would place transitively-linked docs
+    // in different clusters and be consumed as correct — fail loudly.
+    if (!converged) sys.error(
+      s"duplicateClusters did not converge within $maxRounds rounds — " +
+        "raise maxRounds (pointer doubling needs O(log n) rounds)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"),

@@ -54,9 +54,22 @@ object Enrichment {
     * detection-side `get_enrichment_table_record`): collect the small
     * table once into a broadcast map keyed by `lookupKey`. Use inside
     * rules/foreachBatch bodies; plan-level joins should use lookupJoin.
+    *
+    * Size-guarded: collecting a mislabeled "enrichment" table of lake
+    * scale would OOM the DRIVER (a broadcast map is driver-resident
+    * before shipping), so the collect is capped by `maxRows` — a table
+    * over the cap fails fast with a pointer at the distributed join API
+    * instead of dying mid-collect. The probe is a cheap `limit(n+1)`
+    * count, not a full count of the table.
     */
-  def lookupMap(enrichment: DataFrame, lookupKey: String)
+  def lookupMap(enrichment: DataFrame, lookupKey: String,
+      maxRows: Long = 2000000L)
       : org.apache.spark.broadcast.Broadcast[Map[String, org.apache.spark.sql.Row]] = {
+    val probe = enrichment.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    if (probe > maxRows) sys.error(
+      s"enrichment table exceeds the $maxRows-row broadcast-map cap — " +
+        "use Enrichment.lookupJoin (distributed, size-gated broadcast join) " +
+        "instead of the driver-side lookupMap, or raise maxRows deliberately")
     val keyed = enrichment.collect()
       .map(r => String.valueOf(r.getAs[Any](lookupKey)) -> r).toMap
     enrichment.sparkSession.sparkContext.broadcast(keyed)

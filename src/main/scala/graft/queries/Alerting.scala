@@ -386,13 +386,20 @@ object Alerting {
             .select("lang", "text").collect()
           def lines(p: String => Boolean) =
             rows.filter(r => p(r.getString(0))).map(_.getString(1))
+          // Explicit '\n' framing (PrintWriter.println is platform-line-
+          // separator and swallows IO errors); a text with an embedded
+          // newline would split into extra lines and break the per-row
+          // oracle, so reject it up front rather than mismatch later.
           def write(name: String, wrap: java.io.OutputStream => java.io.OutputStream,
               ls: Array[String]): Unit = {
-            val out = wrap(java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(t, name)))
-            val w = new java.io.PrintWriter(out)
-            ls.foreach(w.println)
-            w.close()
+            ls.find(_.contains('\n')).foreach(l => sys.error(
+              s"q78 fixture text contains an embedded newline: ${l.take(40)}…"))
+            val w = new java.io.OutputStreamWriter(
+              wrap(java.nio.file.Files.newOutputStream(
+                java.nio.file.Paths.get(t, name))),
+              java.nio.charset.StandardCharsets.UTF_8)
+            try ls.foreach { l => w.write(l); w.write('\n') }
+            finally w.close() // throws on truncated/failed writes
           }
           write("plain.log", identity, lines(l => l != "en" && l != "zh"))
           write("mislabeled_gzip.log",

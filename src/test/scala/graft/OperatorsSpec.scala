@@ -213,6 +213,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("int8 cosine scores an all-zero vector 0.0, never NaN") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(
+      (1L, Seq(0.0, 0.0, 0.0), Seq(0.5, -0.5, 0.25)), // zero left
+      (2L, Seq(0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0)))   // both zero
+      .toDF("id", "a", "b")
+      .withColumn("ca", quantizeInt8Bytes(col("a"), int8Scale(col("a"))))
+      .withColumn("cb", quantizeInt8Bytes(col("b"), int8Scale(col("b"))))
+      .withColumn("cos_q", cosineInt8(col("ca"), col("cb")))
+    // NaN would sort differently in Spark vs external engines and silently
+    // permute ANN top-k ranks — a degenerate vector must pin to 0.0
+    df.select("cos_q").collect().foreach(r => assert(r.getDouble(0) == 0.0))
+  }
+
   test("ivfTopKInt8: same neighbors as fp scoring, bounded rank displacement") {
     val dim = 8
     def v(seed: Int): Seq[Double] =
@@ -397,6 +411,14 @@ class OperatorsSpec extends SparkSpec {
     val canon = out.collect { case (_, (c, _, true)) => c }.toSeq
     assert(canon.sorted == canon.distinct.sorted)
     assert(canon.toSet == Set(0L, 4L, 5L, 7L))
+    // exhausting maxRounds without convergence must fail loudly, not
+    // return a partially-converged labeling (a 6-node chain needs >1 round)
+    val e = intercept[RuntimeException] {
+      Dedup.duplicateClusters((7L to 12L).toDF("id"),
+        Seq((7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L), (11L, 12L))
+          .toDF("id1", "id2"), maxRounds = 1)
+    }
+    assert(e.getMessage.contains("converge"))
   }
 
   test("pii redaction: counts over original text, masks applied in order") {

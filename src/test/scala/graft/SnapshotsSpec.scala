@@ -130,6 +130,39 @@ class SnapshotsSpec extends SparkSpec {
     intercept[RuntimeException] { Snapshots.readAsOf(spark, t, tooEarly) }
   }
 
+  test("readAsOf keeps working over the retained window after expireSnapshots") {
+    val t = Files.createTempDirectory("snap_asof_exp").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    Thread.sleep(5)
+    Snapshots.append(mkRows(11 to 20, "2024-03-01 06"), t)
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.append(mkRows(21 to 30, "2024-03-01 07"), t)
+    Snapshots.expireSnapshots(t, keepLast = 2) // v1's manifest is gone
+    // a timestamp inside the retained window still time-travels
+    assert(Snapshots.readAsOf(spark, t, afterV2).count() == 20)
+    assert(Snapshots.readAsOf(spark, t, System.currentTimeMillis()).count() == 30)
+    // a timestamp older than every retained version errors (not NoSuchFile)
+    val tooEarly = Snapshots.committedAt(t, 2).get - 1
+    val e = intercept[RuntimeException] { Snapshots.readAsOf(spark, t, tooEarly) }
+    assert(e.getMessage.contains("retained"))
+  }
+
+  test("schema evolution rejects a type-conflicting reuse of a column name") {
+    val t = Files.createTempDirectory("snap_evo_conflict").toString
+    Snapshots.append(mkRows(1 to 3, "2024-03-01 05"), t) // name: string
+    val conflicting = (4 to 5).map(i => (i.toLong, i * 2, ts("2024-03-01 06:10:00")))
+      .toDF("id", "name", "ts") // name: int — incompatible with string
+    val e = intercept[RuntimeException] { Snapshots.append(conflicting, t) }
+    assert(e.getMessage.contains("name"))
+    // the failed commit left no new version and the table still reads
+    assert(Snapshots.currentVersion(t).contains(1))
+    assert(Snapshots.read(spark, t).count() == 3)
+    // nullability differences are NOT conflicts; same-type append still works
+    Snapshots.append(mkRows(6 to 7, "2024-03-01 06"), t)
+    assert(Snapshots.read(spark, t).count() == 5)
+  }
+
   test("history: one row per retained manifest with rollups") {
     val t = Files.createTempDirectory("snap_hist").toString
     Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)

@@ -40,6 +40,13 @@ class StreamingSpec extends SparkSpec {
     val bc = graft.operators.Enrichment.lookupMap(enrich, "user_id")
     assert(bc.value("john").getAs[String]("name") == "John Doe")
     assert(!bc.value.contains("ghost"))
+    // a lake-scale "enrichment" table must fail fast (driver-OOM guard),
+    // with the message routing the caller to the distributed join API
+    val big = spark.range(10).toDF("user_id")
+    val e = intercept[RuntimeException] {
+      graft.operators.Enrichment.lookupMap(big, "user_id", maxRows = 5)
+    }
+    assert(e.getMessage.contains("lookupJoin"))
   }
 
   test("streaming enrichment refresh: an update is visible to the next batch") {
