@@ -21,7 +21,7 @@ object TextAnalysis {
   /** Stopword-ratio language ID: en if the stopword share of tokens clears
     * `threshold`, else unk. (A real pipeline adds per-language lists; the
     * operator shape — token-set ratio against a broadcast lexicon — is the
-    * same.)
+    * same. See [[languageIdMulti]] for the multi-language form.)
     */
   def languageId(df: DataFrame, textCol: String, threshold: Double = 0.08): DataFrame = {
     val toks = tokens(col(textCol))
@@ -30,6 +30,72 @@ object TextAnalysis {
     df.withColumn("n_tokens", nTok.cast(LongType))
       .withColumn("en_ratio", nStop.cast(DoubleType) / nTok)
       .withColumn("lang_pred", when(col("en_ratio") >= threshold, "en").otherwise("unk"))
+  }
+
+  /** Per-language function-word lexicons for [[languageIdMulti]]. Function
+    * words (articles, prepositions, conjunctions, pronouns) are the
+    * canonical langid features: they are the most frequent words of every
+    * language, closed-class (no domain drift), and short texts still hit
+    * them. Words may legitimately appear in several lexicons (es/pt "de",
+    * fr/es "la") — each language's ratio is computed independently, so
+    * shared words raise both and the argmax still separates on the
+    * language-exclusive ones.
+    */
+  val lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "it",
+      "that", "with", "as", "was", "are"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+      "del", "se", "por", "con", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "en",
+      "est", "que", "dans", "pour", "qui"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "im", "ein",
+      "eine", "mit", "zu", "auf", "nicht", "sich"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma",
+      "para", "com", "os", "não", "por"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "con", "del",
+      "non", "si", "sono", "le", "da"))
+
+  /** Multi-language language ID: per-language lexicon-hit ratio, argmax
+    * language + confidence. Emits `n_tokens`, one `r_<lang>` ratio column
+    * per language, `lang_conf` (the winning ratio) and `lang_pred` (the
+    * winning language, or `unk` below `threshold`).
+    *
+    * The lexicons ship to executors as literal `isin` sets inside one
+    * codegen'd projection — a closed-class lexicon is tens of words per
+    * language, so this is a zero-shuffle, zero-join, single-pass operator
+    * (the 100 TB shape: pure map, scales with input bytes).
+    *
+    * Determinism: the argmax is `greatest` over `(ratio, lang)` structs —
+    * field-by-field comparison picks the max ratio and breaks exact ties
+    * toward the LARGEST language code, the same rule as DuckDB's
+    * `list_max` over structs, so oracles reproduce the argmax
+    * byte-for-byte (ratios are single IEEE divisions of the same ints in
+    * either engine). Empty texts pin every ratio to 0.0 (never NaN).
+    */
+  def languageIdMulti(df: DataFrame, textCol: String,
+      langLexicons: Map[String, Seq[String]] = lexicons,
+      threshold: Double = 0.08): DataFrame = {
+    require(langLexicons.size >= 2, "languageIdMulti needs >= 2 lexicons")
+    // tokens stage as their own projection (lambdas get no CSE)
+    val staged = df.withColumn("__tk", tokens(col(textCol)))
+    val nTok = size(col("__tk"))
+    def ratio(words: Seq[String]): Column =
+      when(nTok > 0,
+        size(filter(col("__tk"), t => t.isin(words: _*))).cast(DoubleType) / nTok)
+        .otherwise(lit(0.0))
+    val byLang = langLexicons.toSeq.sortBy(_._1)
+    val withRatios = byLang.foldLeft(
+      staged.withColumn("n_tokens", nTok.cast(LongType))) {
+      case (d, (lang, words)) => d.withColumn(s"r_$lang", ratio(words))
+    }
+    val best = greatest(byLang.map { case (lang, _) =>
+      struct(col(s"r_$lang").as("r"), lit(lang).as("l")) }: _*)
+    withRatios
+      .withColumn("__best", best)
+      .withColumn("lang_conf", col("__best.r"))
+      .withColumn("lang_pred",
+        when(col("lang_conf") >= threshold, col("__best.l")).otherwise("unk"))
+      .drop("__tk", "__best")
   }
 
   /** Quality metrics + a composite score in [0,1]:

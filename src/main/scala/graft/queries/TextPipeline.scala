@@ -760,5 +760,41 @@ object TextPipeline {
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
               < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END
         ORDER BY doc_id"""))
+    ,
+
+    // ---- q79: multi-language language ID (per-language lexicon ratios,
+    // struct-greatest argmax + confidence). The oracle word lists are
+    // INTERPOLATED from TextAnalysis.lexicons, so Spark and DuckDB can
+    // never drift; DuckDB's list_max over (r, l) structs applies the same
+    // max-ratio / largest-code tie-break as Spark's greatest.
+    QueryDef(
+      "q79_langid_multi",
+      (s, dir) =>
+        TextAnalysis.languageIdMulti(docs(s, dir), "text")
+          .select(Seq(col("doc_id"), col("n_tokens")) ++
+            TextAnalysis.lexicons.keys.toSeq.sorted.map(l => col(s"r_$l")) ++
+            Seq(col("lang_conf"), col("lang_pred")): _*)
+          .orderBy(col("doc_id")),
+      Some {
+        val langs = TextAnalysis.lexicons.toSeq.sortBy(_._1)
+        val ratios = langs.map { case (l, ws) =>
+          val in = ws.map(w => s"'$w'").mkString(",")
+          s"CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> x IN ($in)))::DOUBLE / len(tk) ELSE 0.0 END AS r_$l"
+        }.mkString(",\n                 ")
+        val packs = langs.map { case (l, _) =>
+          s"struct_pack(r := r_$l, l := '$l')" }.mkString(", ")
+        val rCols = langs.map { case (l, _) => s"r_$l" }.mkString(", ")
+        s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             r AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                 $ratios
+               FROM t),
+             b AS (SELECT *, list_max([$packs]) AS best FROM r)
+        SELECT doc_id, n_tokens, $rCols,
+               best.r AS lang_conf,
+               CASE WHEN best.r >= 0.08 THEN best.l ELSE 'unk' END AS lang_pred
+        FROM b
+        ORDER BY doc_id"""
+      })
   )
 }

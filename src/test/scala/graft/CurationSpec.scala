@@ -24,6 +24,34 @@ class CurationSpec extends SparkSpec {
     assert(counts("train") > counts("val") + counts("test"))
   }
 
+  test("languageIdMulti: argmax over per-language lexicon ratios on mixed fixtures") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy in the sun"),
+      (2L, "el perro corre por la calle y no se detiene en la plaza"),
+      (3L, "le chien court dans la rue et les enfants jouent pour le plaisir"),
+      (4L, "der hund läuft auf der straße und das kind spielt mit dem ball nicht"),
+      (5L, "o gato dorme em uma casa e não sai para a rua com os outros"),
+      (6L, "il gatto dorme con il cane e non esce per la strada che conosce"),
+      (7L, "zzz qqq xxx www yyy kkk"), // no lexicon hits anywhere → unk
+      (8L, ""))                      // empty → 0 tokens, all ratios 0.0, unk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageIdMulti(docs, "text")
+      .select("doc_id", "lang_pred", "lang_conf", "n_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L)._1 == "en"); assert(out(2L)._1 == "es")
+    assert(out(3L)._1 == "fr"); assert(out(4L)._1 == "de")
+    assert(out(5L)._1 == "pt"); assert(out(6L)._1 == "it")
+    assert(out(7L) == (("unk", 0.0, 6L)))
+    assert(out(8L) == (("unk", 0.0, 0L))) // never NaN
+    // confidence is the winning ratio: doc 1 has 8 en-lexicon hits
+    // (the×3, on, and, it, was, in) over 13 tokens
+    assert(out(1L)._2 == 8.0 / 13)
+    // every winner cleared the threshold
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).forall(out(_)._2 >= 0.08))
+  }
+
   test("deterministic split rejects percents that do not sum to 100") {
     val df = spark.range(0, 10).toDF("id")
     intercept[IllegalArgumentException] {
