@@ -42,4 +42,82 @@ object Privacy {
     }
     counted.withColumn("redacted", redacted)
   }
+
+  // ---- extended kinds -------------------------------------------------------
+
+  /** SSN with the SSA issuance exclusions (area not 000/666/900+, group not
+    * 00, serial not 0000) encoded as pure alternation — RE2 has no
+    * lookahead, so exclusion-by-alternation is what keeps the pattern
+    * byte-identical between Java regex and an RE2 oracle.
+    */
+  val SsnRe: String =
+    "\\b(00[1-9]|0[1-9]\\d|[1-5]\\d{2}|6[0-57-9]\\d|66[0-57-9]|[78]\\d{2})" +
+      "-(0[1-9]|[1-9]\\d)-(000[1-9]|00[1-9]\\d|0[1-9]\\d{2}|[1-9]\\d{3})\\b"
+
+  /** Card-shaped candidate: 13–19 digits, each optionally followed by one
+    * space/dash. Candidates are only COUNTED when they pass [[luhnValid]];
+    * redaction masks every candidate (conservative — a leaked PAN with a
+    * typo'd digit should still not survive into a training corpus).
+    * A run longer than 19 digits matches nowhere (every prefix ends on a
+    * digit boundary), and words break digit runs, so free text does not
+    * chain into false candidates.
+    */
+  val CcRe: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** IPv6: full 8-group form, or single-`::` compressed with one trailing
+    * group (the dominant textual forms in logs). Leftmost-first alternation
+    * behaves identically in Java regex and RE2.
+    */
+  val Ipv6Re: String =
+    "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b|" +
+      "\\b(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}\\b"
+
+  /** Extended pattern set; order matters for redaction (emails first —
+    * they contain digits and dots; SSN before the card pattern so an SSN
+    * is never absorbed into a card-shaped digit run; IPv6 before IPv4).
+    */
+  val extendedPatterns: Seq[(String, String, String)] = Seq(
+    ("email", EmailRe, "<EMAIL>"),
+    ("ssn", SsnRe, "<SSN>"),
+    ("cc", CcRe, "<CC>"),
+    ("ipv6", Ipv6Re, "<IPV6>"),
+    ("ip", Ipv4Re, "<IP>"),
+    ("phone", PhoneRe, "<PHONE>"))
+
+  /** Luhn checksum over a card candidate (separators stripped), as a pure
+    * codegen'd expression — `transform` over digit positions of the
+    * REVERSED string (position 1 = check digit), doubling even positions
+    * with the >9 ⇒ −9 fold, then one `aggregate` sum. Exact integer
+    * arithmetic, bit-identical in any engine.
+    */
+  def luhnValid(cand: Column): Column = {
+    val digits = reverse(regexp_replace(cand, "[ -]", ""))
+    val vals = transform(sequence(lit(1), length(digits)), i => {
+      val d = ascii(substr(digits, i, lit(1))) - lit(48)
+      when(i % 2 === 0, when(d > 4, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(vals, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** [[redactPii]] over [[extendedPatterns]]: per-kind counts on the
+    * ORIGINAL text (`n_emails`, `n_ssns`, `n_ccs`, `n_ipv6s`, `n_ips`,
+    * `n_phones`) and a `redacted` rewrite masking all six kinds in order.
+    * The card count is Luhn-gated (candidates that fail the checksum are
+    * masked but not counted). Still one codegen'd pass, zero shuffles.
+    */
+  def redactPiiExtended(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val counted = extendedPatterns.foldLeft(df) {
+      case (d, ("cc", re, _)) =>
+        d.withColumn("n_ccs",
+          size(filter(regexp_extract_all(text, lit(re), lit(0)), luhnValid(_)))
+            .cast(LongType))
+      case (d, (kind, re, _)) =>
+        d.withColumn(s"n_${kind}s", regexp_count(text, lit(re)).cast(LongType))
+    }
+    val redacted: Column = extendedPatterns.foldLeft(text) {
+      case (c, (_, re, mask)) => regexp_replace(c, re, mask)
+    }
+    counted.withColumn("redacted", redacted)
+  }
 }

@@ -795,6 +795,88 @@ object TextPipeline {
                CASE WHEN best.r >= 0.08 THEN best.l ELSE 'unk' END AS lang_pred
         FROM b
         ORDER BY doc_id"""
+      }),
+
+    // ---- q80: extended PII kinds — SSN (issuance exclusions as pure
+    // alternation), credit card (Luhn-gated count, conservative redaction),
+    // IPv6 (full + compressed). Synthetic PII is injected from doc_id
+    // identically on both engines; injections include an excluded-area SSN
+    // (666-…), an excluded-serial SSN (…-0000 on doc 0) and a Luhn-invalid
+    // card, proving the exclusion rules and checksum gate under the oracle.
+    QueryDef(
+      "q80_pii_extended",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("text", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" bad 666-12-3456")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            when(col("doc_id") % 8 === 0, lit(" card 4111-1111-1111-1112"))
+              .otherwise(lit(" card 4111111111111111"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ip6 2001:0db8:0000:0000:0000:ff00:0042:"),
+              lpad((col("doc_id") % 9999).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" ip6 2001:db8::"), (col("doc_id") % 9 + 1).cast("string")))
+            .otherwise(lit(""))))
+        graft.operators.Privacy.redactPiiExtended(d, "text")
+          .select(col("doc_id"), col("n_ssns"), col("n_ccs"), col("n_ipv6s"),
+            col("redacted"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.operators.Privacy
+        val redact = Privacy.extendedPatterns.foldLeft("text") {
+          case (c, (_, re, mask)) => s"regexp_replace($c, '$re', '$mask', 'g')"
+        }
+        s"""
+        WITH d AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 9 = 0 THEN ' bad 666-12-3456' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0
+                    THEN CASE WHEN doc_id % 8 = 0 THEN ' card 4111-1111-1111-1112'
+                              ELSE ' card 4111111111111111' END
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' ip6 2001:0db8:0000:0000:0000:ff00:0042:'
+                         || lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 10 = 0
+                    THEN ' ip6 2001:db8::' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents
+        ),
+        cands AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '${Privacy.CcRe}')) AS c
+          FROM d
+        ),
+        dg AS (
+          SELECT doc_id, reverse(replace(replace(c, '-', ''), ' ', '')) AS r
+          FROM cands
+        ),
+        cc AS (
+          SELECT doc_id, count(*) AS n_ccs FROM dg
+          WHERE list_sum(list_transform(range(1, len(r) + 1), i ->
+            CASE WHEN i % 2 = 0
+                 THEN CASE WHEN ascii(substr(r, CAST(i AS INT), 1)) - 48 > 4
+                           THEN (ascii(substr(r, CAST(i AS INT), 1)) - 48) * 2 - 9
+                           ELSE (ascii(substr(r, CAST(i AS INT), 1)) - 48) * 2 END
+                 ELSE ascii(substr(r, CAST(i AS INT), 1)) - 48 END)) % 10 = 0
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(regexp_extract_all(d.text, '${Privacy.SsnRe}'))::BIGINT AS n_ssns,
+               COALESCE(cc.n_ccs, 0)::BIGINT AS n_ccs,
+               len(regexp_extract_all(d.text, '${Privacy.Ipv6Re}'))::BIGINT AS n_ipv6s,
+               $redact AS redacted
+        FROM d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        ORDER BY d.doc_id"""
       })
   )
 }

@@ -386,6 +386,39 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeResizeGrayscale(spark, junk, "doc_id", "png", 2, 2).count() == 0)
   }
 
+  test("extended PII: SSN issuance exclusions, Luhn-gated cards, IPv6 forms") {
+    import graft.operators.Privacy
+    val docs = Seq(
+      (1L, "ssn 123-45-6789 ok"),
+      (2L, "bad 666-12-3456 and 000-12-3456 and 123-00-4567 and 123-45-0000"),
+      (3L, "cards 4111111111111111 and 5500 0055 5555 5559"),
+      (4L, "typo card 4111-1111-1111-1112"),
+      (5L, "v6 2001:0db8:0000:0000:0000:ff00:0042:8329 and 2001:db8::1"),
+      (6L, "phone 555-123-4567 ip 10.0.0.1 mail a@b.example"))
+      .toDF("doc_id", "text")
+    val out = Privacy.redactPiiExtended(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_ssns") == 1)
+    assert(out(1L).getAs[String]("redacted") == "ssn <SSN> ok")
+    // every exclusion rule: area 666, area 000, group 00, serial 0000
+    assert(out(2L).getAs[Long]("n_ssns") == 0)
+    assert(out(2L).getAs[String]("redacted") == out(2L).getAs[String]("text"))
+    // two valid cards (contiguous + space-separated), both masked
+    assert(out(3L).getAs[Long]("n_ccs") == 2)
+    assert(out(3L).getAs[String]("redacted") == "cards <CC> and <CC>")
+    // Luhn-invalid: masked (conservative) but NOT counted
+    assert(out(4L).getAs[Long]("n_ccs") == 0)
+    assert(out(4L).getAs[String]("redacted") == "typo card <CC>")
+    // full 8-group and ::-compressed forms
+    assert(out(5L).getAs[Long]("n_ipv6s") == 2)
+    assert(out(5L).getAs[String]("redacted") == "v6 <IPV6> and <IPV6>")
+    // the legacy trio keeps working through the extended pass
+    assert(out(6L).getAs[Long]("n_phones") == 1)
+    assert(out(6L).getAs[Long]("n_ips") == 1)
+    assert(out(6L).getAs[Long]("n_emails") == 1)
+    assert(out(6L).getAs[String]("redacted") == "phone <PHONE> ip <IP> mail <EMAIL>")
+  }
+
   test("duplicate clusters: transitive closure, canonical min id, singletons kept") {
     val nodes = (0L to 12L).toDF("id")
     // components: {0,1,2,3} via chain, {5,6} pair, {7..12} a long chain
