@@ -24,6 +24,7 @@ object Alerting {
   private val lakeRoundtripDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val mergeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val compDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val retroDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** q54's snapshot tables: (dir -> (table path, id cut)), memoized like q45. */
   private val zoneMapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
@@ -417,6 +418,74 @@ object Alerting {
         SELECT COUNT(*) AS n_lines,
                COUNT(DISTINCT text) AS n_distinct,
                SUM(len(text))::BIGINT AS total_chars
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- q81: alert retro-activation END TO END through the lake (the
+    // reference's matano_alerts.rs:309-444 semantic — late matches flip
+    // `activated` on already-committed rows of the same alert). Phase 1
+    // folds matches before the cutoff and commits the alert rows to a
+    // snapshot table — under-threshold alerts land with activated=false.
+    // Phase 2 re-folds the full history for ONLY the keys with late
+    // matches and applies it as ONE atomic mergeUpsert on alert_id:
+    // committed rows of extended alerts flip in place (same alert_id —
+    // the anchor never moves), late-anchored alerts insert. The oracle
+    // reconstructs the post-retro table from raw events with the full
+    // recursive-CTE fold, so it is independent of the cutoff: the gate
+    // proves incremental-merge == full-history fold.
+    QueryDef(
+      "q81_alerts_retro_lake",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        val cfg = Alerts.AlertConfig(threshold = 2, windowSeconds = 1800)
+        val cut = lit("2024-01-06 14:10:00").cast("timestamp")
+        val tmp = retroDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_lake_retro").toString
+          val m = Detection.ruleMatches(events(s, dir),
+            rules.filter(_.name == "error_burst"), matchId = col("event_id"))
+          val phase1 = graft.plans.AnchoredSession.aggregate(s,
+            m.filter(col("ts") < cut), cfg)
+          Snapshots.append(phase1.withColumn("ts", col("first_matched_at")), t)
+          val lateKeys = m.filter(col("ts") >= cut)
+            .select("rule_name", "dedupe").distinct()
+          val retro = graft.plans.AnchoredSession.aggregate(s, m, cfg)
+            .join(lateKeys, Seq("rule_name", "dedupe"), "left_semi")
+          Snapshots.mergeUpsert(s, t,
+            retro.withColumn("ts", col("first_matched_at")), "alert_id")
+          t
+        })
+        Snapshots.read(s, tmp)
+          .select(col("rule_name"), col("dedupe"), col("alert_id"),
+            col("match_count"), col("activated"),
+            unix_micros(col("first_matched_at")).as("first_us"))
+          .orderBy(col("rule_name"), col("dedupe"), col("first_us"))
+      },
+      // the full-history fold (q41's oracle): cutoff-independent ground truth
+      Some("""
+        WITH RECURSIVE matches AS (
+          SELECT 'error_burst' AS rule_name, CAST(user_id AS VARCHAR) AS dedupe,
+                 epoch_ns(ts) // 1000 AS us
+          FROM events WHERE event_type = 'error'
+        ),
+        m AS (
+          SELECT rule_name, dedupe, us,
+                 row_number() OVER (PARTITION BY rule_name, dedupe ORDER BY us) AS rn
+          FROM matches
+        ),
+        r AS (
+          SELECT rule_name, dedupe, us, rn, us AS anchor FROM m WHERE rn = 1
+          UNION ALL
+          SELECT m2.rule_name, m2.dedupe, m2.us, m2.rn,
+                 CASE WHEN m2.us >= r.anchor + CAST(1800000000 AS BIGINT) THEN m2.us ELSE r.anchor END
+          FROM m m2
+          JOIN r ON m2.dedupe = r.dedupe AND m2.rn = r.rn + 1
+        )
+        SELECT rule_name, dedupe,
+               md5(rule_name || '|' || dedupe || '|' || CAST(anchor // 1000 AS VARCHAR)) AS alert_id,
+               COUNT(*) AS match_count,
+               COUNT(*) >= 2 AS activated,
+               anchor AS first_us
+        FROM r
+        GROUP BY rule_name, dedupe, anchor
+        ORDER BY rule_name, dedupe, first_us"""))
   )
 }

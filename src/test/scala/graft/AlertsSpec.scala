@@ -95,6 +95,42 @@ class AlertsSpec extends SparkSpec {
     assert(afterFiles == before)
   }
 
+  test("flip-after-commit: late matches activate an already-committed alert in one snapshot commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retro_e2e").toString
+    val cfg = AlertConfig(threshold = 2, windowSeconds = 1800)
+    def m(id: Long, ts: String) =
+      ("error_burst", "u1", id, java.sql.Timestamp.valueOf(ts))
+    // phase 1: one early match — alert commits UNDER threshold
+    val early = Seq(m(1, "2024-01-01 10:00:00"))
+      .toDF("rule_name", "dedupe", "match_id", "ts")
+    val phase1 = graft.plans.AnchoredSession.aggregate(spark, early, cfg)
+    Snapshots.append(phase1.withColumn("ts", col("first_matched_at")), tmp)
+    val committed = Snapshots.read(spark, tmp).collect()
+    assert(committed.length == 1 && !committed.head.getAs[Boolean]("activated"))
+    val committedId = committed.head.getAs[String]("alert_id")
+    val v1 = Snapshots.currentVersion(tmp).get
+    // phase 2: a late match inside the window crosses the threshold, plus
+    // one far outside it (a brand-new alert) — both land in ONE commit
+    val full = Seq(m(1, "2024-01-01 10:00:00"), m(2, "2024-01-01 10:20:00"),
+      m(3, "2024-01-01 13:00:00")).toDF("rule_name", "dedupe", "match_id", "ts")
+    val retro = graft.plans.AnchoredSession.aggregate(spark, full, cfg)
+    Snapshots.mergeUpsert(spark, tmp,
+      retro.withColumn("ts", col("first_matched_at")), "alert_id")
+    // exactly one commit (atomic: flip + insert are never separately visible)
+    assert(Snapshots.currentVersion(tmp).get == v1 + 1)
+    val after = Snapshots.read(spark, tmp).collect()
+      .map(r => r.getAs[String]("alert_id") ->
+        (r.getAs[Boolean]("activated"), r.getAs[Long]("match_count"))).toMap
+    assert(after.size == 2)
+    // the committed row FLIPPED in place: same alert_id, now activated, count 2
+    assert(after(committedId) == ((true, 2L)))
+    // the late-anchored alert inserted, under threshold
+    assert(after.exists { case (id, (act, n)) => id != committedId && !act && n == 1L })
+  }
+
   test("timeout branch removes idle state; live keys re-arm their timer") {
     import org.apache.spark.sql.streaming.GroupState
     // minimal fake: tracks update/remove/timeout interactions
