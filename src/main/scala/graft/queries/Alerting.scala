@@ -25,6 +25,7 @@ object Alerting {
   private val mergeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val compDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val retroDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val routeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** q54's snapshot tables: (dir -> (table path, id cut)), memoized like q45. */
   private val zoneMapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
@@ -486,6 +487,76 @@ object Alerting {
                anchor AS first_us
         FROM r
         GROUP BY rule_name, dedupe, anchor
-        ORDER BY rule_name, dedupe, first_us"""))
+        ORDER BY rule_name, dedupe, first_us""")),
+
+    // ---- q82: S6+S7 table routing under the gate — a mixed JSON-lines
+    // fixture flows through the REAL ingest chain: line framing →
+    // pre-transform JSON parse → metadata routing (a `digest` object is
+    // skipped whole, reference transformer/src/main.rs:405-490) → content
+    // routing fan-out into three tables (main.rs:864-917) → per-table
+    // aggregation. The oracle reconstructs every table's aggregate from
+    // the source parquet minus the skipped object's rows, so both routing
+    // layers (and the JSON round-trip) are verified end to end.
+    QueryDef(
+      "q82_routed_ingest",
+      (s, dir) => {
+        import graft.sources.Framing
+        val tmp = routeDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_route").toString
+          val rows = events(s, dir)
+            .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+            .select("event_id", "event_type", "value").collect()
+          def json(r: org.apache.spark.sql.Row): String = {
+            val v = if (r.isNullAt(2)) "null" else r.getDouble(2).toString
+            s"""{"event_id":${r.getLong(0)},"event_type":"${r.getString(1)}","value":$v}"""
+          }
+          def write(name: String, p: org.apache.spark.sql.Row => Boolean): Unit = {
+            val w = new java.io.OutputStreamWriter(
+              java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(t, name)),
+              java.nio.charset.StandardCharsets.UTF_8)
+            try rows.filter(p).foreach { r => w.write(json(r)); w.write('\n') }
+            finally w.close()
+          }
+          write("part_a.jsonl", _.getLong(0) % 2 == 0)
+          write("digest_b.jsonl", r => r.getLong(0) % 2 == 1 && r.getLong(0) % 5 == 0)
+          write("part_c.jsonl", r => r.getLong(0) % 2 == 1 && r.getLong(0) % 5 != 0)
+          t
+        })
+        val lines = Framing.preTransformJsonParse(Framing.textLines(s, tmp))
+        // S6: object-metadata routing — the digest object is skipped whole
+        val kept = Framing.routeByFileMetadata(lines,
+          Seq(Framing.MetadataRoute(".*digest.*", None)), default = "raw")
+        val parsed = kept.select(
+          get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("json"), "$.event_type").as("event_type"),
+          get_json_object(col("json"), "$.value").cast("double").as("value"))
+        // S7: content routing fan-out into per-table frames
+        val routed = Framing.routeByContent(parsed,
+          when(col("event_type") === "error", "errors_t")
+            .when(col("event_type") === "purchase", "orders_t")
+            .otherwise("other_t"))
+        Framing.routedTables(routed, Seq("errors_t", "orders_t", "other_t"))
+          .toSeq.sortBy(_._1)
+          .map { case (name, df) =>
+            df.agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"),
+              max(col("event_id")).as("max_id"))
+              .select(lit(name).as("table_name"), col("n"), col("sum_value"),
+                col("max_id"))
+          }
+          .reduce(_.unionAll(_))
+          .orderBy(col("table_name"))
+      },
+      Some("""
+        SELECT CASE WHEN event_type = 'error' THEN 'errors_t'
+                    WHEN event_type = 'purchase' THEN 'orders_t'
+                    ELSE 'other_t' END AS table_name,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               MAX(event_id) AS max_id
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+          AND NOT (event_id % 2 = 1 AND event_id % 5 = 0)
+        GROUP BY 1
+        ORDER BY table_name"""))
   )
 }
