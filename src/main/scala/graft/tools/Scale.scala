@@ -1,0 +1,107 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the dedup/ANN query family: synthesize a
+  * documents/embeddings corpus `factor`× the base scale factor's —
+  * matching its observed shape (31-word vocabulary, 10–100-word uniform
+  * lengths, 5-language/20-source distributions, 64-dim float embeddings)
+  * — then sweep the family on base vs scaled, reporting wall time, the
+  * wall-time ratio vs the ideal `factor`, and the max single-task time
+  * (the skew/straggler signal: if caps hold, max-task must stay bounded
+  * while total work grows).
+  *
+  * {{{ runMain graft.tools.Scale [baseDir] [factor] }}}
+  *
+  * Everything is generated with codegen'd expressions (range → transform
+  * over xxhash64 draws) — deterministic, no driver-side loops, so the 10×
+  * corpus itself materializes at cluster speed.
+  */
+object Scale {
+
+  /** The base tables' own vocabulary (documents.parquet at any sf). */
+  val Vocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  def genDocuments(spark: SparkSession, n: Long): DataFrame = {
+    val vocabArr = array(Vocab.map(lit): _*)
+    val len = lit(10L) + pmod(col("id") * 7919L, lit(91L)) // 10..100 words
+    val text = concat_ws(" ", transform(sequence(lit(1L), len),
+      j => element_at(vocabArr, (pmod(xxhash64(col("id"), j), lit(31L)) + 1L).cast("int"))))
+    val b = pmod(xxhash64(col("id") + 1000000L), lit(20L))
+    spark.range(n).select(col("id").as("doc_id"), text.as("text"))
+      .withColumn("lang",
+        when(b < 8, "en").when(b < 11, "zh").when(b < 14, "es")
+          .when(b < 17, "de").otherwise("fr"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => ((pmod(xxhash64(col("id"), j), lit(2001L)) - 1000L).cast("double") / 2500.0)
+          .cast("float")).as("embedding"),
+      pmod(col("id"), lit(10L)).cast("int").as("label"))
+
+  /** The queries whose plans must survive a corpus 10× (and by extension
+    * 100×) the verified scale: dedup family + ANN + decontamination.
+    */
+  val Family: Seq[String] = Seq(
+    "q30_fingerprints", "q31_minhash_signatures", "q32_lsh_jaccard",
+    "q33_simhash", "q50_embedding_neardup", "q55_hyperplane_neardup",
+    "q58_decontaminate", "q66_dup_coverage", "q67_dedup_clusters")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = spark.read.parquet(s"$base/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$base/embeddings.parquet").count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    genDocuments(spark, nDocs * factor).repartition(cpus)
+      .write.parquet(s"$tmp/documents.parquet")
+    genEmbeddings(spark, nVecs * factor).repartition(cpus)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    println(s"[scale] generated ${nDocs * factor} docs / ${nVecs * factor} vecs at $tmp")
+
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null)
+          maxTask.getAndUpdate(m => math.max(m, e.taskInfo.duration))
+    })
+
+    def run(q: String, dir: String): (Double, Long) = {
+      maxTask.set(0)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      ((System.nanoTime() - t0) / 1e9, maxTask.get)
+    }
+
+    println(f"${"query"}%-24s ${"base_s"}%8s ${"scaled_s"}%9s ${"ratio"}%6s ${"ideal"}%6s ${"mtask_b"}%8s ${"mtask_s"}%8s")
+    val rows = Family.map { q =>
+      run(q, base) // warm: JIT + codegen for this plan shape
+      val (tb, mb) = run(q, base)
+      val (ts, ms) = run(q, tmp)
+      println(f"$q%-24s $tb%8.2f $ts%9.2f ${ts / tb}%6.2f $factor%6d ${mb}%7dms ${ms}%7dms")
+      (q, tb, ts, mb, ms)
+    }
+    val sumB = rows.map(_._2).sum
+    val sumS = rows.map(_._3).sum
+    println(f"${"TOTAL"}%-24s $sumB%8.2f $sumS%9.2f ${sumS / sumB}%6.2f $factor%6d")
+    spark.stop()
+  }
+}
