@@ -34,7 +34,7 @@ object Scale {
     val len = lit(10L) + pmod(col("id") * 7919L, lit(91L)) // 10..100 words
     val text = concat_ws(" ", transform(sequence(lit(1L), len),
       j => element_at(vocabArr, (pmod(xxhash64(col("id"), j), lit(31L)) + 1L).cast("int"))))
-    val b = pmod(xxhash64(col("id") + 1000000L), lit(20L))
+    val b = pmod(xxhash64(col("doc_id") + 1000000L), lit(20L))
     spark.range(n).select(col("id").as("doc_id"), text.as("text"))
       .withColumn("lang",
         when(b < 8, "en").when(b < 11, "zh").when(b < 14, "es")
@@ -53,11 +53,35 @@ object Scale {
 
   /** The queries whose plans must survive a corpus 10× (and by extension
     * 100×) the verified scale: dedup family + ANN + decontamination.
+    * q50/q55 ship under the gate in their UNCAPPED oracle-exhaustive form
+    * (within-bucket all-pairs is definitionally quadratic — DuckDB must
+    * reproduce every pair); the `_capped` rows here are the production
+    * configuration (`maxBucketSize = Some(1000)`, the operators' default)
+    * whose scaling is the one that matters at 100 TB.
     */
-  val Family: Seq[String] = Seq(
-    "q30_fingerprints", "q31_minhash_signatures", "q32_lsh_jaccard",
-    "q33_simhash", "q50_embedding_neardup", "q55_hyperplane_neardup",
-    "q58_decontaminate", "q66_dup_coverage", "q67_dedup_clusters")
+  val Family: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    import graft.operators.Similarity
+    def vecs(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+    Seq(
+      "q30_fingerprints", "q31_minhash_signatures", "q32_lsh_jaccard",
+      "q33_simhash", "q50_embedding_neardup", "q55_hyperplane_neardup",
+      "q58_decontaminate", "q66_dup_coverage", "q67_dedup_clusters")
+      .map(q => q -> SparkEntry.queries(q)) ++ Seq(
+      "q50_capped" -> ((s: SparkSession, dir: String) => {
+        val v = vecs(s, dir)
+        val centroids = v.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        Similarity.embeddingNearDup(
+          Similarity.ivfAssign(v.filter(col("id") >= 8), centroids),
+          threshold = 0.2)
+      }),
+      "q55_capped" -> ((s: SparkSession, dir: String) =>
+        Similarity.hyperplaneNearDup(vecs(s, dir),
+          bands = 3, rowsPerBand = 4, threshold = 0.3)))
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -83,19 +107,19 @@ object Scale {
           maxTask.getAndUpdate(m => math.max(m, e.taskInfo.duration))
     })
 
-    def run(q: String, dir: String): (Double, Long) = {
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
       maxTask.set(0)
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
       ((System.nanoTime() - t0) / 1e9, maxTask.get)
     }
 
     println(f"${"query"}%-24s ${"base_s"}%8s ${"scaled_s"}%9s ${"ratio"}%6s ${"ideal"}%6s ${"mtask_b"}%8s ${"mtask_s"}%8s")
-    val rows = Family.map { q =>
-      run(q, base) // warm: JIT + codegen for this plan shape
-      val (tb, mb) = run(q, base)
-      val (ts, ms) = run(q, tmp)
+    val rows = Family.map { case (q, fn) =>
+      run(fn, base) // warm: JIT + codegen for this plan shape
+      val (tb, mb) = run(fn, base)
+      val (ts, ms) = run(fn, tmp)
       println(f"$q%-24s $tb%8.2f $ts%9.2f ${ts / tb}%6.2f $factor%6d ${mb}%7dms ${ms}%7dms")
       (q, tb, ts, mb, ms)
     }
