@@ -199,6 +199,17 @@ object Dedup {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** Materialize the DEDUPLICATED corpus: keep exactly the canonical row
+    * of each cluster (the pipeline end-product of
+    * [[duplicateClusters]] — detection became deletion). A left-semi join
+    * on the id: the cluster frame ships only ids, bodies never move, and
+    * the canonical filter pushes below the join.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.filter(col("is_canonical")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** SimHash near-dup keys: 16-bit signature + two 8-bit bands. Documents
     * within Hamming distance 8 share at least one band (pigeonhole), so
     * banding the signature gives candidate buckets without pair explosion.

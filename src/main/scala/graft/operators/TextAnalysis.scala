@@ -163,6 +163,36 @@ object TextAnalysis {
       .withColumn("top_gram_share", col("__top").cast(DoubleType) / col("n_grams"))
       .drop("__top")
 
+  /** Corpus-frequency token scoring (the distributed analogue of unigram
+    * LM quality): per document, the sum / average / minimum of the CORPUS
+    * occurrence counts of its tokens (with multiplicity). Common-token
+    * documents score high, rare-token (noisy, misencoded, codeish)
+    * documents score low — the classic cheap quality prior next to
+    * [[qualityScore]]'s shape heuristics.
+    *
+    * Everything is integer arithmetic until one final division, so any
+    * engine reproduces scores bit-for-bit (no double-summation order
+    * dependence). Scale shape: corpus reduces to (doc, token) pairs once;
+    * the per-token corpus count is a window over the token key (one
+    * exchange — NOT a groupBy+join, which would tokenize twice), then one
+    * doc-keyed fold. Bodies never move. Empty documents have no tokens
+    * and drop (as with the gram operators).
+    */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), size(col("__tk")).as("__n"),
+        explode_outer(col("__tk")).as("tok"))
+      .filter(col("tok").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    toks.withColumn("__cnt", count(lit(1)).over(w))
+      .groupBy(col("doc").as(idCol))
+      .agg(max(col("__n")).cast(LongType).as("n_tokens"),
+        sum(col("__cnt")).as("freq_sum"),
+        min(col("__cnt")).as("min_freq"))
+      .withColumn("avg_token_freq",
+        col("freq_sum").cast(DoubleType) / col("n_tokens"))
+  }
+
   /** Per-stratum corpus profile — the data-card operator: document count,
     * exact length distribution (sum/avg/min/max + interpolated p50/p90,
     * Spark's exact `percentile`, bit-identical to `quantile_cont`), and

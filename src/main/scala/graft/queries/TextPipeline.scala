@@ -18,6 +18,25 @@ object TextPipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Shared near-dup clustering pipeline (q67's detection→clustering path,
+    * reused by q84's deduplicated-corpus emission): LSH candidates →
+    * exact Jaccard verify → connected components. Returns the
+    * checkpointed (id, cluster_id, cluster_size, is_canonical) frame.
+    */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sets = Dedup.shingleFrame(d, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
+      maxBucketSize = None)
+    val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
+      .select(col("id1"), col("id2"))
+    val out = Dedup.duplicateClusters(d.select(col("doc_id").as("id")), pairs)
+      .localCheckpoint(true)
+    sets.unpersist(false)
+    out
+  }
+
   /** Shared DuckDB scaffolding: whitespace tokens + distinct n-gram
     * shingles (1-based list indexing; range upper bound exclusive —
     * mirrors Spark's sequence(0, size-n) inclusive).
@@ -181,22 +200,11 @@ object TextPipeline {
     // (min-reachable-id per node), so the clustering is verified exactly.
     QueryDef(
       "q67_dedup_clusters",
-      (s, dir) => {
-        val d = docs(s, dir)
-        val sets = Dedup.shingleFrame(d, "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
-          maxBucketSize = None)
-        val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
-          .select(col("id1"), col("id2"))
-        val out = Dedup.duplicateClusters(d.select(col("doc_id").as("id")), pairs)
+      (s, dir) =>
+        nearDupClusters(s, dir)
           .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
             col("is_canonical").cast("long").as("is_canonical"))
-          .orderBy("doc_id")
-          .localCheckpoint(true)
-        sets.unpersist(false)
-        out
-      },
+          .orderBy("doc_id"),
       Some(s"""
         WITH RECURSIVE
              t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
@@ -877,6 +885,80 @@ object TextPipeline {
                $redact AS redacted
         FROM d LEFT JOIN cc ON d.doc_id = cc.doc_id
         ORDER BY d.doc_id"""
-      })
+      }),
+
+    // ---- q83: corpus-frequency token scoring (unigram-LM-style quality
+    // prior). Integer arithmetic end to end — per-token corpus counts via
+    // a window over the token key (one exchange), per-doc integer fold,
+    // ONE final division — so the scores are bit-identical in any engine.
+    QueryDef(
+      "q83_token_rarity",
+      (s, dir) =>
+        TextAnalysis.tokenRarity(docs(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+            col("min_freq"), col("avg_token_freq"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             g AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS tok FROM t),
+             c AS (SELECT tok, count(*) AS cnt FROM g GROUP BY tok)
+        SELECT g.doc_id, any_value(g.n)::BIGINT AS n_tokens,
+               SUM(c.cnt)::BIGINT AS freq_sum,
+               MIN(c.cnt)::BIGINT AS min_freq,
+               SUM(c.cnt)::DOUBLE / any_value(g.n) AS avg_token_freq
+        FROM g JOIN c USING (tok)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id""")),
+
+    // ---- q84: DEDUPLICATED corpus emission — the end-product of the
+    // near-dup pipeline: q67's clustering keeps exactly the canonical row
+    // of each cluster, and the surviving corpus is profiled per language.
+    // Detection became deletion, verified against the oracle's full
+    // re-derivation (LSH → Jaccard → recursive-CTE components → canonical
+    // filter → aggregate).
+    QueryDef(
+      "q84_dedup_emit",
+      (s, dir) =>
+        Dedup.keepCanonical(docs(s, dir), "doc_id", nearDupClusters(s, dir))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("lang"),
+      Some(s"""
+        WITH RECURSIVE
+             t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                    UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e0 a JOIN e0 b ON a.band = b.band AND a.sig = b.sig
+                                         AND a.doc_id < b.doc_id),
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2),
+             jp AS (SELECT id1, id2 FROM j
+                    WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+             ed AS (SELECT id1 AS src, id2 AS dst FROM jp
+                    UNION SELECT id2, id1 FROM jp),
+             reach(id, r) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, reach.r FROM reach JOIN ed e ON reach.id = e.src),
+             lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT d.lang, COUNT(*) AS n_docs,
+               SUM(d.n_chars)::BIGINT AS total_chars,
+               MIN(d.doc_id) AS min_doc
+        FROM documents d JOIN lab ON d.doc_id = lab.id
+        WHERE lab.id = lab.cluster_id
+        GROUP BY d.lang
+        ORDER BY d.lang"""))
   )
 }

@@ -386,6 +386,32 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeResizeGrayscale(spark, junk, "doc_id", "png", 2, 2).count() == 0)
   }
 
+  test("tokenRarity: exact integer corpus-frequency fold, one final division") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a a b"),   // corpus counts: a=3 (2 here + 1 in doc2), b=2
+      (2L, "a b zzz"), // zzz=1 (the rare-token signal)
+      (3L, ""))        // empty doc drops
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenRarity(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("freq_sum"),
+          r.getAs[Long]("min_freq"), r.getAs[Double]("avg_token_freq"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 8L, 2L, 8.0 / 3))) // a+a+b = 3+3+2
+    assert(out(2L) == ((3L, 6L, 1L, 2.0)))     // a+b+zzz = 3+2+1
+  }
+
+  test("keepCanonical materializes only canonical rows via a semi join") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false), (3L, 3L, 1L, true))
+      .toDF("id", "cluster_id", "cluster_size", "is_canonical")
+    val kept = Dedup.keepCanonical(docs, "doc_id", clusters)
+    assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    assert(kept.columns.toSeq == Seq("doc_id", "text")) // bodies intact, ids only shipped
+  }
+
   test("extended PII: SSN issuance exclusions, Luhn-gated cards, IPv6 forms") {
     import graft.operators.Privacy
     val docs = Seq(
