@@ -147,4 +147,46 @@ object Curation {
     df.withColumn("pack_id",
       floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
   }
+
+  /** Sliding-window document chunking — [[packByBudget]]'s complement:
+    * where packing joins short documents up to a token budget, chunking
+    * splits long documents into overlapping `maxTokens`-token windows at
+    * `stride`-token steps (overlap = maxTokens − stride, the context-
+    * carryover a training pipeline wants at sequence boundaries).
+    *
+    * Chunk starts are 0, stride, 2·stride, … while < n_tokens, so every
+    * token lands in ≥ 1 chunk and the rule is pure integer arithmetic —
+    * any engine reproduces the exact chunking (ids, bounds, and text).
+    * One codegen'd pass: tokens staged once, starts exploded
+    * (explode_outer + isNotNull keeps the derivation out of scan filters
+    * — the generator-pushdown trap), window sliced per row. Zero-token
+    * documents produce no chunks. Pure map — no shuffle at any corpus
+    * size.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens]; got stride=$stride maxTokens=$maxTokens")
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"), size(col("__tk")).as("__n"))
+    val lastChunk = ((col("__n") - 1).cast(DoubleType) / stride).cast(LongType)
+    // zero-token docs get an EMPTY starts array (→ explode_outer null →
+    // dropped on the generated attribute) rather than a `__n > 0` filter:
+    // a pre-explode filter pushes `size(tokens(text)) > 0` into the scan's
+    // data filters, re-deriving the tokenization per row (the
+    // generator-pushdown trap PlanShapeSpec guards against)
+    val starts = when(col("__n") > 0,
+      transform(sequence(lit(0L), lastChunk), k => k * stride))
+      .otherwise(array().cast(ArrayType(LongType)))
+    val chunk = slice(col("__tk"), (col("chunk_start") + 1).cast(IntegerType),
+      lit(maxTokens))
+    staged
+      .select(col(idCol), col("__tk"), explode_outer(starts).as("chunk_start"))
+      .filter(col("chunk_start").isNotNull)
+      .select(col(idCol),
+        (col("chunk_start") / stride).cast(LongType).as("chunk_id"),
+        col("chunk_start").cast(LongType).as("chunk_start"),
+        size(chunk).cast(LongType).as("n_chunk_tokens"),
+        array_join(chunk, " ").as("chunk_text"))
+  }
 }

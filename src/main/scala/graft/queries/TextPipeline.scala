@@ -959,6 +959,28 @@ object TextPipeline {
         FROM documents d JOIN lab ON d.doc_id = lab.id
         WHERE lab.id = lab.cluster_id
         GROUP BY d.lang
-        ORDER BY d.lang"""))
+        ORDER BY d.lang""")),
+
+    // ---- q85: sliding-window document chunking (packByBudget's
+    // complement): overlapping 32-token windows at 24-token stride, pure
+    // integer chunk arithmetic — ids, bounds, counts AND the chunk text
+    // itself verified byte-for-byte. Zero shuffles at any corpus size.
+    QueryDef(
+      "q85_chunk_windows",
+      (s, dir) =>
+        Curation.chunkByTokens(docs(s, dir), "doc_id", "text",
+            maxTokens = 32, stride = 24)
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             n AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+             c AS (SELECT doc_id, tk, n,
+                          unnest(range(0, ((n - 1) // 24) + 1)) AS k
+                   FROM n)
+        SELECT doc_id, k::BIGINT AS chunk_id, (k * 24)::BIGINT AS chunk_start,
+               len(tk[k * 24 + 1 : least(k * 24 + 32, n)])::BIGINT AS n_chunk_tokens,
+               array_to_string(tk[k * 24 + 1 : least(k * 24 + 32, n)], ' ') AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_id"""))
   )
 }

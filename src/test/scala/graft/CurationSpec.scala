@@ -164,6 +164,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokens: overlapping windows, exact bounds, tail clamp, empty drop") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), // 7 tokens, max 3 stride 2 → starts 0,2,4,6
+      (2L, "a b"),                  // shorter than one window → 1 chunk of 2
+      (3L, ""))                     // no tokens → no chunks
+      .toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(docs, "doc_id", "text", maxTokens = 3, stride = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("chunk_start"), r.getAs[Long]("n_chunk_tokens"),
+          r.getAs[String]("chunk_text"))).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 0L)))
+    assert(out((1L, 0L)) == ((0L, 3L, "w1 w2 w3")))
+    assert(out((1L, 1L)) == ((2L, 3L, "w3 w4 w5"))) // 1-token overlap carried
+    assert(out((1L, 3L)) == ((6L, 1L, "w7")))       // tail clamps, never empty
+    assert(out((2L, 0L)) == ((0L, 2L, "a b")))
+    // every token of doc 1 lands in at least one chunk
+    val covered = out.collect { case ((1L, _), (s, n, _)) => (s until s + n) }.flatten.toSet
+    assert(covered == (0L until 7L).toSet)
+    intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(docs, "doc_id", "text", maxTokens = 3, stride = 4)
+    }
+  }
+
   test("packByBudget: exclusive prefix sum opens packs at budget boundaries") {
     val df = Seq(
       ("en", 1L, 100L), ("en", 2L, 400L), ("en", 3L, 100L), ("en", 4L, 512L),
