@@ -127,6 +127,90 @@ object Multimodal {
     (id, w, h, thumb, mean, stddev)
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a raw w×N
+    * 8-bit grayscale buffer: 8×8 block-mean pool (the same integer
+    * pooling as [[resizeRawGrayscale]]), then bit i (row-major, i =
+    * ty·8+tx) is set iff pooled_i · 64 ≥ Σ pooled — pure integer
+    * arithmetic (no mean division), so any engine reproduces the hash
+    * exactly. Emitted as four 16-bit band values `b0..b3` (2 pool rows
+    * each): the bands ARE the LSH blocking keys for [[aHashNearDup]],
+    * every value < 2¹⁶ so no engine hits BIGINT shift/overflow edges,
+    * and the full hash is `b3·2⁴⁸ + … + b0`.
+    */
+  def aHash(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String, widthCol: String): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val wIdx = df.schema.fieldIndex(widthCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val w = r.getInt(wIdx)
+        if (bytes == null || w <= 0 || bytes.length < w) None
+        else {
+          val h = bytes.length / w
+          val pooled = new Array[Long](64)
+          var ty = 0
+          while (ty < 8) {
+            val y0 = ty * h / 8
+            val y1 = math.max(y0 + 1, (ty + 1) * h / 8)
+            var tx = 0
+            while (tx < 8) {
+              val x0 = tx * w / 8
+              val x1 = math.max(x0 + 1, (tx + 1) * w / 8)
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { sum += bytes(y * w + x) & 0xff; n += 1; x += 1 }
+                y += 1
+              }
+              pooled(ty * 8 + tx) = sum / n
+              tx += 1
+            }
+            ty += 1
+          }
+          val total = pooled.sum
+          val bands = new Array[Long](4)
+          var i = 0
+          while (i < 64) {
+            if (pooled(i) * 64 >= total) bands(i / 16) |= 1L << (i % 16)
+            i += 1
+          }
+          Some((r.getLong(idIdx), bands(0), bands(1), bands(2), bands(3)))
+        }
+      }
+    }.toDF(idCol, "b0", "b1", "b2", "b3")
+  }
+
+  /** Perceptual near-duplicate image pairs from [[aHash]] fingerprints:
+    * candidates share at least one 16-bit band (banded LSH — Hamming
+    * distance ≤ 3·16 guarantees a shared band by pigeonhole over 4
+    * bands), verified by exact Hamming distance ≤ `maxHamming` over the
+    * full 64 bits. Pairs only form within band buckets — no cross
+    * product at any corpus size.
+    */
+  def aHashNearDup(hashes: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = (0 to 3).map(k =>
+      hashes.select(col(idCol).as("id"), lit(k).as("band"), col(s"b$k").as("sig")))
+      .reduce(_.unionAll(_))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val h1 = hashes.columns.foldLeft(hashes)((d, c) => d.withColumnRenamed(c, c + "_1"))
+    val h2 = hashes.columns.foldLeft(hashes)((d, c) => d.withColumnRenamed(c, c + "_2"))
+    val hamming = (0 to 3).map(k =>
+      bit_count(col(s"b${k}_1").bitwiseXOR(col(s"b${k}_2"))))
+      .reduce(_ + _)
+    cand.join(h1, col("id1") === col(s"${idCol}_1"))
+      .join(h2, col("id2") === col(s"${idCol}_2"))
+      .withColumn("hamming", hamming.cast(org.apache.spark.sql.types.LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** One-time per-JVM ImageIO setup: headless AWT (executors have no
     * display) and no disk-backed stream cache (decode stays in-memory —
     * an executor-local temp file per image would be a hidden I/O tax).

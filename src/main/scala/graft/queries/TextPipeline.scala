@@ -981,6 +981,87 @@ object TextPipeline {
                len(tk[k * 24 + 1 : least(k * 24 + 32, n)])::BIGINT AS n_chunk_tokens,
                array_to_string(tk[k * 24 + 1 : least(k * 24 + 32, n)], ' ') AS chunk_text
         FROM c
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // ---- q86: perceptual IMAGE near-dup (aHash) — the multimodal member
+    // of the dedup family. Raw 16-wide grayscale payloads (doc bytes, the
+    // q47 convention) hash to 64-bit average-hashes as four 16-bit bands
+    // (8×8 integer block-pool, bit = pooled·64 ≥ Σpooled — no division),
+    // banded-LSH candidates verified by exact Hamming ≤ 6. True near-dups
+    // exist by construction: every 10th doc gets a twin with its last 4
+    // bytes overwritten (SAME length, so the pooling grid is identical
+    // and only bottom-edge blocks can flip). The oracle re-derives pool,
+    // bits, bands, candidates and Hamming from the original bytes.
+    QueryDef(
+      "q86_image_ahash_neardup",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
+        val d = base.unionAll(twins)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .filter(length(col("payload")) >= 16)
+          .withColumn("w", lit(16))
+          .select("doc_id", "payload", "w")
+        val hashes = Multimodal.aHash(s, d, "doc_id", "payload", "w")
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 (octet_length(encode(text)) // 16) AS h
+          FROM d WHERE octet_length(encode(text)) >= 16
+        ),
+        bl AS (
+          SELECT doc_id, h,
+                 list_transform(range(0, 16 * h), i ->
+                   ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS px
+          FROM t
+        ),
+        pix AS (
+          SELECT doc_id, h, px, ty, tx,
+                 (ty*h)//8 AS y0, greatest((ty*h)//8 + 1, ((ty+1)*h)//8) AS y1,
+                 (tx*16)//8 AS x0, greatest((tx*16)//8 + 1, ((tx+1)*16)//8) AS x1
+          FROM bl, (SELECT unnest(range(0,8)) AS ty), (SELECT unnest(range(0,8)) AS tx)
+        ),
+        vals AS (
+          SELECT doc_id, ty, tx,
+                 list_sum(flatten(list_transform(range(y0, y1), y ->
+                   list_transform(range(x0, x1), x -> px[y*16 + x + 1]))))
+                   // ((y1 - y0) * (x1 - x0)) AS p
+          FROM pix
+        ),
+        tot AS (SELECT doc_id, SUM(p) AS s FROM vals GROUP BY doc_id),
+        hs AS (
+          SELECT v.doc_id, (ty*8 + tx) // 16 AS band,
+                 SUM(CASE WHEN p * 64 >= t2.s
+                          THEN (1::BIGINT << ((ty*8 + tx) % 16)) ELSE 0 END)::BIGINT AS sig
+          FROM vals v JOIN tot t2 ON v.doc_id = t2.doc_id
+          GROUP BY v.doc_id, (ty*8 + tx) // 16
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM hs a JOIN hs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+          SELECT c.id1, c.id2,
+                 SUM(bit_count(xor(h1.sig, h2.sig)))::BIGINT AS hamming
+          FROM cand c
+          JOIN hs h1 ON h1.doc_id = c.id1
+          JOIN hs h2 ON h2.doc_id = c.id2 AND h2.band = h1.band
+          GROUP BY c.id1, c.id2
+        )
+        SELECT id1, id2, hamming FROM ham
+        WHERE hamming <= 6
+        ORDER BY id1, id2"""))
   )
 }

@@ -378,6 +378,32 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeAudioFeatures(spark, junk, "doc_id", "wav").count() == 0)
   }
 
+  test("aHash: identical images collide, perturbed images stay near, distant images apart") {
+    val w = 16
+    def img(f: Int => Int): Array[Byte] = Array.tabulate(w * w)(i => f(i).toByte)
+    val gradient = img(i => (i * 255) / (w * w))
+    val perturbed = gradient.clone(); perturbed(w * w - 1) = 0 // one corner byte
+    val inverse = img(i => 255 - (i * 255) / (w * w))
+    val df = Seq((1L, gradient), (2L, gradient.clone()), (3L, perturbed), (4L, inverse))
+      .toDF("doc_id", "payload").withColumn("w", lit(w))
+    val hashes = Multimodal.aHash(spark, df, "doc_id", "payload", "w")
+    val hs = hashes.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("b0"), r.getAs[Long]("b1"), r.getAs[Long]("b2"), r.getAs[Long]("b3"))).toMap
+    assert(hs(1L) == hs(2L))       // identical pixels → identical hash
+    assert(hs(1L) != hs(4L))       // inverted image → different hash
+    val pairs = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L)  // exact duplicate at Hamming 0
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3L) // near-dup caught
+    assert(!pairs.keys.exists { case (a, b) => b == 4L && a != 4L } ||
+      !pairs.contains((1L, 4L)))   // the inverse never verifies as near
+    // undersized payloads drop rather than crash
+    val tiny = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+      .withColumn("w", lit(w))
+    assert(Multimodal.aHash(spark, tiny, "doc_id", "payload", "w").count() == 0)
+  }
+
   test("undecodable payloads return None / are dropped, not crashed") {
     assert(Multimodal.decodeImageToGrayscale("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeImageToGrayscale(Array.emptyByteArray).isEmpty)
