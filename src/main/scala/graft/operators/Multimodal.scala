@@ -512,6 +512,80 @@ object Multimodal {
       "peak_abs", "rms", "zero_crossings")
   }
 
+  /** 64-bit audio energy-envelope hash — the audio member of the
+    * perceptual-dedup family ([[aHash]] for images): decode the container
+    * through the REAL JDK codec, frame the PCM16 stream into 64 segments
+    * (the same integer boundary rule as the image block-pool), take each
+    * frame's integer MEAN absolute amplitude, and set bit k iff
+    * env_k · 64 ≥ Σ env — no division by a mean, pure integer arithmetic,
+    * engine-exact. Emitted as four 16-bit bands compatible with
+    * [[aHashNearDup]] (banding + exact-Hamming verification are
+    * modality-agnostic). Time-stretch robustness comes free: the envelope
+    * is relative to the clip's own duration and loudness.
+    */
+  def audioEnvelopeHash(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.length == 0) None
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+            else {
+              val raw = in.readAllBytes()
+              val little =
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  !fmt.isBigEndian
+              val n = raw.length / 2
+              if (n == 0) None
+              else {
+                val amp = new Array[Long](n)
+                var i = 0
+                while (i < n) {
+                  val lo = raw(2 * i) & 0xff
+                  val hi = raw(2 * i + 1) & 0xff
+                  val u = if (little) lo | (hi << 8) else hi | (lo << 8)
+                  val s = if (u >= 0x8000) u - 0x10000 else u
+                  amp(i) = math.abs(s.toLong)
+                  i += 1
+                }
+                val env = new Array[Long](64)
+                var k = 0
+                while (k < 64) {
+                  val f0 = k * n / 64
+                  val f1 = math.max(f0 + 1, (k + 1) * n / 64)
+                  var sum = 0L
+                  var j = f0
+                  while (j < f1) { sum += amp(j); j += 1 }
+                  env(k) = sum / (f1 - f0)
+                  k += 1
+                }
+                val total = env.sum
+                val bands = new Array[Long](4)
+                i = 0
+                while (i < 64) {
+                  if (env(i) * 64 >= total) bands(i / 16) |= 1L << (i % 16)
+                  i += 1
+                }
+                Some((r.getLong(idIdx), bands(0), bands(1), bands(2), bands(3)))
+              }
+            }
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+    }.toDF(idCol, "b0", "b1", "b2", "b3")
+  }
+
   /** Frame-sampling shape for video-like payloads: split the byte stream
     * into fixed-size "frames", keep every `stride`-th — the plumbing of a
     * frame sampler with a stubbed decoder.

@@ -1062,6 +1062,89 @@ object TextPipeline {
         )
         SELECT id1, id2, hamming FROM ham
         WHERE hamming <= 6
+        ORDER BY id1, id2""")),
+
+    // ---- q87: perceptual AUDIO near-dup — the third dedup modality
+    // (text q32/q67, image q86, audio here). Doc bytes become PCM16 in a
+    // REAL WAV container (q70's convention), decoded back through the JDK
+    // codec into an integer energy envelope (64 frame-mean amplitudes,
+    // image-pool boundary rule), hashed by env·64 ≥ Σenv, paired by the
+    // same banded-LSH + exact-Hamming machinery as q86. Twins with a
+    // same-length tail overwrite guarantee true positives; the oracle
+    // re-derives samples → envelope → bits → bands → pairs from the
+    // original bytes, proving the whole encode→decode→hash path.
+    QueryDef(
+      "q87_audio_envelope_neardup",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
+        val d = base.unionAll(twins)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .select("doc_id", "payload")
+        val wav = Multimodal.encodePcm16Wav(s, d, "doc_id", "payload", sampleRate = 16000)
+        val hashes = Multimodal.audioEnvelopeHash(s, wav, "doc_id", "wav")
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 (octet_length(encode(text)) // 2) AS n
+          FROM d WHERE octet_length(encode(text)) >= 2
+        ),
+        sm AS (
+          SELECT doc_id, n,
+                 list_transform(range(0, n), i ->
+                   abs(CASE WHEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+                                 + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT >= 32768
+                            THEN ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+                                 + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT - 65536
+                            ELSE ('0x' || substr(hx, 4*i + 3, 2))::BIGINT * 256
+                                 + ('0x' || substr(hx, 4*i + 1, 2))::BIGINT END)) AS amp
+          FROM t
+        ),
+        fr AS (
+          SELECT doc_id, n, amp, k,
+                 (k*n)//64 AS f0, greatest((k*n)//64 + 1, ((k+1)*n)//64) AS f1
+          FROM sm, (SELECT unnest(range(0, 64)) AS k)
+        ),
+        env AS (
+          SELECT doc_id, k,
+                 list_sum(list_transform(range(f0, f1), j -> amp[j + 1]))
+                   // (f1 - f0) AS p
+          FROM fr
+        ),
+        tot AS (SELECT doc_id, SUM(p) AS su FROM env GROUP BY doc_id),
+        hs AS (
+          SELECT e.doc_id, k // 16 AS band,
+                 SUM(CASE WHEN p * 64 >= t2.su
+                          THEN (1::BIGINT << (k % 16)) ELSE 0 END)::BIGINT AS sig
+          FROM env e JOIN tot t2 ON e.doc_id = t2.doc_id
+          GROUP BY e.doc_id, k // 16
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM hs a JOIN hs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+          SELECT c.id1, c.id2,
+                 SUM(bit_count(xor(h1.sig, h2.sig)))::BIGINT AS hamming
+          FROM cand c
+          JOIN hs h1 ON h1.doc_id = c.id1
+          JOIN hs h2 ON h2.doc_id = c.id2 AND h2.band = h1.band
+          GROUP BY c.id1, c.id2
+        )
+        SELECT id1, id2, hamming FROM ham
+        WHERE hamming <= 6
         ORDER BY id1, id2"""))
   )
 }

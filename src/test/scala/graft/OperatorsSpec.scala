@@ -404,6 +404,36 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.aHash(spark, tiny, "doc_id", "payload", "w").count() == 0)
   }
 
+  test("audioEnvelopeHash: decode-stable, near under small edits, band-compatible") {
+    // 256 samples: a loud burst in the first quarter, quiet elsewhere
+    def pcm(f: Int => Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(512)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 256).foreach(i => bb.putShort(f(i).toShort))
+      bb.array()
+    }
+    val burst = pcm(i => if (i < 64) 20000 else 100)
+    val edited = burst.clone(); edited(510) = 99; edited(511) = 0 // last sample
+    val silence = pcm(_ => 0)
+    val raw = Seq((1L, burst), (2L, burst.clone()), (3L, edited), (4L, silence))
+      .toDF("doc_id", "payload")
+    val wav = Multimodal.encodePcm16Wav(spark, raw, "doc_id", "payload")
+    val hashes = Multimodal.audioEnvelopeHash(spark, wav, "doc_id", "wav")
+    val hs = hashes.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("b0"), r.getAs[Long]("b1"), r.getAs[Long]("b2"), r.getAs[Long]("b3"))).toMap
+    assert(hs(1L) == hs(2L)) // byte-identical clips → identical envelope hash
+    // burst: first 16 frames loud → bits set there, quiet frames clear
+    assert(hs(1L)._1 == 0xFFFFL && hs(1L)._2 == 0L)
+    // all-zero clip: env*64 >= 0 everywhere → all bits set (degenerate, stable)
+    assert(hs(4L) == ((0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL)))
+    val pairs = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 1L) // one-sample edit
+    assert(!pairs.contains((1L, 4L))) // silence is not a near-dup of the burst
+  }
+
   test("undecodable payloads return None / are dropped, not crashed") {
     assert(Multimodal.decodeImageToGrayscale("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeImageToGrayscale(Array.emptyByteArray).isEmpty)
