@@ -184,18 +184,31 @@ object Multimodal {
     }.toDF(idCol, "b0", "b1", "b2", "b3")
   }
 
-  /** Perceptual near-duplicate image pairs from [[aHash]] fingerprints:
-    * candidates share at least one 16-bit band (banded LSH — Hamming
-    * distance ≤ 3·16 guarantees a shared band by pigeonhole over 4
-    * bands), verified by exact Hamming distance ≤ `maxHamming` over the
-    * full 64 bits. Pairs only form within band buckets — no cross
-    * product at any corpus size.
+  /** Perceptual near-duplicate pairs from banded 64-bit fingerprints
+    * ([[aHash]], [[audioEnvelopeHash]], [[videoEnvelopeHash]] — the
+    * pairing is modality-agnostic): candidates share at least one 16-bit
+    * band (banded LSH — Hamming distance ≤ 3·16 guarantees a shared band
+    * by pigeonhole over 4 bands), verified by exact Hamming distance ≤
+    * `maxHamming` over the full 64 bits. Pairs only form within band
+    * buckets, and `maxBucketSize` (ON by default, same convention as the
+    * text/embedding near-dup family) drops degenerate buckets — a band
+    * value shared by thousands of items carries no signal and would pair
+    * quadratically; oracle-exhaustive queries opt out with `None`.
     */
-  def aHashNearDup(hashes: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def aHashNearDup(hashes: DataFrame, idCol: String, maxHamming: Int,
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
     val banded = (0 to 3).map(k =>
       hashes.select(col(idCol).as("id"), lit(k).as("band"), col(s"b$k").as("sig")))
       .reduce(_.unionAll(_))
-    val cand = banded.as("a").join(banded.as("b"),
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))
+        banded.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= cap).drop("__bucket_n")
+      case None => banded
+    }
+    val cand = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
@@ -409,6 +422,98 @@ object Multimodal {
         }
       }
     }.toDF(idCol, "frame_idx", "width", "height", "frame", "mean_luminance")
+  }
+
+  /** 64-bit VIDEO fingerprint — the temporal×spatial analogue of
+    * [[aHash]]: decode every frame of a multi-frame container through the
+    * REAL JDK codec, pool luminance over an 8 temporal segments × 8
+    * column blocks grid (the same integer boundary rule on both axes),
+    * and set bit i = kt·8+ks iff cell_i · 64 ≥ Σ cells. A time-only
+    * envelope carries ~nFrames values of entropy — on short clips that
+    * degenerates bands into huge buckets; crossing in the spatial axis
+    * restores image-hash-grade discrimination while staying
+    * re-encoding-robust at fixed resolution (lossless codecs reproduce
+    * sums exactly). Emitted as the same four 16-bit bands, so
+    * [[aHashNearDup]] pairs videos unchanged — banding + Hamming are
+    * modality-agnostic across image, audio, and video.
+    */
+  def videoEnvelopeHash(spark: SparkSession, df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.length == 0) None
+        else {
+          val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          try {
+            rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            val n = rd.getNumImages(true)
+            if (n == 0) None
+            else {
+              // per-frame 8 column-block luma sums (all rows)
+              val blocks = Array.ofDim[Long](n, 8)
+              var f = 0
+              while (f < n) {
+                val img = rd.read(f)
+                val w = img.getWidth
+                val h = img.getHeight
+                var ks = 0
+                while (ks < 8) {
+                  val x0 = ks * w / 8
+                  val x1 = math.max(x0 + 1, (ks + 1) * w / 8)
+                  var sum = 0L
+                  var x = x0
+                  while (x < x1) {
+                    var y = 0
+                    while (y < h) {
+                      val p = img.getRGB(x, y)
+                      sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                        114 * (p & 0xff)) / 1000
+                      y += 1
+                    }
+                    x += 1
+                  }
+                  blocks(f)(ks) = sum
+                  ks += 1
+                }
+                f += 1
+              }
+              val env = new Array[Long](64)
+              var kt = 0
+              while (kt < 8) {
+                val f0 = kt * n / 8
+                val f1 = math.max(f0 + 1, (kt + 1) * n / 8)
+                var ks = 0
+                while (ks < 8) {
+                  var s = 0L
+                  var j = f0
+                  while (j < f1) { s += blocks(j)(ks); j += 1 }
+                  env(kt * 8 + ks) = s / (f1 - f0)
+                  ks += 1
+                }
+                kt += 1
+              }
+              val total = env.sum
+              val bands = new Array[Long](4)
+              var i = 0
+              while (i < 64) {
+                if (env(i) * 64 >= total) bands(i / 16) |= 1L << (i % 16)
+                i += 1
+              }
+              Some((r.getLong(idIdx), bands(0), bands(1), bands(2), bands(3)))
+            }
+          } catch {
+            case _: java.io.IOException => None
+            case _: java.util.NoSuchElementException => None
+          } finally rd.dispose()
+        }
+      }
+    }.toDF(idCol, "b0", "b1", "b2", "b3")
   }
 
   /** PCM16 → WAV container (44-byte RIFF header + little-endian samples) —

@@ -1005,7 +1005,8 @@ object TextPipeline {
           .withColumn("w", lit(16))
           .select("doc_id", "payload", "w")
         val hashes = Multimodal.aHash(s, d, "doc_id", "payload", "w")
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6)
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
       },
       Some("""
@@ -1085,7 +1086,8 @@ object TextPipeline {
           .select("doc_id", "payload")
         val wav = Multimodal.encodePcm16Wav(s, d, "doc_id", "payload", sampleRate = 16000)
         val hashes = Multimodal.audioEnvelopeHash(s, wav, "doc_id", "wav")
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6)
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
       },
       Some("""
@@ -1119,6 +1121,93 @@ object TextPipeline {
         env AS (
           SELECT doc_id, k,
                  list_sum(list_transform(range(f0, f1), j -> amp[j + 1]))
+                   // (f1 - f0) AS p
+          FROM fr
+        ),
+        tot AS (SELECT doc_id, SUM(p) AS su FROM env GROUP BY doc_id),
+        hs AS (
+          SELECT e.doc_id, k // 16 AS band,
+                 SUM(CASE WHEN p * 64 >= t2.su
+                          THEN (1::BIGINT << (k % 16)) ELSE 0 END)::BIGINT AS sig
+          FROM env e JOIN tot t2 ON e.doc_id = t2.doc_id
+          GROUP BY e.doc_id, k // 16
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM hs a JOIN hs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+          SELECT c.id1, c.id2,
+                 SUM(bit_count(xor(h1.sig, h2.sig)))::BIGINT AS hamming
+          FROM cand c
+          JOIN hs h1 ON h1.doc_id = c.id1
+          JOIN hs h2 ON h2.doc_id = c.id2 AND h2.band = h1.band
+          GROUP BY c.id1, c.id2
+        )
+        SELECT id1, id2, hamming FROM ham
+        WHERE hamming <= 6
+        ORDER BY id1, id2""")),
+
+    // ---- q88: perceptual VIDEO near-dup — the fourth dedup modality.
+    // Doc bytes become 16×4 frames of a REAL animated GIF (q71's encode
+    // path), every frame decodes back through the JDK codec into an
+    // 8-column-block luma profile, pooled over an 8 temporal x 8 spatial
+    // grid into a 64-bit fingerprint (same integer rule as q86/q87; a
+    // time-only envelope degenerates on short clips — see the operator
+    // scaladoc), paired
+    // by the shared banded-LSH + exact-Hamming machinery. Same-length
+    // twins (tail overwrite = last frame only) guarantee true positives;
+    // the oracle re-derives frame sums → envelope → bits → bands → pairs
+    // from the original bytes — GIF LZW is lossless, so the whole
+    // encode→decode→hash path must match it exactly.
+    QueryDef(
+      "q88_video_envelope_neardup",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
+        val d = base.unionAll(twins)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .select("doc_id", "payload")
+        val gifs = Multimodal.encodeFramesGif(s, d, "doc_id", "payload",
+          frameW = 16, frameH = 4)
+        val hashes = Multimodal.videoEnvelopeHash(s, gifs, "doc_id", "gif")
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          maxBucketSize = None)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 (octet_length(encode(text)) // 64) AS nf
+          FROM d WHERE octet_length(encode(text)) >= 64
+        ),
+        fs AS (
+          SELECT doc_id, nf,
+                 flatten(list_transform(range(0, nf), f ->
+                   list_transform(range(0, 8), ks ->
+                     list_sum(flatten(list_transform(range(ks*2, ks*2 + 2), x ->
+                       list_transform(range(0, 4), y ->
+                         ('0x' || substr(hx, (f*64 + y*16 + x)*2 + 1, 2))::BIGINT))))))) AS fb
+          FROM t
+        ),
+        fr AS (
+          SELECT doc_id, nf, fb, kt, ks,
+                 (kt*nf)//8 AS f0, greatest((kt*nf)//8 + 1, ((kt+1)*nf)//8) AS f1
+          FROM fs, (SELECT unnest(range(0, 8)) AS kt),
+                   (SELECT unnest(range(0, 8)) AS ks)
+        ),
+        env AS (
+          SELECT doc_id, kt*8 + ks AS k,
+                 list_sum(list_transform(range(f0, f1), j -> fb[j*8 + ks + 1]))
                    // (f1 - f0) AS p
           FROM fr
         ),
