@@ -1005,9 +1005,13 @@ object TextPipeline {
           .withColumn("w", lit(16))
           .select("doc_id", "payload", "w")
         val hashes = Multimodal.aHash(s, d, "doc_id", "payload", "w")
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
-          maxBucketSize = None)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+            maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
+          .localCheckpoint(true) // pairing reads hashes 3x; decode runs once
+        hashes.unpersist(false)
+        out
       },
       Some("""
         WITH d AS (
@@ -1086,9 +1090,13 @@ object TextPipeline {
           .select("doc_id", "payload")
         val wav = Multimodal.encodePcm16Wav(s, d, "doc_id", "payload", sampleRate = 16000)
         val hashes = Multimodal.audioEnvelopeHash(s, wav, "doc_id", "wav")
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
-          maxBucketSize = None)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+            maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
+          .localCheckpoint(true) // codec decode runs once, not per reference
+        hashes.unpersist(false)
+        out
       },
       Some("""
         WITH d AS (
@@ -1174,9 +1182,13 @@ object TextPipeline {
         val gifs = Multimodal.encodeFramesGif(s, d, "doc_id", "payload",
           frameW = 16, frameH = 4)
         val hashes = Multimodal.videoEnvelopeHash(s, gifs, "doc_id", "gif")
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
-          maxBucketSize = None)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+            maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
+          .localCheckpoint(true) // frame decode runs once, not per reference
+        hashes.unpersist(false)
+        out
       },
       Some("""
         WITH d AS (
