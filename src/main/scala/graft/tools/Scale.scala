@@ -68,7 +68,9 @@ object Scale {
     Seq(
       "q30_fingerprints", "q31_minhash_signatures", "q32_lsh_jaccard",
       "q33_simhash", "q50_embedding_neardup", "q55_hyperplane_neardup",
-      "q58_decontaminate", "q66_dup_coverage", "q67_dedup_clusters")
+      "q58_decontaminate", "q66_dup_coverage", "q67_dedup_clusters",
+      "q86_image_ahash_neardup", "q87_audio_envelope_neardup",
+      "q88_video_envelope_neardup")
       .map(q => q -> SparkEntry.queries(q)) ++ Seq(
       "q50_capped" -> ((s: SparkSession, dir: String) => {
         val v = vecs(s, dir)
@@ -80,7 +82,41 @@ object Scale {
       }),
       "q55_capped" -> ((s: SparkSession, dir: String) =>
         Similarity.hyperplaneNearDup(vecs(s, dir),
-          bands = 3, rowsPerBand = 4, threshold = 0.3)))
+          bands = 3, rowsPerBand = 4, threshold = 0.3))) ++ {
+      // the perceptual family in PRODUCTION configuration (bucket cap ON —
+      // the SparkEntry forms are oracle-exhaustive and opt out)
+      import graft.operators.Multimodal
+      def payload(s: SparkSession, dir: String) =
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      Seq(
+        "q86_capped" -> ((s: SparkSession, dir: String) => {
+          val d = payload(s, dir).filter(length(col("payload")) >= 16)
+            .withColumn("w", lit(16))
+          val h = Multimodal.aHash(s, d, "doc_id", "payload", "w")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = Multimodal.aHashNearDup(h, "doc_id", maxHamming = 6)
+            .localCheckpoint(true)
+          h.unpersist(false); out
+        }),
+        "q87_capped" -> ((s: SparkSession, dir: String) => {
+          val wav = Multimodal.encodePcm16Wav(s, payload(s, dir), "doc_id", "payload")
+          val h = Multimodal.audioEnvelopeHash(s, wav, "doc_id", "wav")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = Multimodal.aHashNearDup(h, "doc_id", maxHamming = 6)
+            .localCheckpoint(true)
+          h.unpersist(false); out
+        }),
+        "q88_capped" -> ((s: SparkSession, dir: String) => {
+          val gifs = Multimodal.encodeFramesGif(s, payload(s, dir), "doc_id",
+            "payload", frameW = 16, frameH = 4)
+          val h = Multimodal.videoEnvelopeHash(s, gifs, "doc_id", "gif")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = Multimodal.aHashNearDup(h, "doc_id", maxHamming = 6)
+            .localCheckpoint(true)
+          h.unpersist(false); out
+        }))
+    }
   }
 
   def main(args: Array[String]): Unit = {
