@@ -74,6 +74,96 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("luhnValid agrees with a reference Luhn on random digit strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def refLuhn(digits: String): Boolean = {
+      val ds = digits.reverse.map(_ - '0')
+      ds.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    val g = new scala.util.Random(77)
+    val cands = List.fill(300) {
+      val n = 13 + g.nextInt(7)
+      val digits = List.fill(n)(g.nextInt(10)).mkString
+      // random separator placement as the regex would capture it
+      digits.grouped(4).mkString(if (g.nextBoolean()) "-" else " ")
+    }
+    val out = cands.toDF("c")
+      .withColumn("v", graft.operators.Privacy.luhnValid(col("c")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cands.foreach { c =>
+      val expected = refLuhn(c.replaceAll("[ -]", ""))
+      assert(out(c) == expected, s"$c: spark=${out(c)} ref=$expected")
+    }
+  }
+
+  test("chunkByTokens: full coverage, exact overlap, text round-trip on random docs") {
+    import spark.implicits._
+    val g = new scala.util.Random(9)
+    for (_ <- 1 to 5) {
+      val maxT = 2 + g.nextInt(30)
+      val stride = 1 + g.nextInt(maxT)
+      val docs = (0L until 40L).map { id =>
+        (id, List.fill(g.nextInt(80))("t" + g.nextInt(50)).mkString(" "))
+      }
+      val byId = docs.toMap
+      val out = graft.operators.Curation
+        .chunkByTokens(docs.toDF("doc_id", "text"), "doc_id", "text", maxT, stride)
+        .collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      for (id <- docs.map(_._1)) {
+        val toks = byId(id).split("\\s+").filter(_.nonEmpty)
+        out.get(id) match {
+          case None => assert(toks.isEmpty) // only empty docs produce no chunks
+          case Some(rows) =>
+            val chunks = rows.sortBy(_.getAs[Long]("chunk_id"))
+            // starts are exactly 0, stride, …, last < n
+            assert(chunks.map(_.getAs[Long]("chunk_start")).toSeq ==
+              (0L to (toks.length - 1) / stride * stride by stride.toLong).toSeq)
+            chunks.foreach { r =>
+              val s = r.getAs[Long]("chunk_start").toInt
+              val expect = toks.slice(s, s + maxT)
+              assert(r.getAs[Long]("n_chunk_tokens") == expect.length)
+              assert(r.getAs[String]("chunk_text") == expect.mkString(" "))
+            }
+            // every token covered
+            val covered = chunks.flatMap { r =>
+              val s = r.getAs[Long]("chunk_start")
+              s until s + r.getAs[Long]("n_chunk_tokens")
+            }.toSet
+            assert(covered == toks.indices.map(_.toLong).toSet)
+        }
+      }
+    }
+  }
+
+  test("languageIdMulti: confidence is the max ratio and threshold gates unk") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val g = new scala.util.Random(5)
+    val words = TextAnalysis.lexicons.values.flatten.toVector ++
+      Vector.fill(30)("zz" + g.nextInt(1000))
+    val docs = (0L until 60L).map(id =>
+      (id, List.fill(g.nextInt(40))(words(g.nextInt(words.length))).mkString(" ")))
+    val langs = TextAnalysis.lexicons.keys.toSeq.sorted
+    graft.operators.TextAnalysis.languageIdMulti(docs.toDF("doc_id", "text"), "text")
+      .collect().foreach { r =>
+        val ratios = langs.map(l => l -> r.getAs[Double](s"r_$l"))
+        val conf = r.getAs[Double]("lang_conf")
+        val pred = r.getAs[String]("lang_pred")
+        assert(conf == ratios.map(_._2).max)
+        assert(ratios.forall { case (_, v) => v >= 0.0 && v <= 1.0 })
+        if (pred == "unk") assert(conf < 0.08)
+        else {
+          assert(conf >= 0.08)
+          // the prediction is an argmax (largest code on exact ties)
+          assert(ratios.filter(_._2 == conf).map(_._1).max == pred)
+        }
+      }
+  }
+
   test("streaming step replays to the same alerts as the batch fold") {
     for (_ <- 1 to 300) {
       val (ms, cfg) = randomCase()
