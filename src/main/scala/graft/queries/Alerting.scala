@@ -26,6 +26,7 @@ object Alerting {
   private val compDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val retroDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val routeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sidelineDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** q54's snapshot tables: (dir -> (table path, id cut)), memoized like q45. */
   private val zoneMapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
@@ -557,6 +558,89 @@ object Alerting {
         WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
           AND NOT (event_id % 2 = 1 AND event_id % 5 = 0)
         GROUP BY 1
-        ORDER BY table_name"""))
+        ORDER BY table_name""")),
+
+    // ---- q89: error sidelining (S17) under the gate — the last ingest
+    // semantic that was unit-only. A fixture carrying three row classes
+    // (clean JSON, valid JSON with a type-bad value, truncated JSON)
+    // flows the real chain: line framing → pre-transform try-parse
+    // (malformed lines stay raw → parse_error sideline) → untyped
+    // projection → SchemaResolver.resolve (try_cast mismatches →
+    // schema_mismatch sideline, clean rows project). One scan, three
+    // outputs, no job failure on bad rows — reference
+    // transformer/src/main.rs:955-998, 1433-1494. The oracle
+    // reconstructs every stage's count/sum/max from the event_id rules.
+    QueryDef(
+      "q89_sideline_gate",
+      (s, dir) => {
+        import graft.sources.Framing
+        import org.apache.spark.sql.types._
+        val tmp = sidelineDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_sideline").toString
+          val rows = events(s, dir)
+            .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+            .select("event_id", "event_type", "value").collect()
+          val w = new java.io.OutputStreamWriter(
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(t, "mixed.jsonl")),
+            java.nio.charset.StandardCharsets.UTF_8)
+          try rows.foreach { r =>
+            val id = r.getLong(0)
+            val line =
+              if (id % 13 == 0)
+                s"""{"event_id":$id,"event_type":"${r.getString(1)}","value":"oops"}"""
+              else if (id % 17 == 0)
+                s"""{"event_id":$id,"event_""" // truncated mid-key
+              else {
+                val v = if (r.isNullAt(2)) "null" else r.getDouble(2).toString
+                s"""{"event_id":$id,"event_type":"${r.getString(1)}","value":$v}"""
+              }
+            w.write(line); w.write('\n')
+          } finally w.close()
+          t
+        })
+        val lines = Framing.preTransformJsonParse(Framing.textLines(s, tmp))
+        // in-flight rows are untyped (the reference's dynamic VRL values):
+        // value stays a string until schema resolution types it
+        val parsed = lines.filter(col("json").isNotNull).select(
+          get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("json"), "$.event_type").as("event_type"),
+          get_json_object(col("json"), "$.value").as("value"))
+        val target = StructType(Seq(
+          StructField("event_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val r = graft.schema.SchemaResolver.resolve(parsed, target)
+        val resolved = r.resolved.agg(
+          count(lit(1)).as("n"), msum(col("value")).as("sum_value"),
+          max(col("event_id")).as("max_id"))
+          .select(lit("resolved").as("stage"), col("n"), col("sum_value"), col("max_id"))
+        val mismatched = r.sidelined.groupBy(col("error_kind").as("stage"))
+          .agg(count(lit(1)).as("n"), lit(0.0).as("sum_value"),
+            max(col("event_id")).as("max_id"))
+        val parseErr = lines.filter(col("json").isNull && col("message").isNotNull)
+          .agg(count(lit(1)).as("n"), lit(0.0).as("sum_value"),
+            max(regexp_extract(col("message"), "\\d+", 0).cast("long")).as("max_id"))
+          .select(lit("parse_error").as("stage"), col("n"), col("sum_value"),
+            col("max_id"))
+        resolved.unionByName(mismatched).unionByName(parseErr)
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH cls AS (
+          SELECT event_id, value,
+                 CASE WHEN event_id % 13 = 0 THEN 'schema_mismatch'
+                      WHEN event_id % 17 = 0 THEN 'parse_error'
+                      ELSE 'resolved' END AS stage
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        )
+        SELECT stage, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN stage = 'resolved'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE 0 END) AS DOUBLE) AS sum_value,
+               MAX(event_id) AS max_id
+        FROM cls
+        GROUP BY stage
+        ORDER BY stage"""))
   )
 }
