@@ -1246,6 +1246,70 @@ object TextPipeline {
         )
         SELECT id1, id2, hamming FROM ham
         WHERE hamming <= 6
-        ORDER BY id1, id2"""))
+        ORDER BY id1, id2""")),
+
+    // ---- q90: corpus vocabulary building — the tokenizer-training
+    // precursor: per-language top-k tokens by corpus count with a total
+    // deterministic order (count desc, token asc). One token shuffle +
+    // one rank window; integer counts, so any engine reproduces the
+    // ranking exactly.
+    QueryDef(
+      "q90_vocab_topk",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok").asc)
+        docs(s, dir)
+          .select(col("lang"), graft.functions.TextFunctions.tokens(col("text")).as("__tk"))
+          .select(col("lang"), explode_outer(col("__tk")).as("tok"))
+          .filter(col("tok").isNotNull)
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(s"""
+        WITH t AS (SELECT lang, $sqlToks AS tk FROM documents),
+             g AS (SELECT lang, unnest(tk) AS tok FROM t),
+             c AS (SELECT lang, tok, COUNT(*) AS cnt FROM g GROUP BY lang, tok),
+             r AS (SELECT lang, tok, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY cnt DESC, tok ASC) AS rank
+                   FROM c)
+        SELECT lang, tok, cnt, rank FROM r
+        WHERE rank <= 5
+        ORDER BY lang, rank""")),
+
+    // ---- q91: percentile length trimming — the outlier-filter curation
+    // step: global exact p05/p95 of n_chars (Spark's `percentile` is
+    // bit-identical to DuckDB `quantile_cont`, fractional interpolation
+    // included), survivors profiled per language. The one-row bounds
+    // frame broadcasts into the filter — no shuffle of the corpus, and
+    // the plan guard proves the cross join stays broadcast.
+    QueryDef(
+      "q91_length_trim",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bounds = d.agg(
+          percentile(col("n_chars"), lit(0.05)).as("lo"),
+          percentile(col("n_chars"), lit(0.95)).as("hi"))
+        d.crossJoin(broadcast(bounds))
+          .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_len"), max(col("n_chars")).as("max_len"),
+            sum(col("n_chars")).as("total_len"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                          quantile_cont(n_chars, 0.95) AS hi
+                   FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_len, MAX(n_chars) AS max_len,
+               SUM(n_chars) AS total_len
+        FROM documents, b
+        WHERE n_chars >= b.lo AND n_chars <= b.hi
+        GROUP BY lang
+        ORDER BY lang"""))
   )
 }
