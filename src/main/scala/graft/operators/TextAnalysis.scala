@@ -193,6 +193,34 @@ object TextAnalysis {
         col("freq_sum").cast(DoubleType) / col("n_tokens"))
   }
 
+  /** Distinctive-token extraction (keyword signal): per document, the
+    * token with the highest tf/df ratio — frequent in THIS document,
+    * rare across the corpus. tf and df are exact integers (df = number
+    * of documents containing the token, a distinct-pair count), the
+    * ratio is one IEEE division, and the argmax is the same
+    * `greatest`-over-(ratio, token) struct rule as [[languageIdMulti]]
+    * (max ratio, exact ties → largest token) — so any engine reproduces
+    * the extraction byte-for-byte, no log/idf smoothing to diverge on.
+    *
+    * Scale shape: one (doc, token) shuffle; df is a window count over the
+    * DISTINCT pairs (no second tokenize, no join back); the argmax is a
+    * per-doc struct max — map-side combinable.
+    */
+  def distinctiveTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), explode_outer(col("__tk")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    tf.withColumn("df", count(lit(1)).over(w)) // (doc,tok) rows are distinct
+      .withColumn("__best",
+        struct((col("tf").cast(DoubleType) / col("df")).as("r"), col("tok").as("t")))
+      .groupBy(col("doc").as(idCol))
+      .agg(max(col("__best")).as("__m"), count(lit(1)).as("n_distinct_tokens"))
+      .select(col(idCol), col("__m.t").as("top_token"), col("__m.r").as("tfdf"),
+        col("n_distinct_tokens"))
+  }
+
   /** Per-stratum corpus profile — the data-card operator: document count,
     * exact length distribution (sum/avg/min/max + interpolated p50/p90,
     * Spark's exact `percentile`, bit-identical to `quantile_cont`), and

@@ -1310,6 +1310,30 @@ object TextPipeline {
         FROM documents, b
         WHERE n_chars >= b.lo AND n_chars <= b.hi
         GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // ---- q92: distinctive-token extraction — per-doc argmax of tf/df
+    // (frequent here, rare corpus-wide). Exact integers + one division +
+    // the struct-max argmax rule (ties → largest token, identical in
+    // DuckDB), so the keyword choice reproduces byte-for-byte.
+    QueryDef(
+      "q92_distinctive_tokens",
+      (s, dir) =>
+        TextAnalysis.distinctiveTokens(docs(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             g AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+             tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM g GROUP BY doc_id, tok),
+             wdf AS (SELECT doc_id, tok, tf,
+                       COUNT(*) OVER (PARTITION BY tok) AS df
+                     FROM tf),
+             m AS (SELECT doc_id,
+                     max(struct_pack(r := tf::DOUBLE / df, t := tok)) AS best,
+                     COUNT(*) AS n_distinct_tokens
+                   FROM wdf GROUP BY doc_id)
+        SELECT doc_id, best.t AS top_token, best.r AS tfdf, n_distinct_tokens
+        FROM m
+        ORDER BY doc_id"""))
   )
 }
