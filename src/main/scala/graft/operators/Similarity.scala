@@ -207,4 +207,33 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** One Lloyd (k-means) iteration ENTIRELY in the int8 code domain — the
+    * centroid-TRAINING step the IVF index (ivfAssign/ivfTopK) consumes.
+    * Assignment distance is an exact integer L2 over codes; the centroid
+    * update is a per-(cid, dim) integer sum with ONE final division — no
+    * double summation anywhere, so the step reproduces bit-for-bit in any
+    * engine (the property that lets the gate verify TRAINING, not just
+    * search). Training on codes instead of fp32 is also the 100 TB move:
+    * the working set is 4× smaller and the sums never overflow
+    * (127 · corpus < 2⁶³ at any realistic scale).
+    *
+    * Scale shape: one broadcast of the centroid set (k ≤ thousands), one
+    * (cid, dim) shuffle of partial sums — map-side combined, so shuffle
+    * volume is k·dims regardless of corpus size. Iterate by feeding the
+    * rounded means back as the next centroid codes.
+    *
+    * @return (cid, dim, n_members, code_sum, mean_code)
+    */
+  def kmeansStepInt8(corpusCodes: DataFrame, centroidCodes: DataFrame): DataFrame = {
+    val assigned = ivfAssign(
+      corpusCodes.select(col("id"), col("code").as("vec")),
+      centroidCodes.select(col("cid"), col("code").as("cvec")))
+    assigned
+      .select(col("bucket").as("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("x")).as("code_sum"))
+      .withColumn("mean_code",
+        col("code_sum").cast(org.apache.spark.sql.types.DoubleType) / col("n_members"))
+  }
 }

@@ -286,6 +286,45 @@ object Vectors {
                abs(rank - fp_rank) AS displacement
         FROM r
         WHERE rank <= 3
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ---- q93: k-means centroid TRAINING step (Lloyd iteration) in the
+    // int8 code domain — the step that produces the centroids q35/q50/q63
+    // consume, verified under the gate because every quantity is exact:
+    // integer L2 assignment over q61's reproducible codes, integer
+    // per-(cid, dim) sums, one final division for the mean. The oracle
+    // re-derives codes, assignment and the update from the raw floats.
+    QueryDef(
+      "q93_kmeans_step",
+      (s, dir) => {
+        val coded = vecs(s, dir).select(col("id"),
+          VectorFunctions.quantizeInt8(col("vec"),
+            VectorFunctions.int8Scale(col("vec"))).as("code"))
+        val cents = coded.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("code"))
+        Similarity.kmeansStepInt8(coded.filter(col("id") >= 8), cents)
+          .orderBy(col("cid"), col("dim"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             c AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             cent AS (SELECT id AS cid, code AS ccode FROM c WHERE id < 8),
+             corpus AS (SELECT * FROM c WHERE id >= 8),
+             scored AS (SELECT corpus.id, corpus.code, cid,
+                          list_sum(list_transform(range(1, 65), i ->
+                            (code[i] - ccode[i]) * (code[i] - ccode[i]))) AS dist
+                        FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, code, cid AS bucket
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM scored)
+                          WHERE rn = 1),
+             d AS (SELECT bucket AS cid, k AS dim, code[k + 1] AS x
+                   FROM assigned, (SELECT unnest(range(0, 64)) AS k))
+        SELECT cid, dim::BIGINT AS dim, COUNT(*) AS n_members,
+               SUM(x)::BIGINT AS code_sum,
+               SUM(x)::DOUBLE / COUNT(*) AS mean_code
+        FROM d
+        GROUP BY cid, dim
+        ORDER BY cid, dim"""))
   )
 }
