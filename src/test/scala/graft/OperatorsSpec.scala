@@ -227,6 +227,28 @@ class OperatorsSpec extends SparkSpec {
     df.select("cos_q").collect().foreach(r => assert(r.getDouble(0) == 0.0))
   }
 
+  test("kmeansStepInt8: members assign to the nearest centroid, means move toward blobs") {
+    // two tight blobs around codes ~100 and ~-100 in every dim; seeds at 80/-80
+    def blob(center: Long, ids: Range) =
+      ids.map(id => (id.toLong, Seq.fill(4)(center + (id % 3) - 1)))
+    val corpus = (blob(100L, 10 to 19) ++ blob(-100L, 20 to 29)).toDF("id", "code")
+    val cents = Seq((0L, Seq(80L, 80L, 80L, 80L)), (1L, Seq(-80L, -80L, -80L, -80L)))
+      .toDF("cid", "code")
+    val out = Similarity.kmeansStepInt8(corpus, cents).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("dim")) ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("code_sum"),
+          r.getAs[Double]("mean_code"))).toMap
+    // every dim of each centroid sees exactly its blob's 10 members
+    assert(out.size == 8 && out.values.forall(_._1 == 10L))
+    // the update moves each centroid from its seed toward the blob center
+    (0L to 3L).foreach { d =>
+      assert(math.abs(out((0L, d))._3 - 100.0) <= 1.0)
+      assert(math.abs(out((1L, d))._3 + 100.0) <= 1.0)
+      // mean is exactly sum/count — one division, no float accumulation
+      assert(out((0L, d))._3 == out((0L, d))._2.toDouble / 10)
+    }
+  }
+
   test("ivfTopKInt8: same neighbors as fp scoring, bounded rank displacement") {
     val dim = 8
     def v(seed: Int): Seq[Double] =
