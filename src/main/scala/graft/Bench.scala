@@ -28,7 +28,8 @@ object Bench {
                SparkEntry.queries.get("q77_merge_upsert") ++
                SparkEntry.queries.get("q78_compression_inference") ++
                SparkEntry.queries.get("q81_alerts_retro_lake") ++
-               SparkEntry.queries.get("q82_routed_ingest")) {
+               SparkEntry.queries.get("q82_routed_ingest") ++
+               SparkEntry.queries.get("q89_sideline_gate")) {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
     }

@@ -150,19 +150,28 @@ object Snapshots {
     * erroring only when no retained version is old enough.
     */
   def readAsOf(spark: SparkSession, table: String, epochMillis: Long): DataFrame = {
-    val cur = currentVersion(table)
-      .getOrElse(sys.error(s"no snapshot committed at $table"))
-    val v = (1 to cur)
-      .filter { v =>
-        try Files.exists(manifestPath(table, v)) &&
-          committedAt(table, v).forall(_ <= epochMillis)
-        catch { case _: java.nio.file.NoSuchFileException => false }
-      }
-      .maxOption
-      .getOrElse(sys.error(
-        s"no retained snapshot at or before $epochMillis in $table " +
-          "(older versions may have been expired)"))
-    read(spark, table, version = Some(v))
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val cur = currentVersion(table)
+        .getOrElse(sys.error(s"no snapshot committed at $table"))
+      val v = (1 to cur)
+        .filter { v =>
+          try Files.exists(manifestPath(table, v)) &&
+            committedAt(table, v).forall(_ <= epochMillis)
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        }
+        .maxOption
+        .getOrElse(sys.error(
+          s"no retained snapshot at or before $epochMillis in $table " +
+            "(older versions may have been expired)"))
+      // the chosen version can still expire between the probe and this
+      // read — re-probe rather than surface NoSuchFileException
+      try return read(spark, table, version = Some(v))
+      catch { case _: java.nio.file.NoSuchFileException => }
+    }
+    sys.error(s"readAsOf lost the expiry race 5 times on $table — " +
+      "retention window is shorter than a read; raise keepLast")
   }
 
   /** Manifest-level partition pruning: plan a scan over only the files of

@@ -79,30 +79,39 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // Skew guard, ON BY DEFAULT: a degenerate signature (empty docs,
-    // boilerplate) makes one bucket quadratic. Capping bucket width bounds
-    // the worst pair count at buckets×cap² — at corpus scale an uncapped
-    // hot bucket is a straggler task that never finishes. Capped-out
-    // buckets are boilerplate clusters, not near-dup signal; callers that
-    // need exhaustive pairs (small corpora, oracle checks) pass None.
-    // The count is a WINDOW over the bucket key, not a groupBy+self-join:
-    // one exchange instead of two, and the result stays partitioned on
-    // (band, sig) — exactly what the pair self-join below needs, so the
-    // planner reuses the exchange instead of reshuffling.
-    val bucketed = maxBucketSize match {
+    bandedCandidatePairs(exploded, "doc", Seq("band", "sig"), maxBucketSize)
+  }
+
+  /** The shared banded-LSH pairing core — ONE implementation for every
+    * banded family (MinHash here, hyperplane sign sketches, perceptual
+    * hashes): cap hot buckets, pair ids within each bucket, dedup across
+    * bands.
+    *
+    * Skew guard, ON BY DEFAULT: a degenerate bucket value (empty docs,
+    * boilerplate, all-zero sketches) makes one bucket quadratic. Capping
+    * bucket width bounds the worst pair count at buckets×cap² — at corpus
+    * scale an uncapped hot bucket is a straggler task that never
+    * finishes. Capped-out buckets are degenerate clusters, not near-dup
+    * signal; callers that need exhaustive pairs (small corpora, oracle
+    * checks) pass None. The count is a WINDOW over the bucket key, not a
+    * groupBy+self-join: one exchange instead of two, and the result stays
+    * partitioned on `keyCols` — exactly what the pair self-join needs, so
+    * the planner reuses the exchange instead of reshuffling.
+    */
+  def bandedCandidatePairs(keyed: DataFrame, idCol: String,
+      keyCols: Seq[String], maxBucketSize: Option[Int]): DataFrame = {
+    val bounded = maxBucketSize match {
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("sig"))
-        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
+          .partitionBy(keyCols.map(col): _*)
+        keyed.withColumn("__bucket_n", count(lit(1)).over(w))
           .filter(col("__bucket_n") <= cap).drop("__bucket_n")
-      case None => exploded
+      case None => keyed
     }
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
-      .distinct()
+    bounded.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
+      .join(bounded.select(keyCols.map(col) :+ col(idCol).as("id2"): _*), keyCols)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: fetch both shingle arrays

@@ -59,19 +59,22 @@ object Enrichment {
     * scale would OOM the DRIVER (a broadcast map is driver-resident
     * before shipping), so the collect is capped by `maxRows` — a table
     * over the cap fails fast with a pointer at the distributed join API
-    * instead of dying mid-collect. The probe is a cheap `limit(n+1)`
-    * count, not a full count of the table.
+    * instead of dying mid-collect. Probe and collect are ONE
+    * `limit(cap+1)` job (the documented call site is a foreachBatch body
+    * — a separate probe job would double the enrichment scan every
+    * micro-batch): one extra row over the cap is enough to detect the
+    * overflow without materializing the table.
     */
   def lookupMap(enrichment: DataFrame, lookupKey: String,
       maxRows: Long = 2000000L)
       : org.apache.spark.broadcast.Broadcast[Map[String, org.apache.spark.sql.Row]] = {
-    val probe = enrichment.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
-    if (probe > maxRows) sys.error(
-      s"enrichment table exceeds the $maxRows-row broadcast-map cap — " +
+    val cap = maxRows.min(Int.MaxValue - 1L).toInt
+    val rows = enrichment.limit(cap + 1).collect()
+    if (rows.length > cap) sys.error(
+      s"enrichment table exceeds the $cap-row broadcast-map cap — " +
         "use Enrichment.lookupJoin (distributed, size-gated broadcast join) " +
         "instead of the driver-side lookupMap, or raise maxRows deliberately")
-    val keyed = enrichment.collect()
-      .map(r => String.valueOf(r.getAs[Any](lookupKey)) -> r).toMap
+    val keyed = rows.map(r => String.valueOf(r.getAs[Any](lookupKey)) -> r).toMap
     enrichment.sparkSession.sparkContext.broadcast(keyed)
   }
 

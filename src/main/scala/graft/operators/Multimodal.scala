@@ -187,8 +187,10 @@ object Multimodal {
   /** Perceptual near-duplicate pairs from banded 64-bit fingerprints
     * ([[aHash]], [[audioEnvelopeHash]], [[videoEnvelopeHash]] — the
     * pairing is modality-agnostic): candidates share at least one 16-bit
-    * band (banded LSH — Hamming distance ≤ 3·16 guarantees a shared band
-    * by pigeonhole over 4 bands), verified by exact Hamming distance ≤
+    * band (banded LSH — by pigeonhole over 4 bands, Hamming distance ≤ 3
+    * GUARANTEES a shared band; pairs at distance 4..maxHamming are found
+    * with high probability when differing bits cluster, the standard
+    * banded-LSH recall trade), verified by exact Hamming distance ≤
     * `maxHamming` over the full 64 bits. Pairs only form within band
     * buckets, and `maxBucketSize` (ON by default, same convention as the
     * text/embedding near-dup family) drops degenerate buckets — a band
@@ -200,18 +202,8 @@ object Multimodal {
     val banded = (0 to 3).map(k =>
       hashes.select(col(idCol).as("id"), lit(k).as("band"), col(s"b$k").as("sig")))
       .reduce(_.unionAll(_))
-    val bounded = maxBucketSize match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("sig"))
-        banded.withColumn("__bucket_n", count(lit(1)).over(w))
-          .filter(col("__bucket_n") <= cap).drop("__bucket_n")
-      case None => banded
-    }
-    val cand = bounded.as("a").join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val cand = Dedup.bandedCandidatePairs(banded, "id", Seq("band", "sig"),
+      maxBucketSize)
     val h1 = hashes.columns.foldLeft(hashes)((d, c) => d.withColumnRenamed(c, c + "_1"))
     val h2 = hashes.columns.foldLeft(hashes)((d, c) => d.withColumnRenamed(c, c + "_2"))
     val hamming = (0 to 3).map(k =>
@@ -554,6 +546,45 @@ object Multimodal {
     }.toDF(idCol, "wav")
   }
 
+  /** Shared container→PCM16 decode (JDK codec; WAV, AIFF, AU). Only
+    * 16-bit mono PCM_SIGNED streams are supported — any other encoding
+    * (including 16-bit PCM_UNSIGNED, which the previous inline decoders
+    * silently misread as big-endian signed) returns None and is dropped
+    * like any unsupported payload. Returns (sampleRate, samples).
+    */
+  private[operators] def decodePcm16Samples(
+      bytes: Array[Byte]): Option[(Float, Array[Int])] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val raw = in.readAllBytes()
+          val little = !fmt.isBigEndian
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1) & 0xff
+            val u = if (little) lo | (hi << 8) else hi | (lo << 8)
+            out(i) = if (u >= 0x8000) u - 0x10000 else u
+            i += 1
+          }
+          Some((fmt.getSampleRate, out))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
   /** REAL audio decode via `javax.sound.sampled` (JDK built-in; WAV, AIFF,
     * AU — headless): container bytes → PCM16 samples → deterministic
     * features (sample count, duration, peak amplitude, RMS energy,
@@ -570,30 +601,18 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        if (bytes == null || bytes.length == 0) None
-        else try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val fmt = in.getFormat
-            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        decodePcm16Samples(r.getAs[Array[Byte]](binIdx)).flatMap {
+          case (rateF, samples) =>
+            val n = samples.length
+            if (n == 0) None
             else {
-              val raw = in.readAllBytes()
-              val little =
-                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                  !fmt.isBigEndian
-              val n = raw.length / 2
               var i = 0
               var sumSq = 0.0
               var peak = 0L
               var zc = 0L
               var prevSign = 0
               while (i < n) {
-                val lo = raw(2 * i) & 0xff
-                val hi = raw(2 * i + 1) & 0xff
-                val u = if (little) lo | (hi << 8) else hi | (lo << 8)
-                val s = if (u >= 0x8000) u - 0x10000 else u
+                val s = samples(i)
                 sumSq += s.toDouble * s
                 if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
                 val sign = if (s > 0) 1 else if (s < 0) -1 else 0
@@ -603,14 +622,10 @@ object Multimodal {
                 }
                 i += 1
               }
-              val rate = fmt.getSampleRate.toDouble
+              val rate = rateF.toDouble
               Some((r.getLong(idIdx), rate.toInt, n.toLong, n / rate,
                 peak, math.sqrt(sumSq / n), zc))
             }
-          } finally in.close()
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
         }
       }
     }.toDF(idCol, "sample_rate", "n_samples", "duration_s",
@@ -635,57 +650,34 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        if (bytes == null || bytes.length == 0) None
-        else try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val fmt = in.getFormat
-            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        decodePcm16Samples(r.getAs[Array[Byte]](binIdx)).flatMap {
+          case (_, samples) =>
+            val n = samples.length
+            if (n == 0) None
             else {
-              val raw = in.readAllBytes()
-              val little =
-                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                  !fmt.isBigEndian
-              val n = raw.length / 2
-              if (n == 0) None
-              else {
-                val amp = new Array[Long](n)
-                var i = 0
-                while (i < n) {
-                  val lo = raw(2 * i) & 0xff
-                  val hi = raw(2 * i + 1) & 0xff
-                  val u = if (little) lo | (hi << 8) else hi | (lo << 8)
-                  val s = if (u >= 0x8000) u - 0x10000 else u
-                  amp(i) = math.abs(s.toLong)
-                  i += 1
-                }
-                val env = new Array[Long](64)
-                var k = 0
-                while (k < 64) {
-                  val f0 = k * n / 64
-                  val f1 = math.max(f0 + 1, (k + 1) * n / 64)
-                  var sum = 0L
-                  var j = f0
-                  while (j < f1) { sum += amp(j); j += 1 }
-                  env(k) = sum / (f1 - f0)
-                  k += 1
-                }
-                val total = env.sum
-                val bands = new Array[Long](4)
-                i = 0
-                while (i < 64) {
-                  if (env(i) * 64 >= total) bands(i / 16) |= 1L << (i % 16)
-                  i += 1
-                }
-                Some((r.getLong(idIdx), bands(0), bands(1), bands(2), bands(3)))
+              val amp = new Array[Long](n)
+              var i = 0
+              while (i < n) { amp(i) = math.abs(samples(i).toLong); i += 1 }
+              val env = new Array[Long](64)
+              var k = 0
+              while (k < 64) {
+                val f0 = k * n / 64
+                val f1 = math.max(f0 + 1, (k + 1) * n / 64)
+                var sum = 0L
+                var j = f0
+                while (j < f1) { sum += amp(j); j += 1 }
+                env(k) = sum / (f1 - f0)
+                k += 1
               }
+              val total = env.sum
+              val bands = new Array[Long](4)
+              i = 0
+              while (i < 64) {
+                if (env(i) * 64 >= total) bands(i / 16) |= 1L << (i % 16)
+                i += 1
+              }
+              Some((r.getLong(idIdx), bands(0), bands(1), bands(2), bands(3)))
             }
-          } finally in.close()
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
         }
       }
     }.toDF(idCol, "b0", "b1", "b2", "b3")

@@ -58,9 +58,12 @@ object Privacy {
     * space/dash. Candidates are only COUNTED when they pass [[luhnValid]];
     * redaction masks every candidate (conservative — a leaked PAN with a
     * typo'd digit should still not survive into a training corpus).
-    * A run longer than 19 digits matches nowhere (every prefix ends on a
-    * digit boundary), and words break digit runs, so free text does not
-    * chain into false candidates.
+    * A CONTIGUOUS run longer than 19 digits matches nowhere (every
+    * candidate end falls inside the run, failing the trailing `\b`);
+    * a separator-punctuated longer run CAN yield a 13–19-digit prefix
+    * whose last group boundary provides the `\b` — conservative
+    * over-matching that the Luhn gate keeps out of the counts. Words
+    * break digit runs, so free text does not chain into candidates.
     */
   val CcRe: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
 

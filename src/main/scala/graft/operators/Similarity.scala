@@ -186,20 +186,8 @@ object Similarity {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // window count over (band, bucket): one exchange, partitioning reused
-    // by the candidate self-join below
-    val bounded = maxBucketSize match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("band"), col("bucket"))
-        banded.withColumn("__n", count(lit(1)).over(w))
-          .filter(col("__n") <= cap).drop("__n")
-      case None => banded
-    }
-    val cand = bounded.select(col("band"), col("bucket"), col("id").as("id1"))
-      .join(bounded.select(col("band"), col("bucket"), col("id").as("id2")),
-        Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val cand = Dedup.bandedCandidatePairs(banded, "id", Seq("band", "bucket"),
+      maxBucketSize)
     cand
       .join(vectors.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
       .join(vectors.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))

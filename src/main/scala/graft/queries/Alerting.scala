@@ -622,7 +622,11 @@ object Alerting {
             max(regexp_extract(col("message"), "\\d+", 0).cast("long")).as("max_id"))
           .select(lit("parse_error").as("stage"), col("n"), col("sum_value"),
             col("max_id"))
+        // drop empty stages: a global agg always emits one row (n=0,
+        // max_id null) but the oracle's GROUP BY produces no group — on a
+        // fixture with no rows of some class the row counts would diverge
         resolved.unionByName(mismatched).unionByName(parseErr)
+          .filter(col("n") > 0)
           .orderBy(col("stage"))
       },
       Some("""

@@ -272,9 +272,14 @@ object Vectors {
              cand AS (SELECT qid, qv, qcode, cc.id AS cid, cc.vec AS cv, ccode
                       FROM cc JOIN qc USING (bucket) WHERE cc.id <> qid),
              sq AS (SELECT qid, cid,
-                      CAST(${sqlDotInt("qcode", "ccode")} AS DOUBLE) /
-                      (sqrt(CAST(${sqlDotInt("qcode", "qcode")} AS DOUBLE)) *
-                       sqrt(CAST(${sqlDotInt("ccode", "ccode")} AS DOUBLE))) AS cos_q,
+                      -- mirror cosineInt8's zero-norm guard: degenerate
+                      -- all-zero codes score 0.0, never NaN
+                      CASE WHEN sqrt(CAST(${sqlDotInt("qcode", "qcode")} AS DOUBLE)) *
+                                sqrt(CAST(${sqlDotInt("ccode", "ccode")} AS DOUBLE)) > 0
+                           THEN CAST(${sqlDotInt("qcode", "ccode")} AS DOUBLE) /
+                                (sqrt(CAST(${sqlDotInt("qcode", "qcode")} AS DOUBLE)) *
+                                 sqrt(CAST(${sqlDotInt("ccode", "ccode")} AS DOUBLE)))
+                           ELSE 0.0 END AS cos_q,
                       ${sqlDot("qv", "cv")} /
                       (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS cos_fp
                     FROM cand),

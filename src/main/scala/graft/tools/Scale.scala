@@ -147,8 +147,17 @@ object Scale {
       maxTask.set(0)
       val t0 = System.nanoTime()
       fn(spark, dir).write.mode("overwrite").format("noop").save()
+      val elapsed = (System.nanoTime() - t0) / 1e9 // cache cleanup is untimed
+      // the listener bus is async: quiesce before reading max-task, so late
+      // TaskEnd events of THIS query are counted here and never leak into
+      // the next query's window (which resets the counter)
+      var last = -1L
+      var tries = 0
+      while (maxTask.get != last && tries < 25) {
+        last = maxTask.get; Thread.sleep(200); tries += 1
+      }
       spark.catalog.clearCache()
-      ((System.nanoTime() - t0) / 1e9, maxTask.get)
+      (elapsed, maxTask.get)
     }
 
     println(f"${"query"}%-24s ${"base_s"}%8s ${"scaled_s"}%9s ${"ratio"}%6s ${"ideal"}%6s ${"mtask_b"}%8s ${"mtask_s"}%8s")
