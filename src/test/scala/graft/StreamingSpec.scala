@@ -49,6 +49,40 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("lookupJoin"))
   }
 
+  test("streaming perceptual dedup: known near-dup images are suppressed per micro-batch") {
+    import graft.operators.Multimodal
+    val w = 16
+    def img(seed: Int): Array[Byte] =
+      Array.tabulate(w * w)(i => (((i * 31 + seed * 97) % 251)).toByte)
+    // static corpus index: three known images, hashed once
+    val corpus = Seq((1L, img(1)), (2L, img(2)), (3L, img(3)))
+      .toDF("doc_id", "payload").withColumn("w", lit(w))
+    val index = Multimodal.aHash(spark, corpus, "doc_id", "payload", "w")
+      .localCheckpoint(true)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = input.toDF().toDF("doc_id", "payload")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hashed = Multimodal.aHash(spark,
+          batch.withColumn("w", lit(w)), "doc_id", "payload", "w")
+          .localCheckpoint(true)
+        // pair incoming against the index: union both sides, keep only
+        // cross pairs (index ids < 100 by construction, incoming >= 100)
+        val dup = Multimodal.aHashNearDup(index.unionByName(hashed), "doc_id",
+            maxHamming = 6)
+          .filter(col("id1") < 100L && col("id2") >= 100L)
+          .select(col("id2").as("doc_id"))
+        seen ++= hashed.join(dup, Seq("doc_id"), "left_anti")
+          .collect().map(_.getAs[Long]("doc_id"))
+        ()
+      }.start()
+    val twin = img(1).clone(); twin(w * w - 1) = 0 // near-dup of corpus image 1
+    input.addData((100L, twin), (101L, img(42)))   // one dup, one novel
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toList == List(101L)) // the twin is suppressed, the novel passes
+  }
+
   test("streaming enrichment refresh: an update is visible to the next batch") {
     import graft.operators.Enrichment
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
