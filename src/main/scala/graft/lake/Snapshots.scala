@@ -148,6 +148,14 @@ object Snapshots {
     * [[expireSnapshots]] (or deleted concurrently mid-probe) simply no
     * longer qualify — time travel keeps working over the retained window,
     * erroring only when no retained version is old enough.
+    *
+    * The retry below covers the PLANNING race only (a manifest expiring
+    * between the probe and `read`). The returned frame is lazy: if a
+    * concurrent [[expireSnapshots]] deletes the chosen snapshot's data
+    * files before the caller runs an action, that action can still fail
+    * with FileNotFoundException. Callers that must survive concurrent
+    * expiry should materialize promptly (e.g. `.localCheckpoint(true)`)
+    * or size `keepLast` so the retention window exceeds a read.
     */
   def readAsOf(spark: SparkSession, table: String, epochMillis: Long): DataFrame = {
     var attempts = 0

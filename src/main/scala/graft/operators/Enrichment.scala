@@ -64,6 +64,11 @@ object Enrichment {
     * — a separate probe job would double the enrichment scan every
     * micro-batch): one extra row over the cap is enough to detect the
     * overflow without materializing the table.
+    *
+    * Duplicate `lookupKey` values collapse to ONE map entry (last wins
+    * in collect order, which is not deterministic across runs) — the
+    * point-lookup contract is one row per key; dedupe upstream if the
+    * table can carry duplicates.
     */
   def lookupMap(enrichment: DataFrame, lookupKey: String,
       maxRows: Long = 2000000L)

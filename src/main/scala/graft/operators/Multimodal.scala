@@ -440,10 +440,13 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null || bytes.length == 0) None
         else {
-          val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          var rd: javax.imageio.ImageReader = null
+          var iis: javax.imageio.stream.ImageInputStream = null
           try {
-            rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes)))
+            rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            rd.setInput(iis)
             val n = rd.getNumImages(true)
             if (n == 0) None
             else {
@@ -502,7 +505,10 @@ object Multimodal {
           } catch {
             case _: java.io.IOException => None
             case _: java.util.NoSuchElementException => None
-          } finally rd.dispose()
+          } finally {
+            if (rd != null) rd.dispose()
+            if (iis != null) iis.close()
+          }
         }
       }
     }.toDF(idCol, "b0", "b1", "b2", "b3")

@@ -996,7 +996,10 @@ object TextPipeline {
       "q86_image_ahash_neardup",
       (s, dir) => {
         val base = docs(s, dir).select(col("doc_id"), col("text"))
-        val twins = base.filter(col("doc_id") % 10 === 0)
+        // length >= 4 guard: without it Spark's substring yields "" on
+        // shorter texts while DuckDB's negative-length substr errors —
+        // parity must not depend on fixture shape
+        val twins = base.filter(col("doc_id") % 10 === 0 && length(col("text")) >= 4)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
         val d = base.unionAll(twins)
@@ -1018,7 +1021,7 @@ object TextPipeline {
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
-          FROM documents WHERE doc_id % 10 = 0
+          FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 4
         ),
         t AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -1082,7 +1085,10 @@ object TextPipeline {
       "q87_audio_envelope_neardup",
       (s, dir) => {
         val base = docs(s, dir).select(col("doc_id"), col("text"))
-        val twins = base.filter(col("doc_id") % 10 === 0)
+        // length >= 4 guard: without it Spark's substring yields "" on
+        // shorter texts while DuckDB's negative-length substr errors —
+        // parity must not depend on fixture shape
+        val twins = base.filter(col("doc_id") % 10 === 0 && length(col("text")) >= 4)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
         val d = base.unionAll(twins)
@@ -1103,7 +1109,7 @@ object TextPipeline {
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
-          FROM documents WHERE doc_id % 10 = 0
+          FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 4
         ),
         t AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -1173,7 +1179,10 @@ object TextPipeline {
       "q88_video_envelope_neardup",
       (s, dir) => {
         val base = docs(s, dir).select(col("doc_id"), col("text"))
-        val twins = base.filter(col("doc_id") % 10 === 0)
+        // length >= 4 guard: without it Spark's substring yields "" on
+        // shorter texts while DuckDB's negative-length substr errors —
+        // parity must not depend on fixture shape
+        val twins = base.filter(col("doc_id") % 10 === 0 && length(col("text")) >= 4)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
         val d = base.unionAll(twins)
@@ -1195,7 +1204,7 @@ object TextPipeline {
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
-          FROM documents WHERE doc_id % 10 = 0
+          FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 4
         ),
         t AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -1306,7 +1315,7 @@ object TextPipeline {
                    FROM documents)
         SELECT lang, COUNT(*) AS n_docs,
                MIN(n_chars) AS min_len, MAX(n_chars) AS max_len,
-               SUM(n_chars) AS total_len
+               SUM(n_chars)::BIGINT AS total_len
         FROM documents, b
         WHERE n_chars >= b.lo AND n_chars <= b.hi
         GROUP BY lang
