@@ -71,6 +71,16 @@ object VectorFunctions {
     * intermediate is exactly representable, which is what lets an external
     * engine reproduce quantized scores bit-for-bit.
     */
+  /** Exact int64 squared L2 distance of two int8 code arrays — the
+    * assignment metric of the quantized k-means family. Same overflow
+    * argument as [[dotInt]]: per-dim deltas ≤ 254, 64-dim sums < 2^23.
+    */
+  def l2sqInt(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast(LongType) - y.cast(LongType)) * (x.cast(LongType) - y.cast(LongType))),
+      lit(0L), (acc, x) => acc + x)
+
   def dotInt(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(LongType) * y.cast(LongType)),

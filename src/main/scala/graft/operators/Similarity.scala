@@ -224,4 +224,174 @@ object Similarity {
       .withColumn("mean_code",
         col("code_sum").cast(org.apache.spark.sql.types.DoubleType) / col("n_members"))
   }
+
+  /** Retrieval-QUALITY audit for the IVF path: recall@k of [[ivfTopK]]
+    * against the exact brute-force neighbors, per query and probe width.
+    * Everything is exact arithmetic (integer hit counts, one final
+    * division), so the recall fractions themselves reproduce bit-for-bit
+    * in an external engine — quality is oracle-checkable, not just
+    * eyeballed. Ground truth excludes self-matches, mirroring ivfTopK's
+    * own `cid =!= qid` rule, so the two sides count the same candidates.
+    *
+    * Scale shape: the brute-force truth is the audit's deliberate cost —
+    * run it over a SAMPLE of queries (the `queries` frame), never the
+    * corpus; the per-nprobe IVF runs reuse one `assigned` frame (callers
+    * should persist it) and the hit join is a left-semi on (qid,
+    * neighbor) ids only. Output: (nprobe, qid, n_true, n_hit, recall).
+    */
+  def recallAtK(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobes: Seq[Int]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val c = assigned.select(col("id").as("cid"), col("vec").as("cv"))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val truth = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid").as("neighbor"))
+      .localCheckpoint(true) // tiny (k·|queries| ids); read twice below
+    val truthCounts = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+    val hits = nprobes.map { np =>
+      ivfTopK(assigned, queries, centroids, k, np)
+        .select(lit(np).as("nprobe"), col("qid"), col("neighbor"))
+    }.reduce(_ unionAll _)
+      .join(truth, Seq("qid", "neighbor"), "left_semi")
+      .groupBy(col("nprobe"), col("qid")).agg(count(lit(1)).as("n_hit"))
+    // the (nprobe × qid) grid keeps zero-hit queries visible — a missing
+    // row would silently overstate recall
+    truthCounts.crossJoin(nprobes.toDF("nprobe"))
+      .join(hits, Seq("nprobe", "qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("nprobe"), col("qid"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_true")).as("recall"))
+  }
+
+  /** Result of [[kmeansTrainInt8]]: the trained integer centroid codes
+    * (driver-resident — k·dims values, the same metadata scale as the
+    * centroid broadcast every search path already ships), the number of
+    * Lloyd rounds run, the final inertia (exact int64 Σ of assignment
+    * distances under the PREVIOUS round's centroids), and whether the
+    * movement criterion was met.
+    */
+  final case class KmeansResult(centroids: Array[(Long, Array[Long])],
+      rounds: Int, inertia: Long, converged: Boolean,
+      inertiaTrace: Seq[Long]) {
+    /** The trained centroids as a (cid, code) frame, ready for
+      * [[ivfAssign]]/[[ivfTopK]]/[[ivfTopKInt8]] (alias `code` → `cvec`
+      * as those APIs expect).
+      */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      centroids.toSeq.map { case (cid, code) => (cid, code.toSeq) }
+        .toDF("cid", "code")
+    }
+  }
+
+  /** Lloyd iteration TO CONVERGENCE in the int8 code domain — the loop
+    * around [[kmeansStepInt8]]'s single step. Integer-constrained Lloyd
+    * converges by the classic argument, which survives rounding: for a
+    * fixed assignment the per-dim mean rounded to the nearest integer is
+    * the OPTIMAL integer centroid (the objective is separable and
+    * quadratic), so both half-steps are non-increasing in inertia, and
+    * inertia is a non-negative integer — it must hit a fixed point. The
+    * loop errors if the monotone invariant is ever violated (a bug, not a
+    * data property) and, when `requireConvergence`, if `maxRounds` passes
+    * without the movement criterion — the [[Dedup]] connected-components
+    * convention.
+    *
+    * Scale shape, per round: assignment is a MAP-SIDE argmin against a
+    * literal centroid array (`array_min` over per-centroid
+    * (dist, cid) structs — each distance computed once, ties → lowest
+    * cid, matching [[ivfAssign]]) — the corpus never shuffles; the only
+    * exchange is the map-side-combined (cid, dim) partial-sum collect,
+    * k·dims rows regardless of corpus size, and it doubles as the round's
+    * ONE job (inertia rides along, counted once per row at dim 0). The
+    * corpus frame is materialized once up front so per-round scans don't
+    * re-run its derivation. The literal-array form is right for
+    * broadcastable k (thousands); for k beyond plan-literal scale, chain
+    * [[kmeansStepInt8]] (DataFrame centroids) instead.
+    *
+    * `epsilon`: max per-dimension code movement (L∞ over centroids) at or
+    * below which the loop declares convergence; 0 = exact fixed point.
+    * Empty clusters keep their previous codes (the standard Lloyd rule).
+    *
+    * `exactRounds`: cross-engine parity mode — run exactly `maxRounds`
+    * rounds, stopping early only at a TRUE fixed point (movement 0, where
+    * further rounds are idempotent). Plateau detection and the
+    * convergence requirement are off: this is the form an unrolled SQL
+    * oracle reproduces round for round.
+    */
+  def kmeansTrainInt8(corpusCodes: DataFrame, initialCentroids: DataFrame,
+      maxRounds: Int = 25, epsilon: Long = 0L,
+      requireConvergence: Boolean = true,
+      exactRounds: Boolean = false): KmeansResult = {
+    val corpus = corpusCodes.select(col("id"), col("code")).localCheckpoint(true)
+    var cents: Array[(Long, Array[Long])] = initialCentroids
+      .select(col("cid"), col("code")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].longValue()).toArray)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "kmeansTrainInt8: no initial centroids")
+    var round = 0
+    var prevInertia = Long.MaxValue
+    var lastInertia = 0L
+    var converged = false
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (round < maxRounds && !converged) {
+      round += 1
+      val centArr = array(cents.map { case (cid, code) =>
+        struct(lit(cid).as("cid"),
+          array(code.map(lit(_)): _*).as("ccode")) }: _*)
+      val best = array_min(transform(centArr, c => struct(
+        graft.functions.VectorFunctions.l2sqInt(col("code"), c.getField("ccode"))
+          .as("d"),
+        c.getField("cid").as("cid"))))
+      val parts = corpus.withColumn("best", best)
+        .select(col("best.cid").as("cid"), col("best.d").as("d"),
+          posexplode(col("code")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast("long")).as("s"),
+          sum(when(col("dim") === 0, col("d")).otherwise(lit(0L))).as("dsum"))
+        .collect()
+      lastInertia = parts.iterator
+        .filter(_.getAs[Int]("dim") == 0).map(_.getAs[Long]("dsum")).sum
+      trace += lastInertia
+      if (lastInertia > prevInertia) sys.error(
+        s"kmeansTrainInt8: inertia increased $prevInertia -> $lastInertia at " +
+          s"round $round — integer-Lloyd monotonicity violated (bug)")
+      val byCid = parts.groupBy(_.getAs[Long]("cid"))
+      val next = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case None => (cid, old) // empty cluster: keep codes
+          case Some(rows) =>
+            val code = old.clone()
+            rows.foreach { r =>
+              val n = r.getAs[Long]("n")
+              code(r.getAs[Int]("dim")) =
+                math.floor(r.getAs[Long]("s").toDouble / n + 0.5).toLong
+            }
+            (cid, code)
+        }
+      }
+      val movement = cents.iterator.zip(next.iterator).map { case ((_, a), (_, b)) =>
+        a.iterator.zip(b.iterator).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      // plateau (equal inertia, codes still oscillating among co-optimal
+      // integer roundings) also terminates — inertia can no longer drop
+      converged =
+        if (exactRounds) movement == 0L
+        else movement <= epsilon || lastInertia == prevInertia
+      prevInertia = lastInertia
+      if (!converged) cents = next
+    }
+    corpus.unpersist(false)
+    if (!converged && requireConvergence && !exactRounds) sys.error(
+      s"kmeansTrainInt8 did not converge in $maxRounds rounds " +
+        s"(inertia $lastInertia) — raise maxRounds or epsilon")
+    KmeansResult(cents, round, lastInertia, converged, trace.toSeq)
+  }
 }

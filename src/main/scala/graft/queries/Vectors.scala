@@ -27,6 +27,30 @@ object Vectors {
   private def sqlDotInt(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
 
+  private val pipeDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One unrolled integer-Lloyd round (assignment → per-dim rounded mean →
+    * empty clusters keep codes) — chained `cent0 … centR` CTEs give the
+    * q95 oracle the exact round-for-round mirror of
+    * [[graft.operators.Similarity.kmeansTrainInt8]] in `exactRounds` mode.
+    */
+  private def sqlLloyd(r: Int): String = s"""
+    asg$r AS (SELECT id, code, cid
+              FROM (SELECT corpus.id, corpus.code, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY corpus.id ORDER BY
+                        list_sum(list_transform(range(1, 65), i ->
+                          (code[i] - ccode[i]) * (code[i] - ccode[i]))), c.cid) AS rn
+                    FROM corpus CROSS JOIN cent${r - 1} c)
+              WHERE rn = 1),
+    upd$r AS (SELECT cid, k AS dim,
+                CAST(floor(SUM(code[k + 1])::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS x
+              FROM asg$r, (SELECT unnest(range(0, 64)) AS k)
+              GROUP BY cid, k),
+    cent$r AS (SELECT p.cid, COALESCE(u.ccode, p.ccode) AS ccode
+               FROM cent${r - 1} p LEFT JOIN
+                 (SELECT cid, list(x ORDER BY dim) AS ccode
+                  FROM upd$r GROUP BY cid) u ON u.cid = p.cid)"""
+
   /** Symmetric int8 codes of a DOUBLE[] column (mirrors quantizeInt8). */
   private def sqlCodes(v: String) =
     s"""list_transform($v, x -> greatest(-127, least(127,
@@ -330,6 +354,192 @@ object Vectors {
                SUM(x)::DOUBLE / COUNT(*) AS mean_code
         FROM d
         GROUP BY cid, dim
-        ORDER BY cid, dim"""))
+        ORDER BY cid, dim""")),
+
+    // ---- q94: ANN recall@k gate — retrieval QUALITY under the oracle,
+    // not just rank displacement (q63): recall of the IVF probe path vs
+    // exact brute-force truth at nprobe ∈ {1, 2, 4}. Hit counts are
+    // integers and recall is one division, so the fractions reproduce
+    // bit-for-bit; the oracle re-derives truth, buckets, probes and the
+    // per-nprobe top-k from raw floats. Recall must (weakly) grow with
+    // nprobe — the quality/cost dial the 100 TB deployment turns.
+    QueryDef(
+      "q94_ann_recall",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val centroids = v.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        val corpus = v.filter(col("id") >= 8)
+        val assigned = Similarity.ivfAssign(corpus, centroids)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = v.filter(col("id") >= 8 && col("id") <= 17)
+        val out = Similarity.recallAtK(assigned, queries, centroids, k = 5,
+            nprobes = Seq(1, 2, 4))
+          .orderBy(col("nprobe"), col("qid"))
+          .localCheckpoint(true) // three IVF passes share `assigned`
+        assigned.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             corpus AS (SELECT * FROM v WHERE id >= 8),
+             q AS (SELECT id AS qid, vec AS qv FROM v WHERE id >= 8 AND id <= 17),
+             truth AS (SELECT qid, cid AS neighbor
+                       FROM (SELECT qid, cid,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, cid) AS rnk
+                             FROM (SELECT q.qid, corpus.id AS cid,
+                                     ${sqlDot("qv", "vec")} /
+                                     (sqrt(${sqlDot("qv", "qv")}) *
+                                      sqrt(${sqlDot("vec", "vec")})) AS cos
+                                   FROM corpus CROSS JOIN q
+                                   WHERE corpus.id <> q.qid))
+                       WHERE rnk <= 5),
+             tc AS (SELECT qid, COUNT(*)::BIGINT AS n_true FROM truth GROUP BY qid),
+             ad AS (SELECT corpus.id, corpus.vec, cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                    FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, vec, cid AS bucket
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM ad)
+                          WHERE rn = 1),
+             qd AS (SELECT q.qid, q.qv, cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS dist
+                    FROM q CROSS JOIN cent),
+             probes AS (SELECT qid, qv, cid AS bucket, rn
+                        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY dist, cid) AS rn FROM qd)
+                        WHERE rn <= 4),
+             np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+             cand AS (SELECT np.nprobe, p.qid, a.id AS cid,
+                        ${sqlDot("p.qv", "a.vec")} /
+                        (sqrt(${sqlDot("p.qv", "p.qv")}) *
+                         sqrt(${sqlDot("a.vec", "a.vec")})) AS cos
+                      FROM probes p
+                      JOIN np ON p.rn <= np.nprobe
+                      JOIN assigned a ON a.bucket = p.bucket
+                      WHERE a.id <> p.qid),
+             ivf AS (SELECT nprobe, qid, cid
+                     FROM (SELECT nprobe, qid, cid,
+                             ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+                               ORDER BY cos DESC, cid) AS rnk
+                           FROM cand)
+                     WHERE rnk <= 5),
+             hit AS (SELECT nprobe, ivf.qid AS qid, COUNT(*)::BIGINT AS n_hit
+                     FROM ivf JOIN truth ON ivf.qid = truth.qid
+                                        AND ivf.cid = truth.neighbor
+                     GROUP BY nprobe, ivf.qid)
+        SELECT np.nprobe, tc.qid, tc.n_true,
+               COALESCE(hit.n_hit, 0)::BIGINT AS n_hit,
+               COALESCE(hit.n_hit, 0)::DOUBLE / tc.n_true AS recall
+        FROM tc CROSS JOIN np
+        LEFT JOIN hit ON hit.nprobe = np.nprobe AND hit.qid = tc.qid
+        ORDER BY np.nprobe, tc.qid""")),
+
+    // ---- q95: END-TO-END embedding pipeline composition gate — quantize
+    // (q61's codes) → TRAIN (3 exact Lloyd rounds, q93's loop) → assign →
+    // search (q63's int8 scoring), with BOTH intermediate tables
+    // (centroids, bucketed codes) round-tripping through the snapshot
+    // lake between stages, the q81 composition pattern for the vector
+    // family. The oracle reconstructs the final top-k from RAW floats:
+    // codes, three unrolled Lloyd rounds, assignment, probes and the
+    // zero-guarded int8 cosine — so a defect anywhere in the chain
+    // (training arithmetic, lake round-trip fidelity, probe rule) breaks
+    // the gate.
+    QueryDef(
+      "q95_embed_pipeline",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        import org.apache.spark.sql.expressions.Window
+        val coded = vecs(s, dir).select(col("id"),
+          VectorFunctions.quantizeInt8(col("vec"),
+            VectorFunctions.int8Scale(col("vec"))).as("code"))
+        val tmp = pipeDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_embed_pipe").toString
+          val seeds = coded.filter(col("id") < 8)
+            .select(col("id").as("cid"), col("code"))
+          val corpus = coded.filter(col("id") >= 8)
+          val trained = Similarity.kmeansTrainInt8(corpus, seeds,
+            maxRounds = 3, exactRounds = true)
+          val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+          Snapshots.append(trained.toDF(s).withColumn("ts", ts0), s"$t/centroids")
+          // stage 2 reads the COMMITTED centroids, not the in-memory result
+          val cents = Snapshots.read(s, s"$t/centroids")
+            .select(col("cid"), col("code").as("cvec"))
+          val assigned = Similarity.ivfAssign(
+              corpus.select(col("id"), col("code").as("vec")), cents)
+            .select(col("id"), col("vec").as("code"), col("bucket"))
+          Snapshots.append(assigned.withColumn("ts", ts0), s"$t/codes")
+          t
+        })
+        val codes = Snapshots.read(s, s"$tmp/codes")
+          .select(col("id"), col("code"), col("bucket"))
+        val cents = Snapshots.read(s, s"$tmp/centroids")
+          .select(col("cid"), col("code").as("ccode"))
+        // search in the code domain: probe the 2 nearest trained
+        // centroids (exact integer L2), score with the scale-free int8
+        // cosine — the committed codes are the ONLY scoring input
+        val queries = codes.filter(col("id") >= 8 && col("id") <= 12)
+          .select(col("id").as("qid"), col("code").as("qcode"))
+        val wq = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+        val probes = queries.crossJoin(broadcast(cents))
+          .withColumn("dist", VectorFunctions.l2sqInt(col("qcode"), col("ccode")))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qcode"), col("cid").as("bucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_q").desc, col("nid"))
+        codes.select(col("id").as("nid"), col("code").as("ncode"), col("bucket"))
+          .join(broadcast(probes), Seq("bucket"))
+          .filter(col("nid") =!= col("qid"))
+          .withColumn("cos_q",
+            VectorFunctions.cosineInt8(col("qcode"), col("ncode")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("nid").as("neighbor"), col("cos_q"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             c AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             cent0 AS (SELECT id AS cid, code AS ccode FROM c WHERE id < 8),
+             corpus AS (SELECT id, code FROM c WHERE id >= 8),
+             ${(1 to 3).map(sqlLloyd).mkString(",\n")},
+             asgF AS (SELECT id, code, cid AS bucket
+                      FROM (SELECT corpus.id, corpus.code, c.cid,
+                              ROW_NUMBER() OVER (PARTITION BY corpus.id ORDER BY
+                                list_sum(list_transform(range(1, 65), i ->
+                                  (code[i] - ccode[i]) * (code[i] - ccode[i]))), c.cid) AS rn
+                            FROM corpus CROSS JOIN cent3 c)
+                      WHERE rn = 1),
+             q AS (SELECT id AS qid, code AS qcode FROM corpus
+                   WHERE id >= 8 AND id <= 12),
+             probes AS (SELECT qid, qcode, cid AS bucket
+                        FROM (SELECT q.qid, q.qcode, c.cid,
+                                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                  list_sum(list_transform(range(1, 65), i ->
+                                    (qcode[i] - ccode[i]) * (qcode[i] - ccode[i]))), c.cid) AS rn
+                              FROM q CROSS JOIN cent3 c)
+                        WHERE rn <= 2),
+             cand AS (SELECT p.qid, a.id AS nid, p.qcode, a.code AS ncode
+                      FROM asgF a JOIN probes p ON a.bucket = p.bucket
+                      WHERE a.id <> p.qid),
+             sq AS (SELECT qid, nid,
+                      CASE WHEN sqrt(CAST(${sqlDotInt("qcode", "qcode")} AS DOUBLE)) *
+                                sqrt(CAST(${sqlDotInt("ncode", "ncode")} AS DOUBLE)) > 0
+                           THEN CAST(${sqlDotInt("qcode", "ncode")} AS DOUBLE) /
+                                (sqrt(CAST(${sqlDotInt("qcode", "qcode")} AS DOUBLE)) *
+                                 sqrt(CAST(${sqlDotInt("ncode", "ncode")} AS DOUBLE)))
+                           ELSE 0.0 END AS cos_q
+                    FROM cand)
+        SELECT qid, rank, nid AS neighbor, cos_q
+        FROM (SELECT qid, nid, cos_q,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos_q DESC, nid) AS rank
+              FROM sq)
+        WHERE rank <= 3
+        ORDER BY qid, rank"""))
   )
 }

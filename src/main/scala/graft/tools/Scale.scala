@@ -82,7 +82,20 @@ object Scale {
       }),
       "q55_capped" -> ((s: SparkSession, dir: String) =>
         Similarity.hyperplaneNearDup(vecs(s, dir),
-          bands = 3, rowsPerBand = 4, threshold = 0.3))) ++ {
+          bands = 3, rowsPerBand = 4, threshold = 0.3)),
+      "kmeans_train" -> ((s: SparkSession, dir: String) => {
+        // full Lloyd loop to convergence — the training work runs eagerly
+        // inside the timed call; per-round shuffle is k·dims partial sums
+        // regardless of corpus size, so scaled cost must track the
+        // assignment scan (linear), not the round count
+        import graft.functions.VectorFunctions._
+        val coded = vecs(s, dir).select(col("id"),
+          quantizeInt8(col("vec"), int8Scale(col("vec"))).as("code"))
+        val cents = coded.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("code"))
+        Similarity.kmeansTrainInt8(coded.filter(col("id") >= 8), cents,
+          maxRounds = 50, requireConvergence = false).toDF(s)
+      })) ++ {
       // the perceptual family in PRODUCTION configuration (bucket cap ON —
       // the SparkEntry forms are oracle-exhaustive and opt out)
       import graft.operators.Multimodal

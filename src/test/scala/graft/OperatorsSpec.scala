@@ -249,6 +249,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kmeansTrainInt8: converges on separated blobs with non-increasing inertia") {
+    // two tight blobs around codes ~100 and ~-100; seeds deliberately off
+    def blob(center: Long, ids: Range) =
+      ids.map(id => (id.toLong, Seq.fill(4)(center + (id % 3) - 1)))
+    val corpus = (blob(100L, 10 to 19) ++ blob(-100L, 20 to 29)).toDF("id", "code")
+    val cents = Seq((0L, Seq(60L, 60L, 60L, 60L)), (1L, Seq(-60L, -60L, -60L, -60L)))
+      .toDF("cid", "code")
+    val r = Similarity.kmeansTrainInt8(corpus, cents, maxRounds = 10)
+    assert(r.converged && r.rounds <= 10)
+    // integer-Lloyd monotone invariant, observed per round, not just final
+    assert(r.inertiaTrace.sliding(2).forall {
+      case Seq(a, b) => b <= a; case _ => true })
+    // centroids land on the blob means (blob offsets -1/0/+1 average ~0)
+    val byCid = r.centroids.toMap
+    assert(byCid(0L).forall(c => math.abs(c - 100L) <= 1))
+    assert(byCid(1L).forall(c => math.abs(c + 100L) <= 1))
+    // at the fixed point, one more explicit Lloyd step must not move means
+    val stable = Similarity.kmeansStepInt8(corpus, r.toDF(spark)).collect()
+    stable.foreach { row =>
+      val rounded = math.floor(row.getAs[Double]("mean_code") + 0.5).toLong
+      assert(rounded == byCid(row.getAs[Long]("cid"))(row.getAs[Long]("dim").toInt))
+    }
+  }
+
+  test("kmeansTrainInt8: empty cluster keeps its codes; maxRounds errors when strict") {
+    val corpus = (1L to 6L).map(i => (i, Seq(10L, 10L))).toDF("id", "code")
+    // cid 5 is far from all points: never assigned, codes must not move
+    val cents = Seq((0L, Seq(9L, 9L)), (5L, Seq(-120L, -120L))).toDF("cid", "code")
+    val r = Similarity.kmeansTrainInt8(corpus, cents, maxRounds = 5)
+    assert(r.converged)
+    assert(r.centroids.toMap.apply(5L).toSeq == Seq(-120L, -120L))
+    assert(r.centroids.toMap.apply(0L).toSeq == Seq(10L, 10L))
+    assert(r.inertia == 0L)
+    // alternating far-apart pair with a single centroid converges in one
+    // update; but maxRounds = 0-style starvation must error under strict
+    val ex = intercept[RuntimeException] {
+      Similarity.kmeansTrainInt8(
+        (1L to 40L).map(i => (i, Seq((i % 7) * 30L - 90L))).toDF("id", "code"),
+        Seq((0L, Seq(-128L)), (1L, Seq(127L))).toDF("cid", "code"),
+        maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("ivfTopKInt8: same neighbors as fp scoring, bounded rank displacement") {
     val dim = 8
     def v(seed: Int): Seq[Double] =
