@@ -18,6 +18,8 @@ object TextPipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  private val streamFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Shared near-dup clustering pipeline (q67's detection→clustering path,
     * reused by q84's deduplicated-corpus emission): LSH candidates →
     * exact Jaccard verify → connected components. Returns the
@@ -1343,6 +1345,110 @@ object TextPipeline {
                    FROM wdf GROUP BY doc_id)
         SELECT doc_id, best.t AS top_token, best.r AS tfdf, n_distinct_tokens
         FROM m
+        ORDER BY doc_id""")),
+
+    // ---- q96: incremental streaming dedup fold ≡ one-shot dedup (the
+    // q81 cutoff-independence pattern for the near-dup family). The
+    // corpus (q86's image fixture, twins included) arrives as THREE
+    // id-ordered batches folded through a GROWING lake-table index
+    // (streaming.DedupIndex): each batch is suppressed against everything
+    // before it, survivors commit to a kept table. The oracle knows
+    // nothing about the batch cuts — it computes the one-shot rule on the
+    // union ("suppress iff a lower-id near-dup pair exists", q86's exact
+    // aHash pairing), so the gate proves the incremental fold is
+    // batching-independent.
+    QueryDef(
+      "q96_stream_dedup_fold",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        import graft.streaming.DedupIndex
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 10 === 0 && length(col("text")) >= 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
+        val d = base.unionAll(twins)
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .filter(length(col("payload")) >= 16)
+          .withColumn("w", lit(16))
+          .select("doc_id", "payload", "w")
+        val tmp = streamFoldDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files.createTempDirectory("graft_stream_fold").toString
+          val hashes = Multimodal.aHash(s, d, "doc_id", "payload", "w")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // id-ordered thirds emulate arrival order (twins land last);
+          // the oracle is independent of where these cuts fall
+          val maxBase = base.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxBase / 3,
+            col("doc_id") >= maxBase / 3 && col("doc_id") < 2 * maxBase / 3,
+            col("doc_id") >= 2 * maxBase / 3)
+          val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+          cuts.zipWithIndex.foreach { case (cut, i) =>
+            val surv = DedupIndex.dedupBatch(s, s"$t/index",
+              hashes.filter(cut), maxHamming = 6, maxBucketSize = None)
+            if (i == 0) Snapshots.append(surv.withColumn("ts", ts0), s"$t/kept")
+            else Snapshots.mergeUpsert(s, s"$t/kept",
+              surv.withColumn("ts", ts0), "doc_id")
+          }
+          hashes.unpersist(false)
+          t
+        })
+        Snapshots.read(s, s"$tmp/kept").select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
+          FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 4
+        ),
+        t AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 (octet_length(encode(text)) // 16) AS h
+          FROM d WHERE octet_length(encode(text)) >= 16
+        ),
+        bl AS (
+          SELECT doc_id, h,
+                 list_transform(range(0, 16 * h), i ->
+                   ('0x' || substr(hx, 2*i + 1, 2))::BIGINT) AS px
+          FROM t
+        ),
+        pix AS (
+          SELECT doc_id, h, px, ty, tx,
+                 (ty*h)//8 AS y0, greatest((ty*h)//8 + 1, ((ty+1)*h)//8) AS y1,
+                 (tx*16)//8 AS x0, greatest((tx*16)//8 + 1, ((tx+1)*16)//8) AS x1
+          FROM bl, (SELECT unnest(range(0,8)) AS ty), (SELECT unnest(range(0,8)) AS tx)
+        ),
+        vals AS (
+          SELECT doc_id, ty, tx,
+                 list_sum(flatten(list_transform(range(y0, y1), y ->
+                   list_transform(range(x0, x1), x -> px[y*16 + x + 1]))))
+                   // ((y1 - y0) * (x1 - x0)) AS p
+          FROM pix
+        ),
+        tot AS (SELECT doc_id, SUM(p) AS s FROM vals GROUP BY doc_id),
+        hs AS (
+          SELECT v.doc_id, (ty*8 + tx) // 16 AS band,
+                 SUM(CASE WHEN p * 64 >= t2.s
+                          THEN (1::BIGINT << ((ty*8 + tx) % 16)) ELSE 0 END)::BIGINT AS sig
+          FROM vals v JOIN tot t2 ON v.doc_id = t2.doc_id
+          GROUP BY v.doc_id, (ty*8 + tx) // 16
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM hs a JOIN hs b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+          SELECT c.id1, c.id2,
+                 SUM(bit_count(xor(h1.sig, h2.sig)))::BIGINT AS hamming
+          FROM cand c
+          JOIN hs h1 ON h1.doc_id = c.id1
+          JOIN hs h2 ON h2.doc_id = c.id2 AND h2.band = h1.band
+          GROUP BY c.id1, c.id2
+        )
+        SELECT doc_id FROM t
+        WHERE doc_id NOT IN (SELECT id2 FROM ham WHERE hamming <= 6)
         ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.lake.Snapshots
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GROWING near-duplicate index for streaming ingest: each micro-batch is
+  * suppressed against everything that arrived BEFORE it, then the batch's
+  * own hashes are committed to a snapshot-lake index table — batch N+1
+  * dedups against batches 1..N across restarts, not just against a static
+  * seed corpus (the reference's seen-set idempotency semantics,
+  * `shared/src/duplicates_util.rs:6-57`, mapped onto the engine's own
+  * lake).
+  *
+  * Suppression rule: a row is a duplicate iff it near-dup-pairs with ANY
+  * lower-id row already seen (prior batches via the index, or earlier rows
+  * of the same batch). The index stores every arriving hash — survivors
+  * AND suppressed — so the rule is a pure function of arrival history:
+  *
+  *  - **Exactly-once across restarts**: re-running a batch re-upserts the
+  *    same (id, hash) rows (a keyed no-op) and re-derives the same
+  *    survivor set — the batch's own ids are excluded from pairing by the
+  *    strict `id1 < id2` pair order, so a replay never self-suppresses.
+  *  - **Batch-cutoff independence**: as long as ids are monotone with
+  *    arrival (true of log/event pipelines, where ids embed time), the
+  *    incremental fold over ANY batching equals the one-shot rule on the
+  *    union — "suppress iff a lower-id near-dup exists" — which is what
+  *    the q96 oracle checks without knowing the batch boundaries.
+  *
+  * Scale shape: the per-batch cost is the banded-LSH pairing of
+  * index ∪ batch — bucket-capped like every near-dup operator — and ONE
+  * mergeUpsert of batch-sized updates. The pairing only needs pairs whose
+  * higher id is in the batch; the band buckets that contain no batch row
+  * are dropped before the pair join, so index-only work does not grow the
+  * probe (the index side still rescans per batch: at deployment scale the
+  * index table would be clustered by band signature so zone maps prune
+  * that scan).
+  */
+object DedupIndex {
+
+  /** Process one micro-batch of aHash rows (`idCol`, b0..b3) against the
+    * growing index at `indexTable`: returns the batch's SURVIVORS
+    * (materialized — safe to consume after the commit below), and commits
+    * ALL the batch's hashes to the index. Designed as a `foreachBatch`
+    * body; idempotent under batch replay.
+    */
+  def dedupBatch(spark: SparkSession, indexTable: String, batchHashes: DataFrame,
+      idCol: String = "doc_id", maxHamming: Int = 6,
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    val batch = batchHashes.select(col(idCol), col("b0"), col("b1"),
+      col("b2"), col("b3")).localCheckpoint(true)
+    val indexed = Snapshots.currentVersion(indexTable).isDefined
+    def bands(df: DataFrame, keepId: Boolean): DataFrame =
+      (0 to 3).map { k =>
+        val cols = (if (keepId) Seq(col(idCol)) else Nil) ++
+          Seq(lit(k).as("band"), col(s"b$k").as("sig"))
+        df.select(cols: _*)
+      }.reduce(_ unionAll _)
+    val all =
+      if (!indexed) batch
+      else {
+        val idx = Snapshots.read(spark, indexTable)
+          .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"))
+          // a replayed batch is already in the index: same-id rows would
+          // band-bucket together and double candidates — drop them up front
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+        // prune index rows sharing NO band signature with the batch before
+        // the pairing — a candidate pair needs a common band, so only
+        // batch-adjacent buckets matter, and per-batch probe cost tracks
+        // the batch's neighborhood, not the whole index
+        val touched = bands(idx, keepId = true)
+          .join(broadcast(bands(batch, keepId = false).distinct()),
+            Seq("band", "sig"), "left_semi")
+          .select(col(idCol)).distinct()
+        idx.join(touched, Seq(idCol), "left_semi").unionByName(batch)
+      }
+    val pairs = Multimodal.aHashNearDup(all, idCol, maxHamming, maxBucketSize)
+    val suppressed = pairs
+      .join(batch.select(col(idCol).as("id2")), Seq("id2"), "left_semi")
+      .select(col("id2").as(idCol)).distinct()
+    // survivors must materialize BEFORE the index commit: a lazy plan
+    // re-read after the upsert would see the batch's own rows as history
+    val survivors = batch.join(suppressed, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    // the index rows need only a constant hour partition — an index is
+    // keyed by content hash, not by time (a deployment would cluster by
+    // band signature instead; hour partitioning is the lake's contract)
+    val stamped = batch.withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, idCol)
+    else Snapshots.append(stamped, indexTable)
+    survivors
+  }
+}

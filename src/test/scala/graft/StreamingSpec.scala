@@ -83,6 +83,51 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toList == List(101L)) // the twin is suppressed, the novel passes
   }
 
+  test("streaming dedup index GROWS: batch N+1 suppresses against batches 1..N, replay is idempotent") {
+    import graft.operators.Multimodal
+    import graft.streaming.DedupIndex
+    val w = 16
+    def img(seed: Int): Array[Byte] =
+      Array.tabulate(w * w)(i => (((i * 31 + seed * 97) % 251)).toByte)
+    def twin(seed: Int): Array[Byte] = {
+      val b = img(seed).clone(); b(w * w - 1) = 0; b
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    def hash(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.aHash(spark, rows.toDF("doc_id", "payload").withColumn("w", lit(w)),
+        "doc_id", "payload", "w")
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = input.toDF().toDF("doc_id", "payload")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hashed = Multimodal.aHash(spark,
+          batch.withColumn("w", lit(w)), "doc_id", "payload", "w")
+        survived ++= DedupIndex.dedupBatch(spark, idxDir, hashed)
+          .collect().map(_.getAs[Long]("doc_id"))
+        ()
+      }.start()
+    // batch 1: one novel image
+    input.addData((100L, img(1))); q.processAllAvailable()
+    // batch 2: a novel image + a near-twin of BATCH 1's image
+    input.addData((200L, img(2)), (201L, twin(1))); q.processAllAvailable()
+    // batch 3: a near-twin of BATCH 2's survivor + a novel image — only a
+    // grown index can suppress 300 (the static seed never saw img(2))
+    input.addData((300L, twin(2)), (301L, img(9))); q.processAllAvailable()
+    q.stop()
+    assert(survived.toList == List(100L, 200L, 301L),
+      s"cross-batch suppression failed: $survived")
+    // the index holds EVERY arrival (survivors and suppressed)
+    val idxCount = graft.lake.Snapshots.read(spark, idxDir).count()
+    assert(idxCount == 5L)
+    // replaying batch 3 (restart semantics) yields the same survivors and
+    // the index does not grow — exactly-once across restarts
+    val replay = DedupIndex.dedupBatch(spark, idxDir,
+      hash(Seq(300L -> twin(2), 301L -> img(9))))
+      .collect().map(_.getAs[Long]("doc_id")).toList
+    assert(replay == List(301L))
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
+  }
+
   test("streaming enrichment refresh: an update is visible to the next batch") {
     import graft.operators.Enrichment
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
