@@ -20,6 +20,39 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
 
+  /** Scripts that whitespace tokenization cannot split — route these
+    * through [[charNGrams]] (zh/ja have no word spaces; th spaces mark
+    * phrases, not words).
+    */
+  val spaceFreeLangs: Seq[String] = Seq("zh", "ja", "th")
+
+  /** Character n-grams of lowercased text with ALL whitespace removed —
+    * the tokenizer mode for space-free scripts. Pure substring arithmetic
+    * (codepoint-indexed in both Spark and DuckDB, so CJK text reproduces
+    * across engines); shorter-than-n texts yield an empty array.
+    *
+    * The normalized string is bound as a one-element lambda variable so
+    * the lower/trim/regexp normalization runs ONCE per row, not once per
+    * gram — higher-order lambdas get no common-subexpression elimination.
+    */
+  def charNGrams(c: Column, n: Int): Column = {
+    require(n >= 1, "charNGrams needs n >= 1")
+    flatten(transform(
+      array(regexp_replace(lower(trim(c)), "\\s+", "")),
+      t => when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+        .otherwise(array().cast(ArrayType(StringType)))))
+  }
+
+  /** Language-routed tokenizer: character n-grams for space-free scripts
+    * ([[spaceFreeLangs]]), whitespace words otherwise. `lang` may be a
+    * data column (a label or a langid prediction) — the branch is decided
+    * per row inside one codegen'd projection.
+    */
+  def tokensByLang(text: Column, lang: Column, charGramN: Int = 1): Column =
+    when(lang.isin(spaceFreeLangs: _*), charNGrams(text, charGramN))
+      .otherwise(tokens(text))
+
   /** Word n-gram shingles joined by single spaces; < n tokens → empty. */
   def wordShingles(toks: Column, n: Int): Column = {
     val gram = (i: Column) =>

@@ -55,6 +55,17 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "con", "del",
       "non", "si", "sono", "le", "da"))
 
+  /** [[lexicons]] extended with a space-free script: the zh entries are
+    * function CHARACTERS (的/是/了/在 …, the highest-frequency hanzi —
+    * closed-class, like function words), matched against character
+    * unigrams when `zh` is routed through `charGramLangs` in
+    * [[languageIdMulti]]. Kept separate from [[lexicons]] so existing
+    * word-ratio callers are byte-for-byte unchanged.
+    */
+  val lexiconsCjk: Map[String, Seq[String]] =
+    lexicons + ("zh" -> Seq("的", "一", "是", "了", "我", "不", "在", "人",
+      "有", "他", "这", "中", "大", "来", "上"))
+
   /** Multi-language language ID: per-language lexicon-hit ratio, argmax
     * language + confidence. Emits `n_tokens`, one `r_<lang>` ratio column
     * per language, `lang_conf` (the winning ratio) and `lang_pred` (the
@@ -74,19 +85,34 @@ object TextAnalysis {
     */
   def languageIdMulti(df: DataFrame, textCol: String,
       langLexicons: Map[String, Seq[String]] = lexicons,
-      threshold: Double = 0.08): DataFrame = {
+      threshold: Double = 0.08,
+      charGramLangs: Set[String] = Set.empty,
+      charGramN: Int = 1): DataFrame = {
     require(langLexicons.size >= 2, "languageIdMulti needs >= 2 lexicons")
     // tokens stage as their own projection (lambdas get no CSE)
-    val staged = df.withColumn("__tk", tokens(col(textCol)))
+    val staged0 = df.withColumn("__tk", tokens(col(textCol)))
+    // languages in `charGramLangs` score their lexicon against character
+    // n-grams instead of whitespace words (space-free scripts have no
+    // word boundaries to split on); both token arrays stage once and the
+    // operator stays a zero-shuffle single pass
+    val staged =
+      if (charGramLangs.isEmpty) staged0
+      else staged0.withColumn("__cg", charNGrams(col(textCol), charGramN))
     val nTok = size(col("__tk"))
-    def ratio(words: Seq[String]): Column =
-      when(nTok > 0,
-        size(filter(col("__tk"), t => t.isin(words: _*))).cast(DoubleType) / nTok)
-        .otherwise(lit(0.0))
+    val nCg = size(col("__cg"))
+    def ratio(lang: String, words: Seq[String]): Column =
+      if (charGramLangs(lang))
+        when(nCg > 0,
+          size(filter(col("__cg"), t => t.isin(words: _*))).cast(DoubleType) / nCg)
+          .otherwise(lit(0.0))
+      else
+        when(nTok > 0,
+          size(filter(col("__tk"), t => t.isin(words: _*))).cast(DoubleType) / nTok)
+          .otherwise(lit(0.0))
     val byLang = langLexicons.toSeq.sortBy(_._1)
     val withRatios = byLang.foldLeft(
       staged.withColumn("n_tokens", nTok.cast(LongType))) {
-      case (d, (lang, words)) => d.withColumn(s"r_$lang", ratio(words))
+      case (d, (lang, words)) => d.withColumn(s"r_$lang", ratio(lang, words))
     }
     val best = greatest(byLang.map { case (lang, _) =>
       struct(col(s"r_$lang").as("r"), lit(lang).as("l")) }: _*)
@@ -95,7 +121,7 @@ object TextAnalysis {
       .withColumn("lang_conf", col("__best.r"))
       .withColumn("lang_pred",
         when(col("lang_conf") >= threshold, col("__best.l")).otherwise("unk"))
-      .drop("__tk", "__best")
+      .drop("__tk", "__cg", "__best")
   }
 
   /** Quality metrics + a composite score in [0,1]:
@@ -206,8 +232,15 @@ object TextAnalysis {
     * DISTINCT pairs (no second tokenize, no join back); the argmax is a
     * per-doc struct max — map-side combinable.
     */
-  def distinctiveTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+  def distinctiveTokens(df: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = None, charGramN: Int = 1): DataFrame = {
+    // with a language column, space-free scripts tokenize as char n-grams
+    // (tokensByLang); the default keeps the whitespace form byte-for-byte
+    val tokExpr = langCol match {
+      case Some(lc) => tokensByLang(col(textCol), col(lc), charGramN)
+      case None     => tokens(col(textCol))
+    }
+    val tf = df.select(col(idCol).as("doc"), tokExpr.as("__tk"))
       .select(col("doc"), explode_outer(col("__tk")).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))

@@ -20,6 +20,17 @@ object TextPipeline {
 
   private val streamFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q97's deterministic zh fixture: real (space-free) Chinese sentences
+    * built from closed-class function characters, plus one distinctive
+    * content character per doc for vocabulary diversity. Shared verbatim
+    * by the Spark fixture and the oracle SQL.
+    */
+  private val zhSents = Seq(
+    "我们的人在这里了他是一个大的",
+    "这是一个不大的中文了我在上面有",
+    "他来了我们不是在中国的大人有上")
+  private val zhChars = Seq("山", "水", "火", "木", "金", "土", "日", "月", "天", "地")
+
   /** Shared near-dup clustering pipeline (q67's detection→clustering path,
     * reused by q84's deduplicated-corpus emission): LSH candidates →
     * exact Jaccard verify → connected components. Returns the
@@ -1449,6 +1460,85 @@ object TextPipeline {
         )
         SELECT doc_id FROM t
         WHERE doc_id NOT IN (SELECT id2 FROM ham WHERE hamming <= 6)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q97: space-free-script tokenization end to end — whitespace
+    // tokens() is wrong for zh/ja/th (a zh doc is ONE giant token), so a
+    // char-n-gram mode (pure substring arithmetic) routes per language:
+    // langid scores the zh lexicon (function CHARACTERS) against char
+    // unigrams while spaced languages keep word ratios, and the
+    // vocabulary build tokenizes each doc by its PREDICTED language.
+    // Real Chinese sentences are injected deterministically (every 5th
+    // doc, identical on both engines); the oracle re-derives char grams,
+    // the mixed-mode ratios, the struct-max argmax and the routed top-k —
+    // spaced-language behavior is byte-for-byte the q79/q90 form.
+    QueryDef(
+      "q97_cjk_pipeline",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val k = expr("doc_id DIV 5")
+        val d = docs(s, dir).withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(
+              element_at(array(zhSents.map(lit): _*), (k % 3 + 1).cast("int")),
+              element_at(array(zhChars.map(lit): _*), (k % 10 + 1).cast("int"))))
+            .otherwise(col("text")))
+        val lid = TextAnalysis.languageIdMulti(d, "text",
+          TextAnalysis.lexiconsCjk, charGramLangs = Set("zh"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang_pred")).orderBy(col("cnt").desc, col("tok").asc)
+        lid.select(col("lang_pred"),
+            TextFunctions.tokensByLang(col("text"), col("lang_pred")).as("__tk"))
+          .select(col("lang_pred"), explode_outer(col("__tk")).as("tok"))
+          .filter(col("tok").isNotNull)
+          .groupBy(col("lang_pred"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .orderBy(col("lang_pred"), col("rank"))
+      },
+      Some {
+        val langs = graft.operators.TextAnalysis.lexiconsCjk.toSeq.sortBy(_._1)
+        val ratios = langs.map { case (l, ws) =>
+          val in = ws.map(w => s"'$w'").mkString(",")
+          val (arr, den) = if (l == "zh") ("cg", "cg") else ("tk", "tk")
+          s"CASE WHEN len($den) > 0 THEN len(list_filter($arr, x -> x IN ($in)))::DOUBLE / len($den) ELSE 0.0 END AS r_$l"
+        }.mkString(",\n                 ")
+        val packs = langs.map { case (l, _) =>
+          s"struct_pack(r := r_$l, l := '$l')" }.mkString(", ")
+        val sentsSql = zhSents.map(x => s"'$x'").mkString(", ")
+        val charsSql = zhChars.map(x => s"'$x'").mkString(", ")
+        s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   ([$sentsSql])[((doc_id // 5) % 3 + 1)::INT] ||
+                   ([$charsSql])[((doc_id // 5) % 10 + 1)::INT]
+                 ELSE text END AS text
+          FROM documents),
+        t AS (SELECT doc_id, text, $sqlToks AS tk,
+                list_transform(
+                  range(1, len(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) + 1),
+                  i -> substr(regexp_replace(lower(trim(text)), '\\s+', '', 'g'), i::INT, 1)) AS cg
+              FROM d),
+        r AS (SELECT doc_id, text, tk, cg,
+                 $ratios
+              FROM t),
+        b AS (SELECT *, list_max([$packs]) AS best FROM r),
+        p AS (SELECT doc_id, text, tk, cg,
+                CASE WHEN best.r >= 0.08 THEN best.l ELSE 'unk' END AS lang_pred
+              FROM b),
+        g AS (SELECT lang_pred,
+                unnest(CASE WHEN lang_pred IN ('zh', 'ja', 'th')
+                            THEN cg ELSE tk END) AS tok
+              FROM p),
+        c AS (SELECT lang_pred, tok, COUNT(*) AS cnt FROM g GROUP BY lang_pred, tok),
+        rk AS (SELECT lang_pred, tok, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang_pred
+                   ORDER BY cnt DESC, tok ASC) AS rank
+               FROM c)
+        SELECT lang_pred, tok, cnt, rank FROM rk
+        WHERE rank <= 5
+        ORDER BY lang_pred, rank"""
+      })
   )
 }

@@ -67,6 +67,43 @@ class FunctionsSpec extends SparkSpec {
     assert(FunctionsSpec.collected.size == 1 && FunctionsSpec.collected.peek()._1 == "id1")
   }
 
+  test("charNGrams: whitespace-stripped codepoint grams; short text empty; lang routing") {
+    import graft.functions.TextFunctions._
+    val df = Seq((1L, "你好 世界", "zh"), (2L, "Hi there", "en"), (3L, "你", "zh"))
+      .toDF("id", "text", "lang")
+    val out = df.select(col("id"),
+        charNGrams(col("text"), 1).as("g1"),
+        charNGrams(col("text"), 2).as("g2"),
+        tokensByLang(col("text"), col("lang")).as("routed"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[String](2), r.getSeq[String](3))).toMap
+    // spaces removed BEFORE gram extraction — grams never straddle a gap
+    assert(out(1L)._1 == Seq("你", "好", "世", "界"))
+    assert(out(1L)._2 == Seq("你好", "好世", "世界"))
+    // shorter-than-n text yields empty, not null
+    assert(out(3L)._2 == Seq.empty)
+    // routing: zh → char grams, spaced language → whitespace words
+    assert(out(1L)._3 == Seq("你", "好", "世", "界"))
+    assert(out(2L)._3 == Seq("hi", "there"))
+  }
+
+  test("languageIdMulti charGramLangs: zh scored on char unigrams, spaced langs unchanged") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "我们的人在这里了他是一个大的"),
+      (2L, "the value of the data is in the table"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageIdMulti(df, "text",
+        TextAnalysis.lexiconsCjk, charGramLangs = Set("zh"))
+      .select("doc_id", "lang_pred", "r_zh", "r_en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == "zh" && out(1L)._2 > 0.5)
+    // the zh doc is ONE whitespace token — the word ratio can never see it
+    assert(out(1L)._3 == 0.0)
+    assert(out(2L)._1 == "en" && out(2L)._2 == 0.0)
+  }
+
   test("parse_url extracts scheme/host/path/query") {
     val df = Seq("https://example.com:8443/a/b?x=1&y=2").toDF("u")
     val r = df.select(TransformDsl.parseUrl(col("u")).as("p"))
