@@ -29,7 +29,9 @@ object Bench {
                SparkEntry.queries.get("q78_compression_inference") ++
                SparkEntry.queries.get("q81_alerts_retro_lake") ++
                SparkEntry.queries.get("q82_routed_ingest") ++
-               SparkEntry.queries.get("q89_sideline_gate")) {
+               SparkEntry.queries.get("q89_sideline_gate") ++
+               SparkEntry.queries.get("q95_embed_pipeline") ++
+               SparkEntry.queries.get("q96_stream_dedup_fold")) {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
     }

@@ -153,7 +153,17 @@ object Lake {
         s"mergeUpsert: updates contain duplicate values of primary key '$pk'")
   }
 
-  def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame, pk: String): Unit = {
+  def mergeUpsert(spark: SparkSession, path: String, updatesIn: DataFrame, pk: String): Unit = {
+    // four actions reference the update frame (pk check, match probe,
+    // rewrite, insert) — materialize once, as in Snapshots.mergeUpsert
+    val updates = updatesIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeUpsertImpl(spark, path, updates, pk)
+    finally updates.unpersist(false)
+  }
+
+  private def mergeUpsertImpl(spark: SparkSession, path: String,
+      updates: DataFrame, pk: String): Unit = {
     requireUniquePk(updates, pk)
     val lake = read(spark, path)
     val renamed = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, "__u_" + c))

@@ -409,9 +409,30 @@ object Snapshots {
     * size-gated (backfill-scale updates fall back to a shuffle join under
     * AQE).
     */
-  def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
+  def mergeUpsert(spark: SparkSession, table: String, updatesIn: DataFrame,
       pk: String): Int = {
-    Lake.requireUniquePk(updates, pk)
+    // the update frame feeds FOUR separate actions (pk-uniqueness check,
+    // match probe, rewrite join build side, insert anti-join) — without a
+    // persist an expensive update derivation re-executes per action
+    // (q81's full-history re-fold ran 4x: the merge was 37 s of a 50 s
+    // pipeline at 10x scale before this, see SCALING.md)
+    val updates = updatesIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeUpsertImpl(spark, table, updates, pk)
+    finally updates.unpersist(false)
+  }
+
+  private def mergeUpsertImpl(spark: SparkSession, table: String,
+      updates: DataFrame, pk: String): Int = {
+    def dbg[A](name: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_MERGE_DEBUG")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[merge-dbg] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
+    dbg("pk_check")(Lake.requireUniquePk(updates, pk))
     val lake = read(spark, table)
     val renamed = updates.columns.foldLeft(updates)(
       (d, c) => d.withColumnRenamed(c, "__u_" + c))
@@ -420,8 +441,8 @@ object Snapshots {
       .select(col(Lake.PartitionCol), col(pk)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val touched = matched.select(col(Lake.PartitionCol)).distinct()
-        .collect().map(_.getString(0)).toSet
+      val touched = dbg("touched")(matched.select(col(Lake.PartitionCol)).distinct()
+        .collect().map(_.getString(0)).toSet)
       // insert-only merges (no key matched — the bootstrap case) must not
       // plan a zero-path read: short-circuit the whole rewrite branch
       val stagedRewrites =
@@ -429,20 +450,44 @@ object Snapshots {
         else {
           val affected = readHours(spark, table, touched)
           val updatedCols = updates.columns.filterNot(_ == pk)
-          val rewritten = updatedCols.foldLeft(
+          val rewritten0 = updatedCols.foldLeft(
               affected.join(gated, col(pk) === col("__u_" + pk), "left")) {
               (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
             }
             .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
-          stage(rewritten, table)
+          // WIDE merges (history-scale backfills touching hundreds of hour
+          // partitions): without clustering, EVERY staging task opens a
+          // parquet file in every touched hour — tasks × hours tiny files,
+          // and one task's file fan-out becomes a flat multi-second
+          // straggler regardless of data size (measured in SCALING.md).
+          // Range-partitioning on the hour gives staged tasks disjoint
+          // hour ranges, at the cost of one shuffle of the rewritten rows;
+          // narrow merges (the common streaming case) keep the
+          // no-shuffle path.
+          val rewritten =
+            if (touched.size > spark.sessionState.conf.numShufflePartitions)
+              Lake.withHourPartition(rewritten0)
+                .repartitionByRange(col(Lake.PartitionCol))
+            else rewritten0
+          dbg("stage_rewrite")(stage(rewritten, table))
         }
       val inserts = renamed.join(matched.select(col(pk)).distinct(),
           col("__u_" + pk) === col(pk), "left_anti")
-      val insertDf = updates.columns.foldLeft(inserts)(
+      val insertDf0 = updates.columns.foldLeft(inserts)(
         (d, c) => d.withColumnRenamed("__u_" + c, c))
+      // same wide-merge clustering as the rewrite branch: a history-scale
+      // insert set spans hundreds of hours, and the persisted update frame
+      // can coalesce to a handful of cached partitions — without the range
+      // shuffle ONE task then writes a file into every hour (measured as a
+      // 158 s single-task stage at 10x scale, SCALING.md)
+      val insertDf =
+        if (touched.size > spark.sessionState.conf.numShufflePartitions)
+          Lake.withHourPartition(insertDf0)
+            .repartitionByRange(col(Lake.PartitionCol))
+        else insertDf0
       val stagedInserts =
-        if (insertDf.isEmpty) Vector.empty
-        else stage(insertDf, table)
+        if (dbg("insert_empty?")(insertDf.isEmpty)) Vector.empty
+        else dbg("stage_insert")(stage(insertDf, table))
       // updates' columns are a subset of the lake's (the rewrite references
       // them), so the merged schema is the lake's own, union any stragglers
       val merged = unionSchema(

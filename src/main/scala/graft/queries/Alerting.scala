@@ -446,7 +446,11 @@ object Alerting {
             rules.filter(_.name == "error_burst"), matchId = col("event_id"))
           val phase1 = graft.plans.AnchoredSession.aggregate(s,
             m.filter(col("ts") < cut), cfg)
-          Snapshots.append(phase1.withColumn("ts", col("first_matched_at")), t)
+          // clusterBy: alert commits span the whole event-time range, so
+          // unclustered staging fans every task into every hour dir
+          // (tasks x hours tiny files — SCALING.md)
+          Snapshots.append(phase1.withColumn("ts", col("first_matched_at")), t,
+            clusterBy = Seq("ts"))
           val lateKeys = m.filter(col("ts") >= cut)
             .select("rule_name", "dedupe").distinct()
           val retro = graft.plans.AnchoredSession.aggregate(s, m, cfg)

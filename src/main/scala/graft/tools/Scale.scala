@@ -43,6 +43,27 @@ object Scale {
       .withColumn("n_chars", length(col("text")))
   }
 
+  /** Events matching the base table's observed shape (30-day uniform ts,
+    * 5 event types, ~560 value range, user-keyed): at `factor`×, BOTH the
+    * event count and the user cardinality scale — the alert fold's state
+    * grows in KEYS (more users), not in per-key match counts, which is
+    * how a real deployment scales.
+    */
+  def genEvents(spark: SparkSession, n: Long, users: Long): DataFrame = {
+    val types = array(Seq("click", "view", "signup", "purchase", "error").map(lit): _*)
+    spark.range(n).select(
+      col("id").as("event_id"),
+      expr("timestampadd(SECOND, CAST(pmod(xxhash64(id), 2592000) AS INT), " +
+        "TIMESTAMP '2024-01-01 00:00:00')").as("ts"),
+      pmod(xxhash64(col("id"), lit(1)), lit(users)).as("user_id"),
+      element_at(types, (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(56022L)).cast("double") / 100.0)
+        .as("value"),
+      concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(4)), lit(100L)),
+        lit("}")).as("props"))
+  }
+
   def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
       col("id").as("vec_id"),
@@ -129,6 +150,45 @@ object Scale {
             .localCheckpoint(true)
           h.unpersist(false); out
         }))
+    } ++ {
+      // alerting + ingest-gate families (r9): q81's lake retro pipeline is
+      // re-run UN-memoized (fresh lake every invocation — the fold, the
+      // append AND the mergeUpsert existing-side scan are all inside the
+      // timing, since the history-sized merge scan is the cost that grows
+      // with table size); q82/q89 reuse the SparkEntry forms, whose
+      // fixture writers memoize per dir — the warm run pays the one-time
+      // fixture build, the measured runs time the real ingest chain.
+      import graft.operators.{Alerts, Detection}
+      // q81's full pipeline, un-memoized (fresh lake per invocation) so
+      // the fold, the append AND the mergeUpsert history rewrite are all
+      // timed; `clustered` additionally range-clusters the phase-1 append
+      // (the merge rewrite clusters itself for wide merges)
+      def retro(clustered: Boolean)(s: SparkSession, dir: String): DataFrame = {
+        import graft.lake.Snapshots
+        val ev = graft.Tables.load(s, dir, "events") // ns-ts normalization
+        val cfg = Alerts.AlertConfig(threshold = 2, windowSeconds = 1800)
+        val cut = lit("2024-01-06 14:10:00").cast("timestamp")
+        val t = java.nio.file.Files.createTempDirectory("graft_scale_retro").toString
+        val m = Detection.ruleMatches(ev,
+          graft.queries.Alerting.rules.filter(_.name == "error_burst"),
+          matchId = col("event_id"))
+        val phase1 = graft.plans.AnchoredSession.aggregate(s,
+          m.filter(col("ts") < cut), cfg)
+        Snapshots.append(phase1.withColumn("ts", col("first_matched_at")), t,
+          clusterBy = if (clustered) Seq("ts") else Nil)
+        val lateKeys = m.filter(col("ts") >= cut)
+          .select("rule_name", "dedupe").distinct()
+        val retroFold = graft.plans.AnchoredSession.aggregate(s, m, cfg)
+          .join(lateKeys, Seq("rule_name", "dedupe"), "left_semi")
+        Snapshots.mergeUpsert(s, t,
+          retroFold.withColumn("ts", col("first_matched_at")), "alert_id")
+        Snapshots.read(s, t).select(col("alert_id"))
+      }
+      Seq(
+        "q81_retro_lake" -> (retro(clustered = false) _),
+        "q81_retro_clustered" -> (retro(clustered = true) _),
+        "q82_routed_ingest" -> SparkEntry.queries("q82_routed_ingest"),
+        "q89_sideline_gate" -> SparkEntry.queries("q89_sideline_gate"))
     }
   }
 
@@ -142,12 +202,18 @@ object Scale {
 
     val nDocs = spark.read.parquet(s"$base/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$base/embeddings.parquet").count()
+    val baseEv = spark.read.parquet(s"$base/events.parquet")
+    val nEv = baseEv.count()
+    val nUsers = baseEv.select(countDistinct(col("user_id"))).head.getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
     genDocuments(spark, nDocs * factor).repartition(cpus)
       .write.parquet(s"$tmp/documents.parquet")
     genEmbeddings(spark, nVecs * factor).repartition(cpus)
       .write.parquet(s"$tmp/embeddings.parquet")
-    println(s"[scale] generated ${nDocs * factor} docs / ${nVecs * factor} vecs at $tmp")
+    genEvents(spark, nEv * factor, nUsers * factor).repartition(cpus)
+      .write.parquet(s"$tmp/events.parquet")
+    println(s"[scale] generated ${nDocs * factor} docs / ${nVecs * factor} vecs / " +
+      s"${nEv * factor} events at $tmp")
 
     val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -173,8 +239,13 @@ object Scale {
       (elapsed, maxTask.get)
     }
 
+    // optional name filter (args 3+): probe a subset without re-running
+    // the whole family
+    val only = args.drop(2).toSet
+    val fam = if (only.isEmpty) Family
+      else Family.filter { case (q, _) => only.exists(q.contains) }
     println(f"${"query"}%-24s ${"base_s"}%8s ${"scaled_s"}%9s ${"ratio"}%6s ${"ideal"}%6s ${"mtask_b"}%8s ${"mtask_s"}%8s")
-    val rows = Family.map { case (q, fn) =>
+    val rows = fam.map { case (q, fn) =>
       run(fn, base) // warm: JIT + codegen for this plan shape
       val (tb, mb) = run(fn, base)
       val (ts, ms) = run(fn, tmp)
