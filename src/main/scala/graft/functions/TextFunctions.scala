@@ -53,6 +53,29 @@ object TextFunctions {
     when(lang.isin(spaceFreeLangs: _*), charNGrams(text, charGramN))
       .otherwise(tokens(text))
 
+  /** GPT-2-style pre-tokenizer segmentation pattern (the public BPE
+    * pre-split regex family: contraction suffixes, space-prefixed letter
+    * runs, space-prefixed digit runs, space-prefixed punctuation runs,
+    * whitespace runs), restated WITHOUT the trailing-space lookahead so
+    * one pattern runs identically under Java regex (Spark codegen) and
+    * RE2 (DuckDB oracle) — neither alternation order, greediness, nor the
+    * \p{L}/\p{N} classes differ between the engines, and leftmost-first
+    * alternation is Perl semantics in both. The only divergence surface
+    * is \s (Java adds \x0B) — irrelevant for text without vertical tabs.
+    */
+  val BpePreTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-tokenization: split text into the token-boundary units a
+    * byte-pair-encoding tokenizer would merge within (never across). The
+    * segments PARTITION the input — concatenating them reproduces the
+    * string byte-for-byte, so token-length sums equal text length (an
+    * invariant q98 checks cross-engine). Pure regexp_extract_all: one
+    * codegen'd pass, no shuffle, linear in input bytes.
+    */
+  def bpePreTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePreTokenPattern), lit(0))
+
   /** Word n-gram shingles joined by single spaces; < n tokens → empty. */
   def wordShingles(toks: Column, n: Int): Column = {
     val gram = (i: Column) =>

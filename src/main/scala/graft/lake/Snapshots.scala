@@ -402,6 +402,40 @@ object Snapshots {
       prev => prev.filterNot(_.hour == hour) ++ staged)
   }
 
+  /** Lake maintenance: bin-pack EVERY fragmented hour — more live data
+    * files than `maxFilesPerHour`, the small-file debt that micro-batch
+    * appends accrue (each streaming commit writes ≥1 file per touched
+    * hour, so a day of 1-minute batches leaves ~1440 tiny files per hour)
+    * — in ONE atomic commit: the Iceberg `rewrite_data_files` maintenance
+    * action on this facade. Untouched hours carry forward with no data
+    * movement; pinned readers keep their file set (rewrites never delete
+    * data files — [[expireSnapshots]] reclaims the replaced ones later).
+    * The rewrite range-clusters on the hour so each staged task writes a
+    * contiguous hour range rather than one file into every hour dir (the
+    * wide-merge lesson — see [[mergeUpsert]]).
+    *
+    * Returns the new version, or the current version unchanged when no
+    * hour is fragmented — safe to run on a schedule.
+    */
+  def compactSmallFiles(spark: SparkSession, table: String,
+      maxFilesPerHour: Int = 4,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val cur = current(table).getOrElse(sys.error(s"no snapshot committed at $table"))
+    val frag = cur.entries.groupBy(_.hour)
+      .collect { case (h, es) if es.size > maxFilesPerHour => h }.toSet
+    if (frag.isEmpty) return cur.version
+    val part = readHours(spark, table, frag)
+    val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (BigDecimal(bytes) / targetBytes)
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toInt)
+    val compacted = part
+      .repartitionByRange(files, col(Lake.PartitionCol))
+      .drop(Lake.PartitionCol)
+    val staged = stage(compacted, table)
+    commit(table, Some(dataSchema(compacted)))(
+      prev => prev.filterNot(e => frag(e.hour)) ++ staged)
+  }
+
   /** Key-based MERGE INTO as ONE atomic commit (vs [[Lake.mergeUpsert]]'s
     * two visible writes): rewritten matched partitions and inserted rows
     * become visible together, or not at all. Only partitions containing

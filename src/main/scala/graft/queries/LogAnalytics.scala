@@ -613,6 +613,99 @@ object LogAnalytics {
               FROM pts p JOIN rng r ON p.ip BETWEEN r.lo AND r.hi)
         SELECT p.event_id, p.ip, m.s_suppkey, m.s_name
         FROM pts p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
-        ORDER BY p.event_id"""))
+        ORDER BY p.event_id""")),
+
+    // ---- q99: sketch aggregates under an ACCURACY gate. At 100 TB the
+    // production path for distinct counts and percentiles is a sketch
+    // (HLL++ / quantile summaries): one pass, constant state per group, no
+    // global sort — exact countDistinct re-shuffles every key and exact
+    // percentile materializes the whole column. A sketch result can't be
+    // hash-compared across engines (the estimate is engine-specific), so
+    // the gate emits BOUND BOOLEANS: the exact values (cross-checked
+    // exactly) plus "sketch landed within its published error bound",
+    // which the oracle asserts as TRUE. HLL rsd 0.05 is gated at 3σ;
+    // approx_percentile(accuracy 10000) has rank error ≤ n/10000, gated
+    // generously at ±5% of rank (ties inflate the ≤-count). If a sketch
+    // ever violates its bound, the boolean flips and the driver's hash
+    // gate goes red.
+    QueryDef(
+      "q99_sketch_bounds",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sk = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("__hll"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("__p50"))
+        val ranked = ev.join(sk.select(col("event_type"), col("__p50")), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)).as("__le"))
+        sk.join(ranked, Seq("event_type"))
+          .select(
+            col("event_type"), col("n_events"), col("exact_users"),
+            (abs(col("__hll") - col("exact_users"))
+              <= lit(0.15) * col("exact_users")).as("hll_in_bound"),
+            (abs(col("__le") - lit(0.5) * col("n_events"))
+              <= lit(0.05) * col("n_events") + lit(1.0)).as("p50_in_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_in_bound, TRUE AS p50_in_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- q100: time-series resample + gap-fill + LOCF — the downsampling
+    // shape every metrics/observability pipeline needs: hourly buckets per
+    // series over the FULL wall-clock range (absent hours materialize as
+    // zero-count rows via one generated hour spine, not a scan), then
+    // last-observation-carried-forward fills each gap's value. The spine
+    // is hours × series (tiny — it broadcasts), the hourly rollup is one
+    // shuffle of the events, and LOCF is one window pass over the spine —
+    // corpus-size-independent state. Averages use the exact-decimal-
+    // then-double convention so both engines emit identical doubles.
+    QueryDef(
+      "q100_resample_locf",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val hourly = ev
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"), mavg(col("value")).as("avg_value"))
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val hours = bounds.select(
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+        val grid = broadcast(hours.crossJoin(ev.select(col("event_type")).distinct()))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            last(col("avg_value"), ignoreNulls = true).over(w).as("avg_filled"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                     date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hr FROM b),
+        grid AS (SELECT t.event_type, h.hr
+                 FROM (SELECT DISTINCT event_type FROM events) t, hours h),
+        j AS (SELECT g.event_type, g.hr,
+                     COALESCE(hh.n, 0)::BIGINT AS n_events, hh.avg_value
+              FROM grid g LEFT JOIN hourly hh
+                ON hh.event_type = g.event_type AND hh.hr = g.hr)
+        SELECT event_type, hr, n_events,
+               last_value(avg_value IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
+        FROM j
+        ORDER BY event_type, hr"""))
   )
 }

@@ -1539,6 +1539,75 @@ object TextPipeline {
         SELECT lang_pred, tok, cnt, rank FROM rk
         WHERE rank <= 5
         ORDER BY lang_pred, rank"""
+      }),
+
+    // ---- q98: BPE-ish pre-tokenization — the token-COUNTING mode a
+    // training-data pipeline actually bills by (whitespace words
+    // undercount: punctuation, digit runs and contraction suffixes are
+    // separate BPE merge units). One GPT-2-style segmentation regex runs
+    // identically under Java regex and RE2 (no lookahead — see
+    // TextFunctions.BpePreTokenPattern); per-class counts classify each
+    // segment, and tok_chars checks the partition invariant (segments
+    // concatenate back to the exact input, so length sums must equal
+    // length(text) on both engines). Single codegen'd map pass, zero
+    // shuffle — at 100 TB this is pure scan work that distributes
+    // perfectly.
+    QueryDef(
+      "q98_bpe_pretokenize",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        // bind the extracted array ONCE per row (lambda-CSE trick): five
+        // consumers of the array would otherwise re-run the regex pass five
+        // times — higher-order lambdas get no subexpression elimination
+        val stats = element_at(transform(
+          array(TextFunctions.bpePreTokens(col("text"))),
+          a => struct(
+            size(a).cast("long").as("n_bpe"),
+            size(filter(a, t => t.rlike("^ ?\\p{L}+$"))).cast("long").as("n_alpha"),
+            size(filter(a, t => t.rlike("^ ?\\p{N}+$"))).cast("long").as("n_num"),
+            size(filter(a, t => t.rlike("^\\s+$"))).cast("long").as("n_ws"),
+            aggregate(a, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))),
+          1)
+        docs(s, dir)
+          // the synthetic corpus is all lowercase words — splice a
+          // deterministic mixed suffix (contraction, digits, punctuation,
+          // double space) into every 7th doc so each segment class
+          // actually fires under the gate; identical on the oracle side
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit("  it's v"),
+                col("doc_id").cast("string"), lit(".0, ok!")))
+              .otherwise(col("text")))
+          .select(col("doc_id"), stats.as("__s"))
+          .select(col("doc_id"),
+            col("__s.n_bpe").as("n_bpe"),
+            col("__s.n_alpha").as("n_alpha"),
+            col("__s.n_num").as("n_num"),
+            col("__s.n_ws").as("n_ws"),
+            col("__s.tok_chars").as("tok_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // same pattern string, SQL-quoted (DuckDB single-quoted strings
+        // take backslashes literally; only apostrophes need doubling)
+        val pat = graft.functions.TextFunctions.BpePreTokenPattern
+          .replace("'", "''")
+        s"""
+        WITH d AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || '  it''s v' || doc_id::VARCHAR || '.0, ok!'
+                          ELSE text END AS text
+                   FROM documents),
+        a AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS arr
+              FROM d)
+        SELECT doc_id,
+               len(arr)::BIGINT AS n_bpe,
+               len(list_filter(arr, t -> regexp_full_match(t, ' ?\\p{L}+')))::BIGINT AS n_alpha,
+               len(list_filter(arr, t -> regexp_full_match(t, ' ?\\p{N}+')))::BIGINT AS n_num,
+               len(list_filter(arr, t -> regexp_full_match(t, '\\s+')))::BIGINT AS n_ws,
+               COALESCE(list_sum(list_transform(arr, t -> length(t))), 0)::BIGINT AS tok_chars
+        FROM a
+        ORDER BY doc_id"""
       })
   )
 }

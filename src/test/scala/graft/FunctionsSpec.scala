@@ -87,6 +87,29 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2L)._3 == Seq("hi", "there"))
   }
 
+  test("bpePreTokens: GPT-2-style segmentation partitions the input exactly") {
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      (1L, "The spark's 42 rows, fast!"),
+      (2L, "hello   world"),
+      (3L, "it'll re-run 100x"),
+      (4L, "")).toDF("id", "text")
+    val out = df.select(col("id"), bpePreTokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // contraction suffix, space-prefixed word/number runs, punctuation runs
+    assert(out(1L) == Seq("The", " spark", "'s", " 42", " rows", ",", " fast", "!"))
+    // a multi-space run is ONE whitespace segment (no-lookahead variant:
+    // the following word keeps no leading space)
+    assert(out(2L) == Seq("hello", "   ", "world"))
+    assert(out(3L) == Seq("it", "'ll", " re", "-", "run", " 100", "x"))
+    assert(out(4L) == Seq.empty)
+    // partition invariant: segments concatenate back to the input
+    val rebuilt = df.select(col("text"),
+        concat_ws("", bpePreTokens(col("text"))).as("back"))
+      .collect()
+    assert(rebuilt.forall(r => r.getString(0) == r.getString(1)))
+  }
+
   test("languageIdMulti charGramLangs: zh scored on char unigrams, spaced langs unchanged") {
     import graft.operators.TextAnalysis
     val df = Seq(

@@ -293,6 +293,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(fresh.get(spark).count() == 2)
   }
 
+  test("compactSmallFiles bin-packs fragmented hours in one commit; pinned readers unaffected") {
+    val t = Files.createTempDirectory("snap_compact").toString
+    // six micro-batch appends, each touching the same two hours — the
+    // streaming small-file debt shape (≥1 file per hour per commit)
+    for (b <- 0 until 6)
+      Snapshots.append(
+        mkRows(b * 10 + 1 to b * 10 + 5, "2024-03-01 05")
+          .union(mkRows(b * 10 + 6 to b * 10 + 10, "2024-03-01 06")), t)
+    val before = Snapshots.current(t).get
+    val perHourBefore = before.entries.groupBy(_.hour).map { case (h, es) => h -> es.size }
+    assert(perHourBefore.values.forall(_ >= 6), s"fixture not fragmented: $perHourBefore")
+    val expected = Snapshots.read(spark, t)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val pinned = Snapshots.read(spark, t, version = Some(before.version))
+
+    val v = Snapshots.compactSmallFiles(spark, t, maxFilesPerHour = 4)
+    assert(v == before.version + 1)
+    val after = Snapshots.current(t).get
+    val perHourAfter = after.entries.groupBy(_.hour).map { case (h, es) => h -> es.size }
+    // bin-packed: every hour collapses to a handful of files
+    assert(perHourAfter.values.forall(_ <= 4), s"still fragmented: $perHourAfter")
+    assert(after.entries.size < before.entries.size)
+    // rewrite moved no rows: identical data before/after
+    assert(Snapshots.read(spark, t).orderBy("id").collect().map(_.toSeq).toSeq == expected)
+    // the pinned reader keeps its (uncompacted) file set — rewrites never
+    // delete data files, expireSnapshots reclaims them later
+    assert(pinned.count() == 60)
+    // nothing fragmented any more → no-op, same version back
+    assert(Snapshots.compactSmallFiles(spark, t, maxFilesPerHour = 4) == v)
+  }
+
   test("sizeGatedBroadcast passes large frames through without the hint") {
     val small = Seq((1L, "a")).toDF("id", "v")
     val gatedSmall = Lake.sizeGatedBroadcast(small)
