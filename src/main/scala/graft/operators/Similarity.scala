@@ -140,6 +140,47 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication: within each centroid cluster
+    * a document is SUPPRESSED iff a lower-id member of the same cluster
+    * sits at or above the cosine threshold — the arrival-monotone
+    * suppression rule the streaming dedup index uses, applied in
+    * embedding space. Returns the surviving (id, bucket) rows: detection
+    * becomes deletion, as in [[Dedup.keepCanonical]]. The cluster is the
+    * blocking key (the published SemDeDup recipe: k-means partitions the
+    * embedding space, near-dups are only searched within a cell), and
+    * scoring runs in the int8 code domain — `assigned.vec` holds codes —
+    * so the working set is 4x smaller than fp32 and the cosine
+    * reproduces bit-for-bit in any engine.
+    *
+    * Skew guard, ON BY DEFAULT and FAIL-OPEN: a cluster wider than
+    * `maxBucketSize` skips suppression entirely (every member survives)
+    * instead of being dropped. Unlike [[embeddingNearDup]] — a pair
+    * DETECTOR, where dropping an oversized bucket just omits candidates —
+    * this operator EMITS the corpus, so the cap must bound work without
+    * losing documents; an oversized cell needs a larger k, not all-pairs.
+    *
+    * Scale shape: one window count + one same-bucket self-join, both on
+    * the bucket partitioning; the anti-join is on ids only. Materialize
+    * `assigned` before calling (it is referenced three times).
+    */
+  def semanticDedup(assigned: DataFrame, threshold: Double,
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    val inCap = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("bucket"))
+        assigned.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= cap).drop("__bucket_n")
+      case None => assigned
+    }
+    val hi = inCap.select(col("bucket"), col("id"), col("vec").as("__c1"))
+    val lo = inCap.select(col("bucket"), col("id").as("__lo"), col("vec").as("__c2"))
+    val dup = hi.join(lo, Seq("bucket"))
+      .filter(col("__lo") < col("id"))
+      .filter(cosineInt8(col("__c1"), col("__c2")) >= threshold)
+      .select(col("id")).distinct()
+    assigned.join(dup, Seq("id"), "left_anti").select(col("id"), col("bucket"))
+  }
+
   // ---- sign-random-projection (hyperplane) LSH ------------------------------
 
   /** One sign bit per hyperplane: bit_j = [dot(vec, plane_j) >= 0]. Planes

@@ -540,6 +540,72 @@ object Vectors {
                   ORDER BY cos_q DESC, nid) AS rank
               FROM sq)
         WHERE rank <= 3
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ---- q101: SemDeDup — semantic deduplication over TRAINED clusters.
+    // The published recipe end to end: quantize -> k-means (3 exact Lloyd
+    // rounds, the q93/q95 training loop) -> assign -> within-cluster
+    // cosine suppression (lower id wins) -> emit the surviving corpus.
+    // Distinct from q50 (pair DETECTION under fixed seed centroids): this
+    // gates the EMISSION semantics, blocked on centroids the engine
+    // itself trained. maxBucketSize = 60 deliberately splits the trained
+    // clusters into capped-in and FAIL-OPEN (oversized => suppression
+    // skipped, every member survives) — both paths of the skew guard sit
+    // under the oracle, which mirrors the cap as a window count. At
+    // 100 TB this is one window count + one same-bucket self-join on the
+    // cluster partitioning; the corpus never forms all-pairs.
+    QueryDef(
+      "q101_semantic_dedup",
+      (s, dir) => {
+        val coded = vecs(s, dir).select(col("id"),
+          VectorFunctions.quantizeInt8(col("vec"),
+            VectorFunctions.int8Scale(col("vec"))).as("code"))
+        val seeds = coded.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("code"))
+        val corpus = coded.filter(col("id") >= 8)
+        val trained = Similarity.kmeansTrainInt8(corpus, seeds,
+          maxRounds = 3, exactRounds = true)
+        val cents = trained.toDF(s)
+          .select(col("cid"), col("code").as("cvec"))
+        // materialized once: semanticDedup references the frame 3 times
+        val assigned = Similarity.ivfAssign(
+            corpus.select(col("id"), col("code").as("vec")), cents)
+          .localCheckpoint(true)
+        Similarity.semanticDedup(assigned, threshold = 0.35,
+            maxBucketSize = Some(60))
+          .orderBy(col("id"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             c AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             cent0 AS (SELECT id AS cid, code AS ccode FROM c WHERE id < 8),
+             corpus AS (SELECT id, code FROM c WHERE id >= 8),
+             ${(1 to 3).map(sqlLloyd).mkString(",\n")},
+             asgF AS (SELECT id, code, cid AS bucket
+                      FROM (SELECT corpus.id, corpus.code, cc.cid,
+                              ROW_NUMBER() OVER (PARTITION BY corpus.id ORDER BY
+                                list_sum(list_transform(range(1, 65), i ->
+                                  (code[i] - ccode[i]) * (code[i] - ccode[i]))), cc.cid) AS rn
+                            FROM corpus CROSS JOIN cent3 cc)
+                      WHERE rn = 1),
+             sz AS (SELECT bucket, COUNT(*) AS n FROM asgF GROUP BY bucket),
+             capd AS (SELECT a.id, a.code, a.bucket
+                      FROM asgF a JOIN sz USING (bucket) WHERE sz.n <= 60),
+             pr AS (SELECT a.id, a.code AS c1, b.code AS c2
+                    FROM capd a JOIN capd b USING (bucket)
+                    WHERE b.id < a.id),
+             sc AS (SELECT id,
+                      CASE WHEN sqrt(CAST(${sqlDotInt("c1", "c1")} AS DOUBLE)) *
+                                sqrt(CAST(${sqlDotInt("c2", "c2")} AS DOUBLE)) > 0
+                           THEN CAST(${sqlDotInt("c1", "c2")} AS DOUBLE) /
+                                (sqrt(CAST(${sqlDotInt("c1", "c1")} AS DOUBLE)) *
+                                 sqrt(CAST(${sqlDotInt("c2", "c2")} AS DOUBLE)))
+                           ELSE 0.0 END AS cos
+                    FROM pr),
+             dup AS (SELECT DISTINCT id FROM sc WHERE cos >= 0.35)
+        SELECT a.id, a.bucket FROM asgF a
+        LEFT JOIN dup d ON d.id = a.id
+        WHERE d.id IS NULL
+        ORDER BY a.id"""))
   )
 }
