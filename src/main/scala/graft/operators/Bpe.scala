@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a distributed iterative job —
+  * the model-side counterpart of [[graft.functions.TextFunctions.bpePreTokens]]
+  * (which segments text into the units BPE merges within, never across).
+  *
+  * The loop runs on the DISTINCT-pretoken frequency table, not the corpus:
+  * that is the published trainer shape (count each pretoken once, weight
+  * every pair by its frequency), and it is also the 100 TB move — the
+  * corpus collapses to a vocabulary of distinct pretokens (millions of
+  * rows at web scale) in ONE exact groupBy, and every Lloyd-style round
+  * after that touches only the vocabulary. All arithmetic is integer
+  * counts with lexicographic tie-breaks, so a SQL engine reproduces the
+  * merge table round for round (the q102 oracle unrolls the loop the way
+  * the q95 oracle unrolls integer Lloyd).
+  */
+object Bpe {
+
+  /** One merge learned by [[trainBpe]]: at `round`, the adjacent symbol
+    * pair (`left`, `right`) had the highest frequency-weighted count.
+    */
+  final case class BpeMerge(round: Int, left: String, right: String, cnt: Long)
+
+  /** A pretoken as its character symbols — the round-0 state every BPE
+    * trainer starts from. Pure per-character substring arithmetic,
+    * identical in any engine (1-based char positions).
+    */
+  def charSymbols(tok: Column): Column =
+    transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1)))
+
+  /** Apply ONE learned merge to a symbol array: every adjacent (l, r)
+    * occurrence fuses, left to right, non-overlapping — "aaa" under
+    * (a, a) becomes [aa, a], and the fused symbol never re-merges within
+    * the same round. A single left fold gives exactly that semantics
+    * (the fused symbol sits in the accumulator as `l || r`, which can
+    * only match the pair again if it EQUALS l — impossible for non-empty
+    * r), and the same fold runs on the oracle side as a list_reduce.
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, lit(Array.empty[String]), (acc, s) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Train `rounds` greedy BPE merges over a (tok, freq) pretoken table.
+    * Per round: frequency-weighted adjacent-pair counts over the current
+    * symbol arrays, argmax with the deterministic (cnt DESC, l, r)
+    * tie-break, then the merge applied everywhere. Returns the merge
+    * table — the model artifact, `rounds` rows, driver-sized by
+    * construction (like the trained k-means centroid set).
+    *
+    * Scale shape, per round: ONE job — the vocabulary carries a lazy
+    * `localCheckpoint`, and the round's pair-count argmax (a map-side
+    * combined groupBy + TakeOrdered(1)) both materializes it and picks
+    * the merge, the [[Dedup]] connected-components convention. The
+    * vocabulary never grows (merges only shrink symbol arrays), and the
+    * corpus is never touched after the initial pretoken groupBy.
+    */
+  def trainBpe(pretokens: DataFrame, rounds: Int): Seq[BpeMerge] = {
+    var vocab = pretokens
+      .select(col("tok"), col("freq").cast("long").as("freq"),
+        charSymbols(col("tok")).as("syms"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[BpeMerge]
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      round += 1
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2), i =>
+            struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every pretoken fully merged
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(round, l, r, cnt)
+        val next = vocab
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(false)
+        vocab.unpersist(false)
+        vocab = next
+      }
+    }
+    vocab.unpersist(false)
+    merges.result()
+  }
+}

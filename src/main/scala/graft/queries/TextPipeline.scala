@@ -20,6 +20,29 @@ object TextPipeline {
 
   private val streamFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** One unrolled BPE training round for the q102 oracle: frequency-
+    * weighted adjacent-pair counts over the current vocabulary, the
+    * deterministic (cnt DESC, l, r) argmax, then the merge applied with
+    * the SAME left fold [[graft.operators.Bpe.applyMerge]] runs — a
+    * list_reduce over singleton lists, so the accumulator is a symbol
+    * list and left-to-right non-overlapping fusion falls out of the fold
+    * order. Chained `vocab0 … vocabR` CTEs mirror the Spark loop round
+    * for round, the q95 sqlLloyd pattern.
+    */
+  private def sqlBpeRound(r: Int): String = s"""
+    pc$r AS (SELECT pr.l AS l, pr.r AS r, SUM(freq)::BIGINT AS cnt
+             FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+                     i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+                   FROM vocab${r - 1} WHERE len(syms) >= 2)
+             GROUP BY 1, 2),
+    m$r AS (SELECT l, r, cnt FROM pc$r ORDER BY cnt DESC, l, r LIMIT 1),
+    vocab$r AS (SELECT v.tok, v.freq,
+                  list_reduce(list_transform(v.syms, s -> [s]),
+                    (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                                     THEN acc[:-2] || [acc[-1] || x[1]]
+                                     ELSE acc || x END) AS syms
+                FROM vocab${r - 1} v CROSS JOIN m$r m)"""
+
   /** q97's deterministic zh fixture: real (space-free) Chinese sentences
     * built from closed-class function characters, plus one distinctive
     * content character per doc for vocabulary diversity. Shared verbatim
@@ -1608,6 +1631,49 @@ object TextPipeline {
                COALESCE(list_sum(list_transform(arr, t -> length(t))), 0)::BIGINT AS tok_chars
         FROM a
         ORDER BY doc_id"""
+      }),
+
+    // ---- q102: BPE tokenizer TRAINING — the greedy merge loop run as a
+    // distributed iterative job (operators.Bpe.trainBpe). The corpus
+    // collapses to the DISTINCT-pretoken frequency table in one exact
+    // groupBy (the published trainer shape, and the 100 TB move: rounds
+    // touch the vocabulary, never the corpus); each round is ONE job — a
+    // lazy localCheckpoint materialized by the round's pair-count argmax,
+    // the connected-components convention. All integer counts +
+    // lexicographic tie-breaks, so the oracle unrolls the loop round for
+    // round (the q95 sqlLloyd pattern) and the learned merge table must
+    // reproduce exactly.
+    QueryDef(
+      "q102_bpe_train",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.Bpe
+        val pre = docs(s, dir).filter(col("lang") === "en")
+          .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val merges = Bpe.trainBpe(pre, rounds = 6)
+        import s.implicits._
+        merges.map(m => (m.round, m.left, m.right, m.cnt))
+          .toDF("round", "pair_left", "pair_right", "cnt")
+          .orderBy(col("round"))
+      },
+      Some {
+        val pat = graft.functions.TextFunctions.BpePreTokenPattern
+          .replace("'", "''")
+        s"""
+        WITH pt AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok
+                    FROM documents WHERE lang = 'en'),
+        base AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM pt GROUP BY tok),
+        vocab0 AS (SELECT tok, freq,
+            list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS syms
+          FROM base),
+        ${(1 to 6).map(sqlBpeRound).mkString(",\n")}
+        SELECT * FROM (
+          ${(1 to 6).map(r =>
+            s"SELECT $r AS round, l AS pair_left, r AS pair_right, cnt FROM m$r")
+            .mkString("\n          UNION ALL ")}
+        )
+        ORDER BY round"""
       })
   )
 }
