@@ -760,4 +760,59 @@ class OperatorsSpec extends SparkSpec {
     assert(deepget(row, "nested.arr.9.name", "dflt") == "dflt") // OOB index
     assert(deepget(row, "nested.s.deeper", "dflt") == "dflt")   // scalar mid-path
   }
+
+  test("BPE applyMerge: left-to-right non-overlapping fusion, no same-round re-merge") {
+    import graft.operators.Bpe
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),        // overlapping matches: leftmost wins
+      (2L, Seq("a", "a", "a", "a")),   // even run: both pairs fuse
+      (3L, Seq("a", "b", "a", "b")),   // disjoint matches both fuse
+      (4L, Seq("x", "a", "a", "y")),   // interior match
+      (5L, Seq("b")),                  // single symbol untouched
+      (6L, Seq("a", "a", "a", "b"))    // fused "aa" must not re-merge with b
+    ).toDF("id", "syms")
+    val out = df.select(col("id"), Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("aa", "a"))
+    assert(out(2L) == Seq("aa", "aa"))
+    assert(out(3L) == Seq("a", "b", "a", "b"))
+    assert(out(4L) == Seq("x", "aa", "y"))
+    assert(out(5L) == Seq("b"))
+    assert(out(6L) == Seq("aa", "a", "b"))
+  }
+
+  test("BPE training learns the dominant pair first and respects prior merges") {
+    import graft.operators.Bpe
+    // "ab" dominates round 1 (freq-weighted 10+3); after (a,b) fuses,
+    // round 2's top pair is ("ab","c") from the 10-weight word — counts
+    // must reflect the MERGED vocabulary, not raw characters
+    val pre = Seq(("abc", 10L), ("ab", 3L), ("zq", 2L)).toDF("tok", "freq")
+    val merges = Bpe.trainBpe(pre, rounds = 3)
+    assert(merges.map(m => (m.round, m.left, m.right, m.cnt)) == Seq(
+      (1, "a", "b", 13L), (2, "ab", "c", 10L), (3, "z", "q", 2L)))
+    // a 4th round has no pairs left — the loop stops, no phantom merges
+    assert(Bpe.trainBpe(pre, rounds = 10).size == 3)
+  }
+
+  test("semanticDedup: lower id wins in-cluster, fail-open above the cap") {
+    import graft.operators.Similarity
+    // codes chosen so cosineInt8(a, b) = 1.0 for parallel vectors
+    val par = Seq(10L, 0L, 0L, 0L)
+    val par2 = Seq(20L, 0L, 0L, 0L) // parallel to par => cos 1.0
+    val orth = Seq(0L, 10L, 0L, 0L) // orthogonal => cos 0.0
+    val assigned = Seq(
+      (1L, par, 0L), (2L, par2, 0L), (3L, orth, 0L),   // small cluster
+      (10L, par, 1L), (11L, par2, 1L), (12L, orth, 1L), (13L, Seq(0L, 0L, 7L, 0L), 1L)
+    ).toDF("id", "vec", "bucket")
+    // cap 3: cluster 0 capped-in (2 suppressed by 1), cluster 1 (size 4)
+    // fails OPEN — all four survive despite 10/11 being parallel
+    val out = Similarity.semanticDedup(assigned, threshold = 0.9,
+        maxBucketSize = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 0L), (3L, 0L), (10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L)))
+    // uncapped: suppression applies everywhere
+    val all = Similarity.semanticDedup(assigned, threshold = 0.9, maxBucketSize = None)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 3L, 10L, 12L, 13L))
+  }
 }
