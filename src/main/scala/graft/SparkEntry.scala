@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** All query definitions, in stable registration order. */
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ LogAnalytics.defs ++ TextPipeline.defs ++ Vectors.defs ++ Alerting.defs
+    Relational.defs ++ LogAnalytics.defs ++ TextPipeline.defs ++ Vectors.defs ++
+      Alerting.defs ++ Search.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

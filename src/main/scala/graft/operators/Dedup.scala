@@ -231,4 +231,107 @@ object Dedup {
       .select(col(idCol), simhash16FromHashes(col("__h")).as("simhash"))
       .withColumn("band_hi", shiftright(col("simhash"), 8))
       .withColumn("band_lo", col("simhash") % 256)
+
+  /** Positional w-token span table: (doc, start, h) with start 1-based and
+    * h = md5 of the space-joined token window. The Spark substitute for a
+    * suffix array: exact repeated SUBSTRINGS (not whole-document dups) are
+    * found by hashing every fixed-width window and grouping — the
+    * detection half of substring-level dedup (repeated boilerplate,
+    * licenses, navigation chrome), which document-level dedup provably
+    * misses. Payload per span is (16-byte hash, id, int) — bodies never
+    * move, and the group-by needs only counts, never the pair space.
+    */
+  def spanTable(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    // posexplode_outer + isNotNull, NOT posexplode: InferFiltersFromGenerate
+    // would clone the full shingle derivation (tokens re-inlined per lambda
+    // reference) into a pre-Generate filter — the q58 generator-pushdown
+    // trap; see Curation.scala:92
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), posexplode_outer(wordShingles(col("__tk"), w)))
+      .filter(col("col").isNotNull)
+      .select(col("doc"), (col("pos") + 1).as("start"), md5(col("col")).as("h"))
+
+  /** Spans whose window text occurs >= 2 times corpus-wide (within- OR
+    * cross-doc — substring dedup removes both). One count-shuffle on the
+    * span hash, then a left-semi back onto the span table; `ndocs` rides
+    * along so callers can distinguish cross-doc boilerplate from
+    * within-doc repetition.
+    */
+  def duplicatedSpans(spans: DataFrame): DataFrame = {
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc")).as("ndocs"))
+      .filter(col("n_occ") >= 2)
+    spans.join(dup, "h")
+      .select(col("doc"), col("start"), col("h"), col("n_occ"), col("ndocs"))
+  }
+
+  /** Per-doc duplicated-token coverage: the number of token positions
+    * covered by at least one duplicated span (union of [start, start+w)
+    * intervals). Exploding only the DUPLICATED spans bounds the blowup to
+    * w × dup-span count; counts are exact integers → oracle-portable.
+    */
+  def dupSpanCoverage(dupSpans: DataFrame, w: Int): DataFrame =
+    dupSpans
+      .select(col("doc"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("p"))
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("p")).as("covered_tokens"))
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every k-token gram,
+    * slide a w-wide window over the hash sequence, keep each window's
+    * minimum — a guarantee-bearing selection (any shared run of w+k-1
+    * tokens shares at least one fingerprint) at ~1/w the density of full
+    * shingling. Returns (doc, fp) with the per-doc DISTINCT fingerprint
+    * set exploded.
+    *
+    * Everything is per-row array arithmetic (no shuffle): gram md5s are
+    * staged as their own projection (lambda CSE), window minima are
+    * slice+array_min — O(n·w) per doc with w small. Fingerprints are
+    * 8-hex-char md5 chunks: lexicographic min agrees across engines on
+    * the hex alphabet.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowFingerprints needs k >= 1 and w >= 1")
+    val fps = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), wordShingles(col("__tk"), k).as("__g"))
+      .select(col("doc"),
+        transform(col("__g"), g => substring(md5(g), 1, 8)).as("__h"))
+      .select(col("doc"), when(size(col("__h")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("__h")) - w),
+            i => array_min(slice(col("__h"), i + 1, lit(w))))))
+        .otherwise(array_distinct(when(size(col("__h")) > 0,
+          array(array_min(col("__h")))).otherwise(array().cast("array<string>"))))
+        .as("fps"))
+    // explode_outer + isNotNull: a plain explode's inferred `size(fps) > 0`
+    // filter inlines the ENTIRE window-min derivation with the token array
+    // re-derived inside every lambda reference — measured 842 s (vs ~1 s)
+    // over sf0.1 before this. See Curation.scala:92.
+    fps.select(col("doc"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** Doc pairs ranked by shared winnowing fingerprints. Same bucket shape
+    * as the LSH families: group docs by fingerprint (one exchange), cap
+    * pathological buckets (a fingerprint shared by B docs yields B² pairs
+    * — boilerplate hashes are exactly the skew case), pair within the
+    * bucket, then count distinct shared fingerprints per pair. The cap is
+    * a deterministic window count, so an oracle can mirror it exactly.
+    */
+  def winnowSharedPairs(fps: DataFrame,
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        fps.withColumn("__bn", count(lit(1)).over(win))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => fps
+    }
+    bounded.select(col("fp"), col("doc").as("id1"))
+      .join(bounded.select(col("fp"), col("doc").as("id2")), "fp")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+  }
 }

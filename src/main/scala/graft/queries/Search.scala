@@ -1,0 +1,323 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, InvertedIndex}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-search and substring-level-dedup queries: inverted-index
+  * construction, index-shaped phrase retrieval, duplicated-substring span
+  * detection (the suffix-array-style exact-substring dedup family member),
+  * and winnowing (MOSS) fingerprint similarity. All arithmetic is
+  * integer/md5 → every query is oracle-exact in DuckDB.
+  */
+object Search {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Shared DuckDB scaffolding (the TextPipeline conventions). */
+  private def sqlToks =
+    raw"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+  private def sqlGram(n: Int): String =
+    (1 to n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q103: inverted-index construction — term→postings statistics.
+    // The index build IS a word count with positions: one posexplode
+    // (map), one exchange on the term with map-side partial aggregation.
+    // At 100 TB the payload is (term, doc, pos) — bodies never shuffle —
+    // and the stats row per term is what a query planner's term
+    // dictionary holds. Top-k by document frequency gates the result.
+    QueryDef(
+      "q103_inverted_index",
+      (s, dir) => {
+        val post = InvertedIndex.postings(docs(s, dir), "doc_id", "text")
+        InvertedIndex.indexStats(post)
+          .orderBy(col("df_docs").desc, col("term"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        post AS (SELECT doc_id, unnest(tk) AS term FROM tk)
+        SELECT term,
+               COUNT(DISTINCT doc_id)::BIGINT AS df_docs,
+               COUNT(*)::BIGINT AS cf,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM post GROUP BY term
+        ORDER BY df_docs DESC, term LIMIT 20""")),
+
+    // ---- q104: phrase search THROUGH the index — the corpus's most
+    // frequent bigram is the phrase (self-contained + deterministic:
+    // cnt DESC, gram ASC argmax), matched by position-adjacency: a
+    // posting for ordinal o anchors start = pos − o, and a (doc, start)
+    // where every ordinal appears is an occurrence. The tiny phrase
+    // frame broadcasts; only the phrase terms' postings survive the
+    // join, so the corpus is scanned once and never self-joined.
+    QueryDef(
+      "q104_phrase_search",
+      (s, dir) => {
+        val en = docs(s, dir).filter(col("lang") === "en")
+        val post = InvertedIndex.postings(en, "doc_id", "text")
+        val top = en
+          .select(explode_outer(wordShingles(tokens(col("text")), 2)).as("gram"))
+          .filter(col("gram").isNotNull)
+          .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("gram")).limit(1)
+        val phrase = top
+          .select(posexplode(split(col("gram"), " ")))
+          .select(col("pos").cast("int").as("ord"), col("col").as("term"))
+        InvertedIndex.phraseMatches(post, phrase, k = 2)
+          .groupBy(col("doc"))
+          .agg(count(lit(1)).as("n_matches"))
+          .orderBy(col("n_matches").desc, col("doc"))
+          .limit(20)
+          .select(col("doc").as("doc_id"), col("n_matches"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents
+                    WHERE lang = 'en'),
+        post0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                    i -> {'pos': i, 'term': tk[i]})) AS pr FROM tk),
+        post AS (SELECT doc_id, pr.pos AS pos, pr.term AS term FROM post0),
+        grams AS (SELECT unnest(list_transform(range(0, len(tk) - 1),
+                    i -> ${sqlGram(2)})) AS g FROM tk),
+        top AS (SELECT g FROM (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g)
+                ORDER BY cnt DESC, g LIMIT 1),
+        phr AS (SELECT 0 AS ord, string_split(g, ' ')[1] AS term FROM top
+                UNION ALL
+                SELECT 1 AS ord, string_split(g, ' ')[2] AS term FROM top),
+        m AS (SELECT post.doc_id, post.pos - phr.ord AS start
+              FROM post JOIN phr ON post.term = phr.term
+              WHERE post.pos - phr.ord >= 1
+              GROUP BY 1, 2
+              HAVING COUNT(DISTINCT phr.ord) = 2)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_matches
+        FROM m GROUP BY doc_id
+        ORDER BY n_matches DESC, doc_id LIMIT 20""")),
+
+    // ---- q105: duplicated-substring span detection — the exact-substring
+    // half of dedup (document-level fingerprints miss repeated
+    // boilerplate INSIDE otherwise-distinct docs; the published recipe is
+    // a suffix array, whose Spark-native substitute is fixed-width window
+    // hashing). Every 8-token window is hashed (map), windows occurring
+    // >= 2 times corpus-wide are flagged (one count-shuffle on the
+    // 16-byte hash), and per-doc coverage is the union of flagged
+    // [start, start+8) intervals — exploded only for the flagged spans.
+    QueryDef(
+      "q105_dup_spans",
+      (s, dir) => {
+        val w = 8
+        val spans = Dedup.spanTable(docs(s, dir), "doc_id", "text", w)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nspans = spans.groupBy(col("doc"))
+          .agg(count(lit(1)).as("n_spans"))
+        val dups = Dedup.duplicatedSpans(spans)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val perDoc = dups.groupBy(col("doc")).agg(
+          count(lit(1)).as("n_dup_spans"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_crossdoc_spans"))
+        val cov = Dedup.dupSpanCoverage(dups, w)
+        val out = nspans
+          .join(perDoc, Seq("doc"), "left")
+          .join(cov, Seq("doc"), "left")
+          .select(col("doc").as("doc_id"), col("n_spans"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            coalesce(col("n_crossdoc_spans"), lit(0L)).as("n_crossdoc_spans"),
+            coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+          .orderBy(col("doc_id"))
+        out
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        sp0 AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+                  i -> {'start': i + 1, 'h': md5(${sqlGram(8)})})) AS sp FROM tk),
+        spans AS (SELECT doc_id, sp.start AS start, sp.h AS h FROM sp0),
+        hh AS (SELECT h, COUNT(*)::BIGINT AS n_occ,
+                      COUNT(DISTINCT doc_id)::BIGINT AS ndocs
+               FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+        dsp AS (SELECT spans.doc_id, spans.start, hh.ndocs
+                FROM spans JOIN hh USING (h)),
+        ns AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans
+               FROM spans GROUP BY doc_id),
+        pd AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_spans,
+                      SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_crossdoc_spans
+               FROM dsp GROUP BY doc_id),
+        cov AS (SELECT doc_id, COUNT(DISTINCT p)::BIGINT AS covered_tokens
+                FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p
+                      FROM dsp)
+                GROUP BY doc_id)
+        SELECT ns.doc_id, ns.n_spans,
+               COALESCE(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+               COALESCE(pd.n_crossdoc_spans, 0)::BIGINT AS n_crossdoc_spans,
+               COALESCE(cov.covered_tokens, 0)::BIGINT AS covered_tokens
+        FROM ns
+        LEFT JOIN pd USING (doc_id)
+        LEFT JOIN cov USING (doc_id)
+        ORDER BY ns.doc_id""")),
+
+    // ---- q106: winnowing (MOSS) fingerprint similarity — the
+    // guarantee-bearing sparse fingerprint: any shared token run of
+    // w+k−1 tokens shares >= 1 window-min hash, at ~2/(w+1) the density
+    // of full shingling. Selection is per-row array arithmetic (zero
+    // shuffle); pairing is the LSH bucket shape — group by fingerprint,
+    // deterministic window-count cap (mirrored in the oracle), pair
+    // within bucket, count shared fingerprints per pair.
+    QueryDef(
+      "q106_winnow_pairs",
+      (s, dir) => {
+        val en = docs(s, dir).filter(col("lang") === "en")
+        val fps = Dedup.winnowFingerprints(en, "doc_id", "text", k = 3, w = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nfp = fps.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
+        Dedup.winnowSharedPairs(fps, maxBucketSize = Some(1000))
+          .join(nfp.select(col("doc").as("id1"), col("n_fp").as("n1")), "id1")
+          .join(nfp.select(col("doc").as("id2"), col("n_fp").as("n2")), "id2")
+          .filter(col("shared") >= 2)
+          .orderBy(col("shared").desc, col("id1"), col("id2"))
+          .limit(50)
+          .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents
+                    WHERE lang = 'en'),
+        g AS (SELECT doc_id, list_transform(range(0, len(tk) - 2),
+                i -> ${sqlGram(3)}) AS gs FROM tk),
+        h AS (SELECT doc_id,
+                list_transform(gs, x -> substr(md5(x), 1, 8)) AS hs FROM g),
+        f AS (SELECT doc_id,
+                CASE WHEN len(hs) >= 4 THEN list_distinct(
+                       list_transform(range(0, len(hs) - 3),
+                         i -> list_min(hs[i+1:i+4])))
+                     WHEN len(hs) > 0 THEN [list_min(hs)]
+                     ELSE []::VARCHAR[] END AS fps FROM h),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        bn AS (SELECT fp, COUNT(*) AS b FROM fp GROUP BY fp),
+        fpb AS (SELECT fp.doc_id, fp.fp FROM fp JOIN bn USING (fp)
+                WHERE bn.b <= 1000),
+        n AS (SELECT doc_id, COUNT(*)::BIGINT AS n_fp FROM fp GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                      COUNT(*)::BIGINT AS shared
+               FROM fpb a JOIN fpb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id1, id2, shared, n1.n_fp AS n1, n2.n_fp AS n2
+        FROM pr
+        JOIN n n1 ON pr.id1 = n1.doc_id
+        JOIN n n2 ON pr.id2 = n2.doc_id
+        WHERE shared >= 2
+        ORDER BY shared DESC, id1, id2 LIMIT 50""")),
+
+    // ---- q107: ranked retrieval (integer BM25-lite) over the index —
+    // tf-saturated, idf-weighted top-k scoring with EVERY weight in the
+    // integer domain so ranking reproduces bit-exactly cross-engine:
+    //   idf  ~ (N − df + ½)/(df + ½) → wt = (1000·(2(N−df)+1)) div (2df+1)
+    //   tf   ~ tf·(k1+1)/(tf+k1), k1 = 1.2 → (wt·tf·22) div (10·tf+12)
+    // (the BM25 log and length-normalization are deliberately dropped:
+    // the log is not exactly portable across engines and neither changes
+    // the df-monotonicity the rank depends on; magnitudes stay int64-safe
+    // past 1e9 docs at the 1000× idf scale). Query terms are the top-3
+    // mid-frequency terms (5 ≤ df ≤ 50, df DESC, term ASC) — derived from
+    // the corpus, so the query is self-contained; the tiny (term, wt)
+    // frame broadcasts into the tf table and only matching terms' rows
+    // survive. Scoring shape at 100 TB: one tf exchange + one broadcast
+    // join + one groupBy on doc — no corpus self-join, no sort until the
+    // final top-k.
+    QueryDef(
+      "q107_ranked_search",
+      (s, dir) => {
+        val en = docs(s, dir).filter(col("lang") === "en")
+        val tfq = InvertedIndex.termFrequencies(
+          InvertedIndex.postings(en, "doc_id", "text"))
+        val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = en.select(count(lit(1)).as("n_docs"))
+        val qt = dfq.filter(col("df").between(5, 50))
+          .orderBy(col("df").desc, col("term")).limit(3)
+          .crossJoin(broadcast(n))
+          .select(col("term"),
+            expr("(1000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)").as("wt"))
+        tfq.join(broadcast(qt), "term")
+          .withColumn("__c", expr("(wt * tf * 22) div (10 * tf + 12)"))
+          .groupBy(col("doc"))
+          .agg(sum(col("__c")).as("score"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score").desc, col("doc"))
+          .limit(10)
+          .select(col("doc").as("doc_id"), col("score"), col("n_terms"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents
+                    WHERE lang = 'en'),
+        post AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        tfq AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+                FROM post GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tfq GROUP BY 1),
+        n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents
+              WHERE lang = 'en'),
+        qt AS (SELECT term,
+                      (1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1) AS wt
+               FROM (SELECT term, df FROM dfq WHERE df BETWEEN 5 AND 50
+                     ORDER BY df DESC, term LIMIT 3)
+               CROSS JOIN n),
+        sc AS (SELECT tfq.doc_id,
+                      SUM((wt * tf * 22) // (10 * tf + 12))::BIGINT AS score,
+                      COUNT(*)::BIGINT AS n_terms
+               FROM tfq JOIN qt USING (term) GROUP BY 1)
+        SELECT doc_id, score, n_terms FROM sc
+        ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // ---- q108: count-min heavy hitters — frequency estimation with d×m
+    // cells of FIXED state (d=4, m=256) no matter the vocabulary: the
+    // 100 TB shape for hot-key detection when the exact term table is
+    // itself huge, and the additive-merge state a streaming profile
+    // carries. Hashing is the salted md5-chunk family, so the sketch —
+    // and every estimate — rebuilds bit-exactly in the oracle; the output
+    // pairs each top-20 true count with its estimate and slack (est −
+    // true ≥ 0 by construction: min of per-row overcounts).
+    QueryDef(
+      "q108_heavy_hitters",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val d = 4
+        val m = 256
+        val en = docs(s, dir).filter(col("lang") === "en")
+        val tc = en.select(explode_outer(tokens(col("text"))).as("term"))
+          .filter(col("term").isNotNull)
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cells = CountMin.counters(tc, "term", "cnt", d, m)
+        val top = tc.orderBy(col("cnt").desc, col("term")).limit(20)
+        CountMin.estimate(cells, top.select(col("term")), "term", d, m)
+          .join(broadcast(top), "term")
+          .select(col("term"), col("cnt").as("true_cnt"), col("cm_est"),
+            (col("cm_est") - col("cnt")).as("slack"))
+          .orderBy(col("true_cnt").desc, col("term"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents
+                    WHERE lang = 'en'),
+        tc AS (SELECT unnest(tk) AS term FROM tk),
+        cnts AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM tc GROUP BY term),
+        rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        cells AS (SELECT r,
+                    ('0x' || substr(md5(term || '#cm' || r), 1, 8))::BIGINT % 256
+                      AS bucket,
+                    SUM(cnt)::BIGINT AS cell
+                  FROM cnts CROSS JOIN rr
+                  GROUP BY 1, 2),
+        top AS (SELECT term, cnt FROM cnts ORDER BY cnt DESC, term LIMIT 20),
+        probes AS (SELECT term, r,
+                     ('0x' || substr(md5(term || '#cm' || r), 1, 8))::BIGINT % 256
+                       AS bucket
+                   FROM top CROSS JOIN rr),
+        est AS (SELECT term, MIN(cell)::BIGINT AS cm_est
+                FROM probes JOIN cells USING (r, bucket)
+                GROUP BY term)
+        SELECT top.term, top.cnt AS true_cnt, est.cm_est,
+               (est.cm_est - top.cnt)::BIGINT AS slack
+        FROM top JOIN est USING (term)
+        ORDER BY true_cnt DESC, top.term"""))
+  )
+}

@@ -43,6 +43,18 @@ class PlanShapeSpec extends SparkSpec {
     case n => n.dataType.isInstanceOf[ArrayType] || n.dataType.isInstanceOf[MapType]
   }
 
+  /** All FilterExec conditions — the inferred `size(arr) > 0` from a
+    * non-outer Generate lands here even when pushdown can't reach the scan
+    * (e.g. with a staged projection chain in between). An inlined
+    * derivation in a Filter CONDITION is the same quadratic trap as in a
+    * scan filter: the q106 winnowing pipeline measured 842 s (vs ~1 s)
+    * over sf0.1 from exactly this shape before the explode_outer fix.
+    */
+  private def filterConditions(df: DataFrame): Seq[Expression] =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition
+    }
+
   for ((name, fn) <- SparkEntry.queries if !sideEffecting(name))
     test(s"$name: no derived-collection expression in any FileScan data filter") {
       val df = fn(spark, sf)
@@ -50,6 +62,11 @@ class PlanShapeSpec extends SparkSpec {
       assert(offenders.isEmpty,
         s"scan filters re-derive a collection (generator-pushdown trap):\n" +
           offenders.map(_.toString).mkString("\n"))
+      val filterOffenders = filterConditions(df).filter(derivesCollection)
+      assert(filterOffenders.isEmpty,
+        s"a Filter condition re-derives a collection (generator-pushdown " +
+          s"trap outside the scan):\n" +
+          filterOffenders.map(_.toString.take(500)).mkString("\n"))
       // second scale guard: a non-broadcast cross product pairs every
       // partition with every other — |A|x|B| rows through one stage. The
       // intentional cross joins (brute-force scoring, centroid argmin)
