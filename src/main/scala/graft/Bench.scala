@@ -31,7 +31,8 @@ object Bench {
                SparkEntry.queries.get("q82_routed_ingest") ++
                SparkEntry.queries.get("q89_sideline_gate") ++
                SparkEntry.queries.get("q95_embed_pipeline") ++
-               SparkEntry.queries.get("q96_stream_dedup_fold")) {
+               SparkEntry.queries.get("q96_stream_dedup_fold") ++
+               SparkEntry.queries.get("q109_index_incremental")) {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
     }
@@ -70,6 +71,12 @@ object Bench {
         // queries that persist intermediates (q32's shingle frame) must not
         // leak executor memory into the next measurement — even on failure
         spark.catalog.clearCache()
+        // clearCache misses localCheckpoint blocks (q67/q84's CC rounds):
+        // those wait for the ASYNC ContextCleaner, so 60+ queries in, the
+        // accumulated blocks squeeze the unified-memory region and the
+        // checkpoint-loop queries degrade 6x (r9 sweep: q84 steady 27.9 s
+        // vs 4.4 s isolated). Drop every leftover persistent RDD NOW.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
     def jsonMap(sel: ((Double, Double)) => Double): String =

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.lake.Snapshots
 import graft.operators.{Dedup, InvertedIndex}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -16,6 +17,56 @@ object Search {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+
+  private val indexFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** q109's incremental fold, reusable by the Scale probe: split `d` into
+    * three id-ordered batches and fold each into the term-keyed lake index
+    * at `table` — append the first, then per batch compute partial stats
+    * and merge-upsert ONLY the touched terms (df/cf sums are exact on
+    * doc-disjoint batches; min/max merge the doc span).
+    */
+  def indexFold(s: SparkSession, d: DataFrame, table: String): Unit = {
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val cuts = Seq(
+      col("doc_id") < maxId / 3,
+      col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+      col("doc_id") >= 2 * maxId / 3)
+    val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      val part = InvertedIndex.indexStats(
+        InvertedIndex.postings(d.filter(cut), "doc_id", "text"))
+      if (i == 0) Snapshots.append(part.withColumn("ts", ts0), table)
+      else {
+        val ex = Snapshots.read(s, table).select(col("term"),
+          col("df_docs").as("__df0"), col("cf").as("__cf0"),
+          col("min_doc").as("__mn0"), col("max_doc").as("__mx0"))
+        // touched terms only: untouched index rows never move
+        val merged = part.join(ex, Seq("term"), "left")
+          .select(col("term"),
+            (col("df_docs") + coalesce(col("__df0"), lit(0L))).as("df_docs"),
+            (col("cf") + coalesce(col("__cf0"), lit(0L))).as("cf"),
+            least(col("min_doc"), col("__mn0")).as("min_doc"),
+            greatest(col("max_doc"), col("__mx0")).as("max_doc"))
+        Snapshots.mergeUpsert(s, table, merged.withColumn("ts", ts0), "term")
+      }
+    }
+  }
+
+  /** Shared one-shot index-stats oracle (all-docs corpus, top-20 by df):
+    * q103 gates the one-shot build, q109 gates the incremental lake fold
+    * against the SAME text — the fold must be batch-cut-independent.
+    */
+  private def sqlIndexTop20: String = s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        post AS (SELECT doc_id, unnest(tk) AS term FROM tk)
+        SELECT term,
+               COUNT(DISTINCT doc_id)::BIGINT AS df_docs,
+               COUNT(*)::BIGINT AS cf,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM post GROUP BY term
+        ORDER BY df_docs DESC, term LIMIT 20"""
 
   /** Shared DuckDB scaffolding (the TextPipeline conventions). */
   private def sqlToks =
@@ -39,16 +90,7 @@ object Search {
           .orderBy(col("df_docs").desc, col("term"))
           .limit(20)
       },
-      Some(s"""
-        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-        post AS (SELECT doc_id, unnest(tk) AS term FROM tk)
-        SELECT term,
-               COUNT(DISTINCT doc_id)::BIGINT AS df_docs,
-               COUNT(*)::BIGINT AS cf,
-               MIN(doc_id) AS min_doc,
-               MAX(doc_id) AS max_doc
-        FROM post GROUP BY term
-        ORDER BY df_docs DESC, term LIMIT 20""")),
+      Some(sqlIndexTop20)),
 
     // ---- q104: phrase search THROUGH the index — the corpus's most
     // frequent bigram is the phrase (self-contained + deterministic:
@@ -318,6 +360,34 @@ object Search {
         SELECT top.term, top.cnt AS true_cnt, est.cm_est,
                (est.cm_est - top.cnt)::BIGINT AS slack
         FROM top JOIN est USING (term)
-        ORDER BY true_cnt DESC, top.term"""))
+        ORDER BY true_cnt DESC, top.term""")),
+
+    // ---- q109: INCREMENTAL index maintenance through the lake — the
+    // production posture: a corpus arrives in batches and the index must
+    // accumulate without rescanning history. Three id-ordered batches
+    // fold into a term-keyed lake table; each round computes the BATCH's
+    // partial stats (one small exchange), reads the current index, and
+    // merge-upserts only the touched terms (df/cf sums — exact because
+    // batches are doc-disjoint; min/max merge for the doc span). The gate
+    // is batch-cut independence: the folded index must equal q103's
+    // one-shot oracle bit for bit. At 100 TB each round's cost is the NEW
+    // batch's size plus a join against only its own terms' index rows —
+    // history is never rescanned (the q96/q81 composition pattern).
+    QueryDef(
+      "q109_index_incremental",
+      (s, dir) => {
+        val tmp = indexFoldDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_index_fold").toString
+          indexFold(s, docs(s, dir), s"$t/index")
+          t
+        })
+        Snapshots.read(s, s"$tmp/index")
+          .select(col("term"), col("df_docs"), col("cf"),
+            col("min_doc"), col("max_doc"))
+          .orderBy(col("df_docs").desc, col("term"))
+          .limit(20)
+      },
+      Some(sqlIndexTop20))
   )
 }

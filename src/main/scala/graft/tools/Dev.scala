@@ -32,7 +32,10 @@ object Dev {
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // scale-probe dirs carry only documents/embeddings/events
+    val probe = Seq("region", "documents").map(t => s"$sfDir/$t.parquet")
+      .find(p => new java.io.File(p).exists())
+    probe.foreach(p => spark.read.parquet(p).count())
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -54,6 +57,44 @@ object Dev {
           .write.mode("overwrite").format("noop").save()
         println(f"[bench] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         spark.catalog.clearCache()
+        // localCheckpoint blocks bypass catalog cache — free them too
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop()
+
+    case "stages" :: rest =>
+      // per-stage task profile: where does the wall time (and the max
+      // task) actually sit? The straggler-hunting view Scale's single
+      // max-task number points at but can't localize.
+      val name = rest.head
+      val dir = rest.lift(1).getOrElse("/root/testdata/sf0.01")
+      val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      val stats = scala.collection.concurrent.TrieMap
+        .empty[Int, (Long, Long, Int)] // stage -> (sum, max, n)
+      val names = scala.collection.concurrent.TrieMap.empty[Int, String]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskInfo != null) {
+              val d = e.taskInfo.duration
+              val (s0, m0, n0) = stats.getOrElse(e.stageId, (0L, 0L, 0))
+              stats(e.stageId) = (s0 + d, math.max(m0, d), n0 + 1)
+            }
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            names(e.stageInfo.stageId) =
+              e.stageInfo.name.takeWhile(_ != '\n').take(90)
+        })
+      warmup(spark, dir)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      println(f"[stages] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Thread.sleep(2000) // listener bus drain
+      println(f"${"stage"}%6s ${"tasks"}%6s ${"sum_s"}%8s ${"max_s"}%8s  site")
+      stats.toSeq.sortBy(-_._2._1).take(20).foreach { case (sid, (s, m, n)) =>
+        println(f"$sid%6d $n%6d ${s / 1e3}%8.2f ${m / 1e3}%8.2f  ${names.getOrElse(sid, "?")}")
       }
       spark.stop()
 

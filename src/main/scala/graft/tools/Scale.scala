@@ -189,6 +189,26 @@ object Scale {
         "q81_retro_clustered" -> (retro(clustered = true) _),
         "q82_routed_ingest" -> SparkEntry.queries("q82_routed_ingest"),
         "q89_sideline_gate" -> SparkEntry.queries("q89_sideline_gate"))
+    } ++ {
+      // corpus-search family (r9): the SparkEntry forms are fixture-free;
+      // q109's lake fold runs UN-memoized (fresh lake per invocation) so
+      // every run times the three-round incremental merge — the partial
+      // exchange + touched-terms join — not a cached read-back
+      Seq(
+        "q103_inverted_index" -> SparkEntry.queries("q103_inverted_index"),
+        "q104_phrase_search" -> SparkEntry.queries("q104_phrase_search"),
+        "q105_dup_spans" -> SparkEntry.queries("q105_dup_spans"),
+        "q106_winnow_pairs" -> SparkEntry.queries("q106_winnow_pairs"),
+        "q107_ranked_search" -> SparkEntry.queries("q107_ranked_search"),
+        "q108_heavy_hitters" -> SparkEntry.queries("q108_heavy_hitters"),
+        "q109_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.lake.Snapshots
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_idx").toString
+          graft.queries.Search.indexFold(s,
+            s.read.parquet(s"$dir/documents.parquet"), s"$t/index")
+          Snapshots.read(s, s"$t/index").select(col("term"))
+        }))
     }
   }
 
@@ -236,6 +256,8 @@ object Scale {
         last = maxTask.get; Thread.sleep(200); tries += 1
       }
       spark.catalog.clearCache()
+      // localCheckpoint blocks bypass catalog cache — free them too
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       (elapsed, maxTask.get)
     }
 
