@@ -41,6 +41,23 @@ object CountMin {
       .agg(sum(col("__c")).as("cell"))
   }
 
+  /** Cells straight from raw key OCCURRENCES — the streaming/one-pass
+    * form: no exact per-key table exists in a stream, so each occurrence
+    * contributes 1 to its d cells and ONE aggregation keeps the running
+    * sums (chained streaming aggregations are unsupported; this shape is
+    * legal under complete/update mode with d×m bounded state). On a batch
+    * frame it is cell-identical to [[counters]] over the exact counts.
+    */
+  def countersFromOccurrences(keys: DataFrame, keyCol: String,
+      d: Int, m: Int): DataFrame = {
+    require(d >= 1 && m >= 1, "CountMin needs d >= 1 rows and m >= 1 buckets")
+    (0 until d).map { r =>
+      keys.select(lit(r).as("r"), bucketOf(col(keyCol), r, m).as("bucket"))
+    }.reduce(_ union _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** Point estimates for `keys`: min over the d row counters. Keys frame
     * is expected tiny (candidate heavy hitters) → broadcast side of the
     * cell join.

@@ -128,6 +128,45 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
   }
 
+  test("count-min cells accumulate across micro-batches; folded sketch equals batch sketch") {
+    import graft.operators.CountMin
+    val d = 4
+    val m = 256
+    val input = MemoryStream[String](spark)
+    // the sketch's streaming claim made literal: every occurrence feeds
+    // its d cells, ONE complete-mode aggregation keeps the running sums —
+    // d×m bounded state no matter the stream length (the exact-count form
+    // would chain two aggregations, which streaming forbids)
+    val cells = CountMin.countersFromOccurrences(
+      input.toDF().toDF("term"), "term", d, m)
+    val q = cells.writeStream.format("memory").queryName("cm_sink")
+      .outputMode("complete").start()
+    val batches = Seq(
+      Seq("a", "b", "a", "c"),
+      Seq("a", "c", "c", "d"),
+      Seq("a", "a", "b", "e"))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cm_sink")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // one-shot batch sketch over the union must be cell-identical, via
+    // BOTH construction forms (occurrence-fed ≡ exact-count-fed)
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val all = batches.flatten.toDF("term")
+    val oneShot = cellMap(CountMin.countersFromOccurrences(all, "term", d, m))
+    assert(streamed == oneShot)
+    assert(oneShot == cellMap(CountMin.counters(
+      all.groupBy(col("term")).agg(count(lit(1)).as("cnt")),
+      "term", "cnt", d, m)))
+    // and the estimate read off the folded cells is the exact count
+    val est = CountMin.estimate(
+      spark.table("cm_sink").select(col("r"), col("bucket"), col("cell")),
+      Seq("a").toDF("term"), "term", d, m)
+      .collect().head.getLong(1)
+    assert(est == 5L)
+  }
+
   test("streaming enrichment refresh: an update is visible to the next batch") {
     import graft.operators.Enrichment
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
