@@ -277,6 +277,44 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(countDistinct(col("p")).as("covered_tokens"))
 
+  /** Substring-dedup EMISSION — detection became deletion at the SPAN
+    * level (document-level keepCanonical can't remove boilerplate from
+    * otherwise-distinct docs): every token covered by a non-canonical
+    * duplicated span is dropped and the cleaned token stream rebuilt.
+    * Canonical = the lexicographically-first (doc, start) occurrence of
+    * the span text, so exactly one copy of each repeated substring
+    * survives corpus-wide; overlapping-span interactions resolve by the
+    * simple covered-position rule (a position is dropped iff any
+    * non-canonical span covers it) — deterministic and oracle-mirrorable.
+    *
+    * Shape: one window rank over the dup-span table (partitioned by span
+    * hash — tiny payload), covered positions exploded only for
+    * non-canonical spans (≤ w × dup count), one anti-join against the
+    * postings, and a per-doc rebuild. The rebuild groupBy is the only
+    * place token bodies move — inherent to emission; everything before it
+    * ships (hash, id, int) tuples.
+    *
+    * @param post     (term, doc, pos) postings — see InvertedIndex.postings
+    * @param dupSpans output of [[duplicatedSpans]]
+    * @return (doc, n_kept, clean_text)
+    */
+  def removeDuplicatedSpans(post: DataFrame, dupSpans: DataFrame,
+      w: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc"), col("start"))
+    val nonCanon = dupSpans.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") > 1)
+    val covered = nonCanon.select(col("doc"),
+      explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .distinct()
+    post.join(covered, Seq("doc", "pos"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          s => s.getField("term")), " ").as("clean_text"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every k-token gram,
     * slide a w-wide window over the hash sequence, keep each window's
     * minimum — a guarantee-bearing selection (any shared run of w+k-1

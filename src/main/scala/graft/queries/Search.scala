@@ -388,6 +388,65 @@ object Search {
           .orderBy(col("df_docs").desc, col("term"))
           .limit(20)
       },
-      Some(sqlIndexTop20))
+      Some(sqlIndexTop20)),
+
+    // ---- q110: substring-dedup EMISSION — the deletion half of q105
+    // (the published recipe removes the repeated substrings themselves;
+    // document-level dedup can't touch boilerplate inside otherwise-
+    // distinct docs). Canonical copy = lexicographically-first
+    // (doc, start) occurrence per span text; every token position covered
+    // by a non-canonical duplicated 8-token span is dropped; cleaned docs
+    // rebuild from the surviving postings. Output gates the rebuilt text
+    // via md5 plus exact kept/removed counts. All-langs corpus, total
+    // (doc_id) order.
+    QueryDef(
+      "q110_despan_emit",
+      (s, dir) => {
+        val w = 8
+        val d = docs(s, dir)
+        val post = InvertedIndex.postings(d, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spans = Dedup.spanTable(d, "doc_id", "text", w)
+        val clean = Dedup.removeDuplicatedSpans(post,
+          Dedup.duplicatedSpans(spans), w)
+        val nTok = post.groupBy(col("doc")).agg(count(lit(1)).as("n_tokens"))
+        nTok.join(clean, Seq("doc"), "left")
+          .select(col("doc").as("doc_id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+            md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        post0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                    i -> {'pos': i, 'term': tk[i]})) AS pr FROM tk),
+        post AS (SELECT doc_id, pr.pos AS pos, pr.term AS term FROM post0),
+        sp0 AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+                  i -> {'start': i + 1, 'h': md5(${sqlGram(8)})})) AS sp FROM tk),
+        spans AS (SELECT doc_id, sp.start AS start, sp.h AS h FROM sp0),
+        hh AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+        dsp AS (SELECT spans.doc_id, spans.start, spans.h,
+                       ROW_NUMBER() OVER (PARTITION BY spans.h
+                         ORDER BY spans.doc_id, spans.start) AS rn
+                FROM spans JOIN hh USING (h)),
+        covered AS (SELECT DISTINCT doc_id, pos FROM
+                      (SELECT doc_id, unnest(range(start, start + 8)) AS pos
+                       FROM dsp WHERE rn > 1)),
+        kept AS (SELECT post.doc_id, post.pos, post.term
+                 FROM post LEFT JOIN covered
+                   ON post.doc_id = covered.doc_id AND post.pos = covered.pos
+                 WHERE covered.pos IS NULL),
+        clean AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+                         string_agg(term, ' ' ORDER BY pos) AS clean_text
+                  FROM kept GROUP BY doc_id),
+        nt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens
+               FROM post GROUP BY doc_id)
+        SELECT nt.doc_id, nt.n_tokens,
+               COALESCE(clean.n_kept, 0)::BIGINT AS n_kept,
+               (nt.n_tokens - COALESCE(clean.n_kept, 0))::BIGINT AS n_removed,
+               md5(COALESCE(clean.clean_text, '')) AS clean_md5
+        FROM nt LEFT JOIN clean USING (doc_id)
+        ORDER BY nt.doc_id"""))
   )
 }

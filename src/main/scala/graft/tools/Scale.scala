@@ -201,6 +201,7 @@ object Scale {
         "q106_winnow_pairs" -> SparkEntry.queries("q106_winnow_pairs"),
         "q107_ranked_search" -> SparkEntry.queries("q107_ranked_search"),
         "q108_heavy_hitters" -> SparkEntry.queries("q108_heavy_hitters"),
+        "q110_despan_emit" -> SparkEntry.queries("q110_despan_emit"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           val t = java.nio.file.Files

@@ -82,6 +82,41 @@ class SearchSpec extends SparkSpec {
       s"fingerprint density out of range: $nFp of $nGrams grams")
   }
 
+  test("removeDuplicatedSpans: first (doc,start) copy survives, covered positions drop") {
+    val w = 2
+    // doc 1: "x y z x y" → "x y"@(1,1) canonical, "x y"@(1,4) removed
+    // doc 2: "x y q"     → "x y"@(2,1) also non-canonical → removed
+    val d = docsDf(1L -> "x y z x y", 2L -> "x y q")
+    val post = InvertedIndex.postings(d, "doc_id", "text")
+    val clean = Dedup.removeDuplicatedSpans(post,
+      Dedup.duplicatedSpans(Dedup.spanTable(d, "doc_id", "text", w)), w)
+      .orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(clean == Seq((1L, 3L, "x y z"), (2L, 1L, "q")))
+  }
+
+  test("winnowing guarantee holds on seeded-random corpora: shared run of w+k-1 tokens ⇒ shared fingerprint") {
+    val k = 3
+    val w = 4
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 15).map { i =>
+      def word() = s"w${rnd.nextInt(500)}"
+      val shared = Seq.fill(w + k - 1)(word()).mkString(" ")
+      val pre1 = Seq.fill(rnd.nextInt(20))(word()).mkString(" ")
+      val post1 = Seq.fill(rnd.nextInt(20))(word()).mkString(" ")
+      val pre2 = Seq.fill(rnd.nextInt(20))(word()).mkString(" ")
+      (2L * i -> s"$pre1 $shared $post1".trim,
+        (2L * i + 1) -> s"$pre2 $shared".trim)
+    }
+    val d = docsDf(cases.flatMap(c => Seq(c._1, c._2)): _*)
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", k, w)
+    val pairs = Dedup.winnowSharedPairs(fps, maxBucketSize = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cases.foreach { case ((a, _), (b, _)) =>
+      assert(pairs.contains((a, b)),
+        s"docs $a/$b share a ${w + k - 1}-token run but no fingerprint") }
+  }
+
   test("count-min: estimates never underestimate and are exact without collisions") {
     import spark.implicits._
     import graft.operators.CountMin
