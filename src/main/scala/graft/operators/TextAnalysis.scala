@@ -300,4 +300,32 @@ object TextAnalysis {
       .withColumn("dup_coverage",
         col("n_shared").cast(DoubleType) / col("n_shingles"))
   }
+
+  /** Ordered (entity, replacement) pairs for the five standard HTML
+    * escapes. `&amp;` is deliberately LAST so a double-escaped entity
+    * (`&amp;lt;`) unescapes exactly one level per pass — the ordering both
+    * engines must share for the oracle to reproduce.
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&amp;" -> "&")
+
+  /** HTML/boilerplate removal — the web-corpus hygiene pass an LLM
+    * pipeline runs before any quality/dedup stage: drop script/style
+    * blocks WITH their contents, strip remaining tags, unescape the
+    * standard entities, collapse whitespace. One codegen'd chain of
+    * regexp/replace expressions, zero shuffle, linear in bytes — the
+    * perfect cluster-scale map. The entity patterns contain no regex
+    * metacharacters and the replacements no `$`/`\`, so Spark
+    * regexp_replace ≡ DuckDB replace() exactly.
+    */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", "")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", "")
+    val unescaped = htmlEntities.foldLeft(noTags) {
+      case (acc, (ent, ch)) => regexp_replace(acc, ent, ch)
+    }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
 }

@@ -7,11 +7,13 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Corpus-search and substring-level-dedup queries: inverted-index
-  * construction, index-shaped phrase retrieval, duplicated-substring span
-  * detection (the suffix-array-style exact-substring dedup family member),
-  * and winnowing (MOSS) fingerprint similarity. All arithmetic is
-  * integer/md5 → every query is oracle-exact in DuckDB.
+/** Corpus-search, substring-level-dedup, and text-hygiene queries:
+  * inverted-index construction, index-shaped phrase retrieval, ranked
+  * retrieval, duplicated-substring span detection and removal (the
+  * suffix-array-style exact-substring dedup family), winnowing (MOSS)
+  * fingerprint similarity, count-min heavy hitters, and HTML boilerplate
+  * cleaning. All arithmetic is integer/md5/exact-string → every query is
+  * oracle-exact in DuckDB.
   */
 object Search {
 
@@ -447,6 +449,63 @@ object Search {
                (nt.n_tokens - COALESCE(clean.n_kept, 0))::BIGINT AS n_removed,
                md5(COALESCE(clean.clean_text, '')) AS clean_md5
         FROM nt LEFT JOIN clean USING (doc_id)
-        ORDER BY nt.doc_id"""))
+        ORDER BY nt.doc_id""")),
+
+    // ---- q111: HTML/boilerplate cleaning — the web-corpus hygiene pass
+    // that precedes every quality/dedup stage. Script/style blocks drop
+    // WITH contents, remaining tags strip, the five standard entities
+    // unescape in a fixed order (&amp; last — one level per pass), then
+    // whitespace collapses. The corpus is plain text, so a deterministic
+    // HTML wrapper is spliced onto every 3rd doc (every 9th also gets a
+    // script block) — identical on the oracle side, the q98 fixture
+    // pattern. One codegen'd regexp chain, zero shuffle, linear in bytes.
+    QueryDef(
+      "q111_html_clean",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val wrapped = concat(lit("<div class=\"wrap\"><p>"), col("text"),
+          lit("</p> &amp; <b>tail</b></div>"))
+        val raw = when(col("doc_id") % 9 === 0,
+            concat(lit("<script type=\"text/javascript\">var x = 1;</script>"),
+              wrapped))
+          .when(col("doc_id") % 3 === 0, wrapped)
+          .otherwise(col("text"))
+        docs(s, dir)
+          .select(col("doc_id"), raw.as("__raw"))
+          .select(col("doc_id"), col("__raw"),
+            TextAnalysis.stripHtml(col("__raw")).as("__clean"))
+          .select(col("doc_id"),
+            length(col("__raw")).cast("long").as("raw_len"),
+            size(regexp_extract_all(col("__raw"), lit("<[^>]*>"), lit(0)))
+              .cast("long").as("n_tags"),
+            length(col("__clean")).cast("long").as("clean_len"),
+            md5(col("__clean")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH r AS (SELECT doc_id,
+          CASE WHEN doc_id % 9 = 0
+               THEN '<script type="text/javascript">var x = 1;</script><div class="wrap"><p>'
+                    || text || '</p> &amp; <b>tail</b></div>'
+               WHEN doc_id % 3 = 0
+               THEN '<div class="wrap"><p>' || text
+                    || '</p> &amp; <b>tail</b></div>'
+               ELSE text END AS raw
+          FROM documents),
+        c AS (SELECT doc_id, raw,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(raw,
+                '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'g'),
+                '<[^>]*>', '', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&amp;', '&'),
+            '\s+', ' ', 'g')) AS clean
+          FROM r)
+        SELECT doc_id, length(raw)::BIGINT AS raw_len,
+               len(regexp_extract_all(raw, '<[^>]*>'))::BIGINT AS n_tags,
+               length(clean)::BIGINT AS clean_len,
+               md5(clean) AS clean_md5
+        FROM c ORDER BY doc_id"""))
   )
 }

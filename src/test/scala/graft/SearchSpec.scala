@@ -137,6 +137,27 @@ class SearchSpec extends SparkSpec {
     est.foreach { case (t, e, c) => assert(e == c, s"$t not exact: $e vs $c") }
   }
 
+  test("stripHtml: script contents drop, tags strip, entities unescape one level, ws collapses") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      "<script type=\"x\">var a = '<b>';</script>keep",
+      "<style>p { color: red }</style>text",
+      "<div class=\"c\"><p>a</p>  <p>b</p></div>",
+      "x &amp;lt; y &lt; z &quot;q&quot; &#39;s&#39; &amp; w",
+      "   spaced\tout   text  ")
+      .toDF("text")
+      .select(TextAnalysis.stripHtml(col("text")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq(
+      "keep",
+      "text",
+      "a b",
+      // one unescape level: &amp;lt; → &lt; (not <)
+      "x &lt; y < z \"q\" 's' & w",
+      "spaced out text"))
+  }
+
   test("short docs: fewer grams than the window still fingerprint (min of all)") {
     val d = docsDf(1L -> "a b c d", 2L -> "a")
     // k=3 → doc 1 has 2 grams (< w=4) → exactly 1 fingerprint (their min);
