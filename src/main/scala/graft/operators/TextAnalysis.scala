@@ -301,6 +301,31 @@ object TextAnalysis {
         col("n_shared").cast(DoubleType) / col("n_shingles"))
   }
 
+  /** C4-style content gates — the per-document web-corpus filter decision:
+    * badword share against a broadcast lexicon, URL count + first domain
+    * (the blocklist key), and the deterministic keep rule (badwords under
+    * 1/`badFrac` of tokens, at most `maxUrls` URLs, at least `minTokens`
+    * tokens). One staged-projection map pass, zero shuffle; every gate is
+    * integer arithmetic so the decision reproduces exactly cross-engine.
+    */
+  def contentGates(df: DataFrame, idCol: String, textCol: String,
+      badwords: Seq[String], badFrac: Int = 5, maxUrls: Int = 2,
+      minTokens: Int = 5): DataFrame = {
+    val urlDomain = "https?://([^/\\s]+)"
+    df.select(col(idCol), col(textCol),
+        tokens(col(textCol)).as("__tk"),
+        regexp_extract_all(col(textCol), lit(urlDomain), lit(1)).as("__dom"))
+      .select(col(idCol),
+        size(col("__tk")).cast(LongType).as("n_tokens"),
+        size(filter(col("__tk"), t => t.isin(badwords: _*)))
+          .cast(LongType).as("n_bad"),
+        size(col("__dom")).cast(LongType).as("n_urls"),
+        coalesce(element_at(col("__dom"), 1), lit("")).as("first_domain"))
+      .withColumn("keep",
+        col("n_bad") * badFrac < col("n_tokens") &&
+          col("n_urls") <= maxUrls && col("n_tokens") >= minTokens)
+  }
+
   /** Ordered (entity, replacement) pairs for the five standard HTML
     * escapes. `&amp;` is deliberately LAST so a double-escaped entity
     * (`&amp;lt;`) unescapes exactly one level per pass — the ordering both

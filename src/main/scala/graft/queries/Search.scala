@@ -506,6 +506,116 @@ object Search {
                len(regexp_extract_all(raw, '<[^>]*>'))::BIGINT AS n_tags,
                length(clean)::BIGINT AS clean_len,
                md5(clean) AS clean_md5
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // ---- q112: C4-style content gates — badword share, URL count, first
+    // domain (the blocklist key), and the deterministic keep decision.
+    // The plain-text corpus gets URLs spliced onto every 5th doc (every
+    // 10th gets two extra spam links and fails the URL gate) — identical
+    // on the oracle side. The badword lexicon draws from the corpus's own
+    // vocabulary so the share gate actually fires. Zero shuffle: one map
+    // pass per doc; the decision is pure integer arithmetic.
+    QueryDef(
+      "q112_content_gates",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0,
+              concat(lit(" see https://ex"), col("doc_id") % 7,
+                lit(".example.com/path?q=1 ok"),
+                lit(" http://spam.example.net/x http://spam.example.net/y")))
+              .when(col("doc_id") % 5 === 0,
+                concat(lit(" see https://ex"), col("doc_id") % 7,
+                  lit(".example.com/path?q=1 ok")))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.contentGates(spliced, "doc_id", "text",
+            badwords = Seq("slow", "dup", "scan"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH r AS (SELECT doc_id,
+          text || CASE
+            WHEN doc_id % 10 = 0
+            THEN ' see https://ex' || (doc_id % 7)::VARCHAR
+                 || '.example.com/path?q=1 ok'
+                 || ' http://spam.example.net/x http://spam.example.net/y'
+            WHEN doc_id % 5 = 0
+            THEN ' see https://ex' || (doc_id % 7)::VARCHAR
+                 || '.example.com/path?q=1 ok'
+            ELSE '' END AS text
+          FROM documents),
+        t AS (SELECT doc_id, $sqlToks AS tk,
+                     regexp_extract_all(text, 'https?://([^/\\s]+)', 1) AS dom
+              FROM r)
+        SELECT doc_id,
+               len(tk)::BIGINT AS n_tokens,
+               len(list_filter(tk, x -> x IN ('slow', 'dup', 'scan')))::BIGINT
+                 AS n_bad,
+               len(dom)::BIGINT AS n_urls,
+               COALESCE(dom[1], '') AS first_domain,
+               (len(list_filter(tk, x -> x IN ('slow', 'dup', 'scan'))) * 5
+                  < len(tk)
+                AND len(dom) <= 2 AND len(tk) >= 5) AS keep
+        FROM t ORDER BY doc_id""")),
+
+    // ---- q113: the curation pipeline COMPOSED — exact dedup canonical ∧
+    // quality gate ∧ percentile length trim folded into one per-doc
+    // decision (the q95-style composition gate for the text family: each
+    // stage is oracle-verified alone — q30/q37/q91 — and here their
+    // conjunction must reproduce). Shapes: fingerprint canonical is one
+    // hash-shuffle of (fp, id) pairs; the quality gate is map-only; the
+    // length bounds are a one-row broadcast — no corpus self-join
+    // anywhere, the same plans the standalone queries ship.
+    QueryDef(
+      "q113_curation_pipeline",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val d = docs(s, dir)
+        // canonical = min doc_id of the normalized-content fingerprint
+        val canon = d.select(col("doc_id"),
+            graft.functions.TextFunctions.contentFingerprint(col("text")).as("__fp"))
+          .withColumn("__min_id", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+          .select(col("doc_id"), (col("doc_id") === col("__min_id")).as("is_canonical"))
+        val quality = TextAnalysis.qualityScore(d, "text")
+          .select(col("doc_id"), (col("quality_score") >= 0.5).as("q_ok"))
+        val bounds = d.agg(
+          percentile(col("n_chars"), lit(0.05)).as("__lo"),
+          percentile(col("n_chars"), lit(0.95)).as("__hi"))
+        val lenOk = d.crossJoin(broadcast(bounds))
+          .select(col("doc_id"),
+            (col("n_chars") >= col("__lo") && col("n_chars") <= col("__hi"))
+              .as("len_ok"))
+        canon.join(quality, "doc_id").join(lenOk, "doc_id")
+          .select(col("doc_id"), col("is_canonical"), col("q_ok"), col("len_ok"),
+            (col("is_canonical") && col("q_ok") && col("len_ok")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, n_chars, $sqlToks AS tk FROM documents),
+        fp AS (SELECT doc_id, n_chars, text, tk,
+                      md5(array_to_string(tk, ' ')) AS f
+               FROM t),
+        canon AS (SELECT doc_id,
+                         doc_id = MIN(doc_id) OVER (PARTITION BY f)
+                           AS is_canonical
+                  FROM fp),
+        q AS (SELECT doc_id,
+                     (LEAST(1.0, len(tk)::DOUBLE / 100.0) * 0.5
+                      + length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                        / length(text) * 0.5) >= 0.5 AS q_ok
+              FROM t),
+        b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                     quantile_cont(n_chars, 0.95) AS hi
+              FROM documents),
+        l AS (SELECT doc_id, (n_chars >= b.lo AND n_chars <= b.hi) AS len_ok
+              FROM documents, b)
+        SELECT canon.doc_id, is_canonical, q_ok, len_ok,
+               (is_canonical AND q_ok AND len_ok) AS keep
+        FROM canon
+        JOIN q USING (doc_id)
+        JOIN l USING (doc_id)
+        ORDER BY canon.doc_id"""))
   )
 }
