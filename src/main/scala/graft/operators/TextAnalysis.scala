@@ -320,7 +320,7 @@ object TextAnalysis {
         size(filter(col("__tk"), t => t.isin(badwords: _*)))
           .cast(LongType).as("n_bad"),
         size(col("__dom")).cast(LongType).as("n_urls"),
-        coalesce(element_at(col("__dom"), 1), lit("")).as("first_domain"))
+        coalesce(try_element_at(col("__dom"), lit(1)), lit("")).as("first_domain"))
       .withColumn("keep",
         col("n_bad") * badFrac < col("n_tokens") &&
           col("n_urls") <= maxUrls && col("n_tokens") >= minTokens)
