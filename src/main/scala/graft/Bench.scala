@@ -64,7 +64,7 @@ object Bench {
       } catch {
         // NonFatal only: an OOM'd JVM can't produce trustworthy timings
         case scala.util.control.NonFatal(e) =>
-          errors += name
+          errors += s"$name (${e.getClass.getSimpleName})"
           System.err.println(s"[bench] $name failed: $e")
           None // time-to-fail is not a benchmark result
       } finally {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -15,17 +15,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long (with
-    // spark.sql.legacy.parquet.nanosAsLong, set in GraftSession/Verify/
-    // Bench). Normalize to TimestampType by integer-dividing to µs —
-    // floor semantics, matching DuckDB's epoch_us on the same values.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize the `ts` column to session-TZ TimestampType regardless of
+    * which testdata generation produced the parquet:
+    *  - TIMESTAMP(NANOS) → LongType (via spark.sql.legacy.parquet.nanosAsLong,
+    *    set in GraftSession/Verify/Bench): integer-divide to µs — floor
+    *    semantics, matching DuckDB's epoch_us on the same values.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType: cast to
+    *    TimestampType. Session TZ is UTC everywhere, so values are unchanged.
+    * Projection-only, so it works on streaming frames too.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
-  }
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =

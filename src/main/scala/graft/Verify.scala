@@ -20,10 +20,16 @@ object Verify {
         names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // A failed query must be VISIBLE in the artifacts, not just stderr: the
+    // driver drops queries with no output dir from CORRECTNESS_r{N}.json, so
+    // a regression would otherwise read as a silently smaller all-green set
+    // (round 10 lost 3 queries this way). _errors.json makes it explicit.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally spark.catalog.clearCache() // even a FAILED query's persists must not leak
     }
@@ -47,6 +53,11 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

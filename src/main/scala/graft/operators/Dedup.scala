@@ -242,12 +242,18 @@ object Dedup {
     * move, and the group-by needs only counts, never the pair space.
     */
   def spanTable(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    spanTableFromTokens(InvertedIndex.tokenized(df, idCol, textCol), w)
+
+  /** [[spanTable]] from a pre-tokenized (doc, tk) frame
+    * (InvertedIndex.tokenized) — lets a query that also builds postings
+    * share ONE persisted tokenize pass across both derivations.
+    */
+  def spanTableFromTokens(tok: DataFrame, w: Int): DataFrame =
     // posexplode_outer + isNotNull, NOT posexplode: InferFiltersFromGenerate
     // would clone the full shingle derivation (tokens re-inlined per lambda
     // reference) into a pre-Generate filter — the q58 generator-pushdown
     // trap; see Curation.scala:92
-    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__tk"))
-      .select(col("doc"), posexplode_outer(wordShingles(col("__tk"), w)))
+    tok.select(col("doc"), posexplode_outer(wordShingles(col("tk"), w)))
       .filter(col("col").isNotNull)
       .select(col("doc"), (col("pos") + 1).as("start"), md5(col("col")).as("h"))
 

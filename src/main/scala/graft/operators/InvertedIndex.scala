@@ -27,15 +27,31 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  /** Token postings: one row per (term, doc, pos), positions 1-based in
-    * token space. The single pass everything else derives from.
+  /** Shared tokenized frame: (doc, tk). Tokenizing is the dominant map
+    * cost of the index/span family — queries that need both postings AND
+    * shingle/span derivations should build ONE of these, persist it for
+    * the query's lifetime, and derive every consumer from it instead of
+    * re-tokenizing the corpus per consumer (the q104/q110 double-scan).
     */
-  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // posexplode_outer + isNotNull keeps the tokenize out of the inferred
-    // pre-Generate filter (the generator-pushdown trap, Curation.scala:92)
-    df.select(col(idCol).as("doc"), posexplode_outer(tokens(col(textCol))))
+  def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
+
+  /** Token postings from a [[tokenized]] frame: one row per
+    * (term, doc, pos), positions 1-based in token space.
+    */
+  def postingsFromTokens(tok: DataFrame): DataFrame =
+    // posexplode_outer + isNotNull keeps any token derivation out of the
+    // inferred pre-Generate filter (the generator-pushdown trap,
+    // Curation.scala:92)
+    tok.select(col("doc"), posexplode_outer(col("tk")))
       .filter(col("col").isNotNull)
       .select(col("col").as("term"), col("doc"), (col("pos") + 1).as("pos"))
+
+  /** Token postings straight from a corpus frame (single-consumer path —
+    * multi-consumer queries should share a persisted [[tokenized]] frame).
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    postingsFromTokens(tokenized(df, idCol, textCol))
 
   /** Per-term index statistics: document frequency, collection frequency,
     * and the doc-id span of the posting list. One exchange on the term with

@@ -117,8 +117,8 @@ object Alerting {
         // source → rule predicates → stateful alert aggregation
         val raw = s.read.parquet(s"$dir/events.parquet")
         // glob form: the file source needs a directory-rooted pattern
-        val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = Tables.normalizeTs(
+          s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*"))
         val m = Detection.ruleMatches(stream,
           rules.filter(_.name == "error_burst"), matchId = col("event_id"))
         // unique sink name per invocation — a repeated call in one session

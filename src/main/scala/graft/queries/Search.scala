@@ -105,9 +105,14 @@ object Search {
       "q104_phrase_search",
       (s, dir) => {
         val en = docs(s, dir).filter(col("lang") === "en")
-        val post = InvertedIndex.postings(en, "doc_id", "text")
-        val top = en
-          .select(explode_outer(wordShingles(tokens(col("text")), 2)).as("gram"))
+        // ONE tokenize pass, shared by postings and the bigram argmax —
+        // tokenizing dominates this query's map cost, so the two
+        // consumers must not each re-scan/re-split the corpus
+        val tok = InvertedIndex.tokenized(en, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val post = InvertedIndex.postingsFromTokens(tok)
+        val top = tok
+          .select(explode_outer(wordShingles(col("tk"), 2)).as("gram"))
           .filter(col("gram").isNotNull)
           .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("gram")).limit(1)
@@ -406,9 +411,14 @@ object Search {
       (s, dir) => {
         val w = 8
         val d = docs(s, dir)
-        val post = InvertedIndex.postings(d, "doc_id", "text")
+        // ONE tokenize pass shared by the postings (rebuild side) and the
+        // span hashing (detection side) — the persisted frame is the token
+        // arrays, cheaper to hold than the exploded postings and feeding
+        // both derivations without re-splitting the corpus
+        val tok = InvertedIndex.tokenized(d, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val spans = Dedup.spanTable(d, "doc_id", "text", w)
+        val post = InvertedIndex.postingsFromTokens(tok)
+        val spans = Dedup.spanTableFromTokens(tok, w)
         val clean = Dedup.removeDuplicatedSpans(post,
           Dedup.duplicatedSpans(spans), w)
         val nTok = post.groupBy(col("doc")).agg(count(lit(1)).as("n_tokens"))

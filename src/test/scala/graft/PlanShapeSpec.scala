@@ -57,6 +57,12 @@ class PlanShapeSpec extends SparkSpec {
 
   for ((name, fn) <- SparkEntry.queries if !sideEffecting(name))
     test(s"$name: no derived-collection expression in any FileScan data filter") {
+      // queries that persist() intermediates (q104/q110's shared token
+      // frame) register cache entries at CONSTRUCTION time; a later
+      // query whose plan canonically matches a cached frame would get an
+      // InMemoryRelation substituted for its scan — hiding the very scan
+      // filters this guard inspects. Each test starts cache-clean.
+      spark.catalog.clearCache()
       val df = fn(spark, sf)
       val offenders = scanDataFilters(df).filter(derivesCollection)
       assert(offenders.isEmpty,
@@ -82,6 +88,8 @@ class PlanShapeSpec extends SparkSpec {
   test("guard has teeth: the round-5 defect shape (plain explode over a " +
     "derived shingle array) IS flagged") {
     import org.apache.spark.sql.functions._
+    spark.catalog.clearCache() // see above — a cached token frame would
+    // replace this plan's scan and vacuously un-flag the defect shape
     // Reconstruct the pre-fix decontaminate gram side: a non-outer explode
     // over shingleFrame reading straight from parquet. InferFiltersFromGenerate
     // + pushdown clone the tokenize+shingle expression into the scan filter.
