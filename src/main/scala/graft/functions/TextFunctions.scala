@@ -124,11 +124,37 @@ object TextFunctions {
     * Callers should stage the hash array as its own projection — hashing
     * once per token, not once per (token × bit).
     */
-  def simhash16FromHashes(hashes: Column): Column = {
+  def simhash16FromHashes(hashes: Column): Column =
+    simhash16FromPacked(simhashPackedCounts(hashes), size(hashes))
+
+  /** Single-pass packed bit-count fold for the 16-bit SimHash: ONE
+    * aggregate over the hash array accumulating all 16 per-bit set-counts
+    * in four longs (lane j holds the counters for bits j, j+4, j+8, j+12
+    * at 16-bit offsets — safe for docs under 65536 tokens). The naive
+    * form runs 16 separate aggregate passes (one per bit), paying array
+    * traversal + lambda dispatch 16x per token; this pays it once with
+    * the same 16 shift/mask ops per element.
+    */
+  def simhashPackedCounts(hashes: Column): Column =
+    aggregate(hashes,
+      struct((0 until 4).map(j => lit(0L).as(s"l$j")): _*),
+      (a, h) => struct((0 until 4).map { j =>
+        (a.getField(s"l$j")
+          + shiftright(h, j) % 2
+          + (shiftright(h, j + 4) % 2) * lit(1L << 16)
+          + (shiftright(h, j + 8) % 2) * lit(1L << 32)
+          + (shiftright(h, j + 12) % 2) * lit(1L << 48)).as(s"l$j")
+      }: _*))
+
+  /** SimHash signature from [[simhashPackedCounts]] + the token count.
+    * Bit b is 1 iff (+1/-1)-sum >= 0, i.e. 2*cnt_b >= n. Callers should
+    * stage the packed struct as its own projection — it is referenced
+    * once per bit here, and an inlined aggregate would re-fold per bit.
+    */
+  def simhash16FromPacked(packed: Column, n: Column): Column = {
     val bits = (0 until 16).map { b =>
-      val s = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
-      when(s >= 0, lit(1L << b)).otherwise(lit(0L))
+      val cnt = shiftright(packed.getField(s"l${b % 4}"), (b / 4) * 16) % 65536
+      when(cnt * 2 >= n, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

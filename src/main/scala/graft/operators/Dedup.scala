@@ -228,7 +228,12 @@ object Dedup {
     // once per token (lambdas get no CSE; see shingleFrame)
     df.select(col(idCol), tokens(col(textCol)).as("__tk"))
       .select(col(idCol), transform(col("__tk"), t => md5Hash32(t)).as("__h"))
-      .select(col(idCol), simhash16FromHashes(col("__h")).as("simhash"))
+      // packed counters staged as their own projection: the 16 per-bit
+      // extractions then read an attribute, not 16 re-folds of the array
+      .select(col(idCol), simhashPackedCounts(col("__h")).as("__pc"),
+        size(col("__h")).as("__n"))
+      .select(col(idCol),
+        simhash16FromPacked(col("__pc"), col("__n")).as("simhash"))
       .withColumn("band_hi", shiftright(col("simhash"), 8))
       .withColumn("band_lo", col("simhash") % 256)
 
@@ -319,6 +324,37 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("term")))),
           s => s.getField("term")), " ").as("clean_text"))
+  }
+
+  /** Array-native form of [[removeDuplicatedSpans]] for callers that hold a
+    * (persisted) tokenized frame: the cleaned doc is rebuilt by MASKING the
+    * token array against the doc's covered-position set instead of
+    * anti-joining exploded postings — token bodies never shuffle (only the
+    * covered positions move, bounded by w x dup-span count), there is no
+    * per-token groupBy, and output order is the array order for free. The
+    * per-token mask test is array_contains over the doc's covered set —
+    * O(|cov|) per token, all inside one codegen'd projection; the
+    * postings/anti-join form instead ships EVERY corpus token through two
+    * shuffles. Semantics identical: a position is dropped iff a
+    * non-canonical duplicated span covers it; token-less docs are absent.
+    */
+  def removeDuplicatedSpansFromTokens(tok: DataFrame, dupSpans: DataFrame,
+      w: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc"), col("start"))
+    val nonCanon = dupSpans.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") > 1)
+    val covSet = nonCanon.select(col("doc"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .groupBy(col("doc")).agg(collect_set(col("pos")).as("__cov"))
+    tok.filter(size(col("tk")) > 0)
+      .join(covSet, Seq("doc"), "left")
+      .select(col("doc"),
+        when(col("__cov").isNull, col("tk"))
+          .otherwise(filter(col("tk"),
+            (_, i) => not(array_contains(col("__cov"), i + 1)))).as("__kept"))
+      .select(col("doc"), size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"))
   }
 
   /** Winnowing fingerprints (the MOSS scheme): hash every k-token gram,

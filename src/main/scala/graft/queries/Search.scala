@@ -417,11 +417,14 @@ object Search {
         // both derivations without re-splitting the corpus
         val tok = InvertedIndex.tokenized(d, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val post = InvertedIndex.postingsFromTokens(tok)
         val spans = Dedup.spanTableFromTokens(tok, w)
-        val clean = Dedup.removeDuplicatedSpans(post,
+        val clean = Dedup.removeDuplicatedSpansFromTokens(tok,
           Dedup.duplicatedSpans(spans), w)
-        val nTok = post.groupBy(col("doc")).agg(count(lit(1)).as("n_tokens"))
+        // per-doc token count straight off the cached token arrays — no
+        // explode, no count-shuffle. size>0 filter keeps parity with the
+        // postings-groupBy form (a token-less doc has no postings rows)
+        val nTok = tok.filter(size(col("tk")) > 0)
+          .select(col("doc"), size(col("tk")).cast("long").as("n_tokens"))
         nTok.join(clean, Seq("doc"), "left")
           .select(col("doc").as("doc_id"), col("n_tokens"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -557,9 +557,15 @@ object Vectors {
     QueryDef(
       "q101_semantic_dedup",
       (s, dir) => {
+        // quantize ONCE: seeds, the Lloyd loop, and the assignment pass all
+        // read these codes — without the checkpoint the float corpus is
+        // re-read and re-quantized by each consumer (3x the dominant map
+        // cost; the Lloyd loop's internal checkpoint only covered its own
+        // rounds)
         val coded = vecs(s, dir).select(col("id"),
           VectorFunctions.quantizeInt8(col("vec"),
             VectorFunctions.int8Scale(col("vec"))).as("code"))
+          .localCheckpoint(true)
         val seeds = coded.filter(col("id") < 8)
           .select(col("id").as("cid"), col("code"))
         val corpus = coded.filter(col("id") >= 8)

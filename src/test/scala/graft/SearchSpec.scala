@@ -95,6 +95,21 @@ class SearchSpec extends SparkSpec {
     assert(clean == Seq((1L, 3L, "x y z"), (2L, 1L, "q")))
   }
 
+  test("removeDuplicatedSpansFromTokens: array-mask form matches the postings form") {
+    val w = 2
+    val d = docsDf(1L -> "x y z x y", 2L -> "x y q", 3L -> "a b a b a b",
+      4L -> "solo words only here")
+    val tok = InvertedIndex.tokenized(d, "doc_id", "text")
+    val dups = Dedup.duplicatedSpans(Dedup.spanTableFromTokens(tok, w))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val viaPost = rows(Dedup.removeDuplicatedSpans(
+      InvertedIndex.postingsFromTokens(tok), dups, w))
+    val viaMask = rows(Dedup.removeDuplicatedSpansFromTokens(tok, dups, w))
+    assert(viaMask == viaPost)
+    assert(viaMask.exists(_._1 == 3L)) // heavy within-doc repetition covered
+  }
+
   test("winnowing guarantee holds on seeded-random corpora: shared run of w+k-1 tokens ⇒ shared fingerprint") {
     val k = 3
     val w = 4
