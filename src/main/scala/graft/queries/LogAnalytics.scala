@@ -706,6 +706,49 @@ object LogAnalytics {
                  PARTITION BY event_type ORDER BY hr
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
         FROM j
-        ORDER BY event_type, hr"""))
+        ORDER BY event_type, hr""")),
+
+    // ---- q114: MERGEABLE quantile sketch (KLL) under the q99 accuracy
+    // gate. q99 covers Spark's built-in percentile_approx; this gates the
+    // ENGINE-OWNED sketch (operators/QuantileSketch.scala, the §2.8
+    // custom-Aggregator surface): per partition the values fold into a
+    // few-KB KLL, partials merge associatively on the reduce side, the
+    // final read is O(retained) — no global sort, no per-group value
+    // materialization, the only 100 TB percentile shape. The estimate is
+    // sketch-specific so the oracle gates BOUND BOOLEANS: the observed
+    // rank of each estimate must sit within ±5% of its target rank (KLL
+    // k=200 gives ~1% rank error — generous margin, ties absorbed by +1).
+    QueryDef(
+      "q114_kll_quantiles",
+      (s, dir) => {
+        import graft.operators.QuantileSketch
+        val ev = t(s, dir, "events")
+        val sk = ev.groupBy(col("event_type")).agg(
+            count(lit(1)).as("n_events"),
+            QuantileSketch.quantilesAgg(col("value"), Seq(0.5, 0.9)).as("__qs"))
+          .select(col("event_type"), col("n_events"),
+            element_at(col("__qs"), 1).as("__p50"),
+            element_at(col("__qs"), 2).as("__p90"))
+        val ranked = ev
+          .join(sk.select(col("event_type"), col("__p50"), col("__p90")),
+            Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)).as("__le50"),
+            sum(when(col("value") <= col("__p90"), 1L).otherwise(0L)).as("__le90"))
+        sk.join(ranked, Seq("event_type"))
+          .select(col("event_type"), col("n_events"),
+            (abs(col("__le50") - lit(0.5) * col("n_events"))
+              <= lit(0.05) * col("n_events") + lit(1.0)).as("p50_in_bound"),
+            (abs(col("__le90") - lit(0.9) * col("n_events"))
+              <= lit(0.05) * col("n_events") + lit(1.0)).as("p90_in_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               TRUE AS p50_in_bound, TRUE AS p90_in_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
