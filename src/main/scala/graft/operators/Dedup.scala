@@ -276,6 +276,19 @@ object Dedup {
       .select(col("doc"), col("start"), col("h"), col("n_occ"), col("ndocs"))
   }
 
+  /** [[duplicatedSpans]] without the cross-doc occurrence split: emission
+    * callers (q110) only need WHICH spans are duplicated, so the
+    * countDistinct(doc) — a two-phase distinct-expand on the span
+    * exchange — is dropped and detection is one plain count-shuffle.
+    */
+  def duplicatedSpansLite(spans: DataFrame): DataFrame = {
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"))
+    spans.join(dup, "h").select(col("doc"), col("start"), col("h"))
+  }
+
   /** Per-doc duplicated-token coverage: the number of token positions
     * covered by at least one duplicated span (union of [start, start+w)
     * intervals). Exploding only the DUPLICATED spans bounds the blowup to

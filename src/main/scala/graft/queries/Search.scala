@@ -419,7 +419,7 @@ object Search {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val spans = Dedup.spanTableFromTokens(tok, w)
         val clean = Dedup.removeDuplicatedSpansFromTokens(tok,
-          Dedup.duplicatedSpans(spans), w)
+          Dedup.duplicatedSpansLite(spans), w)
         // per-doc token count straight off the cached token arrays — no
         // explode, no count-shuffle. size>0 filter keeps parity with the
         // postings-groupBy form (a token-less doc has no postings rows)
