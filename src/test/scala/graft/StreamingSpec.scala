@@ -167,6 +167,28 @@ class StreamingSpec extends SparkSpec {
     assert(est == 5L)
   }
 
+  test("KLL quantile sketch folds across micro-batches under one complete-mode aggregation") {
+    import graft.operators.QuantileSketch
+    val input = MemoryStream[Double](spark)
+    // same streaming claim as count-min: the sketch state is the
+    // aggregation buffer, so a complete-mode groupBy keeps ONE few-KB KLL
+    // per group no matter the stream length — no per-value state
+    val q = input.toDF().toDF("v")
+      .agg(QuantileSketch.quantilesAgg(col("v"), Seq(0.5)).as("qs"))
+      .select(element_at(col("qs"), 1).as("p50"))
+      .writeStream.format("memory").queryName("kll_sink")
+      .outputMode("complete").start()
+    val rnd = new scala.util.Random(3)
+    val batches = Seq.fill(3)(Array.fill(5000)(rnd.nextDouble() * 1000))
+    batches.foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamedP50 = spark.table("kll_sink").collect().head.getDouble(0)
+    // streamed estimate must satisfy the same rank bound as one-shot
+    val all = batches.flatten.sorted
+    val rank = all.count(_ <= streamedP50).toDouble / all.length
+    assert(math.abs(rank - 0.5) < 0.03, s"p50=$streamedP50 rank=$rank")
+  }
+
   test("streaming enrichment refresh: an update is visible to the next batch") {
     import graft.operators.Enrichment
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
