@@ -803,7 +803,29 @@ object TextPipeline {
         SELECT doc_id, lang FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
               < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q115: at-most-k uniform sample per group (the per-domain quota
+    // of web-corpus recipes) via bottom-k-by-hash — q60 keeps a fixed
+    // RATE per stratum, this keeps a fixed SIZE. Each partition folds
+    // into a k-sized heap (typed Aggregator, §2.8) and partials merge
+    // associatively, so the exchange ships k rows per group where a
+    // window row_number would shuffle and sort EVERY row of every group.
+    // Deterministic: membership = the k smallest md5(id)s, which the
+    // oracle re-derives exactly by sorting on the same hash.
+    QueryDef(
+      "q115_bottomk_sample",
+      (s, dir) =>
+        graft.operators.Sampling.bottomKSample(
+            docs(s, dir), "doc_id", "source", k = 10)
+          .orderBy(col("source"), col("doc_id")),
+      Some("""
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 10
+        ORDER BY source, doc_id"""))
     ,
 
     // ---- q79: multi-language language ID (per-language lexicon ratios,
