@@ -40,16 +40,29 @@ object Dev {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "bench" :: rest =>
-      val (flags, names) = rest.partition(_.startsWith("--"))
-      def flag(k: String) = flags.collectFirst {
-        case f if f.startsWith(s"--$k=") => f.stripPrefix(s"--$k=") }
-      val sfDir = flag("sf").orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      // flags accept both `--k=v` and `--k v`; anything else is a query name
+      val flagMap = scala.collection.mutable.Map.empty[String, String]
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < rest.length) {
+        val a = rest(i)
+        if (a.startsWith("--") && a.contains('=')) {
+          val Array(k, v) = a.stripPrefix("--").split("=", 2)
+          flagMap(k) = v
+        } else if (a.startsWith("--") && i + 1 < rest.length) {
+          flagMap(a.stripPrefix("--")) = rest(i + 1); i += 1
+        } else names += a
+        i += 1
+      }
+      val sfDir = flagMap.get("sf").orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
         .getOrElse("/root/testdata/sf0.1")
-      val runs = flag("runs").map(_.toInt).getOrElse(3)
+      val runs = flagMap.get("runs").map(_.toInt).getOrElse(3)
+      val (known, unknown) = names.partition(SparkEntry.queries.contains)
+      unknown.foreach(n => System.err.println(s"[bench] unknown query: $n (skipped)"))
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
       val spark = session(cpus)
       warmup(spark, sfDir)
-      for (name <- names; i <- 1 to runs) {
+      for (name <- known; i <- 1 to runs) {
         spark.catalog.clearCache()
         System.gc() // settled heap, as the Bench sweep measures
         val t0 = System.nanoTime()
