@@ -353,4 +353,46 @@ object TextAnalysis {
     }
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
+
+  /** Bigram language-model familiarity — the LM-based quality filter of
+    * the published web-curation recipes (score each document by how
+    * predictable its token sequence is under a corpus-trained n-gram
+    * model; outliers are gibberish, boilerplate, or wrong-language).
+    * Model = add-one-smoothed bigram conditionals trained on the corpus
+    * itself: P(w2|w1) = (c(w1w2)+1) / (prefix(w1)+V), familiarity = the
+    * per-doc MEAN of P over its bigrams in position order.
+    *
+    * Scale shape: bigram/prefix count tables are word-count aggregations
+    * (map-side combined, payload = the gram strings); the score join
+    * touches (doc, pos, gram) tuples only — bodies never shuffle; V is a
+    * one-row broadcast. Determinism: every count is an exact integer, so
+    * each per-bigram P is ONE IEEE division of exact integers, and the
+    * per-doc sum folds the position-sorted array sequentially — DuckDB's
+    * list_sum over the same ordered list reproduces it bit-for-bit (the
+    * q34 cosine convention).
+    */
+  def bigramFamiliarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
+    val bg = tok
+      .select(col("doc"), posexplode_outer(wordShingles(col("tk"), 2)))
+      .filter(col("col").isNotNull)
+      .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("gram"),
+        split(col("col"), " ").getItem(0).as("w1"))
+    val bcount = bg.groupBy(col("gram")).agg(count(lit(1)).as("b"))
+    val pcount = bg.groupBy(col("w1")).agg(count(lit(1)).as("p"))
+    val vocab = tok.select(explode_outer(col("tk")).as("t"))
+      .filter(col("t").isNotNull)
+      .agg(countDistinct(col("t")).as("V"))
+    bg.join(bcount, "gram").join(pcount, "w1").crossJoin(broadcast(vocab))
+      .withColumn("r",
+        (col("b") + 1).cast("double") / (col("p") + col("V")).cast("double"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("r")))),
+            s => s.getField("r")),
+          lit(0.0), (a, x) => a + x).as("__sum"))
+      .select(col("doc").as(idCol), col("n_bigrams"),
+        (col("__sum") / col("n_bigrams")).as("familiarity"))
+  }
 }

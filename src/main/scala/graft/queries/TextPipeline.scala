@@ -825,7 +825,38 @@ object TextPipeline {
                  ROW_NUMBER() OVER (PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           FROM documents) WHERE rn <= 10
-        ORDER BY source, doc_id"""))
+        ORDER BY source, doc_id""")),
+
+    // ---- q116: bigram-LM familiarity — the LM-quality-filter step of
+    // the published curation recipes (score docs by predictability under
+    // a corpus-trained smoothed bigram model; gibberish and off-corpus
+    // text score low). Counts are word-count aggregations, the score
+    // join ships (doc, pos, gram) tuples, V broadcasts; each conditional
+    // is one IEEE division of exact integers and the per-doc mean folds
+    // the position-ordered array sequentially — DuckDB reproduces every
+    // double bit-for-bit (the q34 list_sum convention).
+    QueryDef(
+      "q116_bigram_lm",
+      (s, dir) =>
+        TextAnalysis.bigramFamiliarity(docs(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+                 i -> {'pos': i + 1, 'gram': tk[i+1] || ' ' || tk[i+2],
+                       'w1': tk[i+1]})) AS g FROM tk),
+        bg AS (SELECT doc_id, g.pos AS pos, g.gram AS gram, g.w1 AS w1 FROM g0),
+        bc AS (SELECT gram, COUNT(*)::BIGINT AS b FROM bg GROUP BY gram),
+        pc AS (SELECT w1, COUNT(*)::BIGINT AS p FROM bg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT t)::BIGINT AS V FROM
+                (SELECT unnest(tk) AS t FROM tk)),
+        r AS (SELECT bg.doc_id, bg.pos,
+                     (bc.b + 1)::DOUBLE / (pc.p + v.V)::DOUBLE AS r
+              FROM bg JOIN bc USING (gram) JOIN pc USING (w1) CROSS JOIN v)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               list_sum(list(r ORDER BY pos)) / COUNT(*) AS familiarity
+        FROM r GROUP BY doc_id
+        ORDER BY doc_id"""))
     ,
 
     // ---- q79: multi-language language ID (per-language lexicon ratios,

@@ -201,4 +201,24 @@ class CurationSpec extends SparkSpec {
     // fr stratum packs independently: 0, 600 → packs 0, 1
     assert(out(("fr", 1L)) == 0L && out(("fr", 2L)) == 1L)
   }
+
+  test("bigramFamiliarity: add-one smoothed conditionals, hand-computed") {
+    import graft.operators.TextAnalysis
+    // corpus: "a b a b" + "a b c"
+    //   bigram counts: (a b)=3, (b a)=1, (b c)=1; prefix counts: a=3, b=2
+    //   V=3 → P(a b)=4/6, P(b a)=2/5, P(b c)=2/5
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFamiliarity(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((1L, 3L), (2L, 2L)))
+    assert(math.abs(got(0)._3 - (4.0 / 6 + 2.0 / 5 + 4.0 / 6) / 3) < 1e-15)
+    assert(math.abs(got(1)._3 - (4.0 / 6 + 2.0 / 5) / 2) < 1e-15)
+    // familiar text outscores gibberish under the corpus model
+    val mixed = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "x y z q"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramFamiliarity(mixed, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(scores(0) > scores(2) && scores(1) > scores(2))
+  }
 }
