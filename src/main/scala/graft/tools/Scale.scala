@@ -196,6 +196,11 @@ object Scale {
       // exchange + touched-terms join — not a cached read-back
       Seq(
         "q103_inverted_index" -> SparkEntry.queries("q103_inverted_index"),
+        // round-11 additions: sketch/sample/LM — all bounded-state or
+        // word-count-shaped, probed with the same family
+        "q114_kll_quantiles" -> SparkEntry.queries("q114_kll_quantiles"),
+        "q115_bottomk_sample" -> SparkEntry.queries("q115_bottomk_sample"),
+        "q116_bigram_lm" -> SparkEntry.queries("q116_bigram_lm"),
         "q104_phrase_search" -> SparkEntry.queries("q104_phrase_search"),
         "q105_dup_spans" -> SparkEntry.queries("q105_dup_spans"),
         "q106_winnow_pairs" -> SparkEntry.queries("q106_winnow_pairs"),
