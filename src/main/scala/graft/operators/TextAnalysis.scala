@@ -376,8 +376,12 @@ object TextAnalysis {
     val bg = tok
       .select(col("doc"), posexplode_outer(wordShingles(col("tk"), 2)))
       .filter(col("col").isNotNull)
+      // w1 via substring_index, NOT split()[0]: the inner joins infer
+      // isnotnull(w1) and push it through this projection — a split would
+      // re-derive an array inside the Filter (the plan-shape guard's
+      // generator-pushdown class); substring_index stays scalar
       .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("gram"),
-        split(col("col"), " ").getItem(0).as("w1"))
+        substring_index(col("col"), " ", 1).as("w1"))
     val bcount = bg.groupBy(col("gram")).agg(count(lit(1)).as("b"))
     val pcount = bg.groupBy(col("w1")).agg(count(lit(1)).as("p"))
     val vocab = tok.select(explode_outer(col("tk")).as("t"))
