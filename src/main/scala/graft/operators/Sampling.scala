@@ -77,4 +77,50 @@ object Sampling {
       .agg(bottomKAgg(md5(col(idCol).cast("string")),
         col(idCol).cast("long"), k).as("__ids"))
       .select(col(groupCol), explode(col("__ids")).as(idCol))
+
+  /** Domain-mixture (temperature) resampling — rebalance a corpus toward
+    * flattened domain shares, the multilingual/domain-mixing step of
+    * published training-data recipes: target share of domain d is
+    * sqrt(count_d) / Σ sqrt(count_c) (temperature τ=0.5 — sqrt because
+    * IEEE sqrt is correctly rounded, so any engine reproduces the shares
+    * bit-for-bit, unlike libm pow), the total budget B is the largest
+    * total where no domain's quota exceeds its population
+    * (B = min_d count_d / share_d), and membership is deterministic
+    * Poisson sampling: keep a row iff the first 8 hex digits of
+    * md5(id) fall below floor(rate_d · 2^32) (compared as fixed-width
+    * hex strings — equal-length lowercase hex compares like the number).
+    *
+    * Scale shape: one tiny count aggregation, the per-domain rate frame
+    * broadcasts back, and the corpus takes ONE filter pass — bodies never
+    * shuffle, no per-domain sort. Float parity: Σ sqrt(count) folds in
+    * domain order (the q34/q116 ordered-fold convention), every later
+    * step is a single correctly-rounded IEEE op on identical operands.
+    */
+  def temperatureResample(df: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    // Σ sqrt(count) folded in group order → bit-identical in any engine
+    val tot = counts
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("g"),
+          sqrt(col("__c")).as("v")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("v")).as("__s"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__share", sqrt(col("__c")) / col("__s"))
+      .withColumn("__quota", col("__c") / col("__share"))
+    val budget = rates.agg(min(col("__quota")).as("__b"))
+    val withRate = rates.crossJoin(broadcast(budget))
+      .withColumn("__rate",
+        least(lit(1.0), col("__share") * col("__b") / col("__c")))
+      .withColumn("__cut",
+        lpad(lower(hex(floor(col("__rate") * lit(4294967296.0))
+          .cast("long"))), 8, "0"))
+      .select(col(groupCol), col("__rate"), col("__cut"))
+    df.join(broadcast(withRate), Seq(groupCol))
+      .where(col("__rate") >= 1.0 ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < col("__cut"))
+      .select(col(groupCol), col(idCol))
+  }
 }

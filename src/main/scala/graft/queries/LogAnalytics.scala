@@ -750,5 +750,37 @@ object LogAnalytics {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""))
+    ,
+
+    // ---- q117: engine-owned HyperLogLog distinct sketch — completes the
+    // mergeable-sketch family (count-min q108 heavy hitters, KLL q114
+    // quantiles): per partition the users fold into 4096 one-byte
+    // registers, partials merge register-wise-max on the reduce side, so
+    // the shuffle ships ~4 KB per group instead of every distinct key —
+    // the 100 TB COUNT DISTINCT shape (Spark's built-in equivalent is
+    // gated in q99; this is the engine-owned state the lake fold /
+    // streaming paths can persist and merge). Estimate is sketch-specific,
+    // so the oracle gates a BOUND BOOLEAN: ±5% of exact (p=12 gives
+    // ~1.6% standard error; +1 absorbs tiny groups).
+    QueryDef(
+      "q117_hll_distinct",
+      (s, dir) => {
+        import graft.operators.Hll
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            Hll.approxDistinct(col("user_id")).as("__est"))
+          .select(col("event_type"), col("n_users"),
+            (abs(col("__est") - col("n_users"))
+              <= lit(0.05) * col("n_users") + lit(1.0)).as("hll_in_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS hll_in_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

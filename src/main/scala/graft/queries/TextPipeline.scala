@@ -859,6 +859,74 @@ object TextPipeline {
         ORDER BY doc_id"""))
     ,
 
+    // ---- q118: domain-mixture (temperature) resampling — the domain/
+    // language-mixing step of published curation recipes: rebalance the
+    // corpus toward sqrt-flattened domain shares under the largest budget
+    // no domain can overdraw, with deterministic md5-threshold membership
+    // (Poisson sampling). One tiny count agg + broadcast rate join + one
+    // filter pass — bodies never shuffle. Float parity: sqrt is
+    // IEEE-correctly-rounded, the share normalizer folds in domain order
+    // (q34/q116 convention), every later step is one IEEE op.
+    QueryDef(
+      "q118_temperature_mix",
+      (s, dir) =>
+        graft.operators.Sampling.temperatureResample(
+            docs(s, dir), "doc_id", "source")
+          .orderBy(col("source"), col("doc_id")),
+      Some("""
+        WITH c AS (SELECT source, COUNT(*)::DOUBLE AS c
+                   FROM documents GROUP BY source),
+        s AS (SELECT list_sum(list(sqrt(c) ORDER BY source)) AS s FROM c),
+        r0 AS (SELECT source, c, sqrt(c) / s.s AS share FROM c CROSS JOIN s),
+        r1 AS (SELECT source, c, share, c / share AS quota FROM r0),
+        b AS (SELECT min(quota) AS b FROM r1),
+        r AS (SELECT source, least(1.0, share * b.b / c) AS rate
+              FROM r1 CROSS JOIN b),
+        cut AS (SELECT source, rate,
+                       lpad(lower(to_hex(CAST(floor(rate * 4294967296.0)
+                         AS BIGINT))), 8, '0') AS cut
+                FROM r)
+        SELECT d.source AS source, d.doc_id AS doc_id
+        FROM documents d JOIN cut USING (source)
+        WHERE rate >= 1.0
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
+        ORDER BY source, doc_id""")),
+
+    // ---- q119: deterministic shard plan — the training-shard production
+    // step: hash-route every doc to one of 16 shards (first md5 hex digit
+    // of the id), report per-shard balance (doc count, token mass) and an
+    // ORDER-INSENSITIVE membership fingerprint (bit_xor of a 60-bit
+    // md5-derived id hash). The fingerprint is mergeable bounded state —
+    // 8 bytes per shard partial, no collect, no per-shard sort — so the
+    // same plan holds when each shard is a 6 TB write: router is a map,
+    // stats are one agg keyed by 16 values.
+    QueryDef(
+      "q119_shard_plan",
+      (s, dir) => {
+        val toks = filter(
+          split(lower(trim(col("text"))), raw"\s+"), x => x =!= "")
+        docs(s, dir)
+          .select(
+            substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+            size(toks).cast("long").as("__nt"),
+            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+              .as("__fp"))
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("__nt")).as("n_tokens"),
+            expr("bit_xor(__fp)").as("ids_fingerprint"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               COUNT(*) AS n_docs,
+               SUM(len($sqlToks))::BIGINT AS n_tokens,
+               bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT)) AS ids_fingerprint
+        FROM documents
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- q79: multi-language language ID (per-language lexicon ratios,
     // struct-greatest argmax + confidence). The oracle word lists are
     // INTERPOLATED from TextAnalysis.lexicons, so Spark and DuckDB can

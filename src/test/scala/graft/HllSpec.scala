@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Hll
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct sketch: accuracy at several cardinalities,
+  * partition invariance (mergeability), duplicate insensitivity, and the
+  * small-range linear-counting regime.
+  */
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def estimate(n: Long, parts: Int = 8): Double =
+    spark.range(0, n).repartition(parts)
+      .agg(Hll.approxDistinct(col("id")).as("est"))
+      .as[Double].head()
+
+  test("within 5% at 1e3 / 1e4 / 1e5 distinct values") {
+    for (n <- Seq(1000L, 10000L, 100000L)) {
+      val est = estimate(n)
+      assert(math.abs(est - n) <= 0.05 * n,
+        s"n=$n est=$est off by ${math.abs(est - n) / n * 100}%")
+    }
+  }
+
+  test("partition-invariant: merge order never changes the estimate") {
+    val e1 = estimate(50000, parts = 1)
+    val e16 = estimate(50000, parts = 16)
+    val e32 = estimate(50000, parts = 32)
+    assert(e1 == e16 && e16 == e32)
+  }
+
+  test("duplicates do not move the estimate") {
+    val once = spark.range(0, 20000)
+      .agg(Hll.approxDistinct(col("id"))).as[Double].head()
+    val tripled = spark.range(0, 60000).select(pmod(col("id"), lit(20000)).as("id"))
+      .agg(Hll.approxDistinct(col("id"))).as[Double].head()
+    assert(once == tripled)
+  }
+
+  test("small-range linear counting is near-exact") {
+    for (n <- Seq(1L, 10L, 100L)) {
+      val est = estimate(n, parts = 2)
+      assert(math.abs(est - n) <= math.max(1.0, 0.02 * n),
+        s"n=$n est=$est")
+    }
+  }
+
+  test("grouped: per-group sketches are independent") {
+    val df = spark.range(0, 30000).select(
+      pmod(col("id"), lit(3)).as("g"),
+      (col("id") * lit(7)).as("v"))
+    val got = df.groupBy("g").agg(Hll.approxDistinct(col("v")).as("est"))
+      .as[(Long, Double)].collect().toMap
+    for ((_, est) <- got) assert(math.abs(est - 10000) <= 500)
+  }
+}

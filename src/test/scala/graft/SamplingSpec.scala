@@ -39,4 +39,50 @@ class SamplingSpec extends SparkSpec {
       .orderBy("g", "doc_id").as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 1L), ("a", 2L), ("b", 3L)))
   }
+
+  // skewed corpus: domain sizes 4000 / 800 / 200
+  private def skewed = spark.range(0, 5000).select(
+    col("id").as("doc_id"),
+    when(col("id") < 4000, "big")
+      .when(col("id") < 4800, "mid").otherwise("small").as("g"))
+
+  test("temperature resample flattens the mixture toward sqrt shares") {
+    val kept = Sampling.temperatureResample(skewed, "doc_id", "g")
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    // target shares ∝ sqrt(count): sqrt(4000):sqrt(800):sqrt(200)
+    val w = Map("big" -> math.sqrt(4000), "mid" -> math.sqrt(800),
+      "small" -> math.sqrt(200))
+    val s = w.values.sum
+    // budget pinned by the smallest domain keeping everything
+    val budget = w.keys.map(g =>
+      Map("big" -> 4000.0, "mid" -> 800.0, "small" -> 200.0)(g) / (w(g) / s))
+      .min
+    assert(byG("small") == 200, "argmin domain keeps every doc")
+    // Poisson sampling: expect n_g ≈ share_g * budget within 4 sigma
+    for (g <- Seq("big", "mid")) {
+      val exp = w(g) / s * budget
+      assert(math.abs(byG(g) - exp) <= 4 * math.sqrt(exp),
+        s"$g kept ${byG(g)} vs expected $exp")
+    }
+    // flattening: kept ratio big/small well below the 20x input ratio
+    assert(byG("big").toDouble / byG("small") < 6.0)
+  }
+
+  test("temperature resample is deterministic and a subset of the corpus") {
+    val a = Sampling.temperatureResample(skewed, "doc_id", "g")
+      .orderBy("g", "doc_id").as[(String, Long)].collect().toSeq
+    val b = Sampling.temperatureResample(skewed.repartition(16), "doc_id", "g")
+      .orderBy("g", "doc_id").as[(String, Long)].collect().toSeq
+    assert(a == b, "same rows regardless of partitioning / re-run")
+    val ids = a.map(_._2).toSet
+    assert(ids.subsetOf((0L until 5000L).toSet))
+  }
+
+  test("uniform corpus: every domain keeps (almost) everything") {
+    val uni = spark.range(0, 3000).select(
+      col("id").as("doc_id"), pmod(col("id"), lit(3)).cast("string").as("g"))
+    val kept = Sampling.temperatureResample(uni, "doc_id", "g").count()
+    // equal counts → every rate is 1 up to fp rounding
+    assert(kept >= 2997 && kept <= 3000)
+  }
 }

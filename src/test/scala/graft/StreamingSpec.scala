@@ -189,6 +189,29 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(rank - 0.5) < 0.03, s"p50=$streamedP50 rank=$rank")
   }
 
+  test("HLL distinct sketch folds across micro-batches to the batch answer") {
+    import graft.operators.Hll
+    val input = MemoryStream[Long](spark)
+    // third sketch of the family under the same streaming claim: the 4 KB
+    // register array is the aggregation buffer, register-wise max across
+    // micro-batches — overlapping ids across batches must not double-count
+    val q = input.toDF().toDF("v")
+      .agg(Hll.approxDistinct(col("v")).as("est"))
+      .writeStream.format("memory").queryName("hll_sink")
+      .outputMode("complete").start()
+    // 3 overlapping batches covering 0..14999 with heavy re-delivery
+    Seq(0L until 8000L, 4000L until 12000L, 8000L until 15000L).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val est = spark.table("hll_sink").collect().head.getDouble(0)
+    assert(math.abs(est - 15000) <= 0.05 * 15000, s"est=$est")
+    // and the streamed fold equals the one-shot batch sketch exactly
+    val oneShot = spark.range(0, 15000)
+      .agg(Hll.approxDistinct(col("id"))).collect().head.getDouble(0)
+    assert(est == oneShot)
+  }
+
   test("streaming enrichment refresh: an update is visible to the next batch") {
     import graft.operators.Enrichment
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
