@@ -98,27 +98,32 @@ object Sampling {
     */
   def temperatureResample(df: DataFrame, idCol: String,
       groupCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE stats job: per-domain counts (bounded by the domain vocabulary —
+    // same driver-side class as the centroid frames of q93/q95). All rate
+    // math is plain IEEE doubles on the driver: sqrt is correctly rounded,
+    // the share normalizer is a sequential left fold in domain order, and
+    // every later step is one correctly-rounded op — so Scala here, the
+    // array-fold form, and DuckDB's ordered list_sum agree bit-for-bit.
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("double").as("__c"))
-    // Σ sqrt(count) folded in group order → bit-identical in any engine
-    val tot = counts
-      .agg(aggregate(
-        array_sort(collect_list(struct(col(groupCol).as("g"),
-          sqrt(col("__c")).as("v")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("v")).as("__s"))
-    val rates = counts.crossJoin(broadcast(tot))
-      .withColumn("__share", sqrt(col("__c")) / col("__s"))
-      .withColumn("__quota", col("__c") / col("__share"))
-    val budget = rates.agg(min(col("__quota")).as("__b"))
-    val withRate = rates.crossJoin(broadcast(budget))
-      .withColumn("__rate",
-        least(lit(1.0), col("__share") * col("__b") / col("__c")))
-      .withColumn("__cut",
-        lpad(lower(hex(floor(col("__rate") * lit(4294967296.0))
-          .cast("long"))), 8, "0"))
-      .select(col(groupCol), col("__rate"), col("__cut"))
-    df.join(broadcast(withRate), Seq(groupCol))
+      .collect().map(r => (r.get(0).toString, r.getDouble(1))).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureResample on an empty frame")
+    val s = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + math.sqrt(c) }
+    val quotas = counts.map { case (g, c) =>
+      val share = math.sqrt(c) / s
+      (g, c, share, c / share)
+    }
+    val budget = quotas.map(_._4).min
+    val rates = quotas.map { case (g, c, share, _) =>
+      val rate = math.min(1.0, share * budget / c)
+      // first-8-hex-digit cutoff: equal-length lowercase hex compares
+      // like the number it encodes
+      val cut = f"${math.floor(rate * 4294967296.0).toLong}%08x"
+      (g, rate, cut)
+    }.toSeq
+    df.join(broadcast(rates.toDF(groupCol, "__rate", "__cut")), Seq(groupCol))
       .where(col("__rate") >= 1.0 ||
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__cut"))
       .select(col(groupCol), col(idCol))
