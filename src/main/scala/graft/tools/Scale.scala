@@ -201,6 +201,9 @@ object Scale {
         "q114_kll_quantiles" -> SparkEntry.queries("q114_kll_quantiles"),
         "q115_bottomk_sample" -> SparkEntry.queries("q115_bottomk_sample"),
         "q116_bigram_lm" -> SparkEntry.queries("q116_bigram_lm"),
+        "q117_hll_distinct" -> SparkEntry.queries("q117_hll_distinct"),
+        "q118_temperature_mix" -> SparkEntry.queries("q118_temperature_mix"),
+        "q119_shard_plan" -> SparkEntry.queries("q119_shard_plan"),
         "q104_phrase_search" -> SparkEntry.queries("q104_phrase_search"),
         "q105_dup_spans" -> SparkEntry.queries("q105_dup_spans"),
         "q106_winnow_pairs" -> SparkEntry.queries("q106_winnow_pairs"),
