@@ -133,6 +133,27 @@ object Dedup {
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("common"), col("jaccard"))
   }
 
+  /** Edit-distance verification over LSH candidates — the record-linkage
+    * fuzzy join: candidate generation stays the banded-minhash machinery
+    * (sublinear, no all-pairs), verification is character-level Levenshtein
+    * instead of shingle Jaccard — the measure record-linkage and title/
+    * citation dedup actually want (insertions/deletions/typos, not token
+    * overlap). Verification uses Spark's THRESHOLDED levenshtein: the
+    * banded O(maxDist·n) algorithm short-circuits to -1 past the bound, so
+    * per-pair cost is bounded by the threshold, not the text length — the
+    * 100 TB shape next to the candidate join's two hash joins on id.
+    */
+  def editDistanceVerify(texts: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val t1 = texts.select(col(idCol).as("id1"), col(textCol).as("__t1"))
+    val t2 = texts.select(col(idCol).as("id2"), col(textCol).as("__t2"))
+    candidates.join(t1, "id1").join(t2, "id2")
+      .withColumn("lev", levenshtein(col("__t1"), col("__t2"), maxDist))
+      .where(col("lev") >= 0)
+      .select(col("id1"), col("id2"), length(col("__t1")).as("len1"),
+        length(col("__t2")).as("len2"), col("lev").cast("long").as("lev"))
+  }
+
   /** Connected components over duplicate pairs — the step that turns pair
     * DETECTION (LSH/SimHash/embedding blocking) into actual DEDUPLICATION:
     * transitively-linked documents form one cluster, the minimum id is the

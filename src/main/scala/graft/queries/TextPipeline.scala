@@ -229,6 +229,54 @@ object TextPipeline {
         WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2
         ORDER BY jaccard DESC, id1, id2""")),
 
+    // ---- q120: record-linkage fuzzy join — q32's banded-minhash candidate
+    // generation verified by character-level LEVENSHTEIN instead of shingle
+    // Jaccard (the measure title/citation dedup wants: typos and in/dels).
+    // Spark verifies with the THRESHOLDED levenshtein (banded O(τ·n),
+    // short-circuits past τ=40); the oracle re-derives the identical
+    // candidate set and filters the plain distance — same kept pairs, and
+    // on kept pairs the thresholded distance IS the distance.
+    QueryDef(
+      "q120_fuzzy_join",
+      (s, dir) => {
+        val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
+          maxBucketSize = None)
+        val out = Dedup.editDistanceVerify(
+            docs(s, dir).select(col("doc_id"), col("text")), cands,
+            "doc_id", "text", maxDist = 40)
+          .withColumn("len1", col("len1").cast("long"))
+          .withColumn("len2", col("len2").cast("long"))
+          .orderBy(col("lev"), col("id1"), col("id2"))
+          .localCheckpoint(true)
+        sets.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                   UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+                                       AND a.doc_id < b.doc_id),
+             v AS (SELECT id1, id2,
+                          length(d1.text)::BIGINT AS len1,
+                          length(d2.text)::BIGINT AS len2,
+                          levenshtein(d1.text, d2.text)::BIGINT AS lev
+                   FROM cand
+                   JOIN documents d1 ON d1.doc_id = id1
+                   JOIN documents d2 ON d2.doc_id = id2)
+        SELECT id1, id2, len1, len2, lev FROM v
+        WHERE lev <= 40
+        ORDER BY lev, id1, id2""")),
+
     // ---- q67: duplicate clustering — LSH pairs (the q32 pipeline) folded
     // into connected components: transitively-linked docs share a cluster,
     // min id is canonical, and a dedup keeps exactly the canonical rows.

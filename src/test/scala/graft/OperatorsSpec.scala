@@ -30,6 +30,22 @@ class OperatorsSpec extends SparkSpec {
     assert(verified.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("edit-distance verify keeps pairs within the threshold with the exact distance") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = base.dropRight(5) + "XYZAB" // 5 substitutions at the tail
+    val far = (100 to 130).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sets = Dedup.shingleFrame(df, "doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3)
+    val kept = Dedup.editDistanceVerify(df, cands, "doc_id", "text", maxDist = 10)
+      .collect()
+    assert(kept.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet == Set((1L, 2L)))
+    assert(kept.head.getAs[Long]("lev") == 5L, "thresholded lev = exact distance on kept pairs")
+    // tighter threshold drops the pair entirely (the -1 sentinel is filtered)
+    val none = Dedup.editDistanceVerify(df, cands, "doc_id", "text", maxDist = 3)
+    assert(none.count() == 0)
+  }
+
   test("salted join and salted count match their unsalted equivalents") {
     import graft.operators.Skew
     val big = (1 to 3000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
