@@ -204,6 +204,7 @@ object Scale {
         "q117_hll_distinct" -> SparkEntry.queries("q117_hll_distinct"),
         "q118_temperature_mix" -> SparkEntry.queries("q118_temperature_mix"),
         "q119_shard_plan" -> SparkEntry.queries("q119_shard_plan"),
+        "q120_fuzzy_join" -> SparkEntry.queries("q120_fuzzy_join"),
         "q104_phrase_search" -> SparkEntry.queries("q104_phrase_search"),
         "q105_dup_spans" -> SparkEntry.queries("q105_dup_spans"),
         "q106_winnow_pairs" -> SparkEntry.queries("q106_winnow_pairs"),
