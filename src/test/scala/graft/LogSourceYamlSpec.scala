@@ -319,4 +319,70 @@ class LogSourceYamlSpec extends SparkSpec {
       .withColumn("t", r.column).select("t").as[String].collect()
     assert(rows.toSeq == Seq("auth", null))
   }
+
+  test("zeek end-to-end: the 30-branch metadata routing + dns table drive the pipeline from the real YAML") {
+    assume(available)
+    // second e2e golden on the reference's biggest multi-table source:
+    // zeek routes ~30 tables off the object key and resolves each table
+    // schema from its own tables/*.yml — nothing here is cloudtrail-shaped
+    val src = LogSourceYaml.loadDir(s"$managedDir/zeek")
+    assert(src.tables.size >= 25, s"zeek tables: ${src.tables.size}")
+
+    // --- schema resolution against a hand-read of the real dns.yml
+    val dnsT = src.tables("dns")
+    assert(Seq("dns.answers", "dns.question.name", "dns.resolved_ip",
+      "destination.ip", "destination.port", "event.outcome")
+      .forall(dnsT.ecsFieldNames.contains))
+    val dnsSchema = dnsT.schema
+    def typeOf(path: String): org.apache.spark.sql.types.DataType =
+      path.split('.').foldLeft(dnsSchema: org.apache.spark.sql.types.DataType) {
+        case (st: StructType, f) => st(f).dataType
+        case (other, f) => fail(s"$path: hit $other before $f")
+      }
+    assert(typeOf("dns.question.name") == StringType)
+    assert(typeOf("dns.resolved_ip") == ArrayType(StringType))
+    assert(typeOf("destination.port") == IntegerType)
+    assert(dnsSchema.fieldNames.head == "ts")
+
+    // --- routing straight from the real select_table_from_payload_metadata
+    val (routes, default) = src.metadataRouting.get
+    val tmp = Files.createTempDirectory("graft_zeek_e2e")
+    val landing = tmp.resolve("landing")
+    Files.createDirectories(landing)
+    val dnsLine =
+      """{"ts":1690000000.5,"uid":"Cdns1","id.orig_h":"10.0.0.1","id.orig_p":5353,""" +
+        """"id.resp_h":"8.8.8.8","id.resp_p":53,"proto":"udp","query":"example.com",""" +
+        """"qclass_name":"C_INTERNET","qtype_name":"A","rcode_name":"NOERROR",""" +
+        """"answers":["93.184.216.34","alias.example.com"],"TTLs":[60.0,30.0],"rejected":false}"""
+    Files.writeString(landing.resolve("dns.23_59_00.log"), dnsLine + "\n")
+    Files.writeString(landing.resolve("conn.23_59_00.log"),
+      """{"ts":1690000001.0,"uid":"Cc1","proto":"tcp"}""" + "\n")
+    Files.writeString(landing.resolve("capture_loss.23_59_00.log"),
+      """{"ts":1690000002.0,"percent_lost":0.0}""" + "\n")
+    val raw = Framing.textLines(spark, landing.toString)
+    val routed = Framing.routeByFileMetadata(raw, routes, default)
+    val byTable = routed.groupBy("__table").count().as[(String, Long)]
+      .collect().toMap
+    assert(byTable ==
+      Map("dns" -> 1L, "connection" -> 1L, "capture_loss" -> 1L))
+
+    // --- YAML-driven dns pipeline end-to-end through the lake
+    val lake = tmp.resolve("lake").toString
+    val p = LogSourceYaml.pipeline(src, "dns",
+      graft.transform.managed.ZeekDns.apply, lake, tmp.resolve("side").toString)
+    Ingest.processBatch(p)(
+      routed.filter(col("__table") === "dns").drop("__table"), 0L)
+    val out = graft.lake.Lake.read(spark, lake)
+    assert(out.count() == 1)
+    val row = out.select(
+      col("`dns`.`question`.`name`"), col("`dns`.`resolved_ip`"),
+      col("`source`.`ip`"), col("`destination`.`port`"),
+      col("`event`.`outcome`"), col("`network`.`transport`")).head
+    assert(row.getString(0) == "example.com")
+    assert(row.getSeq[String](1) == Seq("93.184.216.34"))
+    assert(row.getString(2) == "10.0.0.1")
+    assert(row.getInt(3) == 53)
+    assert(row.getString(4) == "success")
+    assert(row.getString(5) == "udp")
+  }
 }
