@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.AgnosticEncoders
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{udaf, xxhash64}
+import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketch (HyperLogLog) — the 100 TB COUNT
   * DISTINCT path.
@@ -30,15 +31,24 @@ import org.apache.spark.sql.functions.{udaf, xxhash64}
   *    partitioning reproduce the same estimate.
   *  - p=12 (4096 single-byte registers ≈ 4 KB state) gives a standard
   *    error of 1.04/sqrt(m) ≈ 1.6%; driver gates assert ±5%.
+  *  - the register state is FIRST-CLASS: [[registersAgg]] surfaces it as
+  *    an `array<int>` column, [[mergeRegisters]] is a native `zip_with`
+  *    greatest, and [[estimate]] reads an estimate off any register
+  *    column with built-in expressions only — so sketches can be
+  *    persisted in a lake table and folded incrementally across batches
+  *    (q121), exactly like the count-min cells of q108/q109. Every power
+  *    of two and the fold order match the in-JVM path bit for bit, so
+  *    a lake-folded estimate EQUALS the one-shot estimate.
   *  - Spark's own `approx_count_distinct` is the built-in equivalent
-  *    (gated in q99); this aggregator is the engine-owned variant the
-  *    lake fold / streaming paths can persist and merge incrementally,
-  *    like the count-min cells of q108/q109.
+  *    (gated in q99); this aggregator is the engine-owned variant.
   */
 object Hll {
 
-  /** Registers: byte array of size 2^p; merge = element-wise max. */
-  final case class HllAgg(p: Int) extends Aggregator[Long, Array[Byte], Double] {
+  /** Registers: byte buffer of size 2^p folded per partition; merge =
+    * element-wise max; finish surfaces `array<int>` for native reads.
+    */
+  final case class RegistersAgg(p: Int)
+      extends Aggregator[Long, Array[Byte], Seq[Int]] {
     require(p >= 4 && p <= 16, s"HLL p must be in [4,16], got $p")
     private val m = 1 << p
 
@@ -61,27 +71,51 @@ object Hll {
       a
     }
 
-    def finish(regs: Array[Byte]): Double = {
-      val alpha = 0.7213 / (1.0 + 1.079 / m)
-      var invSum = 0.0
-      var zeros = 0
-      var i = 0
-      while (i < m) {
-        invSum += java.lang.Math.scalb(1.0, -regs(i).toInt)
-        if (regs(i) == 0) zeros += 1
-        i += 1
-      }
-      val raw = alpha * m.toDouble * m.toDouble / invSum
-      // small-range correction: linear counting while registers are sparse
-      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-      else raw
-    }
+    def finish(regs: Array[Byte]): Seq[Int] = regs.map(_.toInt).toSeq
 
     def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[Seq[Int]] =
+      AgnosticEncoders.IterableEncoder(scala.reflect.classTag[Seq[Int]],
+        AgnosticEncoders.PrimitiveIntEncoder, containsNull = false,
+        lenientSerialization = false)
+  }
+
+  /** HLL register array (`array<int>`, length 2^p) as an aggregation
+    * column over any expression.
+    */
+  def registersAgg(value: Column, p: Int = 12): Column =
+    udaf(RegistersAgg(p), Encoders.scalaLong).apply(xxhash64(value))
+
+  /** Merge two register columns: native element-wise max — associative,
+    * commutative, idempotent, so lake folds are batch-cut independent.
+    */
+  def mergeRegisters(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Estimate read off a register column, built-ins only (usable on lake
+    * rows without the aggregator): harmonic mean with the standard
+    * small-range linear-counting switch. Fold order and every constant
+    * match the in-JVM path, so estimates are reproducible bit for bit.
+    */
+  def estimate(regs: Column, p: Int = 12): Column = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // 2^-r exactly: 1/(1L << r). The functions-API shiftleft only takes a
+    // literal shift, so build the catalyst node for a column shift.
+    def pow2(r: Column): Column = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftBridge.expression(lit(1L)),
+        org.apache.spark.sql.GraftBridge.expression(r)))
+    val invSum = aggregate(regs, lit(0.0),
+      (acc, r) => acc + lit(1.0) / pow2(r).cast("double"))
+    val zeros = size(filter(regs, r => r === 0))
+    val raw = lit(alpha * m.toDouble * m.toDouble) / invSum
+    when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
   }
 
   /** Approximate COUNT(DISTINCT expr) as an aggregation column. */
   def approxDistinct(value: Column, p: Int = 12): Column =
-    udaf(HllAgg(p), Encoders.scalaLong).apply(xxhash64(value))
+    estimate(registersAgg(value, p), p)
 }

@@ -782,5 +782,63 @@ object LogAnalytics {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""))
+    ,
+
+    // ---- q121: incremental distinct index through the lake — q117's HLL
+    // registers persisted as lake rows and folded batch by batch (the
+    // q109 shape for COUNT DISTINCT): each batch ships one 4 KB register
+    // row per group, the merge is a native zip_with max on the touched
+    // groups only, and history is never rescanned. Register max-merge is
+    // associative + idempotent, so the gate asserts the folded estimate
+    // EQUALS the one-shot sketch bit for bit (batch-cut independence) on
+    // top of the ±5%-of-exact bound.
+    QueryDef(
+      "q121_hll_fold",
+      (s, dir) => {
+        import graft.operators.Hll
+        import graft.lake.Snapshots
+        val ev = t(s, dir, "events")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_hll_fold").toString + "/hll"
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+        val cuts = Seq(
+          col("event_id") < maxId / 3,
+          col("event_id") >= maxId / 3 && col("event_id") < 2 * maxId / 3,
+          col("event_id") >= 2 * maxId / 3)
+        val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        cuts.zipWithIndex.foreach { case (cut, i) =>
+          val part = ev.filter(cut).groupBy(col("event_type"))
+            .agg(Hll.registersAgg(col("user_id")).as("regs"))
+          if (i == 0) Snapshots.append(part.withColumn("ts", ts0), table)
+          else {
+            val ex = Snapshots.read(s, table)
+              .select(col("event_type"), col("regs").as("__r0"))
+            val merged = part.join(ex, Seq("event_type"), "left")
+              .select(col("event_type"),
+                when(col("__r0").isNull, col("regs"))
+                  .otherwise(Hll.mergeRegisters(col("regs"), col("__r0")))
+                  .as("regs"))
+            Snapshots.mergeUpsert(s, table,
+              merged.withColumn("ts", ts0), "event_type")
+          }
+        }
+        val folded = Snapshots.read(s, table)
+          .select(col("event_type"), Hll.estimate(col("regs")).as("__folded"))
+        ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            Hll.approxDistinct(col("user_id")).as("__os"))
+          .join(folded, Seq("event_type"))
+          .select(col("event_type"), col("n_users"),
+            (col("__folded") === col("__os")).as("fold_equals_oneshot"),
+            (abs(col("__folded") - col("n_users"))
+              <= lit(0.05) * col("n_users") + lit(1.0)).as("fold_in_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS fold_equals_oneshot, TRUE AS fold_in_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
