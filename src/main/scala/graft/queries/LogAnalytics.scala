@@ -840,5 +840,56 @@ object LogAnalytics {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""))
+    ,
+
+    // ---- q122: funnel / ordered-sequence detection (CEP-lite) — the
+    // earliest-greedy funnel over view → click → purchase per user:
+    // t1 = first view, t2 = first click strictly after t1, t3 = first
+    // purchase strictly after t2; completed iff t3 ≤ t1 + 3 days. The
+    // definition is on VALUES only (strict ts inequalities), so no
+    // same-timestamp row-order ambiguity — deterministic in any engine.
+    // Scale shape: three slim (user, ts) aggregations that all hash on
+    // user_id — the stage joins land co-partitioned after the first
+    // exchange, no per-user collect, no global sort except the tiny
+    // ordered output.
+    QueryDef(
+      "q122_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val u1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val u2 = ev.filter(col("event_type") === "click")
+          .join(u1, "user_id").where(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val u3 = ev.filter(col("event_type") === "purchase")
+          .join(u2, "user_id").where(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        u1.join(u2.select("user_id", "t2"), Seq("user_id"), "left")
+          .join(u3.select("user_id", "t3"), Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+              + when(col("t3").isNotNull, 1).otherwise(0))
+              .cast("long").as("stage"),
+            (col("t3").isNotNull &&
+              col("t3") <= col("t1") + expr("INTERVAL 3 DAYS"))
+              .as("completed_3d"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN u1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+        u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN u2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1)
+        SELECT u1.user_id AS user_id,
+               (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS stage,
+               (t3 IS NOT NULL AND t3 <= t1 + INTERVAL 3 DAY) AS completed_3d
+        FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+        ORDER BY user_id"""))
   )
 }
