@@ -46,6 +46,43 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("property: merge IS union — fold(A++B) == merge(fold(A), fold(B)) on random hash sets") {
+    val rng = new scala.util.Random(7)
+    val agg = Hll.RegistersAgg(12)
+    for (_ <- 1 to 10) {
+      val a = Array.fill(1 + rng.nextInt(5000))(rng.nextLong())
+      val b = Array.fill(1 + rng.nextInt(5000))(rng.nextLong())
+      val fa = a.foldLeft(agg.zero)(agg.reduce)
+      val fb = b.foldLeft(agg.zero)(agg.reduce)
+      val fab = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      // merge mutates its left arg — clone to keep fa usable
+      assert(java.util.Arrays.equals(agg.merge(fa.clone, fb), fab))
+      // idempotent: self-merge is identity (re-delivered batches are safe)
+      assert(java.util.Arrays.equals(agg.merge(fab.clone, fab), fab))
+      // commutative on the register level
+      assert(java.util.Arrays.equals(agg.merge(fb.clone, fa), fab))
+    }
+  }
+
+  test("property: estimate within 5% across distributions and random split counts") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val n = 20000 + rng.nextInt(80000)
+      // distinct ids drawn three ways: dense range, sparse random, clustered
+      val ids: Seq[Long] = trial % 3 match {
+        case 0 => 0L until n.toLong
+        case 1 => Seq.fill(n)(rng.nextLong()).distinct
+        case _ => (0 until n).map(i => (i / 100).toLong * 1000000L + i % 100)
+      }
+      val parts = 1 + rng.nextInt(16)
+      val est = spark.createDataFrame(
+          ids.map(Tuple1(_))).toDF("id").repartition(parts)
+        .agg(Hll.approxDistinct(col("id"))).head.getDouble(0)
+      assert(math.abs(est - ids.size) <= 0.05 * ids.size,
+        s"trial=$trial n=${ids.size} est=$est parts=$parts")
+    }
+  }
+
   test("grouped: per-group sketches are independent") {
     val df = spark.range(0, 30000).select(
       pmod(col("id"), lit(3)).as("g"),

@@ -28,6 +28,38 @@ class QuantileSketchSpec extends SparkSpec {
     assert(sk.retained < 2000, s"retained ${sk.retained}")
   }
 
+  test("property: rank bound holds across distributions and random merge trees") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val n = 20000 + rng.nextInt(60000)
+      val values: Array[Double] = trial % 3 match {
+        case 0 => Array.fill(n)(rng.nextDouble() * 1000) // uniform
+        case 1 => Array.fill(n)(-math.log(rng.nextDouble()) * 100) // exponential
+        case _ => Array.fill(n)( // heavy ties: 10 distinct levels
+          (rng.nextInt(10) * 7).toDouble)
+      }
+      // random partitioning into 1..12 partials, merged left-to-right
+      val parts = 1 + rng.nextInt(12)
+      val sketches = values.grouped(math.max(1, n / parts)).map { chunk =>
+        val s = new Kll(200); chunk.foreach(s.update); s
+      }.toSeq
+      val sk = sketches.reduce(_ merge _)
+      val sorted = values.sorted
+      for (q <- Seq(0.1, 0.5, 0.9)) {
+        val est = sk.quantile(q)
+        // under ties a value OCCUPIES a rank interval [count(<est),
+        // count(<=est)]; the bound holds if the target rank is within ε
+        // of that interval (point-rank comparison would jump in tie-mass
+        // steps and fail any sketch on 10-level data)
+        val lo = sorted.count(_ < est).toDouble / sorted.length
+        val hi = sorted.count(_ <= est).toDouble / sorted.length
+        assert(lo - 0.05 <= q && q <= hi + 0.05,
+          s"trial=$trial q=$q est=$est rankIv=[$lo,$hi] parts=$parts")
+      }
+      assert(sk.retained < 3000)
+    }
+  }
+
   test("merge of partial sketches honors the same bound (mergeability)") {
     val rnd = new scala.util.Random(11)
     val values = Array.fill(60000)(rnd.nextGaussian() * 50 + 100)
