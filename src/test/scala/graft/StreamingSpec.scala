@@ -212,6 +212,37 @@ class StreamingSpec extends SparkSpec {
     assert(est == oneShot)
   }
 
+  test("streaming funnel replays to the batch q122 answer on ts-ordered batches") {
+    import graft.streaming.Funnel
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the q122 earliest-greedy funnel over the same events
+    val batch = SparkEntry.queries("q122_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[Funnel.Event].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[Funnel.Event](spark)
+    val q = Funnel.track(spark, input.toDF().as[Funnel.Event],
+        Seq("view", "click", "purchase"), windowUs = 3L * 86400 * 1000000)
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // last snapshot per user (the sink upserts by user)
+    val streamed = spark.table("funnel_sink")
+      .withColumn("__seq", monotonically_increasing_id())
+      .orderBy(col("__seq"))
+      .collect()
+      .foldLeft(Map.empty[Long, (Long, Boolean)]) { (m, r) =>
+        m.updated(r.getLong(0), (r.getLong(1), r.getBoolean(2)))
+      }
+    assert(streamed == batch,
+      s"streamed ${streamed.size} users vs batch ${batch.size}")
+  }
+
   test("streaming enrichment refresh: an update is visible to the next batch") {
     import graft.operators.Enrichment
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
