@@ -55,6 +55,7 @@ object Hll {
     def zero: Array[Byte] = new Array[Byte](m)
 
     def reduce(regs: Array[Byte], hash: Long): Array[Byte] = {
+      if (hash == Hll.NullSentinel) return regs // null input: not a value
       val idx = (hash >>> (64 - p)).toInt
       val w = hash << p
       // rank = leading zeros of the remaining bits + 1, capped so an
@@ -80,11 +81,20 @@ object Hll {
         lenientSerialization = false)
   }
 
+  /** Null inputs must not count as a distinct value (countDistinct
+    * semantics) — `xxhash64` would fold a null into its seed and count it.
+    * Nulls map to this sentinel and the fold skips it; a genuine value
+    * hashing exactly here is ignored with probability 2^-64 (one register
+    * update lost, far below the sketch's own error).
+    */
+  private[operators] val NullSentinel: Long = 0x6c62272e07bb0142L
+
   /** HLL register array (`array<int>`, length 2^p) as an aggregation
-    * column over any expression.
+    * column over any expression. Null values are not counted.
     */
   def registersAgg(value: Column, p: Int = 12): Column =
-    udaf(RegistersAgg(p), Encoders.scalaLong).apply(xxhash64(value))
+    udaf(RegistersAgg(p), Encoders.scalaLong).apply(
+      when(value.isNotNull, xxhash64(value)).otherwise(lit(NullSentinel)))
 
   /** Merge two register columns: native element-wise max — associative,
     * commutative, idempotent, so lake folds are batch-cut independent.

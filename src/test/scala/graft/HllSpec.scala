@@ -46,6 +46,15 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("nulls are not counted (countDistinct semantics)") {
+    val df = Seq(Some("a"), Some("b"), None, None, Some("a")).toDF("v")
+    val r = df.agg(countDistinct(col("v")).as("exact"),
+      Hll.approxDistinct(col("v")).as("est")).head
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - 2.0) < 0.1,
+      s"est=${r.getDouble(1)} — nulls must not inflate the sketch")
+  }
+
   test("property: merge IS union — fold(A++B) == merge(fold(A), fold(B)) on random hash sets") {
     val rng = new scala.util.Random(7)
     val agg = Hll.RegistersAgg(12)
