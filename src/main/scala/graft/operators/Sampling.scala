@@ -106,7 +106,10 @@ object Sampling {
     // the share normalizer is a sequential left fold in domain order, and
     // every later step is one correctly-rounded op — so Scala here, the
     // array-fold form, and DuckDB's ordered list_sum agree bit-for-bit.
-    val counts = df.groupBy(col(groupCol))
+    // rows with a null domain have no defined share — excluded, like a
+    // groupBy-join pipeline would exclude them from any keyed rate table
+    val in = df.where(col(groupCol).isNotNull)
+    val counts = in.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("double").as("__c"))
       .collect().map(r => (r.get(0).toString, r.getDouble(1))).sortBy(_._1)
     require(counts.nonEmpty, "temperatureResample on an empty frame")
@@ -123,7 +126,7 @@ object Sampling {
       val cut = f"${math.floor(rate * 4294967296.0).toLong}%08x"
       (g, rate, cut)
     }.toSeq
-    df.join(broadcast(rates.toDF(groupCol, "__rate", "__cut")), Seq(groupCol))
+    in.join(broadcast(rates.toDF(groupCol, "__rate", "__cut")), Seq(groupCol))
       .where(col("__rate") >= 1.0 ||
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__cut"))
       .select(col(groupCol), col(idCol))
