@@ -150,8 +150,10 @@ object Dedup {
     candidates.join(t1, "id1").join(t2, "id2")
       .withColumn("lev", levenshtein(col("__t1"), col("__t2"), maxDist))
       .where(col("lev") >= 0)
-      .select(col("id1"), col("id2"), length(col("__t1")).as("len1"),
-        length(col("__t2")).as("len2"), col("lev").cast("long").as("lev"))
+      .select(col("id1"), col("id2"),
+        length(col("__t1")).cast("long").as("len1"),
+        length(col("__t2")).cast("long").as("len2"),
+        col("lev").cast("long").as("lev"))
   }
 
   /** Connected components over duplicate pairs — the step that turns pair

@@ -107,8 +107,14 @@ object Sampling {
     // every later step is one correctly-rounded op — so Scala here, the
     // array-fold form, and DuckDB's ordered list_sum agree bit-for-bit.
     // rows with a null domain have no defined share — excluded, like a
-    // groupBy-join pipeline would exclude them from any keyed rate table
+    // groupBy-join pipeline would exclude them from any keyed rate table.
+    // The domain key is normalized to STRING up front: the share fold is
+    // defined in string domain order and the rate join is keyed on the
+    // string form, so a numeric group column can't silently fold in a
+    // different order (or join through implicit casts) than the contract
+    // an oracle re-derives.
     val in = df.where(col(groupCol).isNotNull)
+      .withColumn(groupCol, col(groupCol).cast("string"))
     val counts = in.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("double").as("__c"))
       .collect().map(r => (r.get(0).toString, r.getDouble(1))).sortBy(_._1)

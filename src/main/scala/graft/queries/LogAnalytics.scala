@@ -801,10 +801,11 @@ object LogAnalytics {
         val table = java.nio.file.Files
           .createTempDirectory("graft_hll_fold").toString + "/hll"
         val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
-        val cuts = Seq(
+        val cut2 = maxId - maxId / 3 // NOT 2*maxId/3: that product overflows
+        val cuts = Seq(              // for ids near Long.MaxValue
           col("event_id") < maxId / 3,
-          col("event_id") >= maxId / 3 && col("event_id") < 2 * maxId / 3,
-          col("event_id") >= 2 * maxId / 3)
+          col("event_id") >= maxId / 3 && col("event_id") < cut2,
+          col("event_id") >= cut2)
         val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
         cuts.zipWithIndex.foreach { case (cut, i) =>
           val part = ev.filter(cut).groupBy(col("event_type"))

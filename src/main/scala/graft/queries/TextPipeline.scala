@@ -246,8 +246,6 @@ object TextPipeline {
         val out = Dedup.editDistanceVerify(
             docs(s, dir).select(col("doc_id"), col("text")), cands,
             "doc_id", "text", maxDist = 40)
-          .withColumn("len1", col("len1").cast("long"))
-          .withColumn("len2", col("len2").cast("long"))
           .orderBy(col("lev"), col("id1"), col("id2"))
           .localCheckpoint(true)
         sets.unpersist(false)

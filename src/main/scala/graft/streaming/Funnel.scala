@@ -24,10 +24,13 @@ object Funnel {
 
   final case class Event(user_id: Long, event_type: String, ts: Timestamp)
 
-  /** `times(i)` = micros of the earliest qualifying stage-i event, -1 if
-    * the stage is not yet reached.
+  /** `times(i)` = micros of the earliest qualifying stage-i event, or
+    * [[Unset]] if the stage is not yet reached. (`Long.MinValue`, not -1:
+    * pre-epoch timestamps are legal negative micros.)
     */
   final case class State(times: Seq[Long])
+
+  private val Unset: Long = Long.MinValue
 
   final case class Snapshot(user_id: Long, stage: Long, completed: Boolean)
 
@@ -39,8 +42,8 @@ object Funnel {
       events: Seq[Event]): Unit =
     events.sortBy(e => micros(e.ts)).foreach { e =>
       val i = stages.indexOf(e.event_type)
-      if (i >= 0 && times(i) < 0 &&
-          (i == 0 || (times(i - 1) >= 0 && micros(e.ts) > times(i - 1))))
+      if (i >= 0 && times(i) == Unset &&
+          (i == 0 || (times(i - 1) != Unset && micros(e.ts) > times(i - 1))))
         times(i) = micros(e.ts)
     }
 
@@ -59,14 +62,14 @@ object Funnel {
         (user: Long, it: Iterator[Event], state: GroupState[State]) =>
           val times = state.getOption
             .map(_.times.toArray)
-            .getOrElse(Array.fill(stages.size)(-1L))
+            .getOrElse(Array.fill(stages.size)(Unset))
           val before = times.toSeq
           fold(stages, times, it.toSeq)
           state.update(State(times.toSeq))
-          val reached = times.count(_ >= 0)
+          val reached = times.count(_ != Unset)
           if (times.toSeq == before || reached == 0) Iterator.empty
           else Iterator.single(Snapshot(user, reached.toLong,
-            times.last >= 0 && times.last <= times.head + windowUs))
+            times.last != Unset && times.last <= times.head + windowUs))
       }
   }
 }
