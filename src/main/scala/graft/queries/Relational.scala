@@ -124,14 +124,22 @@ object Relational {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
+        // aggregate BELOW the join: revenue folds to one exact-decimal row
+        // per order first, so the orders join probes ~4x fewer rows and
+        // COUNT(DISTINCT o_orderkey) degenerates to count(*) — no expand.
+        // Decimal addition is associative, so the two-level sum is
+        // bit-identical to the flat psum.
+        val perOrder = l.groupBy(col("l_orderkey"))
+          .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("__rev"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            psum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+            sum(col("__rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""
