@@ -116,7 +116,11 @@ object Scale {
           .select(col("id").as("cid"), col("code"))
         Similarity.kmeansTrainInt8(coded.filter(col("id") >= 8), cents,
           maxRounds = 50, requireConvergence = false).toDF(s)
-      })) ++ {
+      }),
+      // the composed SemDeDup pipeline (quantize → Lloyd → assign →
+      // within-cluster suppression) — the one ANN-family member that was
+      // never probed as a whole
+      "q101_semantic_dedup" -> SparkEntry.queries("q101_semantic_dedup")) ++ {
       // the perceptual family in PRODUCTION configuration (bucket cap ON —
       // the SparkEntry forms are oracle-exhaustive and opt out)
       import graft.operators.Multimodal
