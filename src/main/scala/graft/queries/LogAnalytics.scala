@@ -349,7 +349,16 @@ object LogAnalytics {
             element_at(col("tls.server.x509.issuer.common_name"), 1).as("issuer_cn"),
             array_join(col("related.hash"), ",").as("rel_hash"),
             unix_seconds(col("ts")).as("ts_epoch"))
-          .orderBy(col("event_id"))
+          // NOT .orderBy: a bare global sort lets Catalyst hoist this whole
+          // parse forest above the range exchange, where AQE coalesces the
+          // small sorted side to ONE partition and the parse runs serially
+          // (measured: a single 2.6 s task owning 40% of the query). An
+          // EXPLICIT partition count pins the post-exchange stage at full
+          // parallelism — the hoisted parse then runs 32-wide — and
+          // range-disjoint + sorted partitions still give the same total
+          // order.
+          .repartitionByRange(32, col("event_id"))
+          .sortWithinPartitions(col("event_id"))
       },
       Some("""
         SELECT event_id,
