@@ -237,7 +237,10 @@ object LogAnalytics {
             col("url.query").as("url_query"),
             col("url.port").as("url_port"),
             col("http.response.body.bytes").as("resp_bytes"))
-          .orderBy(col("event_id"))
+          // same hoisted-parse trap as q46: pin the partition count so the
+          // grok forest runs full-width after the range exchange
+          .repartitionByRange(32, col("event_id"))
+          .sortWithinPartitions(col("event_id"))
       },
       Some("""
         SELECT event_id,
