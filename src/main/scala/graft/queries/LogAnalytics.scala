@@ -904,5 +904,64 @@ object LogAnalytics {
                (t3 IS NOT NULL AND t3 <= t1 + INTERVAL 3 DAY) AS completed_3d
         FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
         ORDER BY user_id"""))
+    ,
+
+    // ---- q123: sliding-window distinct via sketch-partial REUSE — the
+    // window shape where COUNT DISTINCT cannot be summed across panes:
+    // per-hour HLL registers are computed ONCE (one agg over events) and
+    // each 3-hour window is a register-wise max of three hourly partials
+    // (register merge ≡ set union, so the merged sketch IS the window's
+    // sketch). At 100 TB the hourly partial table is the only thing that
+    // grows; windows are joins over 4 KB rows. Estimate gated ±5% of the
+    // exact sliding distinct.
+    QueryDef(
+      "q123_sliding_distinct",
+      (s, dir) => {
+        import graft.operators.Hll
+        val ev = t(s, dir, "events")
+          .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+        val hourly = ev.groupBy(col("hour"))
+          .agg(Hll.registersAgg(col("user_id")).as("regs"))
+        val h0 = hourly.select(col("hour"), col("regs").as("r0"))
+        val h1 = hourly.select(
+          (col("hour") + expr("INTERVAL 1 HOUR")).as("hour"),
+          col("regs").as("r1"))
+        val h2 = hourly.select(
+          (col("hour") + expr("INTERVAL 2 HOURS")).as("hour"),
+          col("regs").as("r2"))
+        val zero = array_repeat(lit(0), 4096)
+        val slid = h0.join(h1, Seq("hour"), "left")
+          .join(h2, Seq("hour"), "left")
+          .select(col("hour"), Hll.estimate(
+            Hll.mergeRegisters(
+              Hll.mergeRegisters(col("r0"), coalesce(col("r1"), zero)),
+              coalesce(col("r2"), zero))).as("__est"))
+        // exact sliding distinct for the gate: each event contributes to
+        // the windows anchored at its own hour and the next two
+        val exact = ev.select(explode(array(
+              col("hour"),
+              col("hour") + expr("INTERVAL 1 HOUR"),
+              col("hour") + expr("INTERVAL 2 HOURS"))).as("hour"),
+            col("user_id"))
+          .groupBy(col("hour"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        slid.join(exact, Seq("hour"))
+          .select(col("hour"), col("n_users"),
+            (abs(col("__est") - col("n_users"))
+              <= lit(0.05) * col("n_users") + lit(1.0))
+              .as("sliding_in_bound"))
+          .orderBy(col("hour"))
+      },
+      Some("""
+        WITH base AS (SELECT date_trunc('hour', ts) AS hour, user_id
+                      FROM events),
+        c AS (SELECT hour + k.k * INTERVAL 1 HOUR AS hour, user_id
+              FROM base CROSS JOIN (VALUES (0), (1), (2)) k(k)),
+        e AS (SELECT hour, COUNT(DISTINCT user_id) AS n_users
+              FROM c GROUP BY hour),
+        hrs AS (SELECT DISTINCT hour FROM base)
+        SELECT hrs.hour AS hour, e.n_users, TRUE AS sliding_in_bound
+        FROM hrs JOIN e ON e.hour = hrs.hour
+        ORDER BY hour"""))
   )
 }
