@@ -243,6 +243,35 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} users vs batch ${batch.size}")
   }
 
+  test("streaming funnel: late cross-batch events never corrupt locked stages") {
+    import graft.streaming.Funnel
+    import java.sql.Timestamp
+    def ev(u: Long, t: String, sec: Long) =
+      Funnel.Event(u, t, new Timestamp(sec * 1000L))
+    val input = MemoryStream[Funnel.Event](spark)
+    val q = Funnel.track(spark, input.toDF().as[Funnel.Event],
+        Seq("view", "click", "purchase"), windowUs = 3600L * 1000000)
+      .writeStream.format("memory").queryName("funnel_late_sink")
+      .outputMode("append").start()
+    // batch 1 locks t1=100, t2=200
+    input.addData(ev(1, "view", 100), ev(1, "click", 200))
+    q.processAllAvailable()
+    // batch 2 is LATE: an earlier view (50) and an earlier click (150).
+    // Contract: locked stages never re-open — no snapshot is emitted
+    // (state unchanged), and a later purchase still completes off t1=100.
+    input.addData(ev(1, "view", 50), ev(1, "click", 150))
+    q.processAllAvailable()
+    val afterLate = spark.table("funnel_late_sink").count()
+    input.addData(ev(1, "purchase", 300))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_late_sink")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).toSeq
+    assert(afterLate == 1, "late batch must not emit a new snapshot")
+    assert(rows == Seq((2L, false), (3L, true)),
+      s"stages advance monotonically and completion uses the locked t1: $rows")
+  }
+
   test("streaming enrichment refresh: an update is visible to the next batch") {
     import graft.operators.Enrichment
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
