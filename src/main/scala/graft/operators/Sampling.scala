@@ -96,8 +96,14 @@ object Sampling {
     * domain order (the q34/q116 ordered-fold convention), every later
     * step is a single correctly-rounded IEEE op on identical operands.
     */
+  /** Optional `weightCol`: measure domain MASS in that column's units
+    * (token counts — what published mixing recipes actually balance)
+    * instead of document counts. Weights fold as exact long sums, so the
+    * rate math stays engine-reproducible; membership is still per-doc, so
+    * expected kept mass per domain ∝ its sqrt-flattened share.
+    */
   def temperatureResample(df: DataFrame, idCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String, weightCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // ONE stats job: per-domain counts (bounded by the domain vocabulary —
@@ -115,8 +121,11 @@ object Sampling {
     // an oracle re-derives.
     val in = df.where(col(groupCol).isNotNull)
       .withColumn(groupCol, col(groupCol).cast("string"))
+    val mass = weightCol
+      .map(w => sum(col(w).cast("long")))
+      .getOrElse(count(lit(1)))
     val counts = in.groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("double").as("__c"))
+      .agg(mass.cast("double").as("__c"))
       .collect().map(r => (r.get(0).toString, r.getDouble(1))).sortBy(_._1)
     require(counts.nonEmpty, "temperatureResample on an empty frame")
     val s = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + math.sqrt(c) }

@@ -78,6 +78,26 @@ class SamplingSpec extends SparkSpec {
     assert(ids.subsetOf((0L until 5000L).toSet))
   }
 
+  test("token-weighted resample balances MASS, not doc counts") {
+    // two domains, equal doc counts, but 'heavy' docs carry 9x the tokens
+    val df = spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 1000, "heavy").otherwise("light").as("g"),
+      when(col("id") < 1000, 900L).otherwise(100L).as("n_tokens"))
+    val kept = Sampling.temperatureResample(df, "doc_id", "g",
+      weightCol = Some("n_tokens"))
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    // mass 900k vs 100k → shares sqrt(9):sqrt(1) = 3:1; budget pinned by
+    // light keeping all its mass → light keeps everything, heavy keeps
+    // mass 3×100k = 300k → 300k/900 ≈ 333 docs (±4σ Poisson)
+    assert(byG("light") == 1000)
+    assert(math.abs(byG("heavy") - 333.0) <= 4 * math.sqrt(333.0),
+      s"heavy kept ${byG("heavy")}")
+    // doc-weighted run keeps everything (equal doc counts) — different op
+    val unweighted = Sampling.temperatureResample(df, "doc_id", "g")
+    assert(unweighted.count() == 2000)
+  }
+
   test("uniform corpus: every domain keeps (almost) everything") {
     val uni = spark.range(0, 3000).select(
       col("id").as("doc_id"), pmod(col("id"), lit(3)).cast("string").as("g"))
