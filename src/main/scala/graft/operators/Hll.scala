@@ -83,18 +83,25 @@ object Hll {
 
   /** Null inputs must not count as a distinct value (countDistinct
     * semantics) — `xxhash64` would fold a null into its seed and count it.
-    * Nulls map to this sentinel and the fold skips it; a genuine value
-    * hashing exactly here is ignored with probability 2^-64 (one register
-    * update lost, far below the sketch's own error).
+    * The hash child is NULL for null values and the native fold skips
+    * nulls; the typed [[RegistersAgg]] path uses this sentinel instead (a
+    * genuine value hashing exactly here is ignored with probability
+    * 2^-64, far below the sketch's own error).
     */
   private[operators] val NullSentinel: Long = 0x6c62272e07bb0142L
 
   /** HLL register array (`array<int>`, length 2^p) as an aggregation
-    * column over any expression. Null values are not counted.
+    * column over any expression. Null values are not counted. DataFrame
+    * callers route through the NATIVE [[graft.plans.HllRegisters]]
+    * aggregate — per-row update straight off the InternalRow, no encoder
+    * round-trip; [[RegistersAgg]] remains the typed-Dataset surface.
     */
   def registersAgg(value: Column, p: Int = 12): Column =
-    udaf(RegistersAgg(p), Encoders.scalaLong).apply(
-      when(value.isNotNull, xxhash64(value)).otherwise(lit(NullSentinel)))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.HllRegisters(
+        org.apache.spark.sql.GraftBridge.expression(
+          when(value.isNotNull, xxhash64(value))), p)
+        .toAggregateExpression())
 
   /** Merge two register columns: native element-wise max — associative,
     * commutative, idempotent, so lake folds are batch-cut independent.
