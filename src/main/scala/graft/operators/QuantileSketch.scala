@@ -130,8 +130,13 @@ object QuantileSketch {
   }
 
   /** Untyped column form for `groupBy(...).agg(...)`: an array of the
-    * requested quantile estimates over `value`.
+    * requested quantile estimates over `value`. Routes through the NATIVE
+    * [[graft.plans.KllQuantilesNative]] aggregate (no per-row encoder
+    * shim); [[KllQuantiles]] remains the typed-Dataset surface.
     */
   def quantilesAgg(value: Column, qs: Seq[Double], k: Int = 200): Column =
-    udaf(KllQuantiles(qs, k)).apply(value)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.KllQuantilesNative(
+        org.apache.spark.sql.GraftBridge.expression(value.cast("double")),
+        qs, k).toAggregateExpression())
 }
