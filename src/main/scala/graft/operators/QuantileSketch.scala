@@ -139,4 +139,25 @@ object QuantileSketch {
       graft.plans.KllQuantilesNative(
         org.apache.spark.sql.GraftBridge.expression(value.cast("double")),
         qs, k).toAggregateExpression())
+
+  /** Sketch BYTES as an aggregation column — the persistable partial a
+    * lake table stores and folds incrementally (q124), like q121's HLL
+    * registers.
+    */
+  def sketchAgg(value: Column, k: Int = 200): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.KllSketchBytes(
+        org.apache.spark.sql.GraftBridge.expression(value.cast("double")),
+        k).toAggregateExpression())
+
+  /** Merge two serialized-sketch columns (associative). */
+  def mergeSketches(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.plans.KllMergeBytes(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Quantile estimates read off a serialized-sketch column. */
+  def quantilesOf(bytes: Column, qs: Seq[Double]): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.plans.KllQuantilesOf(
+      org.apache.spark.sql.GraftBridge.expression(bytes), qs))
 }

@@ -963,5 +963,70 @@ object LogAnalytics {
         SELECT hrs.hour AS hour, e.n_users, TRUE AS sliding_in_bound
         FROM hrs JOIN e ON e.hour = hrs.hour
         ORDER BY hour"""))
+    ,
+
+    // ---- q124: incremental percentile index through the lake — q114's
+    // KLL sketch persisted as lake BYTES and folded batch by batch,
+    // completing the sketch-state-through-the-lake family (count-min
+    // q109, HLL q121): per batch one few-KB sketch row per group, the
+    // merge touches only updated groups, history never rescans. KLL
+    // merge is associative with the same rank guarantee, so the folded
+    // index is gated by the SAME ±5% rank bounds as the one-shot q114.
+    QueryDef(
+      "q124_kll_fold",
+      (s, dir) => {
+        import graft.operators.QuantileSketch
+        import graft.lake.Snapshots
+        val ev = t(s, dir, "events")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_kll_fold").toString + "/kll"
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+        val cut2 = maxId - maxId / 3
+        val cuts = Seq(
+          col("event_id") < maxId / 3,
+          col("event_id") >= maxId / 3 && col("event_id") < cut2,
+          col("event_id") >= cut2)
+        val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        cuts.zipWithIndex.foreach { case (cut, i) =>
+          val part = ev.filter(cut).groupBy(col("event_type"))
+            .agg(QuantileSketch.sketchAgg(col("value")).as("sk"))
+          if (i == 0) Snapshots.append(part.withColumn("ts", ts0), table)
+          else {
+            val ex = Snapshots.read(s, table)
+              .select(col("event_type"), col("sk").as("__s0"))
+            val merged = part.join(ex, Seq("event_type"), "left")
+              .select(col("event_type"),
+                when(col("__s0").isNull, col("sk"))
+                  .otherwise(QuantileSketch.mergeSketches(col("sk"), col("__s0")))
+                  .as("sk"))
+            Snapshots.mergeUpsert(s, table,
+              merged.withColumn("ts", ts0), "event_type")
+          }
+        }
+        val folded = Snapshots.read(s, table)
+          .select(col("event_type"),
+            QuantileSketch.quantilesOf(col("sk"), Seq(0.5, 0.9)).as("__qs"))
+          .select(col("event_type"),
+            element_at(col("__qs"), 1).as("__p50"),
+            element_at(col("__qs"), 2).as("__p90"))
+        val ranked = ev.join(folded, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)).as("__le50"),
+            sum(when(col("value") <= col("__p90"), 1L).otherwise(0L)).as("__le90"))
+        ranked
+          .select(col("event_type"), col("n_events"),
+            (abs(col("__le50") - lit(0.5) * col("n_events"))
+              <= lit(0.05) * col("n_events") + lit(1.0)).as("p50_in_bound"),
+            (abs(col("__le90") - lit(0.9) * col("n_events"))
+              <= lit(0.05) * col("n_events") + lit(1.0)).as("p90_in_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               TRUE AS p50_in_bound, TRUE AS p90_in_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

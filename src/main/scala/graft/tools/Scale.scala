@@ -212,6 +212,7 @@ object Scale {
         "q121_hll_fold" -> SparkEntry.queries("q121_hll_fold"),
         "q122_funnel" -> SparkEntry.queries("q122_funnel"),
         "q123_sliding_distinct" -> SparkEntry.queries("q123_sliding_distinct"),
+        "q124_kll_fold" -> SparkEntry.queries("q124_kll_fold"),
         "q104_phrase_search" -> SparkEntry.queries("q104_phrase_search"),
         "q105_dup_spans" -> SparkEntry.queries("q105_dup_spans"),
         "q106_winnow_pairs" -> SparkEntry.queries("q106_winnow_pairs"),
