@@ -200,6 +200,18 @@ object Scale {
       // exchange + touched-terms join — not a cached read-back
       Seq(
         "q103_inverted_index" -> SparkEntry.queries("q103_inverted_index"),
+        // winnowing in PRODUCTION configuration: the q106 gate pins
+        // maxBucketSize=1000 for its oracle, which saturates at 100×
+        // fingerprint density (hot boilerplate buckets × cap² pairs);
+        // the production cap bounds pair volume per bucket
+        "q106_capped" -> ((s: SparkSession, dir: String) => {
+          import graft.operators.Dedup
+          val en = s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("lang") === "en")
+          val fps = Dedup.winnowFingerprints(en, "doc_id", "text", k = 3, w = 4)
+          Dedup.winnowSharedPairs(fps, maxBucketSize = Some(64))
+            .filter(col("shared") >= 2)
+        }),
         // round-11 additions: sketch/sample/LM — all bounded-state or
         // word-count-shaped, probed with the same family
         "q114_kll_quantiles" -> SparkEntry.queries("q114_kll_quantiles"),
@@ -244,14 +256,22 @@ object Scale {
     val nEv = baseEv.count()
     val nUsers = baseEv.select(countDistinct(col("user_id"))).head.getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
-    genDocuments(spark, nDocs * factor).repartition(cpus)
-      .write.parquet(s"$tmp/documents.parquet")
-    genEmbeddings(spark, nVecs * factor).repartition(cpus)
-      .write.parquet(s"$tmp/embeddings.parquet")
-    genEvents(spark, nEv * factor, nUsers * factor).repartition(cpus)
-      .write.parquet(s"$tmp/events.parquet")
-    println(s"[scale] generated ${nDocs * factor} docs / ${nVecs * factor} vecs / " +
-      s"${nEv * factor} events at $tmp")
+    // GRAFT_SCALE_TABLES=documents[,events,...]: scale only the listed
+    // tables and carry the others over at BASE size — makes a 100× docs
+    // probe feasible without generating 100M events. Ratios are only
+    // meaningful for queries over the scaled tables.
+    val wanted = sys.env.get("GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def scaleTable(name: String)(gen: => org.apache.spark.sql.DataFrame): Unit =
+      if (wanted.forall(_.contains(name)))
+        gen.repartition(cpus).write.parquet(s"$tmp/$name.parquet")
+      else spark.read.parquet(s"$base/$name.parquet")
+        .write.parquet(s"$tmp/$name.parquet")
+    scaleTable("documents")(genDocuments(spark, nDocs * factor))
+    scaleTable("embeddings")(genEmbeddings(spark, nVecs * factor))
+    scaleTable("events")(genEvents(spark, nEv * factor, nUsers * factor))
+    println(s"[scale] generated at $tmp (factor $factor, scaled: " +
+      s"${wanted.map(_.mkString(",")).getOrElse("all")})")
 
     val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
