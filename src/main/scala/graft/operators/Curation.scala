@@ -163,6 +163,74 @@ object Curation {
     * documents produce no chunks. Pure map — no shuffle at any corpus
     * size.
     */
+  /** Corpus-frequency boilerplate removal (the "line-level" dedup step of
+    * published web-curation recipes — C4 drops lines repeated across the
+    * corpus; this corpus has no line structure, so the unit is an ALIGNED
+    * non-overlapping `segTokens`-token segment): any segment whose
+    * document frequency reaches `minDocs` is boilerplate, and every
+    * occurrence is removed from every document. Returns one row per input
+    * document: (id, n_segments, n_boilerplate, clean_text) with surviving
+    * segments rejoined in position order.
+    *
+    * Scale shape — the plan mirrors how a 100 TB C4-style pass runs:
+    *   1. one tokenize pass stages segments as an array on the doc row
+    *      (pure map);
+    *   2. the document-frequency aggregation ships (segment, doc) pairs
+    *      once and partial-aggregates map-side;
+    *   3. the boilerplate set is, by construction, heavy hitters only
+    *      (|set| ≤ corpus_segments / minDocs, and in practice tiny) → it
+    *      BROADCASTS, so marking is a map-side left join, bodies never
+    *      move for it;
+    *   4. one reassembly shuffle on the doc id restores position order
+    *      via sort_array(collect_list(struct(pos, seg))) — per-doc state
+    *      is one document's segments, so no skew at any corpus size.
+    * Segment membership is exact string equality — reproducible in any
+    * engine; no floats anywhere.
+    */
+  def removeBoilerplateSegments(df: DataFrame, idCol: String,
+      textCol: String, segTokens: Int = 3, minDocs: Int = 5): DataFrame = {
+    require(segTokens >= 1 && minDocs >= 2,
+      s"need segTokens >= 1, minDocs >= 2; got $segTokens, $minDocs")
+    val nSeg = ceil(col("__n").cast(DoubleType) / segTokens).cast(LongType)
+    val segArr = when(col("__n") > 0,
+      transform(sequence(lit(0L), nSeg - 1), i =>
+        array_join(slice(col("__tk"), (i * segTokens + 1).cast(IntegerType),
+          lit(segTokens)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val staged = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"), size(col("__tk")).as("__n"))
+      .select(col(idCol), segArr.as("__segs"))
+    // explode_outer + isNotNull: keeps empty docs in the output AND keeps
+    // InferFiltersFromGenerate from pushing the tokenize forest into the
+    // scan (the generator-pushdown trap — see decontaminate above).
+    // Checkpointed: the frequency agg AND the mark join both consume this
+    // frame, and the tokenize pass is the operator's map cost — one pass,
+    // not two (the q67/q104 shared-frame convention; rows are slim
+    // (id, pos, segment) triples; measured 1.5 s vs 1.9 s re-derived at
+    // sf0.1).
+    val seg = staged.select(col(idCol),
+        posexplode_outer(col("__segs")).as(Seq("pos", "seg")))
+      .localCheckpoint(true)
+    val boiler = seg.filter(col("seg").isNotNull)
+      .groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("seg"), lit(1L).as("__bp"))
+    seg.join(broadcast(boiler), Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("seg")).cast(LongType).as("n_segments"),
+        coalesce(sum(col("__bp")), lit(0L)).as("n_boilerplate"),
+        // collect_list drops nulls, so boilerplate (and the empty-doc
+        // outer row) never enters the reassembly array
+        array_join(transform(
+          sort_array(collect_list(
+            when(col("__bp").isNull && col("seg").isNotNull,
+              struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")), " ").as("clean_text"))
+  }
+
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= maxTokens,

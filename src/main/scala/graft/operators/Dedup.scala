@@ -435,6 +435,59 @@ object Dedup {
     * bucket, then count distinct shared fingerprints per pair. The cap is
     * a deterministic window count, so an oracle can mirror it exactly.
     */
+  /** Content-defined chunking (CDC) — the rolling-hash chunker of
+    * large-scale storage/corpus dedup, in its STATELESS gear-style form:
+    * a cut falls after character position i iff the hash of the fixed
+    * `window`-char context ending at i is ≡ 0 mod `divisor`. Because the
+    * cut test depends only on local content (not on the previous cut),
+    * boundaries re-align after any insertion/edit — the CDC property that
+    * makes chunk-hash dedup robust to shifted content where fixed-size
+    * blocks are not — AND the whole derivation is pure per-row array
+    * arithmetic: no sequential state, so it runs inside one codegen'd
+    * projection and reproduces exactly in any engine (md5 window hashes,
+    * codepoint-indexed substrings).
+    *
+    * Returns one row per chunk: (doc, chunk_idx, chunk_start, chunk_len,
+    * chunk_hash). Expected chunk length ≈ `divisor` chars. Downstream
+    * dedup is one hash-shuffle on chunk_hash moving (hash, doc, len)
+    * triples — document bodies never shuffle, the Dedup family invariant.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, divisor: Int = 64): DataFrame = {
+    require(window >= 1 && divisor >= 2,
+      s"cdcChunks needs window >= 1, divisor >= 2; got $window, $divisor")
+    val staged = df
+      .select(col(idCol).as("doc"), lower(trim(col(textCol))).as("__nm"))
+      .select(col("doc"), col("__nm"), length(col("__nm")).as("__len"))
+    // cut positions in [window, len-1]: a cut at len would only split off
+    // an empty trailing chunk, so it is excluded up front
+    val cuts = when(col("__len") > window,
+        filter(sequence(lit(window), col("__len") - 1), i =>
+          conv(substring(md5(col("__nm").substr(i - (window - 1), lit(window))),
+            1, 8), 16, 10).cast("long") % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val withBounds = staged
+      .select(col("doc"), col("__nm"),
+        concat(array(lit(0)), cuts, array(col("__len"))).as("__bd"))
+    val chunkStructs = transform(sequence(lit(1), size(col("__bd")) - 1), j =>
+      struct(
+        j.cast("long").as("chunk_idx"),
+        element_at(col("__bd"), j).cast("long").as("chunk_start"),
+        (element_at(col("__bd"), j + 1) - element_at(col("__bd"), j))
+          .cast("long").as("chunk_len"),
+        md5(col("__nm").substr(element_at(col("__bd"), j) + 1,
+          element_at(col("__bd"), j + 1) - element_at(col("__bd"), j)))
+          .as("chunk_hash")))
+    // explode_outer + isNotNull — the generator-pushdown trap again
+    // (see shingleFrame): an inferred size()>0 scan filter would inline
+    // the whole cut derivation into the parquet scan
+    withBounds
+      .select(col("doc"), explode_outer(chunkStructs).as("__c"))
+      .filter(col("__c").isNotNull && col("__c").getField("chunk_len") > 0)
+      .select(col("doc"), col("__c.chunk_idx"), col("__c.chunk_start"),
+        col("__c.chunk_len"), col("__c.chunk_hash"))
+  }
+
   def winnowSharedPairs(fps: DataFrame,
       maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
     val bounded = maxBucketSize match {

@@ -1027,6 +1027,70 @@ object LogAnalytics {
                TRUE AS p50_in_bound, TRUE AS p90_in_bound
         FROM events
         GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- q129: sketch SET OPERATIONS — the audience-overlap question
+    // ("how many distinct users did both X and purchase?") answered from
+    // mergeable HLL register state: union = register-wise max (merge ≡
+    // set union, exact in sketch space), intersection = inclusion-
+    // exclusion over three estimates. At scale each audience is one 4 KB
+    // register row — overlap queries across ANY pair of audiences are
+    // joins over sketch rows, never re-scans of the event history (the
+    // q121 lake rows answer the same question incrementally). The exact
+    // distinct/intersection side here is the verification gate only,
+    // like q123's exact-gate path. Inclusion-exclusion compounds three
+    // sketch errors, so its bound is scaled by the union size.
+    QueryDef(
+      "q129_sketch_setops",
+      (s, dir) => {
+        import graft.operators.Hll
+        val ev = t(s, dir, "events")
+        // one agg pass: per-audience registers (4 KB each)
+        val perType = ev.groupBy(col("event_type"))
+          .agg(Hll.registersAgg(col("user_id")).as("regs"))
+        val b = perType.filter(col("event_type") === "purchase")
+          .select(col("regs").as("regs_b"))
+        // exact gate: distinct (type, user) flagged by purchase membership
+        val du = ev.select(col("event_type"), col("user_id")).distinct()
+        val bu = du.filter(col("event_type") === "purchase")
+          .select(col("user_id"), lit(1L).as("__in_b"))
+        val exact = du.join(bu, Seq("user_id"), "left")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_a"),
+            coalesce(sum(col("__in_b")), lit(0L)).as("n_int"))
+        val nB = bu.agg(count(lit(1)).as("n_b"))
+        exact.join(perType, "event_type").crossJoin(broadcast(b))
+          .crossJoin(broadcast(nB))
+          .select(col("event_type"), col("n_a"), col("n_b"), col("n_int"),
+            (col("n_a") + col("n_b") - col("n_int")).as("n_union"),
+            Hll.estimate(col("regs")).as("__ea"),
+            Hll.estimate(col("regs_b")).as("__eb"),
+            Hll.estimate(Hll.mergeRegisters(col("regs"), col("regs_b")))
+              .as("__eu"))
+          .select(col("event_type"), col("n_union"),
+            col("n_int").as("n_intersect"),
+            (abs(col("__eu") - col("n_union"))
+              <= lit(0.05) * col("n_union") + lit(1.0)).as("union_in_bound"),
+            (abs(col("__ea") + col("__eb") - col("__eu") - col("n_intersect"))
+              <= lit(0.08) * col("n_union") + lit(2.0)).as("intersect_in_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        bu AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'),
+        agg AS (SELECT du.event_type, count(*) AS n_a,
+                       sum(CASE WHEN bu.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                         AS n_int
+                FROM du LEFT JOIN bu USING (user_id)
+                GROUP BY du.event_type),
+        nb AS (SELECT count(*) AS n_b FROM bu)
+        SELECT event_type,
+               (n_a + n_b - n_int)::BIGINT AS n_union,
+               n_int::BIGINT AS n_intersect,
+               TRUE AS union_in_bound,
+               TRUE AS intersect_in_bound
+        FROM agg, nb
         ORDER BY event_type"""))
   )
 }

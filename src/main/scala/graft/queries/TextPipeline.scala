@@ -1841,6 +1841,314 @@ object TextPipeline {
             .mkString("\n          UNION ALL ")}
         )
         ORDER BY round"""
-      })
+      }),
+
+    // C4-style corpus-frequency boilerplate removal: any aligned 3-token
+    // segment appearing in >= 5 documents is boilerplate and every
+    // occurrence is dropped; surviving segments rejoin in position order.
+    // The boilerplate set is heavy-hitters-only by construction, so the
+    // mark join broadcasts — see Curation.removeBoilerplateSegments.
+    QueryDef(
+      "q125_boilerplate_lines",
+      (s, dir) =>
+        // repartition before the tokenize/segment map: the harness table
+        // is one unsplittable row group, which would serialize the
+        // operator's map cost into a single task (q46 precedent; a real
+        // lake input arrives pre-split, making this a no-op-sized shuffle)
+        Curation.removeBoilerplateSegments(
+            docs(s, dir).repartition(32, col("doc_id")), "doc_id", "text",
+            segTokens = 3, minDocs = 5)
+          .select(col("doc_id"), col("n_segments"), col("n_boilerplate"),
+            col("clean_text"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        segs AS (
+          SELECT doc_id, u.seg, u.pos
+          FROM t, LATERAL (
+            SELECT unnest(list_transform(
+                     range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT)),
+                     i -> array_to_string(tk[i*3+1 : i*3+3], ' '))) AS seg,
+                   unnest(range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT))) AS pos
+          ) u
+        ),
+        boiler AS (
+          SELECT seg FROM segs GROUP BY seg
+          HAVING count(DISTINCT doc_id) >= 5
+        ),
+        marked AS (
+          SELECT s.doc_id, s.pos, s.seg,
+                 (b.seg IS NOT NULL) AS is_bp
+          FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+        )
+        SELECT d.doc_id,
+               coalesce(m.n_segments, 0)::BIGINT AS n_segments,
+               coalesce(m.n_boilerplate, 0)::BIGINT AS n_boilerplate,
+               coalesce(m.clean_text, '') AS clean_text
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id, count(*) AS n_segments,
+                 sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_boilerplate,
+                 array_to_string(list(seg ORDER BY pos)
+                   FILTER (WHERE NOT is_bp), ' ') AS clean_text
+          FROM marked GROUP BY doc_id
+        ) m USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Content-defined chunking dedup: stateless gear-style cuts (md5 of
+    // the 4-char window, mod 64), chunk-hash doc frequency, per-doc
+    // shared-chunk stats. Cut positions depend only on local content, so
+    // boundaries re-align across shifted duplicates — the CDC property.
+    QueryDef(
+      "q126_cdc_chunks",
+      (s, dir) => {
+        // the chunk derivation (one md5 per char window) is the map cost
+        // of this query — checkpoint it so the freq agg and the join
+        // probe share ONE pass (at lake scale: persist instead). The
+        // repartition un-serializes that map: the harness table is one
+        // unsplittable row group (q46 precedent — pre-split lake inputs
+        // make it a no-op-sized shuffle).
+        val chunks = Dedup.cdcChunks(
+          docs(s, dir).repartition(32, col("doc_id")), "doc_id", "text",
+          window = 4, divisor = 64).localCheckpoint(true)
+        val freq = chunks.groupBy(col("chunk_hash"))
+          .agg(countDistinct(col("doc")).as("__nd"))
+        chunks.join(freq, "chunk_hash")
+          .groupBy(col("doc").as("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+            sum(when(col("__nd") > 1, col("chunk_len")).otherwise(0L))
+              .as("shared_chars"),
+            sum(col("chunk_len")).as("n_chars_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lower(trim(text)) AS nm FROM documents),
+        c AS (
+          SELECT doc_id, nm, len(nm) AS L,
+                 CASE WHEN len(nm) > 4 THEN
+                   list_filter(range(4, len(nm)), i ->
+                     (('0x' || substr(md5(substr(nm, i - 3, 4)), 1, 8))::BIGINT
+                       % 64) = 0)
+                 ELSE [] END AS cuts
+          FROM t),
+        b AS (SELECT doc_id, nm, [0] || cuts || [L] AS bd FROM c),
+        ch AS (
+          SELECT doc_id, u.cl, u.h
+          FROM b, LATERAL (
+            SELECT unnest(list_transform(range(1, len(bd)), j ->
+                     bd[j + 1] - bd[j])) AS cl,
+                   unnest(list_transform(range(1, len(bd)), j ->
+                     md5(substr(nm, bd[j] + 1, bd[j + 1] - bd[j])))) AS h
+          ) u
+          WHERE u.cl > 0),
+        freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+        SELECT ch.doc_id,
+               count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_shared_chunks,
+               sum(CASE WHEN nd > 1 THEN cl ELSE 0 END)::BIGINT
+                 AS shared_chars,
+               sum(cl)::BIGINT AS n_chars_norm
+        FROM ch JOIN freq USING (h)
+        GROUP BY ch.doc_id
+        ORDER BY ch.doc_id""")),
+
+    // Leakage-aware split: train/val/test assignment hashed on the
+    // NEAR-DUP CLUSTER id (q67's clusters), not the doc id — near-dups
+    // can never straddle a split boundary, the contamination guard a
+    // training pipeline needs before held-out evaluation. Assignment
+    // stays a pure projection over the cluster frame (no extra shuffle
+    // beyond the clustering itself).
+    QueryDef(
+      "q127_leakage_split",
+      (s, dir) =>
+        Curation.deterministicSplit(nearDupClusters(s, dir), "cluster_id")
+          .select(col("id").as("doc_id"), col("cluster_id"), col("bucket"),
+            col("split"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE
+             t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                    UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e0 a JOIN e0 b ON a.band = b.band AND a.sig = b.sig
+                                         AND a.doc_id < b.doc_id),
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2),
+             jp AS (SELECT id1, id2 FROM j
+                    WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+             ed AS (SELECT id1 AS src, id2 AS dst FROM jp
+                    UNION SELECT id2, id1 FROM jp),
+             reach(id, r) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, reach.r FROM reach JOIN ed e ON reach.id = e.src),
+             lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             bk AS (SELECT id, cluster_id,
+                      ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 AS bucket
+                    FROM lab)
+        SELECT id AS doc_id, cluster_id, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bk
+        ORDER BY doc_id""")),
+
+    // Distributed quality-classifier training: 3 batch-perceptron rounds
+    // on exact integer features (bias, token count, distinct-token count,
+    // n_chars), label = en vs non-en. One distributed agg per round,
+    // weights broadcast as literals — BIGINT arithmetic end to end, so
+    // the oracle unrolls the identical three rounds in SQL.
+    QueryDef(
+      "q128_quality_classifier",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.LinearClassifier
+        val feats = docs(s, dir)
+          .select(
+            when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+            lit(1L).as("x0"),
+            TextFunctions.tokens(col("text")).as("__tk"),
+            col("n_chars").cast("long").as("x3"))
+          .select(col("y"), col("x0"),
+            size(col("__tk")).cast("long").as("x1"),
+            size(array_distinct(col("__tk"))).cast("long").as("x2"),
+            col("x3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hist = LinearClassifier.trainPerceptron(feats, "y",
+          Seq("x0", "x1", "x2", "x3"), rounds = 3)
+        feats.unpersist(false)
+        import s.implicits._
+        hist.map(r => (r.round, r.weights(0), r.weights(1), r.weights(2),
+            r.weights(3), r.nMis))
+          .toDF("round", "w_bias", "w_tokens", "w_distinct", "w_chars",
+            "n_misclassified")
+          .orderBy("round")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+                 1::BIGINT AS x0,
+                 len(tk)::BIGINT AS x1,
+                 len(list_distinct(tk))::BIGINT AS x2,
+                 n_chars::BIGINT AS x3
+          FROM (SELECT lang, n_chars, $sqlToks AS tk FROM documents)),
+        i1 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3,
+                      count(*)::BIGINT AS n
+               FROM f WHERE y * (0*x0 + 0*x1 + 0*x2 + 0*x3) <= 0),
+        w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3, n FROM i1),
+        i2 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3,
+                      count(*)::BIGINT AS n
+               FROM f, w1
+               WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3) <= 0),
+        w2 AS (SELECT w1.w0 + i2.g0 AS w0, w1.w1 + i2.g1 AS w1,
+                      w1.w2 + i2.g2 AS w2, w1.w3 + i2.g3 AS w3, i2.n
+               FROM w1, i2),
+        i3 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3,
+                      count(*)::BIGINT AS n
+               FROM f, w2
+               WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2 + w2.w3*x3) <= 0),
+        w3 AS (SELECT w2.w0 + i3.g0 AS w0, w2.w1 + i3.g1 AS w1,
+                      w2.w2 + i3.g2 AS w2, w2.w3 + i3.g3 AS w3, i3.n
+               FROM w2, i3)
+        SELECT * FROM (
+          SELECT 1 AS round, w0 AS w_bias, w1 AS w_tokens, w2 AS w_distinct,
+                 w3 AS w_chars, n AS n_misclassified FROM w1
+          UNION ALL
+          SELECT 2, w0, w1, w2, w3, n FROM w2
+          UNION ALL
+          SELECT 3, w0, w1, w2, w3, n FROM w3)
+        ORDER BY round""")),
+
+    // Sliced classifier evaluation — the train → score → per-slice audit
+    // loop of a curation pipeline: q128's 3 perceptron rounds, then every
+    // document scored under the final weights (one broadcast-literal map
+    // pass) and confusion counts rolled up per source. Predicted positive
+    // iff margin > 0 (margin 0 is the perceptron's misclassified side).
+    // BIGINT end to end, so the oracle re-derives training AND scoring.
+    QueryDef(
+      "q130_classifier_eval",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.LinearClassifier
+        val feats = docs(s, dir)
+          .select(col("source"),
+            when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+            lit(1L).as("x0"),
+            TextFunctions.tokens(col("text")).as("__tk"),
+            col("n_chars").cast("long").as("x3"))
+          .select(col("source"), col("y"), col("x0"),
+            size(col("__tk")).cast("long").as("x1"),
+            size(array_distinct(col("__tk"))).cast("long").as("x2"),
+            col("x3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cols = Seq("x0", "x1", "x2", "x3")
+        val hist = LinearClassifier.trainPerceptron(feats, "y", cols, rounds = 3)
+        val out = feats
+          .withColumn("__m", LinearClassifier.score(feats, cols, hist.last.weights))
+          .groupBy(col("source"))
+          .agg(
+            sum(when(col("y") === 1L && col("__m") > 0, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("y") === -1L && col("__m") > 0, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("y") === -1L && col("__m") <= 0, 1L).otherwise(0L)).as("tn"),
+            sum(when(col("y") === 1L && col("__m") <= 0, 1L).otherwise(0L)).as("fn"))
+          .orderBy(col("source"))
+        feats.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT source,
+                 CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+                 1::BIGINT AS x0,
+                 len(tk)::BIGINT AS x1,
+                 len(list_distinct(tk))::BIGINT AS x2,
+                 n_chars::BIGINT AS x3
+          FROM (SELECT source, lang, n_chars, $sqlToks AS tk FROM documents)),
+        i1 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+               FROM f WHERE y * (0*x0 + 0*x1 + 0*x2 + 0*x3) <= 0),
+        w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3 FROM i1),
+        i2 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+               FROM f, w1
+               WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3) <= 0),
+        w2 AS (SELECT w1.w0 + i2.g0 AS w0, w1.w1 + i2.g1 AS w1,
+                      w1.w2 + i2.g2 AS w2, w1.w3 + i2.g3 AS w3
+               FROM w1, i2),
+        i3 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+               FROM f, w2
+               WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2 + w2.w3*x3) <= 0),
+        w3 AS (SELECT w2.w0 + i3.g0 AS w0, w2.w1 + i3.g1 AS w1,
+                      w2.w2 + i3.g2 AS w2, w2.w3 + i3.g3 AS w3
+               FROM w2, i3),
+        scored AS (SELECT f.source, f.y,
+                     w3.w0*f.x0 + w3.w1*f.x1 + w3.w2*f.x2 + w3.w3*f.x3 AS m
+                   FROM f, w3)
+        SELECT source,
+               sum(CASE WHEN y = 1 AND m > 0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN y = -1 AND m > 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+               sum(CASE WHEN y = -1 AND m <= 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+               sum(CASE WHEN y = 1 AND m <= 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+        FROM scored
+        GROUP BY source
+        ORDER BY source"""))
   )
 }

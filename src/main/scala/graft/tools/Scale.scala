@@ -231,6 +231,12 @@ object Scale {
         "q107_ranked_search" -> SparkEntry.queries("q107_ranked_search"),
         "q108_heavy_hitters" -> SparkEntry.queries("q108_heavy_hitters"),
         "q110_despan_emit" -> SparkEntry.queries("q110_despan_emit"),
+        // round-11 curation additions: boilerplate removal (broadcast
+        // mark join), CDC chunk dedup (slim chunk-hash shuffle), and the
+        // perceptron trainer (3 linear passes, d+1-long reduces)
+        "q125_boilerplate_lines" -> SparkEntry.queries("q125_boilerplate_lines"),
+        "q126_cdc_chunks" -> SparkEntry.queries("q126_cdc_chunks"),
+        "q128_quality_classifier" -> SparkEntry.queries("q128_quality_classifier"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           val t = java.nio.file.Files

@@ -100,4 +100,27 @@ class HllSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     for ((_, est) <- got) assert(math.abs(est - 10000) <= 500)
   }
+
+  test("set ops: inclusion-exclusion intersection on PARTIAL overlap (q129 bounds)") {
+    // A = [0, 10000), B = [6000, 16000): |A∩B| = 4000, |A∪B| = 16000 —
+    // a genuine partial overlap (the q129 gate tables happen to overlap
+    // fully, so the estimator's hard case is exercised here)
+    val a = spark.range(0, 10000).select(lit("a").as("s"), col("id"))
+    val b = spark.range(6000, 16000).select(lit("b").as("s"), col("id"))
+    val regs = a.union(b).groupBy("s")
+      .agg(Hll.registersAgg(col("id")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    def est(r: Seq[Int]): Double = {
+      val df = Seq(Tuple1(r)).toDF("r")
+      df.select(Hll.estimate(col("r"))).head.getDouble(0)
+    }
+    val merged = Seq((regs("a"), regs("b"))).toDF("x", "y")
+      .select(Hll.mergeRegisters(col("x"), col("y")).as("r"))
+      .head.getSeq[Int](0)
+    val (ea, eb, eu) = (est(regs("a")), est(regs("b")), est(merged))
+    assert(math.abs(eu - 16000) <= 0.05 * 16000 + 1, s"union est $eu")
+    val ei = ea + eb - eu
+    assert(math.abs(ei - 4000) <= 0.08 * 16000 + 2,
+      s"intersection est $ei (a=$ea b=$eb u=$eu)")
+  }
 }
