@@ -199,4 +199,26 @@ object Lake {
       if (!insertDf.isEmpty) append(insertDf, path)
     } finally matched.unpersist()
   }
+
+  /** Bucketed lake table — the co-location device for repeated
+    * big-to-big joins on a stable key: both sides pre-hashed into the
+    * same `buckets` layout at WRITE time, so every later join/agg on
+    * `key` runs with ZERO exchanges (the 100 TB enrichment shape: pay
+    * the shuffle once when the table lands, never per query).
+    *
+    * Written as an EXTERNAL parquet table at `path` (catalog entry only
+    * carries metadata). The repartition before the write matters twice:
+    * Spark's repartition hash IS the bucketing hash (Murmur3), so with
+    * partition count == bucket count each writer task holds exactly one
+    * bucket and emits ONE file per bucket — the single-file layout that
+    * lets the scan recover the per-bucket SORT as well (multi-file
+    * buckets would re-sort, though still never re-shuffle).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
 }

@@ -918,10 +918,19 @@ object LogAnalytics {
       "q123_sliding_distinct",
       (s, dir) => {
         import graft.operators.Hll
+        // checkpointed: the sketch path and the exact gate both consume
+        // this frame, and the harness table is one unsplittable row group
+        // — repartition un-serializes the partial aggs (q46 precedent),
+        // the checkpoint makes it ONE scan instead of two
         val ev = t(s, dir, "events")
           .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+          .repartition(32, col("hour"), col("user_id"))
+          .localCheckpoint(true)
+        // 720 sketch rows; checkpointed so the three window-offset reads
+        // below don't each re-run the register aggregation
         val hourly = ev.groupBy(col("hour"))
           .agg(Hll.registersAgg(col("user_id")).as("regs"))
+          .localCheckpoint(true)
         val h0 = hourly.select(col("hour"), col("regs").as("r0"))
         val h1 = hourly.select(
           (col("hour") + expr("INTERVAL 1 HOUR")).as("hour"),
@@ -1091,6 +1100,52 @@ object LogAnalytics {
                TRUE AS union_in_bound,
                TRUE AS intersect_in_bound
         FROM agg, nb
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ---- q131: co-located join via BUCKETED lake tables — the shuffle-
+    // paid-once device for repeated big-to-big joins: events and the
+    // per-user profile dim both land bucketed (16, user_id), so the
+    // enrichment join (forced merge — broadcast would hide the
+    // demonstration) runs with ZERO exchanges on either side
+    // (PlanShapeSpec asserts it). At 100 TB this is the standing layout
+    // for a key every query joins on; only the post-join event_type
+    // rollup shuffles, and it ships three counters per type.
+    QueryDef(
+      "q131_bucketed_join",
+      (s, dir) => {
+        import graft.lake.Lake
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_bucketed").toString
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val prof = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_user_events"))
+        Lake.writeBucketed(ev, "graft_b_events", s"$base/events",
+          "user_id", 16)
+        Lake.writeBucketed(prof, "graft_b_users", s"$base/users",
+          "user_id", 16)
+        s.table("graft_b_events").hint("merge")
+          .join(s.table("graft_b_users"), "user_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("n_user_events") >= 67, 1L).otherwise(0L))
+              .as("n_heavy_events"),
+            countDistinct(when(col("n_user_events") >= 67, col("user_id")))
+              .as("n_heavy_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH u AS (SELECT user_id, count(*) AS n_user_events
+                   FROM events GROUP BY user_id)
+        SELECT e.event_type,
+               count(*)::BIGINT AS n_events,
+               sum(CASE WHEN u.n_user_events >= 67 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_heavy_events,
+               count(DISTINCT CASE WHEN u.n_user_events >= 67
+                                   THEN e.user_id END)::BIGINT
+                 AS n_heavy_users
+        FROM events e JOIN u USING (user_id)
+        GROUP BY e.event_type
+        ORDER BY e.event_type"""))
   )
 }

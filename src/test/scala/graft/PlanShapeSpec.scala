@@ -27,7 +27,8 @@ class PlanShapeSpec extends SparkSpec {
     * their own specs and the driver gate.
     */
   private val sideEffecting = Set("q41_alerts_stream", "q45_lake_roundtrip",
-    "q54_lake_pruned", "q77_merge_upsert", "q78_compression_inference")
+    "q54_lake_pruned", "q77_merge_upsert", "q78_compression_inference",
+    "q131_bucketed_join") // catalog writes; its plan shape has its own test
 
   private def scanDataFilters(df: DataFrame): Seq[Expression] =
     df.queryExecution.sparkPlan.collect {
@@ -84,6 +85,39 @@ class PlanShapeSpec extends SparkSpec {
       assert(cartesian.isEmpty,
         s"plan contains a non-broadcast cartesian product:\n${cartesian.mkString("\n")}")
     }
+
+  test("bucketed co-located join plans with ZERO exchanges (q131 shape)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bucketed_spec").toString
+    val ev = spark.range(0, 10000).select(
+      col("id").as("event_id"), pmod(col("id"), lit(97)).as("user_id"))
+    val prof = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    lake.Lake.writeBucketed(ev, "graft_spec_b_ev", s"$base/ev", "user_id", 8)
+    lake.Lake.writeBucketed(prof, "graft_spec_b_u", s"$base/u", "user_id", 8)
+    val joined = spark.table("graft_spec_b_ev").hint("merge")
+      .join(spark.table("graft_spec_b_u"), "user_id")
+    val exchanges = joined.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join should not shuffle:\n${joined.queryExecution.sparkPlan}")
+    val smj = joined.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "expected a sort-merge join over the bucketed scans")
+    // one file per bucket (repartition-aligned write) → the scan recovers
+    // the per-bucket sort too: no SortExec under the join either
+    val sorts = joined.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty,
+      s"single-file buckets should satisfy the join's sort requirement:\n${joined.queryExecution.sparkPlan}")
+    // and the result is the plain join, co-location notwithstanding
+    assert(joined.count() == 10000)
+    spark.sql("DROP TABLE graft_spec_b_ev")
+    spark.sql("DROP TABLE graft_spec_b_u")
+  }
 
   test("guard has teeth: the round-5 defect shape (plain explode over a " +
     "derived shingle array) IS flagged") {
