@@ -61,16 +61,26 @@ object TextPipeline {
     */
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val sets = Dedup.shingleFrame(d, "doc_id", "text")
+    val out = Dedup.duplicateClusters(d.select(col("doc_id").as("id")),
+        verifiedPairs(s, dir))
+      .localCheckpoint(true)
+    out
+  }
+
+  /** The q67 family's verified near-dup pair list (LSH candidates →
+    * exact Jaccard ≥ 0.2), shared by the clustering path and the q132
+    * link-rank graph. Checkpointed — consumers iterate over it.
+    */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
       maxBucketSize = None)
     val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
       .select(col("id1"), col("id2"))
-    val out = Dedup.duplicateClusters(d.select(col("doc_id").as("id")), pairs)
       .localCheckpoint(true)
     sets.unpersist(false)
-    out
+    pairs
   }
 
   /** Shared DuckDB scaffolding: whitespace tokens + distinct n-gram
@@ -2149,6 +2159,69 @@ object TextPipeline {
                sum(CASE WHEN y = 1 AND m <= 0 THEN 1 ELSE 0 END)::BIGINT AS fn
         FROM scored
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // Integer PageRank over the near-dup similarity graph — iterative
+    // link analysis in exact fixed-point BIGINT (damping 17/20 with
+    // truncating division, q128's no-libm discipline): ranks surface the
+    // densely-connected template clusters the dedup family detects.
+    // 3 rounds; the oracle unrolls the identical rounds over the same
+    // verified pair list. Edge list materializes once; each round is one
+    // src-hashed join of slim (id, rank) rows + one dst-keyed sum.
+    QueryDef(
+      "q132_link_rank",
+      (s, dir) => {
+        import graft.operators.LinkRank
+        val jp = verifiedPairs(s, dir)
+        val edges = jp.select(col("id1").as("src"), col("id2").as("dst"))
+          .union(jp.select(col("id2").as("src"), col("id1").as("dst")))
+        LinkRank.integerPageRank(
+            docs(s, dir).select(col("doc_id").as("id")), edges, rounds = 3)
+          .select(col("id").as("doc_id"), col("degree"),
+            col("rank").as("rank_fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def prRound(k: Int): String = s"""
+        s$k AS (SELECT e.dst, sum(r${k - 1}.r // dg.d)::BIGINT AS c
+                FROM ed e JOIN r${k - 1} ON r${k - 1}.id = e.src
+                          JOIN dg ON dg.src = e.src
+                GROUP BY e.dst),
+        r$k AS (SELECT n.id,
+                  ((3000000000000 // 20)
+                    + ((17 * coalesce(s$k.c, 0)) // 20))::BIGINT AS r
+                FROM (SELECT doc_id AS id FROM documents) n
+                LEFT JOIN s$k ON s$k.dst = n.id)"""
+        s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                    UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e0 a JOIN e0 b ON a.band = b.band AND a.sig = b.sig
+                                         AND a.doc_id < b.doc_id),
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2),
+             jp AS (SELECT id1, id2 FROM j
+                    WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+             ed AS (SELECT id1 AS src, id2 AS dst FROM jp
+                    UNION SELECT id2, id1 FROM jp),
+             dg AS (SELECT src, count(*)::BIGINT AS d FROM ed GROUP BY src),
+             r0 AS (SELECT doc_id AS id, 1000000000000::BIGINT AS r
+                    FROM documents),
+             ${(1 to 3).map(prRound).mkString(",\n")}
+        SELECT r3.id AS doc_id, coalesce(dg.d, 0)::BIGINT AS degree,
+               r3.r AS rank_fp
+        FROM r3 LEFT JOIN dg ON dg.src = r3.id
+        ORDER BY doc_id"""
+      })
   )
 }

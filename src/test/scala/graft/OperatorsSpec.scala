@@ -831,4 +831,27 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(all == Set(1L, 3L, 10L, 12L, 13L))
   }
+
+  test("integerPageRank: hand-computed round on a path graph, exact fixed point") {
+    import graft.operators.LinkRank
+    // undirected path a(1)–b(2)–c(3), isolated d(4); SCALE = 1e12
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val S = 1000000000000L
+    val r1 = LinkRank.integerPageRank(nodes, edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // contrib: a gets r(b) div 2 = 5e11; b gets r(a)+r(c) = 2e12; c = 5e11
+    // rank' = 3e12 div 20 + (17·c) div 20
+    assert(r1(1L) == ((1L, 3L * S / 20 + 17L * (S / 2) / 20)))
+    assert(r1(2L) == ((2L, 3L * S / 20 + 17L * (2 * S) / 20)))
+    assert(r1(3L) == ((1L, r1(1L)._2)))
+    assert(r1(4L) == ((0L, 3L * S / 20))) // dangling: pure teleport
+    // more rounds: symmetry holds, the hub stays on top, mass stays
+    // bounded by the start mass (truncating division only loses mass)
+    val r3 = LinkRank.integerPageRank(nodes, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r3(1L) == r3(3L))
+    assert(r3(2L) > r3(1L) && r3(1L) > r3(4L))
+    assert(r3.values.sum <= 4 * S)
+  }
 }
