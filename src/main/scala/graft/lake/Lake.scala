@@ -214,6 +214,26 @@ object Lake {
     * lets the scan recover the per-bucket SORT as well (multi-file
     * buckets would re-sort, though still never re-shuffle).
     */
+  /** Z-order (Morton) key of two non-negative integral columns — the
+    * MULTI-dimension clustering device: bit-interleaving makes file
+    * min/max ranges tight on BOTH dimensions simultaneously, so zone-map
+    * pruning works for 2-D box predicates where a linear sort serves only
+    * its leading column (SnapshotsSpec measures exactly that contrast).
+    * Pure bitwise arithmetic in one codegen'd projection; the key orders
+    * the LAYOUT only and never appears in query results, so cross-engine
+    * oracle parity is untouched.
+    */
+  def zorderKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"zorderKey bits in [1,31]; got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit =
     df.repartition(buckets, col(key))

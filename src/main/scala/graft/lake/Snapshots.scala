@@ -199,6 +199,19 @@ object Snapshots {
     * without stats are always kept. Composes with the hour partition level:
     * stats prune WITHIN the hours a caller reads.
     */
+  /** (kept, total) data-file counts after zone-map pruning — the
+    * metadata-only decision [[readWhere]] acts on, exposed so layout
+    * strategies (linear sort vs z-order) can be measured without reading
+    * a byte of data.
+    */
+  def pruneStats(table: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Int, Int) = {
+    val snap = current(table).getOrElse(sys.error(s"no snapshot at $table"))
+    val kept = snap.entries.count(e =>
+      e.stats.forall(st => filters.forall(f => FileStats.mayMatch(f, st))))
+    (kept, snap.entries.size)
+  }
+
   def readWhere(spark: SparkSession, table: String,
       filters: Seq[org.apache.spark.sql.sources.Filter],
       version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
@@ -350,11 +363,22 @@ object Snapshots {
     *   instead of keeping all of them (every unclustered file spans the
     *   whole key range).
     */
-  def append(df: DataFrame, table: String, clusterBy: Seq[String] = Nil): Int = {
+  /** @param clusterPartitions pin the clustering range-exchange width (an
+    *   explicit count opts out of AQE partition coalescing, which would
+    *   otherwise collapse a small append into one file and erase the
+    *   zone-map layout the clustering exists for — the q46 lesson applied
+    *   to writes). None keeps the session default.
+    */
+  def append(df: DataFrame, table: String, clusterBy: Seq[String] = Nil,
+      clusterPartitions: Option[Int] = None): Int = {
     val clustered =
       if (clusterBy.isEmpty) df
-      else df.repartitionByRange(clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      else clusterPartitions match {
+        case Some(n) => df.repartitionByRange(n, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+        case None => df.repartitionByRange(clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      }
     val staged = stage(clustered, table)
     commit(table, Some(dataSchema(df)))(prev => prev ++ staged)
   }

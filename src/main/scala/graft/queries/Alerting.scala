@@ -30,6 +30,7 @@ object Alerting {
 
   /** q54's snapshot tables: (dir -> (table path, id cut)), memoized like q45. */
   private val zoneMapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private val zorderDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val rules: Seq[Detection.Rule] = Seq(
     Detection.SimpleRule(
@@ -649,6 +650,55 @@ object Alerting {
                MAX(event_id) AS max_id
         FROM cls
         GROUP BY stage
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ---- q133: Z-ORDER clustered lake + 2-D zone-map pruning — q54's
+    // file skipping extended to multi-dimension box predicates: the lake
+    // lands clustered by the Morton interleave of (user_id, floor(value)),
+    // so every file's min/max is tight on BOTH columns and a box query
+    // prunes on metadata alone (a user_id-sorted layout would serve only
+    // its leading column — SnapshotsSpec measures the contrast). The
+    // z-key orders the LAYOUT only; results and oracle are plain SQL.
+    QueryDef(
+      "q133_zorder_pruned",
+      (s, dir) => {
+        import graft.lake.{Lake, Snapshots}
+        val tmp = zorderDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_lake_zorder").toString
+          // single hour partition: z-order clusters WITHIN a partition
+          // (Iceberg/Delta OPTIMIZE ZORDER semantics) — the hour
+          // dimension itself is q54's partition-pruning demo; a real ts
+          // here would cross 30 days × 32 z-partitions of tiny files
+          val ev = events(s, dir)
+            .select(col("event_id"), col("user_id"),
+              col("event_type"), col("value"))
+            .withColumn("ts", lit("2024-01-01 00:10:00").cast("timestamp"))
+            .withColumn("__zk",
+              Lake.zorderKey(col("user_id"), floor(col("value")), 11))
+          Snapshots.append(ev, t, clusterBy = Seq("__zk"),
+            clusterPartitions = Some(32))
+          t
+        })
+        import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+        val box = Seq(
+          GreaterThanOrEqual("user_id", 0L), LessThan("user_id", 40L),
+          GreaterThanOrEqual("value", 0.0), LessThan("value", 80.0))
+        Snapshots.readWhere(s, tmp, box)
+          .where(col("user_id") >= 0 && col("user_id") < 40 &&
+            col("value") >= 0 && col("value") < 80)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id >= 0 AND user_id < 40 AND value >= 0 AND value < 80
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

@@ -28,7 +28,8 @@ class PlanShapeSpec extends SparkSpec {
     */
   private val sideEffecting = Set("q41_alerts_stream", "q45_lake_roundtrip",
     "q54_lake_pruned", "q77_merge_upsert", "q78_compression_inference",
-    "q131_bucketed_join") // catalog writes; its plan shape has its own test
+    "q131_bucketed_join", // catalog writes; its plan shape has its own test
+    "q133_zorder_pruned") // lake temp-dir write; layout has its own test
 
   private def scanDataFilters(df: DataFrame): Seq[Expression] =
     df.queryExecution.sparkPlan.collect {

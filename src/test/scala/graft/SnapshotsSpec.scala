@@ -336,4 +336,36 @@ class SnapshotsSpec extends SparkSpec {
     val gatedBig = Lake.sizeGatedBroadcast(big.toDF(), maxBytes = 1024)
     assert(gatedBig.queryExecution.logical == big.toDF().queryExecution.logical)
   }
+
+  test("z-order layout prunes 2-D box queries where a linear sort cannot (q133)") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    // 64x64 uniform grid, 64 files per layout
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      lit(ts("2024-03-01 05:10:00")).as("ts"))
+    val zt = Files.createTempDirectory("snap_zorder").toString
+    val lt = Files.createTempDirectory("snap_linear").toString
+    Snapshots.append(grid.withColumn("__zk", Lake.zorderKey(col("x"), col("y"), 6)),
+      zt, clusterBy = Seq("__zk"), clusterPartitions = Some(64))
+    Snapshots.append(grid, lt, clusterBy = Seq("x"), clusterPartitions = Some(64))
+    val box = Seq(GreaterThanOrEqual("x", 0L), LessThan("x", 8L),
+      GreaterThanOrEqual("y", 0L), LessThan("y", 8L))
+    val (zKept, zTotal) = Snapshots.pruneStats(zt, box)
+    val (lKept, lTotal) = Snapshots.pruneStats(lt, box)
+    assert(zTotal == 64 && lTotal == 64)
+    // z-order: the 8x8 corner touches a handful of Morton-contiguous files
+    assert(zKept <= 8, s"z-order kept $zKept of $zTotal")
+    // the linear (x-sorted) layout prunes on x but every kept file spans
+    // all of y — a y-ONLY predicate prunes nothing there, while the
+    // z-order layout still skips most files
+    val yOnly = Seq(GreaterThanOrEqual("y", 0L), LessThan("y", 8L))
+    val (zyKept, _) = Snapshots.pruneStats(zt, yOnly)
+    val (lyKept, _) = Snapshots.pruneStats(lt, yOnly)
+    assert(lyKept == 64, s"x-sorted layout should keep all files on a y filter, kept $lyKept")
+    assert(zyKept <= 16, s"z-order should prune the y-only filter too, kept $zyKept")
+    // and the pruned read returns exactly the box
+    val n = Snapshots.readWhere(spark, zt, box)
+      .where(col("x") < 8 && col("y") < 8).count()
+    assert(n == 64)
+  }
 }
