@@ -924,7 +924,8 @@ object LogAnalytics {
         // the checkpoint makes it ONE scan instead of two
         val ev = t(s, dir, "events")
           .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
-          .repartition(32, col("hour"), col("user_id"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("hour"), col("user_id"))
           .localCheckpoint(true)
         // 720 sketch rows; checkpointed so the three window-offset reads
         // below don't each re-run the register aggregation

@@ -1866,7 +1866,7 @@ object TextPipeline {
         // operator's map cost into a single task (q46 precedent; a real
         // lake input arrives pre-split, making this a no-op-sized shuffle)
         Curation.removeBoilerplateSegments(
-            docs(s, dir).repartition(32, col("doc_id")), "doc_id", "text",
+            docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id")), "doc_id", "text",
             segTokens = 3, minDocs = 5)
           .select(col("doc_id"), col("n_segments"), col("n_boilerplate"),
             col("clean_text"))
@@ -1919,7 +1919,7 @@ object TextPipeline {
         // unsplittable row group (q46 precedent — pre-split lake inputs
         // make it a no-op-sized shuffle).
         val chunks = Dedup.cdcChunks(
-          docs(s, dir).repartition(32, col("doc_id")), "doc_id", "text",
+          docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id")), "doc_id", "text",
           window = 4, divisor = 64).localCheckpoint(true)
         val freq = chunks.groupBy(col("chunk_hash"))
           .agg(countDistinct(col("doc")).as("__nd"))

@@ -237,6 +237,7 @@ object Scale {
         "q125_boilerplate_lines" -> SparkEntry.queries("q125_boilerplate_lines"),
         "q126_cdc_chunks" -> SparkEntry.queries("q126_cdc_chunks"),
         "q128_quality_classifier" -> SparkEntry.queries("q128_quality_classifier"),
+        "q132_link_rank" -> SparkEntry.queries("q132_link_rank"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           val t = java.nio.file.Files
