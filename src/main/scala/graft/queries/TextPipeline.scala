@@ -2222,6 +2222,135 @@ object TextPipeline {
                r3.r AS rank_fp
         FROM r3 LEFT JOIN dg ON dg.src = r3.id
         ORDER BY doc_id"""
-      })
+      }),
+
+    // The round-11 curation stages COMPOSED (q113's successor): boiler-
+    // plate removal → exact dedup ON THE CLEANED TEXT (cleaning creates
+    // new exact dups — the reason real recipes clean before dedup) →
+    // perceptron quality gate trained on the canonical survivors → hash
+    // split → per-split funnel stats. Every stage is oracle-verified
+    // alone (q125/q30/q128/q57); the composition must reproduce end to
+    // end. Plans compose too: broadcast mark join + one fp-shuffle +
+    // three d+1-long reduces + a pure projection split — nothing new
+    // shuffles.
+    QueryDef(
+      "q134_curation_pipeline_v2",
+      (s, dir) => {
+        import graft.operators.{Curation, LinearClassifier}
+        import graft.functions.TextFunctions
+        val d = docs(s, dir)
+        val cleaned = Curation.removeBoilerplateSegments(
+            d.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text", segTokens = 3, minDocs = 5)
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        val canon = cleaned
+          .withColumn("__min_id", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("clean_text")))))
+          .filter(col("doc_id") === col("__min_id"))
+        val feats = canon
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+            lit(1L).as("x0"),
+            TextFunctions.tokens(col("clean_text")).as("__tk"),
+            length(col("clean_text")).cast("long").as("x3"))
+          .select(col("doc_id"), col("y"), col("x0"),
+            size(col("__tk")).cast("long").as("x1"),
+            size(array_distinct(col("__tk"))).cast("long").as("x2"),
+            col("x3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cols = Seq("x0", "x1", "x2", "x3")
+        val hist = LinearClassifier.trainPerceptron(feats, "y", cols, rounds = 3)
+        val out = Curation.deterministicSplit(
+            feats.withColumn("__m",
+              LinearClassifier.score(feats, cols, hist.last.weights)),
+            "doc_id")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_canonical"),
+            sum(when(col("__m") > 0, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("__m") > 0, col("x1")).otherwise(0L))
+              .as("n_tokens_kept"))
+          .orderBy(col("split"))
+        feats.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        segs AS (
+          SELECT doc_id, u.seg, u.pos
+          FROM t, LATERAL (
+            SELECT unnest(list_transform(
+                     range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT)),
+                     i -> array_to_string(tk[i*3+1 : i*3+3], ' '))) AS seg,
+                   unnest(range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT))) AS pos
+          ) u
+        ),
+        boiler AS (
+          SELECT seg FROM segs GROUP BY seg
+          HAVING count(DISTINCT doc_id) >= 5
+        ),
+        clean AS (
+          SELECT d.doc_id, d.lang,
+                 coalesce(m.ct, '') AS clean_text
+          FROM documents d
+          LEFT JOIN (
+            SELECT s.doc_id,
+                   array_to_string(list(s.seg ORDER BY s.pos)
+                     FILTER (WHERE b.seg IS NULL), ' ') AS ct
+            FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+            GROUP BY s.doc_id
+          ) m USING (doc_id)
+        ),
+        canon AS (
+          SELECT * FROM (
+            SELECT doc_id, lang, clean_text,
+                   MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS mid
+            FROM clean)
+          WHERE doc_id = mid
+        ),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+                 1::BIGINT AS x0,
+                 len(ctk)::BIGINT AS x1,
+                 len(list_distinct(ctk))::BIGINT AS x2,
+                 length(clean_text)::BIGINT AS x3
+          FROM (SELECT doc_id, lang, clean_text,
+                       list_filter(string_split_regex(lower(trim(clean_text)), '\\s+'),
+                         x -> x <> '') AS ctk
+                FROM canon)),
+        i1 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+               FROM f WHERE y * (0*x0 + 0*x1 + 0*x2 + 0*x3) <= 0),
+        w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3 FROM i1),
+        i2 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+               FROM f, w1
+               WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3) <= 0),
+        w2 AS (SELECT w1.w0 + i2.g0 AS w0, w1.w1 + i2.g1 AS w1,
+                      w1.w2 + i2.g2 AS w2, w1.w3 + i2.g3 AS w3
+               FROM w1, i2),
+        i3 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
+                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+               FROM f, w2
+               WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2 + w2.w3*x3) <= 0),
+        w3 AS (SELECT w2.w0 + i3.g0 AS w0, w2.w1 + i3.g1 AS w1,
+                      w2.w2 + i3.g2 AS w2, w2.w3 + i3.g3 AS w3
+               FROM w2, i3),
+        scored AS (
+          SELECT f.doc_id, f.x1,
+                 w3.w0*f.x0 + w3.w1*f.x1 + w3.w2*f.x2 + w3.w3*f.x3 AS m,
+                 ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+          FROM f, w3)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*)::BIGINT AS n_canonical,
+               sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN m > 0 THEN x1 ELSE 0 END)::BIGINT AS n_tokens_kept
+        FROM scored
+        GROUP BY 1
+        ORDER BY split"""))
   )
 }
