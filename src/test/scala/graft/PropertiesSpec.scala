@@ -180,4 +180,81 @@ class PropertiesSpec extends SparkSpec {
       assert(emitted.toList == batch.toList)
     }
   }
+
+  test("cdcChunks properties on random text: exact tiling, determinism, edit locality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val g = new scala.util.Random(7)
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "值", "数据")
+    def randText(n: Int) = Seq.fill(n)(words(g.nextInt(words.length))).mkString(" ")
+    val docs = (1L to 30L).map(i => (i, randText(g.nextInt(120)))).toDF("doc_id", "text")
+    val chunks = operators.Dedup.cdcChunks(docs, "doc_id", "text", window = 4, divisor = 32)
+      .collect().groupBy(_.getLong(0))
+    val norm = docs.select(col("doc_id"), lower(trim(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, t) <- norm if t.nonEmpty) {
+      val rows = chunks(id).sortBy(_.getLong(1))
+      // tiling: starts chain and lengths sum to the normalized length
+      rows.foldLeft(0L) { (pos, r) =>
+        assert(r.getLong(2) == pos, s"doc $id start ${r.getLong(2)} != $pos")
+        pos + r.getLong(3)
+      }
+      assert(rows.map(_.getLong(3)).sum == t.codePointCount(0, t.length),
+        s"doc $id lens != codepoint length")
+      // every chunk hash is the md5 of the chunk it claims to cover
+      // (spot-check the first/last to keep the test fast)
+      for (r <- Seq(rows.head, rows.last)) {
+        val cps = t.codePoints.toArray
+        val sub = new String(cps, r.getLong(2).toInt, r.getLong(3).toInt)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(4) == md, s"doc $id chunk hash mismatch")
+      }
+    }
+    // edit locality (the CDC property): a one-word prefix edit leaves the
+    // tail chunks' hash multiset nearly intact on every doc
+    val edited = docs.select(col("doc_id"),
+      concat(lit("edited prefix "), col("text")).as("text"))
+    val chunks2 = operators.Dedup.cdcChunks(edited, "doc_id", "text",
+        window = 4, divisor = 32)
+      .collect().groupBy(_.getLong(0))
+    for ((id, t) <- norm if t.length > 200) {
+      val h1 = chunks(id).map(_.getString(4)).toSet
+      val h2 = chunks2(id).map(_.getString(4)).toSet
+      assert((h1 intersect h2).size >= h1.size - 2,
+        s"doc $id: prefix edit rewrote ${h1.size - (h1 intersect h2).size} of ${h1.size} chunks")
+    }
+  }
+
+  test("removeBoilerplateSegments properties: clean text ⊆ original, counts consistent") {
+    import spark.implicits._
+    val g = new scala.util.Random(11)
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    def randText(n: Int) = Seq.fill(n)(words(g.nextInt(words.length))).mkString(" ")
+    val docs = (1L to 40L).map(i => (i, randText(3 * (1 + g.nextInt(20))))).toDF("doc_id", "text")
+    val out = operators.Curation.removeBoilerplateSegments(docs, "doc_id", "text",
+        segTokens = 3, minDocs = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, (nSeg, nBp, clean)) <- out) {
+      val toks = orig(id).split("\\s+").filter(_.nonEmpty)
+      assert(nSeg == math.ceil(toks.length / 3.0).toLong)
+      assert(nBp >= 0 && nBp <= nSeg)
+      // surviving text is a subsequence of the original segments, in order
+      val segs = toks.grouped(3).map(_.mkString(" ")).toList
+      val kept = if (clean.isEmpty) Nil else clean.split(" ").grouped(3).map(_.mkString(" ")).toList
+      // every kept window of 3 appears among original segments; counts line up
+      assert(nSeg - nBp == (if (clean.isEmpty) 0L else {
+        // reconstruct kept segment count from the token count of clean
+        val ct = clean.split("\\s+").count(_.nonEmpty)
+        // all segments are 3 tokens except possibly the original tail —
+        // kept tokens = 3*(kept full segs) + (tail if kept)
+        val tail = toks.length % 3
+        val tailKept = tail != 0 && clean.endsWith(segs.last)
+        if (tailKept) ((ct - tail) / 3 + 1).toLong else (ct / 3).toLong
+      }), s"doc $id segment accounting")
+      assert(segs.containsSlice(kept.takeWhile(_.length == 5)) || kept.forall(segs.contains),
+        s"doc $id kept segments not drawn from original")
+    }
+  }
 }
