@@ -2351,6 +2351,66 @@ object TextPipeline {
                sum(CASE WHEN m > 0 THEN x1 ELSE 0 END)::BIGINT AS n_tokens_kept
         FROM scored
         GROUP BY 1
-        ORDER BY split"""))
+        ORDER BY split""")),
+
+    // Contrastive training-pair construction — the pair-mining step of
+    // embedding-model training data: anchors/positives from the verified
+    // near-dup pairs, negatives drawn DETERMINISTICALLY (md5 of the pair
+    // → cyclic offset over the doc-id space, so every engine and every
+    // re-run mines identical triples — the same no-rand discipline as the
+    // split/sample family), with known positives anti-joined away so a
+    // sampled negative is never secretly a near-dup. Scale shape: the
+    // negative draw is a pure projection over the (small) positive-pair
+    // frame; the safety anti-join ships pair keys only.
+    QueryDef(
+      "q135_contrastive_pairs",
+      (s, dir) => {
+        val jp = verifiedPairs(s, dir)
+        val n = docs(s, dir).count() // one scalar: the doc-id universe size
+        val neg = (col("id1") + 1L +
+          conv(substring(md5(concat_ws("#", col("id1"), col("id2"))), 1, 8),
+            16, 10).cast("long") % (n - 1)) % n
+        val mined = jp.select(col("id1").as("anchor"),
+            col("id2").as("positive"), neg.as("negative"))
+          .filter(col("negative") =!= col("positive"))
+        mined.join(jp,
+            least(mined("anchor"), mined("negative")) === jp("id1") &&
+            greatest(mined("anchor"), mined("negative")) === jp("id2"),
+            "left_anti")
+          .orderBy(col("anchor"), col("positive"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                    UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e0 a JOIN e0 b ON a.band = b.band AND a.sig = b.sig
+                                         AND a.doc_id < b.doc_id),
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2),
+             jp AS (SELECT id1, id2 FROM j
+                    WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+             nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+             mined AS (
+               SELECT id1 AS anchor, id2 AS positive,
+                      (id1 + 1 + ('0x' || substr(md5(id1 || '#' || id2), 1, 8))::BIGINT
+                        % (nn.n - 1)) % nn.n AS negative
+               FROM jp, nn)
+        SELECT anchor, positive, negative
+        FROM mined m
+        WHERE negative <> positive
+          AND NOT EXISTS (SELECT 1 FROM jp p
+                          WHERE p.id1 = least(m.anchor, m.negative)
+                            AND p.id2 = greatest(m.anchor, m.negative))
+        ORDER BY anchor, positive"""))
   )
 }
