@@ -47,6 +47,18 @@ object Bpe {
           array(concat(element_at(acc, -1), s))))
         .otherwise(concat(acc, array(s))))
 
+  /** Encode a symbol array with a TRAINED merge list — the apply half of
+    * the BPE loop (train on the corpus once, encode everything with the
+    * frozen merges, exactly how a production tokenizer ships): the
+    * merges fold in training order, each with [[applyMerge]]'s
+    * left-to-right non-overlapping semantics, so encode(train corpus)
+    * reproduces the final training vocabulary state. One codegen-staged
+    * expression per merge — no shuffle, no state; the merge list is
+    * driver-sized (it IS the model).
+    */
+  def encodeWithMerges(syms: Column, merges: Seq[BpeMerge]): Column =
+    merges.foldLeft(syms)((s, m) => applyMerge(s, m.left, m.right))
+
   /** Train `rounds` greedy BPE merges over a (tok, freq) pretoken table.
     * Per round: frequency-weighted adjacent-pair counts over the current
     * symbol arrays, argmax with the deterministic (cnt DESC, l, r)

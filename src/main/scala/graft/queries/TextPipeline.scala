@@ -2411,6 +2411,73 @@ object TextPipeline {
           AND NOT EXISTS (SELECT 1 FROM jp p
                           WHERE p.id1 = least(m.anchor, m.negative)
                             AND p.id2 = greatest(m.anchor, m.negative))
-        ORDER BY anchor, positive"""))
+        ORDER BY anchor, positive""")),
+
+    // BPE ENCODE with the trained merges — the apply half of the q102
+    // loop (train once on the corpus, ship the frozen merge list, encode
+    // everything with it — how a production tokenizer runs): per doc,
+    // pretoken chars fold through the 6 learned merges in training
+    // order; output is the doc-level compression ledger (pretokens,
+    // chars, BPE tokens). The merge list is the MODEL — driver-sized —
+    // and encoding is a pure map pass; the oracle re-trains the same 6
+    // rounds and re-folds every token with the identical list_reduce.
+    QueryDef(
+      "q136_bpe_encode",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.Bpe
+        val en = docs(s, dir).filter(col("lang") === "en")
+        val pre = en
+          .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val merges = Bpe.trainBpe(pre, rounds = 6)
+        // repartition before the encode map — the 6-fold merge pass is
+        // this query's cost and the harness table is one unsplittable
+        // row group (q46/q125 precedent)
+        en.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            explode_outer(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .filter(col("tok").isNotNull)
+          .select(col("doc_id"), col("tok"), Bpe.charSymbols(col("tok")).as("__s"))
+          .select(col("doc_id"), col("tok"),
+            size(col("__s")).as("__nc"),
+            size(Bpe.encodeWithMerges(col("__s"), merges)).as("__nb"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pretokens"),
+            sum(col("__nc")).cast("long").as("n_chars_pretok"),
+            sum(col("__nb")).cast("long").as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val pat = graft.functions.TextFunctions.BpePreTokenPattern
+          .replace("'", "''")
+        def encRound(k: Int): String = s"""
+        e$k AS (SELECT doc_id, tok,
+                  list_reduce(list_transform(s, x -> [x]),
+                    (acc, x) -> CASE WHEN acc[-1] = m$k.l AND x[1] = m$k.r
+                                     THEN acc[:-2] || [acc[-1] || x[1]]
+                                     ELSE acc || x END) AS s
+                FROM e${k - 1} CROSS JOIN m$k)"""
+        s"""
+        WITH pt AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok
+                    FROM documents WHERE lang = 'en'),
+        base AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM pt GROUP BY tok),
+        vocab0 AS (SELECT tok, freq,
+            list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS syms
+          FROM base),
+        ${(1 to 6).map(sqlBpeRound).mkString(",\n")},
+        ptd AS (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS tok
+                FROM documents WHERE lang = 'en'),
+        e0 AS (SELECT doc_id, tok,
+                 list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS s
+               FROM ptd),
+        ${(1 to 6).map(encRound).mkString(",\n")}
+        SELECT doc_id, count(*)::BIGINT AS n_pretokens,
+               sum(length(tok))::BIGINT AS n_chars_pretok,
+               sum(len(s))::BIGINT AS n_bpe_tokens
+        FROM e6
+        GROUP BY doc_id
+        ORDER BY doc_id"""
+      })
   )
 }

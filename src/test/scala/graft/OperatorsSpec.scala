@@ -810,6 +810,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Bpe.trainBpe(pre, rounds = 10).size == 3)
   }
 
+  test("BPE encodeWithMerges reproduces the trainer's final vocabulary state") {
+    import graft.operators.Bpe
+    val pre = Seq(("abc", 10L), ("ab", 3L), ("zq", 2L), ("a", 1L)).toDF("tok", "freq")
+    val merges = Bpe.trainBpe(pre, rounds = 3)
+    // encode(train tokens) with the frozen merges == what training left:
+    // abc → [abc] (a,b then ab,c), ab → [ab], zq → [zq], a → [a]
+    val enc = pre.select(col("tok"),
+        Bpe.encodeWithMerges(Bpe.charSymbols(col("tok")), merges).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("abc") == Seq("abc"))
+    assert(enc("ab") == Seq("ab"))
+    assert(enc("zq") == Seq("zq"))
+    assert(enc("a") == Seq("a"))
+    // an UNSEEN token encodes with partial coverage, never errors
+    val novel = Seq(Tuple1("abz")).toDF("tok")
+      .select(Bpe.encodeWithMerges(Bpe.charSymbols(col("tok")), merges))
+      .head.getSeq[String](0)
+    assert(novel == Seq("ab", "z"))
+  }
+
   test("semanticDedup: lower id wins in-cluster, fail-open above the cap") {
     import graft.operators.Similarity
     // codes chosen so cosineInt8(a, b) = 1.0 for parallel vectors
