@@ -1147,6 +1147,72 @@ object LogAnalytics {
                  AS n_heavy_users
         FROM events e JOIN u USING (user_id)
         GROUP BY e.event_type
-        ORDER BY e.event_type"""))
+        ORDER BY e.event_type""")),
+
+    // ---- q137: distribution-drift monitor — pipeline observability for
+    // a corpus/stream: per day, the total-variation distance of the
+    // event-type mix against a frozen reference window (days 1-15), in
+    // EXACT integer-scaled form: Σ|c_i·N_ref − r_i·N_d| is 2·TV·N_ref·N_d,
+    // so the drift gate (TV > 0.05) is the BIGINT comparison
+    // 10·Σ > N_ref·N_d — no division, no floats, reproducible anywhere
+    // (the q128/q132 discipline applied to monitoring). Scale shape: one
+    // (day, type) count agg; the reference is a ≤|types| row broadcast;
+    // the streaming form is the same agg per micro-batch against the same
+    // frozen reference rows.
+    QueryDef(
+      "q137_drift_monitor",
+      (s, dir) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        val ev = t(s, dir, "events")
+          .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        val refCnt = ev.filter(col("day") < cut)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("r"))
+        val nRef = refCnt.agg(sum(col("r")).as("n_ref"))
+        val dayCnt = ev.filter(col("day") >= cut)
+          .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
+        val nDay = dayCnt.groupBy(col("day")).agg(sum(col("c")).as("n_day"))
+        // full (day × type) coverage: a type absent from a day contributes
+        // r_i·N_d, a batch-only type contributes c_i·N_ref
+        val grid = nDay.select(col("day")).crossJoin(broadcast(refCnt))
+        val terms = grid.join(dayCnt, Seq("day", "event_type"), "full_outer")
+          .join(nDay, "day").crossJoin(broadcast(nRef))
+          .select(col("day"),
+            abs(coalesce(col("c"), lit(0L)) * col("n_ref")
+              - coalesce(col("r"), lit(0L)) * col("n_day")).as("term"),
+            col("n_day"), col("n_ref"))
+        terms.groupBy(col("day"))
+          .agg(max(col("n_day")).as("n_events"),
+            sum(col("term")).as("drift_scaled"),
+            (lit(10L) * sum(col("term")) > max(col("n_ref")) * max(col("n_day")))
+              .as("drifted"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type
+                    FROM events),
+        refc AS (SELECT event_type, count(*)::BIGINT AS r
+                 FROM ev WHERE day < TIMESTAMP '2024-01-16' GROUP BY 1),
+        nref AS (SELECT sum(r)::BIGINT AS n_ref FROM refc),
+        dayc AS (SELECT day, event_type, count(*)::BIGINT AS c
+                 FROM ev WHERE day >= TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+        nday AS (SELECT day, sum(c)::BIGINT AS n_day FROM dayc GROUP BY day),
+        grid AS (SELECT d.day, rc.event_type, rc.r
+                 FROM (SELECT day FROM nday) d CROSS JOIN refc rc),
+        terms AS (
+          SELECT coalesce(g.day, dc.day) AS day,
+                 abs(coalesce(dc.c, 0) * nref.n_ref
+                     - coalesce(g.r, 0) * nday.n_day)::BIGINT AS term,
+                 nday.n_day, nref.n_ref
+          FROM grid g
+          FULL OUTER JOIN dayc dc
+            ON g.day = dc.day AND g.event_type = dc.event_type
+          JOIN nday ON nday.day = coalesce(g.day, dc.day)
+          CROSS JOIN nref)
+        SELECT day, max(n_day)::BIGINT AS n_events,
+               sum(term)::BIGINT AS drift_scaled,
+               (10 * sum(term) > max(n_ref) * max(n_day)) AS drifted
+        FROM terms
+        GROUP BY day
+        ORDER BY day"""))
   )
 }

@@ -238,6 +238,8 @@ object Scale {
         "q126_cdc_chunks" -> SparkEntry.queries("q126_cdc_chunks"),
         "q128_quality_classifier" -> SparkEntry.queries("q128_quality_classifier"),
         "q132_link_rank" -> SparkEntry.queries("q132_link_rank"),
+        "q134_curation_pipeline_v2" -> SparkEntry.queries("q134_curation_pipeline_v2"),
+        "q136_bpe_encode" -> SparkEntry.queries("q136_bpe_encode"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           val t = java.nio.file.Files
