@@ -1162,28 +1162,19 @@ object LogAnalytics {
     QueryDef(
       "q137_drift_monitor",
       (s, dir) => {
+        import graft.operators.Drift
         val cut = lit("2024-01-16").cast("timestamp")
         val ev = t(s, dir, "events")
           .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
         val refCnt = ev.filter(col("day") < cut)
           .groupBy(col("event_type")).agg(count(lit(1)).as("r"))
-        val nRef = refCnt.agg(sum(col("r")).as("n_ref"))
+        val nRef = refCnt.agg(sum(col("r")).as("__n_ref"))
         val dayCnt = ev.filter(col("day") >= cut)
           .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
-        val nDay = dayCnt.groupBy(col("day")).agg(sum(col("c")).as("n_day"))
-        // full (day × type) coverage: a type absent from a day contributes
-        // r_i·N_d, a batch-only type contributes c_i·N_ref
-        val grid = nDay.select(col("day")).crossJoin(broadcast(refCnt))
-        val terms = grid.join(dayCnt, Seq("day", "event_type"), "full_outer")
-          .join(nDay, "day").crossJoin(broadcast(nRef))
-          .select(col("day"),
-            abs(coalesce(col("c"), lit(0L)) * col("n_ref")
-              - coalesce(col("r"), lit(0L)) * col("n_day")).as("term"),
-            col("n_day"), col("n_ref"))
-        terms.groupBy(col("day"))
-          .agg(max(col("n_day")).as("n_events"),
-            sum(col("term")).as("drift_scaled"),
-            (lit(10L) * sum(col("term")) > max(col("n_ref")) * max(col("n_day")))
+        Drift.tvScaled(dayCnt, "day", "event_type", "c", refCnt, "r")
+          .crossJoin(broadcast(nRef))
+          .select(col("day"), col("n_events"), col("drift_scaled"),
+            (lit(10L) * col("drift_scaled") > col("__n_ref") * col("n_events"))
               .as("drifted"))
           .orderBy(col("day"))
       },

@@ -300,6 +300,47 @@ class StreamingSpec extends SparkSpec {
     assert(seen.sortBy(_._1).toList == List((1L, "low"), (2L, "high")))
   }
 
+  test("streaming drift monitor: per-micro-batch TV drift equals the batch form") {
+    import graft.operators.Drift
+    // frozen reference: 60% a / 40% b
+    val refCnt = Seq(("a", 60L), ("b", 40L)).toDF("key", "r")
+    val input = MemoryStream[String](spark)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("key").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the q137 shape per micro-batch: aggregate the batch, score it
+        // against the SAME frozen reference rows
+        val counts = batch.groupBy(col("key"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("g", lit(id))
+        val row = Drift.tvScaled(counts, "g", "key", "c", refCnt, "r")
+          .collect()
+        seen.synchronized {
+          seen ++= row.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }.start()
+    val batches = Seq(
+      Seq("a", "a", "a", "b", "b"),       // 60/40 — zero drift
+      Seq("b", "b", "b", "b", "a"),       // 20/80 — heavy drift
+      Seq("a", "a", "c", "c", "c", "c"))  // unseen key dominates
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = seen.sortBy(_._1).toList
+    // batch-form recomputation over the same slices must match exactly
+    val expect = batches.zipWithIndex.map { case (b, i) =>
+      val counts = b.toDF("key").groupBy(col("key"))
+        .agg(count(lit(1)).as("c")).withColumn("g", lit(i.toLong))
+      val r = Drift.tvScaled(counts, "g", "key", "c", refCnt, "r").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.toList
+    assert(got == expect)
+    // hand-check: batch 0 is the reference mix exactly → drift 0;
+    // batch 2: Σ|c·100 − r·6| = |2·100−60·6| + |0·100−40·6| + |4·100−0·6|
+    assert(got(0)._3 == 0L)
+    assert(got(2)._3 == 160L + 240L + 400L)
+  }
+
   test("ecs master schema composes table schemas for managed sources") {
     val dns = graft.schema.EcsSchema.tableSchema(
       Seq("dns", "source.ip", "source.port", "destination", "network.transport",
