@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.chaining._
 
 /** Session factory with the engine's standard configuration.
   *
@@ -29,6 +30,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffledHashJoinFactor", "3")
+      // dev knob: GRAFT_CONF="k=v;k2=v2" overlays arbitrary SQL confs —
+      // used to A/B runtime hypotheses (codegen on/off, AQE variants)
+      // without code churn; unset in driver runs
+      .tap { bb =>
+        sys.env.get("GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty => bb.config(k.trim, v.trim)
+            case _ => ()
+          }
+        })
+      }
 
   /** Local session for tests/tools. */
   def local(cores: Int = 32): SparkSession = {
