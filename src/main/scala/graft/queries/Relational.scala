@@ -406,6 +406,71 @@ object Relational {
                CUME_DIST() OVER w AS cume
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- q138: large-order lookup (TPC-H Q18 shape) — the IN-subquery
+    // with a grouped HAVING, decorrelated to an aggregate + semi-shaped
+    // join: the lineitem agg reduces to (orderkey, qty) pairs BEFORE any
+    // join touches orders/customer, so the wide tables only ever join the
+    // 200-row survivor set (broadcast at this size; at 100 TB the agg is
+    // the one lineitem-scale shuffle and survivors stay tiny by the
+    // HAVING's selectivity). Exact-decimal quantity sums (q01 convention).
+    QueryDef(
+      "q138_large_orders",
+      (s, dir) => {
+        val big = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec2(col("l_quantity"))).as("__q"))
+          .filter(col("__q") > 250)
+        Tables.load(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("__q").cast("double").as("total_qty"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(q AS DOUBLE) AS total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+              FROM lineitem GROUP BY 1
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey""")),
+
+    // ---- q139: NOT EXISTS decorrelation (TPC-H Q22 shape) — an
+    // uncorrelated scalar subquery (global average balance, exact-decimal
+    // mavg so both engines divide the same sum) plus a correlated NOT
+    // EXISTS that Catalyst rewrites to a LEFT ANTI join: the anti side
+    // ships only urgent orders' custkeys, customers never fan out.
+    QueryDef(
+      "q139_no_urgent_customers",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val avgBal = c.agg(
+          (sum(dec6(col("c_acctbal"))).cast(DoubleType) / count(lit(1)))
+            .as("__avg"))
+        val urgent = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("__avg"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                                       AS DOUBLE) / COUNT(*)
+                           FROM customer)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey"""))
   )
 }
