@@ -200,20 +200,6 @@ object Lake {
     } finally matched.unpersist()
   }
 
-  /** Bucketed lake table — the co-location device for repeated
-    * big-to-big joins on a stable key: both sides pre-hashed into the
-    * same `buckets` layout at WRITE time, so every later join/agg on
-    * `key` runs with ZERO exchanges (the 100 TB enrichment shape: pay
-    * the shuffle once when the table lands, never per query).
-    *
-    * Written as an EXTERNAL parquet table at `path` (catalog entry only
-    * carries metadata). The repartition before the write matters twice:
-    * Spark's repartition hash IS the bucketing hash (Murmur3), so with
-    * partition count == bucket count each writer task holds exactly one
-    * bucket and emits ONE file per bucket — the single-file layout that
-    * lets the scan recover the per-bucket SORT as well (multi-file
-    * buckets would re-sort, though still never re-shuffle).
-    */
   /** Z-order (Morton) key of two non-negative integral columns — the
     * MULTI-dimension clustering device: bit-interleaving makes file
     * min/max ranges tight on BOTH dimensions simultaneously, so zone-map
@@ -234,6 +220,20 @@ object Lake {
     }
   }
 
+  /** Bucketed lake table — the co-location device for repeated
+    * big-to-big joins on a stable key: both sides pre-hashed into the
+    * same `buckets` layout at WRITE time, so every later join/agg on
+    * `key` runs with ZERO exchanges (the 100 TB enrichment shape: pay
+    * the shuffle once when the table lands, never per query).
+    *
+    * Written as an EXTERNAL parquet table at `path` (catalog entry only
+    * carries metadata). The repartition before the write matters twice:
+    * Spark's repartition hash IS the bucketing hash (Murmur3), so with
+    * partition count == bucket count each writer task holds exactly one
+    * bucket and emits ONE file per bucket — the single-file layout that
+    * lets the scan recover the per-bucket SORT as well (multi-file
+    * buckets would re-sort, though still never re-shuffle).
+    */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit =
     df.repartition(buckets, col(key))

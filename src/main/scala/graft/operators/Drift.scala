@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distribution-drift measurement — pipeline observability in exact
   * integer arithmetic: the total-variation distance between each group's
@@ -29,20 +30,27 @@ object Drift {
     */
   def tvScaled(counts: DataFrame, groupCol: String, keyCol: String,
       cntCol: String, refCnt: DataFrame, refCol: String): DataFrame = {
-    val nRef = refCnt.agg(sum(col(refCol)).cast("long").as("__n_ref"))
+    // DECIMAL(38,0) for the cross products and their sum: c_k·N_ref is a
+    // product of two corpus-scale counts and would wrap a BIGINT
+    // silently under non-ANSI Spark at ~3·10⁹ events per side; 38 exact
+    // digits hold products of two 10¹⁹ counts with room for the Σ.
+    // Consumers gate on comparisons of these decimals (still exact);
+    // only cast drift_scaled down when the scale provably allows it.
+    val dec = DecimalType(38, 0)
+    val nRef = refCnt.agg(sum(col(refCol)).cast(dec).as("__n_ref"))
     val nGrp = counts.groupBy(col(groupCol))
-      .agg(sum(col(cntCol)).cast("long").as("__n_grp"))
+      .agg(sum(col(cntCol)).cast(dec).as("__n_grp"))
     val grid = nGrp.select(col(groupCol)).crossJoin(broadcast(refCnt))
     val terms = grid
       .join(counts, Seq(groupCol, keyCol), "full_outer")
       .join(nGrp, groupCol).crossJoin(broadcast(nRef))
       .select(col(groupCol),
-        abs(coalesce(col(cntCol), lit(0L)).cast("long") * col("__n_ref")
-          - coalesce(col(refCol), lit(0L)).cast("long") * col("__n_grp"))
+        abs(coalesce(col(cntCol), lit(0L)).cast(dec) * col("__n_ref")
+          - coalesce(col(refCol), lit(0L)).cast(dec) * col("__n_grp"))
           .as("__term"),
         col("__n_grp"))
     terms.groupBy(col(groupCol))
-      .agg(max(col("__n_grp")).as("n_events"),
-        sum(col("__term")).as("drift_scaled"))
+      .agg(max(col("__n_grp")).cast("long").as("n_events"),
+        sum(col("__term")).cast(dec).as("drift_scaled"))
   }
 }

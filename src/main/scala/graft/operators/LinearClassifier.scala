@@ -63,9 +63,10 @@ object LinearClassifier {
     out.result()
   }
 
-  /** Score frame: margin of each row under fixed weights (BIGINT-exact). */
-  def score(df: DataFrame, featureCols: Seq[String], weights: Seq[Long])
-      : Column =
+  /** Margin expression under fixed weights (BIGINT-exact) — a pure
+    * Column over `featureCols`, usable on any frame carrying them.
+    */
+  def score(featureCols: Seq[String], weights: Seq[Long]): Column =
     featureCols.zip(weights)
       .map { case (c, wi) => col(c).cast("long") * lit(wi) }
       .reduce(_ + _)

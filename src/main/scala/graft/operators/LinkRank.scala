@@ -32,10 +32,22 @@ object LinkRank {
     * per node: (id, degree, rank) after `rounds` iterations from a flat
     * start of `scale` per node. Dangling nodes redistribute nothing
     * (standard simplification; their rank decays to the teleport term).
+    *
+    * Overflow safety: total rank mass never exceeds n·scale (damping
+    * only shrinks it), so the largest intermediate is 17·Σ ≤ 17·n·scale.
+    * That product must stay below Long.MaxValue — enforced with a
+    * require against the actual node count (one bounded count job), so
+    * a hub node aggregating a large in-neighborhood can never wrap
+    * negative silently under non-ANSI Spark. The default scale (1e6,
+    * i.e. micro-rank fixed point) leaves room for ~5·10¹¹ nodes;
+    * truncation error per division is ≤ 1/scale relative.
     */
   def integerPageRank(nodes: DataFrame, edges: DataFrame, rounds: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1 && scale >= 1000, s"need rounds >= 1; got $rounds")
+    val n = nodes.count()
+    require(n > 0 && scale <= Long.MaxValue / 17 / math.max(n, 1L),
+      s"17 * n * scale must fit in a Long: n=$n, scale=$scale — lower scale")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the loop's only corpus-sized frame, materialized once (see
     // Dedup.duplicateClusters for the same contract)

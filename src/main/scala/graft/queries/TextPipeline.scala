@@ -2107,11 +2107,15 @@ object TextPipeline {
             size(col("__tk")).cast("long").as("x1"),
             size(array_distinct(col("__tk"))).cast("long").as("x2"),
             col("x3"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // checkpoint, not persist+unpersist: the returned frame also
+          // reads the features, and an unpersist-before-return would
+          // silently re-derive them from the raw scan when the caller
+          // finally executes (the 3 training scans happen eagerly here)
+          .localCheckpoint(true)
         val cols = Seq("x0", "x1", "x2", "x3")
         val hist = LinearClassifier.trainPerceptron(feats, "y", cols, rounds = 3)
-        val out = feats
-          .withColumn("__m", LinearClassifier.score(feats, cols, hist.last.weights))
+        feats
+          .withColumn("__m", LinearClassifier.score(cols, hist.last.weights))
           .groupBy(col("source"))
           .agg(
             sum(when(col("y") === 1L && col("__m") > 0, 1L).otherwise(0L)).as("tp"),
@@ -2119,8 +2123,6 @@ object TextPipeline {
             sum(when(col("y") === -1L && col("__m") <= 0, 1L).otherwise(0L)).as("tn"),
             sum(when(col("y") === 1L && col("__m") <= 0, 1L).otherwise(0L)).as("fn"))
           .orderBy(col("source"))
-        feats.unpersist(false)
-        out
       },
       Some(s"""
         WITH f AS (
@@ -2188,7 +2190,7 @@ object TextPipeline {
                           JOIN dg ON dg.src = e.src
                 GROUP BY e.dst),
         r$k AS (SELECT n.id,
-                  ((3000000000000 // 20)
+                  ((3000000 // 20)
                     + ((17 * coalesce(s$k.c, 0)) // 20))::BIGINT AS r
                 FROM (SELECT doc_id AS id FROM documents) n
                 LEFT JOIN s$k ON s$k.dst = n.id)"""
@@ -2215,7 +2217,7 @@ object TextPipeline {
              ed AS (SELECT id1 AS src, id2 AS dst FROM jp
                     UNION SELECT id2, id1 FROM jp),
              dg AS (SELECT src, count(*)::BIGINT AS d FROM ed GROUP BY src),
-             r0 AS (SELECT doc_id AS id, 1000000000000::BIGINT AS r
+             r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS r
                     FROM documents),
              ${(1 to 3).map(prRound).mkString(",\n")}
         SELECT r3.id AS doc_id, coalesce(dg.d, 0)::BIGINT AS degree,
@@ -2258,12 +2260,14 @@ object TextPipeline {
             size(col("__tk")).cast("long").as("x1"),
             size(array_distinct(col("__tk"))).cast("long").as("x2"),
             col("x3"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // checkpoint, not persist+unpersist — see q130: the returned
+          // frame reads the features after the lambda exits
+          .localCheckpoint(true)
         val cols = Seq("x0", "x1", "x2", "x3")
         val hist = LinearClassifier.trainPerceptron(feats, "y", cols, rounds = 3)
-        val out = Curation.deterministicSplit(
+        Curation.deterministicSplit(
             feats.withColumn("__m",
-              LinearClassifier.score(feats, cols, hist.last.weights)),
+              LinearClassifier.score(cols, hist.last.weights)),
             "doc_id")
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n_canonical"),
@@ -2271,8 +2275,6 @@ object TextPipeline {
             sum(when(col("__m") > 0, col("x1")).otherwise(0L))
               .as("n_tokens_kept"))
           .orderBy(col("split"))
-        feats.unpersist(false)
-        out
       },
       Some(s"""
         WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
@@ -2366,6 +2368,10 @@ object TextPipeline {
       "q135_contrastive_pairs",
       (s, dir) => {
         val jp = verifiedPairs(s, dir)
+        // ASSUMES the driver corpus's dense 0..n-1 doc_id space (true for
+        // every testdata generation; the oracle shares the assumption).
+        // A sparse-id corpus would sample negatives onto gap ids — mine
+        // negatives by joining a rank-indexed id table there instead.
         val n = docs(s, dir).count() // one scalar: the doc-id universe size
         val neg = (col("id1") + 1L +
           conv(substring(md5(concat_ws("#", col("id1"), col("id2"))), 1, 8),

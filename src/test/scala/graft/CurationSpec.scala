@@ -297,7 +297,7 @@ class CurationSpec extends SparkSpec {
     assert(hist(3) == LinearClassifier.PerceptronRound(4, Seq(-4L, 3L), 1L))
     // scoring under the final weights separates the classes
     val scored = f.withColumn("m",
-        LinearClassifier.score(f, Seq("x0", "x1"), hist.last.weights))
+        LinearClassifier.score(Seq("x0", "x1"), hist.last.weights))
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(scored.forall { case (y, m) => if (y > 0) m > 0 else m <= 0 })
   }

@@ -857,7 +857,7 @@ class OperatorsSpec extends SparkSpec {
     // undirected path a(1)–b(2)–c(3), isolated d(4); SCALE = 1e12
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
-    val S = 1000000000000L
+    val S = 1000000L
     val r1 = LinkRank.integerPageRank(nodes, edges, rounds = 1)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // contrib: a gets r(b) div 2 = 5e11; b gets r(a)+r(c) = 2e12; c = 5e11

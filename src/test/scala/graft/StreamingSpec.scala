@@ -316,7 +316,9 @@ class StreamingSpec extends SparkSpec {
         val row = Drift.tvScaled(counts, "g", "key", "c", refCnt, "r")
           .collect()
         seen.synchronized {
-          seen ++= row.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          // drift_scaled is DECIMAL(38,0) (overflow-proof at corpus scale)
+          seen ++= row.map(r =>
+            (r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact))
         }
         ()
       }.start()
@@ -332,7 +334,7 @@ class StreamingSpec extends SparkSpec {
       val counts = b.toDF("key").groupBy(col("key"))
         .agg(count(lit(1)).as("c")).withColumn("g", lit(i.toLong))
       val r = Drift.tvScaled(counts, "g", "key", "c", refCnt, "r").collect().head
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact)
     }.toList
     assert(got == expect)
     // hand-check: batch 0 is the reference mix exactly → drift 0;
