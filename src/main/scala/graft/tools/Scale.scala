@@ -224,6 +224,8 @@ object Scale {
         "q121_hll_fold" -> SparkEntry.queries("q121_hll_fold"),
         "q122_funnel" -> SparkEntry.queries("q122_funnel"),
         "q123_sliding_distinct" -> SparkEntry.queries("q123_sliding_distinct"),
+        "q129_sketch_setops" -> SparkEntry.queries("q129_sketch_setops"),
+        "q137_drift_monitor" -> SparkEntry.queries("q137_drift_monitor"),
         "q124_kll_fold" -> SparkEntry.queries("q124_kll_fold"),
         "q104_phrase_search" -> SparkEntry.queries("q104_phrase_search"),
         "q105_dup_spans" -> SparkEntry.queries("q105_dup_spans"),
