@@ -120,4 +120,28 @@ class LakeSpec extends SparkSpec {
     assert(row.getLong(0) == row.getLong(1))
     assert(row.getLong(0) != row.getLong(2))
   }
+
+  test("zorderKey: hand-computed Morton interleave, locality ordering") {
+    import graft.lake.Lake
+    // a=3 (011), b=5 (101), 3 bits: even positions take a's bits, odd b's
+    // → 1·1 + 1·2 + 1·4 + 0·8 + 0·16 + 1·32 = 39
+    val k = Seq((3L, 5L)).toDF("a", "b")
+      .select(Lake.zorderKey(col("a"), col("b"), 3)).head.getLong(0)
+    assert(k == 39L)
+    // interleave is a bijection on the 2-D grid (no key collisions)
+    val grid = spark.range(0, 256).select(
+      (col("id") % 16).as("a"), (col("id") / 16).cast("long").as("b"))
+    assert(grid.select(Lake.zorderKey(col("a"), col("b"), 4)).distinct()
+      .count() == 256)
+    // locality: sorting by z-key keeps each quadrant contiguous — every
+    // key of the low quadrant (a,b < 8) precedes every key of the high
+    // quadrant (a,b >= 8), which is what makes per-file 2-D ranges tight
+    val keys = grid.select(col("a"), col("b"),
+        Lake.zorderKey(col("a"), col("b"), 4).as("z")).collect()
+    val lowMax = keys.filter(r => r.getLong(0) < 8 && r.getLong(1) < 8)
+      .map(_.getLong(2)).max
+    val highMin = keys.filter(r => r.getLong(0) >= 8 && r.getLong(1) >= 8)
+      .map(_.getLong(2)).min
+    assert(lowMax < highMin)
+  }
 }
