@@ -70,6 +70,42 @@ class IngestSpec extends SparkSpec {
     assert(graft.lake.Lake.read(spark, lake).count() == 2)
   }
 
+  test("batch backfill ledger: re-runs are no-ops, new files process incrementally") {
+    val tmp = Files.createTempDirectory("graft_backfill")
+    val landing = tmp.resolve("landing")
+    Files.createDirectories(landing)
+    val lake = tmp.resolve("lake").toString
+    val side = tmp.resolve("side").toString
+    val ledger = tmp.resolve("ledger").toString
+    def drop(name: String, lines: String*): Unit =
+      Files.write(landing.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    drop("a.json", """{"ts":"2024-01-01T05:30:00Z","event_type":"click","user_id":"7"}""")
+    drop("b.json", """{"ts":"2024-01-01T06:10:00Z","event_type":"error","user_id":"8"}""")
+    val landingSchema = StructType(Seq(
+      StructField("ts", StringType), StructField("event_type", StringType),
+      StructField("user_id", StringType)))
+    val target = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    val p = Ingest.Pipeline(
+      transform = df => df.withColumn("ts", to_timestamp(col("ts"))),
+      target = target, lakePath = lake, sidelinePath = side)
+    assert(Ingest.backfillOnce(spark, landing.toString, landingSchema, p, ledger) == 2)
+    assert(graft.lake.Lake.read(spark, lake).count() == 2)
+    // idempotent: the ledger makes a re-run a no-op
+    assert(Ingest.backfillOnce(spark, landing.toString, landingSchema, p, ledger) == 0)
+    assert(graft.lake.Lake.read(spark, lake).count() == 2)
+    // incremental: only the NEW file processes on the next run
+    drop("c.json", """{"ts":"2024-01-01T07:00:00Z","event_type":"view","user_id":"9"}""")
+    assert(Ingest.backfillOnce(spark, landing.toString, landingSchema, p, ledger) == 1)
+    val lakeDf = graft.lake.Lake.read(spark, lake)
+    assert(lakeDf.count() == 3)
+    assert(lakeDf.select("ts_hour").as[String].collect().toSet
+      == Set("2024-01-01-05", "2024-01-01-06", "2024-01-01-07"))
+    assert(spark.read.parquet(ledger).count() == 3)
+  }
+
   test("queue-source ingest: identical pipeline from a non-file stream (S9 parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
