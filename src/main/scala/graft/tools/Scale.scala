@@ -241,6 +241,24 @@ object Scale {
         "q128_quality_classifier" -> SparkEntry.queries("q128_quality_classifier"),
         "q132_link_rank" -> SparkEntry.queries("q132_link_rank"),
         "q134_curation_pipeline_v2" -> SparkEntry.queries("q134_curation_pipeline_v2"),
+        // link-rank in PRODUCTION configuration: the q132 gate runs the
+        // LSH uncapped for oracle parity; at 100× fingerprint density the
+        // hot buckets explode quadratically (the q106 lesson), so the
+        // scale probe rides the default bucket cap
+        "q132_capped" -> ((s: SparkSession, dir: String) => {
+          import graft.operators.{Dedup, LinkRank}
+          val d = s.read.parquet(s"$dir/documents.parquet")
+          val sets = Dedup.shingleFrame(d, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3)
+          val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
+            .select(col("id1"), col("id2")).localCheckpoint(true)
+          sets.unpersist(false)
+          val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+            .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+          LinkRank.integerPageRank(
+            d.select(col("doc_id").as("id")), edges, rounds = 3)
+        }),
         "q136_bpe_encode" -> SparkEntry.queries("q136_bpe_encode"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
