@@ -68,18 +68,26 @@ object Dedup {
     * pairs.
     */
   def lshCandidatePairs(sets: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame =
+    bandedCandidatePairs(lshKeyedBuckets(sets, bands, rowsPerBand),
+      "doc", Seq("band", "sig"), maxBucketSize)
+
+  /** The (doc, band, sig) bucket frame the LSH pairing strategies share —
+    * exposed so callers can choose the pairing schedule: capped
+    * ([[bandedCandidatePairs]], the default) or complete-with-bounded-
+    * tasks ([[blockedCandidatePairs]]).
+    */
+  def lshKeyedBuckets(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val staged = withHashArrays(sets, bands * rowsPerBand)
     val bandSigs = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => chunkMinhash(b * rowsPerBand + r))
       concat_ws("#", parts: _*).as(s"band$b")
     }
     val sigDf = staged.select((col("doc") +: bandSigs).toIndexedSeq: _*)
-    val exploded = sigDf.select(col("doc"),
+    sigDf.select(col("doc"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bandedCandidatePairs(exploded, "doc", Seq("band", "sig"), maxBucketSize)
   }
 
   /** The shared banded-LSH pairing core — ONE implementation for every
@@ -111,6 +119,42 @@ object Dedup {
     bounded.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
       .join(bounded.select(keyCols.map(col) :+ col(idCol).as("id2"): _*), keyCols)
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** COMPLETE candidate pairing with BOUNDED tasks — the third option in
+    * the hot-bucket space (the cap DROPS pathological buckets; this keeps
+    * every pair but schedules the quadratic bucket in blocks): bucket
+    * rows are numbered in id order and grouped into ceil(B/blockSize)
+    * chunks; each row replicates to the (its-chunk, laterChunk) cells of
+    * the bucket's upper-triangular schedule and the pair join keys on
+    * (bucket, cell) — so no single task ever holds more than ~blockSize²
+    * pairs, while the pair SET is EXACTLY the uncapped join's
+    * (OperatorsSpec gates the equality). Total pair volume stays O(Σ B²)
+    * — inherent to complete pairing — but it arrives as uniform
+    * cluster-wide tasks instead of one straggler per boilerplate bucket.
+    * Chunking in id order makes every cross-chunk pair already id1 < id2;
+    * only the diagonal cells need the in-cell ordering filter.
+    */
+  def blockedCandidatePairs(keyed: DataFrame, idCol: String,
+      keyCols: Seq[String], blockSize: Int = 1024): DataFrame = {
+    require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val chunked = keyed
+      .withColumn("__chunk",
+        ((row_number().over(w) - 1) / blockSize).cast("int"))
+      .withColumn("__nchunks",
+        ceil(count(lit(1)).over(wAll) / lit(blockSize.toDouble)).cast("int"))
+    val left = chunked.select(
+        keyCols.map(col) ++ Seq(col(idCol).as("id1"), col("__chunk").as("__ca"),
+          explode(sequence(col("__chunk"), col("__nchunks") - 1)).as("__cell")): _*)
+    val right = chunked.select(
+      keyCols.map(col) ++ Seq(col(idCol).as("id2"), col("__chunk").as("__cell")): _*)
+    left.join(right, keyCols :+ "__cell")
+      .filter(col("__ca") < col("__cell") || col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
   }
 

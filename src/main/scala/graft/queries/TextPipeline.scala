@@ -2487,6 +2487,52 @@ object TextPipeline {
         FROM e6
         GROUP BY doc_id
         ORDER BY doc_id"""
-      })
+      }),
+
+    // q32's semantics under the BLOCKED pairing schedule — complete
+    // pairing with bounded tasks (Dedup.blockedCandidatePairs): hot
+    // buckets are tiled into an upper-triangular block schedule instead
+    // of being dropped (cap) or left as one straggler task (uncapped).
+    // The oracle is q32's exhaustive derivation VERBATIM, which is the
+    // completeness proof: the blocked schedule must reproduce the
+    // uncapped pair set exactly, cell for cell. blockSize 8 forces real
+    // multi-block buckets at every test scale.
+    QueryDef(
+      "q140_blocked_pairs",
+      (s, dir) => {
+        val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = Dedup.blockedCandidatePairs(
+          Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
+          "doc", Seq("band", "sig"), blockSize = 8)
+        val out = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
+          .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+          .localCheckpoint(true)
+        sets.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                   UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+                                       AND a.doc_id < b.doc_id),
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2)
+        SELECT id1, id2, n1, n2, common,
+               CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
+        FROM j
+        WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2
+        ORDER BY jaccard DESC, id1, id2"""))
   )
 }

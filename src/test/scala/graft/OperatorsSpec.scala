@@ -74,6 +74,27 @@ class OperatorsSpec extends SparkSpec {
     assert(nullCase.isNullAt(0))
   }
 
+  test("blockedCandidatePairs: exact pair-set equality with the uncapped join") {
+    // two buckets: a hot one (23 rows, forced into 3-row blocks → an
+    // 8×8 upper-triangular cell schedule) and a small one; pair sets
+    // must match the uncapped quadratic join exactly
+    val rows = ((1 to 23).map(i => (i.toLong, "hot")) ++
+      Seq((101L, "cool"), (102L, "cool"))).toDF("id", "bucket")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = pairSet(
+      Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"), blockSize = 3))
+    val full = pairSet(
+      Dedup.bandedCandidatePairs(rows, "id", Seq("bucket"), maxBucketSize = None))
+    assert(blocked == full)
+    assert(blocked.size == 23 * 22 / 2 + 1)
+    // every pair ordered, no self-pairs survived the diagonal filter
+    assert(blocked.forall { case (a, b) => a < b })
+    // a block larger than every bucket degenerates to the plain join
+    assert(pairSet(Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"),
+      blockSize = 1000)) == full)
+  }
+
   test("LSH bucket cap suppresses degenerate boilerplate buckets") {
     val boiler = (1 to 5).map(i => (i.toLong, "same boilerplate text here over and over"))
     val df = boiler.toDF("doc_id", "text")
