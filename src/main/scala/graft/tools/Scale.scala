@@ -260,6 +260,7 @@ object Scale {
             d.select(col("doc_id").as("id")), edges, rounds = 3)
         }),
         "q136_bpe_encode" -> SparkEntry.queries("q136_bpe_encode"),
+        "q140_blocked_pairs" -> SparkEntry.queries("q140_blocked_pairs"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           val t = java.nio.file.Files
