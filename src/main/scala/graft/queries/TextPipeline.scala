@@ -74,8 +74,13 @@ object TextPipeline {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
-      maxBucketSize = None)
+    // exhaustive pairing via the BLOCKED schedule — the oracle requires
+    // the complete pair set, and blocking delivers it without the
+    // uncapped join's one-task-per-hot-bucket straggler (q140 probe:
+    // identical pairs, max task 7.8 s → 2.0 s at 10×)
+    val cands = Dedup.blockedCandidatePairs(
+      Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
+      "doc", Seq("band", "sig"), blockSize = 256)
     val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
       .select(col("id1"), col("id2"))
       .localCheckpoint(true)
@@ -206,9 +211,12 @@ object TextPipeline {
         // nothing recomputes the shingle pass.
         val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // the oracle derivation is exhaustive: opt out of the default cap
-        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
-          maxBucketSize = None)
+        // the oracle derivation is exhaustive: complete pairing via the
+        // blocked schedule (identical pair set to the uncapped join,
+        // without its hot-bucket straggler — see q140)
+        val cands = Dedup.blockedCandidatePairs(
+          Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
+          "doc", Seq("band", "sig"), blockSize = 256)
         val out = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id1"), col("id2"))
           .localCheckpoint(true)
@@ -251,8 +259,10 @@ object TextPipeline {
       (s, dir) => {
         val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
-          maxBucketSize = None)
+        // exhaustive candidates via the blocked schedule (see q140)
+        val cands = Dedup.blockedCandidatePairs(
+          Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
+          "doc", Seq("band", "sig"), blockSize = 256)
         val out = Dedup.editDistanceVerify(
             docs(s, dir).select(col("doc_id"), col("text")), cands,
             "doc_id", "text", maxDist = 40)
