@@ -107,20 +107,25 @@ object Dedup {
     * the planner reuses the exchange instead of reshuffling.
     */
   def bandedCandidatePairs(keyed: DataFrame, idCol: String,
-      keyCols: Seq[String], maxBucketSize: Option[Int]): DataFrame = {
-    val bounded = maxBucketSize match {
+      keyCols: Seq[String], maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      // complete pairing routes through the BLOCKED schedule: identical
+      // pair set to the plain self-join (q140's oracle is the proof),
+      // but a hot bucket's quadratic work tiles across the cluster
+      // instead of landing in one straggler task — every uncapped
+      // caller (text LSH, perceptual bands, sign sketches) inherits it
+      case None => blockedCandidatePairs(keyed, idCol, keyCols)
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
-        keyed.withColumn("__bucket_n", count(lit(1)).over(w))
+        val bounded = keyed.withColumn("__bucket_n", count(lit(1)).over(w))
           .filter(col("__bucket_n") <= cap).drop("__bucket_n")
-      case None => keyed
+        bounded.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
+          .join(bounded.select(keyCols.map(col) :+ col(idCol).as("id2"): _*),
+            keyCols)
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2")).distinct()
     }
-    bounded.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
-      .join(bounded.select(keyCols.map(col) :+ col(idCol).as("id2"): _*), keyCols)
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-  }
 
   /** COMPLETE candidate pairing with BOUNDED tasks — the third option in
     * the hot-bucket space (the cap DROPS pathological buckets; this keeps
