@@ -36,7 +36,12 @@ object GraftSession {
       .tap { bb =>
         sys.env.get("GRAFT_CONF").foreach(_.split(";").foreach { kv =>
           kv.split("=", 2) match {
-            case Array(k, v) if k.nonEmpty => bb.config(k.trim, v.trim)
+            // trim BEFORE the guard so " =v" can't slip an empty key
+            // through; log each applied override so a non-default session
+            // is visible in driver output rather than silently different
+            case Array(k, v) if k.trim.nonEmpty =>
+              System.err.println(s"[graft] GRAFT_CONF override: ${k.trim}=${v.trim}")
+              bb.config(k.trim, v.trim)
             case _ => ()
           }
         })

@@ -1,0 +1,384 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.operators.Detection
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Sigma-rule import: compile the common Sigma YAML detection grammar to
+  * Catalyst `Column` predicates feeding [[graft.operators.Detection]].
+  *
+  * The reference advertises "automatic import of Sigma detections"
+  * (README "Detection-as-Code"; `scripts/sigma_generate.py:1-35` wraps the
+  * external pySigma Matano backend, which converts a rule to a Python
+  * `detect(record)` body plus an ECS field-mapping pipeline such as
+  * `ecs-cloudtrail`). Here the same surface compiles to a declarative
+  * predicate instead: the rule participates in pushdown/pruning and runs
+  * codegen'd inside the one scan `Detection.ruleMatches` already does —
+  * evaluating a rule pack is N filters over one pass, not N×rows Python
+  * calls.
+  *
+  * Grammar covered (the public Sigma specification's core, which is what
+  * the reference's backend handles):
+  *   - `detection.<name>` selections: field maps (AND across fields, OR
+  *     across a field's value list), lists of maps (OR), keyword lists
+  *     (match anywhere in the designated message field);
+  *   - field modifiers `contains` / `startswith` / `endswith` / `re` /
+  *     `cased` / `all` / `gt` / `gte` / `lt` / `lte` / `cidr` /
+  *     `windash`;
+  *   - `*` / `?` wildcards in values (with `\`-escapes), case-insensitive
+  *     string matching per the spec (opt out via `cased`);
+  *   - `null` values (field absent or null);
+  *   - `condition`: identifiers, `and` / `or` / `not`, parentheses,
+  *     `1 of x*` / `all of x*` / `N of them`.
+  * Out of scope (rare, documented): `base64`/`base64offset` encodings,
+  *   `|expand` placeholders, aggregation conditions (`count() by`) from
+  *   the deprecated pre-2.0 spec, and field-ref comparisons — loading a
+  *   rule that uses one throws with the unsupported construct named.
+  */
+object SigmaRules {
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  /** Severity map: Sigma `level` → the reference's alert severities. */
+  private val levels = Map(
+    "informational" -> "info", "low" -> "notice", "medium" -> "notice",
+    "high" -> "warning", "critical" -> "critical")
+
+  final case class SigmaRule(
+      title: String,
+      id: Option[String],
+      level: Option[String],
+      detect: Column) {
+    /** As a [[Detection.Rule]], ready for `Detection.ruleMatches`. */
+    def toRule(
+        dedupe: Column = lit(""),
+        threshold: Int = 1,
+        windowSeconds: Long = 3600): Detection.SimpleRule =
+      Detection.SimpleRule(
+        name = title, detect = detect, dedupe = dedupe,
+        severity = levels.getOrElse(level.getOrElse("medium"), "notice"),
+        threshold = threshold, windowSeconds = windowSeconds)
+  }
+
+  /** Field-name mapping the pySigma "processing pipeline" performs — raw
+    * CloudTrail record names → the ECS names the reference's
+    * `aws_cloudtrail` transform emits (managed `log_source.yml:20-75`:
+    * `.event.action = .json.eventName`, `.event.provider = del(.json
+    * .eventSource)`, `.aws.cloudtrail.user_identity.type = del(.json
+    * .userIdentity.type)`, …). Prefix rule: any `userIdentity.`/
+    * `requestParameters.`/`responseElements.` path maps under
+    * `aws.cloudtrail.*` with snake_cased steps.
+    */
+  val ecsCloudtrail: String => String = {
+    val exact = Map(
+      "eventName" -> "event.action",
+      "eventSource" -> "event.provider",
+      "awsRegion" -> "cloud.region",
+      "sourceIPAddress" -> "source.ip",
+      "userAgent" -> "user_agent.original",
+      "errorCode" -> "aws.cloudtrail.error_code",
+      "errorMessage" -> "aws.cloudtrail.error_message",
+      "eventType" -> "aws.cloudtrail.event_type",
+      "eventVersion" -> "aws.cloudtrail.event_version",
+      "recipientAccountId" -> "cloud.account.id")
+    val prefixed = Map(
+      "userIdentity" -> "aws.cloudtrail.user_identity",
+      "requestParameters" -> "aws.cloudtrail.request_parameters",
+      "responseElements" -> "aws.cloudtrail.response_elements")
+    (f: String) => exact.getOrElse(f, {
+      val steps = f.split('.')
+      prefixed.get(steps.head) match {
+        case Some(base) =>
+          (base +: steps.tail.map(snakeCase)).mkString(".")
+        case None => f
+      }
+    })
+  }
+
+  private def snakeCase(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+
+  /** Parse one Sigma rule document and compile its detection to a
+    * predicate. `fieldMap` renames Sigma field names to the event
+    * table's columns (e.g. [[ecsCloudtrail]]); `keywordField` is the
+    * column keyword-list selections search.
+    */
+  def load(
+      yamlText: String,
+      fieldMap: String => String = identity,
+      keywordField: String = "message"): SigmaRule = {
+    val root = yaml.readTree(yamlText)
+    val det = root.path("detection")
+    require(det.isObject, "sigma rule has no detection section")
+    val condition = det.path("condition") match {
+      case c if c.isTextual => c.asText
+      // a LIST of conditions is OR of each (pre-2.0 spec, still common)
+      case c if c.isArray =>
+        c.elements.asScala.map(e => s"(${e.asText})").mkString(" or ")
+      case _ => sys.error("sigma rule has no condition")
+    }
+    val selections: Map[String, Column] = det.properties.asScala
+      .filter(_.getKey != "condition")
+      .map(e => e.getKey -> compileSelection(e.getValue, fieldMap, keywordField))
+      .toMap
+    val detect = new ConditionParser(condition, selections).parse()
+    SigmaRule(
+      title = root.path("title").asText("unnamed sigma rule"),
+      id = Option(root.path("id").asText(null)).filter(_.nonEmpty),
+      level = Option(root.path("level").asText(null)).filter(_.nonEmpty),
+      detect = detect)
+  }
+
+  /** Load every rule in a multi-document YAML stream (sigma collections
+    * ship many rules per file).
+    */
+  def loadAll(
+      yamlText: String,
+      fieldMap: String => String = identity,
+      keywordField: String = "message"): Seq[SigmaRule] =
+    yamlText.split("(?m)^---\\s*$").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map(load(_, fieldMap, keywordField)).toSeq
+
+  // ----------------------------------------------------------- selection
+
+  private def compileSelection(
+      node: JsonNode, fieldMap: String => String, keywordField: String): Column =
+    node match {
+      case o if o.isObject =>
+        o.properties.asScala
+          .map(e => compileFieldSpec(e.getKey, e.getValue, fieldMap))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case a if a.isArray && a.elements.asScala.forall(_.isObject) =>
+        // list of maps = OR of maps
+        a.elements.asScala
+          .map(compileSelection(_, fieldMap, keywordField))
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case a if a.isArray =>
+        // keyword list: match anywhere in the designated message field
+        a.elements.asScala
+          .map(v => stringMatch(col(keywordField), "contains", v.asText,
+            caseSensitive = false))
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case v => // bare scalar keyword
+        stringMatch(col(keywordField), "contains", v.asText, caseSensitive = false)
+    }
+
+  /** One `field|mod1|mod2: value(s)` entry → predicate. */
+  private def compileFieldSpec(
+      key: String, value: JsonNode, fieldMap: String => String): Column = {
+    val parts = key.split('|')
+    val field = col(fieldMap(parts.head))
+    var mods = parts.tail.toList
+    val requireAll = mods.contains("all")
+    val caseSensitive = mods.contains("cased")
+    mods = mods.filterNot(m => m == "all" || m == "cased")
+    val values: Seq[JsonNode] =
+      if (value.isArray) value.elements.asScala.toSeq else Seq(value)
+    val perValue = values.map(compileOneValue(field, mods, _, caseSensitive))
+    if (requireAll) perValue.reduceOption(_ && _).getOrElse(lit(true))
+    else perValue.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  private def compileOneValue(
+      field: Column, mods: List[String], v: JsonNode,
+      caseSensitive: Boolean): Column = mods match {
+    case Nil =>
+      if (v.isNull) field.isNull
+      else if (v.isNumber) field === lit(v.numberValue.toString.toDouble match {
+        case d if d.isWhole => v.asLong
+        case _ => v.asDouble
+      })
+      else if (v.isBoolean) field === lit(v.asBoolean)
+      else stringMatch(field, "equals", v.asText, caseSensitive)
+    case "contains" :: Nil =>
+      stringMatch(field, "contains", v.asText, caseSensitive)
+    case "startswith" :: Nil =>
+      stringMatch(field, "startswith", v.asText, caseSensitive)
+    case "endswith" :: Nil =>
+      stringMatch(field, "endswith", v.asText, caseSensitive)
+    case "re" :: Nil => field.rlike(v.asText) // |re is case-SENSITIVE per spec
+    case "gt" :: Nil => field > numLit(v)
+    case "gte" :: Nil => field >= numLit(v)
+    case "lt" :: Nil => field < numLit(v)
+    case "lte" :: Nil => field <= numLit(v)
+    case "cidr" :: Nil =>
+      val b = graft.operators.RangeJoin.cidrBounds(lit(v.asText))
+      val ip = graft.operators.RangeJoin.ipv4ToLong(field)
+      ip.between(b.getField("lo"), b.getField("hi"))
+    case "windash" :: rest =>
+      // cmd-line dash variants: match both "-" and "/" flag spellings
+      val t = v.asText
+      Seq(t, t.replace('-', '/'))
+        .map(s => compileOneValue(field, rest, yaml.readTree(quote(s)),
+          caseSensitive))
+        .reduce(_ || _)
+    case other =>
+      sys.error(s"unsupported sigma modifier chain: ${other.mkString("|")}")
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    } + "\""
+
+  private def numLit(v: JsonNode): Column =
+    if (v.isNumber) {
+      if (v.isIntegralNumber) lit(v.asLong) else lit(v.asDouble)
+    } else lit(v.asText.toDouble)
+
+  /** Sigma string matching: case-insensitive by default, `*`/`?` glob
+    * wildcards with `\`-escapes. Plain values compile to the codegen'd
+    * equality/LIKE family; wildcarded values to one anchored `rlike`.
+    */
+  private[config] def stringMatch(
+      field: Column, mode: String, value: String,
+      caseSensitive: Boolean): Column = {
+    val f = if (caseSensitive) field.cast("string") else lower(field.cast("string"))
+    val v = if (caseSensitive) value else value.toLowerCase
+    if (hasWildcard(v)) {
+      val core = globToRegex(v)
+      val rx = mode match {
+        case "equals" => s"^$core$$"
+        case "contains" => core
+        case "startswith" => s"^$core"
+        case "endswith" => s"$core$$"
+      }
+      f.rlike(rx)
+    } else {
+      val l = unescape(v)
+      mode match {
+        case "equals" => f === lit(l)
+        case "contains" => f.contains(lit(l))
+        case "startswith" => f.startsWith(l)
+        case "endswith" => f.endsWith(l)
+      }
+    }
+  }
+
+  private def hasWildcard(v: String): Boolean = {
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '\\' => i += 2
+        case '*' | '?' => return true
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  /** Glob → regex, honoring `\*` / `\?` / `\\` escapes; everything else
+    * regex-quoted.
+    */
+  private[config] def globToRegex(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '\\' if i + 1 < v.length =>
+          sb.append(java.util.regex.Pattern.quote(v.charAt(i + 1).toString))
+          i += 2
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append("."); i += 1
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString)); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def unescape(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '\\' if i + 1 < v.length => sb.append(v.charAt(i + 1)); i += 2
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------------- condition
+
+  /** Recursive-descent parser for the Sigma condition grammar:
+    *   expr  := term (('or') term)*
+    *   term  := fact (('and') fact)*
+    *   fact  := 'not' fact | '(' expr ')' | ofExpr | IDENT
+    *   ofExpr:= ('1' | INT | 'all') 'of' (PATTERN | 'them')
+    * Pattern identifiers may end in `*` (prefix match over selection
+    * names). `N of …` for N>1 compiles to "at least N of the matched
+    * selections true" via an integer sum — still one codegen'd predicate.
+    */
+  private final class ConditionParser(
+      input: String, selections: Map[String, Column]) {
+    private val tokens: Array[String] =
+      input.trim.replace("(", " ( ").replace(")", " ) ")
+        .split("\\s+").filter(_.nonEmpty)
+    private var pos = 0
+
+    private def peek: Option[String] = tokens.lift(pos)
+    private def next(): String = { val t = tokens(pos); pos += 1; t }
+
+    def parse(): Column = {
+      val c = expr()
+      require(pos == tokens.length,
+        s"sigma condition: trailing tokens after position $pos in '$input'")
+      c
+    }
+
+    private def expr(): Column = {
+      var c = term()
+      while (peek.contains("or")) { next(); c = c || term() }
+      c
+    }
+
+    private def term(): Column = {
+      var c = fact()
+      while (peek.contains("and")) { next(); c = c && fact() }
+      c
+    }
+
+    private def fact(): Column = peek match {
+      case Some("not") => next(); !fact()
+      case Some("(") =>
+        next(); val c = expr()
+        require(peek.contains(")"), s"sigma condition: missing ')' in '$input'")
+        next(); c
+      case Some(n) if n == "all" || n.forall(_.isDigit) =>
+        next()
+        require(peek.contains("of"),
+          s"sigma condition: expected 'of' after '$n' in '$input'")
+        next()
+        val pat = next()
+        val matched = selectByPattern(pat)
+        require(matched.nonEmpty,
+          s"sigma condition: '$pat' matches no selection in '$input'")
+        if (n == "all") matched.reduce(_ && _)
+        else {
+          val k = n.toInt
+          if (k == 1) matched.reduce(_ || _)
+          else matched.map(c => when(c, 1).otherwise(0))
+            .reduce(_ + _) >= lit(k)
+        }
+      case Some(id) =>
+        next()
+        selections.getOrElse(id,
+          sys.error(s"sigma condition references unknown selection '$id'"))
+      case None => sys.error(s"sigma condition: unexpected end of '$input'")
+    }
+
+    private def selectByPattern(pat: String): Seq[Column] =
+      if (pat == "them") selections.values.toSeq
+      else if (pat.endsWith("*"))
+        selections.collect {
+          case (k, v) if k.startsWith(pat.dropRight(1)) => v
+        }.toSeq
+      else selections.get(pat).toSeq
+  }
+}

@@ -699,6 +699,87 @@ object Alerting {
         FROM events
         WHERE user_id >= 0 AND user_id < 40 AND value >= 0 AND value < 80
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ---- q141: Sigma-rule import (reference README "automatic import of
+    // Sigma detections"; scripts/sigma_generate.py wraps the pySigma
+    // backend). Three Sigma YAML rules — exercising case-insensitive
+    // equality, value-list OR, `*`/`?` wildcards, numeric modifiers,
+    // keyword selections, and the `and not` / `all of sel_*` condition
+    // algebra — compile to Column predicates and run through the SAME
+    // Detection.ruleMatches scan as the hand-built rule pack: one pass,
+    // N codegen'd filters, no per-record interpreter. The oracle restates
+    // each compiled predicate in ANSI SQL.
+    QueryDef(
+      "q141_sigma_rules",
+      (s, dir) => {
+        import graft.config.SigmaRules
+        val sigA =
+          """title: error_significant
+            |level: high
+            |logsource: {product: app, service: events}
+            |detection:
+            |  selection:
+            |    event_type: ERROR
+            |  filter:
+            |    k|lt: 10
+            |  condition: selection and not filter
+            |""".stripMargin
+        val sigB =
+          """title: commerce_funnel_actions
+            |level: medium
+            |logsource: {product: app, service: events}
+            |detection:
+            |  sel_act:
+            |    event_type:
+            |      - 'purch*'
+            |      - 'SIGN?P'
+            |  sel_val:
+            |    value|gte: 150
+            |  condition: all of sel_*
+            |""".stripMargin
+        val sigC =
+          """title: raw_props_probe
+            |level: low
+            |logsource: {product: app, service: events}
+            |detection:
+            |  keywords:
+            |    - '"k": 9'
+            |  condition: keywords
+            |""".stripMargin
+        val rules = Seq(sigA, sigB, sigC).map(y =>
+          SigmaRules.load(y, keywordField = "props")
+            .toRule(dedupe = col("user_id")))
+        val ev = events(s, dir).withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        Detection.ruleMatches(ev, rules, matchId = col("event_id"))
+          .groupBy(col("rule_name"), col("severity"))
+          .agg(count(lit(1)).as("n_matches"),
+            countDistinct(col("dedupe")).as("n_keys"))
+          .orderBy(col("rule_name"))
+      },
+      Some("""
+        SELECT rule_name, severity, COUNT(*) AS n_matches,
+               COUNT(DISTINCT dedupe) AS n_keys
+        FROM (
+          SELECT 'error_significant' AS rule_name, 'warning' AS severity,
+                 CAST(user_id AS VARCHAR) AS dedupe
+          FROM (SELECT user_id, event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events)
+          WHERE lower(event_type) = 'error' AND NOT (k < 10)
+          UNION ALL
+          SELECT 'commerce_funnel_actions', 'notice',
+                 CAST(user_id AS VARCHAR)
+          FROM events
+          WHERE (regexp_matches(lower(event_type), '^purch.*$')
+                 OR regexp_matches(lower(event_type), '^sign.p$'))
+            AND value >= 150
+          UNION ALL
+          SELECT 'raw_props_probe', 'notice', CAST(user_id AS VARCHAR)
+          FROM events
+          WHERE contains(lower(props), '"k": 9'))
+        GROUP BY rule_name, severity
+        ORDER BY rule_name"""))
   )
 }

@@ -1123,7 +1123,12 @@ object LogAnalytics {
         // memoized per dir (the q54/q133 convention): the bucketed layout
         // is a STANDING table — pay its shuffle once, then every
         // invocation times the zero-exchange join it exists to serve
-        // (rebuilding per call would also orphan the previous temp dir)
+        // (rebuilding per call would also orphan the previous temp dir).
+        // Catalog names carry a dir hash so a JVM that alternates between
+        // dirs can never serve one dir's table for another.
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val (evTable, usTable) = (s"graft_b_events_$tag", s"graft_b_users_$tag")
         bucketedDirs.getOrElseUpdate(dir, {
           val base = java.nio.file.Files
             .createTempDirectory("graft_bucketed").toString
@@ -1131,14 +1136,14 @@ object LogAnalytics {
             .select(col("event_id"), col("user_id"), col("event_type"))
           val prof = ev.groupBy(col("user_id"))
             .agg(count(lit(1)).as("n_user_events"))
-          Lake.writeBucketed(ev, "graft_b_events", s"$base/events",
+          Lake.writeBucketed(ev, evTable, s"$base/events",
             "user_id", 16)
-          Lake.writeBucketed(prof, "graft_b_users", s"$base/users",
+          Lake.writeBucketed(prof, usTable, s"$base/users",
             "user_id", 16)
           base
         })
-        s.table("graft_b_events").hint("merge")
-          .join(s.table("graft_b_users"), "user_id")
+        s.table(evTable).hint("merge")
+          .join(s.table(usTable), "user_id")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             sum(when(col("n_user_events") >= 67, 1L).otherwise(0L))

@@ -2066,21 +2066,21 @@ object TextPipeline {
                  len(list_distinct(tk))::BIGINT AS x2,
                  n_chars::BIGINT AS x3
           FROM (SELECT lang, n_chars, $sqlToks AS tk FROM documents)),
-        i1 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3,
+        i1 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3,
                       count(*)::BIGINT AS n
                FROM f WHERE y * (0*x0 + 0*x1 + 0*x2 + 0*x3) <= 0),
         w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3, n FROM i1),
-        i2 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3,
+        i2 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3,
                       count(*)::BIGINT AS n
                FROM f, w1
                WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3) <= 0),
         w2 AS (SELECT w1.w0 + i2.g0 AS w0, w1.w1 + i2.g1 AS w1,
                       w1.w2 + i2.g2 AS w2, w1.w3 + i2.g3 AS w3, i2.n
                FROM w1, i2),
-        i3 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3,
+        i3 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3,
                       count(*)::BIGINT AS n
                FROM f, w2
                WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2 + w2.w3*x3) <= 0),
@@ -2143,19 +2143,19 @@ object TextPipeline {
                  len(list_distinct(tk))::BIGINT AS x2,
                  n_chars::BIGINT AS x3
           FROM (SELECT source, lang, n_chars, $sqlToks AS tk FROM documents)),
-        i1 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+        i1 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3
                FROM f WHERE y * (0*x0 + 0*x1 + 0*x2 + 0*x3) <= 0),
         w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3 FROM i1),
-        i2 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+        i2 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3
                FROM f, w1
                WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3) <= 0),
         w2 AS (SELECT w1.w0 + i2.g0 AS w0, w1.w1 + i2.g1 AS w1,
                       w1.w2 + i2.g2 AS w2, w1.w3 + i2.g3 AS w3
                FROM w1, i2),
-        i3 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+        i3 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3
                FROM f, w2
                WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2 + w2.w3*x3) <= 0),
         w3 AS (SELECT w2.w0 + i3.g0 AS w0, w2.w1 + i3.g1 AS w1,
@@ -2331,19 +2331,19 @@ object TextPipeline {
                        list_filter(string_split_regex(lower(trim(clean_text)), '\\s+'),
                          x -> x <> '') AS ctk
                 FROM canon)),
-        i1 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+        i1 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3
                FROM f WHERE y * (0*x0 + 0*x1 + 0*x2 + 0*x3) <= 0),
         w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3 FROM i1),
-        i2 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+        i2 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3
                FROM f, w1
                WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3) <= 0),
         w2 AS (SELECT w1.w0 + i2.g0 AS w0, w1.w1 + i2.g1 AS w1,
                       w1.w2 + i2.g2 AS w2, w1.w3 + i2.g3 AS w3
                FROM w1, i2),
-        i3 AS (SELECT coalesce(sum(y*x0), 0) AS g0, coalesce(sum(y*x1), 0) AS g1,
-                      coalesce(sum(y*x2), 0) AS g2, coalesce(sum(y*x3), 0) AS g3
+        i3 AS (SELECT coalesce(sum(y*x0), 0)::BIGINT AS g0, coalesce(sum(y*x1), 0)::BIGINT AS g1,
+                      coalesce(sum(y*x2), 0)::BIGINT AS g2, coalesce(sum(y*x3), 0)::BIGINT AS g3
                FROM f, w2
                WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2 + w2.w3*x3) <= 0),
         w3 AS (SELECT w2.w0 + i3.g0 AS w0, w2.w1 + i3.g1 AS w1,
@@ -2383,6 +2383,9 @@ object TextPipeline {
         // A sparse-id corpus would sample negatives onto gap ids — mine
         // negatives by joining a rank-indexed id table there instead.
         val n = docs(s, dir).count() // one scalar: the doc-id universe size
+        require(n >= 2,
+          s"q135 negative mining needs >=2 documents with dense 0..n-1 " +
+            s"doc_ids (got n=$n): the % (n-1) offset is undefined otherwise")
         val neg = (col("id1") + 1L +
           conv(substring(md5(concat_ws("#", col("id1"), col("id2"))), 1, 8),
             16, 10).cast("long") % (n - 1)) % n

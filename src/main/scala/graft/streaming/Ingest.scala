@@ -103,12 +103,25 @@ object Ingest {
     val fs = new org.apache.hadoop.fs.Path(landingPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listed = fs.listStatus(new org.apache.hadoop.fs.Path(landingPath))
-      .filter(_.isFile).map(_.getPath.toString)
-      .filterNot(_.contains("/_")) // commit markers etc.
+      .filter(_.isFile)
+      // Spark's hidden-file convention, on the BASENAME only — a landing
+      // dir whose own path contains "/_incoming/" must not filter to zero.
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map(_.getPath.toString)
     val candidates = listed.toSeq.toDF("path")
-    val ledgered = scala.util.Try(spark.read.parquet(ledgerPath))
-      .getOrElse(Seq.empty[String].toDF("path"))
-      .select(col("path"))
+    // Ledger-missing (first run) is expected; ledger-UNREADABLE is not.
+    // Swallowing a transient read error here would silently reprocess the
+    // entire landing history, breaking the "at most the in-flight batch"
+    // re-processing bound — so only the existence check is forgiven.
+    val ledgerFs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgered =
+      if (ledgerFs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+        spark.read.parquet(ledgerPath).select(col("path"))
+      else Seq.empty[String].toDF("path")
     // bounded collect: one row per NEW file of this batch — the driver
     // must hold the batch's file list anyway to build the read
     val fresh = candidates.join(ledgered, Seq("path"), "left_anti")

@@ -1,0 +1,305 @@
+package graft
+
+import graft.config.SigmaRules
+import graft.operators.Detection
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sigma-rule import goldens: real public SigmaHQ rules compile to the
+  * same matched sets as hand-built Column rules over fixture events, plus
+  * grammar-corner coverage (wildcards, modifiers, condition algebra).
+  */
+class SigmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- fixture: ECS-shaped CloudTrail events (the reference's
+  //    aws_cloudtrail transform output shape, log_source.yml:20-75)
+  private lazy val cloudtrail: DataFrame = Seq(
+    // (id, event.action, event.provider, user_identity.type, event_type)
+    (1L, "ConsoleLogin", "signin.amazonaws.com", "Root", "AwsConsoleSignIn"),
+    (2L, "ConsoleLogin", "signin.amazonaws.com", "IAMUser", "AwsConsoleSignIn"),
+    (3L, "StopLogging", "cloudtrail.amazonaws.com", "IAMUser", "AwsApiCall"),
+    (4L, "DeleteTrail", "cloudtrail.amazonaws.com", "Root", "AwsServiceEvent"),
+    (5L, "UpdateTrail", "cloudtrail.amazonaws.com", "AssumedRole", "AwsApiCall"),
+    (6L, "PutObject", "s3.amazonaws.com", "Root", "AwsApiCall"))
+    .toDF("id", "action", "provider", "ui_type", "etype")
+    .select(col("id"),
+      struct(col("action").as("action"), col("provider").as("provider"))
+        .as("event"),
+      struct(struct(
+        struct(col("ui_type").as("type")).as("user_identity"),
+        col("etype").as("event_type")).as("cloudtrail")).as("aws"))
+
+  private def matchedIds(df: DataFrame, detect: Column): Set[Long] =
+    df.filter(detect).select("id").as[Long].collect().toSet
+
+  // ---- real public rule 1: SigmaHQ aws_root_credentials.yml ----
+  test("AWS Root Credentials (SigmaHQ 8ad1600d) ≡ hand-built rule") {
+    val rule = SigmaRules.load(
+      """title: AWS Root Credentials
+        |id: 8ad1600d-e9dc-4251-b0ee-a65268f29add
+        |status: stable
+        |description: Detects AWS root account usage
+        |logsource:
+        |  product: aws
+        |  service: cloudtrail
+        |detection:
+        |  selection_usertype:
+        |    userIdentity.type: Root
+        |  selection_eventtype:
+        |    eventType: AwsServiceEvent
+        |  condition: selection_usertype and not selection_eventtype
+        |falsepositives:
+        |  - AWS tasks that require root user credentials
+        |level: medium
+        |""".stripMargin,
+      fieldMap = SigmaRules.ecsCloudtrail)
+    val hand = lower(col("aws.cloudtrail.user_identity.type")) === "root" &&
+      !(lower(col("aws.cloudtrail.event_type")) === "awsserviceevent")
+    assert(matchedIds(cloudtrail, rule.detect) ==
+      matchedIds(cloudtrail, hand))
+    assert(matchedIds(cloudtrail, rule.detect) == Set(1L, 6L))
+    assert(rule.toRule().severity == "notice")
+    assert(rule.toRule().name == "AWS Root Credentials")
+  }
+
+  // ---- real public rule 2: SigmaHQ aws_cloudtrail_disable_logging.yml --
+  test("AWS CloudTrail Important Change (SigmaHQ 4db60cc0) ≡ hand-built") {
+    val rule = SigmaRules.load(
+      """title: AWS CloudTrail Important Change
+        |id: 4db60cc0-36fb-42b7-9b58-a5b53019fb74
+        |status: test
+        |description: Detects disabling, deleting and updating of a Trail
+        |logsource:
+        |  product: aws
+        |  service: cloudtrail
+        |detection:
+        |  selection_source:
+        |    eventSource: cloudtrail.amazonaws.com
+        |    eventName:
+        |      - StopLogging
+        |      - UpdateTrail
+        |      - DeleteTrail
+        |  condition: selection_source
+        |level: medium
+        |""".stripMargin,
+      fieldMap = SigmaRules.ecsCloudtrail)
+    val hand = lower(col("event.provider")) === "cloudtrail.amazonaws.com" &&
+      lower(col("event.action")).isin("stoplogging", "updatetrail", "deletetrail")
+    assert(matchedIds(cloudtrail, rule.detect) ==
+      matchedIds(cloudtrail, hand))
+    assert(matchedIds(cloudtrail, rule.detect) == Set(3L, 4L, 5L))
+  }
+
+  // ---- real public rule 3: SigmaHQ win_whoami.yml (endswith + backslash
+  //      escape handling in values) ----
+  test("Whoami Execution (SigmaHQ e28a5a99) ≡ hand-built endswith") {
+    val procs = Seq(
+      (1L, "C:\\Windows\\System32\\whoami.exe", "whoami /all"),
+      (2L, "C:\\Windows\\System32\\cmd.exe", "cmd /c dir"),
+      (3L, "D:\\tools\\WHOAMI.EXE", "WHOAMI"))
+      .toDF("id", "Image", "CommandLine")
+    val rule = SigmaRules.load(
+      """title: Whoami Execution
+        |id: e28a5a99-da44-436d-b7a0-2afc20a5f413
+        |status: test
+        |description: Detects the execution of whoami
+        |logsource:
+        |  category: process_creation
+        |  product: windows
+        |detection:
+        |  selection:
+        |    Image|endswith: '\whoami.exe'
+        |  condition: selection
+        |level: high
+        |""".stripMargin)
+    val hand = lower(col("Image")).endsWith("\\whoami.exe")
+    assert(matchedIds(procs, rule.detect) == matchedIds(procs, hand))
+    // case-insensitive per the spec: the uppercase variant matches too
+    assert(matchedIds(procs, rule.detect) == Set(1L, 3L))
+    assert(rule.toRule().severity == "warning")
+  }
+
+  // ---- grammar corners ----
+
+  private lazy val ev = Seq(
+    (1L, "error", 5L, "GET /admin HTTP/1.1", "10.1.2.3"),
+    (2L, "error", 50L, "POST /login HTTP/1.1", "10.2.9.9"),
+    (3L, "purchase", 200L, "GET /item?id=9 HTTP/1.1", "192.168.0.7"),
+    (4L, "signup", 220L, "POST /signup HTTP/1.1", "172.16.4.4"),
+    (5L, "view", 7L, "GET /index.html HTTP/1.1", "10.1.250.1"))
+    .toDF("id", "event_type", "k", "message", "src_ip")
+
+  test("wildcards, ?-glob, numeric modifiers, and-not condition") {
+    val rule = SigmaRules.load(
+      """title: wc
+        |detection:
+        |  sel:
+        |    event_type:
+        |      - 'purch*'
+        |      - 'SIGN?P'
+        |  filter:
+        |    k|lt: 210
+        |  condition: sel and not filter
+        |""".stripMargin)
+    assert(matchedIds(ev, rule.detect) == Set(4L)) // purchase k=200 filtered
+  }
+
+  test("1 of sel_* / all of them / N of them counting") {
+    def rule(cond: String) = SigmaRules.load(
+      s"""title: c
+         |detection:
+         |  sel_a:
+         |    event_type: error
+         |  sel_b:
+         |    k|gte: 50
+         |  condition: $cond
+         |""".stripMargin)
+    assert(matchedIds(ev, rule("1 of sel_*").detect) == Set(1L, 2L, 3L, 4L))
+    assert(matchedIds(ev, rule("all of them").detect) == Set(2L))
+    assert(matchedIds(ev, rule("2 of them").detect) == Set(2L))
+    assert(matchedIds(ev, rule("1 of them").detect) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("contains|all requires every value; plain list is OR") {
+    val all = SigmaRules.load(
+      """title: a
+        |detection:
+        |  sel:
+        |    message|contains|all:
+        |      - 'GET'
+        |      - 'http/1.1'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(ev, all.detect) == Set(1L, 3L, 5L))
+    val any = SigmaRules.load(
+      """title: o
+        |detection:
+        |  sel:
+        |    message|contains:
+        |      - '/admin'
+        |      - '/signup'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(ev, any.detect) == Set(1L, 4L))
+  }
+
+  test("re is case-sensitive; cased disables lowercasing; cidr matches") {
+    val re = SigmaRules.load(
+      """title: r
+        |detection:
+        |  sel:
+        |    message|re: '^GET /a.*$'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(ev, re.detect) == Set(1L))
+    val cased = SigmaRules.load(
+      """title: c
+        |detection:
+        |  sel:
+        |    event_type|cased: ERROR
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(ev, cased.detect).isEmpty)
+    val cidr = SigmaRules.load(
+      """title: n
+        |detection:
+        |  sel:
+        |    src_ip|cidr: '10.1.0.0/16'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(ev, cidr.detect) == Set(1L, 5L))
+  }
+
+  test("keyword selection searches the designated message field") {
+    val rule = SigmaRules.load(
+      """title: k
+        |detection:
+        |  keywords:
+        |    - '/admin'
+        |    - '/SIGNUP'
+        |  condition: keywords
+        |""".stripMargin,
+      keywordField = "message")
+    assert(matchedIds(ev, rule.detect) == Set(1L, 4L))
+  }
+
+  test("null value matches only null fields; windash matches both spellings") {
+    val f = Seq((1L, null: String, "-accepteula x"), (2L, "v", "/accepteula y"),
+      (3L, "w", "none")).toDF("id", "opt", "cmd")
+    val nul = SigmaRules.load(
+      """title: z
+        |detection:
+        |  sel:
+        |    opt: null
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, nul.detect) == Set(1L))
+    val wd = SigmaRules.load(
+      """title: w
+        |detection:
+        |  sel:
+        |    cmd|windash|contains: '-accepteula'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, wd.detect) == Set(1L, 2L))
+  }
+
+  test("unsupported constructs fail loudly, not silently") {
+    intercept[RuntimeException] {
+      SigmaRules.load(
+        """title: u
+          |detection:
+          |  sel:
+          |    f|base64: x
+          |  condition: sel
+          |""".stripMargin).detect
+    }
+    intercept[RuntimeException] {
+      SigmaRules.load(
+        """title: u2
+          |detection:
+          |  sel:
+          |    f: x
+          |  condition: sel and missing
+          |""".stripMargin)
+    }
+  }
+
+  test("sigma rules run through Detection.ruleMatches alongside hand rules") {
+    val sigma = SigmaRules.load(
+      """title: sigma_error
+        |level: critical
+        |detection:
+        |  sel:
+        |    event_type: error
+        |  condition: sel
+        |""".stripMargin).toRule(dedupe = col("id"))
+    val hand = Detection.SimpleRule("hand_big", col("k") >= 200,
+      dedupe = col("id"))
+    val out = Detection.ruleMatches(
+      ev.withColumn("ts", current_timestamp()), Seq(sigma, hand),
+      matchId = col("id"))
+    val byRule = out.groupBy("rule_name").count().as[(String, Long)]
+      .collect().toMap
+    assert(byRule == Map("sigma_error" -> 2L, "hand_big" -> 2L))
+    assert(out.filter(col("rule_name") === "sigma_error")
+      .select("severity").distinct.as[String].collect().toSeq == Seq("critical"))
+  }
+
+  test("multi-document stream loads every rule") {
+    val rules = SigmaRules.loadAll(
+      """title: one
+        |detection:
+        |  sel: {event_type: error}
+        |  condition: sel
+        |---
+        |title: two
+        |detection:
+        |  sel: {event_type: view}
+        |  condition: sel
+        |""".stripMargin)
+    assert(rules.map(_.title) == Seq("one", "two"))
+    assert(matchedIds(ev, rules(1).detect) == Set(5L))
+  }
+}
