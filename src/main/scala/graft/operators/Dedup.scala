@@ -140,27 +140,90 @@ object Dedup {
     * cluster-wide tasks instead of one straggler per boilerplate bucket.
     * Chunking in id order makes every cross-chunk pair already id1 < id2;
     * only the diagonal cells need the in-cell ordering filter.
+    *
+    * NOTE: runs one slim aggregation JOB at call time (the density dial —
+    * see the body). Callers whose `keyed` derivation is expensive should
+    * pass a persisted frame, as the q32 family already does.
     */
   def blockedCandidatePairs(keyed: DataFrame, idCol: String,
-      keyCols: Seq[String], blockSize: Int = 1024): DataFrame = {
+      keyCols: Seq[String], blockSize: Int = 1024,
+      hotThreshold: Int = 4096): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-    val chunked = keyed
+    // Density dial (round-11 30× finding, SCALING.md closing section): a
+    // bucket that fits in ONE block gains nothing from the schedule —
+    // its whole upper triangle is the single diagonal cell — yet the
+    // general path still charges it the row_number sort, the explode,
+    // and the widened join key. At uniform density that overhead
+    // exceeded the straggler it insures against (q32 30×: 14.3 s
+    // blocked vs 9.1 s plain). So: buckets ≤ blockSize take the plain
+    // within-bucket join; only genuinely hot buckets tile. Both branches
+    // reuse the one hash exchange the sizing window already paid, the
+    // pair SET is unchanged (OperatorsSpec gates equality), and the
+    // worst task stays bounded — ≤ blockSize² pairs per small bucket,
+    // ~blockSize² per hot-bucket cell.
+    // Both pairing joins below EXPAND: their shuffle input is slim id
+    // tuples (a few MB even for a hot corpus) but the join output is the
+    // quadratic pair space. AQE's partition coalescing only sees the
+    // input bytes, so it folds the join into one or two partitions and
+    // the blowup lands in a single task — exactly the straggler this
+    // schedule exists to prevent (measured: q55's uncapped 10× probe ran
+    // its pairing join in 2 tasks, max task 147 s). An EXPLICIT
+    // numPartitions pins the parallelism — AQE never coalesces
+    // user-specified repartitions — at the cost of one slim exchange per
+    // branch.
+    val nParts = keyed.sparkSession.sessionState.conf.numShufflePartitions
+    // Hot-bucket detection WITHOUT a window: a window count would hash-
+    // exchange AND sort every row; a groupBy count ships one row per
+    // bucket (map-side combined) and only the OVER-threshold keys —
+    // bounded by n/blockSize, they each hold >blockSize rows — come back
+    // as a broadcast, so the small/hot split is two map-side joins.
+    val hotKeys = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") > hotThreshold)
+      .select(keyCols.map(col): _*)
+    // EAGER dial (one slim aggregation pass at build time): with no hot
+    // bucket the whole blocked apparatus — split joins, chunk windows,
+    // cell replication — is pure overhead (PairBench, 30× uniform
+    // density: 2.56 s blocked vs 0.57 s plain for the IDENTICAL pair
+    // set), so the uniform case returns the plain bucket join outright.
+    // Skew insurance is only priced when skew exists.
+    if (hotKeys.isEmpty) {
+      val a = keyed.repartition(nParts, keyCols.map(col): _*)
+      return a.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
+        .join(a.select(keyCols.map(col) :+ col(idCol).as("id2"): _*), keyCols)
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+    }
+    val small = keyed.join(broadcast(hotKeys), keyCols, "left_anti")
+      .repartition(nParts, keyCols.map(col): _*)
+    val hot = keyed.join(broadcast(hotKeys), keyCols, "left_semi")
+    val smallPairs = small
+      .select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
+      .join(small.select(keyCols.map(col) :+ col(idCol).as("id2"): _*),
+        keyCols)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    val chunked = hot
       .withColumn("__chunk",
         ((row_number().over(w) - 1) / blockSize).cast("int"))
       .withColumn("__nchunks",
         ceil(count(lit(1)).over(wAll) / lit(blockSize.toDouble)).cast("int"))
+    val cellKey = keyCols :+ "__cell"
     val left = chunked.select(
         keyCols.map(col) ++ Seq(col(idCol).as("id1"), col("__chunk").as("__ca"),
           explode(sequence(col("__chunk"), col("__nchunks") - 1)).as("__cell")): _*)
+      .repartition(nParts, cellKey.map(col): _*)
     val right = chunked.select(
-      keyCols.map(col) ++ Seq(col(idCol).as("id2"), col("__chunk").as("__cell")): _*)
-    left.join(right, keyCols :+ "__cell")
+        keyCols.map(col) ++ Seq(col(idCol).as("id2"), col("__chunk").as("__cell")): _*)
+      .repartition(nParts, cellKey.map(col): _*)
+    val hotPairs = left.join(right, cellKey)
       .filter(col("__ca") < col("__cell") || col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+      .select(col("id1"), col("id2"))
+    smallPairs.unionAll(hotPairs).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: fetch both shingle arrays

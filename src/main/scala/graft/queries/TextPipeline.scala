@@ -2517,7 +2517,10 @@ object TextPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = Dedup.blockedCandidatePairs(
           Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
-          "doc", Seq("band", "sig"), blockSize = 8)
+          "doc", Seq("band", "sig"), blockSize = 8,
+          // demonstration query: force REAL multi-block tiling at every
+          // test scale (the production default only tiles past 4096)
+          hotThreshold = 8)
         val out = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id1"), col("id2"))
           .localCheckpoint(true)

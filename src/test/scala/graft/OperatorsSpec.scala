@@ -83,14 +83,20 @@ class OperatorsSpec extends SparkSpec {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val blocked = pairSet(
-      Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"), blockSize = 3))
+      Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"), blockSize = 3,
+        hotThreshold = 3)) // force tiling: hot bucket → 8×8 cell schedule
     val full = pairSet(
       Dedup.bandedCandidatePairs(rows, "id", Seq("bucket"), maxBucketSize = None))
     assert(blocked == full)
     assert(blocked.size == 23 * 22 / 2 + 1)
     // every pair ordered, no self-pairs survived the diagonal filter
     assert(blocked.forall { case (a, b) => a < b })
-    // a block larger than every bucket degenerates to the plain join
+    // a MIXED route — one bucket tiled, one through the plain small-side
+    // join — still reproduces the full pair set
+    assert(pairSet(Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"),
+      blockSize = 3, hotThreshold = 10)) == full)
+    // the density dial: no bucket over the threshold degenerates to the
+    // plain join (eagerly — no blocked machinery in the plan)
     assert(pairSet(Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"),
       blockSize = 1000)) == full)
   }
