@@ -135,4 +135,30 @@ object Hll {
   /** Approximate COUNT(DISTINCT expr) as an aggregation column. */
   def approxDistinct(value: Column, p: Int = 12): Column =
     estimate(registersAgg(value, p), p)
+
+  // ------------------------------------------------- sparse lake rows
+
+  /** Storage encoding for PERSISTED register rows (the q121 lake-fold
+    * class): dense 4 KB per group is wasteful when group cardinality is
+    * huge and most groups are small — a group that saw one value carries
+    * one non-zero register. Below `maxFill` non-zero registers the row
+    * stores packed `(idx << 6) | rank` ints (4 bytes per non-zero
+    * register; a 1-distinct group is ONE int), above it the dense array
+    * passes through unchanged — the promote happens transparently on the
+    * next [[sparsify]] after a merge pushes fill over the threshold.
+    * Round-trip is exact (HllSpec gates register-for-register equality),
+    * so folded estimates keep bit-for-bit equality with one-shot.
+    */
+  def sparsify(regs: Column, p: Int = 12, maxFill: Int = 256): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.plans.HllSparsify(
+      org.apache.spark.sql.GraftBridge.expression(regs), p, maxFill))
+
+  /** Sparse-or-dense register column → dense (merge/estimate form). */
+  def densify(regs: Column, p: Int = 12): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.plans.HllDensify(
+      org.apache.spark.sql.GraftBridge.expression(regs), p))
+
+  /** [[mergeRegisters]] accepting sparse or dense inputs on either side. */
+  def mergeRegistersAuto(a: Column, b: Column, p: Int = 12): Column =
+    mergeRegisters(densify(a, p), densify(b, p))
 }

@@ -824,9 +824,14 @@ object LogAnalytics {
           col("event_id") >= maxId / 3 && col("event_id") < cut2,
           col("event_id") >= cut2)
         val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        // lake rows persist SPARSE (packed (idx,rank) ints below the fill
+        // threshold — a 1-distinct group is one int, not 4 KB); merges
+        // densify transparently and re-sparsify on write. Round-trip is
+        // register-exact (HllSpec), so the bit-for-bit fold gate below is
+        // unchanged.
         cuts.zipWithIndex.foreach { case (cut, i) =>
           val part = ev.filter(cut).groupBy(col("event_type"))
-            .agg(Hll.registersAgg(col("user_id")).as("regs"))
+            .agg(Hll.sparsify(Hll.registersAgg(col("user_id"))).as("regs"))
           if (i == 0) Snapshots.append(part.withColumn("ts", ts0), table)
           else {
             val ex = Snapshots.read(s, table)
@@ -834,14 +839,16 @@ object LogAnalytics {
             val merged = part.join(ex, Seq("event_type"), "left")
               .select(col("event_type"),
                 when(col("__r0").isNull, col("regs"))
-                  .otherwise(Hll.mergeRegisters(col("regs"), col("__r0")))
+                  .otherwise(Hll.sparsify(
+                    Hll.mergeRegistersAuto(col("regs"), col("__r0"))))
                   .as("regs"))
             Snapshots.mergeUpsert(s, table,
               merged.withColumn("ts", ts0), "event_type")
           }
         }
         val folded = Snapshots.read(s, table)
-          .select(col("event_type"), Hll.estimate(col("regs")).as("__folded"))
+          .select(col("event_type"),
+            Hll.estimate(Hll.densify(col("regs"))).as("__folded"))
         ev.groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("n_users"),
             Hll.approxDistinct(col("user_id")).as("__os"))

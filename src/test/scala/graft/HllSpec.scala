@@ -123,4 +123,62 @@ class HllSpec extends SparkSpec {
     assert(math.abs(ei - 4000) <= 0.08 * 16000 + 2,
       s"intersection est $ei (a=$ea b=$eb u=$eu)")
   }
+
+  test("sparse round-trip is register-exact; 1-distinct state is ≤64 B") {
+    // one value → one non-zero register → sparse row is ONE packed int
+    val one = spark.range(1).select(lit(42L).as("v"))
+      .agg(Hll.registersAgg(col("v")).as("r"))
+      .select(Hll.sparsify(col("r")).as("s"))
+    val sparse = one.select(col("s")).head.getSeq[Int](0)
+    assert(sparse.length == 1, s"1-distinct sparse length ${sparse.length}")
+    assert(sparse.length * 4 <= 64) // payload bytes
+    // round-trip equals the dense original register for register
+    val rt = spark.range(1).select(lit(42L).as("v"))
+      .agg(Hll.registersAgg(col("v")).as("r"))
+      .select(col("r"),
+        Hll.densify(Hll.sparsify(col("r"))).as("rt"))
+      .head
+    assert(rt.getSeq[Int](0) == rt.getSeq[Int](1))
+  }
+
+  test("sparse↔dense merges all equal the one-shot dense sketch") {
+    // random split: fold halves separately, store one side sparse, merge
+    // in every sparse/dense combination — estimates and registers must
+    // equal the one-shot fold over the union
+    val n = 5000L
+    val a = spark.range(0, n / 2).select(xxhash64(col("id")).as("h"))
+    val b = spark.range(n / 2, n).select(xxhash64(col("id")).as("h"))
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Hll.registersAgg(col("h")).as("r"))
+    val oneShot = regsOf(a.union(b)).select(col("r")).head.getSeq[Int](0)
+    val ra = regsOf(a).select(col("r")).head.getSeq[Int](0)
+    val rb = regsOf(b).select(col("r")).head.getSeq[Int](0)
+    val combos = Seq((true, true), (true, false), (false, true), (false, false))
+    combos.foreach { case (sa, sb) =>
+      val df = Seq((ra, rb)).toDF("x", "y")
+        .select(
+          (if (sa) Hll.sparsify(col("x")) else col("x")).as("x"),
+          (if (sb) Hll.sparsify(col("y")) else col("y")).as("y"))
+        .select(Hll.mergeRegistersAuto(col("x"), col("y")).as("m"))
+      assert(df.head.getSeq[Int](0) == oneShot, s"combo sparse=($sa,$sb)")
+    }
+  }
+
+  test("sparsify promotes to dense past the fill threshold; densify idempotent") {
+    // enough distincts to exceed a small maxFill → sparsify must leave
+    // the array dense (length 2^p), and densify must pass it through
+    val many = spark.range(100000).select(xxhash64(col("id")).as("h"))
+      .agg(Hll.registersAgg(col("h")).as("r"))
+      .select(col("r"), Hll.sparsify(col("r"), maxFill = 16).as("s"))
+      .head
+    assert(many.getSeq[Int](1).length == 4096) // stayed dense
+    assert(many.getSeq[Int](0) == many.getSeq[Int](1))
+    // below threshold: sparsify of a sparse row is idempotent
+    val few = spark.range(5).select(xxhash64(col("id")).as("h"))
+      .agg(Hll.registersAgg(col("h")).as("r"))
+      .select(Hll.sparsify(Hll.sparsify(col("r"))).as("s2"),
+        Hll.sparsify(col("r")).as("s1"))
+      .head
+    assert(few.getSeq[Int](0) == few.getSeq[Int](1))
+  }
 }
