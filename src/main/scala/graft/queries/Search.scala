@@ -417,7 +417,12 @@ object Search {
         // both derivations without re-splitting the corpus
         val tok = InvertedIndex.tokenized(d, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the span-hash frame feeds BOTH detection sides (the occurrence
+        // count and the join-back that re-attaches (doc, start)) — without
+        // a persist the posexplode+md5 pass runs twice (the q104
+        // shared-frame lesson applied here too)
         val spans = Dedup.spanTableFromTokens(tok, w)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val clean = Dedup.removeDuplicatedSpansFromTokens(tok,
           Dedup.duplicatedSpansLite(spans), w)
         // per-doc token count straight off the cached token arrays — no
