@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 import graft.operators.Detection
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sigma-rule import: compile the common Sigma YAML detection grammar to
@@ -35,10 +35,19 @@ import org.apache.spark.sql.functions._
   *   - `null` values (field absent or null);
   *   - `condition`: identifiers, `and` / `or` / `not`, parentheses,
   *     `1 of x*` / `all of x*` / `N of them`.
+  * Correlation rules are also covered ([[loadCorrelation]] /
+  * [[correlationMatches]]): the Sigma v2 correlation document
+  * (`correlation: {type: event_count|value_count, group-by, timeframe,
+  * condition: {gte: N}}`) and the deprecated-but-everywhere pre-2.0
+  * aggregation condition (`condition: selection | count(field) by f > N`
+  * with a document-level `timeframe:`) both compile to the engine's
+  * threshold-aggregation shape (A1): one filter + one grouped
+  * count/countDistinct per timeframe window.
+  *
   * Out of scope (rare, documented): `base64`/`base64offset` encodings,
-  *   `|expand` placeholders, aggregation conditions (`count() by`) from
-  *   the deprecated pre-2.0 spec, and field-ref comparisons — loading a
-  *   rule that uses one throws with the unsupported construct named.
+  *   `|expand` placeholders, `near` aggregations, and field-ref
+  *   comparisons — loading a rule that uses one throws with the
+  *   unsupported construct named.
   */
 object SigmaRules {
 
@@ -49,11 +58,32 @@ object SigmaRules {
     "informational" -> "info", "low" -> "notice", "medium" -> "notice",
     "high" -> "warning", "critical" -> "critical")
 
+  /** A count-over-window condition attached to (or referencing) rules —
+    * the Sigma correlation surface. `op` ∈ gt/gte/lt/lte/eq; `field` is
+    * set for value_count (distinct values of `field` per group).
+    */
+  final case class CorrelationSpec(
+      title: String,
+      corrType: String, // event_count | value_count
+      ruleNames: Seq[String],
+      groupBy: Seq[String],
+      timeframeSeconds: Long,
+      op: String,
+      n: Long,
+      field: Option[String],
+      level: Option[String] = None)
+
   final case class SigmaRule(
       title: String,
       id: Option[String],
       level: Option[String],
-      detect: Column) {
+      detect: Column,
+      /** Set when the rule carried a legacy `| count() by …` aggregation
+        * suffix: the base `detect` selects candidate events, and this
+        * spec holds the threshold semantics to evaluate via
+        * [[correlationMatches]].
+        */
+      correlation: Option[CorrelationSpec] = None) {
     /** As a [[Detection.Rule]], ready for `Detection.ruleMatches`. */
     def toRule(
         dedupe: Column = lit(""),
@@ -115,23 +145,159 @@ object SigmaRules {
     val root = yaml.readTree(yamlText)
     val det = root.path("detection")
     require(det.isObject, "sigma rule has no detection section")
-    val condition = det.path("condition") match {
+    val rawCondition = det.path("condition") match {
       case c if c.isTextual => c.asText
       // a LIST of conditions is OR of each (pre-2.0 spec, still common)
       case c if c.isArray =>
         c.elements.asScala.map(e => s"(${e.asText})").mkString(" or ")
       case _ => sys.error("sigma rule has no condition")
     }
+    val title = root.path("title").asText("unnamed sigma rule")
+    // deprecated pre-2.0 aggregation suffix: `<cond> | count(field) by f > N`
+    val (condition, legacyAgg) = rawCondition.split('|') match {
+      case Array(c) => (c, None)
+      case Array(c, agg) =>
+        (c, Some(parseLegacyAggregation(agg.trim, title,
+          parseTimeframe(root.path("timeframe").asText("1h")), fieldMap,
+          Option(root.path("level").asText(null)).filter(_.nonEmpty))))
+      case _ => sys.error(s"sigma condition has multiple '|' sections: $rawCondition")
+    }
     val selections: Map[String, Column] = det.properties.asScala
       .filter(_.getKey != "condition")
       .map(e => e.getKey -> compileSelection(e.getValue, fieldMap, keywordField))
       .toMap
-    val detect = new ConditionParser(condition, selections).parse()
+    val detect = new ConditionParser(condition.trim, selections).parse()
     SigmaRule(
-      title = root.path("title").asText("unnamed sigma rule"),
+      title = title,
       id = Option(root.path("id").asText(null)).filter(_.nonEmpty),
       level = Option(root.path("level").asText(null)).filter(_.nonEmpty),
-      detect = detect)
+      detect = detect,
+      correlation = legacyAgg)
+  }
+
+  /** Parse a Sigma v2 CORRELATION document (the modern spec's form —
+    * `correlation: {type, rules, group-by, timeframe, condition: {gte: N,
+    * field?}}`). Field names in `group-by`/`field` go through `fieldMap`.
+    */
+  def loadCorrelation(
+      yamlText: String,
+      fieldMap: String => String = identity): CorrelationSpec = {
+    import scala.jdk.CollectionConverters._
+    val root = yaml.readTree(yamlText)
+    val c = root.path("correlation")
+    require(c.isObject, "not a sigma correlation document")
+    val corrType = c.path("type").asText
+    require(corrType == "event_count" || corrType == "value_count",
+      s"unsupported correlation type '$corrType' (temporal correlations " +
+        "map to the funnel/CEP operator — see streaming.Funnel)")
+    val cond = c.path("condition")
+    require(cond.isObject, "correlation has no condition object")
+    val ops = Seq("gt", "gte", "lt", "lte", "eq").filter(o => cond.has(o))
+    require(ops.size == 1, s"correlation condition needs exactly one of " +
+      s"gt/gte/lt/lte/eq, got ${ops.mkString(",")}")
+    val field = Option(cond.path("field").asText(null)).filter(_.nonEmpty)
+    require(corrType != "value_count" || field.isDefined,
+      "value_count correlation needs condition.field")
+    CorrelationSpec(
+      title = root.path("title").asText("unnamed sigma correlation"),
+      corrType = corrType,
+      ruleNames = {
+        val v = c.path("rules")
+        if (v.isArray) v.elements.asScala.map(_.asText).toSeq
+        else Seq(v.asText)
+      },
+      groupBy = {
+        val v = c.path("group-by")
+        if (v.isArray) v.elements.asScala.map(_.asText).map(fieldMap).toSeq
+        else Nil
+      },
+      timeframeSeconds = parseTimeframe(c.path("timeframe").asText("1h")),
+      op = ops.head,
+      n = cond.path(ops.head).asLong,
+      field = field.map(fieldMap),
+      level = Option(root.path("level").asText(null)).filter(_.nonEmpty))
+  }
+
+  /** Evaluate a correlation over an event frame: events selected by the
+    * referenced rules' predicates (OR), grouped by the correlation's
+    * group-by columns and a TUMBLING `timeframe` window, counted
+    * (event_count) or distinct-counted over `field` (value_count), and
+    * filtered by the threshold condition — the A1 batch shape, one
+    * grouped aggregation. The anchored-window alternative (first match
+    * opens the window, the reference's alert semantics) is
+    * [[graft.plans.AnchoredSession]]; tumbling is the deterministic
+    * oracle-checkable form, and both are gated engine surfaces.
+    */
+  def correlationMatches(events: DataFrame, rules: Seq[SigmaRule],
+      corr: CorrelationSpec, ts: Column = col("ts")): DataFrame = {
+    val referenced = rules.filter(r => corr.ruleNames.contains(r.title))
+    require(referenced.nonEmpty,
+      s"correlation '${corr.title}' references no loaded rule " +
+        s"(wanted ${corr.ruleNames.mkString(", ")})")
+    val selected = events.filter(
+      referenced.map(_.detect).reduce(_ || _))
+    val winStart = // tumbling window: epoch floored to the timeframe
+      from_unixtime(
+        (unix_seconds(ts) / corr.timeframeSeconds).cast("long") *
+          corr.timeframeSeconds).cast("timestamp")
+    val metric = corr.corrType match {
+      case "event_count" => count(lit(1))
+      case "value_count" => countDistinct(col(corr.field.get))
+    }
+    val keyCols = corr.groupBy.map(col)
+    val grouped = selected
+      .groupBy((keyCols :+ winStart.as("window_start")): _*)
+      .agg(metric.cast("long").as("n"))
+    val pass = corr.op match {
+      case "gt" => col("n") > corr.n
+      case "gte" => col("n") >= corr.n
+      case "lt" => col("n") < corr.n
+      case "lte" => col("n") <= corr.n
+      case "eq" => col("n") === corr.n
+    }
+    grouped.filter(pass)
+      .select((lit(corr.title).as("rule_name") +: keyCols) :+
+        col("window_start") :+ col("n"): _*)
+  }
+
+  /** `count() by f > N` / `count(field) by f1 f2 >= N` (pre-2.0 grammar). */
+  private def parseLegacyAggregation(agg: String, title: String,
+      timeframeSeconds: Long, fieldMap: String => String,
+      level: Option[String]): CorrelationSpec = {
+    val re = raw"count\(\s*([\w.]*)\s*\)\s*(?:by\s+([\w.\s,]+?))?\s*(>=|<=|>|<|==?)\s*(\d+)".r
+    agg match {
+      case re(fieldRaw, byRaw, opRaw, nRaw) =>
+        val field = Option(fieldRaw).map(_.trim).filter(_.nonEmpty)
+        CorrelationSpec(
+          title = title,
+          corrType = if (field.isDefined) "value_count" else "event_count",
+          ruleNames = Seq(title), // a legacy agg applies to its own rule
+          groupBy = Option(byRaw).toSeq
+            .flatMap(_.split("[,\\s]+")).filter(_.nonEmpty).map(fieldMap),
+          timeframeSeconds = timeframeSeconds,
+          op = opRaw match {
+            case ">" => "gt"; case ">=" => "gte"; case "<" => "lt"
+            case "<=" => "lte"; case "=" | "==" => "eq"
+          },
+          n = nRaw.toLong,
+          field = field.map(fieldMap),
+          level = level)
+      case other => sys.error(
+        s"unsupported sigma aggregation condition: '$other' " +
+          "(count()/count(field) with by-list and a comparison are supported; " +
+          "near() is not)")
+    }
+  }
+
+  /** Sigma timeframe strings: `15s` / `10m` / `2h` / `1d`. */
+  private[config] def parseTimeframe(s: String): Long = {
+    val re = raw"(\d+)\s*([smhd])".r
+    s.trim.toLowerCase match {
+      case re(n, u) => n.toLong * (u match {
+        case "s" => 1L; case "m" => 60L; case "h" => 3600L; case "d" => 86400L
+      })
+      case other => sys.error(s"unparseable sigma timeframe '$other'")
+    }
   }
 
   /** Load every rule in a multi-document YAML stream (sigma collections

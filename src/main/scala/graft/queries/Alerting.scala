@@ -780,6 +780,72 @@ object Alerting {
           FROM events
           WHERE contains(lower(props), '"k": 9'))
         GROUP BY rule_name, severity
-        ORDER BY rule_name"""))
+        ORDER BY rule_name""")),
+
+    // ---- q142: Sigma CORRELATION rules — the count-over-window surface
+    // (Sigma v2 correlation documents + the deprecated-but-everywhere
+    // pre-2.0 `| count() by` aggregation suffix) compiled onto the A1
+    // threshold-aggregation shape: one filter + one grouped count /
+    // countDistinct per tumbling timeframe window. Two correlations run
+    // here: an event_count (v2 document form) and a value_count parsed
+    // from the LEGACY aggregation grammar; the oracle restates both as
+    // grouped HAVING queries on epoch-floored windows.
+    QueryDef(
+      "q142_sigma_correlation",
+      (s, dir) => {
+        import graft.config.SigmaRules
+        val rule = SigmaRules.load(
+          """title: error_events
+            |detection:
+            |  sel:
+            |    event_type: error
+            |  condition: sel
+            |""".stripMargin)
+        val corrA = SigmaRules.loadCorrelation(
+          """title: error_burst_by_user
+            |correlation:
+            |  type: event_count
+            |  rules: [error_events]
+            |  group-by: [user_id]
+            |  timeframe: 1d
+            |  condition:
+            |    gte: 3
+            |""".stripMargin)
+        // the same threshold semantics via the LEGACY grammar, counting
+        // DISTINCT payload values per user
+        val legacy = SigmaRules.load(
+          """title: error_k_spread
+            |detection:
+            |  sel:
+            |    event_type: error
+            |  condition: sel | count(k) by user_id >= 3
+            |timeframe: 1d
+            |""".stripMargin)
+        val ev = events(s, dir).withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        Seq(corrA, legacy.correlation.get)
+          .map(c => SigmaRules
+            .correlationMatches(ev, Seq(rule, legacy), c)
+            .select(col("rule_name"), col("user_id"),
+              unix_seconds(col("window_start")).as("win_epoch"), col("n")))
+          .reduce(_.unionAll(_))
+          .orderBy(col("rule_name"), col("user_id"), col("win_epoch"))
+      },
+      Some("""
+        SELECT rule_name, user_id, win_epoch, n FROM (
+          SELECT 'error_burst_by_user' AS rule_name, user_id,
+                 (epoch(ts)::BIGINT // 86400) * 86400 AS win_epoch,
+                 COUNT(*)::BIGINT AS n
+          FROM events WHERE event_type = 'error'
+          GROUP BY user_id, (epoch(ts)::BIGINT // 86400) * 86400
+          HAVING COUNT(*) >= 3
+          UNION ALL
+          SELECT 'error_k_spread', user_id,
+                 (epoch(ts)::BIGINT // 86400) * 86400,
+                 COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+          FROM events WHERE event_type = 'error'
+          GROUP BY user_id, (epoch(ts)::BIGINT // 86400) * 86400
+          HAVING COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) >= 3)
+        ORDER BY rule_name, user_id, win_epoch"""))
   )
 }

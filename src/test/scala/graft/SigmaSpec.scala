@@ -287,6 +287,120 @@ class SigmaSpec extends SparkSpec {
       .select("severity").distinct.as[String].collect().toSeq == Seq("critical"))
   }
 
+  // ---- correlations ----
+
+  private lazy val logins = Seq(
+    // (id, action, user, ip, minute-offset)
+    (1L, "fail", "alice", "10.0.0.1", 0), (2L, "fail", "alice", "10.0.0.2", 1),
+    (3L, "fail", "alice", "10.0.0.3", 2), (4L, "fail", "bob", "10.0.0.1", 0),
+    (5L, "fail", "alice", "10.0.0.1", 30), // next 10m window
+    (6L, "ok", "alice", "10.0.0.9", 1))
+    .toDF("id", "action", "user", "ip", "mo")
+    .withColumn("ts", expr("timestampadd(MINUTE, mo, TIMESTAMP '2024-01-01 00:00:00')"))
+
+  test("v2 correlation doc (event_count, spec example shape) evaluates") {
+    // the Sigma v2 spec's canonical example: many failed logins per user
+    val rule = SigmaRules.load(
+      """title: failed_login
+        |detection:
+        |  sel:
+        |    action: fail
+        |  condition: sel
+        |""".stripMargin)
+    val corr = SigmaRules.loadCorrelation(
+      """title: multiple_failed_logins
+        |correlation:
+        |  type: event_count
+        |  rules:
+        |    - failed_login
+        |  group-by:
+        |    - user
+        |  timeframe: 10m
+        |  condition:
+        |    gte: 3
+        |level: high
+        |""".stripMargin)
+    assert(corr.timeframeSeconds == 600 && corr.op == "gte" && corr.n == 3)
+    val out = SigmaRules.correlationMatches(logins, Seq(rule), corr)
+      .select("user", "n").as[(String, Long)].collect().toSet
+    // alice: 3 fails in window 0, 1 in window 3 (dropped); bob: 1 (dropped)
+    assert(out == Set(("alice", 3L)))
+  }
+
+  test("v2 value_count correlation counts distinct field values per group") {
+    val rule = SigmaRules.load(
+      """title: failed_login
+        |detection:
+        |  sel: {action: fail}
+        |  condition: sel
+        |""".stripMargin)
+    val corr = SigmaRules.loadCorrelation(
+      """title: password_spray
+        |correlation:
+        |  type: value_count
+        |  rules: [failed_login]
+        |  group-by: [user]
+        |  timeframe: 10m
+        |  condition:
+        |    gte: 3
+        |    field: ip
+        |""".stripMargin)
+    val out = SigmaRules.correlationMatches(logins, Seq(rule), corr)
+      .select("user", "n").as[(String, Long)].collect().toSet
+    assert(out == Set(("alice", 3L))) // 3 distinct IPs; bob has 1
+  }
+
+  test("legacy '| count() by f > N' aggregation parses into a correlation") {
+    val rule = SigmaRules.load(
+      """title: brute_force
+        |detection:
+        |  sel: {action: fail}
+        |  condition: sel | count() by user > 2
+        |timeframe: 10m
+        |level: high
+        |""".stripMargin)
+    val corr = rule.correlation.get
+    assert(corr.corrType == "event_count" && corr.op == "gt" && corr.n == 2)
+    assert(corr.groupBy == Seq("user") && corr.timeframeSeconds == 600)
+    val out = SigmaRules.correlationMatches(logins, Seq(rule), corr)
+      .select("user", "n").as[(String, Long)].collect().toSet
+    assert(out == Set(("alice", 3L)))
+    // count(field) variant → value_count
+    val vc = SigmaRules.load(
+      """title: spray
+        |detection:
+        |  sel: {action: fail}
+        |  condition: sel | count(ip) by user >= 3
+        |timeframe: 10m
+        |""".stripMargin).correlation.get
+    assert(vc.corrType == "value_count" && vc.field.contains("ip"))
+  }
+
+  test("correlation guards: unknown type, missing field, near() all throw") {
+    intercept[Exception] { SigmaRules.loadCorrelation(
+      """title: t
+        |correlation:
+        |  type: temporal
+        |  rules: [a]
+        |  timeframe: 5m
+        |  condition: {gte: 1}
+        |""".stripMargin) }
+    intercept[Exception] { SigmaRules.loadCorrelation(
+      """title: t
+        |correlation:
+        |  type: value_count
+        |  rules: [a]
+        |  timeframe: 5m
+        |  condition: {gte: 1}
+        |""".stripMargin) }
+    intercept[Exception] { SigmaRules.load(
+      """title: t
+        |detection:
+        |  sel: {a: b}
+        |  condition: sel | near() by x
+        |""".stripMargin) }
+  }
+
   test("multi-document stream loads every rule") {
     val rules = SigmaRules.loadAll(
       """title: one
