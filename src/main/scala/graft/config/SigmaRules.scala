@@ -187,14 +187,18 @@ object SigmaRules {
     val c = root.path("correlation")
     require(c.isObject, "not a sigma correlation document")
     val corrType = c.path("type").asText
-    require(corrType == "event_count" || corrType == "value_count",
-      s"unsupported correlation type '$corrType' (temporal correlations " +
-        "map to the funnel/CEP operator — see streaming.Funnel)")
+    require(Set("event_count", "value_count", "temporal",
+        "temporal_ordered")(corrType),
+      s"unsupported correlation type '$corrType'")
     val cond = c.path("condition")
-    require(cond.isObject, "correlation has no condition object")
-    val ops = Seq("gt", "gte", "lt", "lte", "eq").filter(o => cond.has(o))
-    require(ops.size == 1, s"correlation condition needs exactly one of " +
-      s"gt/gte/lt/lte/eq, got ${ops.mkString(",")}")
+    val temporal = corrType.startsWith("temporal")
+    // temporal correlations have an implicit condition (all referenced
+    // rules observed); counting ones need exactly one comparison
+    val ops = if (cond.isObject)
+      Seq("gt", "gte", "lt", "lte", "eq").filter(o => cond.has(o)) else Nil
+    require(temporal || ops.size == 1,
+      s"correlation condition needs exactly one of " +
+        s"gt/gte/lt/lte/eq, got ${ops.mkString(",")}")
     val field = Option(cond.path("field").asText(null)).filter(_.nonEmpty)
     require(corrType != "value_count" || field.isDefined,
       "value_count correlation needs condition.field")
@@ -212,8 +216,8 @@ object SigmaRules {
         else Nil
       },
       timeframeSeconds = parseTimeframe(c.path("timeframe").asText("1h")),
-      op = ops.head,
-      n = cond.path(ops.head).asLong,
+      op = ops.headOption.getOrElse("gte"),
+      n = ops.headOption.map(o => cond.path(o).asLong).getOrElse(1L),
       field = field.map(fieldMap),
       level = Option(root.path("level").asText(null)).filter(_.nonEmpty))
   }
@@ -230,34 +234,74 @@ object SigmaRules {
     */
   def correlationMatches(events: DataFrame, rules: Seq[SigmaRule],
       corr: CorrelationSpec, ts: Column = col("ts")): DataFrame = {
-    val referenced = rules.filter(r => corr.ruleNames.contains(r.title))
-    require(referenced.nonEmpty,
-      s"correlation '${corr.title}' references no loaded rule " +
+    // ruleNames order matters for temporal_ordered — resolve IN that order
+    val referenced = corr.ruleNames.flatMap(n => rules.find(_.title == n))
+    require(referenced.size == corr.ruleNames.size,
+      s"correlation '${corr.title}' references unloaded rules " +
         s"(wanted ${corr.ruleNames.mkString(", ")})")
-    val selected = events.filter(
-      referenced.map(_.detect).reduce(_ || _))
     val winStart = // tumbling window: epoch floored to the timeframe
       from_unixtime(
         (unix_seconds(ts) / corr.timeframeSeconds).cast("long") *
           corr.timeframeSeconds).cast("timestamp")
-    val metric = corr.corrType match {
-      case "event_count" => count(lit(1))
-      case "value_count" => countDistinct(col(corr.field.get))
-    }
     val keyCols = corr.groupBy.map(col)
-    val grouped = selected
-      .groupBy((keyCols :+ winStart.as("window_start")): _*)
-      .agg(metric.cast("long").as("n"))
-    val pass = corr.op match {
-      case "gt" => col("n") > corr.n
-      case "gte" => col("n") >= corr.n
-      case "lt" => col("n") < corr.n
-      case "lte" => col("n") <= corr.n
-      case "eq" => col("n") === corr.n
+    val out = corr.corrType match {
+      case "event_count" | "value_count" =>
+        val selected = events.filter(
+          referenced.map(_.detect).reduce(_ || _))
+        val metric = corr.corrType match {
+          case "event_count" => count(lit(1))
+          case "value_count" => countDistinct(col(corr.field.get))
+        }
+        val grouped = selected
+          .groupBy((keyCols :+ winStart.as("window_start")): _*)
+          .agg(metric.cast("long").as("n"))
+        val pass = corr.op match {
+          case "gt" => col("n") > corr.n
+          case "gte" => col("n") >= corr.n
+          case "lt" => col("n") < corr.n
+          case "lte" => col("n") <= corr.n
+          case "eq" => col("n") === corr.n
+        }
+        grouped.filter(pass)
+      case "temporal" =>
+        // all referenced rules observed in the same group + window
+        // (unordered): tag each event with the rules it matches, count
+        // distinct tags per (group, window)
+        val tagged = referenced.zipWithIndex.map { case (r, i) =>
+          events.filter(r.detect)
+            .select((keyCols :+ winStart.as("window_start") :+
+              lit(i).as("__tag")): _*)
+        }.reduce(_.unionAll(_))
+        tagged
+          .groupBy((keyCols :+ col("window_start")): _*)
+          .agg(countDistinct(col("__tag")).cast("long").as("n"))
+          .filter(col("n") === referenced.size)
+      case "temporal_ordered" =>
+        // the funnel chain per (group, window): earliest rule-1 match,
+        // then the earliest rule-2 match STRICTLY after it, … — all
+        // stages must bind (q122's earliest-greedy semantics, windowed,
+        // and q122's JOIN-CHAIN shape: R-1 slim min-aggregations all
+        // hashed on the same (group, window) key, so the stage joins
+        // land co-partitioned after the first shuffle; arrays stay out
+        // of filter conditions — the PlanShapeSpec generator-pushdown
+        // guard applies to this surface like any other)
+        def stage(i: Int): DataFrame = events.filter(referenced(i).detect)
+          .select((keyCols :+ winStart.as("window_start") :+
+            ts.as("__ts")): _*)
+        val joinKeys = corr.groupBy :+ "window_start"
+        val first = stage(0)
+          .groupBy((keyCols :+ col("window_start")): _*)
+          .agg(min(col("__ts")).as("__t0"))
+        referenced.indices.drop(1).foldLeft(first) { (prev, i) =>
+          stage(i).join(prev, joinKeys)
+            .where(col("__ts") > col(s"__t${i - 1}"))
+            .groupBy((keyCols :+ col("window_start")): _*)
+            .agg(min(col("__ts")).as(s"__t$i"))
+        }.withColumn("n", lit(referenced.size.toLong))
+      case other => sys.error(s"unsupported correlation type '$other'")
     }
-    grouped.filter(pass)
-      .select((lit(corr.title).as("rule_name") +: keyCols) :+
-        col("window_start") :+ col("n"): _*)
+    out.select((lit(corr.title).as("rule_name") +: keyCols) :+
+      col("window_start") :+ col("n"): _*)
   }
 
   /** `count() by f > N` / `count(field) by f1 f2 >= N` (pre-2.0 grammar). */

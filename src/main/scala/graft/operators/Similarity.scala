@@ -60,6 +60,14 @@ object Similarity {
       .select(col("id").as("qid"), col("vec").as("qv"), col("cid").as("bucket"))
   }
 
+  /** Public probe surface for index-on-lake callers (q143): each query's
+    * `nprobe` nearest centroid buckets as (qid, qv, bucket) — collect the
+    * distinct buckets to plan a partition-pruned read of a bucket-
+    * partitioned index table.
+    */
+  def probeAssignments(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = probeBuckets(queries, centroids, nprobe)
+
   /** IVF top-k: score only corpus vectors in the query's `nprobe` nearest
     * centroid buckets. `assigned` must carry (id, vec, bucket) for the
     * corpus; queries get their probe buckets from the same centroids and

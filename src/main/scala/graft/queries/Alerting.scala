@@ -846,6 +846,79 @@ object Alerting {
           FROM events WHERE event_type = 'error'
           GROUP BY user_id, (epoch(ts)::BIGINT // 86400) * 86400
           HAVING COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) >= 3)
+        ORDER BY rule_name, user_id, win_epoch""")),
+
+    // ---- q144: Sigma TEMPORAL correlations — the CEP bridge: `temporal`
+    // (all referenced rules observed in one group+window, unordered →
+    // one tagged union + a distinct-tag count) and `temporal_ordered`
+    // (q122's earliest-greedy funnel chain per window: earliest rule-1
+    // match, then the earliest rule-2 match strictly after it — one
+    // grouped pass collecting sorted per-rule match times, the chain a
+    // pure projection). The oracle re-derives both: a HAVING
+    // COUNT(DISTINCT) for the unordered form, the min-chain CTEs for
+    // the ordered one.
+    QueryDef(
+      "q144_sigma_temporal",
+      (s, dir) => {
+        import graft.config.SigmaRules
+        val rules = SigmaRules.loadAll(
+          """title: saw_view
+            |detection:
+            |  sel: {event_type: view}
+            |  condition: sel
+            |---
+            |title: saw_click
+            |detection:
+            |  sel: {event_type: click}
+            |  condition: sel
+            |---
+            |title: saw_purchase
+            |detection:
+            |  sel: {event_type: purchase}
+            |  condition: sel
+            |""".stripMargin)
+        val ordered = SigmaRules.loadCorrelation(
+          """title: view_then_click
+            |correlation:
+            |  type: temporal_ordered
+            |  rules: [saw_view, saw_click]
+            |  group-by: [user_id]
+            |  timeframe: 1d
+            |""".stripMargin)
+        val unordered = SigmaRules.loadCorrelation(
+          """title: view_and_purchase
+            |correlation:
+            |  type: temporal
+            |  rules: [saw_view, saw_purchase]
+            |  group-by: [user_id]
+            |  timeframe: 1d
+            |""".stripMargin)
+        val ev = events(s, dir)
+        Seq(ordered, unordered)
+          .map(c => SigmaRules.correlationMatches(ev, rules, c)
+            .select(col("rule_name"), col("user_id"),
+              unix_seconds(col("window_start")).as("win_epoch"), col("n")))
+          .reduce(_.unionAll(_))
+          .orderBy(col("rule_name"), col("user_id"), col("win_epoch"))
+      },
+      Some("""
+        WITH w AS (SELECT user_id, (epoch(ts)::BIGINT // 86400) * 86400 AS win,
+                          event_type, ts
+                   FROM events),
+        u1 AS (SELECT user_id, win, min(ts) AS t1 FROM w
+               WHERE event_type = 'view' GROUP BY 1, 2),
+        u2 AS (SELECT w.user_id, w.win, min(w.ts) AS t2 FROM w
+               JOIN u1 USING (user_id, win)
+               WHERE w.event_type = 'click' AND w.ts > u1.t1 GROUP BY 1, 2),
+        ord AS (SELECT 'view_then_click' AS rule_name, user_id,
+                       win AS win_epoch, 2::BIGINT AS n
+                FROM u2),
+        un AS (SELECT 'view_and_purchase' AS rule_name, user_id,
+                      win AS win_epoch, COUNT(DISTINCT event_type)::BIGINT AS n
+               FROM w WHERE event_type IN ('view', 'purchase')
+               GROUP BY user_id, win
+               HAVING COUNT(DISTINCT event_type) = 2)
+        SELECT * FROM (SELECT * FROM ord UNION ALL SELECT * FROM un)
         ORDER BY rule_name, user_id, win_epoch"""))
   )
 }

@@ -21,9 +21,9 @@ object LogAnalytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  // one bucketed-table build per dir per JVM (the catalog names are
-  // session-global, so the last-built dir wins if a process ever mixes
-  // dirs — driver runs never do)
+  // one bucketed-table build per dir per JVM; catalog names carry a dir
+  // hash (see q131) so a process that mixes dirs can never serve one
+  // dir's bucketed table for another
   private val bucketedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val defs: Seq[QueryDef] = Seq(

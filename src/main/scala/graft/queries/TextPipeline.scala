@@ -2518,9 +2518,11 @@ object TextPipeline {
         val cands = Dedup.blockedCandidatePairs(
           Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
           "doc", Seq("band", "sig"), blockSize = 8,
-          // demonstration query: force REAL multi-block tiling at every
-          // test scale (the production default only tiles past 4096)
-          hotThreshold = 8)
+          // demonstration query: tile buckets past 64 rows (the
+          // production default is 4096) so real multi-block schedules
+          // run at test scale WITHOUT tiling every 2-row bucket — at
+          // sf0.1 the all-tile form cost 2.6 s of pure schedule overhead
+          hotThreshold = 64)
         val out = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id1"), col("id2"))
           .localCheckpoint(true)

@@ -23,6 +23,35 @@ object Vectors {
   private def sqlDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
 
+  /** q143's folded IVF index dirs, keyed by sf dir (q45 convention). */
+  private val ivfFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the q143 lake-resident IVF index: corpus assignments arrive in
+    * three id-cut batches, each a pure APPEND of (id, vec, bucket) rows
+    * into a snapshot table PARTITIONED BY BUCKET — batches are
+    * doc-disjoint so the ANN index needs no merge at all (contrast
+    * q109's stats fold), and partitioning by bucket is the searchable
+    * layout: a probe reads ONLY its buckets' files. Centroids stay
+    * frozen (the IVF contract — retraining is q93/q95's job).
+    */
+  private def ivfFold(s: SparkSession, dir: String, table: String): Unit = {
+    import graft.lake.{Lake, Snapshots}
+    val v = vecs(s, dir)
+    val centroids = v.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val corpus = v.filter(col("id") >= 8)
+    val maxId = corpus.agg(max(col("id"))).head.getLong(0)
+    val cuts = Seq(
+      col("id") < maxId / 3,
+      col("id") >= maxId / 3 && col("id") < 2 * maxId / 3,
+      col("id") >= 2 * maxId / 3)
+    cuts.foreach { cut =>
+      val assigned = Similarity.ivfAssign(corpus.filter(cut), centroids)
+        .withColumn(Lake.PartitionCol, concat(lit("b"), col("bucket")))
+      Snapshots.append(assigned, table)
+    }
+  }
+
   /** Integer-domain dot over int8 code lists (exact — mirrors dotInt). */
   private def sqlDotInt(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
@@ -96,6 +125,73 @@ object Vectors {
         val corpus = v.filter(col("id") >= 8)
         val assigned = Similarity.ivfAssign(corpus, centroids)
         val queries = v.filter(col("id") >= 8 && col("id") <= 12)
+        Similarity.ivfTopK(assigned, queries, centroids, k = 3, nprobe = 2)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             corpus AS (SELECT * FROM v WHERE id >= 8),
+             scored AS (SELECT corpus.id, corpus.vec, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, vec, cid AS bucket
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM scored)
+                          WHERE rn = 1),
+             qs AS (SELECT corpus.id AS qid, corpus.vec AS qv, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent
+                        WHERE corpus.id >= 8 AND corpus.id <= 12),
+             q AS (SELECT qid, qv, cid AS bucket
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY dist, cid) AS rn FROM qs)
+                   WHERE rn <= 2),
+             cand AS (SELECT qid, qv, a.id AS cid, a.vec AS cv
+                      FROM assigned a JOIN q USING (bucket) WHERE a.id <> qid),
+             s AS (SELECT qid, cid,
+                     ${sqlDot("qv", "cv")} /
+                     (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS cos
+                   FROM cand)
+        SELECT qid, rank, cid AS neighbor, cos
+        FROM (SELECT qid, cid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+              FROM s)
+        WHERE rank <= 3
+        ORDER BY qid, rank""")),
+
+    // ---- q143: IVF index AS A LAKE TABLE, folded incrementally — the
+    // q109 posture for ANN: the corpus arrives in three id-cut batches,
+    // each batch's centroid assignments APPEND into a snapshot table
+    // partitioned BY BUCKET (doc-disjoint batches need no merge — the
+    // ANN index is pure postings), and search reads ONLY the probed
+    // buckets' partitions via the manifest (scan cost ∝ probed buckets,
+    // not corpus — the layout IS the index; VectorsFoldSpec asserts the
+    // file-level pruning). The gate is fold-independence: search over
+    // the lake-folded index must equal q35's one-shot oracle exactly.
+    QueryDef(
+      "q143_ivf_lake_fold",
+      (s, dir) => {
+        import graft.lake.{Lake, Snapshots}
+        val tmp = ivfFoldDirs.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_ivf_fold").toString
+          ivfFold(s, dir, s"$t/ivf")
+          t
+        })
+        val v = vecs(s, dir)
+        val centroids = v.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        val queries = v.filter(col("id") >= 8 && col("id") <= 12)
+        // probe buckets first (centroids broadcast, queries tiny), then
+        // read ONLY those buckets' partitions from the index table
+        val probed = Similarity.probeAssignments(queries, centroids, nprobe = 2)
+          .select(col("bucket")).distinct()
+          .collect().map(r => s"b${r.getLong(0)}").toSet
+        val assigned = Snapshots.readHours(s, s"$tmp/ivf", probed)
+          .drop(Lake.PartitionCol)
         Similarity.ivfTopK(assigned, queries, centroids, k = 3, nprobe = 2)
           .orderBy(col("qid"), col("rank"))
       },

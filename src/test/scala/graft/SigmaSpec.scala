@@ -376,11 +376,63 @@ class SigmaSpec extends SparkSpec {
     assert(vc.corrType == "value_count" && vc.field.contains("ip"))
   }
 
+  test("temporal correlation: all rules in one window, ordered variant chains") {
+    val rules = SigmaRules.loadAll(
+      """title: saw_fail
+        |detection:
+        |  sel: {action: fail}
+        |  condition: sel
+        |---
+        |title: saw_ok
+        |detection:
+        |  sel: {action: ok}
+        |  condition: sel
+        |""".stripMargin)
+    // alice: fail@0..2 then ok@1 → both rules inside the 10m window;
+    // bob: fail only → no match
+    val un = SigmaRules.loadCorrelation(
+      """title: fail_then_any_ok
+        |correlation:
+        |  type: temporal
+        |  rules: [saw_fail, saw_ok]
+        |  group-by: [user]
+        |  timeframe: 10m
+        |""".stripMargin)
+    val got = SigmaRules.correlationMatches(logins, rules, un)
+      .select("user").as[String].collect().toSet
+    assert(got == Set("alice"))
+    // ordered: ok must come STRICTLY after the earliest fail
+    val ord = SigmaRules.loadCorrelation(
+      """title: fail_before_ok
+        |correlation:
+        |  type: temporal_ordered
+        |  rules: [saw_fail, saw_ok]
+        |  group-by: [user]
+        |  timeframe: 10m
+        |""".stripMargin)
+    val gotOrd = SigmaRules.correlationMatches(logins, rules, ord)
+      .select("user", "n").as[(String, Long)].collect().toSet
+    assert(gotOrd == Set(("alice", 2L))) // fail@0 < ok@1
+    // reversed order: ok (earliest @1) then a fail strictly after → alice
+    // has fail@2 after ok@1, still matches; flipping to a user with no
+    // later fail would not — exercise via bob (ok absent entirely)
+    val rev = SigmaRules.loadCorrelation(
+      """title: ok_before_fail
+        |correlation:
+        |  type: temporal_ordered
+        |  rules: [saw_ok, saw_fail]
+        |  group-by: [user]
+        |  timeframe: 10m
+        |""".stripMargin)
+    assert(SigmaRules.correlationMatches(logins, rules, rev)
+      .select("user").as[String].collect().toSet == Set("alice"))
+  }
+
   test("correlation guards: unknown type, missing field, near() all throw") {
     intercept[Exception] { SigmaRules.loadCorrelation(
       """title: t
         |correlation:
-        |  type: temporal
+        |  type: frequency
         |  rules: [a]
         |  timeframe: 5m
         |  condition: {gte: 1}
@@ -399,6 +451,45 @@ class SigmaSpec extends SparkSpec {
         |  sel: {a: b}
         |  condition: sel | near() by x
         |""".stripMargin) }
+  }
+
+  test("sigma rule drives the STREAMING alert path to the batch answer (§2.7)") {
+    // a Sigma-compiled rule is a Detection.Rule like any hand-built one —
+    // so it rides the streaming stateful aggregation unchanged; the gate
+    // is batch/stream parity on the same events (the q40/q41 contract)
+    import graft.operators.Alerts
+    import graft.streaming.AlertStream
+    val dir = java.nio.file.Files.createTempDirectory("sigma_stream").toString
+    val ev = (1 to 40).map(i =>
+        (i.toLong, if (i % 4 == 0) "error" else "view", i.toLong % 5,
+          java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00")))
+      .toDF("event_id", "event_type", "user_id", "ts")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rule = SigmaRules.load(
+      """title: sigma_errors
+        |level: high
+        |detection:
+        |  sel: {event_type: error}
+        |  condition: sel
+        |""".stripMargin).toRule(dedupe = col("user_id"),
+        threshold = 2, windowSeconds = 1800)
+    val cfg = Alerts.AlertConfig(threshold = 2, windowSeconds = 1800)
+    val batch = graft.plans.AnchoredSession.aggregate(spark,
+      graft.operators.Detection.ruleMatches(
+        spark.read.parquet(s"$dir/events.parquet"), Seq(rule),
+        matchId = col("event_id")), cfg)
+      .select("rule_name", "dedupe", "match_count", "activated")
+      .collect().toSet
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(s"$dir/events.parq*")
+    val m = graft.operators.Detection.ruleMatches(stream, Seq(rule),
+      matchId = col("event_id"))
+    val sink = "sigma_alerts_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val streamed = AlertStream.runMatches(spark, m, cfg, sink,
+        AlertStream.NoBound)
+      .select("rule_name", "dedupe", "match_count", "activated")
+      .collect().toSet
+    assert(batch.nonEmpty && batch == streamed)
   }
 
   test("multi-document stream loads every rule") {

@@ -52,6 +52,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(out.filter(col(Lake.PartitionCol) === "2024-03-01-06").count() == 10)
   }
 
+  test("bucket-partitioned index layout: a probe reads only its buckets' files") {
+    // the q143 IVF-on-lake shape: PartitionCol carries the bucket, so a
+    // probed read plans ONLY the probed buckets' files off the manifest
+    val t = Files.createTempDirectory("snap_bucket").toString
+    val rows = (1 to 40).map(i => (i.toLong, s"v$i", s"b${i % 4}"))
+      .toDF("id", "name", Lake.PartitionCol)
+    Snapshots.append(rows, t)
+    Snapshots.append((41 to 60).map(i => (i.toLong, s"v$i", s"b${i % 4}"))
+      .toDF("id", "name", Lake.PartitionCol), t) // second batch, pure append
+    val snap = Snapshots.current(t).get
+    val probedEntries = snap.entries.filter(e => Set("b1", "b2")(e.hour))
+    assert(probedEntries.nonEmpty &&
+      probedEntries.size < snap.entries.size) // strictly fewer files planned
+    val probed = Snapshots.readHours(spark, t, Set("b1", "b2"))
+    assert(probed.count() == 30) // 15 ids per bucket over both batches
+    assert(probed.select(Lake.PartitionCol).distinct.as[String]
+      .collect().toSet == Set("b1", "b2"))
+  }
+
   test("schema evolution: appends with new columns union-evolve the manifest schema") {
     val t = Files.createTempDirectory("snap_evo").toString
     Snapshots.append(mkRows(1 to 5, "2024-03-01 05"), t)
