@@ -355,6 +355,40 @@ object SigmaRules {
       .map(_.trim).filter(_.nonEmpty)
       .map(load(_, fieldMap, keywordField)).toSeq
 
+  /** Load a rule-pack directory the way users keep Sigma repos: every
+    * `*.yml`/`*.yaml` under `dir` (recursive, sorted for determinism),
+    * multi-document files expanded, correlation documents separated from
+    * detection rules. A file that fails to parse names itself in the
+    * error — a 500-rule pack must not die anonymously.
+    */
+  def loadRulePack(
+      dir: String,
+      fieldMap: String => String = identity,
+      keywordField: String = "message"): (Seq[SigmaRule], Seq[CorrelationSpec]) = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator.asScala
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .toSeq.sortBy(_.toString)
+    val rules = Seq.newBuilder[SigmaRule]
+    val corrs = Seq.newBuilder[CorrelationSpec]
+    files.foreach { f =>
+      val text = java.nio.file.Files.readString(f)
+      text.split("(?m)^---\\s*$").iterator
+        .map(_.trim).filter(_.nonEmpty).foreach { doc =>
+          try {
+            if (yaml.readTree(doc).path("correlation").isObject)
+              corrs += loadCorrelation(doc, fieldMap)
+            else rules += load(doc, fieldMap, keywordField)
+          } catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"sigma rule pack: failed to load $f: ${e.getMessage}", e)
+          }
+        }
+    }
+    (rules.result(), corrs.result())
+  }
+
   // ----------------------------------------------------------- selection
 
   private def compileSelection(

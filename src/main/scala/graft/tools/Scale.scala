@@ -212,6 +212,21 @@ object Scale {
           Dedup.winnowSharedPairs(fps, maxBucketSize = Some(64))
             .filter(col("shared") >= 2)
         }),
+        // q32's PRODUCTION configuration (the gate form is oracle-
+        // exhaustive): capped LSH candidates + Jaccard verify — the
+        // corpus-density knob applied, same operator
+        "q32_capped" -> ((s: SparkSession, dir: String) => {
+          import graft.operators.Dedup
+          val sets = Dedup.shingleFrame(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cands = Dedup.lshCandidatePairs(sets, bands = 2, rowsPerBand = 3,
+            maxBucketSize = Some(64))
+          val out = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
+            .localCheckpoint(true)
+          sets.unpersist(false)
+          out
+        }),
         // round-11 additions: sketch/sample/LM — all bounded-state or
         // word-count-shaped, probed with the same family
         "q114_kll_quantiles" -> SparkEntry.queries("q114_kll_quantiles"),

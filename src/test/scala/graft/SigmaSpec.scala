@@ -492,6 +492,44 @@ class SigmaSpec extends SparkSpec {
     assert(batch.nonEmpty && batch == streamed)
   }
 
+  test("rule-pack directory loads rules + correlations; bad files are named") {
+    val dir = java.nio.file.Files.createTempDirectory("sigma_pack")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("aws"))
+    java.nio.file.Files.writeString(sub.resolve("a_rules.yml"),
+      """title: one
+        |detection:
+        |  sel: {event_type: error}
+        |  condition: sel
+        |---
+        |title: two
+        |detection:
+        |  sel: {event_type: view}
+        |  condition: sel
+        |""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("b_corr.yaml"),
+      """title: burst
+        |correlation:
+        |  type: event_count
+        |  rules: [one]
+        |  group-by: [user]
+        |  timeframe: 5m
+        |  condition: {gte: 3}
+        |""".stripMargin)
+    val (rules, corrs) = SigmaRules.loadRulePack(dir.toString)
+    assert(rules.map(_.title) == Seq("one", "two"))
+    assert(corrs.map(_.title) == Seq("burst"))
+    java.nio.file.Files.writeString(dir.resolve("c_bad.yml"),
+      """title: broken
+        |detection:
+        |  sel: {f|base64: x}
+        |  condition: sel
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      SigmaRules.loadRulePack(dir.toString)
+    }
+    assert(e.getMessage.contains("c_bad.yml"))
+  }
+
   test("multi-document stream loads every rule") {
     val rules = SigmaRules.loadAll(
       """title: one
