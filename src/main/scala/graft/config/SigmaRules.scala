@@ -153,17 +153,23 @@ object SigmaRules {
       case _ => sys.error("sigma rule has no condition")
     }
     val title = root.path("title").asText("unnamed sigma rule")
+    // the pre-2.0 spec places `timeframe` INSIDE the detection section;
+    // later rules put it at document level — accept both (and never
+    // compile it as a selection)
+    val timeframe = Seq(det.path("timeframe"), root.path("timeframe"))
+      .collectFirst { case n if n.isTextual => n.asText }
+      .getOrElse("1h")
     // deprecated pre-2.0 aggregation suffix: `<cond> | count(field) by f > N`
     val (condition, legacyAgg) = rawCondition.split('|') match {
       case Array(c) => (c, None)
       case Array(c, agg) =>
         (c, Some(parseLegacyAggregation(agg.trim, title,
-          parseTimeframe(root.path("timeframe").asText("1h")), fieldMap,
+          parseTimeframe(timeframe), fieldMap,
           Option(root.path("level").asText(null)).filter(_.nonEmpty))))
       case _ => sys.error(s"sigma condition has multiple '|' sections: $rawCondition")
     }
     val selections: Map[String, Column] = det.properties.asScala
-      .filter(_.getKey != "condition")
+      .filter(e => e.getKey != "condition" && e.getKey != "timeframe")
       .map(e => e.getKey -> compileSelection(e.getValue, fieldMap, keywordField))
       .toMap
     val detect = new ConditionParser(condition.trim, selections).parse()
@@ -366,10 +372,12 @@ object SigmaRules {
       fieldMap: String => String = identity,
       keywordField: String = "message"): (Seq[SigmaRule], Seq[CorrelationSpec]) = {
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .iterator.asScala
-      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
-      .toSeq.sortBy(_.toString)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val files = // walk streams hold directory handles — close deterministically
+      try walk.iterator.asScala
+        .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+        .toVector.sortBy(_.toString)
+      finally walk.close()
     val rules = Seq.newBuilder[SigmaRule]
     val corrs = Seq.newBuilder[CorrelationSpec]
     files.foreach { f =>
@@ -379,7 +387,14 @@ object SigmaRules {
           try {
             if (yaml.readTree(doc).path("correlation").isObject)
               corrs += loadCorrelation(doc, fieldMap)
-            else rules += load(doc, fieldMap, keywordField)
+            else {
+              val r = load(doc, fieldMap, keywordField)
+              rules += r
+              // a legacy `| count() by` rule carries its threshold as an
+              // embedded correlation — surface it, or a caller consuming
+              // only the rules list would silently alert per-event
+              r.correlation.foreach(corrs += _)
+            }
           } catch {
             case e: Exception => throw new IllegalArgumentException(
               s"sigma rule pack: failed to load $f: ${e.getMessage}", e)
@@ -456,9 +471,15 @@ object SigmaRules {
       val ip = graft.operators.RangeJoin.ipv4ToLong(field)
       ip.between(b.getField("lo"), b.getField("hi"))
     case "windash" :: rest =>
-      // cmd-line dash variants: match both "-" and "/" flag spellings
+      // cmd-line dash variants in BOTH directions — a slash-spelled rule
+      // value must match dash-spelled events and vice versa; Sigma's full
+      // permutation set also covers unicode dashes (en dash here — the
+      // one seen in pasted command lines), per-position mixes are
+      // approximated by the uniform spellings
       val t = v.asText
-      Seq(t, t.replace('-', '/'))
+      Seq(t, t.replace('-', '/'), t.replace('/', '-'),
+          t.replace('-', '–'))
+        .distinct
         .map(s => compileOneValue(field, rest, yaml.readTree(quote(s)),
           caseSensitive))
         .reduce(_ || _)

@@ -141,9 +141,24 @@ object Dedup {
     * Chunking in id order makes every cross-chunk pair already id1 < id2;
     * only the diagonal cells need the in-cell ordering filter.
     *
+    * `hotThreshold` is the PER-TASK pair-volume dial, decoupled from the
+    * tile width: buckets at or under it take the plain within-bucket
+    * join (worst case ~hotThreshold²/2 pairs in the task owning that
+    * bucket — the default 4096 bounds a task at ~8M generated id pairs,
+    * a sub-second unit), buckets over it tile into blockSize chunks.
+    * Callers that need a tighter task bound pass hotThreshold down with
+    * blockSize (as q140 does); the two defaults are independent on
+    * purpose — shrinking the tile width should not drag every mid-size
+    * bucket into the schedule's replication overhead.
+    *
     * NOTE: runs one slim aggregation JOB at call time (the density dial —
-    * see the body). Callers whose `keyed` derivation is expensive should
-    * pass a persisted frame, as the q32 family already does.
+    * the over-threshold keys, bounded by n/hotThreshold by construction,
+    * collect to the driver once and feed both the branch decision and
+    * the split joins as a literal broadcast, so the sizing pass never
+    * re-executes inside the plan). Batch-only by the same token; the
+    * capped [[bandedCandidatePairs]] path is the streaming-friendly
+    * form. Callers whose `keyed` derivation is expensive should pass a
+    * persisted frame, as the q32 family already does.
     */
   def blockedCandidatePairs(keyed: DataFrame, idCol: String,
       keyCols: Seq[String], blockSize: Int = 1024,
@@ -180,22 +195,29 @@ object Dedup {
     // bucket (map-side combined) and only the OVER-threshold keys —
     // bounded by n/blockSize, they each hold >blockSize rows — come back
     // as a broadcast, so the small/hot split is two map-side joins.
-    val hotKeys = keyed.groupBy(keyCols.map(col): _*)
+    val hotKeysAgg = keyed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bn")).filter(col("__bn") > hotThreshold)
       .select(keyCols.map(col): _*)
-    // EAGER dial (one slim aggregation pass at build time): with no hot
-    // bucket the whole blocked apparatus — split joins, chunk windows,
-    // cell replication — is pure overhead (PairBench, 30× uniform
-    // density: 2.56 s blocked vs 0.57 s plain for the IDENTICAL pair
-    // set), so the uniform case returns the plain bucket join outright.
-    // Skew insurance is only priced when skew exists.
-    if (hotKeys.isEmpty) {
+    // EAGER dial, ONE pass: the over-threshold keys collect to the
+    // driver (bounded — each holds > hotThreshold rows, so there are at
+    // most n/hotThreshold of them) and become a LITERAL broadcast frame,
+    // so the sizing aggregation never re-executes inside the anti/semi
+    // joins at action time. With no hot bucket the whole blocked
+    // apparatus — split joins, chunk windows, cell replication — is pure
+    // overhead (PairBench, 30× uniform density: 2.56 s blocked vs 0.57 s
+    // plain for the IDENTICAL pair set), so the uniform case returns the
+    // plain bucket join outright. Skew insurance is only priced when
+    // skew exists.
+    val hotKeyRows = hotKeysAgg.collect()
+    if (hotKeyRows.isEmpty) {
       val a = keyed.repartition(nParts, keyCols.map(col): _*)
       return a.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
         .join(a.select(keyCols.map(col) :+ col(idCol).as("id2"): _*), keyCols)
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2")).distinct()
     }
+    val hotKeys = keyed.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotKeyRows: _*), hotKeysAgg.schema)
     val small = keyed.join(broadcast(hotKeys), keyCols, "left_anti")
       .repartition(nParts, keyCols.map(col): _*)
     val hot = keyed.join(broadcast(hotKeys), keyCols, "left_semi")

@@ -119,12 +119,15 @@ object Search {
         val phrase = top
           .select(posexplode(split(col("gram"), " ")))
           .select(col("pos").cast("int").as("ord"), col("col").as("term"))
-        InvertedIndex.phraseMatches(post, phrase, k = 2)
+        val out = InvertedIndex.phraseMatches(post, phrase, k = 2)
           .groupBy(col("doc"))
           .agg(count(lit(1)).as("n_matches"))
           .orderBy(col("n_matches").desc, col("doc"))
           .limit(20)
           .select(col("doc").as("doc_id"), col("n_matches"))
+          .localCheckpoint(true) // scoped cache: tiny result, then release
+        tok.unpersist(false)
+        out
       },
       Some(s"""
         WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents
@@ -178,6 +181,9 @@ object Search {
             coalesce(col("n_crossdoc_spans"), lit(0L)).as("n_crossdoc_spans"),
             coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
           .orderBy(col("doc_id"))
+          .localCheckpoint(true) // scoped cache: release both shared frames
+        dups.unpersist(false)
+        spans.unpersist(false)
         out
       },
       Some(s"""
@@ -223,13 +229,16 @@ object Search {
         val fps = Dedup.winnowFingerprints(en, "doc_id", "text", k = 3, w = 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nfp = fps.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
-        Dedup.winnowSharedPairs(fps, maxBucketSize = Some(1000))
+        val out = Dedup.winnowSharedPairs(fps, maxBucketSize = Some(1000))
           .join(nfp.select(col("doc").as("id1"), col("n_fp").as("n1")), "id1")
           .join(nfp.select(col("doc").as("id2"), col("n_fp").as("n2")), "id2")
           .filter(col("shared") >= 2)
           .orderBy(col("shared").desc, col("id1"), col("id2"))
           .limit(50)
           .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"))
+          .localCheckpoint(true) // scoped cache: tiny result, then release
+        fps.unpersist(false)
+        out
       },
       Some(s"""
         WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents
@@ -338,11 +347,14 @@ object Search {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cells = CountMin.counters(tc, "term", "cnt", d, m)
         val top = tc.orderBy(col("cnt").desc, col("term")).limit(20)
-        CountMin.estimate(cells, top.select(col("term")), "term", d, m)
+        val out = CountMin.estimate(cells, top.select(col("term")), "term", d, m)
           .join(broadcast(top), "term")
           .select(col("term"), col("cnt").as("true_cnt"), col("cm_est"),
             (col("cm_est") - col("cnt")).as("slack"))
           .orderBy(col("true_cnt").desc, col("term"))
+          .localCheckpoint(true) // scoped cache: tiny result, then release
+        tc.unpersist(false)
+        out
       },
       Some(s"""
         WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents
@@ -430,12 +442,19 @@ object Search {
         // postings-groupBy form (a token-less doc has no postings rows)
         val nTok = tok.filter(size(col("tk")) > 0)
           .select(col("doc"), size(col("tk")).cast("long").as("n_tokens"))
-        nTok.join(clean, Seq("doc"), "left")
+        // q32's scoped-cache convention: materialize the (small) result
+        // eagerly, then release both shared frames — library callers must
+        // not inherit two corpus-sized cache entries per invocation
+        val out = nTok.join(clean, Seq("doc"), "left")
           .select(col("doc").as("doc_id"), col("n_tokens"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
             md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
           .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+        spans.unpersist(false)
+        tok.unpersist(false)
+        out
       },
       Some(s"""
         WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),

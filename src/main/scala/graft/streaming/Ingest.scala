@@ -115,11 +115,20 @@ object Ingest {
     // Ledger-missing (first run) is expected; ledger-UNREADABLE is not.
     // Swallowing a transient read error here would silently reprocess the
     // entire landing history, breaking the "at most the in-flight batch"
-    // re-processing bound — so only the existence check is forgiven.
-    val ledgerFs = new org.apache.hadoop.fs.Path(ledgerPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-processing bound — so only genuinely-empty states are forgiven:
+    // a missing path, or a dir with no committed parquet files (the state
+    // a crash during the FIRST ledger write leaves behind — its files
+    // were never ledgered, so reprocessing them is the documented
+    // in-flight-batch window, not a history replay).
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
+    val ledgerFs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committedLedgerFiles: Boolean = ledgerFs.listStatus(lp).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
     val ledgered =
-      if (ledgerFs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+      if (ledgerFs.exists(lp) && committedLedgerFiles)
         spark.read.parquet(ledgerPath).select(col("path"))
       else Seq.empty[String].toDF("path")
     // bounded collect: one row per NEW file of this batch — the driver

@@ -428,6 +428,51 @@ class SigmaSpec extends SparkSpec {
       .select("user").as[String].collect().toSet == Set("alice"))
   }
 
+  test("detection-level timeframe (pre-2.0 spec) is honored, never a selection") {
+    // v1 rules put timeframe INSIDE detection — it must set the window
+    // AND must not compile into `all of them` as a pseudo-selection
+    val rule = SigmaRules.load(
+      """title: v1_brute_force
+        |detection:
+        |  timeframe: 24h
+        |  sel:
+        |    action: fail
+        |  condition: all of them | count() by user > 2
+        |""".stripMargin)
+    assert(rule.correlation.get.timeframeSeconds == 86400)
+    // `all of them` covers only the real selection — events still match
+    assert(matchedIds(logins, rule.detect) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("windash matches both spellings in both directions") {
+    val f = Seq((1L, "-accepteula x"), (2L, "/accepteula y"), (3L, "none"))
+      .toDF("id", "cmd")
+    // slash-spelled rule value must still match dash-spelled events
+    val slashRule = SigmaRules.load(
+      """title: w
+        |detection:
+        |  sel:
+        |    cmd|windash|contains: '/accepteula'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, slashRule.detect) == Set(1L, 2L))
+  }
+
+  test("rule pack surfaces legacy embedded correlations") {
+    val dir = java.nio.file.Files.createTempDirectory("sigma_pack2")
+    java.nio.file.Files.writeString(dir.resolve("legacy.yml"),
+      """title: brute
+        |detection:
+        |  sel: {action: fail}
+        |  condition: sel | count() by user > 10
+        |timeframe: 10m
+        |""".stripMargin)
+    val (rules, corrs) = SigmaRules.loadRulePack(dir.toString)
+    // the threshold the author wrote must not be silently discarded
+    assert(rules.map(_.title) == Seq("brute"))
+    assert(corrs.map(_.title) == Seq("brute") && corrs.head.n == 10)
+  }
+
   test("correlation guards: unknown type, missing field, near() all throw") {
     intercept[Exception] { SigmaRules.loadCorrelation(
       """title: t
