@@ -123,4 +123,21 @@ object Privacy {
     }
     counted.withColumn("redacted", redacted)
   }
+
+  /** k-anonymity suppression over quasi-identifier columns — the
+    * publishing gate a training corpus with joined user metadata needs
+    * BEFORE release: any row whose quasi-identifier combination is shared
+    * by fewer than k rows is suppressed (the combination is identifying).
+    * One grouped count on the quasi columns plus a slim join of (keys, n)
+    * back onto the rows — bodies never shuffle; the marking frame is
+    * group-cardinality-sized. Returns the input rows with `__group_n` and
+    * `__k_kept`; callers filter or audit.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, s"need quasi columns and k>=1")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__group_n"))
+    df.join(counts, quasiCols)
+      .withColumn("__k_kept", col("__group_n") >= k)
+  }
 }

@@ -2551,6 +2551,88 @@ object TextPipeline {
                CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
         FROM j
         WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2
-        ORDER BY jaccard DESC, id1, id2"""))
+        ORDER BY jaccard DESC, id1, id2""")),
+
+    // ---- q145: LM-perplexity quality filter — q116's corpus bigram LM
+    // turned into the curation decision real recipes make (CCNet-style
+    // "perplexity buckets"): every doc scores under the corpus LM, the
+    // LEAST-familiar decile (highest perplexity = most out-of-
+    // distribution) is dropped, and the cut is a RANK, not a float
+    // threshold — rank-on-(familiarity, doc_id) is total-ordered and
+    // engine-portable, so no boundary-value double comparisons exist.
+    // Composition cost over q116 is one window over the per-doc score
+    // frame (n rows, tiny) — the LM derivation is the work and it is
+    // already the one-pass shape q116 gates.
+    QueryDef(
+      "q145_perplexity_filter",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        import graft.operators.Ranking
+        val scored = TextAnalysis.bigramFamiliarity(docs(s, dir), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = scored.count() // one scalar: ranked population size
+        val cut = n / 10 // bottom decile suppressed
+        // DISTRIBUTED total-order rank (Ranking.globalRank): an
+        // unpartitioned row_number window would sort the whole score
+        // frame in ONE task — the range-partitioned two-phase form keeps
+        // the cut exact (oracle-portable) at cluster parallelism
+        val out = Ranking.globalRank(scored,
+            Seq(col("familiarity"), col("doc_id")), "fam_rank")
+          .withColumn("kept", col("fam_rank") > cut)
+          .select(col("doc_id"), col("n_bigrams"), col("familiarity"),
+            col("fam_rank"), col("kept"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true) // scoped cache (the q32 convention)
+        scored.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+                 i -> {'pos': i + 1, 'gram': tk[i+1] || ' ' || tk[i+2],
+                       'w1': tk[i+1]})) AS g FROM tk),
+        bg AS (SELECT doc_id, g.pos AS pos, g.gram AS gram, g.w1 AS w1 FROM g0),
+        bc AS (SELECT gram, COUNT(*)::BIGINT AS b FROM bg GROUP BY gram),
+        pc AS (SELECT w1, COUNT(*)::BIGINT AS p FROM bg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT t)::BIGINT AS V FROM
+                (SELECT unnest(tk) AS t FROM tk)),
+        r AS (SELECT bg.doc_id, bg.pos,
+                     (bc.b + 1)::DOUBLE / (pc.p + v.V)::DOUBLE AS r
+              FROM bg JOIN bc USING (gram) JOIN pc USING (w1) CROSS JOIN v),
+        sc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                      list_sum(list(r ORDER BY pos)) / COUNT(*) AS familiarity
+               FROM r GROUP BY doc_id),
+        rk AS (SELECT *, ROW_NUMBER() OVER
+                 (ORDER BY familiarity, doc_id)::BIGINT AS fam_rank FROM sc),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM sc)
+        SELECT doc_id, n_bigrams, familiarity, fam_rank,
+               fam_rank > nn.n // 10 AS kept
+        FROM rk CROSS JOIN nn
+        ORDER BY doc_id""")),
+
+    // ---- q146: k-anonymity suppression — the publishing gate for a
+    // corpus carrying joined quasi-identifiers: any (lang, source)
+    // combination shared by fewer than k docs is identifying and its
+    // rows are suppressed. One grouped count + a slim (keys, n) join
+    // back — bodies never shuffle; the audit output is per-group so
+    // reviewers see WHAT was suppressed, not just how much.
+    QueryDef(
+      "q146_k_anonymity",
+      (s, dir) => {
+        import graft.operators.Privacy
+        Privacy.kAnonymize(docs(s, dir)
+            .select(col("doc_id"), col("lang"), col("source")),
+            Seq("lang", "source"), k = 5)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("__k_kept")).as("kept"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""
+        SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+               COUNT(*) >= 5 AS kept
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source"""))
   )
 }

@@ -101,6 +101,34 @@ class OperatorsSpec extends SparkSpec {
       blockSize = 1000)) == full)
   }
 
+  test("Ranking.globalRank equals the single-window row_number, distributed") {
+    import graft.operators.Ranking
+    val df = spark.range(0, 5000)
+      .select(col("id"), (pmod(xxhash64(col("id")), lit(97L)).cast("double") / 10.0).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col("id"))
+    val single = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("id", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Ranking.globalRank(df, Seq(col("score"), col("id")), "r")
+      .select("id", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == single)
+    // ranks are a permutation of 1..n
+    assert(dist.values.toSeq.sorted == (1L to 5000L))
+  }
+
+  test("k-anonymity suppression marks exactly the under-k groups") {
+    import graft.operators.Privacy
+    val df = Seq(
+      ("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"), ("fr", "a"))
+      .toDF("lang", "src")
+    val out = Privacy.kAnonymize(df, Seq("lang", "src"), k = 2)
+    val kept = out.filter(col("__k_kept")).count()
+    val dropped = out.filter(!col("__k_kept"))
+      .select("lang", "src").distinct.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == 3 && dropped == Set(("en", "b"), ("fr", "a")))
+  }
+
   test("LSH bucket cap suppresses degenerate boilerplate buckets") {
     val boiler = (1 to 5).map(i => (i.toLong, "same boilerplate text here over and over"))
     val df = boiler.toDF("doc_id", "text")
