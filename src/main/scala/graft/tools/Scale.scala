@@ -232,6 +232,9 @@ object Scale {
         "q114_kll_quantiles" -> SparkEntry.queries("q114_kll_quantiles"),
         "q115_bottomk_sample" -> SparkEntry.queries("q115_bottomk_sample"),
         "q116_bigram_lm" -> SparkEntry.queries("q116_bigram_lm"),
+        // round-12 additions: LM-rank curation + quasi-identifier gate
+        "q145_perplexity_filter" -> SparkEntry.queries("q145_perplexity_filter"),
+        "q146_k_anonymity" -> SparkEntry.queries("q146_k_anonymity"),
         "q117_hll_distinct" -> SparkEntry.queries("q117_hll_distinct"),
         "q118_temperature_mix" -> SparkEntry.queries("q118_temperature_mix"),
         "q119_shard_plan" -> SparkEntry.queries("q119_shard_plan"),
