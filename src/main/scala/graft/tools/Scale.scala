@@ -232,7 +232,12 @@ object Scale {
         "q114_kll_quantiles" -> SparkEntry.queries("q114_kll_quantiles"),
         "q115_bottomk_sample" -> SparkEntry.queries("q115_bottomk_sample"),
         "q116_bigram_lm" -> SparkEntry.queries("q116_bigram_lm"),
-        // round-12 additions: LM-rank curation + quasi-identifier gate
+        // round-12 additions: Sigma surfaces, IVF lake fold, LM-rank
+        // curation, quasi-identifier gate
+        "q141_sigma_rules" -> SparkEntry.queries("q141_sigma_rules"),
+        "q142_sigma_correlation" -> SparkEntry.queries("q142_sigma_correlation"),
+        "q143_ivf_lake_fold" -> SparkEntry.queries("q143_ivf_lake_fold"),
+        "q144_sigma_temporal" -> SparkEntry.queries("q144_sigma_temporal"),
         "q145_perplexity_filter" -> SparkEntry.queries("q145_perplexity_filter"),
         "q146_k_anonymity" -> SparkEntry.queries("q146_k_anonymity"),
         "q117_hll_distinct" -> SparkEntry.queries("q117_hll_distinct"),
