@@ -137,7 +137,15 @@ object Privacy {
     require(quasiCols.nonEmpty && k >= 1, s"need quasi columns and k>=1")
     val counts = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__group_n"))
-    df.join(counts, quasiCols)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("__group_n"): _*)
+    // NULL quasi values form real groups (groupBy already counts them as
+    // one), so the count join must be null-safe: a plain using-columns
+    // equi-join would silently drop null-keyed rows — neither kept,
+    // suppressed, nor audited — the worst failure direction for a
+    // publishing gate. `<=>` is still a hash-joinable equality key.
+    val cond = quasiCols.map(c => df(c) <=> counts(s"__q_$c")).reduce(_ && _)
+    df.join(counts, cond)
+      .select(df.columns.map(df(_)) :+ col("__group_n"): _*)
       .withColumn("__k_kept", col("__group_n") >= k)
   }
 }

@@ -2615,13 +2615,18 @@ object TextPipeline {
     // combination shared by fewer than k docs is identifying and its
     // rows are suppressed. One grouped count + a slim (keys, n) join
     // back — bodies never shuffle; the audit output is per-group so
-    // reviewers see WHAT was suppressed, not just how much.
+    // reviewers see WHAT was suppressed, not just how much. `lang` is
+    // deliberately nulled for one value (nullif) so the fixture carries
+    // NULL quasi-identifiers: a null lang shared by many rows is a real
+    // group, and the gate's null-safe count join must neither drop nor
+    // miscount it — the oracle's GROUP BY groups nulls the same way.
     QueryDef(
       "q146_k_anonymity",
       (s, dir) => {
         import graft.operators.Privacy
         Privacy.kAnonymize(docs(s, dir)
-            .select(col("doc_id"), col("lang"), col("source")),
+            .select(col("doc_id"),
+              nullif(col("lang"), lit("de")).as("lang"), col("source")),
             Seq("lang", "source"), k = 5)
           .groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -2631,7 +2636,7 @@ object TextPipeline {
       Some("""
         SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
                COUNT(*) >= 5 AS kept
-        FROM documents
+        FROM (SELECT nullif(lang, 'de') AS lang, source FROM documents)
         GROUP BY lang, source
         ORDER BY lang, source"""))
   )

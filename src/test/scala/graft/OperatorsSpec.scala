@@ -99,6 +99,15 @@ class OperatorsSpec extends SparkSpec {
     // plain join (eagerly — no blocked machinery in the plan)
     assert(pairSet(Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"),
       blockSize = 1000)) == full)
+    // caller-PERSISTED input takes the pigeonhole detection path (local
+    // counts are partial, not exact) — the superset dial must still
+    // tile the hot bucket and reproduce the exact pair set
+    val cached = rows.repartition(4).persist()
+    try {
+      cached.count()
+      assert(pairSet(Dedup.blockedCandidatePairs(cached, "id", Seq("bucket"),
+        blockSize = 3, hotThreshold = 3)) == full)
+    } finally cached.unpersist()
   }
 
   test("Ranking.globalRank equals the single-window row_number, distributed") {
@@ -127,6 +136,31 @@ class OperatorsSpec extends SparkSpec {
       .select("lang", "src").distinct.collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(kept == 3 && dropped == Set(("en", "b"), ("fr", "a")))
+  }
+
+  test("k-anonymity keeps NULL quasi-identifier rows as their own groups") {
+    import graft.operators.Privacy
+    // (null, "a") × 3 is a real over-k group; (null, null) × 1 and
+    // ("en", null) × 1 are under-k. Every row must come back — a row
+    // with a null quasi value that silently vanishes is the worst
+    // failure direction for a publishing gate.
+    val df = Seq[(java.lang.Long, String, String)](
+      (1L, null, "a"), (2L, null, "a"), (3L, null, "a"),
+      (4L, null, null), (5L, "en", null),
+      (6L, "en", "a"), (7L, "en", "a"))
+      .toDF("id", "lang", "src")
+    val out = Privacy.kAnonymize(df, Seq("lang", "src"), k = 2).cache()
+    try {
+      assert(out.count() == 7, "no row may be lost on null quasi values")
+      assert(out.columns.toSeq ==
+        Seq("id", "lang", "src", "__group_n", "__k_kept"))
+      val byId = out.collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+      assert(byId(1L) == ((3L, true)) && byId(2L) == ((3L, true)) &&
+        byId(3L) == ((3L, true)))
+      assert(byId(4L) == ((1L, false)) && byId(5L) == ((1L, false)))
+      assert(byId(6L) == ((2L, true)) && byId(7L) == ((2L, true)))
+    } finally out.unpersist()
   }
 
   test("LSH bucket cap suppresses degenerate boilerplate buckets") {
