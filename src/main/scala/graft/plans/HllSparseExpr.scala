@@ -26,6 +26,11 @@ object HllSparse {
 /** Dense register array → packed sparse array when the non-zero count is
   * ≤ maxFill, unchanged otherwise. Idempotent: an already-sparse input
   * (length < 2^p) passes through.
+  *
+  * Pass-through branches return a defensive `copy()` of the input
+  * ArrayData, never the input itself: a returned alias to a reused
+  * `UnsafeArrayData` buffer (sort / aggregation operators recycle row
+  * buffers) would be silently corrupted when the buffer is overwritten.
   */
 case class HllSparsify(child: Expression, p: Int, maxFill: Int)
   extends UnaryExpression {
@@ -45,11 +50,11 @@ case class HllSparsify(child: Expression, p: Int, maxFill: Int)
 
   override def nullSafeEval(a: Any): Any = {
     val regs = a.asInstanceOf[ArrayData]
-    if (regs.numElements() != m) return regs // already sparse
+    if (regs.numElements() != m) return regs.copy() // already sparse
     var nz = 0
     var i = 0
     while (i < m) { if (regs.getInt(i) != 0) nz += 1; i += 1 }
-    if (nz > maxFill) return regs
+    if (nz > maxFill) return regs.copy()
     val out = new Array[Int](nz)
     var j = 0
     i = 0
@@ -69,10 +74,10 @@ case class HllSparsify(child: Expression, p: Int, maxFill: Int)
       val out = ctx.freshName("out")
       val r = ctx.freshName("r")
       s"""
-         |if ($a.numElements() != $m) { ${ev.value} = $a; } else {
+         |if ($a.numElements() != $m) { ${ev.value} = $a.copy(); } else {
          |  int $nz = 0;
          |  for (int $i = 0; $i < $m; $i++) if ($a.getInt($i) != 0) $nz++;
-         |  if ($nz > $maxFill) { ${ev.value} = $a; } else {
+         |  if ($nz > $maxFill) { ${ev.value} = $a.copy(); } else {
          |    int[] $out = new int[$nz];
          |    int $j = 0;
          |    for (int $i = 0; $i < $m; $i++) {
@@ -90,7 +95,8 @@ case class HllSparsify(child: Expression, p: Int, maxFill: Int)
 }
 
 /** Sparse or dense register array → dense (length 2^p). Pass-through for
-  * dense input, scatter of the packed pairs otherwise.
+  * dense input (defensively copied — see [[HllSparsify]]), scatter of
+  * the packed pairs otherwise.
   */
 case class HllDensify(child: Expression, p: Int)
   extends UnaryExpression {
@@ -108,7 +114,7 @@ case class HllDensify(child: Expression, p: Int)
 
   override def nullSafeEval(a: Any): Any = {
     val regs = a.asInstanceOf[ArrayData]
-    if (regs.numElements() == m) return regs
+    if (regs.numElements() == m) return regs.copy()
     val out = new Array[Int](m)
     var i = 0
     while (i < regs.numElements()) {
@@ -125,7 +131,7 @@ case class HllDensify(child: Expression, p: Int)
       val out = ctx.freshName("out")
       val packed = ctx.freshName("packed")
       s"""
-         |if ($a.numElements() == $m) { ${ev.value} = $a; } else {
+         |if ($a.numElements() == $m) { ${ev.value} = $a.copy(); } else {
          |  int[] $out = new int[$m];
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
          |    int $packed = $a.getInt($i);

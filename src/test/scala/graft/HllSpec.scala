@@ -181,4 +181,42 @@ class HllSpec extends SparkSpec {
       .head
     assert(few.getSeq[Int](0) == few.getSeq[Int](1))
   }
+
+  test("pass-through branches never alias a reused UnsafeArrayData buffer") {
+    // Operators that buffer rows (sort, aggregation) RECYCLE the backing
+    // bytes of UnsafeArrayData between rows. An expression that returns
+    // its input ArrayData on a no-op branch therefore hands out a view
+    // into memory that the operator will overwrite — the result must be
+    // a defensive copy that survives mutation of the source buffer.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val p = 4
+    val m = 1 << p
+    val ref = BoundReference(0, ArrayType(IntegerType, containsNull = false),
+      nullable = false)
+
+    def evalThenClobber(expr: org.apache.spark.sql.catalyst.expressions.Expression,
+                        input: Array[Int]): (Seq[Int], Array[Int]) = {
+      val buf = UnsafeArrayData.fromPrimitiveArray(input)
+      val out = expr.eval(InternalRow(buf)).asInstanceOf[ArrayData]
+      val snapshot = out.toIntArray.toSeq
+      (0 until buf.numElements()).foreach(i => buf.setInt(i, -1)) // buffer reuse
+      (snapshot, out.toIntArray)
+    }
+
+    // sparsify pass-through #1: already-sparse input
+    val sparse = Array((3 << 6) | 5, (7 << 6) | 2)
+    val (s1, s1After) = evalThenClobber(graft.plans.HllSparsify(ref, p, 4), sparse)
+    assert(s1 == sparse.toSeq && s1After.toSeq == s1)
+    // sparsify pass-through #2: dense input above the fill threshold
+    val full = Array.tabulate(m)(i => (i % 5) + 1)
+    val (s2, s2After) = evalThenClobber(graft.plans.HllSparsify(ref, p, 2), full)
+    assert(s2 == full.toSeq && s2After.toSeq == s2)
+    // densify pass-through: already-dense input
+    val (d1, d1After) = evalThenClobber(graft.plans.HllDensify(ref, p), full)
+    assert(d1 == full.toSeq && d1After.toSeq == d1)
+  }
 }
