@@ -387,7 +387,14 @@ object TextAnalysis {
     val vocab = tok.select(explode_outer(col("tk")).as("t"))
       .filter(col("t").isNotNull)
       .agg(countDistinct(col("t")).as("V"))
-    bg.join(bcount, "gram").join(pcount, "w1").crossJoin(broadcast(vocab))
+    // pcount is UNIGRAM-vocabulary-sized (one slim (word, count) row per
+    // distinct first word — Heaps'-law sublinear in corpus size), so it
+    // broadcasts; that turns the second (doc,pos,gram) exchange into a
+    // map-side hash join, leaving one big shuffle (on gram) before the
+    // per-doc fold. bcount is BIGRAM-vocabulary-sized and stays a
+    // shuffle join.
+    bg.join(bcount, "gram").join(broadcast(pcount), "w1")
+      .crossJoin(broadcast(vocab))
       .withColumn("r",
         (col("b") + 1).cast("double") / (col("p") + col("V")).cast("double"))
       .groupBy(col("doc"))
