@@ -44,10 +44,15 @@ import org.apache.spark.sql.functions._
   * threshold-aggregation shape (A1): one filter + one grouped
   * count/countDistinct per timeframe window.
   *
-  * Out of scope (rare, documented): `base64`/`base64offset` encodings,
-  *   `|expand` placeholders, `near` aggregations, and field-ref
-  *   comparisons — loading a rule that uses one throws with the
-  *   unsupported construct named.
+  * Also covered: `base64` / `base64offset` encodings (pure literal
+  * expansion — plain base64, and the three alignment-offset substrings
+  * composing with `contains`; the encoded-PowerShell staple of real
+  * SigmaHQ packs).
+  *
+  * Out of scope (rare, documented): `utf16`/`utf16le`/`utf16be`/`wide`
+  *   prefixes to the base64 modifiers, `|expand` placeholders, `near`
+  *   aggregations, and field-ref comparisons — loading a rule that uses
+  *   one throws with the unsupported construct named.
   */
 object SigmaRules {
 
@@ -133,6 +138,105 @@ object SigmaRules {
   private def snakeCase(s: String): String =
     s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
 
+  /** Field map for SigmaHQ `product: zeek` rules — Zeek-native log field
+    * names → the ECS columns the managed Zeek transforms emit
+    * (`transform/managed/ZeekDns.scala`, `ZeekHttp.scala`,
+    * `ZeekConn.scala` encode the correspondences; reference
+    * `data/managed/log_sources/zeek/tables/{dns,http,conn}.yml`). One
+    * map covers the services — the raw names don't collide across logs.
+    * Unmapped names pass through (`zeek.*` vendor fields are already
+    * addressed by their column path). Note the reference's http
+    * transform DROPS `uri` without parsing it into `url.*`
+    * (http.yml:185-189 TODO) — rules over `uri` are unmappable until it
+    * does.
+    */
+  val ecsZeek: String => String = {
+    val exact = Map(
+      // endpoint tuple (all zeek logs)
+      "id.orig_h" -> "source.ip",
+      "id.orig_p" -> "source.port",
+      "id.resp_h" -> "destination.ip",
+      "id.resp_p" -> "destination.port",
+      "proto" -> "network.transport",
+      "uid" -> "event.id",
+      // dns.log
+      "query" -> "dns.question.name",
+      "qclass_name" -> "dns.question.class",
+      "qtype_name" -> "dns.question.type",
+      "rcode_name" -> "dns.response_code",
+      "answers" -> "dns.answers",
+      // http.log
+      "method" -> "http.request.method",
+      "host" -> "url.domain",
+      "referrer" -> "http.request.referrer",
+      "version" -> "http.version",
+      "user_agent" -> "user_agent.original",
+      "username" -> "url.username",
+      "password" -> "url.password",
+      "request_body_len" -> "http.request.body.bytes",
+      "response_body_len" -> "http.response.body.bytes",
+      "status_code" -> "http.response.status_code",
+      "status_msg" -> "zeek.http.status_msg",
+      "trans_depth" -> "zeek.http.trans_depth",
+      "resp_mime_types" -> "zeek.http.resp_mime_types")
+    (f: String) => exact.getOrElse(f, f)
+  }
+
+  /** Field map for SigmaHQ `product: okta` rules — the rules spell Okta
+    * System Log fields all-lowercase (`eventtype`, `displaymessage`,
+    * `client.ipaddress`); this maps them (case-insensitively) onto the
+    * columns the managed Okta transform emits
+    * (`transform/managed/Okta.scala`; reference
+    * `data/managed/log_sources/okta/tables/system.yml`). Lowercased raw
+    * names can't be snake_cased algorithmically, so the correspondences
+    * are enumerated from the transform.
+    */
+  val ecsOkta: String => String = {
+    val exact = Map(
+      "eventtype" -> "okta.event_type",
+      "displaymessage" -> "okta.display_message",
+      "uuid" -> "okta.uuid",
+      "published" -> "ts",
+      "outcome.result" -> "okta.outcome.result",
+      "outcome.reason" -> "okta.outcome.reason",
+      "actor.id" -> "okta.actor.id",
+      "actor.type" -> "okta.actor.type",
+      "actor.alternateid" -> "okta.actor.alternate_id",
+      "actor.displayname" -> "okta.actor.display_name",
+      "client.ipaddress" -> "okta.client.ip",
+      "client.device" -> "okta.client.device",
+      "client.id" -> "okta.client.id",
+      "client.zone" -> "okta.client.zone",
+      "client.useragent.browser" -> "okta.client.user_agent.browser",
+      "client.useragent.os" -> "okta.client.user_agent.os",
+      "client.useragent.rawuseragent" -> "okta.client.user_agent.raw_user_agent",
+      "transaction.id" -> "okta.transaction.id",
+      "transaction.type" -> "okta.transaction.type",
+      "securitycontext.asnumber" -> "okta.security_context.as.number",
+      "securitycontext.asorg" -> "okta.security_context.as.organization.name",
+      "securitycontext.domain" -> "okta.security_context.domain",
+      "securitycontext.isproxy" -> "okta.security_context.is_proxy",
+      "securitycontext.isp" -> "okta.security_context.isp",
+      "authenticationcontext.authenticationstep" ->
+        "okta.authentication_context.authentication_step",
+      "authenticationcontext.credentialprovider" ->
+        "okta.authentication_context.credential_provider",
+      "authenticationcontext.credentialtype" ->
+        "okta.authentication_context.credential_type",
+      "authenticationcontext.externalsessionid" ->
+        "okta.authentication_context.external_session_id",
+      "debugcontext.debugdata.requestid" ->
+        "okta.debug_context.debug_data.request_id",
+      "debugcontext.debugdata.requesturi" ->
+        "okta.debug_context.debug_data.request_uri",
+      "debugcontext.debugdata.url" -> "okta.debug_context.debug_data.url",
+      "debugcontext.debugdata.threatsuspected" ->
+        "okta.debug_context.debug_data.threat_suspected",
+      "debugcontext.debugdata.devicefingerprint" ->
+        "okta.debug_context.debug_data.device_fingerprint")
+    (f: String) => exact.getOrElse(f.toLowerCase, f)
+  }
+
   /** Parse one Sigma rule document and compile its detection to a
     * predicate. `fieldMap` renames Sigma field names to the event
     * table's columns (e.g. [[ecsCloudtrail]]); `keywordField` is the
@@ -141,8 +245,13 @@ object SigmaRules {
   def load(
       yamlText: String,
       fieldMap: String => String = identity,
-      keywordField: String = "message"): SigmaRule = {
-    val root = yaml.readTree(yamlText)
+      keywordField: String = "message"): SigmaRule =
+    loadNode(yaml.readTree(yamlText), fieldMap, keywordField)
+
+  private def loadNode(
+      root: JsonNode,
+      fieldMap: String => String,
+      keywordField: String): SigmaRule = {
     val det = root.path("detection")
     require(det.isObject, "sigma rule has no detection section")
     val rawCondition = det.path("condition") match {
@@ -159,14 +268,16 @@ object SigmaRules {
     val timeframe = Seq(det.path("timeframe"), root.path("timeframe"))
       .collectFirst { case n if n.isTextual => n.asText }
       .getOrElse("1h")
-    // deprecated pre-2.0 aggregation suffix: `<cond> | count(field) by f > N`
-    val (condition, legacyAgg) = rawCondition.split('|') match {
+    // deprecated pre-2.0 aggregation suffix: `<cond> | count(field) by f > N`.
+    // Split on the FIRST '|' only — the aggregation side owns everything
+    // after it (a '|' inside the agg text fails its own parse with a
+    // named error, not a bogus "multiple sections" one).
+    val (condition, legacyAgg) = rawCondition.split("\\|", 2) match {
       case Array(c) => (c, None)
       case Array(c, agg) =>
         (c, Some(parseLegacyAggregation(agg.trim, title,
           parseTimeframe(timeframe), fieldMap,
           Option(root.path("level").asText(null)).filter(_.nonEmpty))))
-      case _ => sys.error(s"sigma condition has multiple '|' sections: $rawCondition")
     }
     val selections: Map[String, Column] = det.properties.asScala
       .filter(e => e.getKey != "condition" && e.getKey != "timeframe")
@@ -187,9 +298,13 @@ object SigmaRules {
     */
   def loadCorrelation(
       yamlText: String,
-      fieldMap: String => String = identity): CorrelationSpec = {
+      fieldMap: String => String = identity): CorrelationSpec =
+    loadCorrelationNode(yaml.readTree(yamlText), fieldMap)
+
+  private def loadCorrelationNode(
+      root: JsonNode,
+      fieldMap: String => String): CorrelationSpec = {
     import scala.jdk.CollectionConverters._
-    val root = yaml.readTree(yamlText)
     val c = root.path("correlation")
     require(c.isObject, "not a sigma correlation document")
     val corrType = c.path("type").asText
@@ -350,6 +465,18 @@ object SigmaRules {
     }
   }
 
+  /** Split a YAML stream into documents with the YAML parser's NATIVE
+    * multi-document reading — a regex split on `^---$` would corrupt a
+    * rule whose block scalar (a description, a script payload) contains
+    * a bare `---` line. Empty documents (`--- ---`) are dropped.
+    */
+  private def readDocuments(yamlText: String): Seq[JsonNode] = {
+    val parser = yaml.getFactory.createParser(yamlText)
+    try yaml.readValues(parser, classOf[JsonNode]).asScala.toVector
+      .filterNot(n => n == null || n.isNull || n.isMissingNode)
+    finally parser.close()
+  }
+
   /** Load every rule in a multi-document YAML stream (sigma collections
     * ship many rules per file).
     */
@@ -357,9 +484,7 @@ object SigmaRules {
       yamlText: String,
       fieldMap: String => String = identity,
       keywordField: String = "message"): Seq[SigmaRule] =
-    yamlText.split("(?m)^---\\s*$").iterator
-      .map(_.trim).filter(_.nonEmpty)
-      .map(load(_, fieldMap, keywordField)).toSeq
+    readDocuments(yamlText).map(loadNode(_, fieldMap, keywordField))
 
   /** Load a rule-pack directory the way users keep Sigma repos: every
     * `*.yml`/`*.yaml` under `dir` (recursive, sorted for determinism),
@@ -382,24 +507,21 @@ object SigmaRules {
     val corrs = Seq.newBuilder[CorrelationSpec]
     files.foreach { f =>
       val text = java.nio.file.Files.readString(f)
-      text.split("(?m)^---\\s*$").iterator
-        .map(_.trim).filter(_.nonEmpty).foreach { doc =>
-          try {
-            if (yaml.readTree(doc).path("correlation").isObject)
-              corrs += loadCorrelation(doc, fieldMap)
-            else {
-              val r = load(doc, fieldMap, keywordField)
-              rules += r
-              // a legacy `| count() by` rule carries its threshold as an
-              // embedded correlation — surface it, or a caller consuming
-              // only the rules list would silently alert per-event
-              r.correlation.foreach(corrs += _)
-            }
-          } catch {
-            case e: Exception => throw new IllegalArgumentException(
-              s"sigma rule pack: failed to load $f: ${e.getMessage}", e)
-          }
+      try readDocuments(text).foreach { doc =>
+        if (doc.path("correlation").isObject)
+          corrs += loadCorrelationNode(doc, fieldMap)
+        else {
+          val r = loadNode(doc, fieldMap, keywordField)
+          rules += r
+          // a legacy `| count() by` rule carries its threshold as an
+          // embedded correlation — surface it, or a caller consuming
+          // only the rules list would silently alert per-event
+          r.correlation.foreach(corrs += _)
         }
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"sigma rule pack: failed to load $f: ${e.getMessage}", e)
+      }
     }
     (rules.result(), corrs.result())
   }
@@ -472,25 +594,107 @@ object SigmaRules {
       ip.between(b.getField("lo"), b.getField("hi"))
     case "windash" :: rest =>
       // cmd-line dash variants in BOTH directions — a slash-spelled rule
-      // value must match dash-spelled events and vice versa; Sigma's full
-      // permutation set also covers unicode dashes (en dash here — the
-      // one seen in pasted command lines), per-position mixes are
-      // approximated by the uniform spellings
-      val t = v.asText
-      Seq(t, t.replace('-', '/'), t.replace('/', '-'),
-          t.replace('-', '–'))
-        .distinct
-        .map(s => compileOneValue(field, rest, yaml.readTree(quote(s)),
-          caseSensitive))
-        .reduce(_ || _)
+      // value must match dash-spelled events and vice versa. Each dash/
+      // slash POSITION compiles to one character class over every
+      // spelling (-, /, en dash, em dash, horizontal bar), so
+      // per-position MIXED spellings (`-a /b`) match too — whole-string
+      // enumeration cannot cover the cross product
+      windashMatch(field, matchMode(rest, "windash"), v.asText, caseSensitive)
+    case "base64" :: rest =>
+      // literal expansion: the rule value base64-encoded, remaining
+      // match mode applied to the encoded text (base64 alphabet has no
+      // glob metacharacters, so the literal fast path applies)
+      stringMatch(field, matchMode(rest, "base64"),
+        java.util.Base64.getEncoder.encodeToString(
+          v.asText.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        caseSensitive)
+    case "base64offset" :: rest =>
+      // base64 of a value embedded at an UNKNOWN byte offset: the
+      // encoding of a span depends only on offset mod 3, so three
+      // alignment variants (value shifted by 0/1/2 pad bytes, sliced to
+      // the chars fully determined by the value) cover every position —
+      // the encoded-PowerShell staple (`|base64offset|contains`)
+      matchMode(rest, "base64offset") match {
+        case "contains" =>
+          base64OffsetVariants(v.asText)
+            .map(s => stringMatch(field, "contains", s, caseSensitive))
+            .reduce(_ || _)
+        case other => sys.error(
+          s"base64offset composes with 'contains' only, got '$other' " +
+            "(an offset-sliced substring is never a whole field)")
+      }
     case other =>
       sys.error(s"unsupported sigma modifier chain: ${other.mkString("|")}")
   }
 
-  private def quote(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
-    } + "\""
+  /** The trailing match-mode of a value-transforming modifier chain
+    * (`windash`, `base64`, `base64offset`): bare → equals.
+    */
+  private def matchMode(rest: List[String], mod: String): String = rest match {
+    case Nil => "equals"
+    case m :: Nil if Set("contains", "startswith", "endswith")(m) => m
+    case other => sys.error(
+      s"unsupported sigma modifier chain: $mod|${other.mkString("|")}")
+  }
+
+  /** Dash spellings `windash` must treat as one character: ASCII dash
+    * and slash, en dash, em dash, horizontal bar (the unicode dashes
+    * that survive copy-paste into command lines).
+    */
+  private val WindashChars = "-/–—―"
+
+  /** Sigma `windash` matching: the value's glob compiled to a regex in
+    * which every dash/slash position is the spelling character class —
+    * one anchored `rlike`, still codegen'd.
+    */
+  private def windashMatch(
+      field: Column, mode: String, value: String,
+      caseSensitive: Boolean): Column = {
+    val f = if (caseSensitive) field.cast("string") else lower(field.cast("string"))
+    val v = if (caseSensitive) value else value.toLowerCase
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '\\' if i + 1 < v.length =>
+          sb.append(java.util.regex.Pattern.quote(v.charAt(i + 1).toString))
+          i += 2
+        case c if WindashChars.indexOf(c) >= 0 =>
+          sb.append(s"[$WindashChars]"); i += 1
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append("."); i += 1
+        case c =>
+          sb.append(java.util.regex.Pattern.quote(c.toString)); i += 1
+      }
+    }
+    val core = sb.toString
+    f.rlike(mode match {
+      case "equals" => s"^$core$$"
+      case "contains" => core
+      case "startswith" => s"^$core"
+      case "endswith" => s"$core$$"
+    })
+  }
+
+  /** The three alignment variants of `base64offset` (the public pySigma
+    * expansion, `sigma/modifiers.py`): for shift i ∈ 0..2, encode
+    * i pad bytes + value and slice off the leading/trailing characters
+    * whose bits mix with neighbor bytes — start offsets (0, 2, 3),
+    * end trims (0, −3, −2) indexed by (len+i) mod 3. Any occurrence of
+    * the value at byte offset k in a plaintext appears in its base64 as
+    * variant k mod 3 (property-gated in SigmaSpec).
+    */
+  private[graft] def base64OffsetVariants(value: String): Seq[String] = {
+    val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val startOff = Array(0, 2, 3)
+    val endTrim = Array(0, -3, -2)
+    (0 until 3).map { i =>
+      val enc = java.util.Base64.getEncoder.encodeToString(
+        Array.fill[Byte](i)(' ') ++ bytes)
+      val end = enc.length + endTrim((bytes.length + i) % 3) min enc.length
+      enc.substring(startOff(i), end)
+    }
+  }
 
   private def numLit(v: JsonNode): Column =
     if (v.isNumber) {
@@ -615,11 +819,12 @@ object SigmaRules {
         next(); val c = expr()
         require(peek.contains(")"), s"sigma condition: missing ')' in '$input'")
         next(); c
-      case Some(n) if n == "all" || n.forall(_.isDigit) =>
+      // quantifier ONLY when the next token is 'of' — a selection
+      // literally named `1` (or `all`) is an identifier, not a count
+      case Some(n) if (n == "all" || n.forall(_.isDigit)) &&
+          tokens.lift(pos + 1).contains("of") =>
         next()
-        require(peek.contains("of"),
-          s"sigma condition: expected 'of' after '$n' in '$input'")
-        next()
+        next() // 'of'
         val pat = next()
         val matched = selectByPattern(pat)
         require(matched.nonEmpty,

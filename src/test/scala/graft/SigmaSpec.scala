@@ -348,12 +348,23 @@ class SigmaSpec extends SparkSpec {
   }
 
   test("unsupported constructs fail loudly, not silently") {
+    // utf16-widened base64 is NOT implemented — it must throw, not
+    // silently match the (wrong) utf8 encoding
     intercept[RuntimeException] {
       SigmaRules.load(
         """title: u
           |detection:
           |  sel:
-          |    f|base64: x
+          |    f|utf16le|base64offset|contains: x
+          |  condition: sel
+          |""".stripMargin).detect
+    }
+    intercept[RuntimeException] {
+      SigmaRules.load(
+        """title: u0
+          |detection:
+          |  sel:
+          |    f|expand: '%admins%'
           |  condition: sel
           |""".stripMargin).detect
     }
@@ -668,7 +679,7 @@ class SigmaSpec extends SparkSpec {
     java.nio.file.Files.writeString(dir.resolve("c_bad.yml"),
       """title: broken
         |detection:
-        |  sel: {f|base64: x}
+        |  sel: {f|expand: x}
         |  condition: sel
         |""".stripMargin)
     val e = intercept[IllegalArgumentException] {
@@ -691,5 +702,271 @@ class SigmaSpec extends SparkSpec {
         |""".stripMargin)
     assert(rules.map(_.title) == Seq("one", "two"))
     assert(matchedIds(ev, rules(1).detect) == Set(5L))
+  }
+
+  // ---- base64 / base64offset modifiers --------------------------------
+
+  test("base64offset variants cover every plaintext byte offset (property)") {
+    // the contract the three alignment slices must satisfy: a value at
+    // byte offset k inside ANY plaintext appears in its base64 encoding
+    // as variant k mod 3
+    val b64 = java.util.Base64.getEncoder
+    for (value <- Seq("::FromBase64String", "IEX (", "cmd", "/bin/bash", "ab")) {
+      val vs = SigmaRules.base64OffsetVariants(value)
+      assert(vs.size == 3)
+      for (k <- 0 until 9; pad <- Seq("", "')", "xYz9")) {
+        val prefix = "Qz!pR7#aW".take(k % 9) + "x" * (k / 3) // arbitrary bytes
+        val plain = prefix.take(k) + value + pad
+        val blob = b64.encodeToString(
+          plain.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        assert(blob.contains(vs(k % 3)),
+          s"value='$value' offset=$k variant='${vs(k % 3)}' blob='$blob'")
+      }
+    }
+  }
+
+  test("PowerShell FromBase64String (SigmaHQ fdb62a13) ≡ hand-built variants") {
+    // real SigmaHQ rule proc_creation_win_powershell_base64_frombase64string.yml:
+    // CommandLine|base64offset|contains: '::FromBase64String' — the
+    // encoded-command staple a team importing an existing pack hits first
+    val b64 = java.util.Base64.getEncoder
+    def enc(plain: String): String =
+      b64.encodeToString(plain.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val procs = Seq(
+      // value at plaintext offsets 0, 1, 2 — every alignment must match
+      (1L, "powershell -EncodedCommand " + enc("::FromBase64String('aGk=')")),
+      (2L, "powershell -EncodedCommand " + enc("x::FromBase64String('aGk=')")),
+      (3L, "powershell -EncodedCommand " + enc("xy::FromBase64String('aGk=')")),
+      // plaintext (unencoded) mention must NOT match — the rule targets
+      // the encoded form only
+      (4L, "powershell [Convert]::FromBase64String('aGk=')"),
+      (5L, "cmd /c dir"))
+      .toDF("id", "CommandLine")
+    val rule = SigmaRules.load(
+      """title: PowerShell Base64 Encoded FromBase64String Cmdlet
+        |id: fdb62a13-9a81-4e5c-a38f-ea93a16f6d7c
+        |status: test
+        |description: Detects usage of a Base64 encoded "FromBase64String" cmdlet in a process command line
+        |logsource:
+        |  category: process_creation
+        |  product: windows
+        |detection:
+        |  selection:
+        |    CommandLine|base64offset|contains: '::FromBase64String'
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    // hand-built: the three alignment substrings, case-insensitive contains
+    val variants = Seq("OjpGcm9tQmFzZTY0U3RyaW5n",
+      "o6RnJvbUJhc2U2NFN0cmluZ", "6OkZyb21CYXNlNjRTdHJpbm")
+    val hand = variants
+      .map(v => lower(col("CommandLine")).contains(lit(v.toLowerCase)))
+      .reduce(_ || _)
+    assert(matchedIds(procs, rule.detect) == matchedIds(procs, hand))
+    assert(matchedIds(procs, rule.detect) == Set(1L, 2L, 3L))
+  }
+
+  test("plain base64 modifier encodes the value literally") {
+    val f = Seq(
+      (1L, "powershell -enc d2hvYW1p"), // base64("whoami")
+      (2L, "powershell -enc D2HVYW1P"), // case-variant (sigma default: insensitive)
+      (3L, "powershell whoami"))
+      .toDF("id", "cmd")
+    val contains = SigmaRules.load(
+      """title: b
+        |detection:
+        |  sel:
+        |    cmd|base64|contains: whoami
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, contains.detect) == Set(1L, 2L))
+    val equals = SigmaRules.load(
+      """title: b2
+        |detection:
+        |  sel:
+        |    cmd|base64: whoami
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(Seq((7L, "d2hvYW1p")).toDF("id", "cmd"),
+      equals.detect) == Set(7L))
+  }
+
+  // ---- loader robustness corners --------------------------------------
+
+  test("windash matches per-position MIXED dash spellings") {
+    val f = Seq(
+      (1L, "tool -a -b go"), // uniform dashes
+      (2L, "tool /a –b go"), // slash + en dash MIX — char-class only
+      (3L, "tool —a ―b go"), // em dash + horizontal bar
+      (4L, "tool -a go"), // missing second flag
+      (5L, "tool a b go")) // no dashes at all
+      .toDF("id", "cmd")
+    val rule = SigmaRules.load(
+      """title: w
+        |detection:
+        |  sel:
+        |    cmd|windash|contains: '-a -b'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, rule.detect) == Set(1L, 2L, 3L))
+  }
+
+  test("a selection literally named 1 is an identifier, not a quantifier") {
+    val f = Seq((1L, "error", "x"), (2L, "view", "x"), (3L, "error", "y"))
+      .toDF("id", "event_type", "site")
+    val rule = SigmaRules.load(
+      """title: n
+        |detection:
+        |  1:
+        |    event_type: error
+        |  sel2:
+        |    site: x
+        |  condition: 1 and sel2
+        |""".stripMargin)
+    assert(matchedIds(f, rule.detect) == Set(1L))
+    // the quantifier grammar is untouched: '1 of' still counts
+    val quant = SigmaRules.load(
+      """title: q
+        |detection:
+        |  sel_a: {event_type: error}
+        |  sel_b: {site: y}
+        |  condition: 1 of sel_*
+        |""".stripMargin)
+    assert(matchedIds(f, quant.detect) == Set(1L, 3L))
+  }
+
+  test("block scalar containing a bare --- line does not split the stream") {
+    val rules = SigmaRules.loadAll(
+      """title: one
+        |description: |
+        |  first part of the description
+        |  ---
+        |  the separator above is CONTENT, not a document boundary
+        |detection:
+        |  sel: {event_type: error}
+        |  condition: sel
+        |---
+        |title: two
+        |detection:
+        |  sel: {event_type: view}
+        |  condition: sel
+        |""".stripMargin)
+    assert(rules.map(_.title) == Seq("one", "two"))
+    assert(matchedIds(ev, rules(0).detect) == Set(1L, 2L))
+    assert(matchedIds(ev, rules(1).detect) == Set(5L))
+    // same through the rule-pack path
+    val dir = java.nio.file.Files.createTempDirectory("sigma_pack3")
+    java.nio.file.Files.writeString(dir.resolve("r.yml"),
+      """title: blocky
+        |description: |
+        |  payload with
+        |  ---
+        |  inside
+        |detection:
+        |  sel: {event_type: error}
+        |  condition: sel
+        |""".stripMargin)
+    val (packRules, _) = SigmaRules.loadRulePack(dir.toString)
+    assert(packRules.map(_.title) == Seq("blocky"))
+  }
+
+  // ---- per-source field maps: zeek + okta ------------------------------
+
+  test("DNS TOR Proxies (SigmaHQ a8322756) over the managed Zeek transform") {
+    // real SigmaHQ rule zeek_dns_torproxy.yml (value list abridged):
+    // zeek-native `query` field → the ECS dns.question.name column the
+    // managed ZeekDns transform emits — the map is DERIVED from the
+    // transform, so rule import composes with the ingest pipeline
+    import graft.transform.managed.ZeekDns
+    def dnsLine(id: Long, query: String): String =
+      s"""{"ts":${1658256000.0 + id},"uid":"C$id","id.orig_h":"10.0.0.$id",
+         |"id.orig_p":54321,"id.resp_h":"8.8.8.8","id.resp_p":53,"proto":"udp",
+         |"query":"$query","qclass_name":"C_INTERNET","qtype_name":"A",
+         |"rcode_name":"NOERROR","answers":[],"TTLs":[],"rejected":false}"""
+        .stripMargin.replace("\n", "")
+    val events = ZeekDns(Seq(
+      dnsLine(1, "onion.to"), dnsLine(2, "tor2web.org"),
+      dnsLine(3, "example.com"), dnsLine(4, "ONION.TO"))
+      .toDF("json"))
+      .withColumn("id", expr("cast(substring(event.id, 2) as long)"))
+    val dir = java.nio.file.Files.createTempDirectory("sigma_zeek")
+    java.nio.file.Files.writeString(dir.resolve("zeek_dns_torproxy.yml"),
+      """title: DNS TOR Proxies
+        |id: a8322756-015c-42e7-afb1-436e85ed3ff5
+        |status: test
+        |description: Identifies IPs performing DNS lookups associated with common Tor proxies.
+        |logsource:
+        |  product: zeek
+        |  service: dns
+        |detection:
+        |  selection:
+        |    query:
+        |      - 'tor2web.org'
+        |      - 'tor2web.com'
+        |      - 'onion.to'
+        |      - 'onion.pet'
+        |      - 't2w.pw'
+        |      - 'onion.sh'
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    val (rules, corrs) = SigmaRules.loadRulePack(dir.toString,
+      fieldMap = SigmaRules.ecsZeek)
+    assert(rules.size == 1 && corrs.isEmpty)
+    val hand = lower(col("dns.question.name"))
+      .isin("tor2web.org", "tor2web.com", "onion.to", "onion.pet",
+        "t2w.pw", "onion.sh")
+    assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rules.head.detect) == Set(1L, 2L, 4L))
+  }
+
+  test("Okta Policy Rule Modified or Deleted (SigmaHQ) over the managed transform") {
+    // real SigmaHQ rule okta_policy_rule_modified_or_deleted.yml:
+    // lowercase okta `eventtype` field → the okta.event_type column the
+    // managed Okta transform emits
+    import graft.transform.managed.Okta
+    def oktaLine(id: Long, eventType: String): String =
+      s"""{"published":"2024-03-05T12:30:0$id.000Z","eventType":"$eventType",
+         |"uuid":"u$id","actor":{"displayName":"A","id":"00u$id"},
+         |"client":{"ipAddress":"198.51.100.$id"},
+         |"outcome":{"result":"SUCCESS"},"target":[]}"""
+        .stripMargin.replace("\n", "")
+    val events = Okta(Seq(
+      oktaLine(1, "policy.rule.update"), oktaLine(2, "policy.rule.delete"),
+      oktaLine(3, "user.session.start"), oktaLine(4, "policy.rule.deactivate"))
+      .toDF("json"))
+      .withColumn("id", expr("cast(substring(okta.uuid, 2) as long)"))
+    val dir = java.nio.file.Files.createTempDirectory("sigma_okta")
+    java.nio.file.Files.writeString(dir.resolve("okta_policy_rule_modified_or_deleted.yml"),
+      """title: Okta Policy Rule Modified or Deleted
+        |status: test
+        |description: Detects when an Okta policy rule is modified or deleted.
+        |logsource:
+        |  product: okta
+        |  service: okta
+        |detection:
+        |  selection:
+        |    eventtype:
+        |      - policy.rule.update
+        |      - policy.rule.delete
+        |      - policy.rule.deactivate
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    val (rules, _) = SigmaRules.loadRulePack(dir.toString,
+      fieldMap = SigmaRules.ecsOkta)
+    val hand = lower(col("okta.event_type"))
+      .isin("policy.rule.update", "policy.rule.delete", "policy.rule.deactivate")
+    assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rules.head.detect) == Set(1L, 2L, 4L))
+    // the okta map is spelling-insensitive: camelCase rules map too
+    assert(SigmaRules.ecsOkta("eventType") == "okta.event_type")
+    assert(SigmaRules.ecsOkta("client.ipAddress") == "okta.client.ip")
+    assert(SigmaRules.ecsOkta("displaymessage") == "okta.display_message")
+    // zeek map: endpoint + dns + http correspondences come from the
+    // managed transforms
+    assert(SigmaRules.ecsZeek("id.orig_h") == "source.ip")
+    assert(SigmaRules.ecsZeek("query") == "dns.question.name")
+    assert(SigmaRules.ecsZeek("status_code") == "http.response.status_code")
   }
 }
