@@ -151,20 +151,43 @@ object Dedup {
     * purpose — shrinking the tile width should not drag every mid-size
     * bucket into the schedule's replication overhead.
     *
-    * NOTE: runs one slim aggregation JOB at call time (the density dial —
-    * the over-threshold keys, bounded by n/hotThreshold by construction,
-    * collect to the driver once and feed both the branch decision and
-    * the split joins as a literal broadcast, so the sizing pass never
-    * re-executes inside the plan). Batch-only by the same token; the
-    * capped [[bandedCandidatePairs]] path is the streaming-friendly
-    * form. Callers whose `keyed` derivation is expensive should pass a
-    * persisted frame, as the q32 family already does.
+    * The density dial (small/hot split) is fully IN-PLAN: the
+    * over-threshold keys — bounded by n/hotThreshold by construction —
+    * are a broadcast subtree shared by the anti and semi joins, so the
+    * sizing runs inside the caller's action (no job at call time) and
+    * AQE collapses the entire tiling subtree when no bucket is hot.
+    *
+    * The input is pinned before anything reads it: a caller-persisted
+    * frame is used as-is; anything else is eagerly localCheckpointed.
+    * This guarantees an expensive banding derivation runs ONCE, not
+    * once per consumer (sizing + up to two pairing branches + the
+    * chunk windows). The checkpoint is RDD storage reclaimed by the
+    * ContextCleaner, so callers inherit no CacheManager entry.
     */
   def blockedCandidatePairs(keyed: DataFrame, idCol: String,
       keyCols: Seq[String], blockSize: Int = 1024,
       hotThreshold: Int = 4096): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
+    val nParts = keyed.sparkSession.sessionState.conf.numShufflePartitions
+    // The parallelism pin lives in the checkpoint materialization, paid
+    // once: repartition on the bucket key BEFORE checkpointing, so the
+    // LogicalRDD carries hashpartitioning(keyCols, nParts) and every
+    // consumer — the sizing agg, the hot window, the self-join — reads a
+    // 32-way-partitioned (locally) input with NO further exchange. This
+    // is what prevents the q55-class straggler: a slim narrow chain from
+    // a 1–2-file parquet scan would otherwise feed the expanding pair
+    // join with 1–2 stream partitions and the quadratic output lands in
+    // one task (measured: 147 s max task on the uncapped 10× probe). A
+    // caller-persisted frame is trusted as-is — its partition layout is
+    // the caller's contract (PairBench's 32-way cache, q32's derivation
+    // from the persisted shingle frame).
+    val (pinned, coLocated) =
+      if (keyed.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        (keyed, false)
+      else
+        (keyed.repartition(nParts, keyCols.map(col): _*).localCheckpoint(true),
+          true)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
     // Density dial (round-11 30× finding, SCALING.md closing section): a
@@ -173,54 +196,76 @@ object Dedup {
     // general path still charges it the row_number sort, the explode,
     // and the widened join key. At uniform density that overhead
     // exceeded the straggler it insures against (q32 30×: 14.3 s
-    // blocked vs 9.1 s plain). So: buckets ≤ blockSize take the plain
-    // within-bucket join; only genuinely hot buckets tile. Both branches
-    // reuse the one hash exchange the sizing window already paid, the
-    // pair SET is unchanged (OperatorsSpec gates equality), and the
-    // worst task stays bounded — ≤ blockSize² pairs per small bucket,
+    // blocked vs 9.1 s plain). So: buckets ≤ hotThreshold take the plain
+    // within-bucket join; only genuinely hot buckets tile. The pair SET
+    // is unchanged (OperatorsSpec gates equality), and the worst task
+    // stays bounded — ≤ hotThreshold² pairs per small bucket,
     // ~blockSize² per hot-bucket cell.
-    // Both pairing joins below EXPAND: their shuffle input is slim id
-    // tuples (a few MB even for a hot corpus) but the join output is the
-    // quadratic pair space. AQE's partition coalescing only sees the
-    // input bytes, so it folds the join into one or two partitions and
-    // the blowup lands in a single task — exactly the straggler this
-    // schedule exists to prevent (measured: q55's uncapped 10× probe ran
-    // its pairing join in 2 tasks, max task 147 s). An EXPLICIT
-    // numPartitions pins the parallelism — AQE never coalesces
-    // user-specified repartitions — at the cost of one slim exchange per
-    // branch.
-    val nParts = keyed.sparkSession.sessionState.conf.numShufflePartitions
-    // Hot-bucket detection WITHOUT a window: a window count would hash-
-    // exchange AND sort every row; a groupBy count ships one row per
-    // bucket (map-side combined) and only the OVER-threshold keys —
-    // bounded by n/blockSize, they each hold >blockSize rows — come back
-    // as a broadcast, so the small/hot split is two map-side joins.
-    val hotKeysAgg = keyed.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__bn")).filter(col("__bn") > hotThreshold)
-      .select(keyCols.map(col): _*)
-    // EAGER dial, ONE pass: the over-threshold keys collect to the
-    // driver (bounded — each holds > hotThreshold rows, so there are at
-    // most n/hotThreshold of them) and become a LITERAL broadcast frame,
-    // so the sizing aggregation never re-executes inside the anti/semi
-    // joins at action time. With no hot bucket the whole blocked
-    // apparatus — split joins, chunk windows, cell replication — is pure
-    // overhead (PairBench, 30× uniform density: 2.56 s blocked vs 0.57 s
-    // plain for the IDENTICAL pair set), so the uniform case returns the
-    // plain bucket join outright. Skew insurance is only priced when
-    // skew exists.
-    val hotKeyRows = hotKeysAgg.collect()
-    if (hotKeyRows.isEmpty) {
-      val a = keyed.repartition(nParts, keyCols.map(col): _*)
-      return a.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
-        .join(a.select(keyCols.map(col) :+ col(idCol).as("id2"): _*), keyCols)
+    // Both pairing joins below EXPAND: their input is slim id tuples but
+    // the join output is the quadratic pair space, so join parallelism
+    // must come from the INPUT's partition layout (the pinned checkpoint
+    // above), never from an AQE-sized exchange — AQE only sees input
+    // bytes. The small self-join therefore runs directly over `pinned`
+    // (broadcast-hash at modest sizes — zero exchanges; sort-merge on
+    // the pinned layout otherwise); only the hot-cell join below keeps
+    // an EXPLICIT repartition, because its cell key (`keyCols, __cell`)
+    // differs from the pinned layout and its expansion is the extreme
+    // case the schedule exists for.
+    // EAGER dial over the PINNED input, ONE shuffle-free stage (~0.1 s
+    // at the 30× PairBench shape; the earlier groupBy-count+collect job
+    // paid a 155k-group shuffle ≈ 0.27 s, and an in-plan broadcast
+    // subtree was slower still at 0.37 s — its agg+broadcast stages
+    // serialize into the critical path): each partition hash-counts its
+    // bucket keys locally and emits only OVER-THRESHOLD candidates, so
+    // nothing shuffles and the collect is tiny. Bucket identity is the
+    // 64-bit xxhash of the key columns — a collision merely routes one
+    // extra bucket to the tiled branch, never changes the pair set
+    // (both branches compute complete within-bucket pairs; the split
+    // only picks the schedule). Thresholds: on the co-located checkpoint
+    // path a bucket lives in exactly ONE partition, so local counts are
+    // exact global counts; a caller-persisted layout uses the pigeonhole
+    // bound (global > T ⇒ some partition holds ≥ ceil((T+1)/nIn)) — a
+    // deterministic SUPERSET of the hot set, where a false positive
+    // only tiles a mid-size bucket it didn't strictly need to. The dial
+    // can never disagree with the rows the branches read — both consume
+    // the same materialized `pinned` (the round-13 consistency finding).
+    val keyHash = xxhash64(keyCols.map(col): _*)
+    val nIn = math.max(1, pinned.rdd.getNumPartitions)
+    val localThreshold =
+      if (coLocated) hotThreshold.toLong + 1
+      else (hotThreshold.toLong + nIn) / nIn
+    val candidates: Array[Long] = pinned
+      .select(keyHash)
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach(h => counts.update(h, counts.getOrElse(h, 0L) + 1L))
+        counts.iterator.collect {
+          case (h, n) if n >= localThreshold => h
+        }
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .collect().distinct
+    // With no hot bucket the whole blocked apparatus — split filters,
+    // chunk windows, cell replication — is pure overhead, so the
+    // uniform case returns the plain bucket join outright: skew
+    // insurance is only priced when skew exists (PairBench gates the
+    // premium).
+    if (candidates.isEmpty) {
+      return pinned.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
+        .join(pinned.select(keyCols.map(col) :+ col(idCol).as("id2"): _*),
+          keyCols)
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2")).distinct()
     }
-    val hotKeys = keyed.sparkSession.createDataFrame(
-      java.util.Arrays.asList(hotKeyRows: _*), hotKeysAgg.schema)
-    val small = keyed.join(broadcast(hotKeys), keyCols, "left_anti")
-      .repartition(nParts, keyCols.map(col): _*)
-    val hot = keyed.join(broadcast(hotKeys), keyCols, "left_semi")
+    // codegen'd set-membership filters, not anti/semi joins: every row
+    // routes to exactly one branch by its bucket hash. If a pathological
+    // layout yields a candidate set too large to inline as a literal,
+    // tile EVERYTHING — always correct, always bounded-task.
+    val isHot =
+      if (candidates.length > (1 << 20)) lit(true)
+      else keyHash.isInCollection(candidates.toSeq)
+    val small = pinned.filter(!isHot)
+    val hot = pinned.filter(isHot)
     val smallPairs = small
       .select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
       .join(small.select(keyCols.map(col) :+ col(idCol).as("id2"): _*),

@@ -59,8 +59,36 @@ object PairBench {
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2")).distinct()
 
+    // diagnostic decompositions of the blocked schedule's premium:
+    //   pinned — plain + the explicit repartition (isolates the pin cost)
+    //   anti   — pin + in-plan dial + anti join, NO hot subtree
+    def pinnedJoin(df: DataFrame): DataFrame = {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val a = df.repartition(n, col("band"), col("sig"))
+      a.select(col("band"), col("sig"), col("doc").as("id1"))
+        .join(a.select(col("band"), col("sig"), col("doc").as("id2")),
+          Seq("band", "sig"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+    }
+    def antiOnly(df: DataFrame): DataFrame = {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val hot = broadcast(df.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > 4096)
+        .select(col("band"), col("sig")))
+      val small = df.join(hot, Seq("band", "sig"), "left_anti")
+        .repartition(n, col("band"), col("sig"))
+      small.select(col("band"), col("sig"), col("doc").as("id1"))
+        .join(small.select(col("band"), col("sig"), col("doc").as("id2")),
+          Seq("band", "sig"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+    }
+
     val strategies: Seq[(String, DataFrame => DataFrame)] = Seq(
       "plain" -> plain,
+      "pinned" -> pinnedJoin,
+      "anti" -> antiOnly,
       "blocked" -> (df =>
         Dedup.blockedCandidatePairs(df, "doc", Seq("band", "sig"),
           blockSize = 256)))
