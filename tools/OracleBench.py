@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""The 2x-gate denominator harness: two-pass DuckDB timing of every
+oracle_sql.json entry, emitting a steady JSON shaped like graft.Bench's —
+so the Spark/DuckDB ratio is ONE in-repo command instead of a per-judge
+re-derivation (three judges measured three denominators — 71.1 / 58.2 /
+62.9 s — for substantially the same oracles before this existed).
+
+Usage:
+  # denominator only (oracle_sql.json from a prior graft.Verify run):
+  python3 tools/OracleBench.py --oracle /tmp/verify_out/oracle_sql.json \
+      --sf-dir /root/testdata/sf0.1
+
+  # the one-command ratio: run graft.Bench (numerator) in the same
+  # terminal session, then the DuckDB denominator, then print both +
+  # ratio:
+  python3 tools/OracleBench.py --oracle ... --sf-dir ... --run-spark
+
+Protocol (BENCHNOTES.md): per query, pass 1 = first (plan + first
+execution), pass 2 = steady (the cross-round comparison basis). Both
+sides must run on a QUIET machine in the same session; the summary's
+`ratio_steady_all_in` is the gate number, `ratio_steady_adjusted`
+excludes the queries whose Spark side performs lake writes / streaming-
+state folds against a pure-SELECT oracle (the comparison-class rows, not
+a like-for-like denominator).
+"""
+import argparse, json, os, subprocess, sys, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Spark side does real side effects (lake round-trips, MERGE/compaction,
+# streaming-state folds, bucketed-table writes) that the pure-SELECT
+# oracle never pays — comparison-class rows, excluded from the adjusted
+# ratio only. Keep in sync with the query registry; unknown names here
+# fail loudly below.
+SIDE_EFFECT_QUERIES = [
+    "q25_dedup_first", "q41_alerts_stream", "q45_lake_roundtrip",
+    "q54_lake_pruned", "q77_merge_upsert", "q78_compression_inference",
+    "q81_alerts_retro_lake", "q82_routed_ingest", "q89_sideline_gate",
+    "q95_embed_pipeline", "q96_stream_dedup_fold", "q109_index_incremental",
+    "q121_hll_fold", "q123_sliding_distinct", "q124_kll_fold",
+    "q131_bucketed_join", "q133_zorder_pruned", "q143_ivf_lake_fold",
+]
+
+
+def time_duckdb(oracle: dict, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    first, steady, errors = {}, {}, []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            first[name] = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            con.execute(sql).fetchall()
+            steady[name] = time.perf_counter() - t1
+        except Exception as e:  # a broken oracle is a gate failure, not a skip
+            errors.append(f"{name} ({type(e).__name__})")
+            print(f"[oraclebench] {name} failed: {e}", file=sys.stderr)
+    return first, steady, errors
+
+
+def run_spark_bench(sf_dir: str, cpus: str):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=cpus)
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        env=env, capture_output=True, text=True, check=False)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    print(out.stdout[-4000:], file=sys.stderr)
+    raise SystemExit("graft.Bench produced no JSON line")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--oracle", required=True,
+                    help="oracle_sql.json from a graft.Verify run")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--run-spark", action="store_true",
+                    help="also run graft.Bench (numerator) in this session")
+    ap.add_argument("--spark-json", default=None,
+                    help="existing graft.Bench JSON (skip re-running Spark)")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--out", default=None, help="write summary JSON here too")
+    args = ap.parse_args()
+
+    oracle = json.load(open(args.oracle))
+    unknown = [q for q in SIDE_EFFECT_QUERIES if q not in oracle]
+    if unknown:
+        print(f"[oraclebench] WARNING: side-effect list names absent from "
+              f"oracle set: {unknown}", file=sys.stderr)
+
+    spark = None
+    if args.run_spark:
+        spark = run_spark_bench(args.sf_dir, args.cpus)
+    elif args.spark_json:
+        spark = json.load(open(args.spark_json))
+
+    first, steady, errors = time_duckdb(oracle, args.sf_dir)
+    summary = {
+        "metric": "oracle_total",
+        "value": sum(first.values()),
+        "unit": "sec",
+        "queries": first,
+        "total_steady": sum(steady.values()),
+        "queries_steady": steady,
+        "errors": errors,
+        "sf": args.sf_dir,
+        "n_queries": len(steady),
+    }
+    if spark is not None:
+        ss = spark.get("queries_steady", {})
+        common = sorted(set(ss) & set(steady))
+        adj = [q for q in common if q not in SIDE_EFFECT_QUERIES]
+        spark_all = sum(ss[q] for q in common)
+        duck_all = sum(steady[q] for q in common)
+        spark_adj = sum(ss[q] for q in adj)
+        duck_adj = sum(steady[q] for q in adj)
+        summary["spark_total_steady"] = spark_all
+        summary["duck_total_steady"] = duck_all
+        summary["ratio_steady_all_in"] = spark_all / duck_all if duck_all else None
+        summary["ratio_steady_adjusted"] = spark_adj / duck_adj if duck_adj else None
+        summary["n_common"] = len(common)
+        summary["n_adjusted"] = len(adj)
+        missing = sorted(set(steady) - set(ss))
+        if missing:
+            summary["spark_missing"] = missing
+    line = json.dumps(summary)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
