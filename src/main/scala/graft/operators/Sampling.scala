@@ -124,10 +124,22 @@ object Sampling {
     val mass = weightCol
       .map(w => sum(col(w).cast("long")))
       .getOrElse(count(lit(1)))
+    // CONTRACT: the group column is a language/source/domain-class key —
+    // tens to thousands of groups, one slim row each. The guard exists
+    // because a caller passing a near-unique column (raw URLs, doc ids)
+    // would otherwise collect millions of rows to the driver; that input
+    // is a modeling error (per-group shares of singleton groups are
+    // meaningless), so fail loudly instead of OOMing quietly.
+    val MaxGroups = 1000000
     val counts = in.groupBy(col(groupCol))
       .agg(mass.cast("double").as("__c"))
+      .limit(MaxGroups + 1)
       .collect().map(r => (r.get(0).toString, r.getDouble(1))).sortBy(_._1)
     require(counts.nonEmpty, "temperatureResample on an empty frame")
+    require(counts.length <= MaxGroups,
+      s"temperatureResample: over $MaxGroups distinct '$groupCol' groups — " +
+        "the group column must be a domain-class key (language, source), " +
+        "not a high-cardinality identifier")
     val s = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + math.sqrt(c) }
     val quotas = counts.map { case (g, c) =>
       val share = math.sqrt(c) / s

@@ -932,12 +932,16 @@ object LogAnalytics {
         import graft.operators.Hll
         // checkpointed: the sketch path and the exact gate both consume
         // this frame, and the harness table is one unsplittable row group
-        // — repartition un-serializes the partial aggs (q46 precedent),
-        // the checkpoint makes it ONE scan instead of two
+        // — the checkpoint makes it ONE scan instead of two. Partitioned
+        // by HOUR alone: the hourly register aggregation then runs
+        // exchange-free on co-located groups, so no 4 KB dense partial
+        // state ever serializes across a shuffle — with (hour, user)
+        // partitioning, every partition held a partial register array
+        // for every hour (~parts × hours × 16 KB ≈ 360 MB of agg-state
+        // shuffle for a 100 k-row input)
         val ev = t(s, dir, "events")
           .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
-          .repartition(s.sparkContext.defaultParallelism,
-            col("hour"), col("user_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("hour"))
           .localCheckpoint(true)
         // 720 sketch rows; checkpointed so the three window-offset reads
         // below don't each re-run the register aggregation

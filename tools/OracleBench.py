@@ -73,7 +73,10 @@ def run_spark_bench(sf_dir: str, cpus: str):
         ["sbt", "-batch", "runMain graft.Bench"],
         env=env, capture_output=True, text=True, check=False)
     for line in out.stdout.splitlines():
+        # sbt prefixes runMain stdout with "[info] "
         line = line.strip()
+        if line.startswith("[info]"):
+            line = line[len("[info]"):].strip()
         if line.startswith('{"metric"'):
             return json.loads(line)
     print(out.stdout[-4000:], file=sys.stderr)
@@ -127,6 +130,7 @@ def main():
         duck_adj = sum(steady[q] for q in adj)
         summary["spark_total_steady"] = spark_all
         summary["duck_total_steady"] = duck_all
+        summary["spark_queries_steady"] = {q: ss[q] for q in common}
         summary["ratio_steady_all_in"] = spark_all / duck_all if duck_all else None
         summary["ratio_steady_adjusted"] = spark_adj / duck_adj if duck_adj else None
         summary["n_common"] = len(common)
