@@ -49,10 +49,15 @@ import org.apache.spark.sql.functions._
   * composing with `contains`; the encoded-PowerShell staple of real
   * SigmaHQ packs).
   *
+  * `|expand` placeholders (`%admins%`-style per-deployment value lists)
+  * compile when the list is supplied via the `placeholders` argument —
+  * cross-product substitution, remaining modifiers applied per expanded
+  * literal; an undefined placeholder fails loudly.
+  *
   * Out of scope (rare, documented): `utf16`/`utf16le`/`utf16be`/`wide`
-  *   prefixes to the base64 modifiers, `|expand` placeholders, `near`
-  *   aggregations, and field-ref comparisons — loading a rule that uses
-  *   one throws with the unsupported construct named.
+  *   prefixes to the base64 modifiers, `near` aggregations, and
+  *   field-ref comparisons — loading a rule that uses one throws with
+  *   the unsupported construct named.
   */
 object SigmaRules {
 
@@ -245,13 +250,15 @@ object SigmaRules {
   def load(
       yamlText: String,
       fieldMap: String => String = identity,
-      keywordField: String = "message"): SigmaRule =
-    loadNode(yaml.readTree(yamlText), fieldMap, keywordField)
+      keywordField: String = "message",
+      placeholders: Map[String, Seq[String]] = Map.empty): SigmaRule =
+    loadNode(yaml.readTree(yamlText), fieldMap, keywordField, placeholders)
 
   private def loadNode(
       root: JsonNode,
       fieldMap: String => String,
-      keywordField: String): SigmaRule = {
+      keywordField: String,
+      placeholders: Map[String, Seq[String]] = Map.empty): SigmaRule = {
     val det = root.path("detection")
     require(det.isObject, "sigma rule has no detection section")
     val rawCondition = det.path("condition") match {
@@ -281,7 +288,8 @@ object SigmaRules {
     }
     val selections: Map[String, Column] = det.properties.asScala
       .filter(e => e.getKey != "condition" && e.getKey != "timeframe")
-      .map(e => e.getKey -> compileSelection(e.getValue, fieldMap, keywordField))
+      .map(e => e.getKey -> compileSelection(e.getValue, fieldMap, keywordField,
+        placeholders))
       .toMap
     val detect = new ConditionParser(condition.trim, selections).parse()
     SigmaRule(
@@ -483,8 +491,9 @@ object SigmaRules {
   def loadAll(
       yamlText: String,
       fieldMap: String => String = identity,
-      keywordField: String = "message"): Seq[SigmaRule] =
-    readDocuments(yamlText).map(loadNode(_, fieldMap, keywordField))
+      keywordField: String = "message",
+      placeholders: Map[String, Seq[String]] = Map.empty): Seq[SigmaRule] =
+    readDocuments(yamlText).map(loadNode(_, fieldMap, keywordField, placeholders))
 
   /** Load a rule-pack directory the way users keep Sigma repos: every
     * `*.yml`/`*.yaml` under `dir` (recursive, sorted for determinism),
@@ -495,7 +504,8 @@ object SigmaRules {
   def loadRulePack(
       dir: String,
       fieldMap: String => String = identity,
-      keywordField: String = "message"): (Seq[SigmaRule], Seq[CorrelationSpec]) = {
+      keywordField: String = "message",
+      placeholders: Map[String, Seq[String]] = Map.empty): (Seq[SigmaRule], Seq[CorrelationSpec]) = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
     val files = // walk streams hold directory handles — close deterministically
@@ -511,7 +521,7 @@ object SigmaRules {
         if (doc.path("correlation").isObject)
           corrs += loadCorrelationNode(doc, fieldMap)
         else {
-          val r = loadNode(doc, fieldMap, keywordField)
+          val r = loadNode(doc, fieldMap, keywordField, placeholders)
           rules += r
           // a legacy `| count() by` rule carries its threshold as an
           // embedded correlation — surface it, or a caller consuming
@@ -529,16 +539,17 @@ object SigmaRules {
   // ----------------------------------------------------------- selection
 
   private def compileSelection(
-      node: JsonNode, fieldMap: String => String, keywordField: String): Column =
+      node: JsonNode, fieldMap: String => String, keywordField: String,
+      placeholders: Map[String, Seq[String]]): Column =
     node match {
       case o if o.isObject =>
         o.properties.asScala
-          .map(e => compileFieldSpec(e.getKey, e.getValue, fieldMap))
+          .map(e => compileFieldSpec(e.getKey, e.getValue, fieldMap, placeholders))
           .reduceOption(_ && _).getOrElse(lit(true))
       case a if a.isArray && a.elements.asScala.forall(_.isObject) =>
         // list of maps = OR of maps
         a.elements.asScala
-          .map(compileSelection(_, fieldMap, keywordField))
+          .map(compileSelection(_, fieldMap, keywordField, placeholders))
           .reduceOption(_ || _).getOrElse(lit(false))
       case a if a.isArray =>
         // keyword list: match anywhere in the designated message field
@@ -552,7 +563,8 @@ object SigmaRules {
 
   /** One `field|mod1|mod2: value(s)` entry → predicate. */
   private def compileFieldSpec(
-      key: String, value: JsonNode, fieldMap: String => String): Column = {
+      key: String, value: JsonNode, fieldMap: String => String,
+      placeholders: Map[String, Seq[String]]): Column = {
     val parts = key.split('|')
     val field = col(fieldMap(parts.head))
     var mods = parts.tail.toList
@@ -561,14 +573,16 @@ object SigmaRules {
     mods = mods.filterNot(m => m == "all" || m == "cased")
     val values: Seq[JsonNode] =
       if (value.isArray) value.elements.asScala.toSeq else Seq(value)
-    val perValue = values.map(compileOneValue(field, mods, _, caseSensitive))
+    val perValue = values.map(compileOneValue(field, mods, _, caseSensitive,
+      placeholders))
     if (requireAll) perValue.reduceOption(_ && _).getOrElse(lit(true))
     else perValue.reduceOption(_ || _).getOrElse(lit(false))
   }
 
   private def compileOneValue(
       field: Column, mods: List[String], v: JsonNode,
-      caseSensitive: Boolean): Column = mods match {
+      caseSensitive: Boolean,
+      placeholders: Map[String, Seq[String]] = Map.empty): Column = mods match {
     case Nil =>
       if (v.isNull) field.isNull
       else if (v.isNumber) field === lit(v.numberValue.toString.toDouble match {
@@ -623,9 +637,34 @@ object SigmaRules {
           s"base64offset composes with 'contains' only, got '$other' " +
             "(an offset-sliced substring is never a whole field)")
       }
+    case "expand" :: rest =>
+      // `%name%` placeholders substitute per-deployment value lists (the
+      // pySigma placeholder pipeline): the value expands to the cross
+      // product over every placeholder it contains, OR'd, with the
+      // remaining modifier chain applied to each expanded literal. An
+      // UNDEFINED placeholder fails loudly — silently matching the raw
+      // `%name%` text would make the rule dead.
+      val raw = v.asText
+      val found = PlaceholderRe.findAllMatchIn(raw).map(_.group(1)).toSeq.distinct
+      require(found.nonEmpty,
+        s"sigma expand modifier on a value with no %placeholder%: '$raw'")
+      val missing = found.filterNot(placeholders.contains)
+      require(missing.isEmpty,
+        s"sigma expand: undefined placeholder(s) ${missing.mkString(", ")} — " +
+          "pass them via the placeholders argument of load/loadRulePack")
+      val expanded = found.foldLeft(Seq(raw)) { (acc, name) =>
+        for (base <- acc; sub <- placeholders(name))
+          yield base.replace(s"%$name%", sub)
+      }
+      expanded
+        .map(ex => compileOneValue(field, rest,
+          yaml.getNodeFactory.textNode(ex), caseSensitive, placeholders))
+        .reduce(_ || _)
     case other =>
       sys.error(s"unsupported sigma modifier chain: ${other.mkString("|")}")
   }
+
+  private val PlaceholderRe = "%([A-Za-z0-9_]+)%".r
 
   /** The trailing match-mode of a value-transforming modifier chain
     * (`windash`, `base64`, `base64offset`): bare → equals.
@@ -656,7 +695,7 @@ object SigmaRules {
     var i = 0
     while (i < v.length) {
       v.charAt(i) match {
-        case '\\' if i + 1 < v.length =>
+        case _ if isEscape(v, i) =>
           sb.append(java.util.regex.Pattern.quote(v.charAt(i + 1).toString))
           i += 2
         case c if WindashChars.indexOf(c) >= 0 =>
@@ -730,11 +769,18 @@ object SigmaRules {
     }
   }
 
+  /** Sigma escape rule (spec): only `\*`, `\?`, `\\` are escape
+    * sequences; a backslash before any other character is literal text.
+    */
+  private def isEscape(v: String, i: Int): Boolean =
+    v.charAt(i) == '\\' && i + 1 < v.length &&
+      "*?\\".indexOf(v.charAt(i + 1)) >= 0
+
   private def hasWildcard(v: String): Boolean = {
     var i = 0
     while (i < v.length) {
       v.charAt(i) match {
-        case '\\' => i += 2
+        case _ if isEscape(v, i) => i += 2
         case '*' | '?' => return true
         case _ => i += 1
       }
@@ -750,7 +796,7 @@ object SigmaRules {
     var i = 0
     while (i < v.length) {
       v.charAt(i) match {
-        case '\\' if i + 1 < v.length =>
+        case _ if isEscape(v, i) =>
           sb.append(java.util.regex.Pattern.quote(v.charAt(i + 1).toString))
           i += 2
         case '*' => sb.append(".*"); i += 1
@@ -766,7 +812,7 @@ object SigmaRules {
     var i = 0
     while (i < v.length) {
       v.charAt(i) match {
-        case '\\' if i + 1 < v.length => sb.append(v.charAt(i + 1)); i += 2
+        case _ if isEscape(v, i) => sb.append(v.charAt(i + 1)); i += 2
         case c => sb.append(c); i += 1
       }
     }

@@ -148,4 +148,116 @@ object Privacy {
       .select(df.columns.map(df(_)) :+ col("__group_n"): _*)
       .withColumn("__k_kept", col("__group_n") >= k)
   }
+
+  /** Null-safe slim join of per-quasi-group stats back onto the rows —
+    * the shared shape of every suppression gate here: bodies never
+    * shuffle beyond the one grouped aggregation; the stats frame is
+    * group-cardinality-sized.
+    */
+  private def joinGroupStats(df: DataFrame, quasiCols: Seq[String],
+      stats: DataFrame): DataFrame = {
+    val renamed = stats.select(
+      quasiCols.map(c => col(c).as(s"__q_$c")) ++
+        stats.columns.filterNot(quasiCols.contains).map(col): _*)
+    val cond = quasiCols.map(c => df(c) <=> renamed(s"__q_$c")).reduce(_ && _)
+    df.join(renamed, cond)
+      .select(df.columns.map(df(_)) ++
+        stats.columns.filterNot(quasiCols.contains).map(col): _*)
+  }
+
+  /** l-diversity suppression — k-anonymity's necessary complement: a
+    * quasi-identifier group can be large yet still leak the SENSITIVE
+    * attribute when every member shares one value (the homogeneity
+    * attack — "all 50 rows with this (zip, age) have the same
+    * diagnosis"). Distinct l-diversity requires ≥ l distinct sensitive
+    * values per quasi group. One grouped count-distinct plus the slim
+    * null-safe stats join; NULL sensitive values count as one value
+    * (they are an observable outcome like any other). Returns the rows
+    * with `__l_distinct` and `__l_kept`; callers filter or audit.
+    */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1, "need quasi columns and l>=1")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be a quasi-identifier")
+    // count_distinct ignores nulls; a null sensitive value is still an
+    // observable outcome, so count the null group explicitly
+    val stats = df.groupBy(quasiCols.map(col): _*)
+      .agg((countDistinct(col(sensitiveCol)) +
+        max(when(col(sensitiveCol).isNull, 1L).otherwise(0L)))
+        .as("__l_distinct"))
+    joinGroupStats(df, quasiCols, stats)
+      .withColumn("__l_kept", col("__l_distinct") >= l)
+  }
+
+  /** t-closeness suppression — the distributional gate past l-diversity:
+    * a group with l distinct sensitive values still leaks when its
+    * DISTRIBUTION is far from the corpus's (90% of one diagnosis in a
+    * group vs 2% globally is a disclosure even though other values
+    * occur). For a categorical sensitive attribute the distance is
+    * total variation: ½ Σ_v |p_group(v) − p_global(v)|. Exact and
+    * engine-reproducible: every term is a ratio of exact counts, folded
+    * in sensitive-value order. Scale shape: one (quasi, sensitive)
+    * grouped count (the only pass over the rows), a broadcastable
+    * global value-distribution, and the slim per-group stats join —
+    * bodies never shuffle twice. Returns `__t_dist` and `__t_kept`
+    * (kept iff distance ≤ t).
+    *
+    * NULL handling: a null sensitive value is an outcome category; null
+    * quasi values are real groups (null-safe join throughout).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t >= 0.0 && t <= 1.0,
+      "need quasi columns and t in [0,1]")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be a quasi-identifier")
+    val s = col(sensitiveCol)
+    // one pass over the rows: per-(group, value) counts; group sizes and
+    // the global value distribution both derive from this slim frame.
+    // Every derived frame uses globally UNIQUE column names — the grid
+    // below joins three frames of shared lineage, and name-unique
+    // references sidestep self-join attribute ambiguity entirely.
+    val cells = df.groupBy((quasiCols.map(col) :+ s.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = cells.groupBy(col("__v").as("__gv"))
+      .agg(sum(col("__c")).as("__g"))
+      .withColumn("__nn", sum(col("__g")).over()) // slim frame, one window
+    val totals = cells
+      .groupBy(quasiCols.map(c => col(c).as(s"__t_$c")): _*)
+      .agg(sum(col("__c")).as("__n"))
+    // full (group × value) grid: a group MISSING a value contributes
+    // |0 − p_global(v)| — omitting it understates the distance exactly
+    // for the most-skewed groups. The grid is (groups × distinct
+    // sensitive values) of slim rows; the value table broadcasts.
+    val grid = totals.crossJoin(broadcast(global))
+    val cellsKeyed = cells.select(
+      quasiCols.map(c => col(c).as(s"__k_$c")) :+
+        col("__v").as("__kv") :+ col("__c"): _*)
+    val joined = grid.join(cellsKeyed,
+      quasiCols.map(c => col(s"__t_$c") <=> col(s"__k_$c"))
+        .reduce(_ && _) && (col("__gv") <=> col("__kv")),
+      "left")
+    // total variation with ORDER-FREE exact arithmetic:
+    //   ½ Σ_v |c_v/n − g_v/N| = Σ_v |c_v·N − g_v·n|  /  (2·n·N)
+    // The numerator is a sum of exact integers (DECIMAL so 10^9-row
+    // corpora cannot overflow the c·N products), so no result ever
+    // depends on double summation order; the one division at the end is
+    // a correctly-rounded IEEE op both engines reproduce bit-for-bit.
+    val term = abs(coalesce(col("__c"), lit(0L)).cast("decimal(38,0)")
+      * col("__nn").cast("decimal(38,0)")
+      - col("__g").cast("decimal(38,0)") * col("__n").cast("decimal(38,0)"))
+    val dist = joined
+      .select(quasiCols.map(c => col(s"__t_$c")) ++
+        Seq(col("__n"), col("__nn"), term.as("__term")): _*)
+      .groupBy(quasiCols.map(c => col(s"__t_$c").as(c)): _*)
+      .agg(first(col("__n")).as("__n"), first(col("__nn")).as("__tot"),
+        sum(col("__term")).as("__num"))
+      .select(quasiCols.map(col) :+
+        (col("__num").cast("double") /
+          (lit(2.0) * col("__n").cast("double") * col("__tot").cast("double")))
+          .as("__t_dist"): _*)
+    joinGroupStats(df, quasiCols, dist)
+      .withColumn("__t_kept", col("__t_dist") <= t)
+  }
 }

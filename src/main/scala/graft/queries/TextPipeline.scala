@@ -2638,6 +2638,81 @@ object TextPipeline {
                COUNT(*) >= 5 AS kept
         FROM (SELECT nullif(lang, 'de') AS lang, source FROM documents)
         GROUP BY lang, source
-        ORDER BY lang, source"""))
+        ORDER BY lang, source""")),
+
+    // ---- q147: l-diversity — k-anonymity's necessary complement: a
+    // quasi group (source) can be over-k yet leak the sensitive
+    // attribute (lang) when every member shares one value (homogeneity
+    // attack). One grouped count-distinct + the slim null-safe stats
+    // join; `nullif` keeps a NULL sensitive category in the fixture —
+    // null is an observable outcome and must count as one value.
+    QueryDef(
+      "q147_l_diversity",
+      (s, dir) => {
+        import graft.operators.Privacy
+        Privacy.lDiversify(docs(s, dir)
+            .select(col("doc_id"), col("source"),
+              nullif(col("lang"), lit("de")).as("lang")),
+            Seq("source"), "lang", l = 4)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("__l_distinct")).as("l_distinct"),
+            first(col("__l_kept")).as("kept"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               (COUNT(DISTINCT lang)
+                 + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END))::BIGINT
+                 AS l_distinct,
+               (COUNT(DISTINCT lang)
+                 + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)) >= 4 AS kept
+        FROM (SELECT doc_id, source, nullif(lang, 'de') AS lang
+              FROM documents)
+        GROUP BY source
+        ORDER BY source""")),
+
+    // ---- q148: t-closeness — the distributional gate past l-diversity:
+    // a group with enough distinct sensitive values still leaks when its
+    // value DISTRIBUTION is far from the corpus's. Total variation over
+    // a (group × value) grid with ORDER-FREE exact arithmetic —
+    // ½ Σ|c/n − g/N| computed as Σ|c·N − g·n| (exact integer sum) over
+    // 2·n·N (one IEEE division) — so Spark and the oracle agree
+    // bit-for-bit with no double-summation-order hazard. Scale shape:
+    // one slim (group, value) count pass; the value table broadcasts.
+    QueryDef(
+      "q148_t_closeness",
+      (s, dir) => {
+        import graft.operators.Privacy
+        Privacy.tCloseness(docs(s, dir)
+            .select(col("doc_id"), col("source"), col("lang")),
+            Seq("source"), "lang", t = 0.2)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("__t_dist")).as("t_dist"),
+            first(col("__t_kept")).as("kept"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH cells AS (SELECT source, lang AS v, COUNT(*)::BIGINT AS c
+                       FROM documents GROUP BY source, lang),
+             g AS (SELECT v, SUM(c)::BIGINT AS g FROM cells GROUP BY v),
+             n AS (SELECT source, SUM(c)::BIGINT AS n FROM cells GROUP BY source),
+             tot AS (SELECT SUM(g)::BIGINT AS nn FROM g),
+             grid AS (SELECT n.source, n.n, g.v, g.g FROM n CROSS JOIN g),
+             j AS (SELECT grid.source, grid.n, grid.g,
+                          COALESCE(cells.c, 0) AS c, tot.nn
+                   FROM grid
+                   LEFT JOIN cells ON cells.source = grid.source
+                                  AND cells.v IS NOT DISTINCT FROM grid.v
+                   CROSS JOIN tot),
+             d AS (SELECT source, n, nn,
+                          SUM(ABS(c * nn - g * n))::BIGINT AS num
+                   FROM j GROUP BY source, n, nn)
+        SELECT source, n AS n_docs,
+               num::DOUBLE / (2.0 * n::DOUBLE * nn::DOUBLE) AS t_dist,
+               num::DOUBLE / (2.0 * n::DOUBLE * nn::DOUBLE) <= 0.2 AS kept
+        FROM d
+        ORDER BY source"""))
   )
 }

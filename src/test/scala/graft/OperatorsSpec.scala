@@ -138,6 +138,48 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == 3 && dropped == Set(("en", "b"), ("fr", "a")))
   }
 
+  test("l-diversity: homogeneous groups suppressed; null sensitive counts") {
+    import graft.operators.Privacy
+    val df = Seq[(java.lang.Long, String, String)](
+      // group a: three distinct diagnoses — diverse
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "a", "z"),
+      // group b: large but HOMOGENEOUS — the attack l-diversity exists for
+      (4L, "b", "x"), (5L, "b", "x"), (6L, "b", "x"),
+      // group c: one value + null — null is an observable outcome, so 2
+      (7L, "c", "x"), (8L, "c", null),
+      // null-keyed group: must not vanish (null-safe stats join)
+      (9L, null, "x"), (10L, null, "x"))
+      .toDF("id", "grp", "diag")
+    val out = Privacy.lDiversify(df, Seq("grp"), "diag", l = 2).cache()
+    try {
+      assert(out.count() == 10)
+      val byId = out.collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+      assert(byId(1L) == ((3L, true)) && byId(4L) == ((1L, false)))
+      assert(byId(7L) == ((2L, true)) && byId(8L) == ((2L, true)))
+      assert(byId(9L) == ((1L, false)))
+    } finally out.unpersist()
+  }
+
+  test("t-closeness: exact total-variation distance, missing cells counted") {
+    import graft.operators.Privacy
+    // global: x=3, y=7 over N=10 → p=(0.3, 0.7)
+    //   a = (x,x,y,y): TV = ½(|.5−.3|+|.5−.7|) = 0.2
+    //   b = (y,y,y,y): TV = ½(|0−.3|+|1−.7|) = 0.3  ← misses x entirely
+    //   c = (x,y):     TV = 0.2
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "y"), ("b", "y"), ("b", "y"), ("b", "y"),
+      ("c", "x"), ("c", "y"))
+      .toDF("grp", "diag")
+    val out = Privacy.tCloseness(df, Seq("grp"), "diag", t = 0.25)
+      .select("grp", "__t_dist", "__t_kept").distinct().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out("a") == ((0.2, true)))
+    assert(out("b") == ((0.3, false))) // homogeneity via the MISSING x cell
+    assert(out("c") == ((0.2, true)))
+  }
+
   test("k-anonymity keeps NULL quasi-identifier rows as their own groups") {
     import graft.operators.Privacy
     // (null, "a") × 3 is a real over-k group; (null, null) × 1 and

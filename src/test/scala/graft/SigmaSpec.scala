@@ -811,6 +811,42 @@ class SigmaSpec extends SparkSpec {
     assert(matchedIds(f, rule.detect) == Set(1L, 2L, 3L))
   }
 
+  test("expand placeholders substitute deployment lists; undefined still throws") {
+    val f = Seq(
+      (1L, "DOMAIN\\alice", "ok"), (2L, "DOMAIN\\bob", "ok"),
+      (3L, "DOMAIN\\mallory", "ok"), (4L, "alice", "ok"))
+      .toDF("id", "SubjectUserName", "status")
+    val ruleText =
+      """title: Admin Account Activity
+        |detection:
+        |  sel:
+        |    SubjectUserName|expand|contains: '%admins%'
+        |  condition: sel
+        |""".stripMargin
+    val rule = SigmaRules.load(ruleText,
+      placeholders = Map("admins" -> Seq("alice", "bob")))
+    // cross-product expansion ≡ hand-built OR of contains
+    val hand = lower(col("SubjectUserName")).contains("alice") ||
+      lower(col("SubjectUserName")).contains("bob")
+    assert(matchedIds(f, rule.detect) == matchedIds(f, hand))
+    assert(matchedIds(f, rule.detect) == Set(1L, 2L, 4L))
+    // prefix/suffix text around the placeholder survives substitution
+    val prefixed = SigmaRules.load(
+      """title: p
+        |detection:
+        |  sel:
+        |    SubjectUserName|expand: 'DOMAIN\%admins%'
+        |  condition: sel
+        |""".stripMargin,
+      placeholders = Map("admins" -> Seq("alice")))
+    assert(matchedIds(f, prefixed.detect) == Set(1L))
+    // an undefined placeholder must fail loudly, not match '%admins%'
+    val e = intercept[IllegalArgumentException] {
+      SigmaRules.load(ruleText).detect
+    }
+    assert(e.getMessage.contains("admins"))
+  }
+
   test("a selection literally named 1 is an identifier, not a quantifier") {
     val f = Seq((1L, "error", "x"), (2L, "view", "x"), (3L, "error", "y"))
       .toDF("id", "event_type", "site")
