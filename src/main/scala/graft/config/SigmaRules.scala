@@ -47,17 +47,21 @@ import org.apache.spark.sql.functions._
   * Also covered: `base64` / `base64offset` encodings (pure literal
   * expansion — plain base64, and the three alignment-offset substrings
   * composing with `contains`; the encoded-PowerShell staple of real
-  * SigmaHQ packs).
+  * SigmaHQ packs), with the `utf16le`/`wide`/`utf16be`/`utf16` widening
+  * prefixes (UTF-16 code units, optionally BOM-led, encoded before
+  * base64 — `|utf16le|base64offset|contains` is how real packs catch
+  * `-EncodedCommand` payloads), and `fieldref` comparisons (a field
+  * matched against ANOTHER field's runtime value, with the
+  * contains/startswith/endswith variants).
   *
   * `|expand` placeholders (`%admins%`-style per-deployment value lists)
   * compile when the list is supplied via the `placeholders` argument —
   * cross-product substitution, remaining modifiers applied per expanded
   * literal; an undefined placeholder fails loudly.
   *
-  * Out of scope (rare, documented): `utf16`/`utf16le`/`utf16be`/`wide`
-  *   prefixes to the base64 modifiers, `near` aggregations, and
-  *   field-ref comparisons — loading a rule that uses one throws with
-  *   the unsupported construct named.
+  * Out of scope (rare, documented): `near` aggregations — loading a
+  *   rule that uses one throws with the unsupported construct named
+  *   (the v2 correlation forms cover the temporal semantics).
   */
 object SigmaRules {
 
@@ -573,8 +577,30 @@ object SigmaRules {
     mods = mods.filterNot(m => m == "all" || m == "cased")
     val values: Seq[JsonNode] =
       if (value.isArray) value.elements.asScala.toSeq else Seq(value)
-    val perValue = values.map(compileOneValue(field, mods, _, caseSensitive,
-      placeholders))
+    val perValue = mods match {
+      case "fieldref" :: rest =>
+        // value(s) name ANOTHER FIELD: compare this field to that
+        // field's runtime value (Sigma v2 fieldref — parent/child
+        // process-name equality and the like). Composes with contains/
+        // startswith/endswith; field names pass through the same map as
+        // selection keys; default-insensitive like every Sigma match.
+        val mode = matchMode(rest, "fieldref")
+        values.map { v =>
+          val other = col(fieldMap(v.asText))
+          val (l, r) =
+            if (caseSensitive) (field.cast("string"), other.cast("string"))
+            else (lower(field.cast("string")), lower(other.cast("string")))
+          mode match {
+            case "equals" => l === r
+            case "contains" => l.contains(r)
+            case "startswith" => l.startsWith(r)
+            case "endswith" => l.endsWith(r)
+          }
+        }
+      case _ =>
+        values.map(compileOneValue(field, mods, _, caseSensitive,
+          placeholders))
+    }
     if (requireAll) perValue.reduceOption(_ && _).getOrElse(lit(true))
     else perValue.reduceOption(_ || _).getOrElse(lit(false))
   }
@@ -637,6 +663,32 @@ object SigmaRules {
           s"base64offset composes with 'contains' only, got '$other' " +
             "(an offset-sliced substring is never a whole field)")
       }
+    case (enc @ ("wide" | "utf16le" | "utf16be" | "utf16")) :: rest =>
+      // UTF-16 widening BEFORE base64 — the encoded-PowerShell reality:
+      // `-EncodedCommand` payloads are base64 of UTF-16LE text, so the
+      // SigmaHQ staple is `|utf16le|base64offset|contains`. `wide` is an
+      // alias of `utf16le`; `utf16` prefixes the LE byte-order mark.
+      // These compose with base64/base64offset only (raw UTF-16 bytes
+      // are not matchable as text).
+      val bytes = utf16Bytes(enc, v.asText)
+      rest match {
+        case "base64" :: rest2 =>
+          stringMatch(field, matchMode(rest2, s"$enc|base64"),
+            java.util.Base64.getEncoder.encodeToString(bytes), caseSensitive)
+        case "base64offset" :: rest2 =>
+          matchMode(rest2, s"$enc|base64offset") match {
+            case "contains" =>
+              base64OffsetVariants(bytes)
+                .map(s => stringMatch(field, "contains", s, caseSensitive))
+                .reduce(_ || _)
+            case other => sys.error(
+              s"base64offset composes with 'contains' only, got '$other' " +
+                "(an offset-sliced substring is never a whole field)")
+          }
+        case other => sys.error(
+          s"sigma $enc composes with base64/base64offset only" +
+            (if (other.isEmpty) "" else s", got '${other.mkString("|")}'"))
+      }
     case "expand" :: rest =>
       // `%name%` placeholders substitute per-deployment value lists (the
       // pySigma placeholder pipeline): the value expands to the cross
@@ -665,6 +717,21 @@ object SigmaRules {
   }
 
   private val PlaceholderRe = "%([A-Za-z0-9_]+)%".r
+
+  /** UTF-16 widening for the base64 modifiers (the pySigma expansions):
+    * `utf16le`/`wide` → little-endian code units, `utf16be` →
+    * big-endian, `utf16` → the LE byte-order mark then little-endian.
+    */
+  private def utf16Bytes(enc: String, value: String): Array[Byte] = {
+    import java.nio.charset.StandardCharsets
+    enc match {
+      case "utf16le" | "wide" => value.getBytes(StandardCharsets.UTF_16LE)
+      case "utf16be" => value.getBytes(StandardCharsets.UTF_16BE)
+      case "utf16" =>
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+          value.getBytes(StandardCharsets.UTF_16LE)
+    }
+  }
 
   /** The trailing match-mode of a value-transforming modifier chain
     * (`windash`, `base64`, `base64offset`): bare → equals.
@@ -723,8 +790,10 @@ object SigmaRules {
     * the value at byte offset k in a plaintext appears in its base64 as
     * variant k mod 3 (property-gated in SigmaSpec).
     */
-  private[graft] def base64OffsetVariants(value: String): Seq[String] = {
-    val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[graft] def base64OffsetVariants(value: String): Seq[String] =
+    base64OffsetVariants(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] def base64OffsetVariants(bytes: Array[Byte]): Seq[String] = {
     val startOff = Array(0, 2, 3)
     val endTrim = Array(0, -3, -2)
     (0 until 3).map { i =>

@@ -240,6 +240,11 @@ object Scale {
         "q144_sigma_temporal" -> SparkEntry.queries("q144_sigma_temporal"),
         "q145_perplexity_filter" -> SparkEntry.queries("q145_perplexity_filter"),
         "q146_k_anonymity" -> SparkEntry.queries("q146_k_anonymity"),
+        // round-14 additions: the privacy-gate complements — both are
+        // grouped aggregations + slim null-safe stats joins (q148 adds
+        // the broadcastable value-distribution grid)
+        "q147_l_diversity" -> SparkEntry.queries("q147_l_diversity"),
+        "q148_t_closeness" -> SparkEntry.queries("q148_t_closeness"),
         "q117_hll_distinct" -> SparkEntry.queries("q117_hll_distinct"),
         "q118_temperature_mix" -> SparkEntry.queries("q118_temperature_mix"),
         "q119_shard_plan" -> SparkEntry.queries("q119_shard_plan"),

@@ -348,14 +348,13 @@ class SigmaSpec extends SparkSpec {
   }
 
   test("unsupported constructs fail loudly, not silently") {
-    // utf16-widened base64 is NOT implemented — it must throw, not
-    // silently match the (wrong) utf8 encoding
+    // an unknown modifier must throw, not silently degrade to equality
     intercept[RuntimeException] {
       SigmaRules.load(
         """title: u
           |detection:
           |  sel:
-          |    f|utf16le|base64offset|contains: x
+          |    f|nosuchmod|contains: x
           |  condition: sel
           |""".stripMargin).detect
     }
@@ -845,6 +844,105 @@ class SigmaSpec extends SparkSpec {
       SigmaRules.load(ruleText).detect
     }
     assert(e.getMessage.contains("admins"))
+  }
+
+  test("utf16le|base64offset|contains catches encoded commands at every alignment") {
+    import java.nio.charset.StandardCharsets
+    import java.util.Base64
+    val payload = "Invoke-Mimikatz"
+    val wide16 = payload.getBytes(StandardCharsets.UTF_16LE)
+    // the value embedded at byte offset k of a larger plaintext must be
+    // caught by alignment variant k mod 3
+    def embedded(off: Int): String = Base64.getEncoder.encodeToString(
+      Array.fill[Byte](off)('A'.toByte) ++ wide16 ++
+        " -tail".getBytes(StandardCharsets.UTF_16LE))
+    val f = Seq(
+      (1L, embedded(0)), (2L, embedded(1)), (3L, embedded(2)),
+      // base64 of the UTF-8 spelling must NOT match a utf16 rule
+      (4L, Base64.getEncoder.encodeToString(
+        payload.getBytes(StandardCharsets.UTF_8))),
+      (5L, "powershell -EncodedCommand QQ=="))
+      .toDF("id", "CommandLine")
+    val rule = SigmaRules.load(
+      """title: Encoded Mimikatz
+        |detection:
+        |  sel:
+        |    CommandLine|utf16le|base64offset|contains: 'Invoke-Mimikatz'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, rule.detect) == Set(1L, 2L, 3L))
+    // `wide` is an alias of utf16le
+    val alias = SigmaRules.load(
+      """title: a
+        |detection:
+        |  sel:
+        |    CommandLine|wide|base64offset|contains: 'Invoke-Mimikatz'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, alias.detect) == Set(1L, 2L, 3L))
+  }
+
+  test("utf16 prefixes the BOM; utf16be is big-endian; non-base64 chains throw") {
+    import java.nio.charset.StandardCharsets
+    import java.util.Base64
+    val bomLe = Base64.getEncoder.encodeToString(
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        "cmd".getBytes(StandardCharsets.UTF_16LE))
+    val beAt1 = Base64.getEncoder.encodeToString(
+      Array[Byte]('A'.toByte) ++ "cmd".getBytes(StandardCharsets.UTF_16BE))
+    val f = Seq((1L, bomLe), (2L, beAt1), (3L, "plain"))
+      .toDF("id", "CommandLine")
+    val bom = SigmaRules.load(
+      """title: b
+        |detection:
+        |  sel:
+        |    CommandLine|utf16|base64: 'cmd'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, bom.detect) == Set(1L))
+    val be = SigmaRules.load(
+      """title: c
+        |detection:
+        |  sel:
+        |    CommandLine|utf16be|base64offset|contains: 'cmd'
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, be.detect) == Set(2L))
+    val e = intercept[RuntimeException] {
+      SigmaRules.load(
+        """title: d
+          |detection:
+          |  sel:
+          |    CommandLine|utf16le|contains: 'x'
+          |  condition: sel
+          |""".stripMargin).detect
+    }
+    assert(e.getMessage.contains("base64"))
+  }
+
+  test("fieldref compares a field to another field's runtime value") {
+    val f = Seq(
+      (1L, "cmd.exe", "cmd.exe"),
+      (2L, "CMD.EXE", "cmd.exe"), // Sigma default: case-insensitive
+      (3L, "powershell.exe", "cmd.exe"),
+      (4L, "evil-cmd.exe", "cmd.exe"))
+      .toDF("id", "Image", "ParentImage")
+    val rule = SigmaRules.load(
+      """title: self-spawn
+        |detection:
+        |  sel:
+        |    Image|fieldref: ParentImage
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, rule.detect) == Set(1L, 2L))
+    val ends = SigmaRules.load(
+      """title: suffix
+        |detection:
+        |  sel:
+        |    Image|fieldref|endswith: ParentImage
+        |  condition: sel
+        |""".stripMargin)
+    assert(matchedIds(f, ends.detect) == Set(1L, 2L, 4L))
   }
 
   test("a selection literally named 1 is an identifier, not a quantifier") {
