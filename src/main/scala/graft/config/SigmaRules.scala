@@ -246,6 +246,24 @@ object SigmaRules {
     (f: String) => exact.getOrElse(f.toLowerCase, f)
   }
 
+  /** Field map for SigmaHQ `product: gcp` / `service: gcp.audit` rules —
+    * the rules address the Elastic GCP integration's names
+    * (`gcp.audit.method_name` et al.). The managed GcpAudit transform
+    * (`transform/managed/GcpAudit.scala`; reference
+    * `data/managed/log_sources/gcp_audit/log_source.yml`) HOISTS the
+    * method into ECS `event.action` and keeps the remaining vendor
+    * fields under `gcp.audit.*` in the same snake_case the rules spell,
+    * so only the hoisted names need mapping — everything else passes
+    * through to its own column path.
+    */
+  val ecsGcpAudit: String => String = {
+    val exact = Map(
+      "gcp.audit.method_name" -> "event.action",
+      "gcp.audit.response.status" -> "gcp.audit.status",
+      "gcp.audit.caller_ip" -> "source.ip")
+    (f: String) => exact.getOrElse(f, f)
+  }
+
   /** Parse one Sigma rule document and compile its detection to a
     * predicate. `fieldMap` renames Sigma field names to the event
     * table's columns (e.g. [[ecsCloudtrail]]); `keywordField` is the

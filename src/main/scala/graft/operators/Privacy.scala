@@ -260,4 +260,83 @@ object Privacy {
     joinGroupStats(df, quasiCols, dist)
       .withColumn("__t_kept", col("__t_dist") <= t)
   }
+
+  /** CDF thresholds of the two-sided geometric noise distribution
+    * (mass(z) ∝ α^|z|, α = e^−ε), at z = −maxNoise … maxNoise−1, each
+    * formatted as a 13-hex-digit string: equal-length lowercase hex
+    * compares like the number it encodes (the q115 convention), so the
+    * inverse-CDF draw below is pure string comparisons that Spark and
+    * any SQL oracle evaluate identically — no cross-engine float math
+    * ever happens (the doubles here become fixed literals embedded in
+    * BOTH plans). Exposed so oracle SQL can be generated from the same
+    * constants.
+    */
+  private[graft] def dpThresholds(
+      epsilon: Double, maxNoise: Int): Seq[String] = {
+    val alpha = math.exp(-epsilon)
+    val w0 = (1 - alpha) / (1 + alpha)
+    (-maxNoise until maxNoise).map { z =>
+      // closed-form CDF of the untruncated two-sided geometric:
+      //   z < 0:  F(z) = w0 α^(−z) / (1−α)
+      //   z ≥ 0:  F(z) = 1 − w0 α^(z+1) / (1−α)
+      val f =
+        if (z < 0) w0 * math.pow(alpha, -z) / (1 - alpha)
+        else 1.0 - w0 * math.pow(alpha, z + 1) / (1 - alpha)
+      // 16^13 = 2^52: the scaled CDF is an exactly-representable
+      // integer. Cap at 16^13 − 1: a CDF value that rounds to exactly
+      // 1.0 would scale to 2^52, whose hex form is FOURTEEN digits and
+      // compares lexicographically SMALLER than any 13-digit uniform —
+      // the capped all-f threshold keeps that bucket unreachable
+      // (mass < 2^−52) instead of always-reached.
+      val scaled = math.min(math.floor(f * 4503599627370496.0),
+        4503599627370495.0).toLong
+      f"$scaled%013x"
+    }
+  }
+
+  /** ε-differentially-private count release — the publication step past
+    * the suppression gates (k-anonymity/l-diversity/t-closeness bound
+    * LINKAGE; a released exact count still leaks presence, which only
+    * noise addition bounds). Per-group noisy counts under the geometric
+    * mechanism (the discrete Laplace — ε-DP for counting queries,
+    * sensitivity 1), clamped to ±maxNoise (clamping is post-processing,
+    * so ε-DP is preserved; α^maxNoise tail mass is negligible at the
+    * defaults).
+    *
+    * The draw is DETERMINISTIC given `seed`: the group's uniform is the
+    * first 13 hex digits of md5(groupKey ⊕ seed) and the noise is an
+    * inverse-CDF lookup via [[dpThresholds]] — equal-length hex string
+    * comparisons, so the release is reproducible across engines and
+    * re-runs (a re-released dataset must not get FRESH noise: averaging
+    * releases would cancel it). NULL group values hash as a \u0001
+    * sentinel (concat_ws drops nulls — without the sentinel, (a,NULL)
+    * and (a,"") would share one draw, correlating two groups' noise).
+    *
+    * Returns one row per group: groupCols, `__dp_released`
+    * (count + noise; may be negative for near-empty groups — standard,
+    * consumers clamp at will) and `__dp_noise` (audit only — publishing
+    * noise alongside the release reveals the true count; emit ONLY
+    * `__dp_released`). Scale shape: one grouped count; the noise is a
+    * codegen'd projection over the slim group frame, no extra shuffle.
+    */
+  def dpCountRelease(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, seed: Long, maxNoise: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "need group columns")
+    require(epsilon > 0, "epsilon must be positive")
+    require(maxNoise >= 1, "maxNoise must be at least 1")
+    val thresholds = dpThresholds(epsilon, maxNoise)
+    val keyed = groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("")))
+    val u = substring(
+      md5(concat_ws("|", (keyed :+ lit(seed.toString)): _*).cast("binary")),
+      1, 13)
+    val noise = thresholds
+      .map(t => when(u >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _) - lit(maxNoise.toLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select((groupCols.map(col) :+
+        (col("__n") + noise).as("__dp_released") :+
+        noise.as("__dp_noise")): _*)
+  }
 }

@@ -2713,6 +2713,36 @@ object TextPipeline {
                num::DOUBLE / (2.0 * n::DOUBLE * nn::DOUBLE) AS t_dist,
                num::DOUBLE / (2.0 * n::DOUBLE * nn::DOUBLE) <= 0.2 AS kept
         FROM d
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ---- q149: ε-DP count release — the publication step past the
+    // suppression gates: per-group counts released under the geometric
+    // mechanism (discrete Laplace, sensitivity 1), noise drawn
+    // DETERMINISTICALLY from seed+group via an inverse-CDF ladder of
+    // 13-hex-digit thresholds (equal-length lowercase hex compares like
+    // the number it encodes — the q115 convention). The ladder constants
+    // are generated ONCE in Scala and embedded in both the Spark plan
+    // and this oracle SQL, so no cross-engine float math exists and the
+    // release reproduces bit-for-bit.
+    QueryDef(
+      "q149_dp_release",
+      (s, dir) => {
+        import graft.operators.Privacy
+        Privacy.dpCountRelease(docs(s, dir), Seq("source"),
+            epsilon = 0.5, seed = 42L, maxNoise = 20)
+          .select(col("source"), col("__dp_released").as("released"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ladder = graft.operators.Privacy.dpThresholds(0.5, 20)
+          .map(t => s"(CASE WHEN u >= '$t' THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH g AS (SELECT source, COUNT(*)::BIGINT AS n,
+                          substring(md5(source || '|42'), 1, 13) AS u
+                   FROM documents GROUP BY source)
+        SELECT source, (n + $ladder - 20)::BIGINT AS released
+        FROM g ORDER BY source"""
+      })
   )
 }

@@ -245,6 +245,7 @@ object Scale {
         // the broadcastable value-distribution grid)
         "q147_l_diversity" -> SparkEntry.queries("q147_l_diversity"),
         "q148_t_closeness" -> SparkEntry.queries("q148_t_closeness"),
+        "q149_dp_release" -> SparkEntry.queries("q149_dp_release"),
         "q117_hll_distinct" -> SparkEntry.queries("q117_hll_distinct"),
         "q118_temperature_mix" -> SparkEntry.queries("q118_temperature_mix"),
         "q119_shard_plan" -> SparkEntry.queries("q119_shard_plan"),

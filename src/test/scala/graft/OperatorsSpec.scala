@@ -180,6 +180,66 @@ class OperatorsSpec extends SparkSpec {
     assert(out("c") == ((0.2, true)))
   }
 
+  test("dp count release: deterministic, clamped, inverse-CDF-exact noise") {
+    import graft.operators.Privacy
+    val df = (1 to 500).map(i => (i.toLong, s"g${i % 50}")).toDF("id", "grp")
+    val a = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 0.5, seed = 7L)
+      .collect()
+    val b = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 0.5, seed = 7L)
+      .collect()
+    // same seed → the SAME release (fresh noise per re-run would average
+    // away under repeated publication)
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    val byGrp = a.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byGrp.size == 50)
+    // released = n + noise, |noise| clamped to maxNoise
+    byGrp.values.foreach { case (rel, z) =>
+      assert(rel == 10L + z && math.abs(z) <= 20)
+    }
+    // the draw is exactly the inverse-CDF lookup on md5(group|seed)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("g3|7".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13)
+    val expected = Privacy.dpThresholds(0.5, 20).count(_ <= hex) - 20
+    assert(byGrp("g3")._2 == expected.toLong)
+    // a different seed draws different noise somewhere
+    val c = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 0.5, seed = 8L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byGrp.exists { case (g, (_, z)) => c(g) != z })
+    // ε scales the noise: at ε=5 the mass concentrates on 0; at ε=0.5
+    // the mean |noise| sits near the theoretical 2α/(1−α²) ≈ 1.9
+    val tight = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 5.0, seed = 7L)
+      .collect().map(_.getLong(2))
+    assert(tight.count(_ == 0L) >= 40)
+    val meanAbs = byGrp.values.map { case (_, z) => math.abs(z).toDouble }
+      .sum / byGrp.size
+    assert(meanAbs > 0.5 && meanAbs < 5.0)
+  }
+
+  test("dp count release: null group values draw their own sentinel noise") {
+    import graft.operators.Privacy
+    val df = Seq((1L, "a"), (2L, "a"), (3L, null: String), (4L, ""))
+      .toDF("id", "grp")
+    val out = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 1.0, seed = 1L)
+      .collect()
+    assert(out.length == 3) // "a", null, "" are three distinct groups
+    val nullRow = out.find(_.isNullAt(0)).get
+    val emptyRow = out.find(r => !r.isNullAt(0) && r.getString(0) == "").get
+    // null and empty-string groups get INDEPENDENT draws (the sentinel):
+    // their uniforms differ, so equality here would be a 1-in-16^13
+    // accident — assert the released values are each n + their own noise
+    assert(nullRow.getLong(1) == 1L + nullRow.getLong(2))
+    assert(emptyRow.getLong(1) == 1L + emptyRow.getLong(2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(key: String): Long = {
+      val hex = md.digest(s"$key|1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      Privacy.dpThresholds(1.0, 20).count(_ <= hex) - 20L
+    }
+    assert(nullRow.getLong(2) == draw("\u0001")) // the null sentinel
+    assert(emptyRow.getLong(2) == draw(""))
+  }
+
   test("k-anonymity keeps NULL quasi-identifier rows as their own groups") {
     import graft.operators.Privacy
     // (null, "a") × 3 is a real over-k group; (null, null) × 1 and

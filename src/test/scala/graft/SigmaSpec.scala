@@ -1103,4 +1103,50 @@ class SigmaSpec extends SparkSpec {
     assert(SigmaRules.ecsZeek("query") == "dns.question.name")
     assert(SigmaRules.ecsZeek("status_code") == "http.response.status_code")
   }
+
+  test("GCP Bucket Modified or Deleted (SigmaHQ) over the managed transform") {
+    // real SigmaHQ rule gcp_bucket_modified_or_deleted.yml: the Elastic
+    // integration's `gcp.audit.method_name` → the ECS event.action the
+    // managed GcpAudit transform hoists the method into
+    import graft.transform.managed.GcpAudit
+    def gcpLine(id: Long, method: String): String =
+      s"""{"insertId":"e$id","severity":"NOTICE",
+         |"timestamp":"2024-05-01T00:00:0${id}Z",
+         |"resource":{"type":"gcs_bucket","labels":{"project_id":"p"}},
+         |"protoPayload":{"@type":"type.googleapis.com/google.cloud.audit.AuditLog",
+         |"methodName":"$method","serviceName":"storage.googleapis.com",
+         |"resourceName":"projects/_/buckets/b",
+         |"authenticationInfo":{"principalEmail":"u@corp.example"},
+         |"requestMetadata":{"callerIp":"203.0.113.$id"}}}"""
+        .stripMargin.replace("\n", "")
+    val events = GcpAudit(Seq(
+      gcpLine(1, "storage.buckets.delete"),
+      gcpLine(2, "storage.buckets.update"),
+      gcpLine(3, "storage.buckets.get"),
+      gcpLine(4, "storage.setIamPermissions"))
+      .toDF("json"))
+      .withColumn("id", expr("cast(substring(event.id, 2) as long)"))
+    val dir = java.nio.file.Files.createTempDirectory("sigma_gcp")
+    java.nio.file.Files.writeString(dir.resolve("gcp_bucket_modified_or_deleted.yml"),
+      """title: GCP Bucket Modified or Deleted
+        |status: test
+        |description: Detects when a bucket is modified or deleted.
+        |logsource:
+        |  product: gcp
+        |  service: gcp.audit
+        |detection:
+        |  selection:
+        |    gcp.audit.method_name|contains:
+        |      - storage.buckets.delete
+        |      - storage.buckets.update
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    val (rules, _) = SigmaRules.loadRulePack(dir.toString,
+      fieldMap = SigmaRules.ecsGcpAudit)
+    val hand = lower(col("event.action")).contains("storage.buckets.delete") ||
+      lower(col("event.action")).contains("storage.buckets.update")
+    assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rules.head.detect) == Set(1L, 2L))
+  }
 }
