@@ -308,9 +308,14 @@ object Privacy {
     * inverse-CDF lookup via [[dpThresholds]] — equal-length hex string
     * comparisons, so the release is reproducible across engines and
     * re-runs (a re-released dataset must not get FRESH noise: averaging
-    * releases would cancel it). NULL group values hash as a \u0001
-    * sentinel (concat_ws drops nulls — without the sentinel, (a,NULL)
-    * and (a,"") would share one draw, correlating two groups' noise).
+    * releases would cancel it). The group key is COLLISION-FREE framed:
+    * each component is length-prefixed (`len:value`) before the `|`
+    * join, so `("a|b","c")` and `("a","b|c")` — identical under a naive
+    * pipe join — frame as `3:a|b|1:c` vs `1:a|3:b|c` and draw
+    * independent noise. NULL components hash as a \u0001 sentinel
+    * (concat_ws drops nulls — without the sentinel, (a,NULL) and
+    * (a,"") would share one draw, correlating two groups' noise; a real
+    * data value of exactly \u0001 is assumed absent).
     *
     * Returns one row per group: groupCols, `__dp_released`
     * (count + noise; may be negative for near-empty groups — standard,
@@ -325,10 +330,16 @@ object Privacy {
     require(epsilon > 0, "epsilon must be positive")
     require(maxNoise >= 1, "maxNoise must be at least 1")
     val thresholds = dpThresholds(epsilon, maxNoise)
+    // len:value framing makes the joined key injective over the
+    // component tuple; the sentinel is the VISIBLE escape (a raw 0x01
+    // byte in source renders as lit("") and invites deletion).
+    def framed(c: Column): Column =
+      concat(length(c).cast("string"), lit(":"), c)
     val keyed = groupCols.map(c =>
-      coalesce(col(c).cast("string"), lit("")))
+      framed(coalesce(col(c).cast("string"), lit("\u0001"))))
     val u = substring(
-      md5(concat_ws("|", (keyed :+ lit(seed.toString)): _*).cast("binary")),
+      md5(concat_ws("|", (keyed :+ framed(lit(seed.toString))): _*)
+        .cast("binary")),
       1, 13)
     val noise = thresholds
       .map(t => when(u >= lit(t), 1L).otherwise(0L))
@@ -337,6 +348,58 @@ object Privacy {
       .agg(count(lit(1)).as("__n"))
       .select((groupCols.map(col) :+
         (col("__n") + noise).as("__dp_released") :+
+        noise.as("__dp_noise")): _*)
+  }
+
+  /** ε-differentially-private SUM release — completes the private-
+    * publication family past counts: per-group sums of an integer
+    * contribution CLAMPED to [clampLo, clampHi] per row (clamping is
+    * what bounds the sensitivity: one record's presence moves the sum
+    * by at most Δ = max(|clampLo|, |clampHi|), so the geometric
+    * mechanism with α = e^(−ε/Δ) is ε-DP for the clamped sum).
+    *
+    * Same deterministic inverse-CDF ladder as [[dpCountRelease]] (the
+    * 13-hex-digit [[dpThresholds]] convention, α = e^(−ε/Δ)), same
+    * collision-free `len:value` key framing with the \u0001 NULL
+    * sentinel — plus a `sum:<valueCol>` domain component so a count and
+    * a sum released over the SAME groups and seed draw independent
+    * noise. Noise support is ±maxNoise steps; choose maxNoise ≳ 4·Δ/ε
+    * so the truncated tail mass stays negligible (truncation is
+    * post-processing and preserves ε-DP regardless).
+    *
+    * Returns one row per group: groupCols, `__dp_released`
+    * (clamped sum + noise) and `__dp_noise` (audit only — do not
+    * publish). Scale shape: one codegen'd clamp projection + one
+    * grouped sum; the noise is a projection over the slim group frame.
+    */
+  def dpSumRelease(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      epsilon: Double, clampLo: Long, clampHi: Long, seed: Long,
+      maxNoise: Int = 60): DataFrame = {
+    require(groupCols.nonEmpty, "need group columns")
+    require(epsilon > 0, "epsilon must be positive")
+    require(clampHi > clampLo, "clamp bounds must be a non-empty range")
+    require(maxNoise >= 1, "maxNoise must be at least 1")
+    val delta = math.max(math.abs(clampLo), math.abs(clampHi))
+    require(delta >= 1, "clamp bounds must give sensitivity >= 1")
+    val thresholds = dpThresholds(epsilon / delta, maxNoise)
+    def framed(c: Column): Column =
+      concat(length(c).cast("string"), lit(":"), c)
+    val keyed = groupCols.map(c =>
+      framed(coalesce(col(c).cast("string"), lit("\u0001"))))
+    val u = substring(
+      md5(concat_ws("|", (keyed :+ framed(lit(s"sum:$valueCol")) :+
+          framed(lit(seed.toString))): _*)
+        .cast("binary")),
+      1, 13)
+    val noise = thresholds
+      .map(t => when(u >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _) - lit(maxNoise.toLong)
+    val clamped = least(greatest(col(valueCol).cast(LongType),
+      lit(clampLo)), lit(clampHi))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(clamped).as("__s"))
+      .select((groupCols.map(col) :+
+        (col("__s") + noise).as("__dp_released") :+
         noise.as("__dp_noise")): _*)
   }
 }

@@ -896,8 +896,11 @@ object TextPipeline {
     // ---- q116: bigram-LM familiarity — the LM-quality-filter step of
     // the published curation recipes (score docs by predictability under
     // a corpus-trained smoothed bigram model; gibberish and off-corpus
-    // text score low). Counts are word-count aggregations, the score
-    // join ships (doc, pos, gram) tuples, V broadcasts; each conditional
+    // text score low). Counts are word-count aggregations keyed by the
+    // 64-bit gram hash (exchanges ship 8-byte keys, not bigram text — the
+    // oracle stays string-keyed: hashing only renames count keys), the
+    // score join ships (doc, pos, gramhash) tuples, V broadcasts; each
+    // conditional
     // is one IEEE division of exact integers and the per-doc mean folds
     // the position-ordered array sequentially — DuckDB reproduces every
     // double bit-for-bit (the q34 list_sum convention).
@@ -2723,26 +2726,73 @@ object TextPipeline {
     // the number it encodes — the q115 convention). The ladder constants
     // are generated ONCE in Scala and embedded in both the Spark plan
     // and this oracle SQL, so no cross-engine float math exists and the
-    // release reproduces bit-for-bit.
+    // release reproduces bit-for-bit. The fixture group column carries a
+    // NULL group (hashed via the \u0001 sentinel) and a pipe-bearing
+    // group ("src1|x"), and the key is len:value framed — both engines
+    // must reproduce the framing exactly or the noise diverges.
     QueryDef(
       "q149_dp_release",
       (s, dir) => {
         import graft.operators.Privacy
-        Privacy.dpCountRelease(docs(s, dir), Seq("source"),
-            epsilon = 0.5, seed = 42L, maxNoise = 20)
-          .select(col("source"), col("__dp_released").as("released"))
-          .orderBy(col("source"))
+        val src = when(col("source") === "src0", lit(null).cast("string"))
+          .when(col("source") === "src1", concat(col("source"), lit("|x")))
+          .otherwise(col("source"))
+        Privacy.dpCountRelease(docs(s, dir).select(src.as("src")),
+            Seq("src"), epsilon = 0.5, seed = 42L, maxNoise = 20)
+          .select(col("src"), col("__dp_released").as("released"))
+          .orderBy(col("src"))
       },
       Some {
         val ladder = graft.operators.Privacy.dpThresholds(0.5, 20)
           .map(t => s"(CASE WHEN u >= '$t' THEN 1 ELSE 0 END)")
           .mkString(" + ")
         s"""
-        WITH g AS (SELECT source, COUNT(*)::BIGINT AS n,
-                          substring(md5(source || '|42'), 1, 13) AS u
-                   FROM documents GROUP BY source)
-        SELECT source, (n + $ladder - 20)::BIGINT AS released
-        FROM g ORDER BY source"""
+        WITH d AS (SELECT CASE WHEN source = 'src0' THEN NULL
+                               WHEN source = 'src1' THEN source || '|x'
+                               ELSE source END AS src
+                   FROM documents),
+             g AS (SELECT src, COUNT(*)::BIGINT AS n,
+                          substring(md5(
+                            length(coalesce(src, chr(1)))::VARCHAR || ':' ||
+                            coalesce(src, chr(1)) || '|2:42'), 1, 13) AS u
+                   FROM d GROUP BY src)
+        SELECT src, (n + $ladder - 20)::BIGINT AS released
+        FROM g ORDER BY src"""
+      }),
+
+    // ---- q150: ε-DP clamped-SUM release — completes the private-
+    // publication family past counts: per-row contributions clamped to
+    // [0, 8] (the clamp bound IS the sensitivity Δ), per-group sums
+    // released under the geometric mechanism with α = e^(−ε/Δ), noise
+    // from the same deterministic 13-hex-digit inverse-CDF ladder with a
+    // sum:<col> domain component in the framed key so a count and a sum
+    // over the same groups draw independent noise.
+    QueryDef(
+      "q150_dp_sum_release",
+      (s, dir) => {
+        import graft.operators.Privacy
+        Privacy.dpSumRelease(docs(s, dir)
+            .select(col("source"), (col("n_chars") % 10).as("contrib")),
+            Seq("source"), "contrib", epsilon = 2.0,
+            clampLo = 0L, clampHi = 8L, seed = 7L, maxNoise = 60)
+          .select(col("source"), col("__dp_released").as("released"),
+            col("__dp_noise").as("noise"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ladder = graft.operators.Privacy.dpThresholds(2.0 / 8, 60)
+          .map(t => s"(CASE WHEN u >= '$t' THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH g AS (SELECT source,
+                          SUM(LEAST(GREATEST(n_chars % 10, 0), 8))::BIGINT AS s,
+                          substring(md5(
+                            length(source)::VARCHAR || ':' || source ||
+                            '|11:sum:contrib|1:7'), 1, 13) AS u
+                   FROM documents GROUP BY source),
+             z AS (SELECT source, s, ($ladder - 60)::BIGINT AS noise FROM g)
+        SELECT source, (s + noise)::BIGINT AS released, noise
+        FROM z ORDER BY source"""
       })
   )
 }

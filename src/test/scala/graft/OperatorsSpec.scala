@@ -99,15 +99,23 @@ class OperatorsSpec extends SparkSpec {
     // plain join (eagerly — no blocked machinery in the plan)
     assert(pairSet(Dedup.blockedCandidatePairs(rows, "id", Seq("bucket"),
       blockSize = 1000)) == full)
-    // caller-PERSISTED input takes the pigeonhole detection path (local
-    // counts are partial, not exact) — the superset dial must still
-    // tile the hot bucket and reproduce the exact pair set
+    // caller-PERSISTED input in a NON-co-located layout (round-robin —
+    // not hash-partitioned by the bucket key) fails the trust check and
+    // gets re-pinned; the pair set must be unchanged
     val cached = rows.repartition(4).persist()
     try {
       cached.count()
       assert(pairSet(Dedup.blockedCandidatePairs(cached, "id", Seq("bucket"),
         blockSize = 3, hotThreshold = 3)) == full)
     } finally cached.unpersist()
+    // caller-PERSISTED input in the CO-LOCATED layout (hash on the bucket
+    // key) passes the trust check and is consumed as-is — same pair set
+    val coloc = rows.repartition(4, col("bucket")).persist()
+    try {
+      coloc.count()
+      assert(pairSet(Dedup.blockedCandidatePairs(coloc, "id", Seq("bucket"),
+        blockSize = 3, hotThreshold = 3)) == full)
+    } finally coloc.unpersist()
   }
 
   test("Ranking.globalRank equals the single-window row_number, distributed") {
@@ -196,9 +204,10 @@ class OperatorsSpec extends SparkSpec {
     byGrp.values.foreach { case (rel, z) =>
       assert(rel == 10L + z && math.abs(z) <= 20)
     }
-    // the draw is exactly the inverse-CDF lookup on md5(group|seed)
+    // the draw is exactly the inverse-CDF lookup on the framed key
+    // md5(len:group|len:seed)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest("g3|7".getBytes("UTF-8"))
+    val hex = md.digest("2:g3|1:7".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(13)
     val expected = Privacy.dpThresholds(0.5, 20).count(_ <= hex) - 20
     assert(byGrp("g3")._2 == expected.toLong)
@@ -232,12 +241,62 @@ class OperatorsSpec extends SparkSpec {
     assert(emptyRow.getLong(1) == 1L + emptyRow.getLong(2))
     val md = java.security.MessageDigest.getInstance("MD5")
     def draw(key: String): Long = {
-      val hex = md.digest(s"$key|1".getBytes("UTF-8"))
+      val hex = md.digest(s"${key.length}:$key|1:1".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(13)
       Privacy.dpThresholds(1.0, 20).count(_ <= hex) - 20L
     }
     assert(nullRow.getLong(2) == draw("\u0001")) // the null sentinel
     assert(emptyRow.getLong(2) == draw(""))
+  }
+
+  test("dp count release: len:value framing keeps pipe-bearing group " +
+      "keys from colliding across columns") {
+    import graft.operators.Privacy
+    // under a naive pipe join both groups key as "a|b|c" and would share
+    // one draw; the framed keys are 3:a|b|1:c vs 1:a|3:b|c
+    val df = Seq((1L, "a|b", "c"), (2L, "a", "b|c"))
+      .toDF("id", "g1", "g2")
+    val out = Privacy.dpCountRelease(df, Seq("g1", "g2"),
+        epsilon = 1.0, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(out.size == 2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      Privacy.dpThresholds(1.0, 20).count(_ <= hex) - 20L
+    }
+    assert(out(("a|b", "c")) == draw("3:a|b|1:c|1:3"))
+    assert(out(("a", "b|c")) == draw("1:a|3:b|c|1:3"))
+  }
+
+  test("dp sum release: clamped contributions, deterministic domain-" +
+      "tagged noise, independent of the count draw") {
+    import graft.operators.Privacy
+    // values 9 and 12 clamp to 8; -5 clamps to 0
+    val df = Seq(("a", 3L), ("a", 9L), ("a", -5L), ("b", 12L), ("b", 1L))
+      .toDF("grp", "v")
+    val out = Privacy.dpSumRelease(df, Seq("grp"), "v",
+        epsilon = 2.0, clampLo = 0L, clampHi = 8L, seed = 7L, maxNoise = 60)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      // sensitivity Δ = 8 → ladder at ε/Δ
+      Privacy.dpThresholds(2.0 / 8, 60).count(_ <= hex) - 60L
+    }
+    // clamped sums: a = 3 + 8 + 0 = 11; b = 8 + 1 = 9
+    assert(out("a") == ((11L + draw("1:a|5:sum:v|1:7"), draw("1:a|5:sum:v|1:7"))))
+    assert(out("b") == ((9L + draw("1:b|5:sum:v|1:7"), draw("1:b|5:sum:v|1:7"))))
+    // the sum draw is NOT the count draw for the same group+seed (the
+    // sum:<col> domain component separates them)
+    val cnt = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 2.0 / 8,
+        seed = 7L, maxNoise = 60)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cnt("a") != out("a")._2 || cnt("b") != out("b")._2)
   }
 
   test("k-anonymity keeps NULL quasi-identifier rows as their own groups") {
