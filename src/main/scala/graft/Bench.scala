@@ -57,8 +57,25 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // queries that persist intermediates (q32's shingle frame) must not
+      // leak executor memory into the next measurement. clearCache misses
+      // localCheckpoint blocks (q67/q84's CC rounds): those wait for the
+      // ASYNC ContextCleaner, so 60+ queries in, the accumulated blocks
+      // squeeze the unified-memory region and the checkpoint-loop queries
+      // degrade 6x (r9 sweep: q84 steady 27.9 s vs 4.4 s isolated). Drop
+      // every leftover persistent RDD with a BLOCKING unpersist —
+      // unpersist(false) only ENQUEUES removal, so the blocks were still
+      // resident when the next timed window opened (the r14 in-sweep
+      // premium on the checkpoint-loop queries: q32 2.85 s in-sweep vs
+      // ~1.7 s isolated). Runs between first and steady too: the steady
+      // window must not pay eviction pressure from first's checkpoints.
+      def settle(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
       try {
         val first = timed()
+        settle()
         val steady = timed()
         Some(name -> (first, steady))
       } catch {
@@ -67,17 +84,7 @@ object Bench {
           errors += s"$name (${e.getClass.getSimpleName})"
           System.err.println(s"[bench] $name failed: $e")
           None // time-to-fail is not a benchmark result
-      } finally {
-        // queries that persist intermediates (q32's shingle frame) must not
-        // leak executor memory into the next measurement — even on failure
-        spark.catalog.clearCache()
-        // clearCache misses localCheckpoint blocks (q67/q84's CC rounds):
-        // those wait for the ASYNC ContextCleaner, so 60+ queries in, the
-        // accumulated blocks squeeze the unified-memory region and the
-        // checkpoint-loop queries degrade 6x (r9 sweep: q84 steady 27.9 s
-        // vs 4.4 s isolated). Drop every leftover persistent RDD NOW.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      }
+      } finally settle()
     }
     def jsonMap(sel: ((Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }

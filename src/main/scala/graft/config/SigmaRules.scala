@@ -661,7 +661,13 @@ object SigmaRules {
     case "base64" :: rest =>
       // literal expansion: the rule value base64-encoded, remaining
       // match mode applied to the encoded text (base64 alphabet has no
-      // glob metacharacters, so the literal fast path applies)
+      // glob metacharacters, so the literal fast path applies).
+      // Wildcards cannot survive encoding — `*`/`?` would become
+      // literal bytes and the rule could never match its intent, so
+      // fail loudly (pySigma rejects these too).
+      require(!hasWildcard(v.asText),
+        s"sigma base64 modifier cannot encode a wildcarded value: " +
+          s"'${v.asText}' (*/? would become literal bytes)")
       stringMatch(field, matchMode(rest, "base64"),
         java.util.Base64.getEncoder.encodeToString(
           v.asText.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
@@ -672,6 +678,9 @@ object SigmaRules {
       // alignment variants (value shifted by 0/1/2 pad bytes, sliced to
       // the chars fully determined by the value) cover every position —
       // the encoded-PowerShell staple (`|base64offset|contains`)
+      require(!hasWildcard(v.asText),
+        s"sigma base64offset modifier cannot encode a wildcarded value: " +
+          s"'${v.asText}' (*/? would become literal bytes)")
       matchMode(rest, "base64offset") match {
         case "contains" =>
           base64OffsetVariants(v.asText)
@@ -688,6 +697,9 @@ object SigmaRules {
       // alias of `utf16le`; `utf16` prefixes the LE byte-order mark.
       // These compose with base64/base64offset only (raw UTF-16 bytes
       // are not matchable as text).
+      require(!hasWildcard(v.asText),
+        s"sigma $enc modifier cannot widen a wildcarded value: " +
+          s"'${v.asText}' (*/? would become literal UTF-16 bytes)")
       val bytes = utf16Bytes(enc, v.asText)
       rest match {
         case "base64" :: rest2 =>

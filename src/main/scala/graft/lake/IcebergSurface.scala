@@ -45,10 +45,13 @@ object IcebergSurface {
     def render: String = s"truncate($width, $column)"
   }
 
-  /** Parse the reference's `(column, transform)` request form
-    * (`MatanoPartitionSpec` — transform names `identity` / `hour` /
-    * `day` / `month` / `bucket[n]` / `truncate[w]`). Unknown transforms
-    * throw with the construct named, as the reference's resolver does.
+  /** Parse the `(column, transform)` request form. The reference's
+    * resolver (`MatanoPartitionSpec`) accepts only `identity` / `hour` /
+    * `bucket[n]`; `day` / `month` / `truncate[w]` are LOCAL extensions
+    * covering the rest of Iceberg's transform grammar (useful for
+    * coarser-grained lakes; a config written for the reference never
+    * produces them). Unknown transforms throw with the construct named,
+    * as the reference's resolver does.
     */
   def transformOf(column: String, transform: String): Transform = {
     val bucketRe = raw"bucket\[(\d+)\]".r

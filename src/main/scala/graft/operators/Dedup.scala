@@ -151,16 +151,24 @@ object Dedup {
     * purpose — shrinking the tile width should not drag every mid-size
     * bucket into the schedule's replication overhead.
     *
-    * The density dial (small/hot split) is fully IN-PLAN: the
-    * over-threshold keys — bounded by n/hotThreshold by construction —
-    * are a broadcast subtree shared by the anti and semi joins, so the
-    * sizing runs inside the caller's action (no job at call time) and
-    * AQE collapses the entire tiling subtree when no bucket is hot.
+    * The density dial (small/hot split) is EAGER at call time: the
+    * input is pinned (below), then one shuffle-free mapPartitions
+    * stage hash-counts bucket keys per partition and collects only the
+    * over-threshold candidates — bounded by n/hotThreshold by
+    * construction — which compile into codegen'd set-membership
+    * filters routing each row to the plain or tiled branch. (The
+    * in-plan broadcast anti/semi variant was measured SLOWER: its
+    * agg+broadcast stages serialize into the critical path — the
+    * inline A/B numbers below.) The dial is advisory only — it picks
+    * the schedule, never the pair set.
     *
     * The input is pinned before anything reads it: a caller-persisted
-    * frame is used as-is; anything else is eagerly localCheckpointed.
+    * frame whose cached layout is already hash-partitioned by (a
+    * subset of) the bucket key is used as-is; anything else —
+    * including a persisted frame with the WRONG layout — is
+    * repartitioned on the bucket key and eagerly localCheckpointed.
     * This guarantees an expensive banding derivation runs ONCE, not
-    * once per consumer (sizing + up to two pairing branches + the
+    * once per consumer (the dial stage + both pairing branches + the
     * chunk windows). The checkpoint is RDD storage reclaimed by the
     * ContextCleaner, so callers inherit no CacheManager entry.
     */
@@ -179,15 +187,46 @@ object Dedup {
     // a 1–2-file parquet scan would otherwise feed the expanding pair
     // join with 1–2 stream partitions and the quadratic output lands in
     // one task (measured: 147 s max task on the uncapped 10× probe). A
-    // caller-persisted frame is trusted as-is — its partition layout is
-    // the caller's contract (PairBench's 32-way cache, q32's derivation
-    // from the persisted shingle frame).
-    val (pinned, coLocated) =
-      if (keyed.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        (keyed, false)
-      else
-        (keyed.repartition(nParts, keyCols.map(col): _*).localCheckpoint(true),
-          true)
+    // caller-persisted frame is trusted ONLY when its cached layout is
+    // already hash-partitioned by (a subset of) the bucket key — then
+    // every bucket lives in exactly one partition and the self-join
+    // reuses the layout with no exchange (PairBench persists exactly
+    // this layout). Any OTHER persisted layout is re-pinned like an
+    // unpersisted input: trusting it would hand the expanding join an
+    // AQE-sized exchange over slim input bytes — the straggler class
+    // this pin exists to prevent.
+    val persistedCoLocated =
+      keyed.storageLevel != org.apache.spark.storage.StorageLevel.NONE && {
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.columnar.InMemoryRelation
+        val keyNames = keyCols.map(_.toLowerCase).toSet
+        // the cached plan hides behind TWO wrappers: the persisted frame
+        // plans as InMemoryRelation, whose cachedPlan is an
+        // AdaptiveSparkPlanExec reporting UnknownPartitioning at the
+        // wrapper — the real layout lives on its current physical plan
+        // (final after materialization; the initial shuffle plan's
+        // partitioning is equally truthful before). No job is triggered.
+        keyed.queryExecution.optimizedPlan.collectFirst {
+          case r: InMemoryRelation => r.cachedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan.outputPartitioning
+            case p => p.outputPartitioning
+          }
+        }.exists {
+          case h: HashPartitioning if h.numPartitions > 1 =>
+            h.expressions.nonEmpty && h.expressions.forall {
+              case a: AttributeReference =>
+                keyNames.contains(a.name.toLowerCase)
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+    val pinned =
+      if (persistedCoLocated) keyed
+      else keyed.repartition(nParts, keyCols.map(col): _*)
+        .localCheckpoint(true)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
     // Density dial (round-11 30× finding, SCALING.md closing section): a
@@ -221,19 +260,13 @@ object Dedup {
     // 64-bit xxhash of the key columns — a collision merely routes one
     // extra bucket to the tiled branch, never changes the pair set
     // (both branches compute complete within-bucket pairs; the split
-    // only picks the schedule). Thresholds: on the co-located checkpoint
-    // path a bucket lives in exactly ONE partition, so local counts are
-    // exact global counts; a caller-persisted layout uses the pigeonhole
-    // bound (global > T ⇒ some partition holds ≥ ceil((T+1)/nIn)) — a
-    // deterministic SUPERSET of the hot set, where a false positive
-    // only tiles a mid-size bucket it didn't strictly need to. The dial
+    // only picks the schedule). Both pin paths co-locate buckets (a
+    // hash layout on the key or a subset of it puts a bucket in exactly
+    // ONE partition), so local counts are exact global counts. The dial
     // can never disagree with the rows the branches read — both consume
     // the same materialized `pinned` (the round-13 consistency finding).
     val keyHash = xxhash64(keyCols.map(col): _*)
-    val nIn = math.max(1, pinned.rdd.getNumPartitions)
-    val localThreshold =
-      if (coLocated) hotThreshold.toLong + 1
-      else (hotThreshold.toLong + nIn) / nIn
+    val localThreshold = hotThreshold.toLong + 1
     val candidates: Array[Long] = pinned
       .select(keyHash)
       .as(org.apache.spark.sql.Encoders.scalaLong)

@@ -363,8 +363,9 @@ object TextAnalysis {
     * per-doc MEAN of P over its bigrams in position order.
     *
     * Scale shape: bigram/prefix count tables are word-count aggregations
-    * (map-side combined, payload = the gram strings); the score join
-    * touches (doc, pos, gram) tuples only — bodies never shuffle; V is a
+    * (map-side combined) keyed by the 64-bit xxhash of the gram — every
+    * exchange ships 8-byte keys, never gram text; the score join touches
+    * (doc, pos, gramhash) tuples only — bodies never shuffle; V is a
     * one-row broadcast. Determinism: every count is an exact integer, so
     * each per-bigram P is ONE IEEE division of exact integers, and the
     * per-doc sum folds the position-sorted array sequentially — DuckDB's
@@ -373,27 +374,36 @@ object TextAnalysis {
     */
   def bigramFamiliarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
+    // DICTIONARY-ENCODED keys: every count is keyed by the 64-bit xxhash
+    // of the gram/word, not the string — the big (doc,pos,gram) exchange
+    // before the bcount join ships 8-byte keys instead of bigram text,
+    // and the count-side partial aggs hash longs. The familiarity output
+    // depends only on the COUNTS, so this is result-neutral unless two
+    // distinct grams collide in 64 bits (≈ n²/2⁶⁵ — ~5·10⁻⁸ at a
+    // million-bigram vocabulary; a collision would merge two gram counts,
+    // which the sf0.1 string-keyed oracle would catch). The w1 hash rides
+    // the same projection via substring_index, NOT split()[0]: the inner
+    // joins infer isnotnull and push it through this projection — a
+    // split would re-derive an array inside the Filter (the plan-shape
+    // guard's generator-pushdown class); substring_index stays scalar.
     val bg = tok
       .select(col("doc"), posexplode_outer(wordShingles(col("tk"), 2)))
       .filter(col("col").isNotNull)
-      // w1 via substring_index, NOT split()[0]: the inner joins infer
-      // isnotnull(w1) and push it through this projection — a split would
-      // re-derive an array inside the Filter (the plan-shape guard's
-      // generator-pushdown class); substring_index stays scalar
-      .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("gram"),
-        substring_index(col("col"), " ", 1).as("w1"))
-    val bcount = bg.groupBy(col("gram")).agg(count(lit(1)).as("b"))
-    val pcount = bg.groupBy(col("w1")).agg(count(lit(1)).as("p"))
+      .select(col("doc"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("gh"),
+        xxhash64(substring_index(col("col"), " ", 1)).as("wh"))
+    val bcount = bg.groupBy(col("gh")).agg(count(lit(1)).as("b"))
+    val pcount = bg.groupBy(col("wh")).agg(count(lit(1)).as("p"))
     val vocab = tok.select(explode_outer(col("tk")).as("t"))
       .filter(col("t").isNotNull)
-      .agg(countDistinct(col("t")).as("V"))
-    // pcount is UNIGRAM-vocabulary-sized (one slim (word, count) row per
+      .agg(countDistinct(xxhash64(col("t"))).as("V"))
+    // pcount is UNIGRAM-vocabulary-sized (one slim (hash, count) row per
     // distinct first word — Heaps'-law sublinear in corpus size), so it
-    // broadcasts; that turns the second (doc,pos,gram) exchange into a
-    // map-side hash join, leaving one big shuffle (on gram) before the
+    // broadcasts; that turns the second (doc,pos,gh) exchange into a
+    // map-side hash join, leaving one big shuffle (on gh) before the
     // per-doc fold. bcount is BIGRAM-vocabulary-sized and stays a
     // shuffle join.
-    bg.join(bcount, "gram").join(broadcast(pcount), "w1")
+    bg.join(bcount, "gh").join(broadcast(pcount), "wh")
       .crossJoin(broadcast(vocab))
       .withColumn("r",
         (col("b") + 1).cast("double") / (col("p") + col("V")).cast("double"))

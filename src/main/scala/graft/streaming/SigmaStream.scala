@@ -1,0 +1,198 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.config.SigmaRules.{CorrelationSpec, SigmaRule}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming Sigma correlations — the continuous-detection twin of
+  * [[graft.config.SigmaRules.correlationMatches]] (the reference runs its
+  * correlation sweep on the continuous detection path,
+  * `detection/common.py:137-191`; here the same semantics fold per
+  * micro-batch instead of re-scanning history).
+  *
+  * Semantics are IDENTICAL to the batch form — tumbling `timeframe`
+  * windows keyed by the correlation's group-by — so a replay of the same
+  * events through this stream emits exactly the batch result
+  * (StreamingSpec gates parity on ts-ordered batches, the q137/q96
+  * batch-cut-independence pattern). A window's verdict needs its FINAL
+  * tallies (a `lt`/`eq` condition can be true mid-window and false at
+  * close, and `n` must be the closed-window value), so emission rides the
+  * event-time clock: state holds the window's running tallies, and the
+  * window emits ONCE when the watermark passes its end.
+  *
+  * State per (group, window) is bounded: one long for event_count, a
+  * ≤64-bit tag mask for temporal, a fixed stage-time array for
+  * temporal_ordered (the [[Funnel]] contract), and the distinct-value set
+  * for value_count — the only form whose state grows with data; its bound
+  * is the per-group-per-window distinct cardinality of the counted field
+  * (SIEM thresholds sit at tens, and the threshold alert fires long
+  * before a pathological set could accumulate).
+  *
+  * Cross-batch disorder follows the same contract as [[Funnel]]: with
+  * ts-ordered batch cuts the fold is EXACT (tallies are order-free; the
+  * ordered chain is prefix-stable — a locked earlier stage is the global
+  * earliest because later batches carry later timestamps). Arbitrarily
+  * late events follow watermark semantics: a row older than the watermark
+  * is dropped, and the batch path is the replay/backfill authority.
+  *
+  * Group-key values render as strings in the emitted rows (the state
+  * encoder carries them; callers needing native types join back on the
+  * batch side — the parity gate casts the batch result).
+  */
+object SigmaStream {
+
+  /** One matched event after rule tagging: group values (stringified, in
+    * group-by order), tumbling window start (epoch seconds), the bitmask
+    * of referenced rules it matched, the value_count field (null
+    * otherwise), event-time micros.
+    */
+  final case class CorrEvent(group: Seq[String], win: Long, mask: Long,
+      value: String, ts: Timestamp)
+
+  /** Running tallies of one (group, window). `times` is the
+    * temporal_ordered stage chain ([[Funnel]]'s Unset convention).
+    */
+  final case class CorrState(count: Long, values: Set[String], tags: Long,
+      times: Seq[Long])
+
+  final case class CorrMatch(rule_name: String, group: Seq[String],
+      window_start: Timestamp, n: Long)
+
+  private val Unset: Long = Long.MinValue
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  private def cmp(v: Long, op: String, n: Long): Boolean = op match {
+    case "gt" => v > n
+    case "gte" => v >= n
+    case "lt" => v < n
+    case "lte" => v <= n
+    case "eq" => v == n
+    case other => sys.error(s"unsupported correlation op '$other'")
+  }
+
+  /** Fold one micro-batch's events into the window state. Order-free for
+    * the counting/temporal forms; the ordered chain folds in event-time
+    * order (within-batch disorder is free, the cross-batch contract is
+    * ts-ordered cuts — see the object doc).
+    */
+  private[streaming] def fold(corr: CorrelationSpec, nRules: Int,
+      st: CorrState, events: Seq[CorrEvent]): CorrState = corr.corrType match {
+    case "event_count" => st.copy(count = st.count + events.size)
+    case "value_count" =>
+      // countDistinct skips NULLs in the batch form — mirror that
+      st.copy(values = st.values ++ events.iterator.flatMap(e => Option(e.value)))
+    case "temporal" =>
+      st.copy(tags = events.foldLeft(st.tags)(_ | _.mask))
+    case "temporal_ordered" =>
+      val times = st.times.toArray
+      events.sortBy(e => micros(e.ts)).foreach { e =>
+        val us = micros(e.ts)
+        var i = 0
+        while (i < nRules) {
+          if ((e.mask & (1L << i)) != 0 && times(i) == Unset &&
+              (i == 0 || (times(i - 1) != Unset && us > times(i - 1))))
+            times(i) = us
+          i += 1
+        }
+      }
+      st.copy(times = times.toSeq)
+    case other => sys.error(s"unsupported correlation type '$other'")
+  }
+
+  /** The closed-window verdict: Some(n) when the condition holds. */
+  private[streaming] def verdict(corr: CorrelationSpec, nRules: Int,
+      st: CorrState): Option[Long] = corr.corrType match {
+    case "event_count" => Some(st.count).filter(cmp(_, corr.op, corr.n))
+    case "value_count" =>
+      Some(st.values.size.toLong).filter(cmp(_, corr.op, corr.n))
+    case "temporal" =>
+      Some(java.lang.Long.bitCount(st.tags).toLong)
+        .filter(_ == nRules.toLong)
+    case "temporal_ordered" =>
+      Some(nRules.toLong).filter(_ => st.times.forall(_ != Unset))
+    case other => sys.error(s"unsupported correlation type '$other'")
+  }
+
+  /** Evaluate a correlation continuously over a streaming event frame.
+    * Emits one row per (group, window) whose FINAL tallies satisfy the
+    * correlation condition, when the watermark passes the window end —
+    * columns (rule_name, <group cols as strings>, window_start, n),
+    * matching the batch [[SigmaRules.correlationMatches]] layout.
+    *
+    * `delay` is the watermark delay on `tsCol` (how much cross-batch
+    * disorder to absorb before closing windows).
+    */
+  def correlationStream(events: DataFrame, rules: Seq[SigmaRule],
+      corr: CorrelationSpec, tsCol: String = "ts",
+      delay: String = "0 seconds"): DataFrame = {
+    val referenced = corr.ruleNames.flatMap(n => rules.find(_.title == n))
+    require(referenced.size == corr.ruleNames.size,
+      s"correlation '${corr.title}' references unloaded rules " +
+        s"(wanted ${corr.ruleNames.mkString(", ")})")
+    require(referenced.size <= 64, "tag mask holds at most 64 rules")
+    val nRules = referenced.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermark rides the RAW stream, before the rule filter: any
+    // event advances the clock, so windows close even when matches stop
+    val mask: Column = referenced.zipWithIndex
+      .map { case (r, i) => when(r.detect, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_.bitwiseOR(_))
+    val ts = col(tsCol)
+    val tagged = events
+      .withWatermark(tsCol, delay)
+      .withColumn("__mask", mask)
+      // the isNull disjunct is vacuous (an event-time value is never
+      // null) but it makes the predicate REFERENCE the watermark column,
+      // which stops the optimizer pushing this filter below the
+      // EventTimeWatermark node — pushed below, only rule-MATCHED events
+      // would advance the clock and a stream whose matches stop would
+      // never close its trailing windows
+      .filter(col("__mask") =!= 0L || col(tsCol).isNull)
+      .select(
+        array(corr.groupBy.map(c => col(c).cast("string")): _*).as("group"),
+        ((unix_seconds(ts) / corr.timeframeSeconds).cast("long") *
+          corr.timeframeSeconds).as("win"),
+        col("__mask").as("mask"),
+        (corr.field.map(f => col(f).cast("string"))
+          .getOrElse(lit(null).cast("string"))).as("value"),
+        // the RAW event-time column rides into the typed frame: the
+        // streaming checker requires the watermarked attribute to be
+        // present in the FlatMapGroupsWithState input for event-time
+        // timeouts (a derived micros long would strip its metadata)
+        ts.as("ts"))
+      .as[CorrEvent]
+    val title = corr.title
+    val timeframe = corr.timeframeSeconds
+    val matches = tagged
+      .groupByKey(e => (e.group, e.win))
+      .flatMapGroupsWithState[CorrState, CorrMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((group, win), it, state) =>
+          if (state.hasTimedOut) {
+            // window closed: final tallies → verdict → emit once
+            val out = verdict(corr, nRules, state.get).map(n =>
+              CorrMatch(title, group, new Timestamp(win * 1000L), n))
+            state.remove()
+            out.iterator
+          } else {
+            val st0 = state.getOption.getOrElse(
+              CorrState(0L, Set.empty, 0L, Seq.fill(nRules)(Unset)))
+            state.update(fold(corr, nRules, st0, it.toSeq))
+            // fire when the event-time watermark passes the window END
+            state.setTimeoutTimestamp((win + timeframe) * 1000L)
+            Iterator.empty
+          }
+      }
+    val groupCols = corr.groupBy.zipWithIndex.map { case (c, i) =>
+      element_at(col("group"), i + 1).as(c)
+    }
+    matches.toDF().select(
+      (col("rule_name") +: groupCols) :+ col("window_start") :+ col("n"): _*)
+  }
+}

@@ -243,6 +243,111 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} users vs batch ${batch.size}")
   }
 
+  test("streaming sigma correlations replay to the batch answer on " +
+      "ts-ordered batches") {
+    import graft.config.SigmaRules
+    import graft.streaming.SigmaStream
+    import java.sql.Timestamp
+    val dir = "/root/testdata/sf0.001"
+    val rules = SigmaRules.loadAll(
+      """title: error_events
+        |detection:
+        |  sel: {event_type: error}
+        |  condition: sel
+        |---
+        |title: any_event
+        |detection:
+        |  sel:
+        |    event_type: [view, click, purchase, error]
+        |  condition: sel
+        |---
+        |title: saw_view
+        |detection:
+        |  sel: {event_type: view}
+        |  condition: sel
+        |---
+        |title: saw_click
+        |detection:
+        |  sel: {event_type: click}
+        |  condition: sel
+        |---
+        |title: saw_purchase
+        |detection:
+        |  sel: {event_type: purchase}
+        |  condition: sel
+        |""".stripMargin)
+    // all four correlation forms, q142/q144's shapes
+    val corrs = Seq(
+      """title: error_burst_by_user
+        |correlation:
+        |  type: event_count
+        |  rules: [error_events]
+        |  group-by: [user_id]
+        |  timeframe: 1d
+        |  condition:
+        |    gte: 3
+        |""",
+      """title: type_spread_by_user
+        |correlation:
+        |  type: value_count
+        |  rules: [any_event]
+        |  group-by: [user_id]
+        |  timeframe: 1d
+        |  condition:
+        |    gte: 3
+        |    field: event_type
+        |""",
+      """title: view_and_purchase
+        |correlation:
+        |  type: temporal
+        |  rules: [saw_view, saw_purchase]
+        |  group-by: [user_id]
+        |  timeframe: 1d
+        |""",
+      """title: view_then_click
+        |correlation:
+        |  type: temporal_ordered
+        |  rules: [saw_view, saw_click]
+        |  group-by: [user_id]
+        |  timeframe: 1d
+        |""").map(y => SigmaRules.loadCorrelation(y.stripMargin))
+    val evTable = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val sorted = evTable.as[(Long, String, Timestamp)]
+      .collect().sortBy(_._3.getTime)
+    val maxTs = sorted.last._3.getTime
+    corrs.zipWithIndex.foreach { case (corr, idx) =>
+      val input = MemoryStream[(Long, String, Timestamp)](spark)
+      val sdf = input.toDF().toDF("user_id", "event_type", "ts")
+      val q = SigmaStream.correlationStream(sdf, rules, corr, "ts")
+        .writeStream.format("memory").queryName(s"sigma_corr_$idx")
+        .outputMode("append").start()
+      sorted.grouped(math.max(1, sorted.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // two no-op sentinels past every window end: the first advances the
+      // watermark (post-batch), the second triggers the timeout sweep
+      input.addData((0L, "noop", new Timestamp(maxTs + 3L * 86400 * 1000)))
+      q.processAllAvailable()
+      input.addData((0L, "noop", new Timestamp(maxTs + 4L * 86400 * 1000)))
+      q.processAllAvailable()
+      input.addData((0L, "noop", new Timestamp(maxTs + 5L * 86400 * 1000)))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(s"sigma_corr_$idx").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      val batch = SigmaRules.correlationMatches(evTable, rules, corr)
+        .select(col("rule_name"), col("user_id").cast("string"),
+          col("window_start"), col("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"${corr.title}: streamed ${streamed.size} vs batch ${batch.size}")
+    }
+  }
+
   test("streaming funnel: late cross-batch events never corrupt locked stages") {
     import graft.streaming.Funnel
     import java.sql.Timestamp
