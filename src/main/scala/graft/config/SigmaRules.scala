@@ -59,9 +59,10 @@ import org.apache.spark.sql.functions._
   * cross-product substitution, remaining modifiers applied per expanded
   * literal; an undefined placeholder fails loudly.
   *
-  * Out of scope (rare, documented): `near` aggregations — loading a
-  *   rule that uses one throws with the unsupported construct named
-  *   (the v2 correlation forms cover the temporal semantics).
+  * `| near sel [and sel2] [and not sel3]` (the deprecated v1 proximity
+  * aggregation) compiles onto the same temporal-correlation machinery:
+  * base rule + positive selections all inside one timeframe window,
+  * negated selections absent ([[correlationMatches]]).
   */
 object SigmaRules {
 
@@ -85,7 +86,16 @@ object SigmaRules {
       op: String,
       n: Long,
       field: Option[String],
-      level: Option[String] = None)
+      level: Option[String] = None,
+      /** Pre-resolved (name, predicate) pairs — set by the legacy
+        * `| near` form, whose referenced SELECTIONS live inside the one
+        * rule and are already compiled when the correlation is built
+        * (v2 correlations resolve `ruleNames` against loaded rules
+        * instead).
+        */
+      resolved: Seq[(String, Column)] = Nil,
+      /** Negated near() selections: the window must contain NO match. */
+      negResolved: Seq[(String, Column)] = Nil)
 
   final case class SigmaRule(
       title: String,
@@ -247,22 +257,38 @@ object SigmaRules {
   }
 
   /** Field map for SigmaHQ `product: gcp` / `service: gcp.audit` rules —
-    * the rules address the Elastic GCP integration's names
-    * (`gcp.audit.method_name` et al.). The managed GcpAudit transform
-    * (`transform/managed/GcpAudit.scala`; reference
-    * `data/managed/log_sources/gcp_audit/log_source.yml`) HOISTS the
-    * method into ECS `event.action` and keeps the remaining vendor
-    * fields under `gcp.audit.*` in the same snake_case the rules spell,
-    * so only the hoisted names need mapping — everything else passes
-    * through to its own column path.
+    * DERIVED from the managed GcpAudit transform's own expression tree
+    * ([[FieldMapDerive]]; reference
+    * `data/managed/log_sources/gcp_audit/log_source.yml`), not a
+    * hand-kept list: the Elastic integration spelling
+    * (`gcp.audit.method_name` et al.) resolves by case-insensitive
+    * snake→camel suffix match onto the raw LogEntry leaves the transform
+    * moves verbatim, preferring ECS hoists (`event.action`) over gcp.*
+    * struct copies; names the transform keeps under their own column
+    * path pass through. A transform edit re-derives the map — the two
+    * can never drift.
     */
-  val ecsGcpAudit: String => String = {
-    val exact = Map(
-      "gcp.audit.method_name" -> "event.action",
-      "gcp.audit.response.status" -> "gcp.audit.status",
-      "gcp.audit.caller_ip" -> "source.ip")
-    (f: String) => exact.getOrElse(f, f)
-  }
+  lazy val ecsGcpAudit: String => String = FieldMapDerive.fieldMap(
+    Seq(graft.transform.managed.GcpAudit.apply), vendorNs = Seq("gcp."))
+
+  /** Field maps for SigmaHQ `product: azure` rules, DERIVED from the
+    * managed AadSignin / AadAudit transforms (reference
+    * `data/managed/log_sources/msft/tables/aad_signinlogs.yml`,
+    * `aad_auditlogs.yml`) — one per `service`, matching Sigma's
+    * logsource split (signinlogs / auditlogs; a merged map would make
+    * shared Graph names like `userPrincipalName` ambiguous across the
+    * two raw schemas). Graph-spelled rule fields
+    * (`conditionalAccessStatus`, `activityDisplayName`,
+    * `userPrincipalName`) resolve onto the columns the transforms emit;
+    * portal display-name aliases that correspond to no Graph field in
+    * the raw export (`ResultType`, `ClientApp`) are not derivable
+    * correspondences and pass through loudly.
+    */
+  lazy val ecsAzureSignin: String => String = FieldMapDerive.fieldMap(
+    Seq(graft.transform.managed.AadSignin.apply), vendorNs = Seq("azure."))
+
+  lazy val ecsAzureAudit: String => String = FieldMapDerive.fieldMap(
+    Seq(graft.transform.managed.AadAudit.apply), vendorNs = Seq("azure."))
 
   /** Parse one Sigma rule document and compile its detection to a
     * predicate. `fieldMap` renames Sigma field names to the event
@@ -301,12 +327,9 @@ object SigmaRules {
     // Split on the FIRST '|' only — the aggregation side owns everything
     // after it (a '|' inside the agg text fails its own parse with a
     // named error, not a bogus "multiple sections" one).
-    val (condition, legacyAgg) = rawCondition.split("\\|", 2) match {
+    val (condition, aggText) = rawCondition.split("\\|", 2) match {
       case Array(c) => (c, None)
-      case Array(c, agg) =>
-        (c, Some(parseLegacyAggregation(agg.trim, title,
-          parseTimeframe(timeframe), fieldMap,
-          Option(root.path("level").asText(null)).filter(_.nonEmpty))))
+      case Array(c, agg) => (c, Some(agg.trim))
     }
     val selections: Map[String, Column] = det.properties.asScala
       .filter(e => e.getKey != "condition" && e.getKey != "timeframe")
@@ -314,6 +337,12 @@ object SigmaRules {
         placeholders))
       .toMap
     val detect = new ConditionParser(condition.trim, selections).parse()
+    // the aggregation side parses AFTER the selections: `| near sel2 and
+    // not sel3` references selections of this same rule by name
+    val legacyAgg = aggText.map(parseLegacyAggregation(_, title,
+      parseTimeframe(timeframe), fieldMap,
+      Option(root.path("level").asText(null)).filter(_.nonEmpty),
+      selections, detect))
     SigmaRule(
       title = title,
       id = Option(root.path("id").asText(null)).filter(_.nonEmpty),
@@ -385,11 +414,17 @@ object SigmaRules {
     */
   def correlationMatches(events: DataFrame, rules: Seq[SigmaRule],
       corr: CorrelationSpec, ts: Column = col("ts")): DataFrame = {
-    // ruleNames order matters for temporal_ordered — resolve IN that order
-    val referenced = corr.ruleNames.flatMap(n => rules.find(_.title == n))
-    require(referenced.size == corr.ruleNames.size,
-      s"correlation '${corr.title}' references unloaded rules " +
-        s"(wanted ${corr.ruleNames.mkString(", ")})")
+    // ruleNames order matters for temporal_ordered — resolve IN that
+    // order; a near()-built spec carries its predicates pre-resolved
+    val posPreds: Seq[Column] =
+      if (corr.resolved.nonEmpty) corr.resolved.map(_._2)
+      else {
+        val referenced = corr.ruleNames.flatMap(n => rules.find(_.title == n))
+        require(referenced.size == corr.ruleNames.size,
+          s"correlation '${corr.title}' references unloaded rules " +
+            s"(wanted ${corr.ruleNames.mkString(", ")})")
+        referenced.map(_.detect)
+      }
     val winStart = // tumbling window: epoch floored to the timeframe
       from_unixtime(
         (unix_seconds(ts) / corr.timeframeSeconds).cast("long") *
@@ -397,8 +432,7 @@ object SigmaRules {
     val keyCols = corr.groupBy.map(col)
     val out = corr.corrType match {
       case "event_count" | "value_count" =>
-        val selected = events.filter(
-          referenced.map(_.detect).reduce(_ || _))
+        val selected = events.filter(posPreds.reduce(_ || _))
         val metric = corr.corrType match {
           case "event_count" => count(lit(1))
           case "value_count" => countDistinct(col(corr.field.get))
@@ -417,16 +451,25 @@ object SigmaRules {
       case "temporal" =>
         // all referenced rules observed in the same group + window
         // (unordered): tag each event with the rules it matches, count
-        // distinct tags per (group, window)
-        val tagged = referenced.zipWithIndex.map { case (r, i) =>
-          events.filter(r.detect)
-            .select((keyCols :+ winStart.as("window_start") :+
-              lit(i).as("__tag")): _*)
-        }.reduce(_.unionAll(_))
+        // distinct tags per (group, window). near()'s negated
+        // selections ride the same tagged union with tags past the
+        // positive range — the window passes only when it saw EVERY
+        // positive tag and ZERO negative ones.
+        val p = posPreds.size
+        val tagged = (posPreds ++ corr.negResolved.map(_._2)).zipWithIndex
+          .map { case (pred, i) =>
+            events.filter(pred)
+              .select((keyCols :+ winStart.as("window_start") :+
+                lit(i).as("__tag")): _*)
+          }.reduce(_.unionAll(_))
         tagged
           .groupBy((keyCols :+ col("window_start")): _*)
-          .agg(countDistinct(col("__tag")).cast("long").as("n"))
-          .filter(col("n") === referenced.size)
+          .agg(
+            countDistinct(when(col("__tag") < p, col("__tag")))
+              .cast("long").as("n"),
+            count(when(col("__tag") >= p, lit(1))).as("__n_neg"))
+          .filter(col("n") === p && col("__n_neg") === 0L)
+          .drop("__n_neg")
       case "temporal_ordered" =>
         // the funnel chain per (group, window): earliest rule-1 match,
         // then the earliest rule-2 match STRICTLY after it, … — all
@@ -436,31 +479,63 @@ object SigmaRules {
         // land co-partitioned after the first shuffle; arrays stay out
         // of filter conditions — the PlanShapeSpec generator-pushdown
         // guard applies to this surface like any other)
-        def stage(i: Int): DataFrame = events.filter(referenced(i).detect)
+        def stage(i: Int): DataFrame = events.filter(posPreds(i))
           .select((keyCols :+ winStart.as("window_start") :+
             ts.as("__ts")): _*)
         val joinKeys = corr.groupBy :+ "window_start"
         val first = stage(0)
           .groupBy((keyCols :+ col("window_start")): _*)
           .agg(min(col("__ts")).as("__t0"))
-        referenced.indices.drop(1).foldLeft(first) { (prev, i) =>
+        posPreds.indices.drop(1).foldLeft(first) { (prev, i) =>
           stage(i).join(prev, joinKeys)
             .where(col("__ts") > col(s"__t${i - 1}"))
             .groupBy((keyCols :+ col("window_start")): _*)
             .agg(min(col("__ts")).as(s"__t$i"))
-        }.withColumn("n", lit(referenced.size.toLong))
+        }.withColumn("n", lit(posPreds.size.toLong))
       case other => sys.error(s"unsupported correlation type '$other'")
     }
     out.select((lit(corr.title).as("rule_name") +: keyCols) :+
       col("window_start") :+ col("n"): _*)
   }
 
-  /** `count() by f > N` / `count(field) by f1 f2 >= N` (pre-2.0 grammar). */
+  /** `count() by f > N` / `count(field) by f1 f2 >= N` and
+    * `near sel2 [and sel3] [and not sel4]` (pre-2.0 grammar). The near
+    * form compiles onto the q144 temporal machinery: the base rule plus
+    * every positive selection must fire inside one `timeframe` window,
+    * and no negated selection may — evaluated by
+    * [[correlationMatches]]'s tagged union with the predicates carried
+    * pre-resolved (they are selections of this rule, not other rules).
+    */
   private def parseLegacyAggregation(agg: String, title: String,
       timeframeSeconds: Long, fieldMap: String => String,
-      level: Option[String]): CorrelationSpec = {
+      level: Option[String], selections: Map[String, Column],
+      baseDetect: Column): CorrelationSpec = {
     val re = raw"count\(\s*([\w.]*)\s*\)\s*(?:by\s+([\w.\s,]+?))?\s*(>=|<=|>|<|==?)\s*(\d+)".r
+    val nearRe = raw"near\s+(.+)".r
     agg match {
+      case nearRe(exprText) =>
+        val terms = exprText.split(raw"\s+and\s+").map(_.trim)
+          .filter(_.nonEmpty)
+        require(terms.nonEmpty, s"empty near() expression in '$title'")
+        val (negTerms, posTerms) = terms.partition(_.startsWith("not "))
+        def sel(name: String): Column = selections.getOrElse(name,
+          sys.error(s"near() references unknown selection '$name' " +
+            s"in '$title' (have ${selections.keys.mkString(", ")})"))
+        val posNames = posTerms.toSeq
+        val negNames = negTerms.toSeq.map(_.stripPrefix("not ").trim)
+        CorrelationSpec(
+          title = title,
+          corrType = "temporal",
+          ruleNames = title +: posNames,
+          groupBy = Nil,
+          timeframeSeconds = timeframeSeconds,
+          op = "gte",
+          n = (1 + posNames.size).toLong,
+          field = None,
+          level = level,
+          resolved = (title -> baseDetect) +:
+            posNames.map(n => n -> sel(n)),
+          negResolved = negNames.map(n => n -> sel(n)))
       case re(fieldRaw, byRaw, opRaw, nRaw) =>
         val field = Option(fieldRaw).map(_.trim).filter(_.nonEmpty)
         CorrelationSpec(
@@ -479,8 +554,8 @@ object SigmaRules {
           level = level)
       case other => sys.error(
         s"unsupported sigma aggregation condition: '$other' " +
-          "(count()/count(field) with by-list and a comparison are supported; " +
-          "near() is not)")
+          "(count()/count(field) with by-list and a comparison, and " +
+          "near sel [and sel2] [and not sel3], are supported)")
     }
   }
 

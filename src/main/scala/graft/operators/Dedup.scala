@@ -390,7 +390,20 @@ object Dedup {
     * @return (id, cluster_id, cluster_size, is_canonical)
     */
   def duplicateClusters(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20): DataFrame =
+    duplicateClustersFanIn(nodes, pairs, maxRounds, neighborDouble = false)
+
+  /** [[duplicateClusters]] with a switchable THIRD propagation branch —
+    * label(label(neighbor)) — per round. Reach per round grows 2r+1
+    * instead of 2r, which can shave one round on odd-diameter cluster
+    * graphs at the price of one extra edge-sized join every round
+    * (tools.CcProbe measures the trade on the q84 input; the default
+    * stays two-branch — see BENCHNOTES round 15).
+    */
+  private[graft] def duplicateClustersFanIn(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 20, neighborDouble: Boolean = false,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     // materialize the edge list once: the loop joins it every round, and an
     // unmaterialized frame would re-execute the (expensive) pair-derivation
     // pipeline per round per action. Both endpoints are restricted to
@@ -416,22 +429,26 @@ object Dedup {
       val l2 = labels.select(col("id").as("__lid"), col("label").as("__llabel"))
       val viaDouble = labels.join(l2, labels("label") === l2("__lid"))
         .select(col("id"), col("__llabel").as("label"))
+      val extra =
+        if (!neighborDouble) Nil
+        else Seq(viaNeighbor.join(l2, viaNeighbor("label") === l2("__lid"))
+          .select(col("id"), col("__llabel").as("label")))
       // The convergence probe rides the SAME aggregation (and the same
       // action) as the label update: the current-label branch carries its
       // label in `__old` (exactly one per id — max() recovers it), so
       // changed = (min proposal != __old) per row. A LAZY localCheckpoint
       // materializes during the count() — one job per round in the UI,
       // where an eager checkpoint + isEmpty probe was two.
-      val proposed = labels.select(col("id"), col("label"), col("label").as("__old"))
-        .union(viaNeighbor.select(col("id"), col("label"),
-          lit(null).cast(labelType).as("__old")))
-        .union(viaDouble.select(col("id"), col("label"),
-          lit(null).cast(labelType).as("__old")))
+      val proposed = ((labels.select(col("id"), col("label"), col("label").as("__old"))
+        +: (viaNeighbor +: viaDouble +: extra).map(_.select(col("id"),
+          col("label"), lit(null).cast(labelType).as("__old")))): Seq[DataFrame])
+        .reduce(_.union(_))
         .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
         .localCheckpoint(eager = false)
       converged = proposed.filter(col("label") =!= col("__old")).count() == 0
       labels = proposed.select("id", "label")
     }
+    roundsOut.foreach(_.set(round))
     // A partially-converged labeling would place transitively-linked docs
     // in different clusters and be consumed as correct — fail loudly.
     if (!converged) sys.error(

@@ -111,8 +111,11 @@ object SigmaStream {
     case "value_count" =>
       Some(st.values.size.toLong).filter(cmp(_, corr.op, corr.n))
     case "temporal" =>
-      Some(java.lang.Long.bitCount(st.tags).toLong)
-        .filter(_ == nRules.toLong)
+      // tags past nRules are near()'s negated selections: the window
+      // passes only with every positive tag and zero negative ones
+      val posMask = if (nRules == 64) -1L else (1L << nRules) - 1L
+      Some(java.lang.Long.bitCount(st.tags & posMask).toLong)
+        .filter(_ == nRules.toLong && (st.tags & ~posMask) == 0L)
     case "temporal_ordered" =>
       Some(nRules.toLong).filter(_ => st.times.forall(_ != Unset))
     case other => sys.error(s"unsupported correlation type '$other'")
@@ -130,18 +133,25 @@ object SigmaStream {
   def correlationStream(events: DataFrame, rules: Seq[SigmaRule],
       corr: CorrelationSpec, tsCol: String = "ts",
       delay: String = "0 seconds"): DataFrame = {
-    val referenced = corr.ruleNames.flatMap(n => rules.find(_.title == n))
-    require(referenced.size == corr.ruleNames.size,
-      s"correlation '${corr.title}' references unloaded rules " +
-        s"(wanted ${corr.ruleNames.mkString(", ")})")
-    require(referenced.size <= 64, "tag mask holds at most 64 rules")
-    val nRules = referenced.size
+    val posPreds: Seq[Column] =
+      if (corr.resolved.nonEmpty) corr.resolved.map(_._2)
+      else {
+        val referenced = corr.ruleNames.flatMap(n => rules.find(_.title == n))
+        require(referenced.size == corr.ruleNames.size,
+          s"correlation '${corr.title}' references unloaded rules " +
+            s"(wanted ${corr.ruleNames.mkString(", ")})")
+        referenced.map(_.detect)
+      }
+    // near()'s negated selections take the tag bits past the positives
+    val allPreds = posPreds ++ corr.negResolved.map(_._2)
+    require(allPreds.size <= 64, "tag mask holds at most 64 rules")
+    val nRules = posPreds.size
     val spark = events.sparkSession
     import spark.implicits._
     // the watermark rides the RAW stream, before the rule filter: any
     // event advances the clock, so windows close even when matches stop
-    val mask: Column = referenced.zipWithIndex
-      .map { case (r, i) => when(r.detect, lit(1L << i)).otherwise(lit(0L)) }
+    val mask: Column = allPreds.zipWithIndex
+      .map { case (pred, i) => when(pred, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_.bitwiseOR(_))
     val ts = col(tsCol)
     val tagged = events

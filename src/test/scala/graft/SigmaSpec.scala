@@ -1148,5 +1148,168 @@ class SigmaSpec extends SparkSpec {
       lower(col("event.action")).contains("storage.buckets.update")
     assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
     assert(matchedIds(events, rules.head.detect) == Set(1L, 2L))
+    // the gcp map is DERIVED from the transform's expression tree — the
+    // Elastic spelling resolves onto the hoisted/kept columns with no
+    // hand-kept correspondence list
+    assert(SigmaRules.ecsGcpAudit("gcp.audit.method_name") == "event.action")
+    assert(SigmaRules.ecsGcpAudit("gcp.audit.service_name")
+      == "gcp.audit.service_name") // passthrough: already a column
+    assert(SigmaRules.ecsGcpAudit("gcp.audit.caller_ip")
+      == "gcp.audit.request_metadata.caller_ip")
+  }
+
+  test("Azure AD sign-in + audit rule packs over DERIVED field maps") {
+    import graft.transform.managed.{AadAudit, AadSignin}
+    // -- signinlogs: conditional-access failure (SigmaHQ-style Graph
+    //    spelling) over the managed AadSignin transform
+    def signinLine(id: Long, cas: String, risk: String): String =
+      s"""{"id":"x$id","createdDateTime":"2024-06-01T00:00:0${id}Z",
+         |"operationName":"Sign-in activity","level":"4","tenantId":"t",
+         |"callerIpAddress":"203.0.113.$id",
+         |"properties":{"id":"s$id","userPrincipalName":"u$id@corp.example",
+         |"userDisplayName":"User $id","userId":"uid$id",
+         |"appDisplayName":"App","ipAddress":"203.0.113.$id",
+         |"clientAppUsed":"Browser","conditionalAccessStatus":"$cas",
+         |"isInteractive":true,"riskState":"$risk",
+         |"status":{"errorCode":0}}}""".stripMargin.replace("\n", "")
+    val signins = AadSignin(Seq(
+      signinLine(1, "failure", "none"), signinLine(2, "success", "none"),
+      signinLine(3, "failure", "atRisk"), signinLine(4, "notApplied", "none"))
+      .toDF("json"))
+      .withColumn("id", expr("cast(substring(event.id, 2) as long)"))
+    val dirS = java.nio.file.Files.createTempDirectory("sigma_aad_signin")
+    java.nio.file.Files.writeString(
+      dirS.resolve("azure_conditional_access_failure.yml"),
+      """title: Sign-In Denied by Conditional Access
+        |status: test
+        |logsource:
+        |  product: azure
+        |  service: signinlogs
+        |detection:
+        |  selection:
+        |    conditionalAccessStatus: failure
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    val (signinRules, _) = SigmaRules.loadRulePack(dirS.toString,
+      fieldMap = SigmaRules.ecsAzureSignin)
+    val handS = lower(
+      col("azure.aad_signinlogs.conditional_access_status")) === "failure"
+    assert(matchedIds(signins, signinRules.head.detect)
+      == matchedIds(signins, handS))
+    assert(matchedIds(signins, signinRules.head.detect) == Set(1L, 3L))
+
+    // -- auditlogs: privileged-role assignment style rule on
+    //    activityDisplayName over the managed AadAudit transform
+    def auditLine(id: Long, activity: String, opType: String): String =
+      s"""{"id":"a$id","time":"2024-06-01T00:00:0${id}Z",
+         |"operationName":"$activity","category":"AuditLogs",
+         |"tenantId":"t","durationMs":5,"callerIpAddress":"203.0.113.$id",
+         |"Level":"4",
+         |"properties":{"id":"p$id","category":"UserManagement",
+         |"activityDateTime":"2024-06-01T00:00:0${id}Z",
+         |"activityDisplayName":"$activity","result":"success",
+         |"operationType":"$opType","loggedByService":"Core Directory"}}"""
+        .stripMargin.replace("\n", "")
+    val audits = AadAudit(Seq(
+      auditLine(1, "Add member to role", "Add"),
+      auditLine(2, "Delete user", "Delete"),
+      auditLine(3, "Update user", "Update"),
+      auditLine(4, "Add member to role", "Add"))
+      .toDF("json"))
+      .withColumn("id", expr("cast(substring(event.id, 2) as long)"))
+    val dirA = java.nio.file.Files.createTempDirectory("sigma_aad_audit")
+    java.nio.file.Files.writeString(
+      dirA.resolve("azure_role_member_added.yml"),
+      """title: Member Added to Privileged Role
+        |status: test
+        |logsource:
+        |  product: azure
+        |  service: auditlogs
+        |detection:
+        |  selection:
+        |    ActivityDisplayName: Add member to role
+        |  condition: selection
+        |level: high
+        |""".stripMargin)
+    val (auditRules, _) = SigmaRules.loadRulePack(dirA.toString,
+      fieldMap = SigmaRules.ecsAzureAudit)
+    val handA = lower(col("azure.aad_auditlogs.activity_display_name")) ===
+      "add member to role"
+    assert(matchedIds(audits, auditRules.head.detect)
+      == matchedIds(audits, handA))
+    assert(matchedIds(audits, auditRules.head.detect) == Set(1L, 4L))
+
+    // derived-map spot checks: Graph spellings in ANY convention resolve
+    // onto the emitted columns; already-column paths pass through
+    assert(SigmaRules.ecsAzureSignin("userPrincipalName")
+      == "azure.aad_signinlogs.user_principal_name")
+    assert(SigmaRules.ecsAzureSignin("riskState")
+      == "azure.aad_signinlogs.risk_state")
+    assert(SigmaRules.ecsAzureSignin("risk_state")
+      == "azure.aad_signinlogs.risk_state")
+    assert(SigmaRules.ecsAzureSignin("status.errorCode")
+      == "azure.aad_signinlogs.status.error_code")
+    assert(SigmaRules.ecsAzureAudit("Category")
+      == "azure.aad_auditlogs.category")
+    // the transform hoists the initiator UPN into ECS user.name — the
+    // hoist wins over the azure.* struct copy
+    assert(SigmaRules.ecsAzureAudit("initiatedBy.user.userPrincipalName")
+      == "user.name")
+    // a portal alias with no Graph counterpart passes through loudly
+    assert(SigmaRules.ecsAzureSignin("ResultType") == "ResultType")
+  }
+
+  test("near() aggregation ≡ hand-built window predicate") {
+    import java.sql.Timestamp
+    def t(day: Int, h: Int) = new Timestamp(
+      java.time.Instant.parse(f"2024-02-$day%02dT$h%02d:00:00Z").toEpochMilli)
+    // day 1: view + purchase, no error  → match
+    // day 2: view + purchase + error    → suppressed by `not quiet`
+    // day 3: view only                  → no purchase, no match
+    // day 4: purchase only              → base rule never fired, no match
+    val events = Seq(
+      (1L, "view", t(1, 1)), (2L, "purchase", t(1, 5)),
+      (3L, "view", t(2, 1)), (4L, "purchase", t(2, 5)), (5L, "error", t(2, 9)),
+      (6L, "view", t(3, 1)),
+      (7L, "purchase", t(4, 1)))
+      .toDF("id", "event_type", "ts")
+    val rule = SigmaRules.load(
+      """title: recon_then_exfil
+        |detection:
+        |  recon: {event_type: view}
+        |  exfil: {event_type: purchase}
+        |  quiet: {event_type: error}
+        |  condition: recon | near exfil and not quiet
+        |timeframe: 1d
+        |""".stripMargin)
+    val corr = rule.correlation.get
+    assert(corr.corrType == "temporal" && corr.negResolved.size == 1)
+    val got = SigmaRules.correlationMatches(events, Seq(rule), corr)
+      .select(unix_seconds(col("window_start")).as("w"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hand-built: per tumbling day window, saw view AND purchase AND no
+    // error
+    val win = ((unix_seconds(col("ts")) / 86400).cast("long") * 86400)
+    val hand = events.groupBy(win.as("w"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("e"))
+      .filter(col("v") === 1 && col("p") === 1 && col("e") === 0)
+      .select(col("w"), lit(2L).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == hand && got.size == 1)
+    // loading a near()-bearing rule no longer throws; unknown selection
+    // names still fail loudly
+    val err = intercept[RuntimeException] {
+      SigmaRules.load(
+        """title: bad_near
+          |detection:
+          |  a: {event_type: view}
+          |  condition: a | near nosuch
+          |""".stripMargin)
+    }
+    assert(err.getMessage.contains("nosuch"))
   }
 }
