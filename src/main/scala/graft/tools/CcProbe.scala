@@ -48,15 +48,22 @@ object CcProbe {
     println(s"[ccprobe] nodes=${nodes.count()} pairs=${pairs.count()}")
 
     def run(neighborDouble: Boolean): (Double, Int, Long) = {
+      // snapshot so cleanup only drops THIS run's loop checkpoints — the
+      // shared nodes/pairs checkpoints must survive (lineage truncated:
+      // an unpersisted localCheckpoint cannot recompute)
+      val keep = spark.sparkContext.getPersistentRDDs.keySet
       val rounds = new AtomicInteger(0)
       val t0 = System.nanoTime()
       val out = Dedup.duplicateClustersFanIn(nodes, pairs,
         neighborDouble = neighborDouble, roundsOut = Some(rounds))
-      val fp = out.agg(sum(xxhash64(col("id"), col("cluster_id"),
-        col("cluster_size"), col("is_canonical"))).as("fp"))
+      val fp = out.select(xxhash64(col("id"), col("cluster_id"),
+          col("cluster_size"), col("is_canonical")).as("h"))
+        .agg(expr("bit_xor(h)").as("fp"))
         .head.getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep.contains(id) }
+        .values.foreach(_.unpersist(true))
       (sec, rounds.get, fp)
     }
 
