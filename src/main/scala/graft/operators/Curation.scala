@@ -125,6 +125,63 @@ object Curation {
         col("n_contaminated").cast(DoubleType) / col("n_shingles"))
   }
 
+  /** LSH fuzzy decontamination — the SCALE path past [[decontaminate]]'s
+    * exact n-gram overlap: a training document is flagged when it is a
+    * NEAR-DUPLICATE of any eval document (paraphrase, whitespace and
+    * punctuation variants slip an exact-gram gate; published recipes
+    * dedup train-vs-eval with MinHash for exactly this reason).
+    *
+    * Candidates come from a banded-MinHash BUCKET JOIN between the two
+    * corpora — never an all-pairs pass: train buckets join eval buckets
+    * on (band, signature), so the cost is bucket-collision-sized. The
+    * eval side of a decontamination run is benchmark-suite-sized — it
+    * BROADCASTS, and the train corpus is never shuffled (the 100 TB
+    * posture: map-side bucket join + slim candidate pairs + two id hash
+    * joins for verification). Candidates verify by exact shingle
+    * Jaccard ≥ `minJaccard` (one integer-exact division per pair, the
+    * q32 convention).
+    *
+    * Returns ONE row per train document: `n_matches` (verified eval
+    * near-dups), `best_eval_id` / `best_jaccard` (highest-Jaccard match,
+    * ties to the lowest eval id — total-ordered, engine-portable; null
+    * for clean docs) and `contaminated`.
+    */
+  def fuzzyDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double = 0.2, shingleN: Int = 2,
+      bands: Int = 2, rowsPerBand: Int = 3): DataFrame = {
+    val trSets = Dedup.shingleFrame(train, idCol, textCol, shingleN)
+    val teSets = Dedup.shingleFrame(test, idCol, textCol, shingleN)
+    val trKeys = Dedup.lshKeyedBuckets(trSets, bands, rowsPerBand)
+      .select(col("band"), col("sig"), col("doc").as("__tid"))
+    val teKeys = Dedup.lshKeyedBuckets(teSets, bands, rowsPerBand)
+      .select(col("band"), col("sig"), col("doc").as("__eid"))
+    val cands = trKeys.join(broadcast(teKeys), Seq("band", "sig"))
+      .select(col("__tid"), col("__eid")).distinct()
+    val verified = cands
+      .join(trSets.select(col("doc").as("__tid"), col("sh").as("__sh1"),
+        col("n_sh").as("__n1")), "__tid")
+      .join(broadcast(teSets.select(col("doc").as("__eid"),
+        col("sh").as("__sh2"), col("n_sh").as("__n2"))), "__eid")
+      .withColumn("__common",
+        graft.plans.CommonCount(col("__sh1"), col("__sh2")).cast(LongType))
+      .withColumn("__jaccard", col("__common").cast(DoubleType) /
+        (col("__n1") + col("__n2") - col("__common")))
+      .filter(col("__jaccard") >= minJaccard)
+    val perTrain = verified.groupBy(col("__tid"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("__jaccard").as("j"), (-col("__eid")).as("negid")))
+          .as("__best"))
+      .select(col("__tid").as(idCol), col("n_matches"),
+        (-col("__best.negid")).as("best_eval_id"),
+        col("__best.j").as("best_jaccard"))
+    train.select(col(idCol))
+      .join(perTrain, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_eval_id"), col("best_jaccard"))
+      .withColumn("contaminated", col("n_matches") > 0L)
+  }
+
   /** Sequence packing by token budget: within each `partitionCol` stratum,
     * walk documents in `orderCol` order and assign
     * `pack_id = floor(exclusive_prefix_tokens / budget)` — the

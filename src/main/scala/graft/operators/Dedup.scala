@@ -471,6 +471,30 @@ object Dedup {
       clusters.filter(col("is_canonical")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Keep the HIGHEST-QUALITY member of each near-dup cluster — the
+    * arbitration production curation recipes apply instead of min-id
+    * canonical: of transitively-linked duplicates, the SURVIVOR should
+    * be the best copy (longest, cleanest, highest quality score), not an
+    * arbitrary representative. Deterministic: per cluster, the row with
+    * the maximum (score, −id) — score ties break to the LOWEST id, so
+    * the choice is total-ordered and engine-portable.
+    *
+    * Scale shape: the argmax runs over the slim (id, cluster, score)
+    * frame (one grouped `max_by` with map-side partials — never the
+    * bodies); survivors come back as one semi join on the id. Bodies
+    * never shuffle.
+    */
+  def keepBest(df: DataFrame, idCol: String, clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    val scored = clusters.select(col("id"), col("cluster_id"))
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")), "id")
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max_by(col("id"), struct(col("__score"), -col("id")))
+        .as(idCol))
+      .select(col(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
   /** SimHash near-dup keys: 16-bit signature + two 8-bit bands. Documents
     * within Hamming distance 8 share at least one band (pigeonhole), so
     * banding the signature gives candidate buckets without pair explosion.

@@ -2793,6 +2793,123 @@ object TextPipeline {
              z AS (SELECT source, s, ($ladder - 60)::BIGINT AS noise FROM g)
         SELECT source, (s + noise)::BIGINT AS released, noise
         FROM z ORDER BY source"""
-      })
+      }),
+
+    // ---- q151: quality-arbitrated dedup — keep the BEST copy of each
+    // near-dup cluster (q67's clusters), not the min-id canonical: the
+    // survivor is the member with the highest quality score (here
+    // n_chars — deterministic and column-exact), score ties broken to
+    // the lowest id so the pick is total-ordered and engine-portable.
+    // The argmax runs over the slim (id, cluster, score) frame; bodies
+    // come back as one semi join. The oracle appends a row_number pick
+    // to q67's recursive-CTE cluster derivation.
+    QueryDef(
+      "q151_cluster_best",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val clusters = nearDupClusters(s, dir)
+        Dedup.keepBest(d.select(col("doc_id"), col("n_chars")),
+            "doc_id", clusters, "n_chars")
+          .join(clusters.select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size")), "doc_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+             t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                    UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                      FROM e0 a JOIN e0 b ON a.band = b.band AND a.sig = b.sig
+                                         AND a.doc_id < b.doc_id),
+             j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = id1
+                   JOIN s s2 ON s2.doc_id = id2),
+             jp AS (SELECT id1, id2 FROM j
+                    WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+             ed AS (SELECT id1 AS src, id2 AS dst FROM jp
+                    UNION SELECT id2, id1 FROM jp),
+             reach(id, r) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, reach.r FROM reach JOIN ed e ON reach.id = e.src),
+             lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                    FROM lab GROUP BY cluster_id),
+             pick AS (SELECT lab.id, lab.cluster_id, sz.cluster_size,
+                             d.n_chars,
+                             row_number() OVER (PARTITION BY lab.cluster_id
+                               ORDER BY d.n_chars DESC, lab.id) AS rk
+                      FROM lab
+                      JOIN sz USING (cluster_id)
+                      JOIN documents d ON d.doc_id = lab.id)
+        SELECT id AS doc_id, cluster_id, cluster_size, n_chars
+        FROM pick WHERE rk = 1
+        ORDER BY doc_id""")),
+
+    // ---- q152: LSH fuzzy decontamination — the scale path past q58's
+    // exact n-gram overlap: train docs near-duplicating any eval doc
+    // (banded-MinHash bucket join train×eval — never all-pairs; the
+    // eval side broadcasts) verified by exact shingle Jaccard. Same
+    // fixture split as q58 (doc_id % 10). Best match total-ordered
+    // (jaccard desc, eval id asc) so both engines pick identically.
+    QueryDef(
+      "q152_fuzzy_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.Curation.fuzzyDecontaminate(
+            train = d.filter(col("doc_id") % 10 =!= 0),
+            test = d.filter(col("doc_id") % 10 === 0),
+            idCol = "doc_id", textCol = "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+             s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+             h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+             m AS (SELECT doc_id,
+                     ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                     ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+                   FROM h),
+             e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+                    UNION ALL SELECT doc_id, 1, band1 FROM m),
+             cand AS (SELECT DISTINCT tr.doc_id AS tid, te.doc_id AS eid
+                      FROM e0 tr JOIN e0 te
+                        ON tr.band = te.band AND tr.sig = te.sig
+                      WHERE tr.doc_id % 10 <> 0 AND te.doc_id % 10 = 0),
+             j AS (SELECT tid, eid, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                          len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+                   FROM cand
+                   JOIN s s1 ON s1.doc_id = tid
+                   JOIN s s2 ON s2.doc_id = eid),
+             v AS (SELECT tid, eid,
+                          CAST(common AS DOUBLE) / (n1 + n2 - common) AS jac
+                   FROM j
+                   WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+             agg AS (SELECT tid, COUNT(*)::BIGINT AS n_matches
+                     FROM v GROUP BY tid),
+             best AS (SELECT tid, eid, jac,
+                             row_number() OVER (PARTITION BY tid
+                               ORDER BY jac DESC, eid) AS rk
+                      FROM v)
+        SELECT d.doc_id,
+               COALESCE(agg.n_matches, 0)::BIGINT AS n_matches,
+               best.eid AS best_eval_id,
+               best.jac AS best_jaccard,
+               COALESCE(agg.n_matches, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        LEFT JOIN agg ON agg.tid = d.doc_id
+        LEFT JOIN best ON best.tid = d.doc_id AND best.rk = 1
+        ORDER BY doc_id"""))
   )
 }

@@ -61,6 +61,13 @@ object SigmaStream {
   final case class CorrMatch(rule_name: String, group: Seq[String],
       window_start: Timestamp, n: Long)
 
+  /** The serializable slice of a [[CorrelationSpec]] the state function
+    * needs — the full spec carries Catalyst `Column`s (near()'s
+    * pre-resolved predicates), which must not enter the task closure.
+    */
+  private[streaming] final case class CorrEval(corrType: String,
+      op: String, n: Long)
+
   private val Unset: Long = Long.MinValue
 
   private def micros(ts: Timestamp): Long =
@@ -80,7 +87,7 @@ object SigmaStream {
     * order (within-batch disorder is free, the cross-batch contract is
     * ts-ordered cuts — see the object doc).
     */
-  private[streaming] def fold(corr: CorrelationSpec, nRules: Int,
+  private[streaming] def fold(corr: CorrEval, nRules: Int,
       st: CorrState, events: Seq[CorrEvent]): CorrState = corr.corrType match {
     case "event_count" => st.copy(count = st.count + events.size)
     case "value_count" =>
@@ -105,7 +112,7 @@ object SigmaStream {
   }
 
   /** The closed-window verdict: Some(n) when the condition holds. */
-  private[streaming] def verdict(corr: CorrelationSpec, nRules: Int,
+  private[streaming] def verdict(corr: CorrEval, nRules: Int,
       st: CorrState): Option[Long] = corr.corrType match {
     case "event_count" => Some(st.count).filter(cmp(_, corr.op, corr.n))
     case "value_count" =>
@@ -179,6 +186,7 @@ object SigmaStream {
       .as[CorrEvent]
     val title = corr.title
     val timeframe = corr.timeframeSeconds
+    val eval = CorrEval(corr.corrType, corr.op, corr.n)
     val matches = tagged
       .groupByKey(e => (e.group, e.win))
       .flatMapGroupsWithState[CorrState, CorrMatch](
@@ -186,14 +194,14 @@ object SigmaStream {
         case ((group, win), it, state) =>
           if (state.hasTimedOut) {
             // window closed: final tallies → verdict → emit once
-            val out = verdict(corr, nRules, state.get).map(n =>
+            val out = verdict(eval, nRules, state.get).map(n =>
               CorrMatch(title, group, new Timestamp(win * 1000L), n))
             state.remove()
             out.iterator
           } else {
             val st0 = state.getOption.getOrElse(
               CorrState(0L, Set.empty, 0L, Seq.fill(nRules)(Unset)))
-            state.update(fold(corr, nRules, st0, it.toSeq))
+            state.update(fold(eval, nRules, st0, it.toSeq))
             // fire when the event-time watermark passes the window END
             state.setTimeoutTimestamp((win + timeframe) * 1000L)
             Iterator.empty

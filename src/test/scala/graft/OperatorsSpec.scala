@@ -118,6 +118,45 @@ class OperatorsSpec extends SparkSpec {
     } finally coloc.unpersist()
   }
 
+  test("keepBest keeps the highest-score member per cluster, ties to lowest id") {
+    val df = Seq((1L, 10L, "a"), (2L, 30L, "b"), (3L, 30L, "c"), (4L, 5L, "d"))
+      .toDF("id", "score", "body")
+    val clusters = Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true))
+      .toDF("id", "cluster_id", "cluster_size", "is_canonical")
+    val kept = Dedup.keepBest(df, "id", clusters, "score")
+      .select("id").as[Long].collect().toSet
+    // id 2 beats 3 on the score tie (lower id) and beats 1 on score;
+    // the singleton survives as its own best
+    assert(kept == Set(2L, 4L))
+    // contrast with min-id canonical: keepCanonical keeps 1, not 2
+    assert(Dedup.keepCanonical(df, "id", clusters)
+      .select("id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("fuzzyDecontaminate flags planted cross-corpus near-dups only") {
+    import graft.operators.Curation
+    val shared = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the corpus repeats itself entirely"
+    val train = Seq(
+      (1L, shared + " with a tiny tail"),            // near-dup of eval 100
+      (2L, "completely different text about spark catalyst optimizer " +
+        "rules and physical planning internals"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (100L, shared),
+      (101L, "unrelated evaluation prompt about astronomy and telescopes " +
+        "observing distant galaxies tonight"))
+      .toDF("doc_id", "text")
+    val out = Curation.fuzzyDecontaminate(train, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getBoolean(4)))).toMap
+    assert(out(1L)._3 && out(1L)._2 == 100L && out(1L)._1 >= 1L)
+    assert(!out(2L)._3 && out(2L)._2 == -1L && out(2L)._1 == 0L)
+  }
+
   test("Ranking.globalRank equals the single-window row_number, distributed") {
     import graft.operators.Ranking
     val df = spark.range(0, 5000)

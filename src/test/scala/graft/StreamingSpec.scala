@@ -310,7 +310,19 @@ class StreamingSpec extends SparkSpec {
         |  rules: [saw_view, saw_click]
         |  group-by: [user_id]
         |  timeframe: 1d
-        |""").map(y => SigmaRules.loadCorrelation(y.stripMargin))
+        |""").map(y => SigmaRules.loadCorrelation(y.stripMargin)) :+
+      // the near() proximity form (pre-resolved predicates, no group-by)
+      // streams through the same machinery: view near purchase with no
+      // error in the window
+      SigmaRules.load(
+        """title: view_near_purchase_quiet
+          |detection:
+          |  recon: {event_type: view}
+          |  exfil: {event_type: purchase}
+          |  noisy: {event_type: error}
+          |  condition: recon | near exfil and not noisy
+          |timeframe: 1d
+          |""".stripMargin).correlation.get
     val evTable = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
     val sorted = evTable.as[(Long, String, Timestamp)]
@@ -334,15 +346,17 @@ class StreamingSpec extends SparkSpec {
       input.addData((0L, "noop", new Timestamp(maxTs + 5L * 86400 * 1000)))
       q.processAllAvailable()
       q.stop()
-      val streamed = spark.table(s"sigma_corr_$idx").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
-          r.getLong(3))).toSet
-      val batch = SigmaRules.correlationMatches(evTable, rules, corr)
-        .select(col("rule_name"), col("user_id").cast("string"),
-          col("window_start"), col("n"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
-          r.getLong(3))).toSet
+      // generic canonical form: every column stringified (group keys
+      // render as strings on the streaming side by contract)
+      def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] = {
+        val cols = (Seq(col("rule_name")) ++
+          corr.groupBy.map(c => col(c).cast("string")) ++
+          Seq(col("window_start").cast("string"), col("n").cast("string")))
+        df.select(cols: _*).collect()
+          .map(_.toSeq.map(String.valueOf)).toSet
+      }
+      val streamed = canon(spark.table(s"sigma_corr_$idx"))
+      val batch = canon(SigmaRules.correlationMatches(evTable, rules, corr))
       assert(streamed == batch,
         s"${corr.title}: streamed ${streamed.size} vs batch ${batch.size}")
     }
