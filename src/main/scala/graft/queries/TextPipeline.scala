@@ -2744,8 +2744,7 @@ object TextPipeline {
       },
       Some {
         val ladder = graft.operators.Privacy.dpThresholds(0.5, 20)
-          .map(t => s"(CASE WHEN u >= '$t' THEN 1 ELSE 0 END)")
-          .mkString(" + ")
+          .map(t => s"'$t'").mkString("[", ", ", "]")
         s"""
         WITH d AS (SELECT CASE WHEN source = 'src0' THEN NULL
                                WHEN source = 'src1' THEN source || '|x'
@@ -2756,7 +2755,9 @@ object TextPipeline {
                             length(coalesce(src, chr(1)))::VARCHAR || ':' ||
                             coalesce(src, chr(1)) || '|2:42'), 1, 13) AS u
                    FROM d GROUP BY src)
-        SELECT src, (n + $ladder - 20)::BIGINT AS released
+        SELECT src,
+               (n + len(list_filter($ladder, t -> u >= t)) - 20)::BIGINT
+                 AS released
         FROM g ORDER BY src"""
       }),
 
@@ -2781,8 +2782,7 @@ object TextPipeline {
       },
       Some {
         val ladder = graft.operators.Privacy.dpThresholds(2.0 / 8, 60)
-          .map(t => s"(CASE WHEN u >= '$t' THEN 1 ELSE 0 END)")
-          .mkString(" + ")
+          .map(t => s"'$t'").mkString("[", ", ", "]")
         s"""
         WITH g AS (SELECT source,
                           SUM(LEAST(GREATEST(n_chars % 10, 0), 8))::BIGINT AS s,
@@ -2790,7 +2790,10 @@ object TextPipeline {
                             length(source)::VARCHAR || ':' || source ||
                             '|11:sum:contrib|1:7'), 1, 13) AS u
                    FROM documents GROUP BY source),
-             z AS (SELECT source, s, ($ladder - 60)::BIGINT AS noise FROM g)
+             z AS (SELECT source, s,
+                          (len(list_filter($ladder, t -> u >= t)) - 60)::BIGINT
+                            AS noise
+                   FROM g)
         SELECT source, (s + noise)::BIGINT AS released, noise
         FROM z ORDER BY source"""
       }),
