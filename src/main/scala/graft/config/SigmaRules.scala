@@ -290,6 +290,18 @@ object SigmaRules {
   lazy val ecsAzureAudit: String => String = FieldMapDerive.fieldMap(
     Seq(graft.transform.managed.AadAudit.apply), vendorNs = Seq("azure."))
 
+  /** Field map for SigmaHQ `product: github` / `service: audit` rules —
+    * DERIVED from the managed GithubAudit transform (reference
+    * `data/managed/log_sources/github_audit/log_source.yml`). SigmaHQ
+    * github rules spell fields in the raw audit log's own snake_case
+    * (`action`, `actor`, `transport_protocol_name`), which resolve by
+    * suffix match onto the raw leaves the transform moves — preferring
+    * the ECS hoists (`event.action`, `user.name`) over github.* struct
+    * copies; emitted column names pass through.
+    */
+  lazy val ecsGithubAudit: String => String = FieldMapDerive.fieldMap(
+    Seq(graft.transform.managed.GithubAudit.apply), vendorNs = Seq("github."))
+
   /** Parse one Sigma rule document and compile its detection to a
     * predicate. `fieldMap` renames Sigma field names to the event
     * table's columns (e.g. [[ecsCloudtrail]]); `keywordField` is the

@@ -72,23 +72,37 @@ object Dedup {
     bandedCandidatePairs(lshKeyedBuckets(sets, bands, rowsPerBand),
       "doc", Seq("band", "sig"), maxBucketSize)
 
-  /** The (doc, band, sig) bucket frame the LSH pairing strategies share —
-    * exposed so callers can choose the pairing schedule: capped
-    * ([[bandedCandidatePairs]], the default) or complete-with-bounded-
-    * tasks ([[blockedCandidatePairs]]).
+  /** WIDE per-document band signatures: (doc, band0..band{bands-1}).
+    * The storable form of the LSH keys — one row per document, so a
+    * growing dedup index can persist signatures next to the shingle set
+    * and re-derive the (band, sig) bucket keys by a cheap unpivot on
+    * read instead of re-hashing the corpus every batch.
     */
-  def lshKeyedBuckets(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshBandSignatures(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val staged = withHashArrays(sets, bands * rowsPerBand)
     val bandSigs = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => chunkMinhash(b * rowsPerBand + r))
       concat_ws("#", parts: _*).as(s"band$b")
     }
-    val sigDf = staged.select((col("doc") +: bandSigs).toIndexedSeq: _*)
-    sigDf.select(col("doc"),
+    staged.select((col("doc") +: bandSigs).toIndexedSeq: _*)
+  }
+
+  /** Unpivot [[lshBandSignatures]] back to the (doc, band, sig) bucket
+    * frame — the read path of a signature-bearing index table.
+    */
+  def explodeBandSignatures(wide: DataFrame, bands: Int): DataFrame =
+    wide.select(col("doc"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-  }
+
+  /** The (doc, band, sig) bucket frame the LSH pairing strategies share —
+    * exposed so callers can choose the pairing schedule: capped
+    * ([[bandedCandidatePairs]], the default) or complete-with-bounded-
+    * tasks ([[blockedCandidatePairs]]).
+    */
+  def lshKeyedBuckets(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    explodeBandSignatures(lshBandSignatures(sets, bands, rowsPerBand), bands)
 
   /** The shared banded-LSH pairing core — ONE implementation for every
     * banded family (MinHash here, hyperplane sign sketches, perceptual

@@ -2913,6 +2913,78 @@ object TextPipeline {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
         LEFT JOIN agg ON agg.tid = d.doc_id
         LEFT JOIN best ON best.tid = d.doc_id AND best.rk = 1
+        ORDER BY doc_id""")),
+
+    // ---- q153: incremental LSH near-dup index fold ≡ one-shot near-dup
+    // (q96's batching-independence gate, lifted from exact/perceptual
+    // hashes to the banded-MinHash text family). The corpus plus
+    // late-arriving text twins fold through a GROWING signature+shingle
+    // index in three id-ordered batches — each batch dedups against
+    // everything before it WITHOUT recomputing the corpus (the 100 TB
+    // posture for continuously-arriving training data). The oracle knows
+    // nothing about the cuts: it computes the one-shot rule on the union
+    // ("suppress iff a lower-id doc band-collides AND exact shingle
+    // Jaccard ≥ 0.2"), so the gate proves the fold is batching-independent.
+    QueryDef(
+      "q153_lsh_index_fold",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        import graft.streaming.DedupIndex
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val twins = base
+          .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("concat(substring(text, 1, length(text) - 4), 'abcd')").as("text"))
+        val d = base.unionAll(twins)
+        val tmp = streamFoldDirs.getOrElseUpdate(dir + "#q153", {
+          val t = java.nio.file.Files.createTempDirectory("graft_lsh_fold").toString
+          // id-ordered thirds emulate arrival order (twins land last);
+          // the oracle is independent of where these cuts fall
+          val maxBase = base.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxBase / 3,
+            col("doc_id") >= maxBase / 3 && col("doc_id") < 2 * maxBase / 3,
+            col("doc_id") >= 2 * maxBase / 3)
+          val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+          cuts.zipWithIndex.foreach { case (cut, i) =>
+            val surv = DedupIndex.lshDedupBatch(s, s"$t/index", d.filter(cut),
+                maxBucketSize = None)
+              .withColumn("ts", ts0)
+            if (i == 0) Snapshots.append(surv, s"$t/kept")
+            else Snapshots.mergeUpsert(s, s"$t/kept", surv, "doc_id")
+          }
+          t
+        })
+        Snapshots.read(s, s"$tmp/kept").select(col("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, substr(text, 1, len(text) - 4) || 'abcd'
+          FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 4
+        ),
+        t AS (SELECT doc_id, $sqlToks AS tk FROM d),
+        s AS (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t),
+        h AS (SELECT doc_id, ${sqlHashArr(0)} AS hs0, ${sqlHashArr(1)} AS hs1 FROM s),
+        m AS (SELECT doc_id,
+                ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+                ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+              FROM h),
+        e0 AS (SELECT doc_id, 0 AS band, band0 AS sig FROM m
+               UNION ALL SELECT doc_id, 1, band1 FROM m),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM e0 a JOIN e0 b ON a.band = b.band AND a.sig = b.sig
+                                    AND a.doc_id < b.doc_id),
+        j AS (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+                     len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+              FROM cand
+              JOIN s s1 ON s1.doc_id = id1
+              JOIN s s2 ON s2.doc_id = id2),
+        sup AS (SELECT DISTINCT id2 FROM j
+                WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2)
+        SELECT doc_id FROM d
+        WHERE doc_id NOT IN (SELECT id2 FROM sup)
         ORDER BY doc_id"""))
   )
 }

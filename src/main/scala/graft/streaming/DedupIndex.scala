@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.lake.Snapshots
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,96 @@ object DedupIndex {
     // keyed by content hash, not by time (a deployment would cluster by
     // band signature instead; hour partitioning is the lake's contract)
     val stamped = batch.withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, idCol)
+    else Snapshots.append(stamped, indexTable)
+    survivors
+  }
+
+  /** TEXT near-dup twin of [[dedupBatch]]: a GROWING banded-MinHash index
+    * for incremental corpus deduplication — new data dedups against
+    * everything already ingested WITHOUT recomputing the corpus, the
+    * 100 TB posture for continuously-arriving training data (the aHash
+    * variant above covers perceptual payloads; this one covers text via
+    * the q31/q32 shingle→MinHash→band machinery).
+    *
+    * Index row = (id, band0..band{bands-1}, sh, n_sh, ts): the band
+    * signatures are STORED (computed once, on arrival — the read path is
+    * a cheap unpivot, not a corpus re-hash), and the distinct shingle set
+    * is stored next to them so candidate pairs verify by EXACT Jaccard —
+    * which keeps the fold bit-identical to the one-shot rule and hence
+    * oracle-checkable. A deployment trading exactness for index weight
+    * would store the k-element MinHash signature instead and verify on
+    * estimated Jaccard; the fold's structure is unchanged.
+    *
+    * Same contract as [[dedupBatch]]: suppression is a pure function of
+    * arrival history ("suppress iff a lower-id near-dup exists" — over
+    * the index AND earlier rows of the same batch via the strict
+    * `id1 < id2` pair order), the index stores every arriving row
+    * (survivors and suppressed), replays are keyed no-ops, and under
+    * id-monotone arrival the incremental fold over ANY batching equals
+    * the one-shot rule on the union — the q153 oracle checks exactly
+    * that without knowing the batch cuts.
+    *
+    * Scale shape: per-batch cost is the batch's own shingle pass + ONE
+    * band-bucket pairing restricted to the batch's neighborhood — index
+    * rows sharing no band signature with the batch are semi-join-pruned
+    * before the pair join (at deployment scale the index table is
+    * clustered by band signature so zone maps prune the scan itself) —
+    * plus one batch-sized mergeUpsert. Never all-pairs, never a corpus
+    * rescan of text.
+    */
+  def lshDedupBatch(spark: SparkSession, indexTable: String, batchDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minJaccard: Double = 0.2, shingleN: Int = 2,
+      bands: Int = 2, rowsPerBand: Int = 3,
+      maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    val batch = batchDocs.select(col(idCol), col(textCol)).localCheckpoint(true)
+    // one shingle + minhash pass over the BATCH only; both frames feed
+    // two consumers each (pairing + commit), so pin them once
+    val bSets = Dedup.shingleFrame(batch, idCol, textCol, shingleN)
+      .localCheckpoint(true)
+    val bWide = Dedup.lshBandSignatures(bSets, bands, rowsPerBand)
+      .localCheckpoint(true)
+    val bKeys = Dedup.explodeBandSignatures(bWide, bands)
+    val indexed = Snapshots.currentVersion(indexTable).isDefined
+    val (allSets, allKeys) =
+      if (!indexed) (bSets, bKeys)
+      else {
+        val idx = Snapshots.read(spark, indexTable)
+          // a replayed batch is already in the index — drop same-id rows
+          // up front so a replay never self-suppresses
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+          .withColumnRenamed(idCol, "doc")
+        val idxKeys = Dedup.explodeBandSignatures(
+          idx.select((col("doc") +: (0 until bands).map(b => col(s"band$b"))): _*),
+          bands)
+        // batch-neighborhood pruning: a candidate pair needs a common
+        // band signature, so only index rows in batch-touched buckets
+        // can pair — probe cost tracks the batch, not the index
+        val touched = idxKeys
+          .join(broadcast(bKeys.select(col("band"), col("sig")).distinct()),
+            Seq("band", "sig"), "left_semi")
+          .select(col("doc")).distinct()
+        val prunedSets = idx.select(col("doc"), col("sh"), col("n_sh"))
+          .join(touched, Seq("doc"), "left_semi")
+        val prunedKeys = idxKeys.join(touched, Seq("doc"), "left_semi")
+        (prunedSets.unionByName(bSets), prunedKeys.unionByName(bKeys))
+      }
+    val cands = Dedup.bandedCandidatePairs(allKeys, "doc", Seq("band", "sig"),
+      maxBucketSize)
+    val verified = Dedup.jaccardVerify(allSets, cands, minJaccard)
+    val suppressed = verified
+      .join(bSets.select(col("doc").as("id2")), Seq("id2"), "left_semi")
+      .select(col("id2").as(idCol)).distinct()
+    // survivors materialize BEFORE the index commit — a lazy plan re-read
+    // after the upsert would see the batch's own rows as history
+    val survivors = batch.join(suppressed, Seq(idCol), "left_anti")
+      .select(col(idCol)).localCheckpoint(true)
+    val stamped = bSets.join(bWide, "doc")
+      .select((col("doc").as(idCol) +:
+        ((0 until bands).map(b => col(s"band$b")) ++
+          Seq(col("sh"), col("n_sh"),
+            lit("2024-01-01 00:00:00").cast("timestamp").as("ts")))): _*)
     if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, idCol)
     else Snapshots.append(stamped, indexTable)
     survivors

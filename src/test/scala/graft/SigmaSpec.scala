@@ -1260,6 +1260,58 @@ class SigmaSpec extends SparkSpec {
     assert(SigmaRules.ecsAzureSignin("ResultType") == "ResultType")
   }
 
+  test("Github Delete Action Invoked (SigmaHQ) over the DERIVED github map") {
+    import graft.transform.managed.GithubAudit
+    // real SigmaHQ rule github_delete_action_invoked.yml: SigmaHQ github
+    // rules spell fields in the raw audit log's own snake_case; `action`
+    // resolves onto the ECS event.action hoist
+    def ghLine(id: Long, action: String): String =
+      s"""{"_document_id":"g$id","@timestamp":${1714521600000L + id},
+         |"created_at":${1714521600000L + id},"action":"$action",
+         |"actor":"dev$id","actor_ip":"203.0.113.$id",
+         |"org":"corp","repo":"corp/app",
+         |"transport_protocol_name":"http","repository_public":false}"""
+        .stripMargin.replace("\n", "")
+    val events = GithubAudit(Seq(
+      ghLine(1, "repo.destroy"),
+      ghLine(2, "project.delete"),
+      ghLine(3, "repo.create"),
+      ghLine(4, "git.clone"))
+      .toDF("json"))
+      .withColumn("id", expr("cast(substring(event.id, 2) as long)"))
+    val dir = java.nio.file.Files.createTempDirectory("sigma_github")
+    java.nio.file.Files.writeString(dir.resolve("github_delete_action_invoked.yml"),
+      """title: Github Delete Action Invoked
+        |status: test
+        |description: Detects delete action in the Github audit logs for codespaces, environment, project and repo.
+        |logsource:
+        |  product: github
+        |  service: audit
+        |detection:
+        |  selection:
+        |    action:
+        |      - codespaces.delete
+        |      - environment.delete
+        |      - project.delete
+        |      - repo.destroy
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    val (rules, _) = SigmaRules.loadRulePack(dir.toString,
+      fieldMap = SigmaRules.ecsGithubAudit)
+    val hand = lower(col("event.action")).isin(
+      "codespaces.delete", "environment.delete", "project.delete", "repo.destroy")
+    assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rules.head.detect) == Set(1L, 2L))
+    // derived-map spot checks: raw snake_case resolves onto hoists/copies,
+    // emitted column names pass through
+    assert(SigmaRules.ecsGithubAudit("action") == "event.action")
+    assert(SigmaRules.ecsGithubAudit("actor") == "user.name")
+    assert(SigmaRules.ecsGithubAudit("transport_protocol_name")
+      == "github.transport_protocol.name")
+    assert(SigmaRules.ecsGithubAudit("github.org") == "github.org")
+  }
+
   test("near() aggregation ≡ hand-built window predicate") {
     import java.sql.Timestamp
     def t(day: Int, h: Int) = new Timestamp(

@@ -128,6 +128,32 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
   }
 
+  test("LSH text dedup index grows across batches: intra-batch order, cross-batch suppression, idempotent replay") {
+    import graft.streaming.DedupIndex
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def fold(rows: (Long, String)*) =
+      DedupIndex.lshDedupBatch(spark, idxDir, batch(rows: _*))
+        .collect().map(_.getLong(0)).sorted.toList
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val t3 = "red green blue yellow purple orange pink teal"
+    // batch 1: a novel doc + its same-batch duplicate — the strict
+    // id1 < id2 pair order keeps the lower id
+    assert(fold(100L -> t1, 101L -> t1) == List(100L))
+    // batch 2: novel + a duplicate of BATCH 1's survivor (via the index)
+    assert(fold(200L -> t2, 201L -> t1) == List(200L))
+    // batch 3: a duplicate of a BATCH 2 survivor + a novel doc — only a
+    // grown index can suppress 300 (a static seed never saw t2)
+    assert(fold(300L -> t2, 301L -> t3) == List(301L))
+    // the index holds EVERY arrival (survivors and suppressed)
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
+    // replaying batch 3 (restart semantics) re-derives the same survivors
+    // and the index does not grow — exactly-once across restarts
+    assert(fold(300L -> t2, 301L -> t3) == List(301L))
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
+  }
+
   test("count-min cells accumulate across micro-batches; folded sketch equals batch sketch") {
     import graft.operators.CountMin
     val d = 4
