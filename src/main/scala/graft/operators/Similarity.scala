@@ -443,4 +443,92 @@ object Similarity {
         s"(inertia $lastInertia) — raise maxRounds or epsilon")
     KmeansResult(cents, round, lastInertia, converged, trace.toSeq)
   }
+
+  /** Exact integer L2 distance between subspace `j` of an int8 code array
+    * and a literal codeword sub-vector — the building block PQ encode and
+    * ADC lookup tables share. One codegen'd slice + zip_with + fold; all
+    * arithmetic exact in Long (max term 254²·subDim ≪ 2⁶³).
+    */
+  private def pqSubDist(code: Column, j: Int, subDim: Int,
+      codeword: Seq[Long]): Column =
+    aggregate(
+      zip_with(slice(code, j * subDim + 1, subDim),
+        typedLit(codeword.slice(j * subDim, (j + 1) * subDim)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Product-quantization encode: each int8 code vector splits into
+    * `subspaces` contiguous sub-vectors; each sub-vector is replaced by
+    * the id of its nearest codeword (exact integer L2, ties to the
+    * lowest codeword id). `codebook` is (codewordId, full-width code)
+    * sorted by id — codewords are corpus rows by convention (the q63
+    * frozen-centroid contract), so the book is tiny and travels as plan
+    * literals: encoding is ONE codegen'd projection over the corpus — no
+    * join, no shuffle, nothing ever collected.
+    *
+    * This is the 100 TB vector-memory step past int8 (q61): a d=64 int8
+    * vector stores 64 bytes; its PQ form stores `subspaces` small ints.
+    * At deployment scale the encoded corpus rides in cluster RAM next to
+    * the IVF bucket layout (q143) while full vectors stay on disk for
+    * optional re-rank.
+    */
+  def pqEncode(corpusCodes: DataFrame, codebook: Seq[(Long, Seq[Long])],
+      subspaces: Int): DataFrame = {
+    require(codebook.nonEmpty, "pqEncode needs a non-empty codebook")
+    val d = codebook.head._2.length
+    require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
+    val subDim = d / subspaces
+    val sorted = codebook.sortBy(_._1)
+    val idsLit = typedLit(sorted.map(_._1))
+    val perSub = (0 until subspaces).map { j =>
+      val dists = array(sorted.map { case (_, cw) =>
+        pqSubDist(col("code"), j, subDim, cw) }: _*)
+      // array_position is 1-based and returns the FIRST minimum — ties
+      // resolve to the lowest codeword id because the book is id-sorted
+      element_at(idsLit, array_position(dists, array_min(dists)).cast("int"))
+        .as(s"__pq$j")
+    }
+    corpusCodes.select((col("id") +: perSub): _*)
+      .select(col("id"),
+        array((0 until subspaces).map(j => col(s"__pq$j")): _*).as("pq"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
+    * precomputes a lookup table of exact integer L2 distances from its
+    * own int8 sub-vectors to every codeword (`subspaces`×`codewords`
+    * entries — a plan-literal-sized array per query), and a corpus row's
+    * approximate distance is `subspaces` table lookups summed — the
+    * corpus side touches only its `pq` codes, never a vector. Queries
+    * (with their tables) broadcast; the scan is one codegen'd projection
+    * + a per-query top-k window (dist asc, id asc — total-ordered). This
+    * is the IVF-PQ scan shape: at 100 TB the same projection runs inside
+    * each probed bucket of the q143 layout.
+    */
+  def pqAdcTopK(encoded: DataFrame, queryCodes: DataFrame,
+      codebook: Seq[(Long, Seq[Long])], subspaces: Int, k: Int): DataFrame = {
+    require(codebook.nonEmpty, "pqAdcTopK needs a non-empty codebook")
+    val d = codebook.head._2.length
+    require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
+    val subDim = d / subspaces
+    val sorted = codebook.sortBy(_._1)
+    val kw = sorted.size
+    val posLit = typedLit(sorted.map(_._1)) // codeword id → LUT position
+    // flat LUT: entry j*kw + pos(c) = L2(query sub j, codeword c sub j)
+    val lut = flatten(array((0 until subspaces).map { j =>
+      array(sorted.map { case (_, cw) =>
+        pqSubDist(col("code"), j, subDim, cw) }: _*)
+    }: _*))
+    val q = queryCodes.select(col("id").as("qid"), lut.as("__lut"))
+    val dist = (0 until subspaces).map { j =>
+      element_at(col("__lut"),
+        (lit(j * kw) +
+          array_position(posLit, element_at(col("pq"), j + 1))).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    encoded.crossJoin(broadcast(q))
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("dist"), col("rk"))
+  }
 }

@@ -80,6 +80,21 @@ object Vectors {
                  (SELECT cid, list(x ORDER BY dim) AS ccode
                   FROM upd$r GROUP BY cid) u ON u.cid = p.cid)"""
 
+  /** q154/q155 shared: the corpus in q61's int8 code domain. */
+  private def pqCoded(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).select(col("id"),
+      VectorFunctions.quantizeInt8(col("vec"),
+        VectorFunctions.int8Scale(col("vec"))).as("code"))
+
+  /** The 8-row frozen PQ codebook (q63's corpus-rows-as-centroids
+    * contract): collected once — bounded by construction (codebooks are
+    * tiny by definition; the ≤64-centroid collect precedent) — so the
+    * book travels as plan literals in encode and ADC.
+    */
+  private def pqBook(coded: DataFrame): Seq[(Long, Seq[Long])] =
+    coded.filter(col("id") < 8).orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+
   /** Symmetric int8 codes of a DOUBLE[] column (mirrors quantizeInt8). */
   private def sqlCodes(v: String) =
     s"""list_transform($v, x -> greatest(-127, least(127,
@@ -708,6 +723,98 @@ object Vectors {
         SELECT a.id, a.bucket FROM asgF a
         LEFT JOIN dup d ON d.id = a.id
         WHERE d.id IS NULL
-        ORDER BY a.id"""))
+        ORDER BY a.id""")),
+
+    // ---- q154: product-quantization encode — the vector-memory step
+    // past int8 (q61): each 64-dim int8 code splits into 4 contiguous
+    // 16-dim subspaces, each replaced by the id of its nearest codeword
+    // (exact integer L2, ties to the lowest codeword id). Codewords are
+    // frozen corpus rows (q63's contract) so the book travels as plan
+    // literals and encoding is ONE codegen'd projection — no join, no
+    // shuffle. The oracle re-derives codes, the book, and the per-
+    // subspace argmin (row_number over dist, cid) bit-for-bit.
+    QueryDef(
+      "q154_pq_encode",
+      (s, dir) => {
+        val coded = pqCoded(s, dir)
+        Similarity.pqEncode(coded.filter(col("id") >= 8), pqBook(coded),
+            subspaces = 4)
+          .select(col("id"),
+            array_join(transform(col("pq"), _.cast("string")), ",").as("pq_csv"))
+          .orderBy(col("id"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             codes AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             cb AS (SELECT id AS cid, code AS ccode FROM codes WHERE id < 8),
+             corpus AS (SELECT id, code FROM codes WHERE id >= 8),
+             enc AS (SELECT id, j, cid
+                     FROM (SELECT corpus.id, j.j, cb.cid,
+                             ROW_NUMBER() OVER (PARTITION BY corpus.id, j.j
+                               ORDER BY list_sum(list_transform(range(1, 17), i ->
+                                 (code[j.j*16 + i] - ccode[j.j*16 + i]) *
+                                 (code[j.j*16 + i] - ccode[j.j*16 + i]))),
+                               cb.cid) AS rn
+                           FROM corpus
+                           CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+                           CROSS JOIN cb)
+                     WHERE rn = 1)
+        SELECT id, string_agg(cid::VARCHAR, ',' ORDER BY j) AS pq_csv
+        FROM enc
+        GROUP BY id
+        ORDER BY id""")),
+
+    // ---- q155: asymmetric-distance (ADC) top-k over the PQ corpus —
+    // the IVF-PQ scan shape: a query precomputes a 4×8 integer-L2 lookup
+    // table against the codebook (a plan literal per query), and each
+    // corpus row costs 4 table lookups + a sum — the scan touches only
+    // pq codes, never a vector. Exact integer distances end to end, so
+    // the oracle (which recomputes the same chosen-codeword distances)
+    // reproduces the ranking bit-for-bit; ties total-ordered (dist asc,
+    // id asc).
+    QueryDef(
+      "q155_pq_adc",
+      (s, dir) => {
+        val coded = pqCoded(s, dir)
+        val book = pqBook(coded)
+        val corpus = coded.filter(col("id") >= 8)
+        val encoded = Similarity.pqEncode(corpus, book, subspaces = 4)
+        val queries = corpus.filter(col("id") <= 12)
+        Similarity.pqAdcTopK(encoded, queries, book, subspaces = 4, k = 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             codes AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             cb AS (SELECT id AS cid, code AS ccode FROM codes WHERE id < 8),
+             corpus AS (SELECT id, code FROM codes WHERE id >= 8),
+             enc AS (SELECT id, j, cid
+                     FROM (SELECT corpus.id, j.j, cb.cid,
+                             ROW_NUMBER() OVER (PARTITION BY corpus.id, j.j
+                               ORDER BY list_sum(list_transform(range(1, 17), i ->
+                                 (code[j.j*16 + i] - ccode[j.j*16 + i]) *
+                                 (code[j.j*16 + i] - ccode[j.j*16 + i]))),
+                               cb.cid) AS rn
+                           FROM corpus
+                           CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+                           CROSS JOIN cb)
+                     WHERE rn = 1),
+             q AS (SELECT id AS qid, code AS qcode FROM corpus WHERE id <= 12),
+             adc AS (SELECT q.qid, enc.id,
+                       SUM(list_sum(list_transform(range(1, 17), i ->
+                         (qcode[enc.j*16 + i] - ccode[enc.j*16 + i]) *
+                         (qcode[enc.j*16 + i] - ccode[enc.j*16 + i]))))::BIGINT AS dist
+                     FROM enc
+                     JOIN cb ON cb.cid = enc.cid
+                     CROSS JOIN q
+                     GROUP BY q.qid, enc.id),
+             r AS (SELECT qid, id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY dist, id) AS rk
+                   FROM adc)
+        SELECT qid, id, dist, rk
+        FROM r
+        WHERE rk <= 3
+        ORDER BY qid, rk"""))
   )
 }

@@ -1163,4 +1163,33 @@ class OperatorsSpec extends SparkSpec {
     assert(r3(2L) > r3(1L) && r3(1L) > r3(4L))
     assert(r3.values.sum <= 4 * S)
   }
+
+  test("pqEncode picks the nearest codeword per subspace, ties to lowest id; ADC distance is the LUT sum") {
+    import graft.operators.Similarity
+    // d=4, 2 subspaces of 2 dims; codewords chosen so every argmin is
+    // hand-checkable. Book ids deliberately NOT 0-based contiguous.
+    val book = Seq(
+      5L -> Seq(0L, 0L, 10L, 10L),
+      7L -> Seq(10L, 10L, 0L, 0L))
+    val corpus = Seq(
+      (100L, Seq(1L, 1L, 9L, 9L)),   // sub0 → cw5 (d=2 vs 162), sub1 → cw5 (2 vs 162)
+      (101L, Seq(9L, 9L, 1L, 1L)),   // both subs → cw7
+      (102L, Seq(5L, 5L, 5L, 5L))    // equidistant (50 vs 50) → tie → cw5
+    ).toDF("id", "code")
+    val enc = Similarity.pqEncode(corpus, book, subspaces = 2)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(codes == Map(
+      100L -> List(5L, 5L), 101L -> List(7L, 7L), 102L -> List(5L, 5L)))
+    // ADC: query = exact codeword concatenation (0,0,10,10 | sub1 of cw7
+    // = 0,0): distances reproduce the chosen-codeword L2 sums exactly
+    val queries = Seq((200L, Seq(0L, 0L, 0L, 0L))).toDF("id", "code")
+    val top = Similarity.pqAdcTopK(enc, queries, book, subspaces = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // dist(q, enc(x)) = L2(qsub0, cw[x0]sub0) + L2(qsub1, cw[x1]sub1):
+    //   100/102 → cw5,cw5: (0+0) + (100+100) = 200
+    //   101     → cw7,cw7: (100+100) + (0+0) = 200
+    // all tie at 200 → id-ordered
+    assert(top.toList == List(
+      (200L, 100L, 200L, 1), (200L, 101L, 200L, 2), (200L, 102L, 200L, 3)))
+  }
 }
