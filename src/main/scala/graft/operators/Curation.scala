@@ -323,4 +323,58 @@ object Curation {
         size(chunk).cast(LongType).as("n_chunk_tokens"),
         array_join(chunk, " ").as("chunk_text"))
   }
+
+  /** Per-group exact quality floor: drop the lowest `dropFrac` fraction
+    * of each group — the per-domain calibrated filter real curation
+    * pipelines run instead of one global threshold (a cutoff that is
+    * right for web text guts a code or CJK domain). The cut is
+    * rank-based and total-ordered (score asc, id asc; exactly
+    * floor(dropFrac·n) rows drop per group), so it reproduces bit for
+    * bit cross-engine — no quantile interpolation, no float thresholds.
+    *
+    * Returns the slim survivor frame (id, group, score, rank_in_group);
+    * callers semi-join bodies back by id — only the slim projection is
+    * ever sorted. Scale shape: one shuffle on the group key + a
+    * per-group sort of slim rows; at 100 TB the same contract holds
+    * (bodies never move), and a deployment wanting to avoid the full
+    * sort swaps the exact rank for a KLL threshold (q114) at the cost
+    * of the bit-exact gate.
+    */
+  def qualityFloor(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1); got $dropFrac")
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    val grp = Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("__rk", row_number().over(rk))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .filter(col("__rk") > floor(lit(dropFrac) * col("__n")))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        col("__rk").cast(LongType).as("rank_in_group"))
+  }
+
+  /** Greedy per-group token-budget selection: order each group by
+    * (score desc, id asc), keep the prefix whose running token sum stays
+    * within `budget` — the "best N tokens per domain" mixing step that
+    * turns corpus + mixture weights into an actual training set. The
+    * prefix rule (a doc that overshoots ends its group's intake) is
+    * deterministic and engine-portable; running sums are exact BIGINTs.
+    *
+    * Returns (id, group, tokens, cum_tokens) for the selected prefix;
+    * same slim-frame contract and scale shape as [[qualityFloor]].
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive; got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol), col(scoreCol), col(tokensCol))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(groupCol), col(tokensCol), col("cum_tokens"))
+  }
 }
