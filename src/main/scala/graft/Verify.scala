@@ -56,6 +56,18 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Manifest of the FULL registry: tools/OracleBench.py hard-fails when
+    // the oracle file it was handed doesn't cover every registered oracle
+    // (a stale verify dir once silently shrank a judge's gate set by 3
+    // queries). `subset: true` marks dev GRAFT_VERIFY_ONLY dumps so they
+    // can never masquerade as a gate-grade oracle set.
+    def arr(names: Iterable[String]): String =
+      names.map(q).mkString("[", ",", "]")
+    val manifest =
+      s"""{"queries": ${arr(SparkEntry.queries.keys)},
+         | "oracles": ${arr(SparkEntry.oracleSql.keys)},
+         | "subset": ${only.nonEmpty}}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/query_manifest.json"), manifest)
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()

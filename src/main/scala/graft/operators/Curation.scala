@@ -149,25 +149,47 @@ object Curation {
   def fuzzyDecontaminate(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, minJaccard: Double = 0.2, shingleN: Int = 2,
       bands: Int = 2, rowsPerBand: Int = 3): DataFrame = {
-    // both set frames are consumed TWICE (bucket keys + verification)
-    // and feed join-side filters: the eager checkpoint materializes the
-    // shingle pass once AND truncates lineage, so the inferred
-    // isnotnull(size(sh)) join filters land on the LogicalRDD instead of
-    // re-deriving the tokenize+shingle chain inside the parquet scan's
-    // data filters (the PlanShapeSpec generator-pushdown trap; RDD
-    // storage is reclaimed by the ContextCleaner)
-    val trSets = Dedup.shingleFrame(train, idCol, textCol, shingleN)
-      .localCheckpoint(true)
+    // The eval side is benchmark-suite-sized: its shingle sets are
+    // checkpointed whole (consumed by both the bucket pass and the
+    // verify join; the checkpoint truncates lineage so inferred
+    // isnotnull(size(sh)) join filters land on the LogicalRDD instead
+    // of re-deriving the tokenize+shingle chain inside the parquet
+    // scan's data filters — the PlanShapeSpec generator-pushdown trap).
     val teSets = Dedup.shingleFrame(test, idCol, textCol, shingleN)
       .localCheckpoint(true)
-    val trKeys = Dedup.lshKeyedBuckets(trSets, bands, rowsPerBand)
-      .select(col("band"), col("sig"), col("doc").as("__tid"))
     val teKeys = Dedup.lshKeyedBuckets(teSets, bands, rowsPerBand)
       .select(col("band"), col("sig"), col("doc").as("__eid"))
+    // The TRAIN side is the corpus: only its SLIM bucket keys
+    // (band, sig, id — a few dozen bytes/doc) are ever materialized,
+    // never its shingle sets. The checkpoint here serves the same
+    // lineage-truncation purpose for the bucket join's inferred
+    // filters while keeping executor storage O(corpus keys), not
+    // O(corpus shingles).
+    val trKeys = Dedup.lshKeyedBuckets(
+        Dedup.shingleFrame(train, idCol, textCol, shingleN),
+        bands, rowsPerBand)
+      .select(col("band"), col("sig"), col("doc").as("__tid"))
+      .localCheckpoint(true)
+    // Candidate pairs are bucket-collision-sized — checkpoint the slim
+    // pair frame once; it feeds both the verify join and the pruning
+    // semi join below.
     val cands = trKeys.join(broadcast(teKeys), Seq("band", "sig"))
       .select(col("__tid"), col("__eid")).distinct()
+      .localCheckpoint(true)
+    // Verify sets are derived ONLY for candidate train docs (the
+    // lshDedupBatch `touched` shape, DedupIndex.scala): the corpus is
+    // semi-join-pruned on the id BEFORE the tokenize+shingle chain
+    // runs, so the verify join's build/probe — and the checkpointed
+    // storage — track the CANDIDATE count, not the corpus. Candidate
+    // docs pay the shingle derivation twice (once in the bucket pass,
+    // once here); that map-side recompute is the price of never
+    // materializing corpus-sized shingle sets.
+    val candTrain = train.join(
+      cands.select(col("__tid").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val trSetsPruned = Dedup.shingleFrame(candTrain, idCol, textCol, shingleN)
+      .localCheckpoint(true)
     val verified = cands
-      .join(trSets.select(col("doc").as("__tid"), col("sh").as("__sh1"),
+      .join(trSetsPruned.select(col("doc").as("__tid"), col("sh").as("__sh1"),
         col("n_sh").as("__n1")), "__tid")
       .join(broadcast(teSets.select(col("doc").as("__eid"),
         col("sh").as("__sh2"), col("n_sh").as("__n2"))), "__eid")
@@ -176,13 +198,17 @@ object Curation {
       .withColumn("__jaccard", col("__common").cast(DoubleType) /
         (col("__n1") + col("__n2") - col("__common")))
       .filter(col("__jaccard") >= minJaccard)
+    // Best match: maximum Jaccard, ties to the LOWEST eval id — ONE
+    // min_by over the ordering struct (−jaccard asc, id asc). Only the
+    // internally-computed Double is negated; the USER's id column never
+    // is (negating a non-numeric id casts to double → NULL and the
+    // "total-ordered" promise silently breaks).
     val perTrain = verified.groupBy(col("__tid"))
       .agg(count(lit(1)).as("n_matches"),
-        max(struct(col("__jaccard").as("j"), (-col("__eid")).as("negid")))
-          .as("__best"))
-      .select(col("__tid").as(idCol), col("n_matches"),
-        (-col("__best.negid")).as("best_eval_id"),
-        col("__best.j").as("best_jaccard"))
+        min_by(col("__eid"), struct(-col("__jaccard"), col("__eid")))
+          .as("best_eval_id"),
+        max(col("__jaccard")).as("best_jaccard"))
+      .withColumnRenamed("__tid", idCol)
     train.select(col(idCol))
       .join(perTrain, Seq(idCol), "left")
       .select(col(idCol),

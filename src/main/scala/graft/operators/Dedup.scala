@@ -489,21 +489,30 @@ object Dedup {
     * arbitration production curation recipes apply instead of min-id
     * canonical: of transitively-linked duplicates, the SURVIVOR should
     * be the best copy (longest, cleanest, highest quality score), not an
-    * arbitrary representative. Deterministic: per cluster, the row with
-    * the maximum (score, −id) — score ties break to the LOWEST id, so
-    * the choice is total-ordered and engine-portable.
+    * arbitrary representative. Deterministic: per cluster, the row
+    * minimizing (−score, id) — score ties break to the LOWEST id, so
+    * the choice is total-ordered and engine-portable. Only the score is
+    * negated (validated NUMERIC below); the id column never is — a
+    * string id under arithmetic negation casts to double → NULL and
+    * the tie-break silently degenerates to "whichever partial arrived
+    * last" instead of failing.
     *
     * Scale shape: the argmax runs over the slim (id, cluster, score)
-    * frame (one grouped `max_by` with map-side partials — never the
+    * frame (one grouped `min_by` with map-side partials — never the
     * bodies); survivors come back as one semi join on the id. Bodies
     * never shuffle.
     */
   def keepBest(df: DataFrame, idCol: String, clusters: DataFrame,
       scoreCol: String): DataFrame = {
+    require(df.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBest score column '$scoreCol' must be numeric " +
+        s"(got ${df.schema(scoreCol).dataType.simpleString}); the " +
+        "ordering negates the score to express score-desc/id-asc")
     val scored = clusters.select(col("id"), col("cluster_id"))
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")), "id")
     val best = scored.groupBy(col("cluster_id"))
-      .agg(max_by(col("id"), struct(col("__score"), -col("id")))
+      .agg(min_by(col("id"), struct(-col("__score"), col("id")))
         .as(idCol))
       .select(col(idCol))
     df.join(best, Seq(idCol), "left_semi")

@@ -294,6 +294,13 @@ object Privacy {
     }
   }
 
+  /** Release-key format version, hashed into every DP noise draw.
+    * v2 = len:value component framing (round 15+); v1 (round 14) was
+    * the unframed pipe join. Bump on ANY change to the key framing so
+    * old and new releases can never share (and thus average out) noise
+    * draws. */
+  val ReleaseKeyVersion = "v2"
+
   /** ε-differentially-private count release — the publication step past
     * the suppression gates (k-anonymity/l-diversity/t-closeness bound
     * LINKAGE; a released exact count still leaks presence, which only
@@ -317,6 +324,16 @@ object Privacy {
     * (a,"") would share one draw, correlating two groups' noise; a real
     * data value of exactly \u0001 is assumed absent).
     *
+    * The key also carries an explicit RELEASE-KEY VERSION component
+    * (`v2` = the len:value framing; v1 was round 14's unframed pipe
+    * join). Determinism cuts both ways: a re-release under the same
+    * seed must reproduce the SAME noise, while any framing change
+    * silently reshuffles every draw -- so releases made under different
+    * framings must never be treated as re-releases of one another
+    * (averaging them would cancel the noise). Folding the version into
+    * the hashed key makes the key spaces of different framings disjoint
+    * BY CONSTRUCTION; any future framing change MUST bump the tag.
+    *
     * Returns one row per group: groupCols, `__dp_released`
     * (count + noise; may be negative for near-empty groups — standard,
     * consumers clamp at will) and `__dp_noise` (audit only — publishing
@@ -338,7 +355,8 @@ object Privacy {
     val keyed = groupCols.map(c =>
       framed(coalesce(col(c).cast("string"), lit("\u0001"))))
     val u = substring(
-      md5(concat_ws("|", (keyed :+ framed(lit(seed.toString))): _*)
+      md5(concat_ws("|", (keyed :+ framed(lit(ReleaseKeyVersion)) :+
+          framed(lit(seed.toString))): _*)
         .cast("binary")),
       1, 13)
     // inverse-CDF lookup as ONE array-literal filter, not a chain of
@@ -364,11 +382,16 @@ object Privacy {
     * Same deterministic inverse-CDF ladder as [[dpCountRelease]] (the
     * 13-hex-digit [[dpThresholds]] convention, α = e^(−ε/Δ)), same
     * collision-free `len:value` key framing with the \u0001 NULL
-    * sentinel — plus a `sum:<valueCol>` domain component so a count and
+    * sentinel and `v2` release-key version component — plus a
+    * `sum:<valueCol>` domain component so a count and
     * a sum released over the SAME groups and seed draw independent
     * noise. Noise support is ±maxNoise steps; choose maxNoise ≳ 4·Δ/ε
     * so the truncated tail mass stays negligible (truncation is
     * post-processing and preserves ε-DP regardless).
+    *
+    * NULL contributions are SKIPPED (absent contribution, not minimum
+    * contribution — see the inline note); an all-NULL group releases
+    * noise over a zero sum.
     *
     * Returns one row per group: groupCols, `__dp_released`
     * (clamped sum + noise) and `__dp_noise` (audit only — do not
@@ -391,6 +414,7 @@ object Privacy {
       framed(coalesce(col(c).cast("string"), lit("\u0001"))))
     val u = substring(
       md5(concat_ws("|", (keyed :+ framed(lit(s"sum:$valueCol")) :+
+          framed(lit(ReleaseKeyVersion)) :+
           framed(lit(seed.toString))): _*)
         .cast("binary")),
       1, 13)
@@ -398,10 +422,20 @@ object Privacy {
     // dpCountRelease (codegen size)
     val noise = (size(filter(lit(thresholds.toArray),
       t => u >= t)) - lit(maxNoise)).cast(LongType)
-    val clamped = least(greatest(col(valueCol).cast(LongType),
-      lit(clampLo)), lit(clampHi))
+    // NULL contributions are SKIPPED, not clamped: greatest/least
+    // IGNORE nulls, so a bare clamp would turn a NULL row into a
+    // clampLo contribution (with a negative clampLo, every NULL row
+    // silently DRAGS the released sum down). The DP reading is that an
+    // absent contribution is not a minimum contribution -- a NULL row
+    // adds nothing to the sum (the sensitivity argument is over record
+    // PRESENCE; a record contributing nothing is indistinguishable
+    // from an absent one). A group whose every contribution is NULL
+    // releases noise alone (sum = 0).
+    val clamped = when(col(valueCol).isNotNull,
+      least(greatest(col(valueCol).cast(LongType),
+        lit(clampLo)), lit(clampHi)))
     df.groupBy(groupCols.map(col): _*)
-      .agg(sum(clamped).as("__s"))
+      .agg(coalesce(sum(clamped), lit(0L)).as("__s"))
       .select((groupCols.map(col) :+
         (col("__s") + noise).as("__dp_released") :+
         noise.as("__dp_noise")): _*)

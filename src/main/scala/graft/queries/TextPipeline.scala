@@ -2728,8 +2728,9 @@ object TextPipeline {
     // and this oracle SQL, so no cross-engine float math exists and the
     // release reproduces bit-for-bit. The fixture group column carries a
     // NULL group (hashed via the \u0001 sentinel) and a pipe-bearing
-    // group ("src1|x"), and the key is len:value framed — both engines
-    // must reproduce the framing exactly or the noise diverges.
+    // group ("src1|x"), and the key is len:value framed with an
+    // explicit v2 release-key version component — both engines must
+    // reproduce the framing exactly or the noise diverges.
     QueryDef(
       "q149_dp_release",
       (s, dir) => {
@@ -2753,7 +2754,7 @@ object TextPipeline {
              g AS (SELECT src, COUNT(*)::BIGINT AS n,
                           substring(md5(
                             length(coalesce(src, chr(1)))::VARCHAR || ':' ||
-                            coalesce(src, chr(1)) || '|2:42'), 1, 13) AS u
+                            coalesce(src, chr(1)) || '|2:v2|2:42'), 1, 13) AS u
                    FROM d GROUP BY src)
         SELECT src,
                (n + len(list_filter($ladder, t -> u >= t)) - 20)::BIGINT
@@ -2763,33 +2764,45 @@ object TextPipeline {
 
     // ---- q150: ε-DP clamped-SUM release — completes the private-
     // publication family past counts: per-row contributions clamped to
-    // [0, 8] (the clamp bound IS the sensitivity Δ), per-group sums
-    // released under the geometric mechanism with α = e^(−ε/Δ), noise
-    // from the same deterministic 13-hex-digit inverse-CDF ladder with a
-    // sum:<col> domain component in the framed key so a count and a sum
-    // over the same groups draw independent noise.
+    // [-2, 6] (the clamp bound IS the sensitivity Δ = 6), per-group
+    // sums released under the geometric mechanism with α = e^(−ε/Δ),
+    // noise from the same deterministic 13-hex-digit inverse-CDF
+    // ladder with a sum:<col> domain component and the v2 release-key
+    // version in the framed key, so a count and a sum over the same
+    // groups draw independent noise. The fixture deliberately carries
+    // NULL contributions (nullif on n_chars%10==3) against a NEGATIVE
+    // clampLo: NULL rows must be SKIPPED, not clamped — greatest/least
+    // ignore nulls in both engines, so the unguarded clamp would turn
+    // every NULL row into a −2 contribution and silently drag the
+    // released sum down (both engines agree on the bug, which is why
+    // the fixture must exercise it).
     QueryDef(
       "q150_dp_sum_release",
       (s, dir) => {
         import graft.operators.Privacy
         Privacy.dpSumRelease(docs(s, dir)
-            .select(col("source"), (col("n_chars") % 10).as("contrib")),
+            .select(col("source"),
+              (nullif(col("n_chars") % 10, lit(3)) - 2).as("contrib")),
             Seq("source"), "contrib", epsilon = 2.0,
-            clampLo = 0L, clampHi = 8L, seed = 7L, maxNoise = 60)
+            clampLo = -2L, clampHi = 6L, seed = 7L, maxNoise = 60)
           .select(col("source"), col("__dp_released").as("released"),
             col("__dp_noise").as("noise"))
           .orderBy(col("source"))
       },
       Some {
-        val ladder = graft.operators.Privacy.dpThresholds(2.0 / 8, 60)
+        val ladder = graft.operators.Privacy.dpThresholds(2.0 / 6, 60)
           .map(t => s"'$t'").mkString("[", ", ", "]")
         s"""
-        WITH g AS (SELECT source,
-                          SUM(LEAST(GREATEST(n_chars % 10, 0), 8))::BIGINT AS s,
+        WITH d AS (SELECT source,
+                          nullif(n_chars % 10, 3) - 2 AS contrib
+                   FROM documents),
+             g AS (SELECT source,
+                          COALESCE(SUM(LEAST(GREATEST(contrib, -2), 6))
+                            FILTER (WHERE contrib IS NOT NULL), 0)::BIGINT AS s,
                           substring(md5(
                             length(source)::VARCHAR || ':' || source ||
-                            '|11:sum:contrib|1:7'), 1, 13) AS u
-                   FROM documents GROUP BY source),
+                            '|11:sum:contrib|2:v2|1:7'), 1, 13) AS u
+                   FROM d GROUP BY source),
              z AS (SELECT source, s,
                           (len(list_filter($ladder, t -> u >= t)) - 60)::BIGINT
                             AS noise

@@ -244,9 +244,9 @@ class OperatorsSpec extends SparkSpec {
       assert(rel == 10L + z && math.abs(z) <= 20)
     }
     // the draw is exactly the inverse-CDF lookup on the framed key
-    // md5(len:group|len:seed)
+    // md5(len:group|len:version|len:seed)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest("2:g3|1:7".getBytes("UTF-8"))
+    val hex = md.digest("2:g3|2:v2|1:7".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(13)
     val expected = Privacy.dpThresholds(0.5, 20).count(_ <= hex) - 20
     assert(byGrp("g3")._2 == expected.toLong)
@@ -280,7 +280,7 @@ class OperatorsSpec extends SparkSpec {
     assert(emptyRow.getLong(1) == 1L + emptyRow.getLong(2))
     val md = java.security.MessageDigest.getInstance("MD5")
     def draw(key: String): Long = {
-      val hex = md.digest(s"${key.length}:$key|1:1".getBytes("UTF-8"))
+      val hex = md.digest(s"${key.length}:$key|2:v2|1:1".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(13)
       Privacy.dpThresholds(1.0, 20).count(_ <= hex) - 20L
     }
@@ -306,8 +306,8 @@ class OperatorsSpec extends SparkSpec {
         .map("%02x".format(_)).mkString.take(13)
       Privacy.dpThresholds(1.0, 20).count(_ <= hex) - 20L
     }
-    assert(out(("a|b", "c")) == draw("3:a|b|1:c|1:3"))
-    assert(out(("a", "b|c")) == draw("1:a|3:b|c|1:3"))
+    assert(out(("a|b", "c")) == draw("3:a|b|1:c|2:v2|1:3"))
+    assert(out(("a", "b|c")) == draw("1:a|3:b|c|2:v2|1:3"))
   }
 
   test("dp sum release: clamped contributions, deterministic domain-" +
@@ -328,14 +328,45 @@ class OperatorsSpec extends SparkSpec {
       Privacy.dpThresholds(2.0 / 8, 60).count(_ <= hex) - 60L
     }
     // clamped sums: a = 3 + 8 + 0 = 11; b = 8 + 1 = 9
-    assert(out("a") == ((11L + draw("1:a|5:sum:v|1:7"), draw("1:a|5:sum:v|1:7"))))
-    assert(out("b") == ((9L + draw("1:b|5:sum:v|1:7"), draw("1:b|5:sum:v|1:7"))))
+    assert(out("a") == ((11L + draw("1:a|5:sum:v|2:v2|1:7"), draw("1:a|5:sum:v|2:v2|1:7"))))
+    assert(out("b") == ((9L + draw("1:b|5:sum:v|2:v2|1:7"), draw("1:b|5:sum:v|2:v2|1:7"))))
     // the sum draw is NOT the count draw for the same group+seed (the
     // sum:<col> domain component separates them)
     val cnt = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 2.0 / 8,
         seed = 7L, maxNoise = 60)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(cnt("a") != out("a")._2 || cnt("b") != out("b")._2)
+  }
+
+  test("dp sum release: NULL contributions are skipped, not clamped " +
+      "to the lower bound") {
+    import graft.operators.Privacy
+    // greatest/least IGNORE nulls, so a bare clamp turns a NULL row
+    // into a clampLo contribution -- with clampLo = -2 every NULL row
+    // would silently DRAG the released sum down. Skip-NULL semantics:
+    // a NULL row adds nothing; an all-NULL group releases noise alone.
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 3L), ("a", null), ("a", null),
+      ("b", -9L), ("b", null),
+      ("c", null), ("c", null))
+      .toDF("grp", "v")
+    val out = Privacy.dpSumRelease(df, Seq("grp"), "v",
+        epsilon = 2.0, clampLo = -2L, clampHi = 6L, seed = 7L,
+        maxNoise = 60)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      Privacy.dpThresholds(2.0 / 6, 60).count(_ <= hex) - 60L
+    }
+    // a: 3 (two NULLs skipped); b: -9 clamps to -2, NULL skipped
+    // (under the old clamp-NULL-to-lo bug a would read 3-2-2 = -1 and
+    // b would read -4); c: all-NULL releases a zero sum
+    assert(out("a")._1 == 3L + draw("1:a|5:sum:v|2:v2|1:7"))
+    assert(out("b")._1 == -2L + draw("1:b|5:sum:v|2:v2|1:7"))
+    assert(out("c")._1 == 0L + draw("1:c|5:sum:v|2:v2|1:7"))
   }
 
   test("k-anonymity keeps NULL quasi-identifier rows as their own groups") {

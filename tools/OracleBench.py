@@ -95,6 +95,10 @@ def main():
                     help="existing graft.Bench JSON (skip re-running Spark)")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--out", default=None, help="write summary JSON here too")
+    ap.add_argument("--expect-n", type=int, default=None,
+                    help="fail unless the oracle file has exactly N queries")
+    ap.add_argument("--allow-subset", action="store_true",
+                    help="permit a GRAFT_VERIFY_ONLY subset manifest (dev only)")
     args = ap.parse_args()
 
     oracle = json.load(open(args.oracle))
@@ -102,6 +106,46 @@ def main():
     if unknown:
         print(f"[oraclebench] WARNING: side-effect list names absent from "
               f"oracle set: {unknown}", file=sys.stderr)
+
+    # Staleness gate: graft.Verify writes query_manifest.json (the FULL
+    # SparkEntry registry) next to oracle_sql.json. A stale verify dir
+    # once silently shrank a judge's gate run by 3 queries — so any
+    # oracle file that doesn't cover every registered oracle is a HARD
+    # error naming the missing queries, not a quiet smaller sweep.
+    # `subset: true` manifests (dev GRAFT_VERIFY_ONLY dumps) are refused
+    # outright unless --allow-subset is passed.
+    manifest_path = os.path.join(os.path.dirname(os.path.abspath(args.oracle)),
+                                 "query_manifest.json")
+    if os.path.exists(manifest_path):
+        manifest = json.load(open(manifest_path))
+        if manifest.get("subset"):
+            if not args.allow_subset:
+                raise SystemExit(
+                    "[oraclebench] FATAL: manifest marks this verify dir as "
+                    "a GRAFT_VERIFY_ONLY subset dump — not gate-grade. "
+                    "Re-run graft.Verify without GRAFT_VERIFY_ONLY (or pass "
+                    "--allow-subset for a dev sweep).")
+            print("[oraclebench] subset manifest accepted (--allow-subset); "
+                  "NOT a gate-grade sweep.", file=sys.stderr)
+        else:
+            registered = set(manifest.get("oracles", []))
+            missing = sorted(registered - set(oracle))
+            extra = sorted(set(oracle) - registered)
+            if missing or extra:
+                raise SystemExit(
+                    f"[oraclebench] FATAL: oracle file is stale vs the "
+                    f"registry manifest ({manifest_path}): "
+                    f"missing={missing or '[]'} extra={extra or '[]'}. "
+                    f"Re-run graft.Verify and point --oracle at its output.")
+    else:
+        print(f"[oraclebench] WARNING: no query_manifest.json beside the "
+              f"oracle file — cannot prove the oracle set is current "
+              f"(pre-r16 verify dir?). Re-run graft.Verify for a "
+              f"gate-grade sweep.", file=sys.stderr)
+    if args.expect_n and len(oracle) != args.expect_n:
+        raise SystemExit(
+            f"[oraclebench] FATAL: --expect-n {args.expect_n} but oracle "
+            f"file has {len(oracle)} queries.")
 
     spark = None
     if args.run_spark:
