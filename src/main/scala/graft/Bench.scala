@@ -33,7 +33,8 @@ object Bench {
                SparkEntry.queries.get("q95_embed_pipeline") ++
                SparkEntry.queries.get("q96_stream_dedup_fold") ++
                SparkEntry.queries.get("q109_index_incremental") ++
-               SparkEntry.queries.get("q153_lsh_index_fold")) {
+               SparkEntry.queries.get("q153_lsh_index_fold") ++
+               SparkEntry.queries.get("q156_ivfpq_search")) {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
     }

@@ -68,21 +68,48 @@ object FieldMapDerive {
     val plan = out.queryExecution.optimizedPlan
     val acc = Seq.newBuilder[Correspondence]
 
+    def strip(e: Expression): Expression = e match {
+      case Alias(c, _) => strip(c)
+      case KnownNotNull(c) => strip(c)
+      case _ => e
+    }
+
+    // STRUCTURAL resolution of the parsed-record attribute(s): an
+    // attribute is a parsed root iff its defining Alias binds (possibly
+    // through a chain of attribute renames across Projects — a Filter
+    // between Projects stops CollapseProject, so multi-level shapes
+    // occur) to the JsonToStructs expression itself. Tracked by exprId,
+    // bottom-up, so ANY binding name works — a transform binding
+    // from_json to `rec` derives identically to the repo's `r`
+    // convention (name-keyed resolution silently derived an EMPTY map
+    // for any other name, surfacing later as a confusing bind error).
+    // Intermediate ECS attributes (struct REBUILDS, ecsFooter
+    // passthroughs) are not roots: their defining expression is a
+    // CreateNamedStruct or computation, never JsonToStructs — a bogus
+    // `event.action → event.action` row would collide with the real raw
+    // leaf under the last-segment index and poison resolution.
+    val parsedIds = scala.collection.mutable.Set
+      .empty[org.apache.spark.sql.catalyst.expressions.ExprId]
+    plan.collect { case p: Project => p }.reverse.foreach { p =>
+      p.projectList.foreach {
+        case a: Alias => strip(a.child) match {
+          case _: JsonToStructs => parsedIds += a.exprId
+          case ar: AttributeReference if parsedIds(ar.exprId) =>
+            parsedIds += a.exprId
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+
     // raw path of a pure extraction chain, bottoming out at the parsed
-    // record (from_json directly, or the attribute an earlier Project
-    // bound it to — the repo's transforms name it `r`; a Filter between
-    // Projects stops CollapseProject, so both shapes occur)
+    // record (from_json directly, or an attribute structurally bound to
+    // it)
     def rawPath(e: Expression): Option[List[String]] = e match {
       case g: GetStructField =>
         rawPath(g.child).map(_ :+ g.extractFieldName)
       case _: JsonToStructs => Some(Nil)
-      // ONLY the parsed-record attribute counts as a root (the repo's
-      // transforms bind from_json to `r`): chains over intermediate ECS
-      // attributes (struct rebuilds, the ecsFooter passthroughs) must
-      // NOT register as correspondences — a bogus `event.action →
-      // event.action` row would collide with the real raw leaf under
-      // the last-segment index and poison resolution into ambiguity
-      case a: AttributeReference if a.name == "r" => Some(List(a.name))
+      case a: AttributeReference if parsedIds(a.exprId) => Some(Nil)
       case Alias(c, _) => rawPath(c)
       case KnownNotNull(c) => rawPath(c)
       case _ => None
@@ -103,11 +130,8 @@ object FieldMapDerive {
         case _ => Seq((raw, target))
       }
       pairs.foreach { case (r, t) =>
-        // drop the bound-attribute root ("r" by repo convention): the
-        // matcher compares against paths INSIDE the parsed record
-        val r2 = if (r.headOption.contains("r")) r.tail else r
-        if (r2.nonEmpty)
-          acc += Correspondence(r2.mkString("."), t.mkString("."))
+        if (r.nonEmpty)
+          acc += Correspondence(r.mkString("."), t.mkString("."))
       }
     }
 
@@ -136,12 +160,30 @@ object FieldMapDerive {
     // struct bottom out at a non-`r` attribute and record nothing.
     plan.collect { case pr: Project => pr }.foreach { pr =>
       pr.projectList.foreach { ne: NamedExpression =>
-        // skip the parsed-record binding itself (`r := from_json(json)`)
-        // and the raw input column — they are plumbing, not outputs
-        if (ne.name != "r" && ne.name != "json") walk(ne, List(ne.name))
+        // skip the from_json binding itself (`x := from_json(json)`) and
+        // bare PASSTHROUGHS of a parsed root (the same attribute riding
+        // an intermediate Project to feed upper levels — walking one
+        // would fan the whole record out under the binding's own name,
+        // poisoning resolution with `x.*` pseudo-targets). A RENAME of
+        // the parsed record (`raw := x`) IS walked: if the transform
+        // genuinely emits the whole record under that name, the leaf
+        // fanout derives real correspondences.
+        val isBinding = ne match {
+          case a: Alias => strip(a.child).isInstanceOf[JsonToStructs]
+          case ar: AttributeReference => parsedIds(ar.exprId)
+          case _ => false
+        }
+        if (!isBinding) walk(ne, List(ne.name))
       }
     }
-    acc.result().distinct
+    val result = acc.result().distinct
+    require(result.nonEmpty,
+      "FieldMapDerive: ZERO correspondences extracted — the transform " +
+        "either never applies from_json to its json column or moves no " +
+        "field verbatim; a silently-empty map would turn every Sigma " +
+        "field into a passthrough that fails later as a confusing " +
+        "unresolved-column bind error")
+    result
   }
 
   private def segs(path: String): List[String] =
@@ -163,9 +205,10 @@ object FieldMapDerive {
   def fieldMap(transforms: Seq[DataFrame => DataFrame],
       vendorNs: Seq[String] = Nil): String => String = {
     lazy val derived: (Set[String], Map[String, Seq[Correspondence]]) = {
-      val spark = SparkSession.getActiveSession.getOrElse(sys.error(
-        "FieldMapDerive.fieldMap needs an active SparkSession to analyze " +
-          "the transform (derivation happens once, at first field lookup)"))
+      val spark = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).getOrElse(sys.error(
+          "FieldMapDerive.fieldMap needs a SparkSession to analyze " +
+            "the transform (derivation happens once, at first field lookup)"))
       val all = transforms.flatMap(correspondences(_, spark))
       val outputLeaves: Set[String] = {
         val empty = spark.createDataFrame(
@@ -204,10 +247,18 @@ object FieldMapDerive {
           if (targets.isEmpty) None
           else {
             // ECS hoists (outside the vendor namespaces) win over vendor
-            // struct copies of the same raw leaf
+            // struct copies of the same raw leaf; among several hoists of
+            // the SAME leaf (all carry the verbatim value, so any is
+            // semantically right) pick the one the source family lands
+            // the leaf in most often across its transforms — e.g. zeek's
+            // id.orig_h goes to source.ip in all three logs but
+            // source.address only where the transform also keeps the
+            // ECS address alias — then alphabetically, so the choice is
+            // deterministic across derivation runs
             val hoisted = targets.filterNot(t =>
               vendorNs.exists(ns => t.startsWith(ns)))
             val pick = (if (hoisted.nonEmpty) hoisted else targets)
+              .sortBy(t => (-cands.count(_.target == t), t))
             // ambiguity across DIFFERENT raw leaves → not this suffix
             if (cands.map(_.raw).distinct.size > 1) None
             else pick.headOption

@@ -119,141 +119,70 @@ object SigmaRules {
         threshold = threshold, windowSeconds = windowSeconds)
   }
 
-  /** Field-name mapping the pySigma "processing pipeline" performs — raw
-    * CloudTrail record names → the ECS names the reference's
-    * `aws_cloudtrail` transform emits (managed `log_source.yml:20-75`:
-    * `.event.action = .json.eventName`, `.event.provider = del(.json
-    * .eventSource)`, `.aws.cloudtrail.user_identity.type = del(.json
-    * .userIdentity.type)`, …). Prefix rule: any `userIdentity.`/
-    * `requestParameters.`/`responseElements.` path maps under
-    * `aws.cloudtrail.*` with snake_cased steps.
+  /** Field map for SigmaHQ `product: aws` / `service: cloudtrail` rules —
+    * DERIVED from the managed CloudTrail transform's own expression tree
+    * ([[FieldMapDerive]]; the pySigma "processing pipeline" role,
+    * reference managed `log_source.yml:20-75`): `eventName` resolves to
+    * the `event.action` hoist, `userIdentity.type` to the
+    * `aws.cloudtrail.user_identity_type` vendor copy, and so on — the map
+    * can never drift from what the transform actually emits (the previous
+    * HAND-KEPT map had already drifted: it pointed `recipientAccountId`
+    * at cloud.account.id while the transform hoists
+    * `userIdentity.accountId` there, and mapped errorCode/eventVersion
+    * onto columns no transform emits). NOT derivable, by construction:
+    * `requestParameters.*` / `responseElements.*` rule paths — the
+    * transform keeps both subtrees as their raw JSON TEXT
+    * (`get_json_object`, the reference's encode_json semantics), so
+    * there is no per-leaf column to resolve to; such fields pass through
+    * and fail loudly at bind time rather than silently matching nothing.
     */
-  val ecsCloudtrail: String => String = {
-    val exact = Map(
-      "eventName" -> "event.action",
-      "eventSource" -> "event.provider",
-      "awsRegion" -> "cloud.region",
-      "sourceIPAddress" -> "source.ip",
-      "userAgent" -> "user_agent.original",
-      "errorCode" -> "aws.cloudtrail.error_code",
-      "errorMessage" -> "aws.cloudtrail.error_message",
-      "eventType" -> "aws.cloudtrail.event_type",
-      "eventVersion" -> "aws.cloudtrail.event_version",
-      "recipientAccountId" -> "cloud.account.id")
-    val prefixed = Map(
-      "userIdentity" -> "aws.cloudtrail.user_identity",
-      "requestParameters" -> "aws.cloudtrail.request_parameters",
-      "responseElements" -> "aws.cloudtrail.response_elements")
-    (f: String) => exact.getOrElse(f, {
-      val steps = f.split('.')
-      prefixed.get(steps.head) match {
-        case Some(base) =>
-          (base +: steps.tail.map(snakeCase)).mkString(".")
-        case None => f
-      }
-    })
-  }
+  lazy val ecsCloudtrail: String => String = FieldMapDerive.fieldMap(
+    Seq(graft.transform.managed.CloudTrail.apply), vendorNs = Seq("aws."))
 
-  private def snakeCase(s: String): String =
-    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
-
-  /** Field map for SigmaHQ `product: zeek` rules — Zeek-native log field
-    * names → the ECS columns the managed Zeek transforms emit
-    * (`transform/managed/ZeekDns.scala`, `ZeekHttp.scala`,
-    * `ZeekConn.scala` encode the correspondences; reference
-    * `data/managed/log_sources/zeek/tables/{dns,http,conn}.yml`). One
-    * map covers the services — the raw names don't collide across logs.
-    * Unmapped names pass through (`zeek.*` vendor fields are already
-    * addressed by their column path). Note the reference's http
-    * transform DROPS `uri` without parsing it into `url.*`
-    * (http.yml:185-189 TODO) — rules over `uri` are unmappable until it
-    * does.
+  /** Field map for SigmaHQ `product: zeek` rules — DERIVED from the
+    * managed ZeekDns/ZeekHttp/ZeekConn transforms' own expression trees
+    * ([[FieldMapDerive]]; reference
+    * `data/managed/log_sources/zeek/tables/{dns,http,conn}.yml`). One map
+    * covers the services — Zeek's dotted raw names (`id.orig_h` is a
+    * single field whose NAME contains dots) segment identically on both
+    * sides, and a leaf landing in several ECS hoists (the endpoint tuple
+    * goes to both source.address and source.ip) resolves to the one the
+    * family uses most often across its logs (source.ip — all three
+    * transforms hoist it there). Unmapped names pass through (`zeek.*`
+    * vendor fields are already addressed by their column path). NOT
+    * derivable, by construction: the reference's http transform DROPS
+    * `uri` without parsing it into `url.*` (http.yml:185-189 TODO) —
+    * rules over `uri` are unmappable until it does; dns/http wrap `proto`
+    * in lower()/a literal (computed, not a verbatim move) but conn moves
+    * it verbatim, so `proto → network.transport` still derives.
     */
-  val ecsZeek: String => String = {
-    val exact = Map(
-      // endpoint tuple (all zeek logs)
-      "id.orig_h" -> "source.ip",
-      "id.orig_p" -> "source.port",
-      "id.resp_h" -> "destination.ip",
-      "id.resp_p" -> "destination.port",
-      "proto" -> "network.transport",
-      "uid" -> "event.id",
-      // dns.log
-      "query" -> "dns.question.name",
-      "qclass_name" -> "dns.question.class",
-      "qtype_name" -> "dns.question.type",
-      "rcode_name" -> "dns.response_code",
-      "answers" -> "dns.answers",
-      // http.log
-      "method" -> "http.request.method",
-      "host" -> "url.domain",
-      "referrer" -> "http.request.referrer",
-      "version" -> "http.version",
-      "user_agent" -> "user_agent.original",
-      "username" -> "url.username",
-      "password" -> "url.password",
-      "request_body_len" -> "http.request.body.bytes",
-      "response_body_len" -> "http.response.body.bytes",
-      "status_code" -> "http.response.status_code",
-      "status_msg" -> "zeek.http.status_msg",
-      "trans_depth" -> "zeek.http.trans_depth",
-      "resp_mime_types" -> "zeek.http.resp_mime_types")
-    (f: String) => exact.getOrElse(f, f)
-  }
+  lazy val ecsZeek: String => String = FieldMapDerive.fieldMap(
+    Seq(graft.transform.managed.ZeekDns.apply,
+      graft.transform.managed.ZeekHttp.apply,
+      graft.transform.managed.ZeekConn.apply), vendorNs = Seq("zeek."))
 
-  /** Field map for SigmaHQ `product: okta` rules — the rules spell Okta
-    * System Log fields all-lowercase (`eventtype`, `displaymessage`,
-    * `client.ipaddress`); this maps them (case-insensitively) onto the
-    * columns the managed Okta transform emits
-    * (`transform/managed/Okta.scala`; reference
-    * `data/managed/log_sources/okta/tables/system.yml`). Lowercased raw
-    * names can't be snake_cased algorithmically, so the correspondences
-    * are enumerated from the transform.
+  /** Field map for SigmaHQ `product: okta` rules — DERIVED from the
+    * managed Okta transform's own expression tree ([[FieldMapDerive]];
+    * reference `data/managed/log_sources/okta/tables/system.yml`). The
+    * rules spell Okta System Log fields all-lowercase (`eventtype`,
+    * `displaymessage`, `client.ipaddress`); the derivation's normalized
+    * suffix match folds them onto the transform's camelCase RAW leaves
+    * (`eventType`, `displayMessage`, `client.ipAddress`), which resolve
+    * to the snake_case okta.* columns the transform emits. TWO
+    * correspondences are hand-kept because the transform's moves are
+    * COMPUTED, not verbatim (derivation provably can't see through
+    * them): `published → ts` (wrapped in try_to_timestamp) and
+    * `client.ipaddress → okta.client.ip` (the "null"-literal scrub
+    * `when(ip =!= "null", ip)`). Everything else is derived — a
+    * transform edit re-derives the map.
     */
-  val ecsOkta: String => String = {
-    val exact = Map(
-      "eventtype" -> "okta.event_type",
-      "displaymessage" -> "okta.display_message",
-      "uuid" -> "okta.uuid",
+  lazy val ecsOkta: String => String = {
+    val computedMoves = Map(
       "published" -> "ts",
-      "outcome.result" -> "okta.outcome.result",
-      "outcome.reason" -> "okta.outcome.reason",
-      "actor.id" -> "okta.actor.id",
-      "actor.type" -> "okta.actor.type",
-      "actor.alternateid" -> "okta.actor.alternate_id",
-      "actor.displayname" -> "okta.actor.display_name",
-      "client.ipaddress" -> "okta.client.ip",
-      "client.device" -> "okta.client.device",
-      "client.id" -> "okta.client.id",
-      "client.zone" -> "okta.client.zone",
-      "client.useragent.browser" -> "okta.client.user_agent.browser",
-      "client.useragent.os" -> "okta.client.user_agent.os",
-      "client.useragent.rawuseragent" -> "okta.client.user_agent.raw_user_agent",
-      "transaction.id" -> "okta.transaction.id",
-      "transaction.type" -> "okta.transaction.type",
-      "securitycontext.asnumber" -> "okta.security_context.as.number",
-      "securitycontext.asorg" -> "okta.security_context.as.organization.name",
-      "securitycontext.domain" -> "okta.security_context.domain",
-      "securitycontext.isproxy" -> "okta.security_context.is_proxy",
-      "securitycontext.isp" -> "okta.security_context.isp",
-      "authenticationcontext.authenticationstep" ->
-        "okta.authentication_context.authentication_step",
-      "authenticationcontext.credentialprovider" ->
-        "okta.authentication_context.credential_provider",
-      "authenticationcontext.credentialtype" ->
-        "okta.authentication_context.credential_type",
-      "authenticationcontext.externalsessionid" ->
-        "okta.authentication_context.external_session_id",
-      "debugcontext.debugdata.requestid" ->
-        "okta.debug_context.debug_data.request_id",
-      "debugcontext.debugdata.requesturi" ->
-        "okta.debug_context.debug_data.request_uri",
-      "debugcontext.debugdata.url" -> "okta.debug_context.debug_data.url",
-      "debugcontext.debugdata.threatsuspected" ->
-        "okta.debug_context.debug_data.threat_suspected",
-      "debugcontext.debugdata.devicefingerprint" ->
-        "okta.debug_context.debug_data.device_fingerprint")
-    (f: String) => exact.getOrElse(f.toLowerCase, f)
+      "client.ipaddress" -> "okta.client.ip")
+    val derived = FieldMapDerive.fieldMap(
+      Seq(graft.transform.managed.Okta.apply), vendorNs = Seq("okta."))
+    (f: String) => computedMoves.getOrElse(f.toLowerCase, derived(f))
   }
 
   /** Field map for SigmaHQ `product: gcp` / `service: gcp.audit` rules —
@@ -510,6 +439,50 @@ object SigmaRules {
       col("window_start") :+ col("n"): _*)
   }
 
+  /** TRUE sliding-proximity evaluation of a `near` correlation — the
+    * per-EVENT semantics the tumbling form approximates: a base-rule
+    * event passes iff EVERY positive selection has a match within
+    * ±`timeframeSeconds` of it (same group, null-safe), and NO negative
+    * selection does. No epoch-aligned bucket boundary exists, so the
+    * 23:59/00:01 straddle that tumbling misses fires here. Returns the
+    * passing base ROWS (all original columns) — callers project.
+    *
+    * Shape: one `left_semi` per positive and one `left_anti` per
+    * negative selection, each joining the base side against that
+    * selection's (group, second) match set on group-equality (null-safe
+    * `<=>`, matching the tumbling path's null grouping) plus the
+    * |Δts| ≤ timeframe range. The match sets BROADCAST — in SIEM
+    * workloads rule matches are the rare side by construction; the base
+    * frame never shuffles. For a pathological rule whose match set
+    * outgrows a broadcast, pre-bucket both sides to (group,
+    * ts/timeframe) and check the ±1 neighbor buckets — the
+    * [[graft.operators.RangeJoin]] posture; not needed at any benched
+    * scale. An event matching both the base and a positive selection
+    * self-correlates at distance 0 — consistent with the tumbling tagged
+    * union, where one event contributes every tag it matches.
+    */
+  def nearProximityMatches(events: DataFrame, base: Column,
+      positives: Seq[Column], negatives: Seq[Column],
+      timeframeSeconds: Long, groupBy: Seq[String] = Nil,
+      ts: Column = col("ts")): DataFrame = {
+    val baseSecs = unix_seconds(ts)
+    def side(pred: Column): DataFrame =
+      events.filter(pred).select(
+        (groupBy.map(c => col(c).as(s"__g_$c")) :+
+          unix_seconds(ts).as("__sts")): _*)
+    def cond(s: DataFrame): Column =
+      groupBy.map(c => col(c) <=> s(s"__g_$c"))
+        .foldLeft(abs(baseSecs - s("__sts")) <= lit(timeframeSeconds))(_ && _)
+    val pos = positives.foldLeft(events.filter(base)) { (cur, p) =>
+      val s = broadcast(side(p))
+      cur.join(s, cond(s), "left_semi")
+    }
+    negatives.foldLeft(pos) { (cur, n) =>
+      val s = broadcast(side(n))
+      cur.join(s, cond(s), "left_anti")
+    }
+  }
+
   /** `count() by f > N` / `count(field) by f1 f2 >= N` and
     * `near sel2 [and sel3] [and not sel4]` (pre-2.0 grammar). The near
     * form compiles onto the q144 temporal machinery: the base rule plus
@@ -517,6 +490,19 @@ object SigmaRules {
     * and no negated selection may — evaluated by
     * [[correlationMatches]]'s tagged union with the predicates carried
     * pre-resolved (they are selections of this rule, not other rules).
+    *
+    * TUMBLING-WINDOW APPROXIMATION (the v2-temporal caveat applies here
+    * too): `timeframe` windows are epoch-aligned tumbling buckets, so a
+    * base match and a selection match within `timeframe` of each other
+    * but STRADDLING a bucket boundary (23:59 and 00:01 under a 1d
+    * timeframe) do NOT correlate — a deliberate narrowing of near()'s
+    * sliding proximity reading in exchange for one deterministic
+    * oracle-checkable aggregation. TRUE sliding proximity — every
+    * positive selection within ±timeframe of the base EVENT, no negative
+    * selection in that radius — is [[nearProximityMatches]] (per-event
+    * range semi-joins, q158-gated); pick per deployment: tumbling for
+    * cheap epoch-bucketed sweeps, proximity when boundary straddles
+    * must fire.
     */
   private def parseLegacyAggregation(agg: String, title: String,
       timeframeSeconds: Long, fieldMap: String => String,

@@ -88,7 +88,31 @@ object Hll {
     * genuine value hashing exactly here is ignored with probability
     * 2^-64, far below the sketch's own error).
     */
-  private[operators] val NullSentinel: Long = 0x6c62272e07bb0142L
+  private[graft] val NullSentinel: Long = 0x6c62272e07bb0142L
+
+  /** Driver/state-side estimate over a raw register buffer — the SAME
+    * arithmetic as the [[estimate]] Column (harmonic mean, standard
+    * small-range linear-counting switch, identical fold order over the
+    * registers), for callers holding registers OUTSIDE a plan — e.g.
+    * [[graft.streaming.SigmaStream]]'s degraded value_count state. Keeping
+    * one constant set means a stream-side estimate equals the batch-side
+    * [[approxDistinct]] of the same values bit for bit.
+    */
+  def estimateScala(regs: Array[Byte], p: Int = 12): Double = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += 1.0 / (1L << regs(i)).toDouble
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m.toDouble * m.toDouble / invSum
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
 
   /** HLL register array (`array<int>`, length 2^p) as an aggregation
     * column over any expression. Null values are not counted. DataFrame

@@ -488,9 +488,12 @@ object Similarity {
       element_at(idsLit, array_position(dists, array_min(dists)).cast("int"))
         .as(s"__pq$j")
     }
-    corpusCodes.select((col("id") +: perSub): _*)
-      .select(col("id"),
-        array((0 until subspaces).map(j => col(s"__pq$j")): _*).as("pq"))
+    // non-code columns ride through (the fold path carries `bucket`
+    // alongside the codes, so the encoded index needs no id re-join)
+    val others = corpusCodes.columns.filter(_ != "code").map(col).toSeq
+    corpusCodes.select((others ++ perSub): _*)
+      .select((others :+
+        array((0 until subspaces).map(j => col(s"__pq$j")): _*).as("pq")): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
@@ -505,7 +508,8 @@ object Similarity {
     * each probed bucket of the q143 layout.
     */
   def pqAdcTopK(encoded: DataFrame, queryCodes: DataFrame,
-      codebook: Seq[(Long, Seq[Long])], subspaces: Int, k: Int): DataFrame = {
+      codebook: Seq[(Long, Seq[Long])], subspaces: Int, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     require(codebook.nonEmpty, "pqAdcTopK needs a non-empty codebook")
     val d = codebook.head._2.length
     require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
@@ -525,10 +529,119 @@ object Similarity {
           array_position(posLit, element_at(col("pq"), j + 1))).cast("int"))
     }.reduce(_ + _)
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
-    encoded.crossJoin(broadcast(q))
+    val joined = encoded.crossJoin(broadcast(q))
+    (if (excludeSelf) joined.filter(col("id") =!= col("qid")) else joined)
       .withColumn("dist", dist)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("id"), col("dist"), col("rk"))
+  }
+
+  /** TRAIN a product-quantization codebook: an independent integer-Lloyd
+    * run ([[kmeansTrainInt8]]) PER SUBSPACE over the corpus's contiguous
+    * sub-vectors, seeded from `seeds`' sub-slices (same seed rows for
+    * every subspace — the q63 corpus-rows-as-seeds convention carries
+    * over). This is the published PQ recipe (per-subspace k-means
+    * codewords) replacing q154's frozen corpus-row book; everything stays
+    * in the exact int8 code domain so an unrolled SQL oracle reproduces
+    * the trained book round for round (the q95 precedent, per subspace).
+    *
+    * The result packs the per-subspace codewords back into FULL-WIDTH
+    * rows — codeword id c's packed code is `sub₀(c) ++ sub₁(c) ++ …` —
+    * because [[pqEncode]]/[[pqAdcTopK]] slice their codebook per
+    * subspace anyway: packing keeps one codebook shape across the frozen
+    * and trained paths. Driver-resident and tiny (codewords·dims ints,
+    * the centroid-collect precedent); each subspace's training shuffles
+    * only k·subDim partial-sum rows per round.
+    */
+  def pqTrainCodebook(corpusCodes: DataFrame, seeds: DataFrame,
+      subspaces: Int, maxRounds: Int,
+      exactRounds: Boolean = true): Seq[(Long, Seq[Long])] = {
+    val d = corpusCodes.select(col("code")).head.getSeq[Any](0).length
+    require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
+    val subDim = d / subspaces
+    // one slim (id, all sub-slices) frame materialized once; each
+    // subspace's Lloyd loop re-reads its slice without re-deriving codes
+    val sliced = corpusCodes.select(
+      (col("id") +: (0 until subspaces).map(j =>
+        slice(col("code"), j * subDim + 1, subDim).as(s"__s$j"))): _*)
+      .localCheckpoint(true)
+    val seedSliced = seeds.select(
+      (col("cid") +: (0 until subspaces).map(j =>
+        slice(col("code"), j * subDim + 1, subDim).as(s"__s$j"))): _*)
+    val perSub = (0 until subspaces).map { j =>
+      kmeansTrainInt8(
+        sliced.select(col("id"), col(s"__s$j").as("code")),
+        seedSliced.select(col("cid"), col(s"__s$j").as("code")),
+        maxRounds = maxRounds, exactRounds = exactRounds,
+        requireConvergence = false)
+        .centroids.toMap
+    }
+    sliced.unpersist(false)
+    val ids = perSub.head.keys.toSeq.sorted
+    ids.map(c => c -> perSub.flatMap(m => m(c).toSeq))
+  }
+
+  /** ADC top-k WITHIN PROBED BUCKETS — the composed IVF-PQ search shape
+    * q155 documents: `encoded` is the lake-resident index (id, pq,
+    * bucket — q143's partitioned layout with PQ codes instead of
+    * vectors), `queryProbes` is (qid, code, bucket) — one row per probed
+    * bucket per query ([[probeAssignments]]'s contract in the code
+    * domain). Each query precomputes the same per-subspace integer-L2
+    * LUT as [[pqAdcTopK]] and broadcasts WITH its probe rows; candidates
+    * come from the bucket equi-join — scan cost ∝ probed buckets'
+    * rows, never the corpus. Self-matches are excluded (the ivfTopK
+    * convention). Ties total-ordered (dist asc, id asc).
+    */
+  def pqAdcTopKBucketed(encoded: DataFrame, queryProbes: DataFrame,
+      codebook: Seq[(Long, Seq[Long])], subspaces: Int, k: Int): DataFrame = {
+    require(codebook.nonEmpty, "pqAdcTopKBucketed needs a non-empty codebook")
+    val d = codebook.head._2.length
+    require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
+    val subDim = d / subspaces
+    val sorted = codebook.sortBy(_._1)
+    val kw = sorted.size
+    val posLit = typedLit(sorted.map(_._1))
+    val lut = flatten(array((0 until subspaces).map { j =>
+      array(sorted.map { case (_, cw) =>
+        pqSubDist(col("code"), j, subDim, cw) }: _*)
+    }: _*))
+    val q = queryProbes.select(col("qid"), col("bucket"), lut.as("__lut"))
+    val dist = (0 until subspaces).map { j =>
+      element_at(col("__lut"),
+        (lit(j * kw) +
+          array_position(posLit, element_at(col("pq"), j + 1))).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    encoded.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("dist"), col("rk"))
+  }
+
+  /** Exact re-rank of ADC candidates — the standard IVF-PQ final step:
+    * the lossy ADC scan nominates a top-R shortlist per query; the TRUE
+    * integer L2 over full-width codes re-scores only those R rows and
+    * emits the exact top-k among them. `candidates` is (qid, id) — the
+    * shortlist; full codes are fetched by two id joins against the
+    * corpus/query code frames ("full vectors stay on disk": at 100 TB
+    * the shortlist join is R·|queries| rows against the code table's id
+    * layout, the only time a full vector is touched per query). Ties
+    * total-ordered (dist asc, id asc).
+    */
+  def pqRerankExact(candidates: DataFrame, queryCodes: DataFrame,
+      corpusCodes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    candidates.select(col("qid"), col("id"))
+      .join(broadcast(queryCodes.select(col("id").as("qid"),
+        col("code").as("__qc"))), Seq("qid"))
+      .join(corpusCodes.select(col("id"), col("code").as("__cc")), Seq("id"))
+      .withColumn("dist", graft.functions.VectorFunctions
+        .l2sqInt(col("__qc"), col("__cc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"), col("dist"))
   }
 }

@@ -919,6 +919,63 @@ object Alerting {
                GROUP BY user_id, win
                HAVING COUNT(DISTINCT event_type) = 2)
         SELECT * FROM (SELECT * FROM ord UNION ALL SELECT * FROM un)
-        ORDER BY rule_name, user_id, win_epoch"""))
+        ORDER BY rule_name, user_id, win_epoch""")),
+
+    // ---- q158: Sigma near() under TRUE sliding-proximity semantics —
+    // the per-event form the tumbling q144 windows approximate: a
+    // purchase correlates iff the same user has a view within ±600 s OF
+    // THE PURCHASE EVENT and no click in that radius; no epoch-aligned
+    // bucket exists, so pairs straddling a bucket boundary fire (the
+    // documented tumbling narrowing, closed as an engine surface). The
+    // oracle is the literal EXISTS/NOT-EXISTS proximity definition —
+    // nothing about windows to mirror. Second-floored on both sides
+    // (Spark unix_seconds truncates; DuckDB floor(epoch()) matches —
+    // a bare ::BIGINT would ROUND and flip exact-boundary membership).
+    QueryDef(
+      "q158_sigma_near_proximity",
+      (s, dir) => {
+        import graft.config.SigmaRules
+        val rules = SigmaRules.loadAll(
+          """title: saw_view
+            |detection:
+            |  sel: {event_type: view}
+            |  condition: sel
+            |---
+            |title: saw_click
+            |detection:
+            |  sel: {event_type: click}
+            |  condition: sel
+            |---
+            |title: saw_purchase
+            |detection:
+            |  sel: {event_type: purchase}
+            |  condition: sel
+            |""".stripMargin)
+        def det(t: String) = rules.find(_.title == t).get.detect
+        SigmaRules.nearProximityMatches(events(s, dir),
+            base = det("saw_purchase"),
+            positives = Seq(det("saw_view")),
+            negatives = Seq(det("saw_click")),
+            timeframeSeconds = 600L, groupBy = Seq("user_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_seconds(col("ts")).as("ts_epoch"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          floor(epoch(ts))::BIGINT AS sec
+                   FROM events)
+        SELECT b.event_id, b.user_id, b.sec AS ts_epoch
+        FROM e b
+        WHERE b.event_type = 'purchase'
+          AND EXISTS (SELECT 1 FROM e p
+                      WHERE p.event_type = 'view'
+                        AND p.user_id IS NOT DISTINCT FROM b.user_id
+                        AND abs(p.sec - b.sec) <= 600)
+          AND NOT EXISTS (SELECT 1 FROM e n
+                          WHERE n.event_type = 'click'
+                            AND n.user_id IS NOT DISTINCT FROM b.user_id
+                            AND abs(n.sec - b.sec) <= 600)
+        ORDER BY event_id"""))
   )
 }

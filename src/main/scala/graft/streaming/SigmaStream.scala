@@ -25,11 +25,20 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *
   * State per (group, window) is bounded: one long for event_count, a
   * ≤64-bit tag mask for temporal, a fixed stage-time array for
-  * temporal_ordered (the [[Funnel]] contract), and the distinct-value set
-  * for value_count — the only form whose state grows with data; its bound
-  * is the per-group-per-window distinct cardinality of the counted field
-  * (SIEM thresholds sit at tens, and the threshold alert fires long
-  * before a pathological set could accumulate).
+  * temporal_ordered (the [[Funnel]] contract), and for value_count a
+  * distinct-HASH set HARD-CAPPED at `valueCap` entries — past the cap the
+  * set degrades to HLL registers (the in-repo sketch family; p=12 → 4 KB,
+  * exact in the linear-counting small range where SIEM thresholds live)
+  * and the window's emitted row carries `estimated = true`, loudly: a
+  * `gt`/`gte` threshold this large is near-certainly still right, but an
+  * `lt`/`lte`/`eq` verdict read off an estimate is the consumer's call to
+  * trust. Under the cap (the universal case — thresholds sit at tens)
+  * value_count stays EXACT and `estimated = false`; distinct-ness is
+  * tracked over 64-bit xxhash64 values rather than the strings themselves
+  * (collision odds 2⁻⁶⁴, the [[graft.operators.Hll]] null-sentinel
+  * argument, and the same hash the batch sketch family uses — a degraded
+  * stream estimate equals the batch [[graft.operators.Hll.approxDistinct]]
+  * of the same values bit for bit).
   *
   * Cross-batch disorder follows the same contract as [[Funnel]]: with
   * ts-ordered batch cuts the fold is EXACT (tallies are order-free; the
@@ -46,27 +55,31 @@ object SigmaStream {
 
   /** One matched event after rule tagging: group values (stringified, in
     * group-by order), tumbling window start (epoch seconds), the bitmask
-    * of referenced rules it matched, the value_count field (null
-    * otherwise), event-time micros.
+    * of referenced rules it matched, the xxhash64 of the value_count
+    * field ([[graft.operators.Hll.NullSentinel]] for null/absent — never
+    * counted), event-time micros.
     */
   final case class CorrEvent(group: Seq[String], win: Long, mask: Long,
-      value: String, ts: Timestamp)
+      vhash: Long, ts: Timestamp)
 
   /** Running tallies of one (group, window). `times` is the
-    * temporal_ordered stage chain ([[Funnel]]'s Unset convention).
+    * temporal_ordered stage chain ([[Funnel]]'s Unset convention);
+    * `values` holds value_count's distinct hashes EXACTLY until the cap,
+    * after which `regs` (HLL registers) replaces it — `regs != null` IS
+    * the degraded marker.
     */
-  final case class CorrState(count: Long, values: Set[String], tags: Long,
-      times: Seq[Long])
+  final case class CorrState(count: Long, values: Set[Long], tags: Long,
+      times: Seq[Long], regs: Array[Byte])
 
   final case class CorrMatch(rule_name: String, group: Seq[String],
-      window_start: Timestamp, n: Long)
+      window_start: Timestamp, n: Long, estimated: Boolean)
 
   /** The serializable slice of a [[CorrelationSpec]] the state function
     * needs — the full spec carries Catalyst `Column`s (near()'s
     * pre-resolved predicates), which must not enter the task closure.
     */
-  private[streaming] final case class CorrEval(corrType: String,
-      op: String, n: Long)
+  private[graft] final case class CorrEval(corrType: String,
+      op: String, n: Long, valueCap: Int = 4096, hllP: Int = 12)
 
   private val Unset: Long = Long.MinValue
 
@@ -87,12 +100,34 @@ object SigmaStream {
     * order (within-batch disorder is free, the cross-batch contract is
     * ts-ordered cuts — see the object doc).
     */
-  private[streaming] def fold(corr: CorrEval, nRules: Int,
+  private[graft] def fold(corr: CorrEval, nRules: Int,
       st: CorrState, events: Seq[CorrEvent]): CorrState = corr.corrType match {
     case "event_count" => st.copy(count = st.count + events.size)
     case "value_count" =>
-      // countDistinct skips NULLs in the batch form — mirror that
-      st.copy(values = st.values ++ events.iterator.flatMap(e => Option(e.value)))
+      import graft.operators.Hll
+      // countDistinct skips NULLs in the batch form — mirror that (the
+      // sentinel marks a null value; RegistersAgg.reduce also skips it)
+      val hs = events.iterator.map(_.vhash)
+        .filter(_ != Hll.NullSentinel).toSeq
+      if (st.regs != null) {
+        // already degraded: fold straight into the registers (clone —
+        // the state object must not be mutated in place)
+        val agg = Hll.RegistersAgg(corr.hllP)
+        val regs = st.regs.clone()
+        hs.foreach(agg.reduce(regs, _))
+        st.copy(regs = regs)
+      } else {
+        val vals = st.values ++ hs
+        if (vals.size > corr.valueCap) {
+          // cap crossed: exact hash set → HLL registers, once, forever —
+          // state drops from O(distinct) to 2^p bytes and the window's
+          // eventual row says estimated = true
+          val agg = Hll.RegistersAgg(corr.hllP)
+          val regs = agg.zero
+          vals.foreach(agg.reduce(regs, _))
+          st.copy(values = Set.empty, regs = regs)
+        } else st.copy(values = vals)
+      }
     case "temporal" =>
       st.copy(tags = events.foldLeft(st.tags)(_ | _.mask))
     case "temporal_ordered" =>
@@ -112,11 +147,15 @@ object SigmaStream {
   }
 
   /** The closed-window verdict: Some(n) when the condition holds. */
-  private[streaming] def verdict(corr: CorrEval, nRules: Int,
+  private[graft] def verdict(corr: CorrEval, nRules: Int,
       st: CorrState): Option[Long] = corr.corrType match {
     case "event_count" => Some(st.count).filter(cmp(_, corr.op, corr.n))
     case "value_count" =>
-      Some(st.values.size.toLong).filter(cmp(_, corr.op, corr.n))
+      val n =
+        if (st.regs != null)
+          math.rint(graft.operators.Hll.estimateScala(st.regs, corr.hllP)).toLong
+        else st.values.size.toLong
+      Some(n).filter(cmp(_, corr.op, corr.n))
     case "temporal" =>
       // tags past nRules are near()'s negated selections: the window
       // passes only with every positive tag and zero negative ones
@@ -135,11 +174,14 @@ object SigmaStream {
     * matching the batch [[SigmaRules.correlationMatches]] layout.
     *
     * `delay` is the watermark delay on `tsCol` (how much cross-batch
-    * disorder to absorb before closing windows).
+    * disorder to absorb before closing windows). `valueCap`/`hllP` bound
+    * value_count state (see the object doc); the emitted `estimated`
+    * column is true only for windows whose distinct set crossed the cap.
     */
   def correlationStream(events: DataFrame, rules: Seq[SigmaRule],
       corr: CorrelationSpec, tsCol: String = "ts",
-      delay: String = "0 seconds"): DataFrame = {
+      delay: String = "0 seconds", valueCap: Int = 4096,
+      hllP: Int = 12): DataFrame = {
     val posPreds: Seq[Column] =
       if (corr.resolved.nonEmpty) corr.resolved.map(_._2)
       else {
@@ -176,8 +218,11 @@ object SigmaStream {
         ((unix_seconds(ts) / corr.timeframeSeconds).cast("long") *
           corr.timeframeSeconds).as("win"),
         col("__mask").as("mask"),
-        (corr.field.map(f => col(f).cast("string"))
-          .getOrElse(lit(null).cast("string"))).as("value"),
+        // 64-bit hash, codegen'd here — the state tracks hashes, never
+        // strings; the sentinel marks null (the Hll family's convention)
+        (corr.field.map(f => when(col(f).isNotNull, xxhash64(col(f)))
+            .otherwise(lit(graft.operators.Hll.NullSentinel)))
+          .getOrElse(lit(graft.operators.Hll.NullSentinel))).as("vhash"),
         // the RAW event-time column rides into the typed frame: the
         // streaming checker requires the watermarked attribute to be
         // present in the FlatMapGroupsWithState input for event-time
@@ -186,7 +231,7 @@ object SigmaStream {
       .as[CorrEvent]
     val title = corr.title
     val timeframe = corr.timeframeSeconds
-    val eval = CorrEval(corr.corrType, corr.op, corr.n)
+    val eval = CorrEval(corr.corrType, corr.op, corr.n, valueCap, hllP)
     val matches = tagged
       .groupByKey(e => (e.group, e.win))
       .flatMapGroupsWithState[CorrState, CorrMatch](
@@ -194,13 +239,15 @@ object SigmaStream {
         case ((group, win), it, state) =>
           if (state.hasTimedOut) {
             // window closed: final tallies → verdict → emit once
-            val out = verdict(eval, nRules, state.get).map(n =>
-              CorrMatch(title, group, new Timestamp(win * 1000L), n))
+            val st = state.get
+            val out = verdict(eval, nRules, st).map(n =>
+              CorrMatch(title, group, new Timestamp(win * 1000L), n,
+                estimated = st.regs != null))
             state.remove()
             out.iterator
           } else {
             val st0 = state.getOption.getOrElse(
-              CorrState(0L, Set.empty, 0L, Seq.fill(nRules)(Unset)))
+              CorrState(0L, Set.empty, 0L, Seq.fill(nRules)(Unset), null))
             state.update(fold(eval, nRules, st0, it.toSeq))
             // fire when the event-time watermark passes the window END
             state.setTimeoutTimestamp((win + timeframe) * 1000L)
@@ -211,6 +258,7 @@ object SigmaStream {
       element_at(col("group"), i + 1).as(c)
     }
     matches.toDF().select(
-      (col("rule_name") +: groupCols) :+ col("window_start") :+ col("n"): _*)
+      (col("rule_name") +: groupCols) :+ col("window_start") :+ col("n") :+
+        col("estimated"): _*)
   }
 }

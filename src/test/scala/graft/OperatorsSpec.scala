@@ -1223,4 +1223,73 @@ class OperatorsSpec extends SparkSpec {
     assert(top.toList == List(
       (200L, 100L, 200L, 1), (200L, 101L, 200L, 2), (200L, 102L, 200L, 3)))
   }
+
+  test("pqTrainCodebook: independent per-subspace Lloyd runs, packed " +
+      "full-width; memberships may differ per subspace") {
+    import graft.operators.Similarity
+    // d=4, 2 subspaces. sub0 blobs: {1,2}≈10, {3,4}≈50. sub1 blobs:
+    // {1,3}≈-20, {2,4}≈30 — DIFFERENT memberships per subspace, the
+    // thing a single full-width k-means cannot represent.
+    val corpus = Seq(
+      (1L, Seq(9L, 11L, -21L, -19L)),
+      (2L, Seq(11L, 9L, 29L, 31L)),
+      (3L, Seq(49L, 51L, -19L, -21L)),
+      (4L, Seq(51L, 49L, 31L, 29L))).toDF("id", "code")
+    val seeds = Seq(
+      (0L, Seq(9L, 11L, -21L, -19L)),
+      (1L, Seq(51L, 49L, 31L, 29L))).toDF("cid", "code")
+    val book = Similarity.pqTrainCodebook(corpus, seeds,
+      subspaces = 2, maxRounds = 3)
+    // per-subspace blob means, packed: cw0 = (10,10 | -20,-20),
+    // cw1 = (50,50 | 30,30)
+    assert(book == Seq(
+      0L -> Seq(10L, 10L, -20L, -20L),
+      1L -> Seq(50L, 50L, 30L, 30L)))
+    // encode under the trained book: the four corpus rows realize all
+    // four (sub0, sub1) membership combinations
+    val enc = Similarity.pqEncode(corpus, book, subspaces = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(enc == Map(
+      1L -> List(0L, 0L), 2L -> List(0L, 1L),
+      3L -> List(1L, 0L), 4L -> List(1L, 1L)))
+  }
+
+  test("pqAdcTopKBucketed scans only probed buckets and excludes self; " +
+      "pqRerankExact reorders the shortlist by true distance") {
+    import graft.operators.Similarity
+    val book = Seq(
+      5L -> Seq(0L, 0L, 10L, 10L),
+      7L -> Seq(10L, 10L, 0L, 0L))
+    val corpus = Seq(
+      (100L, Seq(1L, 1L, 9L, 9L), 0L),
+      (101L, Seq(9L, 9L, 1L, 1L), 0L),
+      (102L, Seq(5L, 5L, 5L, 5L), 1L)).toDF("id", "code", "bucket")
+    // pqEncode preserves the non-code columns → (id, bucket, pq)
+    val enc = Similarity.pqEncode(corpus, book, subspaces = 2)
+    assert(enc.columns.toSet == Set("id", "bucket", "pq"))
+    // query 100 probes ONLY bucket 0: candidate set is {101} — 102 is
+    // unprobed and the query's own row is excluded
+    val probes0 = Seq((100L, Seq(1L, 1L, 9L, 9L), 0L))
+      .toDF("qid", "code", "bucket")
+    val got0 = Similarity.pqAdcTopKBucketed(enc, probes0, book,
+        subspaces = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got0.toList == List((100L, 101L)))
+    // query 200 probes both buckets: all three candidates, ADC ties at
+    // 200 (the pqAdcTopK fixture arithmetic) → id order
+    val probes1 = Seq(
+      (200L, Seq(0L, 0L, 0L, 0L), 0L),
+      (200L, Seq(0L, 0L, 0L, 0L), 1L)).toDF("qid", "code", "bucket")
+    val short = Similarity.pqAdcTopKBucketed(enc, probes1, book,
+      subspaces = 2, k = 3)
+    assert(short.collect().map(r => (r.getLong(1), r.getInt(3))).toList ==
+      List((100L, 1), (101L, 2), (102L, 3)))
+    // exact re-rank breaks the ADC tie with TRUE distances: 102 (d=100)
+    // beats 100/101 (d=164 each, id order)
+    val qcodes = Seq((200L, Seq(0L, 0L, 0L, 0L))).toDF("id", "code")
+    val rr = Similarity.pqRerankExact(short, qcodes,
+        corpus.select(col("id"), col("code")), k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rr.toList == List((1, 102L, 100L), (2, 100L, 164L)))
+  }
 }

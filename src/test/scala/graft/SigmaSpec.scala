@@ -12,29 +12,36 @@ import org.apache.spark.sql.functions._
 class SigmaSpec extends SparkSpec {
   import spark.implicits._
 
-  // -- fixture: ECS-shaped CloudTrail events (the reference's
-  //    aws_cloudtrail transform output shape, log_source.yml:20-75)
-  private lazy val cloudtrail: DataFrame = Seq(
-    // (id, event.action, event.provider, user_identity.type, event_type)
-    (1L, "ConsoleLogin", "signin.amazonaws.com", "Root", "AwsConsoleSignIn"),
-    (2L, "ConsoleLogin", "signin.amazonaws.com", "IAMUser", "AwsConsoleSignIn"),
-    (3L, "StopLogging", "cloudtrail.amazonaws.com", "IAMUser", "AwsApiCall"),
-    (4L, "DeleteTrail", "cloudtrail.amazonaws.com", "Root", "AwsServiceEvent"),
-    (5L, "UpdateTrail", "cloudtrail.amazonaws.com", "AssumedRole", "AwsApiCall"),
-    (6L, "PutObject", "s3.amazonaws.com", "Root", "AwsApiCall"))
-    .toDF("id", "action", "provider", "ui_type", "etype")
-    .select(col("id"),
-      struct(col("action").as("action"), col("provider").as("provider"))
-        .as("event"),
-      struct(struct(
-        struct(col("ui_type").as("type")).as("user_identity"),
-        col("etype").as("event_type")).as("cloudtrail")).as("aws"))
+  // -- fixture: raw CloudTrail JSON pushed through the MANAGED transform
+  //    (the map is derived from the transform, so goldens must run over
+  //    its real output shape, not a hand-built imitation of it)
+  private def ctLine(id: Long, action: String, provider: String,
+      uiType: String, etype: String, arn: String = ""): String =
+    s"""{"eventTime":"2024-01-01T00:00:0${id}Z","eventName":"$action",
+       |"eventSource":"$provider","eventID":"e$id","eventType":"$etype",
+       |"userIdentity":{"type":"$uiType","arn":"$arn"}}"""
+      .stripMargin.replace("\n", "")
+  private def ctFrame(lines: String*): DataFrame =
+    graft.transform.managed.CloudTrail(lines.toDF("json"))
+      .withColumn("id", expr("cast(substring(event.id, 2) as long)"))
+  private lazy val cloudtrail: DataFrame = ctFrame(
+    ctLine(1, "ConsoleLogin", "signin.amazonaws.com", "Root", "AwsConsoleSignIn"),
+    ctLine(2, "ConsoleLogin", "signin.amazonaws.com", "IAMUser", "AwsConsoleSignIn"),
+    ctLine(3, "StopLogging", "cloudtrail.amazonaws.com", "IAMUser", "AwsApiCall"),
+    ctLine(4, "DeleteTrail", "cloudtrail.amazonaws.com", "Root", "AwsServiceEvent"),
+    ctLine(5, "UpdateTrail", "cloudtrail.amazonaws.com", "AssumedRole", "AwsApiCall"),
+    ctLine(6, "PutObject", "s3.amazonaws.com", "Root", "AwsApiCall"))
 
   private def matchedIds(df: DataFrame, detect: Column): Set[Long] =
     df.filter(detect).select("id").as[Long].collect().toSet
 
   // ---- real public rule 1: SigmaHQ aws_root_credentials.yml ----
   test("AWS Root Credentials (SigmaHQ 8ad1600d) ≡ hand-built rule") {
+    // force the shared session BEFORE rule load: the derived cloudtrail
+    // map analyzes the transform at first field lookup and needs a
+    // SparkSession to exist (the fixture transform provides one anyway —
+    // this just pins the order for the suite's first test)
+    val events = cloudtrail
     val rule = SigmaRules.load(
       """title: AWS Root Credentials
         |id: 8ad1600d-e9dc-4251-b0ee-a65268f29add
@@ -54,8 +61,10 @@ class SigmaSpec extends SparkSpec {
         |level: medium
         |""".stripMargin,
       fieldMap = SigmaRules.ecsCloudtrail)
-    val hand = lower(col("aws.cloudtrail.user_identity.type")) === "root" &&
-      !(lower(col("aws.cloudtrail.event_type")) === "awsserviceevent")
+    // derived targets: userIdentity.type → the vendor copy, eventType →
+    // the event.kind hoist (preferred over aws.cloudtrail.event_type)
+    val hand = lower(col("aws.cloudtrail.user_identity_type")) === "root" &&
+      !(lower(col("event.kind")) === "awsserviceevent")
     assert(matchedIds(cloudtrail, rule.detect) ==
       matchedIds(cloudtrail, hand))
     assert(matchedIds(cloudtrail, rule.detect) == Set(1L, 6L))
@@ -65,6 +74,7 @@ class SigmaSpec extends SparkSpec {
 
   // ---- real public rule 2: SigmaHQ aws_cloudtrail_disable_logging.yml --
   test("AWS CloudTrail Important Change (SigmaHQ 4db60cc0) ≡ hand-built") {
+    val events = cloudtrail // session first (see Root Credentials note)
     val rule = SigmaRules.load(
       """title: AWS CloudTrail Important Change
         |id: 4db60cc0-36fb-42b7-9b58-a5b53019fb74
@@ -122,13 +132,13 @@ class SigmaSpec extends SparkSpec {
 
   // ---- real public rule 4: SigmaHQ aws_ec2_disable_encryption.yml ----
   test("AWS EC2 Disable EBS Encryption (SigmaHQ 16124c2d) ≡ hand-built") {
-    val events = Seq(
-      (1L, "DisableEbsEncryptionByDefault", "ec2.amazonaws.com"),
-      (2L, "EnableEbsEncryptionByDefault", "ec2.amazonaws.com"),
-      (3L, "DisableEbsEncryptionByDefault", "kms.amazonaws.com"))
-      .toDF("id", "action", "provider")
-      .select(col("id"), struct(col("action").as("action"),
-        col("provider").as("provider")).as("event"))
+    val events = ctFrame(
+      ctLine(1, "DisableEbsEncryptionByDefault", "ec2.amazonaws.com",
+        "IAMUser", "AwsApiCall"),
+      ctLine(2, "EnableEbsEncryptionByDefault", "ec2.amazonaws.com",
+        "IAMUser", "AwsApiCall"),
+      ctLine(3, "DisableEbsEncryptionByDefault", "kms.amazonaws.com",
+        "IAMUser", "AwsApiCall"))
     val rule = SigmaRules.load(
       """title: AWS EC2 Disable EBS Encryption
         |id: 16124c2d-e40b-4fcc-8f2c-5ab7870a2223
@@ -150,21 +160,15 @@ class SigmaSpec extends SparkSpec {
 
   // ---- real public rule 5: SigmaHQ aws_iam_backdoor_users_keys.yml ----
   test("AWS IAM Backdoor Users Keys (SigmaHQ 0a5177f4) ≡ hand-built") {
-    val events = Seq(
-      (1L, "CreateAccessKey", "iam.amazonaws.com", "arn:aws:iam::1:user/admin",
-        "bob"), // creating a key for ANOTHER user = backdoor signal
-      (2L, "CreateAccessKey", "iam.amazonaws.com", "arn:aws:iam::1:user/bob",
-        "bob"), // self-service key: arn ends with the username → excluded
-      (3L, "DeleteAccessKey", "iam.amazonaws.com", "arn:aws:iam::1:user/x", "y"))
-      .toDF("id", "action", "provider", "arn", "userName")
-      .select(col("id"),
-        struct(col("action").as("action"), col("provider").as("provider"))
-          .as("event"),
-        struct(struct(
-          struct(col("arn").as("arn")).as("user_identity"),
-          struct(struct(col("userName").as("user_name"))
-            .as("request_parameters")).getField("request_parameters")
-            .as("request_parameters")).as("cloudtrail")).as("aws"))
+    val events = ctFrame(
+      // creating a key for ANOTHER user = backdoor signal
+      ctLine(1, "CreateAccessKey", "iam.amazonaws.com", "IAMUser",
+        "AwsApiCall", arn = "arn:aws:iam::1:user/admin"),
+      // self-service key: arn carries the caller's own name → excluded
+      ctLine(2, "CreateAccessKey", "iam.amazonaws.com", "IAMUser",
+        "AwsApiCall", arn = "arn:aws:iam::1:user/bob"),
+      ctLine(3, "DeleteAccessKey", "iam.amazonaws.com", "IAMUser",
+        "AwsApiCall", arn = "arn:aws:iam::1:user/x"))
     // SigmaHQ's rule excludes self-issued keys via a filter on the arn
     // carrying the target username — modeled with the |re modifier here
     // (the original uses a value-ref modifier; the predicate is the same)
@@ -188,7 +192,7 @@ class SigmaSpec extends SparkSpec {
       fieldMap = SigmaRules.ecsCloudtrail)
     val hand = lower(col("event.provider")) === "iam.amazonaws.com" &&
       lower(col("event.action")) === "createaccesskey" &&
-      !lower(col("aws.cloudtrail.user_identity.arn")).contains("user/bob")
+      !lower(col("aws.cloudtrail.user_identity_arn")).contains("user/bob")
     assert(matchedIds(events, rule.detect) == matchedIds(events, hand))
     assert(matchedIds(events, rule.detect) == Set(1L))
   }
@@ -1098,10 +1102,24 @@ class SigmaSpec extends SparkSpec {
     assert(SigmaRules.ecsOkta("client.ipAddress") == "okta.client.ip")
     assert(SigmaRules.ecsOkta("displaymessage") == "okta.display_message")
     // zeek map: endpoint + dns + http correspondences come from the
-    // managed transforms
+    // managed transforms; the endpoint tuple's multi-hoist leaves
+    // resolve to the family's most-frequent hoist (source.ip over
+    // http/conn's extra source.address alias), and conn's verbatim
+    // `proto` move carries the whole family
     assert(SigmaRules.ecsZeek("id.orig_h") == "source.ip")
     assert(SigmaRules.ecsZeek("query") == "dns.question.name")
     assert(SigmaRules.ecsZeek("status_code") == "http.response.status_code")
+    assert(SigmaRules.ecsZeek("proto") == "network.transport")
+    // cloudtrail: hoist + vendor-copy resolution, derived
+    assert(SigmaRules.ecsCloudtrail("eventName") == "event.action")
+    assert(SigmaRules.ecsCloudtrail("eventSource") == "event.provider")
+    assert(SigmaRules.ecsCloudtrail("userIdentity.type") ==
+      "aws.cloudtrail.user_identity_type")
+    assert(SigmaRules.ecsCloudtrail("awsRegion") == "cloud.region")
+    // requestParameters.* is a JSON-text blob in the transform — not a
+    // derivable correspondence; passes through to fail loudly at bind
+    assert(SigmaRules.ecsCloudtrail("requestParameters.bucketName") ==
+      "requestParameters.bucketName")
   }
 
   test("GCP Bucket Modified or Deleted (SigmaHQ) over the managed transform") {
@@ -1363,5 +1381,50 @@ class SigmaSpec extends SparkSpec {
           |""".stripMargin)
     }
     assert(err.getMessage.contains("nosuch"))
+  }
+
+  test("nearProximityMatches: true sliding proximity fires across tumbling " +
+      "boundaries; negatives veto; groups isolate; null groups match null") {
+    import java.sql.Timestamp
+    def ts(day: Int, hm: String) = new Timestamp(
+      java.time.Instant.parse(f"2024-02-$day%02dT$hm:00Z").toEpochMilli)
+    // u=1: purchase 00:01 day2, view 23:59 day1 — STRADDLES the day
+    //   boundary, 120 s apart → proximity fires (tumbling 1d would not)
+    // u=2: purchase with a view in range AND a click in range → vetoed
+    // u=3: purchase, nearest view 11 min away → out of ±600 s
+    // u=4: view in range but owned by u=1 → group isolation, no fire
+    // u=null: purchase + view in range, both null user → <=> matches
+    val events = Seq(
+      (10L, Option(1L), "view", ts(1, "23:59")),
+      (11L, Option(1L), "purchase", ts(2, "00:01")),
+      (20L, Option(2L), "view", ts(3, "12:00")),
+      (21L, Option(2L), "purchase", ts(3, "12:05")),
+      (22L, Option(2L), "click", ts(3, "12:08")),
+      (30L, Option(3L), "purchase", ts(4, "08:00")),
+      (31L, Option(3L), "view", ts(4, "08:11")),
+      (40L, Option(4L), "purchase", ts(2, "00:02")),
+      (50L, None, "purchase", ts(5, "09:00")),
+      (51L, None, "view", ts(5, "09:04")))
+      .toDF("id", "user_id", "event_type", "ts")
+    val got = SigmaRules.nearProximityMatches(events,
+        base = col("event_type") === "purchase",
+        positives = Seq(col("event_type") === "view"),
+        negatives = Seq(col("event_type") === "click"),
+        timeframeSeconds = 600L, groupBy = Seq("user_id"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 50L))
+    // the same straddling pair under the TUMBLING near(): does NOT fire
+    // (documented narrowing this operator exists to close)
+    val rule = SigmaRules.load(
+      """title: straddle
+        |detection:
+        |  base: {event_type: purchase}
+        |  v: {event_type: view}
+        |  condition: base | near v
+        |timeframe: 1d
+        |""".stripMargin)
+    val u1 = events.filter(col("user_id") === 1L)
+    assert(SigmaRules.correlationMatches(u1, Seq(rule),
+      rule.correlation.get).count() == 0L)
   }
 }

@@ -388,6 +388,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sigma value_count state degrades to bounded HLL registers past " +
+      "the cap; estimate matches the batch sketch; under-cap stays exact") {
+    import graft.config.SigmaRules
+    import graft.streaming.SigmaStream
+    import graft.operators.Hll
+    import java.sql.Timestamp
+    // --- fold-level bound: 1000 distinct hashes under cap 100 collapse
+    // to one fixed 2^p-byte register buffer, and stay there
+    val eval = SigmaStream.CorrEval("value_count", "gte", 500L,
+      valueCap = 100, hllP = 12)
+    def ev(h: Long) = SigmaStream.CorrEvent(Seq("g"), 0L, 1L, h,
+      new Timestamp(0L))
+    val st0 = SigmaStream.CorrState(0L, Set.empty, 0L, Nil, null)
+    val batch1 = (1L to 1000L).map(i => ev(i * 0x9E3779B97F4A7C15L))
+    val st1 = SigmaStream.fold(eval, 1, st0, batch1)
+    assert(st1.values.isEmpty && st1.regs != null && st1.regs.length == 4096)
+    val batch2 = (1001L to 5000L).map(i => ev(i * 0x9E3779B97F4A7C15L))
+    val st2 = SigmaStream.fold(eval, 1, st1, batch2)
+    assert(st2.values.isEmpty && st2.regs.length == 4096,
+      "degraded state must stay at the fixed register size")
+    // under the cap the set is exact and small
+    val stSmall = SigmaStream.fold(eval, 1, st0, batch1.take(50))
+    assert(stSmall.regs == null && stSmall.values.size == 50)
+    assert(SigmaStream.verdict(eval, 1, stSmall).isEmpty) // 50 < 500
+    // --- end-to-end: the degraded window emits estimated=true with n
+    // equal to the batch HLL estimate of the same values, bit for bit;
+    // an under-cap group in the SAME stream stays exact+unflagged
+    val rules = SigmaRules.loadAll(
+      """title: any_ev
+        |detection:
+        |  sel: {event_type: e}
+        |  condition: sel
+        |""".stripMargin)
+    val corr = SigmaRules.loadCorrelation(
+      """title: many_values
+        |correlation:
+        |  type: value_count
+        |  rules: [any_ev]
+        |  group-by: [user_id]
+        |  timeframe: 1d
+        |  condition:
+        |    gte: 5
+        |    field: v
+        |""".stripMargin)
+    // user 1: 800 distinct values (cap 100 → degraded); user 2: 7 distinct
+    val t0 = 1700000000L
+    val rows = (1 to 800).map(i => (1L, "e", s"val_$i",
+        new Timestamp((t0 + i) * 1000L))) ++
+      (1 to 7).map(i => (2L, "e", s"val_$i", new Timestamp((t0 + i) * 1000L)))
+    val input = MemoryStream[(Long, String, String, Timestamp)](spark)
+    val sdf = input.toDF().toDF("user_id", "event_type", "v", "ts")
+    val q = SigmaStream.correlationStream(sdf, rules, corr, "ts",
+        valueCap = 100)
+      .writeStream.format("memory").queryName("sigma_vc_cap")
+      .outputMode("append").start()
+    input.addData(rows: _*); q.processAllAvailable()
+    input.addData((9L, "noop", "x", new Timestamp((t0 + 3 * 86400) * 1000L)))
+    q.processAllAvailable()
+    input.addData((9L, "noop", "x", new Timestamp((t0 + 4 * 86400) * 1000L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sigma_vc_cap")
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    // batch-side sketch of user 1's values — the stream's degraded
+    // estimate must equal it exactly (same hash, registers, constants)
+    val expected = math.rint(
+      (1 to 800).map(i => Tuple1(s"val_$i")).toDF("v")
+        .agg(Hll.approxDistinct(col("v"))).head.getDouble(0)).toLong
+    assert(got("1") == ((expected, true)),
+      s"degraded window must carry the batch-sketch estimate: $got")
+    assert(got("2") == ((7L, false)), s"under-cap window stays exact: $got")
+  }
+
   test("streaming funnel: late cross-batch events never corrupt locked stages") {
     import graft.streaming.Funnel
     import java.sql.Timestamp

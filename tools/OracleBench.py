@@ -42,7 +42,7 @@ SIDE_EFFECT_QUERIES = [
     "q95_embed_pipeline", "q96_stream_dedup_fold", "q109_index_incremental",
     "q121_hll_fold", "q123_sliding_distinct", "q124_kll_fold",
     "q131_bucketed_join", "q133_zorder_pruned", "q143_ivf_lake_fold",
-    "q153_lsh_index_fold",
+    "q153_lsh_index_fold", "q156_ivfpq_search",
 ]
 
 
