@@ -288,20 +288,40 @@ object Similarity {
     * should persist it) and the hit join is a left-semi on (qid,
     * neighbor) ids only. Output: (nprobe, qid, n_true, n_hit, recall).
     */
-  def recallAtK(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int, nprobes: Seq[Int]): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
+  /** Exact top-k neighbor ids per query (brute-force cosine over the
+    * corpus side of `assigned`, self excluded, ties → lowest id) — the
+    * ground-truth artifact [[recallAtK]] audits against, exposed so
+    * callers can compute it ONCE per corpus snapshot and stage it.
+    */
+  def exactNeighbors(assigned: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     val c = assigned.select(col("id").as("cid"), col("vec").as("cv"))
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    val truth = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid").as("neighbor"))
-      .localCheckpoint(true) // tiny (k·|queries| ids); read twice below
+  }
+
+  def recallAtK(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobes: Seq[Int],
+      truthOverride: Option[DataFrame] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // ground truth is the audit's one expensive artifact (brute force
+    // over the corpus) and is immutable for a given corpus snapshot —
+    // callers auditing the same snapshot repeatedly pass the staged
+    // (qid, neighbor) frame back via truthOverride instead of paying the
+    // recompute (k·|queries| id pairs — driver-cacheable by construction)
+    val truth = truthOverride
+      // staged truth is typically a local literal frame — already
+      // materialized, free to read twice, no checkpoint job needed
+      .map(_.select(col("qid"), col("neighbor")))
+      .getOrElse(exactNeighbors(assigned, queries, k)
+        .localCheckpoint(true)) // tiny (k·|queries| ids); read twice below
     val truthCounts = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
     val hits = nprobes.map { np =>
       ivfTopK(assigned, queries, centroids, k, np)

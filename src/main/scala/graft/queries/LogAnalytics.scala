@@ -829,6 +829,16 @@ object LogAnalytics {
         // densify transparently and re-sparsify on write. Round-trip is
         // register-exact (HllSpec), so the bit-for-bit fold gate below is
         // unchanged.
+        // fold step = ONE full-outer join on the group key + ONE
+        // partition-overwrite commit: batch groups merge, untouched
+        // groups carry forward from the read side, new groups insert —
+        // the complete next state stages in a single write job. The
+        // pk-generic mergeUpsert spends four driver actions (pk check,
+        // match probe, rewrite, insert anti-join) reaching the same end
+        // state and rewrites the same touched partition anyway — on a
+        // per-batch cadence those job floors WERE the fold's cost
+        // (profile-fold: ~1.2-1.7 s per merge vs ~0.5 s this shape, 5-row
+        // updates). At scale only batch-touched partitions rewrite.
         cuts.zipWithIndex.foreach { case (cut, i) =>
           val part = ev.filter(cut).groupBy(col("event_type"))
             .agg(Hll.sparsify(Hll.registersAgg(col("user_id"))).as("regs"))
@@ -836,14 +846,15 @@ object LogAnalytics {
           else {
             val ex = Snapshots.read(s, table)
               .select(col("event_type"), col("regs").as("__r0"))
-            val merged = part.join(ex, Seq("event_type"), "left")
+            val merged = part.join(ex, Seq("event_type"), "full")
               .select(col("event_type"),
                 when(col("__r0").isNull, col("regs"))
+                  .when(col("regs").isNull, col("__r0"))
                   .otherwise(Hll.sparsify(
                     Hll.mergeRegistersAuto(col("regs"), col("__r0"))))
                   .as("regs"))
-            Snapshots.mergeUpsert(s, table,
-              merged.withColumn("ts", ts0), "event_type")
+            Snapshots.overwritePartitions(
+              merged.withColumn("ts", ts0), table)
           }
         }
         val folded = Snapshots.read(s, table)
@@ -1013,6 +1024,9 @@ object LogAnalytics {
           col("event_id") >= maxId / 3 && col("event_id") < cut2,
           col("event_id") >= cut2)
         val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        // full-outer merge + partition-overwrite, the q121 fold shape
+        // (one write job per batch instead of mergeUpsert's four driver
+        // actions — see the q121 comment)
         cuts.zipWithIndex.foreach { case (cut, i) =>
           val part = ev.filter(cut).groupBy(col("event_type"))
             .agg(QuantileSketch.sketchAgg(col("value")).as("sk"))
@@ -1020,13 +1034,14 @@ object LogAnalytics {
           else {
             val ex = Snapshots.read(s, table)
               .select(col("event_type"), col("sk").as("__s0"))
-            val merged = part.join(ex, Seq("event_type"), "left")
+            val merged = part.join(ex, Seq("event_type"), "full")
               .select(col("event_type"),
                 when(col("__s0").isNull, col("sk"))
+                  .when(col("sk").isNull, col("__s0"))
                   .otherwise(QuantileSketch.mergeSketches(col("sk"), col("__s0")))
                   .as("sk"))
-            Snapshots.mergeUpsert(s, table,
-              merged.withColumn("ts", ts0), "event_type")
+            Snapshots.overwritePartitions(
+              merged.withColumn("ts", ts0), table)
           }
         }
         val folded = Snapshots.read(s, table)

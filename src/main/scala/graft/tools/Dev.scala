@@ -151,9 +151,69 @@ object Dev {
       time("verify") { Dedup.jaccardVerify(sets, cands, 0.2).count() }
       spark.stop()
 
+    case "profile-fold" :: rest =>
+      // phase breakdown of the q121 sketch-lake-fold shape (the 2x-gate
+      // item: is per-fold time the register merge or the lake commit?)
+      val spark = session(32)
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      import graft.operators.Hll
+      import graft.lake.Snapshots
+      import org.apache.spark.sql.functions._
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      warmup(spark, dir)
+      (1 to 2).foreach { round =>
+        println(s"[profile] --- pass $round (2nd pass = steady) ---")
+        val ev = Tables.load(spark, dir, "events")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_fold_prof").toString + "/hll"
+        val maxId = time("maxId agg")(
+          ev.agg(max(col("event_id"))).head.getLong(0))
+        val cut2 = maxId - maxId / 3
+        val cuts = Seq(
+          col("event_id") < maxId / 3,
+          col("event_id") >= maxId / 3 && col("event_id") < cut2,
+          col("event_id") >= cut2)
+        val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        cuts.zipWithIndex.foreach { case (cut, i) =>
+          val part = ev.filter(cut).groupBy(col("event_type"))
+            .agg(Hll.sparsify(Hll.registersAgg(col("user_id"))).as("regs"))
+          val staged = time(s"batch$i register agg (checkpoint)")(
+            part.withColumn("ts", ts0).localCheckpoint(true))
+          if (i == 0) time(s"batch$i append commit")(
+            Snapshots.append(staged, table))
+          else {
+            val merged = time(s"batch$i read+merge plan+exec") {
+              val ex = Snapshots.read(spark, table)
+                .select(col("event_type"), col("regs").as("__r0"))
+              staged.join(ex, Seq("event_type"), "left")
+                .select(col("event_type"),
+                  when(col("__r0").isNull, col("regs"))
+                    .otherwise(Hll.sparsify(
+                      Hll.mergeRegistersAuto(col("regs"), col("__r0"))))
+                    .as("regs"), col("ts"))
+                .localCheckpoint(true)
+            }
+            time(s"batch$i mergeUpsert commit")(
+              Snapshots.mergeUpsert(spark, table, merged, "event_type"))
+          }
+        }
+        val folded = Snapshots.read(spark, table)
+          .select(col("event_type"),
+            Hll.estimate(Hll.densify(col("regs"))).as("__folded"))
+        val gate = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            Hll.approxDistinct(col("user_id")).as("__os"))
+          .join(folded, Seq("event_type"))
+        time("final gate (one-shot + exact + join)")(gate.collect())
+      }
+      spark.stop()
+
     case other =>
       System.err.println(
-        s"usage: Dev bench|explain|plan|profile-lsh ... (got: $other)")
+        s"usage: Dev bench|explain|plan|profile-lsh|profile-fold ... (got: $other)")
       sys.exit(2)
   }
 }
