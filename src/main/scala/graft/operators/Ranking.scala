@@ -37,4 +37,44 @@ object Ranking {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Reciprocal-rank fusion of per-modality shortlists — the standard
+    * hybrid-retrieval combiner (lexical BM25 + vector ANN, or any ranked
+    * mix): a candidate's fused score is Σ over the modalities that
+    * shortlisted it of `scale div (k0 + rank)` — INTEGER division on a
+    * fixed scale, so fused scores are exact int64 and the ranking
+    * reproduces bit-for-bit in any engine (no float accumulation; the
+    * published formula's 1/(k0+r) ordering is preserved because the
+    * shared scale is monotone). k0 = 60 is the published default —
+    * it damps the winner-take-all effect of rank-1 hits.
+    *
+    * `ranked`: (modalityName, frame) pairs, each frame (qid, id, rank)
+    * with rank 1-based within qid. Output: (qid, id, rrf,
+    * <modality>_rank …) — absent modalities contribute 0 and surface as
+    * NULL ranks; top `topK` per qid by (rrf desc, id asc), total-ordered.
+    *
+    * Scale shape: inputs are per-query-BOUNDED shortlists by
+    * construction (each modality's top-R), so the outer-join merge and
+    * the per-query window cost ∝ queries·R·modalities — never corpus;
+    * fusion adds no corpus-sized work to either retrieval path.
+    */
+  def rrfFuse(ranked: Seq[(String, DataFrame)], topK: Int, k0: Int = 60,
+      scale: Long = 1000000L): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked input")
+    val renamed = ranked.map { case (name, df) =>
+      name -> df.select(col("qid"), col("id"),
+        col("rank").as(s"${name}_rank"))
+    }
+    val merged = renamed.map(_._2)
+      .reduce((a, b) => a.join(b, Seq("qid", "id"), "full_outer"))
+    val rrf = renamed.map { case (name, _) =>
+      coalesce(expr(s"$scale div ($k0 + ${name}_rank)"), lit(0L))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
+    merged.withColumn("rrf", rrf)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .drop("__rk")
+  }
 }

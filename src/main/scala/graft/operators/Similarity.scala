@@ -466,8 +466,13 @@ object Similarity {
 
   /** Exact integer L2 distance between subspace `j` of an int8 code array
     * and a literal codeword sub-vector — the building block PQ encode and
-    * ADC lookup tables share. One codegen'd slice + zip_with + fold; all
-    * arithmetic exact in Long (max term 254²·subDim ≪ 2⁶³).
+    * ADC lookup tables share. One slice + zip_with + fold; all arithmetic
+    * exact in Long (max term 254²·subDim ≪ 2⁶³). Deliberately the
+    * higher-order-function form: a fully-unrolled element_at sum was
+    * MEASURED 2× SLOWER (512 array-access expressions per row defeat
+    * common-subexpression elimination on the derived code column and
+    * split codegen past JIT-friendly method sizes), while the HOF lambda
+    * runs one tight loop over the primitive array.
     */
   private def pqSubDist(code: Column, j: Int, subDim: Int,
       codeword: Seq[Long]): Column =
@@ -499,14 +504,17 @@ object Similarity {
     require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
     val subDim = d / subspaces
     val sorted = codebook.sortBy(_._1)
-    val idsLit = typedLit(sorted.map(_._1))
     val perSub = (0 until subspaces).map { j =>
-      val dists = array(sorted.map { case (_, cw) =>
-        pqSubDist(col("code"), j, subDim, cw) }: _*)
-      // array_position is 1-based and returns the FIRST minimum — ties
-      // resolve to the lowest codeword id because the book is id-sorted
-      element_at(idsLit, array_position(dists, array_min(dists)).cast("int"))
-        .as(s"__pq$j")
+      // argmin via array_min over (dist, cid) structs (lexicographic →
+      // ties to the LOWEST codeword id, same as a first-minimum scan of
+      // the id-sorted book): references each distance tree ONCE — the
+      // array_position(dists, array_min(dists)) form duplicated the
+      // whole per-codeword distance array in the plan, doubling
+      // optimizer/codegen work on an already-large expression
+      array_min(array(sorted.map { case (cwId, cw) =>
+        struct(pqSubDist(col("code"), j, subDim, cw).as("d"),
+          lit(cwId).as("cid")) }: _*))
+        .getField("cid").as(s"__pq$j")
     }
     // non-code columns ride through (the fold path carries `bucket`
     // alongside the codes, so the encoded index needs no id re-join)

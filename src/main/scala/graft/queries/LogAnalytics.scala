@@ -941,22 +941,25 @@ object LogAnalytics {
       "q123_sliding_distinct",
       (s, dir) => {
         import graft.operators.Hll
-        // checkpointed: the sketch path and the exact gate both consume
-        // this frame, and the harness table is one unsplittable row group
-        // — the checkpoint makes it ONE scan instead of two. Partitioned
-        // by HOUR alone: the hourly register aggregation then runs
-        // exchange-free on co-located groups, so no 4 KB dense partial
-        // state ever serializes across a shuffle — with (hour, user)
-        // partitioning, every partition held a partial register array
-        // for every hour (~parts × hours × 16 KB ≈ 360 MB of agg-state
-        // shuffle for a 100 k-row input)
+        // Sketch path: partitioned by HOUR alone before the register
+        // aggregation, which then runs exchange-free on co-located
+        // groups — no 4 KB dense partial state ever serializes across a
+        // shuffle (with (hour, user) partitioning, every partition held
+        // a partial register array for every hour: ~parts × hours ×
+        // 16 KB ≈ 360 MB of agg-state shuffle for a 100 k-row input).
+        // The exact gate below reads its OWN parquet scan instead of a
+        // shared checkpoint: materializing the 2-column event frame cost
+        // a full shuffle + storage write just to save one cheap columnar
+        // re-scan — the scan is the cheaper of the two at every scale
+        // (the gate path is fixture-only anyway; production runs the
+        // sketch path alone).
         val ev = t(s, dir, "events")
           .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+        val evByHour = ev
           .repartition(s.sparkContext.defaultParallelism, col("hour"))
-          .localCheckpoint(true)
         // 720 sketch rows; checkpointed so the three window-offset reads
         // below don't each re-run the register aggregation
-        val hourly = ev.groupBy(col("hour"))
+        val hourly = evByHour.groupBy(col("hour"))
           .agg(Hll.registersAgg(col("user_id")).as("regs"))
           .localCheckpoint(true)
         val h0 = hourly.select(col("hour"), col("regs").as("r0"))

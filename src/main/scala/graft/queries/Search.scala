@@ -653,6 +653,160 @@ object Search {
         FROM canon
         JOIN q USING (doc_id)
         JOIN l USING (doc_id)
-        ORDER BY canon.doc_id"""))
+        ORDER BY canon.doc_id""")),
+
+    // ---- q159: HYBRID retrieval — lexical (integer BM25-lite,
+    // more-like-this over the query doc's own terms) and vector (exact
+    // double cosine over the aligned embeddings) shortlists fused by
+    // reciprocal-rank fusion: rrf = Σ 1000000 div (60 + rank) over the
+    // modalities that shortlisted the candidate (integer division —
+    // fused scores exact int64, engine-portable; k0=60 is the published
+    // default). The modern retrieval stack in one gated query: each
+    // modality ranks top-20 per query (self excluded, ties id-asc),
+    // fusion keeps top-5 by (rrf desc, id). At 100 TB each modality's
+    // shortlist is per-query-bounded, so fusion cost ∝ queries·R — the
+    // corpus is touched only by the two retrieval paths themselves.
+    QueryDef(
+      "q159_hybrid_rrf",
+      (s, dir) => {
+        import graft.operators.Ranking
+        import graft.functions.VectorFunctions
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val qids = Seq(3L, 4L, 5L)
+        // lexical: tf/df over the corpus, query terms = the query doc's
+        // own distinct terms, q107's saturating integer tf·idf
+        val tfq = InvertedIndex.termFrequencies(
+            InvertedIndex.postings(d, "doc_id", "text"))
+          .localCheckpoint(true) // read for query terms AND candidates
+        val nDocs = d.count()
+        val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("wt",
+            expr(s"(1000 * (2 * ($nDocs - df) + 1)) div (2 * df + 1)"))
+        val qt = tfq.filter(col("doc").isin(qids: _*))
+          .select(col("doc").as("qid"), col("term"))
+          .join(dfq.select(col("term"), col("wt")), Seq("term"))
+        val wl = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("id"))
+        val lex = tfq.join(broadcast(qt), Seq("term"))
+          .filter(col("doc") =!= col("qid"))
+          .withColumn("__c", expr("(wt * tf * 22) div (10 * tf + 12)"))
+          .groupBy(col("qid"), col("doc").as("id"))
+          .agg(sum(col("__c")).as("score"))
+          .withColumn("rank", row_number().over(wl))
+          .filter(col("rank") <= 20)
+          .select(col("qid"), col("id"), col("rank"))
+        // vector: exact double cosine on the id-aligned embeddings
+        val v = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"),
+            VectorFunctions.asDouble(col("embedding")).as("vec"))
+        val qv = v.filter(col("id").isin(qids: _*))
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        val wv = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("id"))
+        val vec = v.crossJoin(broadcast(qv))
+          .filter(col("id") =!= col("qid"))
+          .withColumn("cos", VectorFunctions.cosine(col("qvec"), col("vec")))
+          .withColumn("rank", row_number().over(wv))
+          .filter(col("rank") <= 20)
+          .select(col("qid"), col("id"), col("rank"))
+        Ranking.rrfFuse(Seq("lex" -> lex, "vec" -> vec), topK = 5)
+          .select(col("qid"), col("id").as("doc_id"), col("rrf"),
+            col("lex_rank"), col("vec_rank"))
+          .orderBy(col("qid"), col("rrf").desc, col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        post AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        tfq AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+                FROM post GROUP BY 1, 2),
+        n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        dfq AS (SELECT term, COUNT(*)::BIGINT AS df,
+                       (1000 * (2 * ((SELECT n_docs FROM n) - COUNT(*)) + 1))
+                         // (2 * COUNT(*) + 1) AS wt
+                FROM tfq GROUP BY term),
+        q AS (SELECT unnest([3, 4, 5]) AS qid),
+        qt AS (SELECT tfq.doc_id AS qid, tfq.term, dfq.wt
+               FROM tfq JOIN q ON tfq.doc_id = q.qid
+               JOIN dfq ON dfq.term = tfq.term),
+        lexs AS (SELECT qt.qid, tfq.doc_id AS id,
+                        SUM((qt.wt * tfq.tf * 22) // (10 * tfq.tf + 12))::BIGINT AS score
+                 FROM qt JOIN tfq ON tfq.term = qt.term
+                 WHERE tfq.doc_id <> qt.qid
+                 GROUP BY 1, 2),
+        lexr AS (SELECT qid, id, r FROM (
+                   SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY score DESC, id) AS r FROM lexs)
+                 WHERE r <= 20),
+        v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        qv AS (SELECT v.id AS qid, v.vec AS qvec FROM v JOIN q ON v.id = q.qid),
+        coss AS (SELECT qv.qid, v.id,
+                   list_sum(list_transform(range(1, 65), i -> qvec[i] * vec[i])) /
+                   (sqrt(list_sum(list_transform(range(1, 65), i -> qvec[i] * qvec[i]))) *
+                    sqrt(list_sum(list_transform(range(1, 65), i -> vec[i] * vec[i])))) AS cos
+                 FROM v CROSS JOIN qv WHERE v.id <> qv.qid),
+        vecr AS (SELECT qid, id, r FROM (
+                   SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, id) AS r FROM coss)
+                 WHERE r <= 20),
+        fused AS (SELECT COALESCE(l.qid, ve.qid) AS qid,
+                         COALESCE(l.id, ve.id) AS id,
+                         (COALESCE(1000000 // (60 + l.r), 0) +
+                          COALESCE(1000000 // (60 + ve.r), 0))::BIGINT AS rrf,
+                         l.r AS lex_rank, ve.r AS vec_rank
+                  FROM lexr l FULL OUTER JOIN vecr ve
+                    ON l.qid = ve.qid AND l.id = ve.id)
+        SELECT qid, id AS doc_id, rrf, lex_rank, vec_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY rrf DESC, id) AS rk FROM fused)
+        WHERE rk <= 5
+        ORDER BY qid, rrf DESC, doc_id""")),
+
+    // ---- q160: Unicode-NFC-normalized exact dedup — the curation
+    // primitive crawled corpora need before keying: combining-mark
+    // variants of the same text (`e`+U+0301 vs precomposed U+00E9) hash
+    // apart and survive exact dedup unless keys normalize first. The
+    // corpus is unioned with a variant copy of itself whose appended
+    // marker differs ONLY in composition form (plus case and whitespace
+    // noise); the dedup key = whitespace-collapsed lower(NFC(text)), so
+    // each variant pair collapses to one group iff the custom
+    // [[graft.plans.NfcNormalize]] expression (codegen'd
+    // java.text.Normalizer) agrees byte-for-byte with DuckDB's
+    // nfc_normalize. Output: one row per key group (canonical = min id,
+    // n = 2 everywhere when normalization works; any 1-count group is a
+    // normalization miss caught by the hash gate).
+    QueryDef(
+      "q160_nfc_dedup",
+      (s, dir) => {
+        import graft.plans.NfcNormalize
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        // original: decomposed marker, spaced + upper-cased noise
+        val a = d.select(col("doc_id"),
+          concat(col("text"), lit(" CAFÉ  X")).as("t"))
+        // variant copy: precomposed marker, single-spaced lower noise
+        val b = d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" café x")).as("t"))
+        a.unionAll(b)
+          .withColumn("key", regexp_replace(
+            lower(NfcNormalize(col("t"))), "\\s+", " "))
+          .groupBy(col("key"))
+          .agg(min(col("doc_id")).as("canonical"),
+            count(lit(1)).as("n"))
+          .select(col("canonical"), col("n"),
+            length(col("key")).as("key_len"))
+          .orderBy(col("canonical"))
+      },
+      Some("""
+        WITH a AS (SELECT doc_id, text || ' CAFÉ  X' AS t FROM documents
+                   UNION ALL
+                   SELECT doc_id + 1000000, text || ' café x' FROM documents),
+        k AS (SELECT doc_id, regexp_replace(lower(nfc_normalize(t)),
+                                            '\s+', ' ', 'g') AS key
+              FROM a)
+        SELECT MIN(doc_id) AS canonical, COUNT(*)::BIGINT AS n,
+               length(key)::BIGINT AS key_len
+        FROM k
+        GROUP BY key
+        ORDER BY canonical"""))
   )
 }

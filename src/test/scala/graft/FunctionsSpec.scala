@@ -233,6 +233,48 @@ class FunctionsSpec extends SparkSpec {
       TransformDsl.deepMerge(df, "t", "fnull").getField("v").as("b")).head
     assert(out == Row("old", "old"))
   }
+
+  test("NfcNormalize composes combining marks; idempotent; null-safe; " +
+      "rejects non-strings") {
+    import graft.plans.NfcNormalize
+    val df = Seq(
+      ("dec", "CAFÉ"),  // E + combining acute
+      ("pre", "CAFÉ"),   // precomposed É
+      ("ascii", "plain text"),
+      ("null", null)).toDF("k", "t")
+    val out = df.select(col("k"), NfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("dec") == out("pre") && out("dec") == "CAFÉ")
+    assert(out("ascii") == "plain text")
+    assert(out("null") == null)
+    // idempotent: NFC(NFC(x)) == NFC(x)
+    val twice = df.filter(col("t").isNotNull)
+      .select((NfcNormalize(NfcNormalize(col("t"))) ===
+        NfcNormalize(col("t"))).as("eq")).collect()
+    assert(twice.forall(_.getBoolean(0)))
+    val err = intercept[Exception] {
+      Seq(1L).toDF("x").select(NfcNormalize(col("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("nfc_normalize") ||
+      err.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("rrfFuse: integer reciprocal-rank scores, absent modality " +
+      "contributes zero with a NULL rank, topK total-ordered") {
+    import graft.operators.Ranking
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "id", "rank")
+    val vec = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("qid", "id", "rank")
+    val out = Ranking.rrfFuse(Seq("lex" -> lex, "vec" -> vec), topK = 2)
+      .orderBy(col("rrf").desc, col("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(4),
+        Option(r.get(2)).map(_.toString), Option(r.get(3)).map(_.toString)))
+    // 11: in both → 1000000/62 + 1000000/61 = 16129 + 16393 = 32522
+    // 10: lex only → 1000000/61 = 16393 (vec rank NULL)
+    // 12: 16129 — cut by topK = 2
+    assert(out.toList == List(
+      (11L, 32522L, Some("2"), Some("1")),
+      (10L, 16393L, Some("1"), None)))
+  }
 }
 
 object FunctionsSpec {
