@@ -480,6 +480,13 @@ object Snapshots {
     finally updates.unpersist(false)
   }
 
+  /** Update sets at or below this row count take the single-collect
+    * merge fast path (see the inline note in [[mergeUpsertImpl]]); the
+    * collected sample is pk values only, so the driver footprint is
+    * bounded by SmallMergeRows keys.
+    */
+  private val SmallMergeRows = 4096
+
   private def mergeUpsertImpl(spark: SparkSession, table: String,
       updates: DataFrame, pk: String): Int = {
     def dbg[A](name: String)(f: => A): A =
@@ -490,11 +497,78 @@ object Snapshots {
         println(f"[merge-dbg] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
         r
       }
-    dbg("pk_check")(Lake.requireUniquePk(updates, pk))
+    // SMALL-UPDATE FAST PATH: the per-batch streaming/fold upsert is a
+    // handful of rows, and the generic path below pays FOUR driver
+    // actions (pk-uniqueness job, match-probe collect, insert anti-join
+    // emptiness probe, plus the rewrite) to reach one commit — measured
+    // at ~1.2-1.7 s of pure job floors on a 5-row update (profile-fold).
+    // When the update pk set fits a driver threshold, ONE limited
+    // collect of the pk column replaces the pk job AND the anti-join:
+    // duplicates are checked in memory (same error contract as
+    // requireUniquePk, nulls collide like a groupBy), matched
+    // (partition, pk) pairs come from one isin-pruned lake probe, and
+    // the insert set is the update frame filtered by the collected
+    // matched-pk set — the rewrite's stage write is then the only
+    // remaining corpus-touching job. Results are identical by
+    // construction; SnapshotsSpec's merge semantics run on this path at
+    // spec scale.
+    val pkSample = updates.select(col(pk))
+      .limit(SmallMergeRows + 1).collect().map(_.get(0))
+    val small = pkSample.length <= SmallMergeRows
+    if (small) {
+      if (pkSample.distinct.length != pkSample.length)
+        throw new IllegalArgumentException(
+          s"mergeUpsert: updates contain duplicate values of primary key '$pk'")
+    } else dbg("pk_check")(Lake.requireUniquePk(updates, pk))
     val lake = read(spark, table)
     val renamed = updates.columns.foldLeft(updates)(
       (d, c) => d.withColumnRenamed(c, "__u_" + c))
     val gated = Lake.sizeGatedBroadcast(renamed)
+    if (small) {
+      val pks = pkSample.filter(_ != null).toSet
+      val matchedRows =
+        if (pks.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else dbg("touched")(lake
+          .filter(col(pk).isInCollection(pks))
+          .select(col(Lake.PartitionCol), col(pk)).distinct().collect())
+      val touched = matchedRows.map(_.getString(0)).toSet
+      val matchedPks = matchedRows.map(_.get(1)).toSet
+      val stagedRewrites =
+        if (touched.isEmpty) Vector.empty
+        else {
+          val affected = readHours(spark, table, touched)
+          val updatedCols = updates.columns.filterNot(_ == pk)
+          val rewritten0 = updatedCols.foldLeft(
+              affected.join(gated, col(pk) === col("__u_" + pk), "left")) {
+              (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
+            }
+            .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
+          val rewritten =
+            if (touched.size > spark.sessionState.conf.numShufflePartitions)
+              Lake.withHourPartition(rewritten0)
+                .repartitionByRange(col(Lake.PartitionCol))
+            else rewritten0
+          dbg("stage_rewrite")(stage(rewritten, table))
+        }
+      // insert existence and membership are known DRIVER-SIDE: a null
+      // pk never equi-matches (kept as insert, mirroring the anti-join)
+      val nInserts = pkSample.count(v => v == null || !matchedPks(v))
+      val stagedInserts =
+        if (nInserts == 0) Vector.empty
+        else {
+          val insertDf =
+            if (matchedPks.isEmpty) updates
+            else updates.filter(col(pk).isNull ||
+              !col(pk).isInCollection(matchedPks))
+          dbg("stage_insert")(stage(insertDf, table))
+        }
+      val merged = unionSchema(
+        org.apache.spark.sql.types.StructType(
+          lake.schema.filterNot(_.name == Lake.PartitionCol)),
+        updates.schema)
+      return commit(table, Some(merged))(prev =>
+        prev.filterNot(e => touched(e.hour)) ++ stagedRewrites ++ stagedInserts)
+    }
     val matched = lake.join(gated, col(pk) === col("__u_" + pk))
       .select(col(Lake.PartitionCol), col(pk)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
