@@ -115,6 +115,10 @@ object Vectors {
   private val pqBookDirs = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Long, Seq[Long])]]
 
+  /** q161's residual-domain codebook, same memoization rationale. */
+  private val pqResBookDirs = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Seq[Long])]]
+
   /** Train-once surface for the q156/q157 book (subspaces=4, 2 exact
     * rounds over the id≥8 corpus seeded by rows id<8 — the fixture
     * contract both queries and both oracles unroll).
@@ -143,19 +147,19 @@ object Vectors {
     * round-for-round mirror of [[graft.operators.Similarity.pqTrainCodebook]]'s
     * per-subspace [[graft.operators.Similarity.kmeansTrainInt8]] run.
     */
-  private def sqlLloydSub(j: Int, r: Int): String = s"""
-    asg${j}_$r AS (SELECT id, code, cid
+  private def sqlLloydSub(j: Int, r: Int, mat: String = ""): String = s"""
+    asg${j}_$r AS $mat(SELECT id, code, cid
               FROM (SELECT s.id, s.code, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY
                         list_sum(list_transform(range(1, 17), i ->
                           (code[i] - ccode[i]) * (code[i] - ccode[i]))), c.cid) AS rn
                     FROM sub$j s CROSS JOIN cent${j}_${r - 1} c)
               WHERE rn = 1),
-    upd${j}_$r AS (SELECT cid, k AS dim,
+    upd${j}_$r AS $mat(SELECT cid, k AS dim,
                 CAST(floor(SUM(code[k + 1])::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS x
               FROM asg${j}_$r, (SELECT unnest(range(0, 16)) AS k)
               GROUP BY cid, k),
-    cent${j}_$r AS (SELECT p.cid, COALESCE(u.ccode, p.ccode) AS ccode
+    cent${j}_$r AS $mat(SELECT p.cid, COALESCE(u.ccode, p.ccode) AS ccode
                FROM cent${j}_${r - 1} p LEFT JOIN
                  (SELECT cid, list(x ORDER BY dim) AS ccode
                   FROM upd${j}_$r GROUP BY cid) u ON u.cid = p.cid)"""
@@ -173,11 +177,40 @@ object Vectors {
                            code[${j * 16 + 1}:${(j + 1) * 16}] AS ccode
                          FROM codes WHERE id < 8)"""
     }.mkString(",\n")
-    val lloyd = (0 until 4).flatMap(j => (1 to rounds).map(sqlLloydSub(j, _)))
+    s"$subs,\n${sqlPqTail(rounds)}"
+  }
+
+  /** [[sqlPqTrained]] over the RESIDUAL domain (q161): sub-vector slices
+    * of the `res` CTE (code − coarse centroid), seeded by the first 8
+    * corpus rows' residuals (id < 16 — corpus ids start at 8).
+    */
+  private def sqlPqTrainedRes(rounds: Int): String = {
+    // every CTE here is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // the residual scaffold (res → 4 sub slices → per-round chains that
+    // each reference the previous round twice) re-derives the whole
+    // assignment chain per reference — the naive form measured ~28 s at
+    // sf0.1 vs ~1.5 s materialized, identical results. q156/q157's
+    // scaffold hangs off a cheap corpus scan and doesn't need it.
+    val subs = (0 until 4).map { j =>
+      s"""sub$j AS MATERIALIZED (SELECT id, res[${j * 16 + 1}:${(j + 1) * 16}] AS code
+                    FROM res),
+          cent${j}_0 AS MATERIALIZED (SELECT id AS cid,
+                           res[${j * 16 + 1}:${(j + 1) * 16}] AS ccode
+                         FROM res WHERE id < 16)"""
+    }.mkString(",\n")
+    s"$subs,\n${sqlPqTail(rounds, "MATERIALIZED ")}"
+  }
+
+  /** Shared training tail: unrolled Lloyd rounds per subspace over the
+    * `sub$j`/`cent${j}_0` CTEs, the trained (j, cid, ccode16) book, and
+    * the trained-book encode of whatever `sub$j` slices.
+    */
+  private def sqlPqTail(rounds: Int, mat: String = ""): String = {
+    val lloyd = (0 until 4).flatMap(j => (1 to rounds).map(sqlLloydSub(j, _, mat)))
       .mkString(",\n")
     val book = (0 until 4)
       .map(j => s"SELECT $j AS j, cid, ccode FROM cent${j}_$rounds")
-      .mkString("book AS (", "\n UNION ALL ", ")")
+      .mkString(s"book AS $mat(", "\n UNION ALL ", ")")
     val enc = (0 until 4).map { j =>
       s"""SELECT id, j, cid FROM (
             SELECT s.id, $j AS j, c.cid,
@@ -186,8 +219,8 @@ object Vectors {
                   (s.code[i] - c.ccode[i]) * (s.code[i] - c.ccode[i]))),
                 c.cid) AS rn
             FROM sub$j s CROSS JOIN cent${j}_$rounds c) WHERE rn = 1"""
-    }.mkString("enc AS (", "\n UNION ALL ", ")")
-    s"$subs,\n$lloyd,\n$book,\n$enc"
+    }.mkString(s"enc AS $mat(", "\n UNION ALL ", ")")
+    s"$lloyd,\n$book,\n$enc"
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1133,7 +1166,131 @@ object Vectors {
         FROM tc
         CROSS JOIN (SELECT 'adc' AS method UNION ALL SELECT 'rerank') m
         LEFT JOIN hits h ON h.qid = tc.qid AND h.method = m.method
-        ORDER BY m.method, tc.qid"""))
+        ORDER BY m.method, tc.qid""")),
+
+    // ---- q161: RESIDUAL IVF-PQ (the published IVFADC recipe proper) —
+    // q156 quantizes raw codes; the canonical form quantizes the
+    // RESIDUAL to the coarse centroid (code − centroid[bucket]), which
+    // is what makes a small per-subspace book accurate: residuals
+    // concentrate near 0 regardless of which cell a vector lives in.
+    // Everything stays exact integer arithmetic (residuals ∈ [−254,254],
+    // the same Lloyd/ADC machinery runs unchanged on them — the
+    // OPERATORS compose; only the query derives residuals on both
+    // sides): per-subspace book trained on residuals, in-bucket ADC
+    // where each probe row carries the QUERY'S residual against THAT
+    // bucket's centroid (the IVFADC twist — the LUT is per
+    // (query, probed bucket)), exact full-code re-rank of the top-5.
+    // The oracle unrolls residual derivation, 4×2 Lloyd rounds over
+    // residual slices, encode, per-probe residual LUTs and the re-rank.
+    QueryDef(
+      "q161_residual_ivfpq",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val coded = pqCoded(s, dir).localCheckpoint(true)
+        val cents = coded.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("code").as("ccode"))
+        val corpus = coded.filter(col("id") >= 8)
+        val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+        // coarse assign + residual in one pass (integer L2, ties → cid)
+        val assigned = corpus.crossJoin(broadcast(cents))
+          .withColumn("dist", VectorFunctions.l2sqInt(col("code"), col("ccode")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("cid").as("bucket"),
+            zip_with(col("code"), col("ccode"), (x, y) => x - y).as("res"))
+          // NOT checkpointed: after the first call trains and memoizes
+          // the book, the encode is this frame's only consumer — a
+          // checkpoint job per call would outweigh the single pass
+          // (kmeansTrainInt8 checkpoints its own input on the one
+          // training call)
+        val book = pqResBookDirs.getOrElseUpdate(dir,
+          Similarity.pqTrainCodebook(
+            assigned.select(col("id"), col("res").as("code")),
+            assigned.filter(col("id") < 16)
+              .select(col("id").as("cid"), col("res").as("code")),
+            subspaces = 4, maxRounds = 2))
+        val encoded = Similarity.pqEncode(
+          assigned.select(col("id"), col("bucket"), col("res").as("code")),
+          book, subspaces = 4)
+        val queries = corpus.filter(col("id") <= 12)
+          .select(col("id").as("qid"), col("code").as("qcode"))
+        val wq = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+        // probe rows carry the query's residual vs THAT bucket's centroid
+        val probes = queries.crossJoin(broadcast(cents))
+          .withColumn("dist", VectorFunctions.l2sqInt(col("qcode"), col("ccode")))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 2)
+          .select(col("qid"),
+            zip_with(col("qcode"), col("ccode"), (x, y) => x - y).as("code"),
+            col("cid").as("bucket"))
+        val short = Similarity.pqAdcTopKBucketed(encoded, probes, book,
+          subspaces = 4, k = 5)
+        Similarity.pqRerankExact(short,
+            queries.select(col("qid").as("id"), col("qcode").as("code")),
+            corpus, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             codes AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             corpus AS (SELECT id, code FROM codes WHERE id >= 8),
+             centC AS (SELECT id AS cid, code AS ccode FROM codes WHERE id < 8),
+             asgC AS MATERIALIZED (SELECT id, code, cid AS bucket
+                      FROM (SELECT corpus.id, corpus.code, c.cid,
+                              ROW_NUMBER() OVER (PARTITION BY corpus.id ORDER BY
+                                list_sum(list_transform(range(1, 65), i ->
+                                  (code[i] - ccode[i]) * (code[i] - ccode[i]))), c.cid) AS rn
+                            FROM corpus CROSS JOIN centC c)
+                      WHERE rn = 1),
+             res AS MATERIALIZED (SELECT a.id, a.bucket,
+                            list_transform(range(1, 65), i ->
+                              a.code[i] - c.ccode[i]) AS res
+                     FROM asgC a JOIN centC c ON c.cid = a.bucket),
+             ${sqlPqTrainedRes(2)},
+             q AS (SELECT id AS qid, code AS qcode FROM corpus WHERE id <= 12),
+             probes AS (SELECT qid, bucket
+                        FROM (SELECT q.qid, c.cid AS bucket,
+                                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                  list_sum(list_transform(range(1, 65), i ->
+                                    (qcode[i] - ccode[i]) * (qcode[i] - ccode[i]))), c.cid) AS rn
+                              FROM q CROSS JOIN centC c)
+                        WHERE rn <= 2),
+             probesR AS (SELECT p.qid, p.bucket,
+                                list_transform(range(1, 65), i ->
+                                  q.qcode[i] - c.ccode[i]) AS qres
+                         FROM probes p
+                         JOIN q ON q.qid = p.qid
+                         JOIN centC c ON c.cid = p.bucket),
+             cand AS (SELECT p.qid, r.id, r.bucket
+                      FROM res r JOIN probes p ON r.bucket = p.bucket
+                      WHERE r.id <> p.qid),
+             adc AS (SELECT cd.qid, cd.id,
+                       SUM(list_sum(list_transform(range(1, 17), i ->
+                         (pr.qres[e.j*16 + i] - b.ccode[i]) *
+                         (pr.qres[e.j*16 + i] - b.ccode[i]))))::BIGINT AS dist
+                     FROM cand cd
+                     JOIN enc e ON e.id = cd.id
+                     JOIN book b ON b.j = e.j AND b.cid = e.cid
+                     JOIN probesR pr ON pr.qid = cd.qid AND pr.bucket = cd.bucket
+                     GROUP BY cd.qid, cd.id),
+             short AS (SELECT qid, id
+                       FROM (SELECT qid, id,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dist, id) AS rr FROM adc)
+                       WHERE rr <= 5),
+             rr AS (SELECT s.qid, s.id,
+                      list_sum(list_transform(range(1, 65), i ->
+                        (q.qcode[i] - c.code[i]) *
+                        (q.qcode[i] - c.code[i])))::BIGINT AS dist
+                    FROM short s
+                    JOIN q ON q.qid = s.qid
+                    JOIN corpus c ON c.id = s.id)
+        SELECT qid, rank, id AS neighbor, dist
+        FROM (SELECT qid, id, dist,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM rr)
+        WHERE rank <= 3
+        ORDER BY qid, rank"""))
   )
 
   /** Build the q156 lake-resident IVF-PQ index: the q143 fold with PQ

@@ -246,6 +246,11 @@ object Scale {
         "q147_l_diversity" -> SparkEntry.queries("q147_l_diversity"),
         "q148_t_closeness" -> SparkEntry.queries("q148_t_closeness"),
         "q149_dp_release" -> SparkEntry.queries("q149_dp_release"),
+        // round-16 additions: trained/residual PQ search + hybrid fusion
+        "q154_pq_encode" -> SparkEntry.queries("q154_pq_encode"),
+        "q156_ivfpq_search" -> SparkEntry.queries("q156_ivfpq_search"),
+        "q159_hybrid_rrf" -> SparkEntry.queries("q159_hybrid_rrf"),
+        "q161_residual_ivfpq" -> SparkEntry.queries("q161_residual_ivfpq"),
         "q117_hll_distinct" -> SparkEntry.queries("q117_hll_distinct"),
         "q118_temperature_mix" -> SparkEntry.queries("q118_temperature_mix"),
         "q119_shard_plan" -> SparkEntry.queries("q119_shard_plan"),
