@@ -462,6 +462,79 @@ class StreamingSpec extends SparkSpec {
     assert(got("2") == ((7L, false)), s"under-cap window stays exact: $got")
   }
 
+  test("streaming near() proximity: replay parity with the batch form; " +
+      "boundary-straddling pairs fire; state horizon closes on timeout") {
+    import graft.config.SigmaRules
+    import graft.streaming.ProximityStream
+    import java.sql.Timestamp
+    // the q158 configuration over the real events table: purchase base,
+    // view within ±600 s required, click within ±600 s vetoes, per user
+    val dir = "/root/testdata/sf0.001"
+    val evTable = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val batch = SigmaRules.nearProximityMatches(evTable,
+        base = col("event_type") === "purchase",
+        positives = Seq(col("event_type") === "view"),
+        negatives = Seq(col("event_type") === "click"),
+        timeframeSeconds = 600L, groupBy = Seq("user_id"))
+      .select(col("event_id")).as[Long].collect().toSet
+    val sorted = evTable.as[(Long, Long, String, Timestamp)]
+      .collect().sortBy(_._4.getTime)
+    val maxTs = sorted.last._4.getTime
+    val input = MemoryStream[(Long, Long, String, Timestamp)](spark)
+    val sdf = input.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = ProximityStream.nearProximityStream(sdf,
+        base = col("event_type") === "purchase",
+        positives = Seq(col("event_type") === "view"),
+        negatives = Seq(col("event_type") === "click"),
+        timeframeSeconds = 600L, groupBy = Seq("user_id"),
+        idCol = "event_id", tsCol = "ts")
+      .writeStream.format("memory").queryName("px_stream")
+      .outputMode("append").start()
+    sorted.grouped(math.max(1, sorted.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    // two sentinels past every horizon: advance the watermark, then
+    // trigger the timeout sweep (the sigma-stream convention)
+    input.addData((0L, 0L, "noop", new Timestamp(maxTs + 3600 * 1000L)))
+    q.processAllAvailable()
+    input.addData((0L, 0L, "noop", new Timestamp(maxTs + 7200 * 1000L)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("px_stream")
+      .select(col("id")).as[Long].collect().toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+    // hand fixture: a view/purchase pair straddling a tumbling-day
+    // boundary, 120 s apart — the proximity stream fires where the
+    // tumbling near() would not; a click in radius vetoes
+    def t(day: Int, hm: String) = new Timestamp(
+      java.time.Instant.parse(f"2024-02-$day%02dT$hm:00Z").toEpochMilli)
+    val in2 = MemoryStream[(Long, Long, String, Timestamp)](spark)
+    val sdf2 = in2.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q2 = ProximityStream.nearProximityStream(sdf2,
+        base = col("event_type") === "purchase",
+        positives = Seq(col("event_type") === "view"),
+        negatives = Seq(col("event_type") === "click"),
+        timeframeSeconds = 600L, groupBy = Seq("user_id"),
+        idCol = "event_id", tsCol = "ts")
+      .writeStream.format("memory").queryName("px_straddle")
+      .outputMode("append").start()
+    in2.addData(
+      (10L, 1L, "view", t(1, "23:59")),
+      (11L, 1L, "purchase", t(2, "00:01")),
+      (20L, 2L, "purchase", t(3, "12:05")),
+      (21L, 2L, "view", t(3, "12:00")),
+      (22L, 2L, "click", t(3, "12:08")))
+    q2.processAllAvailable()
+    in2.addData((0L, 9L, "noop", t(4, "00:00"))); q2.processAllAvailable()
+    in2.addData((0L, 9L, "noop", t(5, "00:00"))); q2.processAllAvailable()
+    q2.stop()
+    val got2 = spark.table("px_straddle")
+      .select(col("id")).as[Long].collect().toSet
+    assert(got2 == Set(11L), s"straddle fires, veto holds: $got2")
+  }
+
   test("streaming funnel: late cross-batch events never corrupt locked stages") {
     import graft.streaming.Funnel
     import java.sql.Timestamp
