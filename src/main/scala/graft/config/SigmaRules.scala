@@ -231,6 +231,89 @@ object SigmaRules {
   lazy val ecsGithubAudit: String => String = FieldMapDerive.fieldMap(
     Seq(graft.transform.managed.GithubAudit.apply), vendorNs = Seq("github."))
 
+  /** Field map for SigmaHQ `product: m365` rules — DERIVED from the
+    * managed O365Audit transform (reference
+    * `data/managed/log_sources/o365/tables/audit.yml`). The unified audit
+    * log's PascalCase raw names (`Workload`, `UserId`, `ObjectId`,
+    * `RecordType`) resolve by suffix match onto the columns the transform
+    * moves verbatim. Hand-kept because the transform's moves are COMPUTED
+    * (the Okta precedent — derivation provably can't see through them):
+    * `Operation → event.action` (a when-chain that renames exactly the
+    * three AzureActiveDirectory user-CRUD operations and passes
+    * everything else verbatim — rules over `Add user.`/`Update user.`/
+    * `Delete user.` must spell the normalized ECS values instead).
+    * NOT mapped, by construction: `ResultStatus` (normalized into
+    * event.outcome's success/failure vocabulary — raw spellings like
+    * `Succeeded` don't survive), `ClientIP`/`ActorIpAddress` (coalesced
+    * into source.ip behind `ClientIPAddress` — mapping either would
+    * mis-match records where a higher-precedence address exists); such
+    * fields pass through and fail loudly at bind time.
+    */
+  lazy val ecsO365: String => String = {
+    val computedMoves = Map("operation" -> "event.action")
+    val derived = FieldMapDerive.fieldMap(
+      Seq(graft.transform.managed.O365Audit.apply), vendorNs = Seq("o365."))
+    (f: String) => computedMoves.getOrElse(f.toLowerCase, derived(f))
+  }
+
+  /** Field map for SigmaHQ `product: crowdstrike` / `service: falcon`
+    * rules — DERIVED from the managed CrowdstrikeFalcon transform
+    * (reference
+    * `data/managed/log_sources/crowdstrike_falcon/log_source.yml`).
+    * The streaming API's envelope fields (`metadata.eventType`,
+    * `metadata.customerIDString`) and the verbatim event scalars
+    * (`Success`, `MatchCount`, `FineScore`) derive; most event payload
+    * fields pass through the reference's `denull` scrub (""/"-"/"N/A" →
+    * null) — a COMPUTED move derivation can't see through, so the ones
+    * SigmaHQ rules actually key on are hand-kept (the Okta precedent):
+    * `OperationName`, `DetectName`, `CommandLine`, `UserName` resolve to
+    * their crowdstrike.event.* vendor copies (values verbatim whenever
+    * non-placeholder), `ComputerName → host.name` (the
+    * DetectionSummaryEvent hoist). NOT mapped, by construction:
+    * `Severity` (string→int cast), `Technique`/`Tactic` (lowered into
+    * arrays), the hash trio (event-type-gated) — rules over those pass
+    * through loudly.
+    */
+  lazy val ecsCrowdstrikeFalcon: String => String = {
+    val computedMoves = Map(
+      "operationname" -> "crowdstrike.event.operation_name",
+      "detectname" -> "crowdstrike.event.detect_name",
+      "commandline" -> "crowdstrike.event.command_line",
+      "username" -> "crowdstrike.event.user_name",
+      "computername" -> "host.name")
+    val derived = FieldMapDerive.fieldMap(
+      Seq(graft.transform.managed.CrowdstrikeFalcon.apply),
+      vendorNs = Seq("crowdstrike."))
+    (f: String) => computedMoves.getOrElse(f.toLowerCase, derived(f))
+  }
+
+  /** Field map for SigmaHQ `product: suricata` rules — DERIVED from the
+    * managed Suricata transform (reference
+    * `data/managed/log_sources/suricata/tables/eve.yml`). EVE's own
+    * spellings (`alert.signature`, `alert.severity`, `src_ip`,
+    * `http.url`) resolve by suffix match onto the verbatim moves — ECS
+    * hoists (rule.name, event.severity, source.*, url.original) win over
+    * the suricata.eve.* struct copies; `alert.signature_id` derives to
+    * the TYPED vendor copy (the whole alert struct moves verbatim and
+    * fans out per leaf) because the rule.id hoist is a cast. ONE
+    * hand-kept computed move (the Okta precedent):
+    * `event_type → suricata.eve.event_type` — the transform lowercases
+    * it (EVE event types are lowercase and compiled predicates compare
+    * case-insensitively, so the verdict is unchanged). NOT mapped, by
+    * construction: the dns branch (`dns.rrname` et al. are
+    * event-type-gated when() moves) and `proto` (lowered into
+    * network.transport) — EVE rules spell those against the dns /
+    * network ECS columns directly, which pass through as output leaves.
+    */
+  lazy val ecsSuricata: String => String = {
+    val computedMoves = Map(
+      "event_type" -> "suricata.eve.event_type")
+    val derived = FieldMapDerive.fieldMap(
+      Seq(graft.transform.managed.Suricata.apply),
+      vendorNs = Seq("suricata."))
+    (f: String) => computedMoves.getOrElse(f.toLowerCase, derived(f))
+  }
+
   /** Parse one Sigma rule document and compile its detection to a
     * predicate. `fieldMap` renames Sigma field names to the event
     * table's columns (e.g. [[ecsCloudtrail]]); `keywordField` is the
@@ -451,36 +534,61 @@ object SigmaRules {
     * negative selection, each joining the base side against that
     * selection's (group, second) match set on group-equality (null-safe
     * `<=>`, matching the tumbling path's null grouping) plus the
-    * |Δts| ≤ timeframe range. The match sets BROADCAST — in SIEM
-    * workloads rule matches are the rare side by construction; the base
-    * frame never shuffles. For a pathological rule whose match set
-    * outgrows a broadcast, pre-bucket both sides to (group,
-    * ts/timeframe) and check the ±1 neighbor buckets — the
-    * [[graft.operators.RangeJoin]] posture; not needed at any benched
-    * scale. An event matching both the base and a positive selection
-    * self-correlates at distance 0 — consistent with the tumbling tagged
-    * union, where one event contributes every tag it matches.
+    * |Δts| ≤ timeframe range. Each match set BROADCASTS only when its
+    * plan-estimated size fits ([[graft.lake.Lake.fitsBroadcast]]) — in
+    * SIEM workloads rule matches are the rare side by construction, so
+    * the base frame never shuffles on the common path. A degenerate
+    * selection whose match set outgrows the broadcast (e.g. a bare
+    * `contains` matching a third of all events) falls back to a
+    * time-bucketed EQUI join: the match side expands to its
+    * (group, ⌊ts/timeframe⌋ ± 1) neighbor buckets, the join keys on
+    * (group, bucket) with the residual |Δts| ≤ timeframe filter — the
+    * [[graft.operators.RangeJoin]] bucketing posture; results identical
+    * by construction (any pair within ±timeframe lands in the same or an
+    * adjacent bucket), cost a bounded 3× expansion of the match side
+    * instead of an unbounded broadcast. An event matching both the base
+    * and a positive selection self-correlates at distance 0 — consistent
+    * with the tumbling tagged union, where one event contributes every
+    * tag it matches.
     */
   def nearProximityMatches(events: DataFrame, base: Column,
       positives: Seq[Column], negatives: Seq[Column],
       timeframeSeconds: Long, groupBy: Seq[String] = Nil,
-      ts: Column = col("ts")): DataFrame = {
+      ts: Column = col("ts"),
+      broadcastMaxBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val baseSecs = unix_seconds(ts)
+    val tf = lit(timeframeSeconds)
     def side(pred: Column): DataFrame =
       events.filter(pred).select(
         (groupBy.map(c => col(c).as(s"__g_$c")) :+
           unix_seconds(ts).as("__sts")): _*)
-    def cond(s: DataFrame): Column =
+    def groupCond(s: DataFrame): Seq[Column] =
       groupBy.map(c => col(c) <=> s(s"__g_$c"))
-        .foldLeft(abs(baseSecs - s("__sts")) <= lit(timeframeSeconds))(_ && _)
-    val pos = positives.foldLeft(events.filter(base)) { (cur, p) =>
-      val s = broadcast(side(p))
-      cur.join(s, cond(s), "left_semi")
+    // floor-division bucket (pmod keeps it correct for negative seconds)
+    def bucketOf(secs: Column): Column =
+      ((secs - pmod(secs, tf)) / tf).cast("long")
+    def joinSide(cur: DataFrame, pred: Column, how: String): DataFrame = {
+      val s = side(pred)
+      if (graft.lake.Lake.fitsBroadcast(s, broadcastMaxBytes)) {
+        val b = broadcast(s)
+        val c = groupCond(b)
+          .foldLeft(abs(baseSecs - b("__sts")) <= tf)(_ && _)
+        cur.join(b, c, how)
+      } else {
+        val expanded = s
+          .withColumn("__b0", bucketOf(col("__sts")))
+          .withColumn("__bkt", explode(array(
+            col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+          .drop("__b0")
+        val c = groupCond(expanded)
+          .foldLeft(bucketOf(baseSecs) === expanded("__bkt") &&
+            abs(baseSecs - expanded("__sts")) <= tf)(_ && _)
+        cur.join(expanded, c, how)
+      }
     }
-    negatives.foldLeft(pos) { (cur, n) =>
-      val s = broadcast(side(n))
-      cur.join(s, cond(s), "left_anti")
-    }
+    val pos = positives.foldLeft(events.filter(base))(
+      (cur, p) => joinSide(cur, p, "left_semi"))
+    negatives.foldLeft(pos)((cur, n) => joinSide(cur, n, "left_anti"))
   }
 
   /** `count() by f > N` / `count(field) by f1 f2 >= N` and

@@ -130,10 +130,17 @@ object Lake {
     * unconditional `broadcast()` there blows the driver/broadcast limit.
     */
   def sizeGatedBroadcast(df: DataFrame,
-      maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= maxBytes) broadcast(df) else df
-  }
+      maxBytes: Long = 64L * 1024 * 1024): DataFrame =
+    if (fitsBroadcast(df, maxBytes)) broadcast(df) else df
+
+  /** The gate behind [[sizeGatedBroadcast]], exposed for callers whose
+    * oversized fallback is a different JOIN SHAPE (not just a dropped
+    * hint) — e.g. a range semi-join that must re-bucket to equi keys
+    * when the small side outgrows a broadcast.
+    */
+  def fitsBroadcast(df: DataFrame,
+      maxBytes: Long = 64L * 1024 * 1024): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
 
   /** Key-based MERGE INTO on the lake (reference Enrichment.kt:305-324:
     * `WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT`), rewriting ONLY the

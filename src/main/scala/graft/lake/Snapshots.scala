@@ -521,6 +521,17 @@ object Snapshots {
           s"mergeUpsert: updates contain duplicate values of primary key '$pk'")
     } else dbg("pk_check")(Lake.requireUniquePk(updates, pk))
     val lake = read(spark, table)
+    // schema contract FIRST (before any staging I/O): a type-conflicting
+    // update — including a pk whose type differs from the lake's — is
+    // rejected loudly here ("explicit casting is required"). Past this
+    // point update and lake pk column types are IDENTICAL, which is what
+    // makes the fast path's driver-side Scala == on collected pk values
+    // sound (an Int-vs-Long mismatch would otherwise classify every
+    // matched update as an insert).
+    val merged = unionSchema(
+      org.apache.spark.sql.types.StructType(
+        lake.schema.filterNot(_.name == Lake.PartitionCol)),
+      updates.schema)
     val renamed = updates.columns.foldLeft(updates)(
       (d, c) => d.withColumnRenamed(c, "__u_" + c))
     val gated = Lake.sizeGatedBroadcast(renamed)
@@ -551,7 +562,9 @@ object Snapshots {
           dbg("stage_rewrite")(stage(rewritten, table))
         }
       // insert existence and membership are known DRIVER-SIDE: a null
-      // pk never equi-matches (kept as insert, mirroring the anti-join)
+      // pk never equi-matches (kept as insert, mirroring the anti-join);
+      // Scala == across the two collected sides is sound because the
+      // schema check above guarantees identical pk column types
       val nInserts = pkSample.count(v => v == null || !matchedPks(v))
       val stagedInserts =
         if (nInserts == 0) Vector.empty
@@ -562,10 +575,6 @@ object Snapshots {
               !col(pk).isInCollection(matchedPks))
           dbg("stage_insert")(stage(insertDf, table))
         }
-      val merged = unionSchema(
-        org.apache.spark.sql.types.StructType(
-          lake.schema.filterNot(_.name == Lake.PartitionCol)),
-        updates.schema)
       return commit(table, Some(merged))(prev =>
         prev.filterNot(e => touched(e.hour)) ++ stagedRewrites ++ stagedInserts)
     }
@@ -620,12 +629,6 @@ object Snapshots {
       val stagedInserts =
         if (dbg("insert_empty?")(insertDf.isEmpty)) Vector.empty
         else dbg("stage_insert")(stage(insertDf, table))
-      // updates' columns are a subset of the lake's (the rewrite references
-      // them), so the merged schema is the lake's own, union any stragglers
-      val merged = unionSchema(
-        org.apache.spark.sql.types.StructType(
-          lake.schema.filterNot(_.name == Lake.PartitionCol)),
-        updates.schema)
       commit(table, Some(merged))(prev =>
         prev.filterNot(e => touched(e.hour)) ++ stagedRewrites ++ stagedInserts)
     } finally matched.unpersist()

@@ -537,13 +537,20 @@ object Dedup {
       .withColumn("band_lo", col("simhash") % 256)
 
   /** Positional w-token span table: (doc, start, h) with start 1-based and
-    * h = md5 of the space-joined token window. The Spark substitute for a
-    * suffix array: exact repeated SUBSTRINGS (not whole-document dups) are
-    * found by hashing every fixed-width window and grouping — the
-    * detection half of substring-level dedup (repeated boilerplate,
-    * licenses, navigation chrome), which document-level dedup provably
-    * misses. Payload per span is (16-byte hash, id, int) — bodies never
-    * move, and the group-by needs only counts, never the pair space.
+    * h = 64-bit xxhash64 of the space-joined token window. The Spark
+    * substitute for a suffix array: exact repeated SUBSTRINGS (not
+    * whole-document dups) are found by hashing every fixed-width window
+    * and grouping — the detection half of substring-level dedup (repeated
+    * boilerplate, licenses, navigation chrome), which document-level
+    * dedup provably misses. Payload per span is (8-byte hash, id, int) —
+    * bodies never move, and the group-by needs only counts, never the
+    * pair space. The DICTIONARY-ENCODED long key is the q116 convention
+    * ([[graft.operators.TextAnalysis.bigramFamiliarity]]): every
+    * downstream consumer uses h only for grouping / canonical selection,
+    * never in output columns, so swapping the md5 hex string for the
+    * codegen'd 8-byte hash is result-neutral unless two distinct window
+    * texts collide in 64 bits (≈ n²/2⁶⁵; a collision would merge two
+    * span groups, which the string-keyed sf0.1 oracle would catch).
     */
   def spanTable(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
     spanTableFromTokens(InvertedIndex.tokenized(df, idCol, textCol), w)
@@ -559,7 +566,8 @@ object Dedup {
     // trap; see Curation.scala:92
     tok.select(col("doc"), posexplode_outer(wordShingles(col("tk"), w)))
       .filter(col("col").isNotNull)
-      .select(col("doc"), (col("pos") + 1).as("start"), md5(col("col")).as("h"))
+      .select(col("doc"), (col("pos") + 1).as("start"),
+        xxhash64(col("col")).as("h"))
 
   /** Spans whose window text occurs >= 2 times corpus-wide (within- OR
     * cross-doc — substring dedup removes both). One count-shuffle on the
@@ -568,8 +576,14 @@ object Dedup {
     * within-doc repetition.
     */
   def duplicatedSpans(spans: DataFrame): DataFrame = {
-    val dup = spans.groupBy(col("h"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc")).as("ndocs"))
+    // two-level agg instead of count + countDistinct in one groupBy: the
+    // mixed-distinct rewrite EXPANDs the span exchange to 2× rows; the
+    // (h, doc) pre-agg ships each distinct pair once and derives both
+    // counts from the slim second level
+    val dup = spans.groupBy(col("h"), col("doc"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("h"))
+      .agg(sum(col("__n")).as("n_occ"), count(lit(1)).as("ndocs"))
       .filter(col("n_occ") >= 2)
     spans.join(dup, "h")
       .select(col("doc"), col("start"), col("h"), col("n_occ"), col("ndocs"))

@@ -440,4 +440,85 @@ object Privacy {
         (col("__s") + noise).as("__dp_released") :+
         noise.as("__dp_noise")): _*)
   }
+
+  /** ε-differentially-private HISTOGRAM release — completes the
+    * private-publication family (count, sum, histogram): per-group
+    * noisy bucket counts over a PUBLIC fixed bucket domain. A row's
+    * bucket is ⌊value / binWidth⌋ clamped into [binLo, binHi] (the
+    * clamp keeps the domain closed: out-of-range values land in the
+    * edge buckets, standard DP-histogram practice). Each record
+    * contributes to exactly ONE bucket, so per-bucket sensitivity is 1
+    * and the geometric ladder with α = e^(−ε) is ε-DP for the whole
+    * histogram — the buckets partition the data, so this is parallel
+    * composition, not sequential: no ε split across buckets.
+    *
+    * EVERY bucket of the public domain is released for every observed
+    * group, including empty ones (an absent bucket row would reveal
+    * exact emptiness; an empty bucket here releases pure noise over
+    * zero). Group rows come from the DATA's distinct group values — the
+    * [[dpCountRelease]] convention (the group domain is as-observed;
+    * releases over a public group domain should pre-union it in).
+    *
+    * Same deterministic inverse-CDF ladder and collision-free
+    * `len:value` key framing as the count/sum releases, with the bucket
+    * id framed into the key plus a `hist:<valueCol>:<binWidth>` domain
+    * component, so a histogram never shares draws with a count or sum
+    * over the same groups and seed. NULL contributions are SKIPPED (the
+    * [[dpSumRelease]] absent-contribution reading); a group whose every
+    * contribution is NULL releases pure noise across the whole domain.
+    *
+    * Returns one row per (group, bucket): groupCols, `__dp_bucket`,
+    * `__dp_released` (count + noise; may be negative) and `__dp_noise`
+    * (audit only — do not publish). Scale shape: one grouped count on
+    * (group, bucket), one per-group map fold, one bounded
+    * (binHi−binLo+1)-wide explode — no join, and the noise is a
+    * codegen'd projection over the slim released frame.
+    */
+  def dpHistogramRelease(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, binWidth: Long, binLo: Long, binHi: Long,
+      epsilon: Double, seed: Long, maxNoise: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "need group columns")
+    require(binWidth >= 1, "binWidth must be at least 1")
+    require(binHi >= binLo, "bucket domain must be non-empty")
+    require(binHi - binLo < 65536,
+      "bucket domain too wide — every group releases every bucket")
+    require(epsilon > 0, "epsilon must be positive")
+    require(maxNoise >= 1, "maxNoise must be at least 1")
+    val thresholds = dpThresholds(epsilon, maxNoise)
+    def framed(c: Column): Column =
+      concat(length(c).cast("string"), lit(":"), c)
+    val v = col(valueCol).cast(LongType)
+    // floor division via pmod (correct for negative values too), then
+    // the public-domain clamp; NULL contributions keep a NULL bucket
+    // and are dropped from the per-group map below — never counted
+    val rawBucket = ((v - pmod(v, lit(binWidth))) / binWidth).cast(LongType)
+    val bucket = when(v.isNotNull,
+      least(greatest(rawBucket, lit(binLo)), lit(binHi)))
+    val counts = df
+      .groupBy((groupCols.map(col) :+ bucket.as("__b")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val full = counts
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(filter(
+        collect_list(struct(col("__b").as("key"), col("__n").as("value"))),
+        e => e.getField("key").isNotNull)).as("__m"))
+      .select((groupCols.map(col) :+ col("__m") :+
+        explode(sequence(lit(binLo), lit(binHi))).as("__dp_bucket")): _*)
+    val keyed = groupCols.map(c =>
+      framed(coalesce(col(c).cast("string"), lit("\u0001"))))
+    val u = substring(
+      md5(concat_ws("|", (keyed :+
+          framed(col("__dp_bucket").cast("string")) :+
+          framed(lit(s"hist:$valueCol:$binWidth")) :+
+          framed(lit(ReleaseKeyVersion)) :+
+          framed(lit(seed.toString))): _*)
+        .cast("binary")),
+      1, 13)
+    val noise = (size(filter(lit(thresholds.toArray),
+      t => u >= t)) - lit(maxNoise)).cast(LongType)
+    full.select((groupCols.map(col) :+ col("__dp_bucket") :+
+      (coalesce(try_element_at(col("__m"), col("__dp_bucket")), lit(0L)) +
+        noise).as("__dp_released") :+
+      noise.as("__dp_noise")): _*)
+  }
 }

@@ -68,7 +68,11 @@ object Ranking {
     val merged = renamed.map(_._2)
       .reduce((a, b) => a.join(b, Seq("qid", "id"), "full_outer"))
     val rrf = renamed.map { case (name, _) =>
-      coalesce(expr(s"$scale div ($k0 + ${name}_rank)"), lit(0L))
+      // backtick-quote (and escape) the derived column so a modality
+      // name that is not a bare lowercase identifier — dots, dashes,
+      // spaces, reserved words — still parses and resolves correctly
+      val quoted = s"${name}_rank".replace("`", "``")
+      coalesce(expr(s"$scale div ($k0 + `$quoted`)"), lit(0L))
     }.reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))

@@ -157,13 +157,24 @@ object Search {
     // a suffix array, whose Spark-native substitute is fixed-width window
     // hashing). Every 8-token window is hashed (map), windows occurring
     // >= 2 times corpus-wide are flagged (one count-shuffle on the
-    // 16-byte hash), and per-doc coverage is the union of flagged
-    // [start, start+8) intervals — exploded only for the flagged spans.
+    // 8-byte xxhash64 key — the q116 dictionary-encoding convention; the
+    // oracle keeps md5 keys, counts identical modulo 64-bit collisions),
+    // and per-doc coverage is the union of flagged [start, start+8)
+    // intervals — exploded only for the flagged spans.
     QueryDef(
       "q105_dup_spans",
       (s, dir) => {
         val w = 8
-        val spans = Dedup.spanTable(docs(s, dir), "doc_id", "text", w)
+        // pinned repartition BEFORE the tokenize+shingle+hash expansion:
+        // the bench corpus is one parquet row group, so without it the
+        // whole span derivation serializes on a single task (raced by the
+        // three persist consumers); at lake scale the scan is already
+        // parallel and this is one cheap narrow-input shuffle. Explicit
+        // numPartitions → AQE never coalesces it (the q55 lesson).
+        val spans = Dedup.spanTable(
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text", w)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nspans = spans.groupBy(col("doc"))
           .agg(count(lit(1)).as("n_spans"))
@@ -427,7 +438,12 @@ object Search {
         // span hashing (detection side) — the persisted frame is the token
         // arrays, cheaper to hold than the exploded postings and feeding
         // both derivations without re-splitting the corpus
-        val tok = InvertedIndex.tokenized(d, "doc_id", "text")
+        // pinned repartition before tokenizing (q105's rationale): the
+        // single-row-group bench corpus would otherwise serialize the
+        // tokenize pass — and every array-mask consumer of it — on 1 task
+        val tok = InvertedIndex.tokenized(
+            d.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // the span-hash frame feeds BOTH detection sides (the occurrence
         // count and the join-back that re-attaches (doc, start)) — without

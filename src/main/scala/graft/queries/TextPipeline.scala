@@ -72,7 +72,14 @@ object TextPipeline {
     * link-rank graph. Checkpointed — consumers iterate over it.
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+    // pinned repartition before the tokenize+shingle expansion: the bench
+    // corpus is one parquet row group, so without it the shingle build
+    // (and its persist materialization) serializes on a single task —
+    // the q105 lesson applied to this shared derivation
+    val sets = Dedup.shingleFrame(
+        docs(s, dir).repartition(
+          s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exhaustive pairing via the BLOCKED schedule — the oracle requires
     // the complete pair set, and blocking delivers it without the
@@ -2809,6 +2816,67 @@ object TextPipeline {
                    FROM g)
         SELECT source, (s + noise)::BIGINT AS released, noise
         FROM z ORDER BY source"""
+      }),
+
+    // ---- q162: ε-DP HISTOGRAM release — completes the private-
+    // publication family (count q149, sum q150, histogram): per-group
+    // noisy bucket counts over a PUBLIC fixed bucket domain [1, 8] of
+    // width-8 bins. Every group releases EVERY domain bucket — buckets
+    // 7/8 are empty by construction (contributions are < 56) and
+    // release pure noise over zero, and raw bucket 0 (contributions
+    // < 8) CLAMPS up into the edge bucket 1 (a closed public domain —
+    // out-of-range values land in edge buckets rather than minting new
+    // ones). One record contributes to exactly one bucket, so the
+    // buckets partition the data and the ε ladder needs no splitting
+    // (parallel composition). The fixture carries the NULL group
+    // (src0 → NULL, \u0001-sentinel-framed) and NULL contributions
+    // (nullif at 13 — skipped, never counted); the bucket id and a
+    // hist:<col>:<width> domain tag are framed into the draw key so
+    // the histogram shares no draws with q149/q150 over the same
+    // groups and seed.
+    QueryDef(
+      "q162_dp_histogram",
+      (s, dir) => {
+        import graft.operators.Privacy
+        val src = when(col("source") === "src0", lit(null).cast("string"))
+          .otherwise(col("source"))
+        Privacy.dpHistogramRelease(
+            docs(s, dir).select(src.as("src"),
+              nullif(col("n_chars") % 56, lit(13)).as("contrib")),
+            Seq("src"), "contrib", binWidth = 8L, binLo = 1L, binHi = 8L,
+            epsilon = 1.0, seed = 42L, maxNoise = 20)
+          .select(col("src"), col("__dp_bucket").as("bucket"),
+            col("__dp_released").as("released"))
+          .orderBy(col("src"), col("bucket"))
+      },
+      Some {
+        val ladder = graft.operators.Privacy.dpThresholds(1.0, 20)
+          .map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""
+        WITH d AS (SELECT CASE WHEN source = 'src0' THEN NULL
+                               ELSE source END AS src,
+                          nullif(n_chars % 56, 13) AS v
+                   FROM documents),
+             c AS (SELECT src, LEAST(GREATEST(v // 8, 1), 8) AS b,
+                          COUNT(*)::BIGINT AS n
+                   FROM d WHERE v IS NOT NULL GROUP BY src, b),
+             grp AS (SELECT DISTINCT src FROM d),
+             dom AS (SELECT grp.src AS src, unnest(range(1, 9)) AS b
+                     FROM grp),
+             f AS (SELECT dom.src, dom.b, COALESCE(c.n, 0)::BIGINT AS n
+                   FROM dom LEFT JOIN c
+                     ON c.src IS NOT DISTINCT FROM dom.src AND c.b = dom.b),
+             z AS (SELECT src, b, n,
+                          substring(md5(
+                            length(coalesce(src, chr(1)))::VARCHAR || ':' ||
+                            coalesce(src, chr(1)) || '|' ||
+                            length(b::VARCHAR)::VARCHAR || ':' || b::VARCHAR ||
+                            '|14:hist:contrib:8|2:v2|2:42'), 1, 13) AS u
+                   FROM f)
+        SELECT src, b::BIGINT AS bucket,
+               (n + len(list_filter($ladder, t -> u >= t)) - 20)::BIGINT
+                 AS released
+        FROM z ORDER BY src, bucket"""
       }),
 
     // ---- q151: quality-arbitrated dedup — keep the BEST copy of each

@@ -23,7 +23,7 @@ object Vectors {
   private def sqlDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
 
-  /** q143's folded IVF index dirs, keyed by sf dir (q45 convention). */
+  /** q143's folded IVF index dirs, keyed by corpus fingerprint (q45 convention). */
   private val ivfFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Build the q143 lake-resident IVF index: corpus assignments arrive in
@@ -102,10 +102,28 @@ object Vectors {
                        THEN 127.0 / list_max(list_transform($v, y -> abs(y)))
                        ELSE 0.0 END) + 0.5) AS BIGINT))))"""
 
-  /** q156/q157's folded IVF-PQ index dirs, keyed by sf dir. */
+  /** Cache key for per-corpus memoized artifacts: the sf dir plus a
+    * cheap filesystem fingerprint of the embeddings table (total bytes +
+    * newest mtime across its files). Keying on the PATH alone goes stale
+    * if a corpus is regenerated under the same dir within one session
+    * (r16 ADVICE); the fingerprint invalidates the memo on any rewrite
+    * while costing only a directory listing — no Spark job. All Vectors
+    * memos (ground truth, trained codebooks, folded indexes) key through
+    * this.
+    */
+  private def corpusKey(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val files = walk(new java.io.File(s"$dir/embeddings.parquet"))
+    s"$dir#${files.map(_.length).sum}#${files.map(_.lastModified)
+      .foldLeft(0L)(math.max)}"
+  }
+
+  /** q156/q157's folded IVF-PQ index dirs, keyed by corpus fingerprint. */
   private val pqFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** q156/q157's TRAINED codebook, keyed by sf dir: like the folded index
+  /** q156/q157's TRAINED codebook, keyed by corpus fingerprint: like the folded index
     * itself, the book is an immutable per-corpus-snapshot artifact —
     * production trains it once and every encode/search ships it as plan
     * literals; the per-subspace Lloyd loop is ~a dozen driver jobs, so
@@ -124,14 +142,14 @@ object Vectors {
     * contract both queries and both oracles unroll).
     */
   private def trainedBook(coded: DataFrame, dir: String): Seq[(Long, Seq[Long])] =
-    pqBookDirs.getOrElseUpdate(dir, {
+    pqBookDirs.getOrElseUpdate(corpusKey(dir), {
       val seeds = coded.filter(col("id") < 8)
         .select(col("id").as("cid"), col("code"))
       Similarity.pqTrainCodebook(coded.filter(col("id") >= 8), seeds,
         subspaces = 4, maxRounds = 2)
     })
 
-  /** q94's staged ground truth, keyed by sf dir: the brute-force exact
+  /** q94's staged ground truth, keyed by corpus fingerprint: the brute-force exact
     * neighbors are the audit's one expensive artifact and are immutable
     * for a given corpus snapshot — computed once (the ivfFoldDirs
     * memoization convention) and reused across audits; k·|queries| id
@@ -311,7 +329,7 @@ object Vectors {
       "q143_ivf_lake_fold",
       (s, dir) => {
         import graft.lake.{Lake, Snapshots}
-        val tmp = ivfFoldDirs.getOrElseUpdate(dir, {
+        val tmp = ivfFoldDirs.getOrElseUpdate(corpusKey(dir), {
           val t = java.nio.file.Files
             .createTempDirectory("graft_ivf_fold").toString
           ivfFold(s, dir, s"$t/ivf")
@@ -606,7 +624,7 @@ object Vectors {
         val assigned = Similarity.ivfAssign(corpus, centroids)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val queries = v.filter(col("id") >= 8 && col("id") <= 17)
-        val truth = annTruthDirs.getOrElseUpdate(dir,
+        val truth = annTruthDirs.getOrElseUpdate(corpusKey(dir),
             Similarity.exactNeighbors(assigned, queries, k = 5)
               .collect().map(r => (r.getLong(0), r.getLong(1))))
           .toSeq.toDF("qid", "neighbor")
@@ -694,7 +712,7 @@ object Vectors {
         val coded = vecs(s, dir).select(col("id"),
           VectorFunctions.quantizeInt8(col("vec"),
             VectorFunctions.int8Scale(col("vec"))).as("code"))
-        val tmp = pipeDirs.getOrElseUpdate(dir, {
+        val tmp = pipeDirs.getOrElseUpdate(corpusKey(dir), {
           val t = java.nio.file.Files.createTempDirectory("graft_embed_pipe").toString
           val seeds = coded.filter(col("id") < 8)
             .select(col("id").as("cid"), col("code"))
@@ -972,7 +990,7 @@ object Vectors {
           .select(col("id").as("cid"), col("code"))
         val corpus = coded.filter(col("id") >= 8)
         val book = trainedBook(coded, dir)
-        val tmp = pqFoldDirs.getOrElseUpdate(dir, {
+        val tmp = pqFoldDirs.getOrElseUpdate(corpusKey(dir), {
           val t = java.nio.file.Files
             .createTempDirectory("graft_ivfpq_fold").toString
           pqFold(s, dir, s"$t/ivfpq", book)
@@ -1203,7 +1221,7 @@ object Vectors {
           // checkpoint job per call would outweigh the single pass
           // (kmeansTrainInt8 checkpoints its own input on the one
           // training call)
-        val book = pqResBookDirs.getOrElseUpdate(dir,
+        val book = pqResBookDirs.getOrElseUpdate(corpusKey(dir),
           Similarity.pqTrainCodebook(
             assigned.select(col("id"), col("res").as("code")),
             assigned.filter(col("id") < 16)

@@ -16,13 +16,19 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * discipline applied per EVENT instead of per tumbling window.
   *
   * State per group is BOUNDED by data rate, not stream length: a tag
-  * buffer of (event-time, mask) pairs pruned on every fold to
-  * `ts ≥ watermark − timeframe − delay` (older events can never fall
-  * inside a future base's window: a late base arrives with
-  * t ≥ watermark − delay, and its window floor is t − timeframe), plus
-  * the pending bases themselves (each lives exactly `timeframe` past its
-  * own event time). A group with nothing pending and an empty pruned
-  * buffer removes its state entirely.
+  * buffer of (event-time, mask) pairs pruned on every fold to the oldest
+  * window any FUTURE OR STILL-PENDING base can reach —
+  * `ts ≥ min(watermark − delay, oldest pending base ts) − timeframe`.
+  * A late future base arrives with t ≥ watermark − delay and reaches
+  * back to t − timeframe; a base already pending can be as old as
+  * watermark − timeframe, so its evidence window reaches back to
+  * watermark − 2·timeframe and must be protected until its verdict
+  * (pruning at watermark − timeframe − delay alone would drop evidence
+  * — or a veto — for a pending base whenever a fold lands inside its
+  * open horizon). The buffer is therefore bounded by
+  * rate × (2·timeframe + delay); pending bases each live exactly
+  * `timeframe` past their own event time. A group with nothing pending
+  * and an empty pruned buffer removes its state entirely.
   *
   * Timestamp semantics: proximity here is exact event-time MICROSECONDS
   * (|Δt| ≤ timeframe), while the batch form compares floored SECONDS
@@ -129,9 +135,13 @@ object ProximityStream {
             case (t, id) if verdict(buf0, t, tfUs, nPos, nNeg) =>
               PxMatch(group, id, new Timestamp(t / 1000L))
           }
-          // prune: events older than wm − tf − delay can never sit in a
-          // future base's window
-          val floor = wmUs - tfUs - delayUs
+          // prune to the oldest window still reachable: a future base
+          // arrives with t ≥ wm − delay; a still-pending base can be as
+          // old as wm − tf and its window (incl. vetoes) reaches t − tf
+          val protectUs =
+            if (pending.nonEmpty) math.min(wmUs - delayUs, pending.map(_._1).min)
+            else wmUs - delayUs
+          val floor = protectUs - tfUs
           val buf = buf0.filter(_._1 >= floor)
           if (pending.isEmpty && buf.isEmpty) state.remove()
           else {

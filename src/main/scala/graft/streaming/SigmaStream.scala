@@ -50,6 +50,17 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * Group-key values render as strings in the emitted rows (the state
   * encoder carries them; callers needing native types join back on the
   * batch side — the parity gate casts the batch result).
+  *
+  * STATE-SCHEMA VERSION NOTE: the value_count cap (round 16) was a
+  * BREAKING change to both the state encoder ([[CorrState]] gained
+  * `regs`; [[CorrEvent]] carries `vhash` in place of the raw value) and
+  * the output frame (`estimated` column added). A correlationStream
+  * checkpoint written before that change cannot restore against the new
+  * encoder — discard such checkpoints and replay from the lake (the
+  * batch path is the replay authority, so no data is lost). Future
+  * state-shape changes follow the same contract: checkpoint continuity
+  * is NOT guaranteed across versions of this object; version the state
+  * case classes if a deployment ever needs in-place upgrade.
   */
 object SigmaStream {
 

@@ -293,6 +293,7 @@ object Scale {
           LinkRank.integerPageRank(
             d.select(col("doc_id").as("id")), edges, rounds = 3)
         }),
+        "q135_contrastive_pairs" -> SparkEntry.queries("q135_contrastive_pairs"),
         "q136_bpe_encode" -> SparkEntry.queries("q136_bpe_encode"),
         "q140_blocked_pairs" -> SparkEntry.queries("q140_blocked_pairs"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
@@ -372,6 +373,13 @@ object Scale {
     val rows = fam.map { case (q, fn) =>
       run(fn, base) // warm: JIT + codegen for this plan shape
       val (tb, mb) = run(fn, base)
+      // warm the SCALED dir too: composed fold/training queries memoize
+      // one-time artifacts (IVF lake fold, PQ codebooks, ANN ground
+      // truth) per sf dir — without this the scaled reading pays the
+      // one-time build inside its timed window while the base reading
+      // doesn't, inflating the ratio with setup cost instead of probe
+      // cost (the q156 5.16 artifact of round 16)
+      run(fn, tmp)
       val (ts, ms) = run(fn, tmp)
       println(f"$q%-24s $tb%8.2f $ts%9.2f ${ts / tb}%6.2f $factor%6d ${mb}%7dms ${ms}%7dms")
       (q, tb, ts, mb, ms)

@@ -274,6 +274,14 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toList == List(
       (11L, 32522L, Some("2"), Some("1")),
       (10L, 16393L, Some("1"), None)))
+    // modality names that are NOT bare lowercase identifiers (dots,
+    // dashes, reserved words) must parse and resolve identically — the
+    // fused expression quotes its derived rank columns
+    val out2 = Ranking.rrfFuse(
+        Seq("bm25.v2" -> lex, "select" -> vec), topK = 2)
+      .orderBy(col("rrf").desc, col("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(4)))
+    assert(out2.toList == List((11L, 32522L), (10L, 16393L)))
   }
 }
 

@@ -369,6 +369,67 @@ class OperatorsSpec extends SparkSpec {
     assert(out("c")._1 == 0L + draw("1:c|5:sum:v|2:v2|1:7"))
   }
 
+  test("dp histogram release: full public domain incl. empty buckets, " +
+      "edge clamping, NULL groups and NULL contributions") {
+    import graft.operators.Privacy
+    // domain [0, 3] of width-10 bins; group "a" has values in buckets
+    // 0 and 1 plus an out-of-range 95 (clamps into edge bucket 3) and a
+    // NULL contribution (skipped); the NULL group has one value; group
+    // "c" is all-NULL and must still release pure noise over the whole
+    // domain. Buckets 2 (everywhere) and most of NULL/"c"'s domain are
+    // EMPTY — they must still appear, as noise over zero (an absent row
+    // would reveal exact emptiness).
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 4L), ("a", 7L), ("a", 12L), ("a", 95L), ("a", null),
+      (null, 15L),
+      ("c", null))
+      .toDF("grp", "v")
+    val out = Privacy.dpHistogramRelease(df, Seq("grp"), "v",
+        binWidth = 10L, binLo = 0L, binHi = 3L,
+        epsilon = 1.0, seed = 9L, maxNoise = 20)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    // 3 groups × 4 buckets — the full public domain, empties included
+    assert(out.size == 12)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(grp: String, b: Long): Long = {
+      val key = s"${grp.length}:$grp|1:$b|9:hist:v:10|2:v2|1:9"
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      Privacy.dpThresholds(1.0, 20).count(_ <= hex) - 20L
+    }
+    // group a: bucket 0 = {4, 7}, bucket 1 = {12}, bucket 2 empty,
+    // bucket 3 = {95 clamped}; the NULL contribution never counts
+    assert(out((Some("a"), 0L)) == ((2L + draw("a", 0), draw("a", 0))))
+    assert(out((Some("a"), 1L)) == ((1L + draw("a", 1), draw("a", 1))))
+    assert(out((Some("a"), 2L)) == ((0L + draw("a", 2), draw("a", 2))))
+    assert(out((Some("a"), 3L)) == ((1L + draw("a", 3), draw("a", 3))))
+    // NULL group: sentinel-framed draw, value 15 in bucket 1
+    assert(out((None, 1L)) == ((1L + draw("\u0001", 1), draw("\u0001", 1))))
+    assert(out((None, 2L))._1 == draw("\u0001", 2)) // empty → pure noise
+    // all-NULL group releases pure noise across the whole domain
+    (0L to 3L).foreach { b =>
+      assert(out((Some("c"), b)) == ((draw("c", b), draw("c", b))))
+    }
+    // determinism: the same seed reproduces the release exactly
+    val again = Privacy.dpHistogramRelease(df, Seq("grp"), "v",
+        binWidth = 10L, binLo = 0L, binHi = 3L,
+        epsilon = 1.0, seed = 9L, maxNoise = 20)
+      .collect().map(_.toSeq).toSet
+    assert(again == Privacy.dpHistogramRelease(df, Seq("grp"), "v",
+        binWidth = 10L, binLo = 0L, binHi = 3L,
+        epsilon = 1.0, seed = 9L, maxNoise = 20)
+      .collect().map(_.toSeq).toSet)
+    // the histogram draw is NOT the count draw for the same group+seed
+    // (the hist:<col>:<width> domain component separates them)
+    val cnt = Privacy.dpCountRelease(df, Seq("grp"), epsilon = 1.0,
+        seed = 9L).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert((0L to 3L).exists(b => cnt(Some("a")) != out((Some("a"), b))._2))
+  }
+
   test("k-anonymity keeps NULL quasi-identifier rows as their own groups") {
     import graft.operators.Privacy
     // (null, "a") × 3 is a real over-k group; (null, null) × 1 and

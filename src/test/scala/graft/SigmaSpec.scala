@@ -1330,6 +1330,148 @@ class SigmaSpec extends SparkSpec {
     assert(SigmaRules.ecsGithubAudit("github.org") == "github.org")
   }
 
+  test("M365 federated-domain rule (SigmaHQ audit style) over the DERIVED " +
+      "o365 map") {
+    import graft.transform.managed.O365Audit
+    // SigmaHQ m365 audit-style rules spell the unified audit log's own
+    // PascalCase names: Workload + Operation (+ UserId)
+    def ual(id: Long, workload: String, op: String): String =
+      s"""{"CreationTime":"2024-07-01T00:00:0${id}Z","Id":"o$id",
+         |"Operation":"$op","OrganizationId":"org","RecordType":8,
+         |"ResultStatus":"Succeeded","UserId":"admin$id@corp.example",
+         |"UserType":2,"Workload":"$workload",
+         |"ObjectId":"corp.example"}""".stripMargin.replace("\n", "")
+    val events = O365Audit(Seq(
+      ual(1, "AzureActiveDirectory", "Set federation settings on domain."),
+      ual(2, "AzureActiveDirectory", "Add user."),
+      ual(3, "Exchange", "Set federation settings on domain."),
+      ual(4, "AzureActiveDirectory", "Set domain authentication."))
+      .toDF("json"))
+      .withColumn("id", expr("cast(substring(event.id, 2) as long)"))
+    val dir = java.nio.file.Files.createTempDirectory("sigma_o365")
+    java.nio.file.Files.writeString(
+      dir.resolve("m365_new_federated_domain_added.yml"),
+      """title: New Federated Domain Added
+        |status: test
+        |logsource:
+        |  product: m365
+        |  service: audit
+        |detection:
+        |  selection:
+        |    Workload: AzureActiveDirectory
+        |    Operation|contains: domain
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    val (rules, _) = SigmaRules.loadRulePack(dir.toString,
+      fieldMap = SigmaRules.ecsO365)
+    val hand = lower(col("event.provider")) === "azureactivedirectory" &&
+      lower(col("event.action")).contains("domain")
+    assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rules.head.detect) == Set(1L, 4L))
+    // derived-map spot checks: verbatim moves derive; computed moves are
+    // hand-kept (Operation) or pass through loudly (ResultStatus)
+    assert(SigmaRules.ecsO365("Workload") == "event.provider")
+    assert(SigmaRules.ecsO365("UserId") == "user.id")
+    assert(SigmaRules.ecsO365("ObjectId") == "o365.audit.object_id")
+    assert(SigmaRules.ecsO365("Operation") == "event.action")
+    assert(SigmaRules.ecsO365("ResultStatus") == "ResultStatus")
+  }
+
+  test("CrowdStrike Falcon 2FA-denied rule over the DERIVED falcon map") {
+    import graft.transform.managed.CrowdstrikeFalcon
+    def falcon(id: Long, et: String, op: String): String =
+      s"""{"metadata":{"eventType":"$et","eventCreationTime":${1719800000 + id},
+         |"offset":$id,"customerIDString":"cid","version":"1.0"},
+         |"event":{"OperationName":"$op","UserName":"u$id@corp.example",
+         |"UserId":"uid$id","Success":false,"ServiceName":"CrowdStrike"}}"""
+        .stripMargin.replace("\n", "")
+    val events = CrowdstrikeFalcon(Seq(
+      falcon(1, "AuthActivityAuditEvent", "twoFactorAuthenticate"),
+      falcon(2, "AuthActivityAuditEvent", "createUser"),
+      falcon(3, "UserActivityAuditEvent", "twoFactorAuthenticate"),
+      falcon(4, "AuthActivityAuditEvent", "twoFactorAuthenticate"))
+      .toDF("json"))
+      .withColumn("id", col("crowdstrike.metadata.offset"))
+    val dir = java.nio.file.Files.createTempDirectory("sigma_falcon")
+    java.nio.file.Files.writeString(dir.resolve("falcon_2fa_denied.yml"),
+      """title: Two-Factor Authentication Attempt
+        |status: test
+        |logsource:
+        |  product: crowdstrike
+        |  service: falcon
+        |detection:
+        |  selection:
+        |    metadata.eventType: AuthActivityAuditEvent
+        |    OperationName: twoFactorAuthenticate
+        |  condition: selection
+        |level: medium
+        |""".stripMargin)
+    val (rules, _) = SigmaRules.loadRulePack(dir.toString,
+      fieldMap = SigmaRules.ecsCrowdstrikeFalcon)
+    val hand =
+      lower(col("crowdstrike.metadata.event_type")) === "authactivityauditevent" &&
+      lower(col("crowdstrike.event.operation_name")) === "twofactorauthenticate"
+    assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rules.head.detect) == Set(1L, 4L))
+    // the envelope + verbatim scalars DERIVE; denull-scrubbed payload
+    // fields are hand-kept; computed casts pass through loudly
+    assert(SigmaRules.ecsCrowdstrikeFalcon("metadata.eventType")
+      == "crowdstrike.metadata.event_type")
+    assert(SigmaRules.ecsCrowdstrikeFalcon("Success")
+      == "crowdstrike.event.success")
+    assert(SigmaRules.ecsCrowdstrikeFalcon("OperationName")
+      == "crowdstrike.event.operation_name")
+    assert(SigmaRules.ecsCrowdstrikeFalcon("ComputerName") == "host.name")
+    assert(SigmaRules.ecsCrowdstrikeFalcon("Severity") == "Severity")
+  }
+
+  test("Suricata ET-alert rule over the DERIVED suricata map") {
+    import graft.transform.managed.Suricata
+    def eve(id: Long, et: String, sig: String): String =
+      s"""{"timestamp":"2024-07-01T00:00:0$id.000000+0000","event_type":"$et",
+         |"flow_id":$id,"src_ip":"10.0.0.$id","src_port":4431,
+         |"dest_ip":"203.0.113.$id","dest_port":80,"proto":"TCP",
+         |"alert":{"action":"allowed","category":"Attempted Admin",
+         |"signature":"$sig","signature_id":${2019400 + id},"severity":1}}"""
+        .stripMargin.replace("\n", "")
+    val events = Suricata(Seq(
+      eve(1, "alert", "ET EXPLOIT Possible CVE-2024-0001 Attempt"),
+      eve(2, "alert", "ET SCAN Nmap User-Agent"),
+      eve(3, "http", "ET EXPLOIT in a non-alert row"),
+      eve(4, "alert", "ET EXPLOIT Shellcode Detected"))
+      .toDF("json"))
+      .withColumn("id", expr("cast(suricata.eve.flow_id as long)"))
+    val dir = java.nio.file.Files.createTempDirectory("sigma_suricata")
+    java.nio.file.Files.writeString(dir.resolve("suricata_et_exploit.yml"),
+      """title: Suricata ET EXPLOIT Alert
+        |status: test
+        |logsource:
+        |  product: suricata
+        |detection:
+        |  selection:
+        |    event_type: alert
+        |    alert.signature|contains: ET EXPLOIT
+        |  condition: selection
+        |level: high
+        |""".stripMargin)
+    val (rules, _) = SigmaRules.loadRulePack(dir.toString,
+      fieldMap = SigmaRules.ecsSuricata)
+    val hand = lower(col("suricata.eve.event_type")) === "alert" &&
+      lower(col("rule.name")).contains("et exploit")
+    assert(matchedIds(events, rules.head.detect) == matchedIds(events, hand))
+    assert(matchedIds(events, rules.head.detect) == Set(1L, 4L))
+    // hoists win over the suricata.eve.* struct copies; the typed vendor
+    // copy wins where the hoist is a cast; ECS spellings pass through
+    assert(SigmaRules.ecsSuricata("alert.signature") == "rule.name")
+    assert(SigmaRules.ecsSuricata("alert.severity") == "event.severity")
+    assert(SigmaRules.ecsSuricata("alert.signature_id")
+      == "suricata.eve.alert.signature_id")
+    assert(SigmaRules.ecsSuricata("event_type") == "suricata.eve.event_type")
+    assert(SigmaRules.ecsSuricata("http.url") == "url.original")
+    assert(SigmaRules.ecsSuricata("dns.question.name") == "dns.question.name")
+  }
+
   test("near() aggregation ≡ hand-built window predicate") {
     import java.sql.Timestamp
     def t(day: Int, h: Int) = new Timestamp(
@@ -1426,5 +1568,61 @@ class SigmaSpec extends SparkSpec {
     val u1 = events.filter(col("user_id") === 1L)
     assert(SigmaRules.correlationMatches(u1, Seq(rule),
       rule.correlation.get).count() == 0L)
+  }
+
+  test("nearProximityMatches: an over-broadcast match set falls back to the " +
+      "time-bucketed equi join — identical results, broadcast-free plan") {
+    import java.sql.Timestamp
+    def ts(day: Int, hm: String) = new Timestamp(
+      java.time.Instant.parse(f"2024-02-$day%02dT$hm:00Z").toEpochMilli)
+    // the q158 fixture class plus an exact-boundary pair (|Δt| = tf,
+    // straddling a bucket edge) to pin the ±1-neighbor expansion
+    val events = Seq(
+      (10L, Option(1L), "view", ts(1, "23:59")),
+      (11L, Option(1L), "purchase", ts(2, "00:01")),
+      (20L, Option(2L), "view", ts(3, "12:00")),
+      (21L, Option(2L), "purchase", ts(3, "12:05")),
+      (22L, Option(2L), "click", ts(3, "12:08")),
+      (30L, Option(3L), "purchase", ts(4, "08:00")),
+      (31L, Option(3L), "view", ts(4, "08:11")),
+      (40L, Option(4L), "purchase", ts(2, "00:02")),
+      (50L, None, "purchase", ts(5, "09:00")),
+      (51L, None, "view", ts(5, "09:04")),
+      (60L, Option(5L), "view", ts(6, "10:00")),
+      (61L, Option(5L), "purchase", ts(6, "10:10")))
+      .toDF("id", "user_id", "event_type", "ts")
+    def run(maxBytes: Long) = SigmaRules.nearProximityMatches(events,
+      base = col("event_type") === "purchase",
+      positives = Seq(col("event_type") === "view"),
+      negatives = Seq(col("event_type") === "click"),
+      timeframeSeconds = 600L, groupBy = Seq("user_id"),
+      broadcastMaxBytes = maxBytes)
+    val viaBroadcast = run(64L * 1024 * 1024)
+    val viaBuckets = run(1L) // every selection side is "too big"
+    val expected = Set(11L, 50L, 61L)
+    assert(viaBroadcast.select(col("id")).collect()
+      .map(_.getLong(0)).toSet == expected)
+    assert(viaBuckets.select(col("id")).collect()
+      .map(_.getLong(0)).toSet == expected,
+      "bucketed fallback must be result-identical")
+    // With the planner's own size-based conversion disabled, only a
+    // user-forced hint can produce a broadcast: the gated path still
+    // carries one, the fallback must carry NONE (at 100 TB the planner
+    // would make the same call for real).
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val planBkt = run(1L).queryExecution.sparkPlan.toString
+      assert(!planBkt.contains("Broadcast"),
+        s"fallback plan must carry no broadcast hint:\n$planBkt")
+      // equi-key extraction: the fallback joins must be hash/sort-merge,
+      // never nested-loop (which a pure range condition would force)
+      assert(!planBkt.contains("NestedLoop"),
+        s"fallback must keep equi keys:\n$planBkt")
+      val planBc = run(64L * 1024 * 1024).queryExecution.sparkPlan.toString
+      assert(planBc.contains("Broadcast"),
+        "gated path keeps its hint for fitting match sets")
+    } finally spark.conf.set(thresholdKey, saved)
   }
 }

@@ -229,6 +229,45 @@ class SnapshotsSpec extends SparkSpec {
       .head.getString(0) == "2024-03-01-07")
   }
 
+  test("mergeUpsert: an Int-typed update pk against a Long lake pk is " +
+      "rejected loudly BEFORE any staging I/O (driver-side pk == is only " +
+      "sound under identical types)") {
+    val t = Files.createTempDirectory("snap_pk_type").toString
+    Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)
+    val before = Snapshots.currentVersion(t).get
+    // update pk column is INT — the Spark join would coerce it against
+    // the lake's LONG pk, but the fast path's driver-side Scala ==
+    // between collected pk values would see Integer vs Long and classify
+    // every matched update as an insert; the schema contract rejects the
+    // type conflict up front instead (explicit casting required), before
+    // any file is staged
+    val updates = Seq((5, "UPD5", ts("2024-03-01 05:10:00")),
+      (7, "UPD7", ts("2024-03-01 05:10:00"))).toDF("id", "name", "ts")
+    assert(updates.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val err = intercept[RuntimeException] {
+      Snapshots.mergeUpsert(spark, t, updates, "id")
+    }
+    assert(err.getMessage.contains("schema evolution conflict"))
+    assert(Snapshots.currentVersion(t).get == before, "no commit")
+    // rejection precedes staging: no orphaned data files beyond the
+    // committed ones
+    val committed = Snapshots.read(spark, t).inputFiles.length
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(t)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    assert(onDisk == committed, s"staged orphans: $onDisk vs $committed")
+    // the explicitly-cast form merges cleanly on the fast path
+    Snapshots.mergeUpsert(spark, t,
+      updates.withColumn("id", col("id").cast("long")), "id")
+    val out = Snapshots.read(spark, t)
+    assert(out.count() == 10, "matched updates must not duplicate as inserts")
+    assert(out.filter(col("id") === 5L).select("name").head.getString(0) == "UPD5")
+    assert(out.filter(col("id") === 7L).select("name").head.getString(0) == "UPD7")
+  }
+
   test("mergeUpsert: insert-only updates (no key matches) append cleanly") {
     val t = Files.createTempDirectory("snap_insert_only").toString
     Snapshots.append(mkRows(1 to 10, "2024-03-01 05"), t)

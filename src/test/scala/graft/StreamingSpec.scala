@@ -535,6 +535,49 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == Set(11L), s"straddle fires, veto holds: $got2")
   }
 
+  test("streaming near() proximity: a fold inside a pending base's open " +
+      "horizon must not prune its evidence or its veto") {
+    import graft.streaming.ProximityStream
+    import java.sql.Timestamp
+    // tf = 600 s, delay = 0. Batch 1 parks two pending bases:
+    //   user 1: view@1000 (evidence), purchase@1500  → must FIRE
+    //   user 2: click@1000 (veto), view@1450, purchase@1500 → must NOT fire
+    // Batch 2 moves the watermark to 1500; batch 3 (wm = 2000, inside both
+    // bases' open horizons ending 2100) folds both groups via an
+    // out-of-window view@2150. A floor of wm − tf = 1400 would prune
+    // user 1's evidence (dropping a true match) and user 2's veto
+    // (raising a false one); the pending-aware floor keeps both.
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val in3 = MemoryStream[(Long, Long, String, Timestamp)](spark)
+    val sdf3 = in3.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q3 = ProximityStream.nearProximityStream(sdf3,
+        base = col("event_type") === "purchase",
+        positives = Seq(col("event_type") === "view"),
+        negatives = Seq(col("event_type") === "click"),
+        timeframeSeconds = 600L, groupBy = Seq("user_id"),
+        idCol = "event_id", tsCol = "ts")
+      .writeStream.format("memory").queryName("px_pending_prune")
+      .outputMode("append").start()
+    in3.addData(
+      (10L, 1L, "view", ts(1000)), (11L, 1L, "purchase", ts(1500)),
+      (20L, 2L, "click", ts(1000)), (21L, 2L, "view", ts(1450)),
+      (22L, 2L, "purchase", ts(1500)))
+    q3.processAllAvailable()
+    // watermark → 1500 (no fold for users 1/2: no data, horizons open)
+    in3.addData((0L, 9L, "view", ts(2000))); q3.processAllAvailable()
+    // wm = 2000 during this batch: both groups fold with bases pending
+    in3.addData((30L, 1L, "view", ts(2150)), (31L, 2L, "view", ts(2150)))
+    q3.processAllAvailable()
+    // close every horizon, then sweep timeouts
+    in3.addData((0L, 9L, "view", ts(4000))); q3.processAllAvailable()
+    in3.addData((0L, 9L, "view", ts(8000))); q3.processAllAvailable()
+    q3.stop()
+    val got3 = spark.table("px_pending_prune")
+      .select(col("id")).as[Long].collect().toSet
+    assert(got3 == Set(11L),
+      s"pending base keeps its evidence and its veto across folds: $got3")
+  }
+
   test("streaming funnel: late cross-batch events never corrupt locked stages") {
     import graft.streaming.Funnel
     import java.sql.Timestamp
