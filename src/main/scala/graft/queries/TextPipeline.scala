@@ -118,6 +118,56 @@ object TextPipeline {
   private def sqlMhChunk(j: Int): String =
     s"list_min(list_transform(hs${j / 4}, h -> substr(h, ${(j % 4) * 8 + 1}, 8)))"
 
+  /** q163's unrolled unigram-LM Viterbi DP, round `r`: one candidate CTE
+    * + one best-pick CTE per character position (max token length 9 —
+    * the operator's DECIMAL(38) width bound), reading scores from CTE
+    * `s$r` and the previous positions `d${r}_{j-k}`. Exact HUGEINT
+    * arithmetic on the common 10⁴ʲ denominator; the (n DESC, k DESC,
+    * seg DESC) pick mirrors the operator's greatest(struct(n, k, seg)).
+    * The sqlLloydSub convention: the oracle re-derives every round from
+    * raw data — nothing trained leaks across as a literal.
+    */
+  private def sqlUnigramRound(r: Int, maxPieceLen: Int): String = {
+    val levels = (1 to 9).map { j =>
+      val unions = (1 to math.min(maxPieceLen, j)).map { k =>
+        val factor = math.pow(10, 4 * (k - 1)).toLong
+        s"""SELECT p.tok, p.freq,
+               p.n * s.sc * ${factor}::HUGEINT AS n, $k AS k,
+               CASE WHEN p.seg IS NULL THEN s.piece
+                    ELSE p.seg || ' ' || s.piece END AS seg
+             FROM d${r}_${j - k} p
+             JOIN s$r s ON s.piece = substr(p.tok, ${j - k + 1}, $k)
+             WHERE length(p.tok) >= $j"""
+      }.mkString("\n             UNION ALL\n             ")
+      s"""c${r}_$j AS ($unions),
+         d${r}_$j AS MATERIALIZED (SELECT tok, freq, n, seg FROM (
+             SELECT tok, freq, n, seg,
+                    ROW_NUMBER() OVER (PARTITION BY tok
+                      ORDER BY n DESC, k DESC, seg DESC) AS rn
+             FROM c${r}_$j) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val allLevels = (1 to 9)
+      .map(j => s"SELECT tok, freq, seg, $j AS lvl FROM d${r}_$j")
+      .mkString("\n             UNION ALL ")
+    s"""s$r AS MATERIALIZED (SELECT piece,
+               GREATEST(1, (cnt * 10000) // (SELECT SUM(cnt) FROM v${r - 1}))
+                 AS sc
+             FROM v${r - 1}),
+         d${r}_0 AS MATERIALIZED (SELECT tok, freq, 1::HUGEINT AS n,
+                                  NULL::VARCHAR AS seg
+                     FROM toks),
+         $levels,
+         all$r AS ($allLevels),
+         fin$r AS (SELECT freq, seg FROM all$r WHERE lvl = length(tok)),
+         u$r AS (SELECT piece, SUM(freq)::BIGINT AS cnt FROM (
+                   SELECT freq, unnest(string_split(seg, ' ')) AS piece
+                   FROM fin$r)
+                 GROUP BY piece),
+         v$r AS MATERIALIZED (SELECT v.piece, COALESCE(u.cnt, 0)::BIGINT AS cnt
+                 FROM v${r - 1} v LEFT JOIN u$r u USING (piece)
+                 WHERE length(v.piece) = 1 OR u.cnt IS NOT NULL)"""
+  }
+
   /** Shared oracle for the 16-wide grayscale → 4×4 block-mean thumbnail +
     * luminance stats pipeline. q47 feeds it raw pixel payloads; q62 first
     * PNG-encodes and javax.imageio-decodes the same pixels (PNG is
@@ -2878,6 +2928,72 @@ object TextPipeline {
                  AS released
         FROM z ORDER BY src, bucket"""
       }),
+
+    // ---- q163: unigram-LM tokenizer training (the SentencePiece recipe
+    // family) — the second published tokenizer-training recipe next to
+    // BPE (q102/q136), in the repo's exact-arithmetic hard-EM variant
+    // (see Unigram.scala's scaladoc for the documented deviations:
+    // Viterbi counts for the float forward–backward, integer 10⁴-basis
+    // quantized scores via exact floor division, prune-on-zero-usage).
+    // Seed = all 1..4-char substrings of the en whitespace vocabulary
+    // (singles always kept — coverage), two hard-EM rounds, final model
+    // = (piece, usage count, quantized score). The oracle re-derives
+    // BOTH rounds from raw text: seed counts, quantized scores, the
+    // 9-level Viterbi DP per round (HUGEINT products on the common 10⁴ʲ
+    // denominator — exactly the operator's DECIMAL(38) arithmetic), the
+    // usage re-count and the prune. Nothing trained crosses as a
+    // literal (the sqlLloydSub discipline).
+    QueryDef(
+      "q163_unigram_lm",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.Unigram
+        // pinned repartition before the tokenize explode (the q105
+        // single-row-group lesson)
+        val en = docs(s, dir).filter(col("lang") === "en")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val pre = en
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val model = Unigram.trainUnigram(pre, vocabSize = 40, rounds = 2)
+        import s.implicits._
+        model.map(m => (m.piece, m.count, m.score))
+          .toDF("piece", "n_uses", "score")
+          .orderBy(col("piece"))
+      },
+      Some(s"""
+        WITH toks AS MATERIALIZED (SELECT tok, COUNT(*)::BIGINT AS freq FROM (
+                        SELECT unnest(tk) AS tok FROM (
+                          SELECT $sqlToks AS tk FROM documents
+                          WHERE lang = 'en'))
+                      WHERE length(tok) BETWEEN 1 AND 9
+                      GROUP BY tok),
+             seed AS MATERIALIZED (SELECT piece, SUM(freq)::BIGINT AS cnt FROM (
+                        SELECT freq, unnest(flatten(list_transform(
+                          range(1, length(tok) + 1), i ->
+                            list_transform(range(1, 5), l ->
+                              CASE WHEN i + l - 1 <= length(tok)
+                                   THEN substr(tok, i, l) END)))) AS piece
+                        FROM toks)
+                      WHERE piece IS NOT NULL GROUP BY piece),
+             singles AS MATERIALIZED (SELECT piece, cnt FROM (
+                           SELECT piece, cnt, ROW_NUMBER() OVER (
+                             ORDER BY cnt DESC, piece) AS rn
+                           FROM seed WHERE length(piece) = 1)
+                         WHERE rn <= 40),
+             multis AS (SELECT piece, cnt FROM (
+                          SELECT piece, cnt, ROW_NUMBER() OVER (
+                            ORDER BY cnt DESC, piece) AS rn
+                          FROM seed WHERE length(piece) > 1)
+                        WHERE rn <= 40 - (SELECT COUNT(*) FROM singles)),
+             v0 AS MATERIALIZED (SELECT piece, cnt FROM singles
+                    UNION ALL SELECT piece, cnt FROM multis),
+             ${sqlUnigramRound(1, 4)},
+             ${sqlUnigramRound(2, 4)}
+        SELECT piece, cnt AS n_uses,
+               GREATEST(1, (cnt * 10000) // (SELECT SUM(cnt) FROM v2))
+                 ::BIGINT AS score
+        FROM v2 ORDER BY piece""")),
 
     // ---- q151: quality-arbitrated dedup — keep the BEST copy of each
     // near-dup cluster (q67's clusters), not the min-id canonical: the

@@ -1211,6 +1211,67 @@ class OperatorsSpec extends SparkSpec {
     assert(novel == Seq("ab", "z"))
   }
 
+  test("unigram-LM training: hard-EM rounds with exact quantized scores, " +
+      "zero-usage pruning, single-char coverage") {
+    import graft.operators.Unigram
+    // seed (maxPieceLen 2, freq-weighted positional counts):
+    //   a = 2·2 + 3 = 7, b = 2·2 + 3 + 1 = 8, ab = 2·2 + 3 = 7, ba = 2
+    // round-0 scores over T = 24: b 3333, a/ab 2916, ba 833
+    // Viterbi: "ab" → [ab] (1·2916·10⁴ beats 2916·3333),
+    //   "abab" → [ab, ab], "b" → [b]
+    // usage: ab = 2·2 + 3 = 7, b = 1, a = 0 (kept: single char),
+    //   ba = 0 (PRUNED: multi-char)
+    // round 2 re-segments identically; final scores over T = 8:
+    //   ab 8750, b 1250, a max(1, 0) = 1
+    val pre = Seq(("abab", 2L), ("ab", 3L), ("b", 1L)).toDF("tok", "freq")
+    val model = Unigram.trainUnigram(pre, vocabSize = 6, rounds = 2,
+      maxPieceLen = 2)
+    assert(model.map(m => (m.piece, m.count, m.score)) == Seq(
+      ("ab", 7L, 8750L), ("b", 1L, 1250L), ("a", 0L, 1L)))
+    // encode with the frozen model reproduces the trainer's segmentation
+    val enc = Unigram.encodeUnigram(pre, model, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(enc("abab") == (("ab ab", 2L)))
+    assert(enc("ab") == (("ab", 1L)))
+    assert(enc("b") == (("b", 1L)))
+    // determinism: retraining reproduces the model exactly
+    assert(Unigram.trainUnigram(pre, vocabSize = 6, rounds = 2,
+      maxPieceLen = 2) == model)
+    // tokens longer than the DECIMAL(38) width bound are excluded from
+    // training, not mis-scored
+    val withLong = pre.union(Seq(("abababababab", 100L)).toDF("tok", "freq"))
+    assert(Unigram.trainUnigram(withLong, vocabSize = 6, rounds = 2,
+      maxPieceLen = 2) == model)
+  }
+
+  test("unigram-LM Viterbi: likelihood beats fewest-pieces when scores say " +
+      "so; ties break to the longer last piece") {
+    import graft.operators.Unigram
+    // hand model: "xy" is RARE (score 1), singles are common — the
+    // two-piece [x, y] (5000·5000·1 = 2.5e7 on the 10⁴·2 denominator)
+    // must beat the one-piece [xy] (1·10⁴ = 1e4): a fewest-pieces
+    // objective would get this wrong
+    val model = Seq(
+      Unigram.UnigramPiece("x", 0L, 5000L),
+      Unigram.UnigramPiece("y", 0L, 5000L),
+      Unigram.UnigramPiece("xy", 0L, 1L))
+    val out = Unigram.encodeUnigram(
+        Seq(("xy", 1L)).toDF("tok", "freq"), model, maxPieceLen = 2)
+      .head.getString(2)
+    assert(out == "x y")
+    // exact tie (score·10⁴ equal both ways): longer last piece wins
+    val tied = Seq(
+      Unigram.UnigramPiece("p", 0L, 100L),
+      Unigram.UnigramPiece("q", 0L, 100L),
+      Unigram.UnigramPiece("pq", 0L, 1L))
+    // [p,q] = 100·100 = 10⁴; [pq] = 1·10⁴ = 10⁴ → tie → k=2 wins
+    val t = Unigram.encodeUnigram(
+        Seq(("pq", 1L)).toDF("tok", "freq"), tied, maxPieceLen = 2)
+      .head.getString(2)
+    assert(t == "pq")
+  }
+
   test("semanticDedup: lower id wins in-cluster, fail-open above the cap") {
     import graft.operators.Similarity
     // codes chosen so cosineInt8(a, b) = 1.0 for parallel vectors
