@@ -221,6 +221,10 @@ object LogAnalytics {
         val lines = t(s, dir, "events")
           .filter(col("event_id") % 17 === 0) // sample: regex cost control
           .select(col("event_id"), col("user_id"))
+          // pinned repartition before the JSON-build + full managed
+          // transform: the single-row-group events scan otherwise
+          // serializes the whole transform on one task (q105 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("event_id"))
           .withColumn("message", concat(
             lit("2024-01-01T00:00:00.000000Z my-lb 192.168."),
             col("user_id") % 200, lit("."), col("event_id") % 250 + 1,
@@ -327,6 +331,10 @@ object LogAnalytics {
         val lines = t(s, dir, "events")
           .filter(col("event_id") % 13 === 0) // sample: JSON-build cost control
           .select(col("event_id"), col("user_id"))
+          // pinned repartition before the JSON-build + full managed
+          // transform: the single-row-group events scan otherwise
+          // serializes the whole transform on one task (q105 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("event_id"))
           .withColumn("json", concat(
             lit("{\"ts\":"), col("event_id") + 1700000000L,
             lit(".0,\"uid\":\"C"), col("event_id"),
@@ -401,6 +409,10 @@ object LogAnalytics {
         val lines = t(s, dir, "events")
           .filter(col("event_id") % 17 === 0)
           .select(col("event_id"), col("user_id"))
+          // pinned repartition before the JSON-build + full managed
+          // transform: the single-row-group events scan otherwise
+          // serializes the whole transform on one task (q105 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("event_id"))
           .withColumn("json", concat(
             lit("{\"ts\":"), col("event_id") + 1700000000L,
             lit(".0,\"uid\":\"C"), col("event_id"),
@@ -453,6 +465,10 @@ object LogAnalytics {
         val lines = t(s, dir, "events")
           .filter(col("event_id") % 19 === 0)
           .select(col("event_id"), col("user_id"))
+          // pinned repartition before the JSON-build + full managed
+          // transform: the single-row-group events scan otherwise
+          // serializes the whole transform on one task (q105 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("event_id"))
           .withColumn("json", concat(
             lit("{\"metadata\":{\"eventType\":\"DetectionSummaryEvent\",\"eventCreationTime\":"),
             when(col("event_id") % 2 === 0, ms).otherwise(secs),

@@ -506,6 +506,10 @@ object TextPipeline {
       "q47_thumbnail",
       (s, dir) => {
         val d = docs(s, dir)
+          // pinned repartition before the JDK-codec encode/decode chain:
+          // the single-row-group corpus scan otherwise serializes the
+          // whole mapPartitions decode on one task (q105 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("payload", encode(col("text"), "utf-8"))
           .filter(length(col("payload")) >= 16)
           .withColumn("w", lit(16))
@@ -530,6 +534,10 @@ object TextPipeline {
       "q62_image_decode",
       (s, dir) => {
         val d = docs(s, dir)
+          // pinned repartition before the JDK-codec encode/decode chain:
+          // the single-row-group corpus scan otherwise serializes the
+          // whole mapPartitions decode on one task (q105 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("payload", encode(col("text"), "utf-8"))
           .filter(length(col("payload")) >= 16)
           .withColumn("w", lit(16))
@@ -610,6 +618,10 @@ object TextPipeline {
       "q71_gif_frames",
       (s, dir) => {
         val d = docs(s, dir)
+          // pinned repartition before the JDK-codec encode/decode chain:
+          // the single-row-group corpus scan otherwise serializes the
+          // whole mapPartitions decode on one task (q105 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("payload", encode(col("text"), "utf-8"))
           .select("doc_id", "payload")
         val gifs = Multimodal.encodeFramesGif(s, d, "doc_id", "payload",
