@@ -225,7 +225,12 @@ object TextPipeline {
     QueryDef(
       "q30_fingerprints",
       (s, dir) =>
-        TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+        TextAnalysis.fingerprints(
+            // pinned repartition: per-row shingle+md5 CPU would otherwise
+            // serialize on the single-row-group scan (q105 lesson)
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
           .orderBy(col("doc_id")),
       Some(s"""
         WITH t AS (SELECT doc_id, text, $sqlToks AS tk FROM documents),
@@ -240,7 +245,10 @@ object TextPipeline {
     QueryDef(
       "q31_minhash_signatures",
       (s, dir) =>
-        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", numHashes = 4)
+        Dedup.minhashSignatures(
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text", numHashes = 4)
           .orderBy(col("doc_id")),
       Some(s"""
         WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
@@ -266,7 +274,12 @@ object TextPipeline {
         // ContextCleaner — not a CacheManager entry) and only then is sets
         // unpersisted, so library callers don't inherit a cached frame and
         // nothing recomputes the shingle pass.
-        val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+        val sets = Dedup.shingleFrame(
+            // pinned repartition before the tokenize+shingle expansion
+            // (the q105 single-row-group lesson)
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // the oracle derivation is exhaustive: complete pairing via the
         // blocked schedule (identical pair set to the uncapped join,
@@ -314,7 +327,12 @@ object TextPipeline {
     QueryDef(
       "q120_fuzzy_join",
       (s, dir) => {
-        val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+        val sets = Dedup.shingleFrame(
+            // pinned repartition before the tokenize+shingle expansion
+            // (the q105 single-row-group lesson)
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // exhaustive candidates via the blocked schedule (see q140)
         val cands = Dedup.blockedCandidatePairs(
@@ -404,7 +422,10 @@ object TextPipeline {
     QueryDef(
       "q33_simhash",
       (s, dir) =>
-        Dedup.simhashKeys(docs(s, dir), "doc_id", "text")
+        Dedup.simhashKeys(
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
           .orderBy(col("doc_id")),
       Some(s"""
         WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
@@ -2585,7 +2606,12 @@ object TextPipeline {
     QueryDef(
       "q140_blocked_pairs",
       (s, dir) => {
-        val sets = Dedup.shingleFrame(docs(s, dir), "doc_id", "text")
+        val sets = Dedup.shingleFrame(
+            // pinned repartition before the tokenize+shingle expansion
+            // (the q105 single-row-group lesson)
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = Dedup.blockedCandidatePairs(
           Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
@@ -2640,7 +2666,10 @@ object TextPipeline {
       (s, dir) => {
         import graft.operators.TextAnalysis
         import graft.operators.Ranking
-        val scored = TextAnalysis.bigramFamiliarity(docs(s, dir), "doc_id", "text")
+        val scored = TextAnalysis.bigramFamiliarity(
+            docs(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = scored.count() // one scalar: ranked population size
         val cut = n / 10 // bottom decile suppressed
@@ -3078,7 +3107,10 @@ object TextPipeline {
     QueryDef(
       "q152_fuzzy_decontaminate",
       (s, dir) => {
-        val d = docs(s, dir)
+        // pinned repartition: both split sides feed tokenize+shingle
+        // chains (q105 single-row-group lesson)
+        val d = docs(s, dir).repartition(
+          s.sparkContext.defaultParallelism, col("doc_id"))
         graft.operators.Curation.fuzzyDecontaminate(
             train = d.filter(col("doc_id") % 10 =!= 0),
             test = d.filter(col("doc_id") % 10 === 0),
