@@ -294,6 +294,12 @@ object Scale {
             d.select(col("doc_id").as("id")), edges, rounds = 3)
         }),
         "q135_contrastive_pairs" -> SparkEntry.queries("q135_contrastive_pairs"),
+        // round-17 additions: DP histogram (bounded domain explode) and
+        // unigram-LM training (corpus → Heaps-bounded pretoken table →
+        // per-round projections)
+        "q162_dp_histogram" -> SparkEntry.queries("q162_dp_histogram"),
+        "q163_unigram_lm" -> SparkEntry.queries("q163_unigram_lm"),
+        "q152_fuzzy_decontaminate" -> SparkEntry.queries("q152_fuzzy_decontaminate"),
         "q136_bpe_encode" -> SparkEntry.queries("q136_bpe_encode"),
         "q140_blocked_pairs" -> SparkEntry.queries("q140_blocked_pairs"),
         "q109_fold" -> ((s: SparkSession, dir: String) => {
