@@ -314,6 +314,20 @@ object SigmaRules {
     (f: String) => computedMoves.getOrElse(f.toLowerCase, derived(f))
   }
 
+  // DERIVATION BOUNDARY (documented per the round-16 review): the field
+  // maps above exist for every managed source whose transform PARSES A
+  // JSON ROOT — FieldMapDerive extracts correspondences from the
+  // from_json expression tree, so a source with no such root is out of
+  // derivation's reach BY CONSTRUCTION, not by omission:
+  //   - panw_traffic: CSV-positional syslog (field i of a split line);
+  //     every output is a positional pick, no raw leaf names exist.
+  //   - aws_elb / s3_access: grok/regex line formats — captures are
+  //     computed extractions, not verbatim column moves.
+  // Rules for those sources address the emitted ECS/vendor columns
+  // directly (which pass through any map unchanged); a raw-name map
+  // would have to be entirely hand-kept, forfeiting the can't-drift
+  // property that is the point of the derived family.
+
   /** Parse one Sigma rule document and compile its detection to a
     * predicate. `fieldMap` renames Sigma field names to the event
     * table's columns (e.g. [[ecsCloudtrail]]); `keywordField` is the

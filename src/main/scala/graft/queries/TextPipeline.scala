@@ -127,7 +127,8 @@ object TextPipeline {
     * The sqlLloydSub convention: the oracle re-derives every round from
     * raw data — nothing trained leaks across as a literal.
     */
-  private def sqlUnigramRound(r: Int, maxPieceLen: Int): String = {
+  private def sqlUnigramRound(r: Int, maxPieceLen: Int,
+      withUsage: Boolean = true): String = {
     val levels = (1 to 9).map { j =>
       val unions = (1 to math.min(maxPieceLen, j)).map { k =>
         val factor = math.pow(10, 4 * (k - 1)).toLong
@@ -158,14 +159,15 @@ object TextPipeline {
                      FROM toks),
          $levels,
          all$r AS ($allLevels),
-         fin$r AS (SELECT freq, seg FROM all$r WHERE lvl = length(tok)),
+         fin$r AS (SELECT tok, freq, seg FROM all$r
+                   WHERE lvl = length(tok))""" + (if (!withUsage) "" else s""",
          u$r AS (SELECT piece, SUM(freq)::BIGINT AS cnt FROM (
                    SELECT freq, unnest(string_split(seg, ' ')) AS piece
                    FROM fin$r)
                  GROUP BY piece),
          v$r AS MATERIALIZED (SELECT v.piece, COALESCE(u.cnt, 0)::BIGINT AS cnt
                  FROM v${r - 1} v LEFT JOIN u$r u USING (piece)
-                 WHERE length(v.piece) = 1 OR u.cnt IS NOT NULL)"""
+                 WHERE length(v.piece) = 1 OR u.cnt IS NOT NULL)""")
   }
 
   /** Shared oracle for the 16-wide grayscale → 4×4 block-mean thumbnail +
@@ -3035,6 +3037,84 @@ object TextPipeline {
                GREATEST(1, (cnt * 10000) // (SELECT SUM(cnt) FROM v2))
                  ::BIGINT AS score
         FROM v2 ORDER BY piece""")),
+
+    // ---- q164: unigram ENCODE with the trained model — the apply half
+    // of q163 (q136's BPE-encode counterpart, how a production
+    // SentencePiece-style tokenizer ships: train once, freeze the
+    // scores, Viterbi-segment everything with the frozen model). Each
+    // DISTINCT pretoken segments once (the q136 vocab-cache shape — the
+    // DP runs |vocab| times, not once per corpus occurrence) and the
+    // doc-level compression ledger (pretokens, chars, model pieces)
+    // re-attaches by one slim join. The oracle re-trains both EM rounds
+    // AND re-runs the frozen-model Viterbi as a third unrolled DP under
+    // the FINAL scores — nothing trained crosses as a literal.
+    QueryDef(
+      "q164_unigram_encode",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.Unigram
+        val en = docs(s, dir).filter(col("lang") === "en")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val tokened = en.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val pre = tokened.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val model = Unigram.trainUnigram(pre, vocabSize = 40, rounds = 2)
+        val enc = Unigram.encodeUnigram(pre, model)
+          .select(col("tok"), col("n_pieces"))
+        val out = tokened.join(enc, "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pretokens"),
+            sum(length(col("tok"))).cast("long").as("n_chars"),
+            sum(col("n_pieces")).as("n_pieces"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true) // scoped cache: release pre below
+        pre.unpersist(false)
+        out
+      },
+      Some(s"""
+        WITH toks AS MATERIALIZED (SELECT tok, COUNT(*)::BIGINT AS freq FROM (
+                        SELECT unnest(tk) AS tok FROM (
+                          SELECT $sqlToks AS tk FROM documents
+                          WHERE lang = 'en'))
+                      WHERE length(tok) BETWEEN 1 AND 9
+                      GROUP BY tok),
+             seed AS MATERIALIZED (SELECT piece, SUM(freq)::BIGINT AS cnt FROM (
+                        SELECT freq, unnest(flatten(list_transform(
+                          range(1, length(tok) + 1), i ->
+                            list_transform(range(1, 5), l ->
+                              CASE WHEN i + l - 1 <= length(tok)
+                                   THEN substr(tok, i, l) END)))) AS piece
+                        FROM toks)
+                      WHERE piece IS NOT NULL GROUP BY piece),
+             singles AS MATERIALIZED (SELECT piece, cnt FROM (
+                           SELECT piece, cnt, ROW_NUMBER() OVER (
+                             ORDER BY cnt DESC, piece) AS rn
+                           FROM seed WHERE length(piece) = 1)
+                         WHERE rn <= 40),
+             multis AS (SELECT piece, cnt FROM (
+                          SELECT piece, cnt, ROW_NUMBER() OVER (
+                            ORDER BY cnt DESC, piece) AS rn
+                          FROM seed WHERE length(piece) > 1)
+                        WHERE rn <= 40 - (SELECT COUNT(*) FROM singles)),
+             v0 AS MATERIALIZED (SELECT piece, cnt FROM singles
+                    UNION ALL SELECT piece, cnt FROM multis),
+             ${sqlUnigramRound(1, 4)},
+             ${sqlUnigramRound(2, 4)},
+             ${sqlUnigramRound(3, 4, withUsage = false)},
+             enc AS MATERIALIZED (SELECT tok,
+                      len(string_split(seg, ' '))::BIGINT AS n_pieces
+                    FROM fin3),
+             dt AS (SELECT doc_id, unnest(tk) AS tok FROM (
+                      SELECT doc_id, $sqlToks AS tk FROM documents
+                      WHERE lang = 'en'))
+        SELECT dt.doc_id,
+               COUNT(*)::BIGINT AS n_pretokens,
+               SUM(length(dt.tok))::BIGINT AS n_chars,
+               SUM(enc.n_pieces)::BIGINT AS n_pieces
+        FROM dt JOIN enc ON enc.tok = dt.tok
+        GROUP BY dt.doc_id
+        ORDER BY dt.doc_id""")),
 
     // ---- q151: quality-arbitrated dedup — keep the BEST copy of each
     // near-dup cluster (q67's clusters), not the min-id canonical: the

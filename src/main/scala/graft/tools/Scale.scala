@@ -299,6 +299,7 @@ object Scale {
         // per-round projections)
         "q162_dp_histogram" -> SparkEntry.queries("q162_dp_histogram"),
         "q163_unigram_lm" -> SparkEntry.queries("q163_unigram_lm"),
+        "q164_unigram_encode" -> SparkEntry.queries("q164_unigram_encode"),
         "q152_fuzzy_decontaminate" -> SparkEntry.queries("q152_fuzzy_decontaminate"),
         "q136_bpe_encode" -> SparkEntry.queries("q136_bpe_encode"),
         "q140_blocked_pairs" -> SparkEntry.queries("q140_blocked_pairs"),
