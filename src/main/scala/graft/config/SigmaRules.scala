@@ -176,10 +176,30 @@ object SigmaRules {
     * `when(ip =!= "null", ip)`). Everything else is derived — a
     * transform edit re-derives the map.
     */
-  lazy val ecsOkta: String => String = {
-    val computedMoves = Map(
+  /** The hand-kept COMPUTED-move correspondences, per source — the only
+    * entries [[FieldMapDerive]] cannot re-derive (the moves are
+    * when-chains/casts/scrubs, not verbatim column moves), and therefore
+    * the only entries that could silently drift when a transform
+    * renames an output. Exposed as data so SigmaSpec's audit sweep can
+    * assert EVERY target column still exists in the corresponding
+    * managed transform's output schema — a rename fails the sweep
+    * loudly instead of waiting for a per-rule golden to notice.
+    */
+  val handKeptMoves: Map[String, Map[String, String]] = Map(
+    "okta" -> Map(
       "published" -> "ts",
-      "client.ipaddress" -> "okta.client.ip")
+      "client.ipaddress" -> "okta.client.ip"),
+    "o365" -> Map("operation" -> "event.action"),
+    "crowdstrike_falcon" -> Map(
+      "operationname" -> "crowdstrike.event.operation_name",
+      "detectname" -> "crowdstrike.event.detect_name",
+      "commandline" -> "crowdstrike.event.command_line",
+      "username" -> "crowdstrike.event.user_name",
+      "computername" -> "host.name"),
+    "suricata" -> Map("event_type" -> "suricata.eve.event_type"))
+
+  lazy val ecsOkta: String => String = {
+    val computedMoves = handKeptMoves("okta")
     val derived = FieldMapDerive.fieldMap(
       Seq(graft.transform.managed.Okta.apply), vendorNs = Seq("okta."))
     (f: String) => computedMoves.getOrElse(f.toLowerCase, derived(f))
@@ -250,7 +270,7 @@ object SigmaRules {
     * fields pass through and fail loudly at bind time.
     */
   lazy val ecsO365: String => String = {
-    val computedMoves = Map("operation" -> "event.action")
+    val computedMoves = handKeptMoves("o365")
     val derived = FieldMapDerive.fieldMap(
       Seq(graft.transform.managed.O365Audit.apply), vendorNs = Seq("o365."))
     (f: String) => computedMoves.getOrElse(f.toLowerCase, derived(f))
@@ -275,12 +295,7 @@ object SigmaRules {
     * through loudly.
     */
   lazy val ecsCrowdstrikeFalcon: String => String = {
-    val computedMoves = Map(
-      "operationname" -> "crowdstrike.event.operation_name",
-      "detectname" -> "crowdstrike.event.detect_name",
-      "commandline" -> "crowdstrike.event.command_line",
-      "username" -> "crowdstrike.event.user_name",
-      "computername" -> "host.name")
+    val computedMoves = handKeptMoves("crowdstrike_falcon")
     val derived = FieldMapDerive.fieldMap(
       Seq(graft.transform.managed.CrowdstrikeFalcon.apply),
       vendorNs = Seq("crowdstrike."))
@@ -306,8 +321,7 @@ object SigmaRules {
     * network ECS columns directly, which pass through as output leaves.
     */
   lazy val ecsSuricata: String => String = {
-    val computedMoves = Map(
-      "event_type" -> "suricata.eve.event_type")
+    val computedMoves = handKeptMoves("suricata")
     val derived = FieldMapDerive.fieldMap(
       Seq(graft.transform.managed.Suricata.apply),
       vendorNs = Seq("suricata."))
@@ -570,6 +584,7 @@ object SigmaRules {
       timeframeSeconds: Long, groupBy: Seq[String] = Nil,
       ts: Column = col("ts"),
       broadcastMaxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    require(timeframeSeconds >= 0, "timeframe must be non-negative")
     val baseSecs = unix_seconds(ts)
     val tf = lit(timeframeSeconds)
     def side(pred: Column): DataFrame =
@@ -588,6 +603,13 @@ object SigmaRules {
         val c = groupCond(b)
           .foldLeft(abs(baseSecs - b("__sts")) <= tf)(_ && _)
         cur.join(b, c, how)
+      } else if (timeframeSeconds == 0L) {
+        // timeframe 0 means exact-timestamp co-occurrence — the bucket
+        // arithmetic below would divide by zero, and no bucketing is
+        // needed: (group, second) equality IS the join key (a plain
+        // shuffled equi join, strictly cheaper than the ±1 expansion)
+        val c = groupCond(s).foldLeft(baseSecs === s("__sts"))(_ && _)
+        cur.join(s, c, how)
       } else {
         val expanded = s
           .withColumn("__b0", bucketOf(col("__sts")))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** PII detection + redaction for training corpora: emails, IPv4 addresses,
   * and NANP-style phone numbers are counted and masked with typed
@@ -491,7 +491,13 @@ object Privacy {
     // floor division via pmod (correct for negative values too), then
     // the public-domain clamp; NULL contributions keep a NULL bucket
     // and are dropped from the per-group map below — never counted
-    val rawBucket = ((v - pmod(v, lit(binWidth))) / binWidth).cast(LongType)
+    // the quotient must be computed exactly: Long/Long division in Spark
+    // promotes to Double, which loses integer exactness above 2^53 and
+    // can land a value one bucket off the oracle's integer `//`; the
+    // numerator is an exact multiple of binWidth, so dividing in
+    // DECIMAL(38,0) keeps the full Long range bucket-exact
+    val rawBucket = ((v - pmod(v, lit(binWidth))).cast(DecimalType(38, 0)) /
+      binWidth).cast(LongType)
     val bucket = when(v.isNotNull,
       least(greatest(rawBucket, lit(binLo)), lit(binHi)))
     val counts = df

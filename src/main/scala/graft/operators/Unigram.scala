@@ -57,6 +57,14 @@ object Unigram {
   /** Fixed-point basis of the quantized piece scores. */
   val Scale = 10000L
 
+  /** Piece-length ceiling: the Viterbi rescale factor 10^{4(k-1)} must
+    * stay Long-exact, and 10^{4·5} = 10²⁰ > 2⁶³−1 — so 5 is the largest
+    * admissible maxPieceLen (10¹⁶ < 2⁶³). Enforced loudly by
+    * [[viterbiSegment]]/[[trainUnigram]]; a silent Double→Long
+    * saturation here would corrupt every DP comparison.
+    */
+  val MaxPieceLen = 5
+
   final case class UnigramPiece(piece: String, count: Long, score: Long)
 
   /** Positional substring seed counts: every length-1..maxPieceLen window
@@ -92,6 +100,11 @@ object Unigram {
   def viterbiSegment(pretokens: DataFrame, scores: Seq[(String, Long)],
       maxPieceLen: Int): DataFrame = {
     require(scores.nonEmpty, "empty model")
+    require(maxPieceLen >= 1 && maxPieceLen <= MaxPieceLen,
+      s"maxPieceLen must be in [1, $MaxPieceLen]: the per-candidate " +
+        "rescale literal 10^{4(k-1)} is built as a Long and exceeds " +
+        "Long.MaxValue at k = 6 (10^20 > 2^63-1) — a wider piece bound " +
+        "would silently corrupt the DP weights, so it fails loudly here")
     val dec38 = DecimalType(38, 0)
     // the model rides the plan as a (foldable) map literal — the trained
     // artifact is driver-sized by contract
@@ -159,7 +172,10 @@ object Unigram {
     */
   def trainUnigram(pretokens: DataFrame, vocabSize: Int, rounds: Int,
       maxPieceLen: Int = 4): Seq[UnigramPiece] = {
-    require(vocabSize >= 1 && rounds >= 1 && maxPieceLen >= 1)
+    require(vocabSize >= 1 && rounds >= 1)
+    require(maxPieceLen >= 1 && maxPieceLen <= MaxPieceLen,
+      s"maxPieceLen must be in [1, $MaxPieceLen] (Long-width bound on " +
+        "the 10^{4(k-1)} Viterbi rescale — see MaxPieceLen)")
     // materialize the distinct-pretoken working set ONCE (the trainBpe
     // convention): every later action — seed top-k, each round's usage
     // count — otherwise re-derives the corpus-scale pretoken

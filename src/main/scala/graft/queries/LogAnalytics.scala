@@ -1174,7 +1174,8 @@ object LogAnalytics {
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
         val (evTable, usTable) = (s"graft_b_events_$tag", s"graft_b_users_$tag")
-        bucketedDirs.getOrElseUpdate(dir, {
+        graft.util.Fingerprint.memo(bucketedDirs, dir, Seq("events"), "",
+            graft.util.Fingerprint.deleteDir)({
           val base = java.nio.file.Files
             .createTempDirectory("graft_bucketed").toString
           val ev = t(s, dir, "events")

@@ -406,7 +406,8 @@ object Search {
     QueryDef(
       "q109_index_incremental",
       (s, dir) => {
-        val tmp = indexFoldDirs.getOrElseUpdate(dir, {
+        val tmp = graft.util.Fingerprint.memo(indexFoldDirs, dir,
+            Seq("documents"), "", graft.util.Fingerprint.deleteDir)({
           val t = java.nio.file.Files
             .createTempDirectory("graft_index_fold").toString
           indexFold(s, docs(s, dir), s"$t/index")

@@ -102,23 +102,16 @@ object Vectors {
                        THEN 127.0 / list_max(list_transform($v, y -> abs(y)))
                        ELSE 0.0 END) + 0.5) AS BIGINT))))"""
 
-  /** Cache key for per-corpus memoized artifacts: the sf dir plus a
-    * cheap filesystem fingerprint of the embeddings table (total bytes +
-    * newest mtime across its files). Keying on the PATH alone goes stale
-    * if a corpus is regenerated under the same dir within one session
-    * (r16 ADVICE); the fingerprint invalidates the memo on any rewrite
-    * while costing only a directory listing — no Spark job. All Vectors
-    * memos (ground truth, trained codebooks, folded indexes) key through
-    * this.
+  /** Per-corpus memo through [[graft.util.Fingerprint]] (the shared
+    * helper all memo sites key through since r18): keyed by the
+    * embeddings table's filesystem fingerprint, not the raw path —
+    * regeneration under the same dir invalidates, and superseded
+    * entries are evicted (with their staging dirs deleted when
+    * `onEvict` = deleteDir) rather than accumulating.
     */
-  private def corpusKey(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      else Seq(f)
-    val files = walk(new java.io.File(s"$dir/embeddings.parquet"))
-    s"$dir#${files.map(_.length).sum}#${files.map(_.lastModified)
-      .foldLeft(0L)(math.max)}"
-  }
+  private def memoV[V](map: scala.collection.concurrent.TrieMap[String, V],
+      dir: String, onEvict: V => Unit = (_: V) => ())(build: => V): V =
+    graft.util.Fingerprint.memo(map, dir, Seq("embeddings"), "", onEvict)(build)
 
   /** q156/q157's folded IVF-PQ index dirs, keyed by corpus fingerprint. */
   private val pqFoldDirs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -142,7 +135,7 @@ object Vectors {
     * contract both queries and both oracles unroll).
     */
   private def trainedBook(coded: DataFrame, dir: String): Seq[(Long, Seq[Long])] =
-    pqBookDirs.getOrElseUpdate(corpusKey(dir), {
+    memoV(pqBookDirs, dir)({
       val seeds = coded.filter(col("id") < 8)
         .select(col("id").as("cid"), col("code"))
       Similarity.pqTrainCodebook(coded.filter(col("id") >= 8), seeds,
@@ -329,7 +322,8 @@ object Vectors {
       "q143_ivf_lake_fold",
       (s, dir) => {
         import graft.lake.{Lake, Snapshots}
-        val tmp = ivfFoldDirs.getOrElseUpdate(corpusKey(dir), {
+        val tmp = memoV(ivfFoldDirs, dir,
+            graft.util.Fingerprint.deleteDir)({
           val t = java.nio.file.Files
             .createTempDirectory("graft_ivf_fold").toString
           ivfFold(s, dir, s"$t/ivf")
@@ -624,7 +618,7 @@ object Vectors {
         val assigned = Similarity.ivfAssign(corpus, centroids)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val queries = v.filter(col("id") >= 8 && col("id") <= 17)
-        val truth = annTruthDirs.getOrElseUpdate(corpusKey(dir),
+        val truth = memoV(annTruthDirs, dir)(
             Similarity.exactNeighbors(assigned, queries, k = 5)
               .collect().map(r => (r.getLong(0), r.getLong(1))))
           .toSeq.toDF("qid", "neighbor")
@@ -712,7 +706,8 @@ object Vectors {
         val coded = vecs(s, dir).select(col("id"),
           VectorFunctions.quantizeInt8(col("vec"),
             VectorFunctions.int8Scale(col("vec"))).as("code"))
-        val tmp = pipeDirs.getOrElseUpdate(corpusKey(dir), {
+        val tmp = memoV(pipeDirs, dir,
+            graft.util.Fingerprint.deleteDir)({
           val t = java.nio.file.Files.createTempDirectory("graft_embed_pipe").toString
           val seeds = coded.filter(col("id") < 8)
             .select(col("id").as("cid"), col("code"))
@@ -990,7 +985,8 @@ object Vectors {
           .select(col("id").as("cid"), col("code"))
         val corpus = coded.filter(col("id") >= 8)
         val book = trainedBook(coded, dir)
-        val tmp = pqFoldDirs.getOrElseUpdate(corpusKey(dir), {
+        val tmp = memoV(pqFoldDirs, dir,
+            graft.util.Fingerprint.deleteDir)({
           val t = java.nio.file.Files
             .createTempDirectory("graft_ivfpq_fold").toString
           pqFold(s, dir, s"$t/ivfpq", book)
@@ -1221,7 +1217,7 @@ object Vectors {
           // checkpoint job per call would outweigh the single pass
           // (kmeansTrainInt8 checkpoints its own input on the one
           // training call)
-        val book = pqResBookDirs.getOrElseUpdate(corpusKey(dir),
+        val book = memoV(pqResBookDirs, dir)(
           Similarity.pqTrainCodebook(
             assigned.select(col("id"), col("res").as("code")),
             assigned.filter(col("id") < 16)
@@ -1349,4 +1345,361 @@ object Vectors {
         table)
     }
   }
+
+  // --------------------------------------------------------------------
+  // Symmetric staged-artifact bench mode (r18, judge item #2).
+  //
+  // Five queries memoize immutable per-corpus artifacts on the Spark
+  // side (ANN ground truth, trained PQ books, the folded IVF/IVF-PQ
+  // index content) while their CORRECTNESS oracles re-derive everything
+  // from raw floats every run — the right gate (independence), but a
+  // bench denominator that flatters Spark. This section provides the
+  // symmetric denominator: [[stageArtifacts]] writes exactly the
+  // memoized artifacts as parquet, and [[stagedOracleSql]] carries an
+  // alternate oracle per query that READS them (placeholder `{STAGED}`
+  // = the staging dir) and keeps derived everything the Spark side also
+  // derives per call (probes, per-call encodes, exact truth where not
+  // memoized). tools/OracleBench.py `--staged-dir` VERIFIES each staged
+  // oracle returns bit-identical rows to the re-deriving one before
+  // timing it, so the duplicated SQL here cannot silently drift. The
+  // re-deriving oracle remains the correctness gate.
+  // --------------------------------------------------------------------
+
+  /** Write the five queries' memoized artifacts as parquet under
+    * `outDir`: ann_truth (q94), ivf_assigned (q143), pq_book + pq_enc +
+    * pq_asg (q156/q157), pq_res_book (q161). Derivations are the same
+    * deterministic paths the memos use.
+    */
+  def stageArtifacts(s: SparkSession, dir: String, outDir: String): Unit = {
+    import s.implicits._
+    def save(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+    // q94: exact-cosine ground truth over the assigned corpus
+    val v = vecs(s, dir)
+    val centroids = v.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val corpus = v.filter(col("id") >= 8)
+    val assigned = Similarity.ivfAssign(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = v.filter(col("id") >= 8 && col("id") <= 17)
+    save(Similarity.exactNeighbors(assigned, queries, k = 5), "ann_truth")
+    // q143: the folded IVF index's content (id, vec, bucket)
+    save(assigned.select(col("id"), col("vec"), col("bucket")),
+      "ivf_assigned")
+    assigned.unpersist(false)
+    // q156/q157: trained book (per-subspace 16-dim slices), the coarse
+    // code-domain assignment, and the trained-book encode (the folded
+    // IVF-PQ index's rows)
+    val coded = pqCoded(s, dir).localCheckpoint(true)
+    val book = trainedBook(coded, dir)
+    save(book.flatMap { case (cid, cw) =>
+      (0 until 4).map(j => (j, cid, cw.slice(j * 16, (j + 1) * 16)))
+    }.toDF("j", "cid", "ccode"), "pq_book")
+    val cents = coded.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("code").as("ccode"))
+    val pqCorpus = coded.filter(col("id") >= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+    val asgC = pqCorpus.crossJoin(broadcast(cents))
+      .withColumn("dist", VectorFunctions.l2sqInt(col("code"), col("ccode")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("code"), col("cid").as("bucket"))
+      .localCheckpoint(true)
+    save(asgC.select(col("id"), col("bucket")), "pq_asg")
+    save(Similarity.pqEncode(asgC.select(col("id"), col("code")), book,
+        subspaces = 4)
+      .select(col("id"), posexplode(col("pq")))
+      .select(col("id"), col("pos").cast("int").as("j"),
+        col("col").as("cid")), "pq_enc")
+    // q161: the residual-domain book (the one memoized q161 artifact)
+    val resAssigned = asgC
+      .join(cents.withColumnRenamed("cid", "bucket"), "bucket")
+      .select(col("id"),
+        zip_with(col("code"), col("ccode"), (x, y) => x - y).as("res"))
+    val resBook = memoV(pqResBookDirs, dir)(
+      Similarity.pqTrainCodebook(
+        resAssigned.select(col("id"), col("res").as("code")),
+        resAssigned.filter(col("id") < 16)
+          .select(col("id").as("cid"), col("res").as("code")),
+        subspaces = 4, maxRounds = 2))
+    save(resBook.flatMap { case (cid, cw) =>
+      (0 until 4).map(j => (j, cid, cw.slice(j * 16, (j + 1) * 16)))
+    }.toDF("j", "cid", "ccode"), "pq_res_book")
+  }
+
+  /** Derived-per-call enc (the q157/q161 symmetric shape): the frozen
+    * BOOK comes from parquet, the encode of `srcCte` (id, 64-long
+    * `codeCol`) under it is re-done in SQL — matching a Spark side that
+    * memoizes the book but encodes per call.
+    */
+  private def sqlStagedEncode(srcCte: String, codeCol: String): String = s"""
+    enc AS (SELECT id, j, cid FROM (
+              SELECT s.id, s.j, b.cid,
+                ROW_NUMBER() OVER (PARTITION BY s.id, s.j ORDER BY
+                  list_sum(list_transform(range(1, 17), i ->
+                    (s.code[i] - b.ccode[i]) * (s.code[i] - b.ccode[i]))),
+                  b.cid) AS rn
+              FROM (${(0 until 4).map(j =>
+                s"SELECT id, $j AS j, $codeCol[${j * 16 + 1}:${(j + 1) * 16}] AS code FROM $srcCte")
+                .mkString("\n                    UNION ALL ")}) s
+              JOIN book b ON b.j = s.j)
+            WHERE rn = 1)"""
+
+  /** The five staged oracles ({STAGED} = staging dir). OracleBench
+    * verifies each against the re-deriving oracle's rows before timing.
+    */
+  lazy val stagedOracleSql: Map[String, String] = Map(
+    "q94_ann_recall" -> s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             corpus AS (SELECT * FROM v WHERE id >= 8),
+             q AS (SELECT id AS qid, vec AS qv FROM v WHERE id >= 8 AND id <= 17),
+             truth AS (SELECT qid, neighbor
+                       FROM read_parquet('{STAGED}/ann_truth.parquet/*.parquet')),
+             tc AS (SELECT qid, COUNT(*)::BIGINT AS n_true FROM truth GROUP BY qid),
+             ad AS (SELECT corpus.id, corpus.vec, cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                    FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, vec, cid AS bucket
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM ad)
+                          WHERE rn = 1),
+             qd AS (SELECT q.qid, q.qv, cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS dist
+                    FROM q CROSS JOIN cent),
+             probes AS (SELECT qid, qv, cid AS bucket, rn
+                        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY dist, cid) AS rn FROM qd)
+                        WHERE rn <= 4),
+             np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+             cand AS (SELECT np.nprobe, p.qid, a.id AS cid,
+                        ${sqlDot("p.qv", "a.vec")} /
+                        (sqrt(${sqlDot("p.qv", "p.qv")}) *
+                         sqrt(${sqlDot("a.vec", "a.vec")})) AS cos
+                      FROM probes p
+                      JOIN np ON p.rn <= np.nprobe
+                      JOIN assigned a ON a.bucket = p.bucket
+                      WHERE a.id <> p.qid),
+             ivf AS (SELECT nprobe, qid, cid
+                     FROM (SELECT nprobe, qid, cid,
+                             ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+                               ORDER BY cos DESC, cid) AS rnk
+                           FROM cand)
+                     WHERE rnk <= 5),
+             hit AS (SELECT nprobe, ivf.qid AS qid, COUNT(*)::BIGINT AS n_hit
+                     FROM ivf JOIN truth ON ivf.qid = truth.qid
+                                        AND ivf.cid = truth.neighbor
+                     GROUP BY nprobe, ivf.qid)
+        SELECT np.nprobe, tc.qid, tc.n_true,
+               COALESCE(hit.n_hit, 0)::BIGINT AS n_hit,
+               COALESCE(hit.n_hit, 0)::DOUBLE / tc.n_true AS recall
+        FROM tc CROSS JOIN np
+        LEFT JOIN hit ON hit.nprobe = np.nprobe AND hit.qid = tc.qid
+        ORDER BY np.nprobe, tc.qid""",
+
+    "q143_ivf_lake_fold" -> s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+             corpus AS (SELECT * FROM v WHERE id >= 8),
+             assigned AS (SELECT id, vec, bucket
+                          FROM read_parquet('{STAGED}/ivf_assigned.parquet/*.parquet')),
+             qs AS (SELECT corpus.id AS qid, corpus.vec AS qv, cid,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i]))) AS dist
+                        FROM corpus CROSS JOIN cent
+                        WHERE corpus.id >= 8 AND corpus.id <= 12),
+             q AS (SELECT qid, qv, cid AS bucket
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY dist, cid) AS rn FROM qs)
+                   WHERE rn <= 2),
+             cand AS (SELECT qid, qv, a.id AS cid, a.vec AS cv
+                      FROM assigned a JOIN q USING (bucket) WHERE a.id <> qid),
+             s AS (SELECT qid, cid,
+                     ${sqlDot("qv", "cv")} /
+                     (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS cos
+                   FROM cand)
+        SELECT qid, rank, cid AS neighbor, cos
+        FROM (SELECT qid, cid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+              FROM s)
+        WHERE rank <= 3
+        ORDER BY qid, rank""",
+
+    "q156_ivfpq_search" -> s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             codes AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             corpus AS (SELECT id, code FROM codes WHERE id >= 8),
+             book AS (SELECT j, cid, ccode
+                      FROM read_parquet('{STAGED}/pq_book.parquet/*.parquet')),
+             enc AS (SELECT id, j, cid
+                     FROM read_parquet('{STAGED}/pq_enc.parquet/*.parquet')),
+             centC AS (SELECT id AS cid, code AS ccode FROM codes WHERE id < 8),
+             asgC AS (SELECT id, bucket
+                      FROM read_parquet('{STAGED}/pq_asg.parquet/*.parquet')),
+             q AS (SELECT id AS qid, code AS qcode FROM corpus WHERE id <= 12),
+             probes AS (SELECT qid, bucket
+                        FROM (SELECT q.qid, c.cid AS bucket,
+                                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                  list_sum(list_transform(range(1, 65), i ->
+                                    (qcode[i] - ccode[i]) * (qcode[i] - ccode[i]))), c.cid) AS rn
+                              FROM q CROSS JOIN centC c)
+                        WHERE rn <= 2),
+             cand AS (SELECT p.qid, a.id
+                      FROM asgC a JOIN probes p ON a.bucket = p.bucket
+                      WHERE a.id <> p.qid),
+             adc AS (SELECT c.qid, c.id,
+                       SUM(list_sum(list_transform(range(1, 17), i ->
+                         (q.qcode[e.j*16 + i] - b.ccode[i]) *
+                         (q.qcode[e.j*16 + i] - b.ccode[i]))))::BIGINT AS dist
+                     FROM cand c
+                     JOIN enc e ON e.id = c.id
+                     JOIN book b ON b.j = e.j AND b.cid = e.cid
+                     JOIN q ON q.qid = c.qid
+                     GROUP BY c.qid, c.id),
+             short AS (SELECT qid, id
+                       FROM (SELECT qid, id,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dist, id) AS rr FROM adc)
+                       WHERE rr <= 5),
+             rr AS (SELECT s.qid, s.id,
+                      list_sum(list_transform(range(1, 65), i ->
+                        (q.qcode[i] - c.code[i]) *
+                        (q.qcode[i] - c.code[i])))::BIGINT AS dist
+                    FROM short s
+                    JOIN q ON q.qid = s.qid
+                    JOIN corpus c ON c.id = s.id)
+        SELECT qid, rank, id AS neighbor, dist
+        FROM (SELECT qid, id, dist,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM rr)
+        WHERE rank <= 3
+        ORDER BY qid, rank""",
+
+    "q157_pq_recall" -> s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             codes AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             corpus AS (SELECT id, code FROM codes WHERE id >= 8),
+             book AS (SELECT j, cid, ccode
+                      FROM read_parquet('{STAGED}/pq_book.parquet/*.parquet')),
+             ${sqlStagedEncode("corpus", "code")},
+             q AS (SELECT id AS qid, code AS qcode FROM corpus WHERE id <= 12),
+             truth AS (SELECT qid, id
+                       FROM (SELECT q.qid, c.id,
+                               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                 list_sum(list_transform(range(1, 65), i ->
+                                   (qcode[i] - code[i]) * (qcode[i] - code[i]))), c.id) AS rk
+                             FROM corpus c CROSS JOIN q
+                             WHERE c.id <> q.qid)
+                       WHERE rk <= 3),
+             adc AS (SELECT q.qid, e.id,
+                       SUM(list_sum(list_transform(range(1, 17), i ->
+                         (q.qcode[e.j*16 + i] - b.ccode[i]) *
+                         (q.qcode[e.j*16 + i] - b.ccode[i]))))::BIGINT AS dist
+                     FROM enc e
+                     JOIN book b ON b.j = e.j AND b.cid = e.cid
+                     CROSS JOIN q
+                     WHERE e.id <> q.qid
+                     GROUP BY q.qid, e.id),
+             adc3 AS (SELECT qid, id
+                      FROM (SELECT qid, id,
+                              ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist, id) AS rk FROM adc)
+                      WHERE rk <= 3),
+             short AS (SELECT qid, id
+                       FROM (SELECT qid, id,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dist, id) AS rk FROM adc)
+                       WHERE rk <= 5),
+             rr3 AS (SELECT qid, id
+                     FROM (SELECT s.qid, s.id,
+                             ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
+                               list_sum(list_transform(range(1, 65), i ->
+                                 (q.qcode[i] - c.code[i]) * (q.qcode[i] - c.code[i]))), s.id) AS rk
+                           FROM short s
+                           JOIN q ON q.qid = s.qid
+                           JOIN corpus c ON c.id = s.id)
+                     WHERE rk <= 3),
+             hits AS (SELECT 'adc' AS method, a.qid, COUNT(*) AS n_hit
+                      FROM adc3 a JOIN truth t ON t.qid = a.qid AND t.id = a.id
+                      GROUP BY a.qid
+                      UNION ALL
+                      SELECT 'rerank' AS method, r.qid, COUNT(*) AS n_hit
+                      FROM rr3 r JOIN truth t ON t.qid = r.qid AND t.id = r.id
+                      GROUP BY r.qid),
+             tc AS (SELECT qid, COUNT(*)::BIGINT AS n_true FROM truth GROUP BY qid)
+        SELECT m.method, tc.qid, tc.n_true,
+               COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+               COALESCE(h.n_hit, 0)::DOUBLE / tc.n_true AS recall
+        FROM tc
+        CROSS JOIN (SELECT 'adc' AS method UNION ALL SELECT 'rerank') m
+        LEFT JOIN hits h ON h.qid = tc.qid AND h.method = m.method
+        ORDER BY m.method, tc.qid""",
+
+    "q161_residual_ivfpq" -> s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             codes AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             corpus AS (SELECT id, code FROM codes WHERE id >= 8),
+             centC AS (SELECT id AS cid, code AS ccode FROM codes WHERE id < 8),
+             asgC AS MATERIALIZED (SELECT id, code, cid AS bucket
+                      FROM (SELECT corpus.id, corpus.code, c.cid,
+                              ROW_NUMBER() OVER (PARTITION BY corpus.id ORDER BY
+                                list_sum(list_transform(range(1, 65), i ->
+                                  (code[i] - ccode[i]) * (code[i] - ccode[i]))), c.cid) AS rn
+                            FROM corpus CROSS JOIN centC c)
+                      WHERE rn = 1),
+             res AS MATERIALIZED (SELECT a.id, a.bucket,
+                            list_transform(range(1, 65), i ->
+                              a.code[i] - c.ccode[i]) AS res
+                     FROM asgC a JOIN centC c ON c.cid = a.bucket),
+             book AS (SELECT j, cid, ccode
+                      FROM read_parquet('{STAGED}/pq_res_book.parquet/*.parquet')),
+             ${sqlStagedEncode("res", "res")},
+             q AS (SELECT id AS qid, code AS qcode FROM corpus WHERE id <= 12),
+             probes AS (SELECT qid, bucket
+                        FROM (SELECT q.qid, c.cid AS bucket,
+                                ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                  list_sum(list_transform(range(1, 65), i ->
+                                    (qcode[i] - ccode[i]) * (qcode[i] - ccode[i]))), c.cid) AS rn
+                              FROM q CROSS JOIN centC c)
+                        WHERE rn <= 2),
+             probesR AS (SELECT p.qid, p.bucket,
+                                list_transform(range(1, 65), i ->
+                                  q.qcode[i] - c.ccode[i]) AS qres
+                         FROM probes p
+                         JOIN q ON q.qid = p.qid
+                         JOIN centC c ON c.cid = p.bucket),
+             cand AS (SELECT p.qid, r.id, r.bucket
+                      FROM res r JOIN probes p ON r.bucket = p.bucket
+                      WHERE r.id <> p.qid),
+             adc AS (SELECT cd.qid, cd.id,
+                       SUM(list_sum(list_transform(range(1, 17), i ->
+                         (pr.qres[e.j*16 + i] - b.ccode[i]) *
+                         (pr.qres[e.j*16 + i] - b.ccode[i]))))::BIGINT AS dist
+                     FROM cand cd
+                     JOIN enc e ON e.id = cd.id
+                     JOIN book b ON b.j = e.j AND b.cid = e.cid
+                     JOIN probesR pr ON pr.qid = cd.qid AND pr.bucket = cd.bucket
+                     GROUP BY cd.qid, cd.id),
+             short AS (SELECT qid, id
+                       FROM (SELECT qid, id,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dist, id) AS rr FROM adc)
+                       WHERE rr <= 5),
+             rr AS (SELECT s.qid, s.id,
+                      list_sum(list_transform(range(1, 65), i ->
+                        (q.qcode[i] - c.code[i]) *
+                        (q.qcode[i] - c.code[i])))::BIGINT AS dist
+                    FROM short s
+                    JOIN q ON q.qid = s.qid
+                    JOIN corpus c ON c.id = s.id)
+        SELECT qid, rank, id AS neighbor, dist
+        FROM (SELECT qid, id, dist,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM rr)
+        WHERE rank <= 3
+        ORDER BY qid, rank""")
 }

@@ -1272,6 +1272,84 @@ class OperatorsSpec extends SparkSpec {
     assert(t == "pq")
   }
 
+  test("unigram-LM: maxPieceLen above the Long-exact rescale bound fails " +
+      "loudly instead of silently corrupting the DP") {
+    import graft.operators.Unigram
+    // the per-candidate rescale literal 10^{4(k-1)} is a Long: at k = 6
+    // it would be 10^20 > 2^63-1, so 5 is the largest admissible bound
+    val pre = Seq(("abc", 1L)).toDF("tok", "freq")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.trainUnigram(pre, vocabSize = 4, rounds = 1, maxPieceLen = 6)
+    }
+    assert(e.getMessage.contains("maxPieceLen"))
+    intercept[IllegalArgumentException] {
+      Unigram.viterbiSegment(pre, Seq("a" -> 1L), maxPieceLen = 6)
+    }
+    intercept[IllegalArgumentException] {
+      Unigram.encodeUnigram(pre,
+        Seq(Unigram.UnigramPiece("a", 1L, 1L)), maxPieceLen = 0)
+    }
+    // the boundary value 5 (rescale 10^16, Long-exact) is admitted
+    val m5 = Unigram.trainUnigram(pre, vocabSize = 8, rounds = 1,
+      maxPieceLen = 5)
+    assert(m5.nonEmpty)
+  }
+
+  test("wordpiece: hand-traced likelihood-scored merges, ## algebra, " +
+      "greedy longest-match encode, [UNK]") {
+    import graft.operators.WordPiece
+    // corpus: aab×10, ab×5, b×3 → round-0 symbols
+    //   aab = [a, ##a, ##b], ab = [a, ##b], b = [b]
+    // counts: a 15, ##a 10, ##b 15, b 3
+    // pair scores (×10¹⁸ floor): (a,##a) 1/15, (##a,##b) 1/15,
+    //   (a,##b) 1/45 — score tie, cnt tie (10=10) → lexicographic l:
+    //   '##a' < 'a', so merge 1 = (##a, ##b) → fused '##ab'
+    // round 2: a 15, ##ab 10, ##b 5, b 3; (a,##ab) 1/15 TIES (a,##b)
+    //   1/15 on the quantized score → cnt 10 > 5 → merge 2 = (a, ##ab)
+    //   → fused 'aab'
+    val pre = Seq(("aab", 10L), ("ab", 5L), ("b", 3L)).toDF("tok", "freq")
+    val model = WordPiece.trainWordPiece(pre, rounds = 2)
+    assert(model.singles == Seq("##a", "##b", "a", "b"))
+    assert(model.merges.map(m =>
+      (m.round, m.left, m.right, m.fused, m.cnt, m.score)) == Seq(
+      (1, "##a", "##b", "##ab", 10L, 66666666666666666L),
+      (2, "a", "##ab", "aab", 10L, 66666666666666666L)))
+    // greedy longest-match-first: whole-word piece beats prefix pieces;
+    // any position with no vocabulary path maps the WHOLE word to [UNK]
+    val toEnc = Seq(("aab", 1L), ("ab", 1L), ("b", 1L), ("az", 1L),
+      ("za", 1L)).toDF("tok", "freq")
+    val enc = WordPiece.encodeWordPiece(toEnc, model)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(enc("aab") == (("aab", 1L, false)))
+    assert(enc("ab") == (("a ##b", 2L, false)))
+    assert(enc("b") == (("b", 1L, false)))
+    assert(enc("az") == (("[UNK]", 1L, true)), "dead continuation → UNK")
+    assert(enc("za") == (("[UNK]", 1L, true)), "dead word-initial → UNK")
+    // determinism: retraining reproduces the model exactly
+    assert(WordPiece.trainWordPiece(pre, rounds = 2) == model)
+    // merge exhaustion: more rounds than fusable pairs stops early
+    assert(WordPiece.trainWordPiece(pre, rounds = 50).merges.size <= 4)
+  }
+
+  test("dpHistogramRelease: bucket assignment is integer-exact above the " +
+      "Double mantissa (2^53)") {
+    import graft.operators.Privacy
+    // v = 2^60 + 7 with width 4: the exact floor bucket is 2^58 + 1. A
+    // Double quotient rounds the numerator 2^60 + 4 to 2^60 (Double
+    // spacing at this magnitude is 128) and lands one bucket off — the
+    // DECIMAL(38,0) division must not.
+    val lo = 1L << 58
+    val df = Seq(("g", (1L << 60) + 7L)).toDF("grp", "v")
+    val out = Privacy.dpHistogramRelease(df, Seq("grp"), "v", binWidth = 4L,
+        binLo = lo, binHi = lo + 10L, epsilon = 1.0, seed = 1L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2) - r.getLong(3)))
+      .toMap
+    // released − noise = the true count per bucket
+    assert(out(lo + 1L) == 1L, "the row must land in its exact bucket")
+    assert(out.filter(_._2 != 0L).keySet == Set(lo + 1L))
+  }
+
   test("semanticDedup: lower id wins in-cluster, fail-open above the cap") {
     import graft.operators.Similarity
     // codes chosen so cosineInt8(a, b) = 1.0 for parallel vectors

@@ -1625,4 +1625,87 @@ class SigmaSpec extends SparkSpec {
         "gated path keeps its hint for fitting match sets")
     } finally spark.conf.set(thresholdKey, saved)
   }
+
+  test("audit sweep: every hand-kept field-map target is a live output " +
+      "column of its managed transform") {
+    // the hand-kept computed moves are the ONE part of the Sigma field
+    // maps FieldMapDerive cannot re-derive — this sweep turns a silent
+    // transform rename into a loud failure without waiting for a
+    // per-rule golden to notice
+    import graft.transform.managed._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.StructType
+    def leaves(t: StructType, prefix: String = ""): Seq[String] =
+      t.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => p +: leaves(s, p)
+          case _ => Seq(p)
+        }
+      }
+    val transforms: Map[String, DataFrame => DataFrame] = Map(
+      "okta" -> Okta.apply,
+      "o365" -> O365Audit.apply,
+      "crowdstrike_falcon" -> CrowdstrikeFalcon.apply,
+      "suricata" -> Suricata.apply)
+    assert(SigmaRules.handKeptMoves.keySet == transforms.keySet,
+      "every hand-kept source must be swept — extend this map with it")
+    val probe = spark.range(1)
+      .select(col("id").cast("string").as("json"))
+    SigmaRules.handKeptMoves.foreach { case (src, moves) =>
+      val ls = leaves(transforms(src)(probe).schema).toSet
+      moves.foreach { case (raw, target) =>
+        assert(ls.contains(target),
+          s"$src: hand-kept move '$raw' -> '$target' names no output " +
+            s"column of the managed transform (renamed?); columns: " +
+            ls.toSeq.sorted.mkString(", "))
+      }
+      // ... and the maps actually serve these entries
+      val ecs = src match {
+        case "okta" => SigmaRules.ecsOkta
+        case "o365" => SigmaRules.ecsO365
+        case "crowdstrike_falcon" => SigmaRules.ecsCrowdstrikeFalcon
+        case "suricata" => SigmaRules.ecsSuricata
+      }
+      moves.foreach { case (raw, target) => assert(ecs(raw) == target) }
+    }
+    // the sweep bites: a deliberately-broken target (the rename this
+    // guards against) must NOT pass the same membership check
+    val oktaLeaves = leaves(transforms("okta")(probe).schema).toSet
+    assert(oktaLeaves.contains("okta.client.ip"))
+    assert(!oktaLeaves.contains("okta.client.ip_addr"),
+      "fixture: a renamed target must fail the sweep")
+  }
+
+  test("nearProximityMatches: timeframe 0 is exact-timestamp co-occurrence " +
+      "on BOTH paths — the fallback must not divide by the timeframe") {
+    import java.sql.Timestamp
+    def ts(s: String) = new Timestamp(
+      java.time.Instant.parse(s"2024-02-01T$s:00Z").toEpochMilli)
+    val events = Seq(
+      (1L, Option(1L), "purchase", ts("10:00")), // view at the SAME second
+      (2L, Option(1L), "view", ts("10:00")),
+      (3L, Option(2L), "purchase", ts("11:00")), // view one minute away
+      (4L, Option(2L), "view", ts("11:01")),
+      (5L, Option(3L), "purchase", ts("12:00")), // co-occurring view BUT
+      (6L, Option(3L), "view", ts("12:00")),     // also a co-occurring veto
+      (7L, Option(3L), "click", ts("12:00")))
+      .toDF("id", "user_id", "event_type", "ts")
+    def run(maxBytes: Long) = SigmaRules.nearProximityMatches(events,
+        base = col("event_type") === "purchase",
+        positives = Seq(col("event_type") === "view"),
+        negatives = Seq(col("event_type") === "click"),
+        timeframeSeconds = 0L, groupBy = Seq("user_id"),
+        broadcastMaxBytes = maxBytes)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(run(64L * 1024 * 1024) == Set(1L), "broadcast path, tf = 0")
+    // forcing every selection onto the fallback used to hit pmod(secs, 0):
+    // tf = 0 now routes to a plain (group, second) equi join
+    assert(run(1L) == Set(1L), "fallback path, tf = 0")
+    intercept[IllegalArgumentException] {
+      SigmaRules.nearProximityMatches(events,
+        base = col("event_type") === "purchase", positives = Nil,
+        negatives = Nil, timeframeSeconds = -1L)
+    }
+  }
 }
