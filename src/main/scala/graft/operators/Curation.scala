@@ -403,4 +403,76 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(groupCol), col(tokensCol), col("cum_tokens"))
   }
+
+  /** The published Gopher/C4 quality-rule battery (Rae et al. 2021,
+    * Appendix A "MassiveWeb" filters; Raffel et al. 2020 §2.2) as ONE
+    * map-only scan — every rule an INTEGER/exact predicate (fractions
+    * compare by cross-multiplication, never float division), each
+    * rule's pass/fail surfaced per doc next to its counters:
+    *
+    *  - `r_word_count`:    minWords ≤ n_words ≤ maxWords   (Gopher 50…100k)
+    *  - `r_mean_word_len`: 3·n_words ≤ Σ word chars ≤ 10·n_words
+    *  - `r_symbol_ratio`:  10·(#'#' + #'...' + #'…') ≤ n_words  (≤ 0.1)
+    *  - `r_bullet_lines`:  10·bullet-start lines ≤ 9·n_lines    (≤ 90%)
+    *  - `r_ellipsis_lines`: 10·ellipsis-end lines ≤ 3·n_lines   (≤ 30%)
+    *  - `r_alpha_words`:   5·words-with-a-letter ≥ 4·n_words    (≥ 80%)
+    *  - `r_stopwords`:     ≥ 2 distinct of Gopher's 8 stop words
+    *  - `r_dup_lines`:     10·(n_lines − distinct lines) ≤ 3·n_lines
+    *
+    * `keep` is their conjunction. Deviations from the papers, documented:
+    * words are the whitespace-lowered [[graft.functions.TextFunctions.tokens]]
+    * (punctuation stays attached — both engines agree exactly, where the
+    * papers' detached-punct words would need a tokenizer the oracle
+    * can't bit-match); bullets are `-`/`*`/`•` after left-trim; the
+    * duplicate-line fraction counts every repeat occurrence beyond the
+    * first, all lines included. Zero shuffle: one codegen'd projection.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    val text = col(textCol)
+    val tk = tokens(text)
+    val lines = split(text, "\n")
+    val counted = df.select(
+      col(idCol),
+      size(tk).cast(LongType).as("n_words"),
+      aggregate(tk, lit(0L), (a, x) => a + length(x)).as("n_word_chars"),
+      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")) +
+        regexp_count(text, lit("…"))).cast(LongType).as("n_symbols"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(filter(lines, l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast(LongType).as("n_bullet_lines"),
+      size(filter(lines, l =>
+        rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast(LongType).as("n_ellipsis_lines"),
+      (size(lines) - size(array_distinct(lines)))
+        .cast(LongType).as("n_dup_lines"),
+      size(filter(tk, x => x.rlike("[a-z]")))
+        .cast(LongType).as("n_alpha_words"),
+      size(array_intersect(tk, typedLit(stopwords)))
+        .cast(LongType).as("n_stopwords"))
+    counted.select(
+      (counted.columns.map(col) ++ Seq(
+        col("n_words").between(minWords, maxWords).as("r_word_count"),
+        (lit(3L) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10L) * col("n_words"))
+          .as("r_mean_word_len"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).as("r_symbol_ratio"),
+        (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
+          .as("r_bullet_lines"),
+        (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+          .as("r_ellipsis_lines"),
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+          .as("r_alpha_words"),
+        (col("n_stopwords") >= 2L).as("r_stopwords"),
+        (lit(10L) * col("n_dup_lines") <= lit(3L) * col("n_lines"))
+          .as("r_dup_lines"))): _*)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords") && col("r_dup_lines"))
+  }
 }

@@ -316,4 +316,70 @@ class CurationSpec extends SparkSpec {
     // the connected component {1,2,3} moves as one unit
     assert(out.filter(t => Set(1L, 2L, 3L)(t._1)).map(_._3).distinct.length == 1)
   }
+
+  test("gopherRules: each published rule fires on its fixture and only " +
+      "there; boundaries are exact (cross-multiplied, no float)") {
+    // one doc per rule, built to trip THAT rule (minWords lowered to 5
+    // so short fixtures stay legible); doc 0 passes everything
+    val docs = Seq(
+      (0L, "the quick brown foxes jumped over those lazy hounds of " +
+        "winter fields"),
+      (1L, "the broad oak of"), // 4 words < minWords
+      (2L, "the of to be an it is on at up"), // mean word len 21/10 < 3
+      (3L, "the cat### sat on the mat of june here now"), // 3 symbols / 10
+      (4L, (1 to 10).map(i => s"- the theta items of quality v$i")
+        .mkString("\n")), // 10/10 bullet lines > 90%
+      (5L, "the first line of it\nwaiting for more...\n" +
+        "still waiting here…\nplain closing line of text"), // 2/4 > 30%
+      (6L, "the cat of 123 456 789 000 111 222 333"), // 3/10 alpha < 80%
+      (7L, "green trees grow tall near rivers quite often"), // 0 stopwords
+      (8L, "the first line of text\nsame line again\nsame line again\n" +
+        "same line again")) // 2 dup / 4 lines > 30%
+      .toDF("doc_id", "text")
+    val out = Curation.gopherRules(docs, "doc_id", "text", minWords = 5L,
+        maxWords = 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val flags = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+      "r_dup_lines")
+    flags.foreach(f => assert(out(0L).getAs[Boolean](f), s"doc 0 $f"))
+    assert(out(0L).getAs[Boolean]("keep"))
+    val trips = Map(1L -> "r_word_count", 2L -> "r_mean_word_len",
+      3L -> "r_symbol_ratio", 4L -> "r_bullet_lines",
+      5L -> "r_ellipsis_lines", 6L -> "r_alpha_words", 7L -> "r_stopwords",
+      8L -> "r_dup_lines")
+    trips.foreach { case (id, f) =>
+      assert(!out(id).getAs[Boolean](f), s"doc $id must trip $f")
+      assert(!out(id).getAs[Boolean]("keep"), s"doc $id keep")
+    }
+    // counters behind doc 5: unicode … counts as an ellipsis ending
+    assert(out(5L).getAs[Long]("n_ellipsis_lines") == 2L)
+    assert(out(4L).getAs[Long]("n_bullet_lines") == 10L)
+    assert(out(8L).getAs[Long]("n_dup_lines") == 2L)
+    // exact boundaries: 3 ellipsis lines of 10 is EXACTLY 30% → pass;
+    // 1 symbol over 10 words is EXACTLY 10% → pass (a float ratio with
+    // rounding error could tip either)
+    val edge = Seq(
+      (10L, (1 to 7).map(i => s"the plain line of number item v$i")
+        .mkString("\n") + "\nwaiting for it...\nholding for it...\n" +
+        "pausing for it..."),
+      (11L, "the cat### sat on the mat of june here now padding"))
+      .toDF("doc_id", "text")
+    // doc 11: 3 symbols / 11 words → fails; strip two hashes → 1/10 edge
+    val edgeOut = Curation.gopherRules(edge, "doc_id", "text",
+        minWords = 5L, maxWords = 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(edgeOut(10L).getAs[Long]("n_lines") == 10L)
+    assert(edgeOut(10L).getAs[Long]("n_ellipsis_lines") == 3L)
+    assert(edgeOut(10L).getAs[Boolean]("r_ellipsis_lines"),
+      "exactly 30% ellipsis lines must PASS")
+    val oneSym = Seq((12L, "the cat# sat on the mat of june here now"))
+      .toDF("doc_id", "text")
+    val so = Curation.gopherRules(oneSym, "doc_id", "text", minWords = 5L)
+      .head()
+    assert(so.getAs[Long]("n_symbols") == 1L &&
+      so.getAs[Long]("n_words") == 10L)
+    assert(so.getAs[Boolean]("r_symbol_ratio"),
+      "exactly 10% symbols must PASS")
+  }
 }
