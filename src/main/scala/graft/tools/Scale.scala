@@ -310,6 +310,29 @@ object Scale {
           graft.queries.Search.indexFold(s,
             s.read.parquet(s"$dir/documents.parquet"), s"$t/index")
           Snapshots.read(s, s"$t/index").select(col("term"))
+        }),
+        // q153's incremental LSH text-dedup fold UN-memoized (the
+        // SparkEntry form memoizes its staged lake per corpus — the
+        // probe must time the three batch folds, not a read-back) and
+        // in PRODUCTION configuration (default bucket cap ON; the gate
+        // form pins the cap off for its exhaustive oracle)
+        "q153_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.lake.Snapshots
+          import graft.streaming.DedupIndex
+          val base = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_lsh").toString
+          val maxBase = base.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxBase / 3,
+            col("doc_id") >= maxBase / 3 && col("doc_id") < 2 * maxBase / 3,
+            col("doc_id") >= 2 * maxBase / 3)
+          cuts.foreach { cut =>
+            DedupIndex.lshDedupBatch(s, s"$t/index", base.filter(cut))
+              .write.mode("overwrite").format("noop").save()
+          }
+          Snapshots.read(s, s"$t/index").select(col("doc_id"))
         }))
     }
   }

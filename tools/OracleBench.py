@@ -99,6 +99,12 @@ def main():
                     help="fail unless the oracle file has exactly N queries")
     ap.add_argument("--allow-subset", action="store_true",
                     help="permit a GRAFT_VERIFY_ONLY subset manifest (dev only)")
+    ap.add_argument("--staged-dir", default=None,
+                    help="graft.tools.StageBench output dir: re-time the "
+                         "memoized-artifact queries with oracles that READ "
+                         "the staged artifacts (symmetric serve-path "
+                         "denominator); each staged oracle is verified "
+                         "row-identical to the re-deriving one first")
     args = ap.parse_args()
 
     oracle = json.load(open(args.oracle))
@@ -154,6 +160,37 @@ def main():
         spark = json.load(open(args.spark_json))
 
     first, steady, errors = time_duckdb(oracle, args.sf_dir)
+
+    staged = None
+    if args.staged_dir:
+        staged_sql = json.load(
+            open(os.path.join(args.staged_dir, "oracle_staged.json")))
+        staged_sql = {q: sql.replace("{STAGED}", args.staged_dir)
+                      for q, sql in staged_sql.items()}
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{args.sf_dir}/{t}.parquet')")
+        staged = {}
+        for q, sql in sorted(staged_sql.items()):
+            if q not in oracle:
+                raise SystemExit(f"[oraclebench] FATAL: staged oracle {q} "
+                                 f"names no registered oracle")
+            # a staged oracle that drifts from the re-deriving one would
+            # time the wrong computation — verify rows bit-identical first
+            want = con.execute(oracle[q]).fetchall()
+            got = con.execute(sql).fetchall()
+            if want != got:
+                raise SystemExit(
+                    f"[oraclebench] FATAL: staged oracle {q} returns "
+                    f"different rows than the re-deriving oracle "
+                    f"({len(got)} vs {len(want)}) — stale artifacts or "
+                    f"drifted SQL. Re-run graft.tools.StageBench.")
+            con.execute(sql).fetchall()  # plan+first
+            t1 = time.perf_counter()
+            con.execute(sql).fetchall()
+            staged[q] = time.perf_counter() - t1
+
     summary = {
         "metric": "oracle_total",
         "value": sum(first.values()),
@@ -183,6 +220,26 @@ def main():
         missing = sorted(set(steady) - set(ss))
         if missing:
             summary["spark_missing"] = missing
+        if staged is not None:
+            # symmetric ratios: the staged queries' duck denominator is
+            # the serve-path (artifact-reading) timing, everything else
+            # unchanged — both totals reported side by side
+            duck_sym = {q: staged.get(q, steady[q]) for q in common}
+            duck_all_sym = sum(duck_sym.values())
+            duck_adj_sym = sum(duck_sym[q] for q in adj)
+            summary["staged"] = {
+                q: {"duck_steady_rederive": steady[q],
+                    "duck_steady_staged": staged[q],
+                    "spark_steady": ss.get(q)}
+                for q in sorted(staged)}
+            summary["ratio_steady_all_in_symmetric"] = (
+                spark_all / duck_all_sym if duck_all_sym else None)
+            summary["ratio_steady_adjusted_symmetric"] = (
+                spark_adj / duck_adj_sym if duck_adj_sym else None)
+    elif staged is not None:
+        summary["staged"] = {
+            q: {"duck_steady_rederive": steady[q],
+                "duck_steady_staged": staged[q]} for q in sorted(staged)}
     line = json.dumps(summary)
     print(line)
     if args.out:
