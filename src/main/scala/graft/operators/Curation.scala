@@ -475,4 +475,144 @@ object Curation {
           col("r_ellipsis_lines") && col("r_alpha_words") &&
           col("r_stopwords") && col("r_dup_lines"))
   }
+
+  /** The published Gopher REPETITION filters (Rae et al. 2021, Table A1
+    * — the half [[gopherRules]] doesn't cover), every threshold an exact
+    * integer cross-multiplication:
+    *
+    *  - `r_dup_paras`:       duplicate-paragraph fraction ≤ 30%
+    *  - `r_dup_para_chars`:  duplicate-paragraph CHARACTER fraction ≤ 20%
+    *  - `r_dup_line_chars`:  duplicate-line CHARACTER fraction ≤ 20%
+    *  - `r_top{2,3,4}gram`:  characters in the MOST FREQUENT word
+    *                         n-gram ≤ 20% / 18% / 16% of word chars
+    *  - `r_dup{5..10}gram`:  characters covered by ANY duplicated word
+    *                         n-gram ≤ 15/14/13/12/11/10% of word chars
+    *
+    * Exact-arithmetic definitions (documented deviations from the
+    * paper's prose, identical in both engines): words are the
+    * whitespace-lowered tokens and char totals are WORD chars
+    * (separators excluded); paragraphs split on a literal blank line
+    * (`\n\n`); duplicate line/paragraph characters count occurrences
+    * BEYOND THE FIRST of each repeated value (the redundant bytes); the
+    * top-n-gram rule scores `count · gramWordChars` even when the top
+    * count is 1 (the paper's wording — no duplication requirement); the
+    * duplicate-n-gram coverage is the UNION of covered word positions
+    * (overlapping duplicated windows never double-count a word — the
+    * published reference implementations' `taken[]` semantics, here as
+    * a distinct-positions join, engine-portable).
+    *
+    * Scale shape: line/paragraph stats are per-doc array expressions
+    * (zero shuffle); the n-gram side explodes ≈ 9 windows per word
+    * tagged by n, aggregates on (doc, n, gram) with map-side combine,
+    * and the coverage join ships only duplicated windows' positions.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val text = col(textCol)
+    val tk = tokens(text)
+    // occurrences-beyond-the-first chars of repeated values, as one
+    // array expression (O(|arr|²) per doc — lines/paragraphs are dozens)
+    def dupChars(arr: Column): Column =
+      aggregate(array_distinct(arr), lit(0L), (acc, v) =>
+        acc + (size(filter(arr, x => x === v)) - 1).cast(LongType) *
+          length(v))
+    def totChars(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, v) => acc + length(v))
+    val base = df.select(
+      col(idCol),
+      tk.as("__tk"),
+      totChars(tk).as("n_word_chars"),
+      size(split(text, "\n\n")).cast(LongType).as("n_paras"),
+      (size(split(text, "\n\n")) -
+        size(array_distinct(split(text, "\n\n"))))
+        .cast(LongType).as("n_dup_paras"),
+      dupChars(split(text, "\n\n")).as("dup_para_chars"),
+      totChars(split(text, "\n\n")).as("n_para_chars"),
+      dupChars(split(text, "\n")).as("dup_line_chars"),
+      totChars(split(text, "\n")).as("n_line_chars"))
+      .localCheckpoint(false)
+    // one window explode for every n: (id, n, i, gram); sequence(1, 0)
+    // would run DESCENDING, so empty-window docs need the guard
+    val windows = base.select(col(idCol),
+        explode(flatten(array((2 to 10).map { n =>
+          when(size(col("__tk")) >= n,
+            transform(sequence(lit(1), size(col("__tk")) - n + 1), i =>
+              struct(lit(n).as("n"), i.as("i"),
+                array_join(slice(col("__tk"), i, lit(n)), " ").as("gram"))))
+            .otherwise(array().cast(
+              "array<struct<n:int,i:int,gram:string>>"))
+        }: _*))).as("w"))
+      .select(col(idCol), col("w.n").as("n"), col("w.i").as("i"),
+        col("w.gram").as("gram"))
+      .localCheckpoint(false)
+    val counts = windows.groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // top n-gram (2..4): chars = cnt · word-chars of the gram (= len −
+    // separators); deterministic (cnt desc, gram) argmax
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("n"))
+      .orderBy(col("cnt").desc, col("gram"))
+    val top = counts.filter(col("n") <= 4)
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("n"),
+        (col("cnt") * (length(col("gram")) - (col("n") - 1)))
+          .cast(LongType).as("chars"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("n") === 2, col("chars"))).as("top2_chars"),
+        sum(when(col("n") === 3, col("chars"))).as("top3_chars"),
+        sum(when(col("n") === 4, col("chars"))).as("top4_chars"))
+    // duplicated n-grams (5..10): union of covered word positions,
+    // never double-counted — distinct (id, n, pos) before the join
+    val dupWin = windows.filter(col("n") >= 5)
+      .join(counts.filter(col("cnt") >= 2 && col("n") >= 5),
+        Seq(idCol, "n", "gram"))
+    val wordLens = base.select(col(idCol),
+        posexplode(col("__tk")).as(Seq("pos0", "__w")))
+      .select(col(idCol), (col("pos0") + 1).as("p"),
+        length(col("__w")).cast(LongType).as("wlen"))
+    val covered = dupWin
+      .select(col(idCol), col("n"),
+        explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
+      .distinct()
+      .join(wordLens, Seq(idCol, "p"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("n") === 5, col("wlen"))).as("dup5_chars"),
+        sum(when(col("n") === 6, col("wlen"))).as("dup6_chars"),
+        sum(when(col("n") === 7, col("wlen"))).as("dup7_chars"),
+        sum(when(col("n") === 8, col("wlen"))).as("dup8_chars"),
+        sum(when(col("n") === 9, col("wlen"))).as("dup9_chars"),
+        sum(when(col("n") === 10, col("wlen"))).as("dup10_chars"))
+    val joined = base.drop("__tk")
+      .join(top, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("top2_chars", "top3_chars", "top4_chars",
+        "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars",
+        "dup9_chars", "dup10_chars"))
+    // thresholds ×100: chars·100 ≤ t·total (exact at the boundary)
+    def frac(chars: String, t: Int, tot: String): Column =
+      lit(100L) * col(chars) <= lit(t.toLong) * col(tot)
+    joined.select(joined.columns.map(col) ++ Seq(
+        (lit(10L) * col("n_dup_paras") <= lit(3L) * col("n_paras"))
+          .as("r_dup_paras"),
+        frac("dup_para_chars", 20, "n_para_chars").as("r_dup_para_chars"),
+        frac("dup_line_chars", 20, "n_line_chars").as("r_dup_line_chars"),
+        frac("top2_chars", 20, "n_word_chars").as("r_top2gram"),
+        frac("top3_chars", 18, "n_word_chars").as("r_top3gram"),
+        frac("top4_chars", 16, "n_word_chars").as("r_top4gram"),
+        frac("dup5_chars", 15, "n_word_chars").as("r_dup5gram"),
+        frac("dup6_chars", 14, "n_word_chars").as("r_dup6gram"),
+        frac("dup7_chars", 13, "n_word_chars").as("r_dup7gram"),
+        frac("dup8_chars", 12, "n_word_chars").as("r_dup8gram"),
+        frac("dup9_chars", 11, "n_word_chars").as("r_dup9gram"),
+        frac("dup10_chars", 10, "n_word_chars").as("r_dup10gram")): _*)
+      .withColumn("keep",
+        col("r_dup_paras") && col("r_dup_para_chars") &&
+          col("r_dup_line_chars") && col("r_top2gram") &&
+          col("r_top3gram") && col("r_top4gram") && col("r_dup5gram") &&
+          col("r_dup6gram") && col("r_dup7gram") && col("r_dup8gram") &&
+          col("r_dup9gram") && col("r_dup10gram"))
+  }
 }

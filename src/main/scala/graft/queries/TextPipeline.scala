@@ -3428,6 +3428,149 @@ object TextPipeline {
         FROM f
         ORDER BY doc_id""")),
 
+    // ---- q168: the Gopher REPETITION battery (Rae et al. 2021 Table
+    // A1's other half — q167 covers the quality rules): duplicate
+    // paragraph fraction + duplicate line/paragraph CHARACTER
+    // fractions, top 2/3/4-gram character fractions, duplicate
+    // 5..10-gram character coverage (union of covered word positions —
+    // overlapping duplicated windows never double-count). All exact
+    // integer cross-multiplied thresholds. The corpus's 31-word
+    // vocabulary makes the n-gram rules fire naturally; paragraphs are
+    // spliced deterministically (every 6th doc grows a repeated
+    // paragraph — the q167 convention, mirrored in the oracle).
+    QueryDef(
+      "q168_gopher_repetition",
+      (s, dir) => {
+        import graft.operators.Curation
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 6 === 0,
+              lit("\n\nrepeat me paragraph\n\nrepeat me paragraph"))
+              .otherwise(lit(""))).as("text"))
+        Curation.gopherRepetition(
+            spliced.repartition(s.sparkContext.defaultParallelism,
+              col("doc_id")), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH r AS (SELECT doc_id, text || CASE
+            WHEN doc_id % 6 = 0 THEN
+              e'\n\nrepeat me paragraph\n\nrepeat me paragraph'
+            ELSE '' END AS text
+          FROM documents),
+        t AS (SELECT doc_id, text, $sqlToks AS tk,
+                string_split(text, chr(10) || chr(10)) AS ps,
+                string_split(text, chr(10)) AS ls
+              FROM r),
+        base AS (SELECT doc_id,
+                coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+                  ::BIGINT AS n_word_chars,
+                len(ps)::BIGINT AS n_paras,
+                (len(ps) - len(list_distinct(ps)))::BIGINT AS n_dup_paras,
+                coalesce(list_sum(list_transform(list_distinct(ps), v ->
+                  (len(list_filter(ps, x -> x = v)) - 1) * length(v))), 0)
+                  ::BIGINT AS dup_para_chars,
+                coalesce(list_sum(list_transform(ps, x -> length(x))), 0)
+                  ::BIGINT AS n_para_chars,
+                coalesce(list_sum(list_transform(list_distinct(ls), v ->
+                  (len(list_filter(ls, x -> x = v)) - 1) * length(v))), 0)
+                  ::BIGINT AS dup_line_chars,
+                coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+                  ::BIGINT AS n_line_chars
+              FROM t),
+        -- every word n-gram window for n in 2..10 off ONE flat index
+        -- (uu // len → n−2, uu % len → i−1): nested lambdas and
+        -- outer-column refs inside them hit DuckDB binder limits
+        w AS (SELECT doc_id,
+                2 + z.uu // len(tk) AS n,
+                1 + z.uu % len(tk) AS i,
+                array_to_string(
+                  tk[(1 + z.uu % len(tk)) :
+                     (1 + z.uu % len(tk)) + (1 + z.uu // len(tk))],
+                  ' ') AS gram
+              FROM t, LATERAL (
+                SELECT unnest(range(0, 9 * len(tk))) AS uu) z
+              WHERE (1 + z.uu % len(tk)) + (1 + z.uu // len(tk))
+                    <= len(tk)),
+        counts AS (SELECT doc_id, n, gram, COUNT(*)::BIGINT AS cnt
+                   FROM w GROUP BY 1, 2, 3),
+        top AS (SELECT doc_id,
+                  SUM(CASE WHEN n = 2 THEN chars ELSE 0 END)::BIGINT
+                    AS top2_chars,
+                  SUM(CASE WHEN n = 3 THEN chars ELSE 0 END)::BIGINT
+                    AS top3_chars,
+                  SUM(CASE WHEN n = 4 THEN chars ELSE 0 END)::BIGINT
+                    AS top4_chars
+                FROM (SELECT doc_id, n,
+                        (cnt * (length(gram) - (n - 1)))::BIGINT AS chars,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                          ORDER BY cnt DESC, gram) AS rn
+                      FROM counts WHERE n <= 4)
+                WHERE rn = 1 GROUP BY doc_id),
+        dupw AS (SELECT w.doc_id, w.n, w.i
+                 FROM w JOIN counts c ON c.doc_id = w.doc_id
+                   AND c.n = w.n AND c.gram = w.gram
+                 WHERE c.cnt >= 2 AND w.n >= 5),
+        cov AS (SELECT DISTINCT doc_id, n, z.p
+                FROM dupw, LATERAL (
+                  SELECT unnest(range(i, i + n)) AS p) z),
+        wl AS (SELECT doc_id, u.p, length(u.wd)::BIGINT AS wlen
+               FROM t, LATERAL (
+                 SELECT unnest(tk) AS wd,
+                        unnest(range(1, len(tk) + 1)) AS p) u),
+        dupc AS (SELECT cov.doc_id,
+                   SUM(CASE WHEN n = 5 THEN wlen ELSE 0 END)::BIGINT
+                     AS dup5_chars,
+                   SUM(CASE WHEN n = 6 THEN wlen ELSE 0 END)::BIGINT
+                     AS dup6_chars,
+                   SUM(CASE WHEN n = 7 THEN wlen ELSE 0 END)::BIGINT
+                     AS dup7_chars,
+                   SUM(CASE WHEN n = 8 THEN wlen ELSE 0 END)::BIGINT
+                     AS dup8_chars,
+                   SUM(CASE WHEN n = 9 THEN wlen ELSE 0 END)::BIGINT
+                     AS dup9_chars,
+                   SUM(CASE WHEN n = 10 THEN wlen ELSE 0 END)::BIGINT
+                     AS dup10_chars
+                 FROM cov JOIN wl ON wl.doc_id = cov.doc_id
+                   AND wl.p = cov.p
+                 GROUP BY cov.doc_id),
+        j AS (SELECT base.*,
+                coalesce(top2_chars, 0)::BIGINT AS top2_chars,
+                coalesce(top3_chars, 0)::BIGINT AS top3_chars,
+                coalesce(top4_chars, 0)::BIGINT AS top4_chars,
+                coalesce(dup5_chars, 0)::BIGINT AS dup5_chars,
+                coalesce(dup6_chars, 0)::BIGINT AS dup6_chars,
+                coalesce(dup7_chars, 0)::BIGINT AS dup7_chars,
+                coalesce(dup8_chars, 0)::BIGINT AS dup8_chars,
+                coalesce(dup9_chars, 0)::BIGINT AS dup9_chars,
+                coalesce(dup10_chars, 0)::BIGINT AS dup10_chars
+              FROM base
+              LEFT JOIN top USING (doc_id)
+              LEFT JOIN dupc USING (doc_id)),
+        f AS (SELECT j.*,
+                (10 * n_dup_paras <= 3 * n_paras) AS r_dup_paras,
+                (100 * dup_para_chars <= 20 * n_para_chars)
+                  AS r_dup_para_chars,
+                (100 * dup_line_chars <= 20 * n_line_chars)
+                  AS r_dup_line_chars,
+                (100 * top2_chars <= 20 * n_word_chars) AS r_top2gram,
+                (100 * top3_chars <= 18 * n_word_chars) AS r_top3gram,
+                (100 * top4_chars <= 16 * n_word_chars) AS r_top4gram,
+                (100 * dup5_chars <= 15 * n_word_chars) AS r_dup5gram,
+                (100 * dup6_chars <= 14 * n_word_chars) AS r_dup6gram,
+                (100 * dup7_chars <= 13 * n_word_chars) AS r_dup7gram,
+                (100 * dup8_chars <= 12 * n_word_chars) AS r_dup8gram,
+                (100 * dup9_chars <= 11 * n_word_chars) AS r_dup9gram,
+                (100 * dup10_chars <= 10 * n_word_chars) AS r_dup10gram
+              FROM j)
+        SELECT f.*,
+               (r_dup_paras AND r_dup_para_chars AND r_dup_line_chars AND
+                r_top2gram AND r_top3gram AND r_top4gram AND r_dup5gram AND
+                r_dup6gram AND r_dup7gram AND r_dup8gram AND r_dup9gram AND
+                r_dup10gram) AS keep
+        FROM f
+        ORDER BY doc_id""")),
+
     // ---- q151: quality-arbitrated dedup — keep the BEST copy of each
     // near-dup cluster (q67's clusters), not the min-id canonical: the
     // survivor is the member with the highest quality score (here

@@ -382,4 +382,46 @@ class CurationSpec extends SparkSpec {
     assert(so.getAs[Boolean]("r_symbol_ratio"),
       "exactly 10% symbols must PASS")
   }
+
+  test("gopherRepetition: top-n-gram chars, union-coverage dup n-grams " +
+      "(no double counting), paragraph/line duplicate characters") {
+    val docs = Seq(
+      // 0: 'ba na' ×3 of 6 words — top-2-gram chars 12/12 trips the rule
+      (0L, "ba na ba na ba na"),
+      // 1: two overlapping duplicated 5-grams; covered positions are the
+      // UNION 1..12 (word 13 'seven' uncovered) — 44 of 49 chars
+      (1L, "one two three four five six one two three four five six seven"),
+      // 2: repeated paragraph (and repeated line inside it)
+      (2L, "alpha beta\n\nrepeat me\n\nrepeat me"),
+      // 3: 40 distinct words — everything passes
+      (3L, (1 to 40).map(i => f"a$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: top 2-gram 'ba na' cnt 3 × (len 5 − 1 sep) = 12 chars of 12
+    assert(out(0L).getAs[Long]("top2_chars") == 12L)
+    assert(!out(0L).getAs[Boolean]("r_top2gram"))
+    assert(out(0L).getAs[Long]("dup5_chars") == 0L, "no duplicated 5-gram")
+    // doc 1: dup 5-grams cover words 1..12 exactly once = 44 chars — a
+    // per-occurrence sum would double-count the overlap and exceed this
+    assert(out(1L).getAs[Long]("dup5_chars") == 44L)
+    assert(out(1L).getAs[Long]("n_word_chars") == 49L)
+    assert(!out(1L).getAs[Boolean]("r_dup5gram"))
+    assert(out(1L).getAs[Long]("dup6_chars") == 44L) // 6-gram pair too
+    assert(out(1L).getAs[Long]("dup7_chars") == 0L)
+    // doc 2: 3 paragraphs, 1 duplicate (9 redundant chars of 28); the
+    // blank lines between paragraphs duplicate at zero chars
+    assert(out(2L).getAs[Long]("n_paras") == 3L)
+    assert(out(2L).getAs[Long]("n_dup_paras") == 1L)
+    assert(out(2L).getAs[Long]("dup_para_chars") == 9L)
+    assert(out(2L).getAs[Long]("n_para_chars") == 28L)
+    assert(!out(2L).getAs[Boolean]("r_dup_paras"))
+    assert(!out(2L).getAs[Boolean]("r_dup_para_chars"))
+    assert(out(2L).getAs[Long]("dup_line_chars") == 9L)
+    assert(!out(2L).getAs[Boolean]("r_dup_line_chars"))
+    // doc 3: all rules pass (unique vocabulary, single line/paragraph)
+    assert(out(3L).getAs[Boolean]("keep"), s"doc 3: ${out(3L)}")
+    // doc 0 keep must be false via the tripped rule alone
+    assert(!out(0L).getAs[Boolean]("keep"))
+  }
 }
