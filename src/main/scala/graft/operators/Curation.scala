@@ -615,4 +615,59 @@ object Curation {
           col("r_dup6gram") && col("r_dup7gram") && col("r_dup8gram") &&
           col("r_dup9gram") && col("r_dup10gram"))
   }
+
+  /** CORPUS-WIDE paragraph dedup — the CCNet recipe (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", §3 dedup stage), the cross-document complement of the
+    * WITHIN-doc duplicate-line rules ([[gopherRules]]/[[gopherRepetition]]
+    * gate a doc; this REWRITES the corpus): every doc splits into
+    * paragraphs on a blank line, each paragraph keys on its NORMALIZED
+    * form — lowercased, every digit run replaced by the `0` placeholder,
+    * so boilerplate differing only by counters/dates/ids dedups — and of
+    * all occurrences corpus-wide only the FIRST survives, first = least
+    * (doc, position) in deterministic total order. Documented deviation
+    * from the paper: the Unicode-punctuation/accent strip is omitted
+    * (engine-portable Unicode character classes are not — the q167
+    * tokenizer precedent); digit-placeholder + lowercase is the
+    * load-bearing part of the normalization.
+    *
+    * Returns per doc: `n_paras`, `n_kept`, and `text_clean` (surviving
+    * paragraphs re-joined in original order with the blank-line
+    * separator; empty when every paragraph first appeared elsewhere).
+    *
+    * Scale shape: paragraphs ship ONCE into a (key → min (doc, pos))
+    * aggregation whose output is distinct-paragraph-sized (map-side
+    * combined); the winner frame joins back SLIM on the int64 key —
+    * paragraph bodies never ride the second shuffle — and reconstruction
+    * is one per-doc array fold. Keys are xxhash64 of the normalized
+    * paragraph (the q105 int64-key posture: collision ≈ n²/2⁶⁵; the
+    * string-keyed oracle would catch a merge).
+    */
+  def corpusParagraphDedup(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+      .withColumn("__h", xxhash64(
+        regexp_replace(lower(col("para")), "[0-9]+", "0")))
+    // first occurrence corpus-wide: min (doc, pos) per normalized key —
+    // slim (key, winner) frame, never the bodies
+    val winners = paras
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("w"))
+      .select(col("__h"), col("w.d").as("__wdoc"), col("w.p").as("__wpos"))
+    paras.join(winners, Seq("__h"))
+      .withColumn("__keep",
+        col(idCol) === col("__wdoc") && col("pos") === col("__wpos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("para"))))),
+            x => x("para")),
+          "\n\n").as("text_clean"))
+  }
 }

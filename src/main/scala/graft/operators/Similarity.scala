@@ -274,6 +274,56 @@ object Similarity {
         col("code_sum").cast(org.apache.spark.sql.types.DoubleType) / col("n_members"))
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"; the pruning rule is Sorscher et al. 2022's
+    * "Beyond neural scaling laws" prototypes metric): after clustering,
+    * the points CLOSEST to their cluster centroid are the most
+    * prototypical — the most redundant with the cluster's mass — so the
+    * recipe drops the nearest `dropPercent` of EVERY cluster and keeps
+    * the diverse tail. The SemDeDup half of D4 is [[semanticDedup]]
+    * (q101); this is the diversification half.
+    *
+    * Runs entirely in the int8 code domain (the q93 training
+    * arithmetic): integer L2 distances are exact, and the cut is a RANK,
+    * not a float threshold — kept ⟺ 100·rank > dropPercent·n_cluster by
+    * integer cross-multiplication (the q145 rank discipline), so a
+    * cluster whose cut lands exactly on a rank boundary compares exactly
+    * in any engine. Ties (equal distance) break to the lowest id — the
+    * total order every ranked operator here uses.
+    *
+    * `corpusCodes`: (id, code); `centroidCodes`: (cid, code).
+    * Returns (id, bucket, dist, proto_rank, n_cluster, kept).
+    *
+    * Scale shape: one broadcast of the centroid codes (k ≤ thousands)
+    * for the assignment, then one window partitioned BY CLUSTER — the
+    * same partitioning the IVF lake layout (q143) already stores, so on
+    * a bucketed index table the rank is a per-partition sort with no
+    * fresh corpus shuffle; cluster sizes are corpus/k, never the corpus.
+    */
+  def prototypicalityPrune(corpusCodes: DataFrame, centroidCodes: DataFrame,
+      dropPercent: Int): DataFrame = {
+    require(dropPercent >= 0 && dropPercent <= 100,
+      s"dropPercent must be a percentage: $dropPercent")
+    val scored = corpusCodes.select(col("id"), col("code"))
+      .crossJoin(broadcast(
+        centroidCodes.select(col("cid"), col("code").as("ccode"))))
+      .withColumn("dist", l2sqInt(col("code"), col("ccode")))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cid").as("bucket"), col("dist"))
+    val wRank = Window.partitionBy(col("bucket")).orderBy(col("dist"), col("id"))
+    val wSize = Window.partitionBy(col("bucket"))
+    assigned
+      .withColumn("proto_rank", row_number().over(wRank)
+        .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("n_cluster", count(lit(1)).over(wSize))
+      .withColumn("kept",
+        lit(100L) * col("proto_rank") >
+          lit(dropPercent.toLong) * col("n_cluster"))
+  }
+
   /** Retrieval-QUALITY audit for the IVF path: recall@k of [[ivfTopK]]
     * against the exact brute-force neighbors, per query and probe width.
     * Everything is exact arithmetic (integer hit counts, one final

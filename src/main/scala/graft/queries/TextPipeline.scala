@@ -3571,6 +3571,58 @@ object TextPipeline {
         FROM f
         ORDER BY doc_id""")),
 
+    // ---- q169: CORPUS-WIDE paragraph dedup — the CCNet recipe (Wenzek
+    // et al. 2020 §3): the cross-document complement of q167/q168's
+    // within-doc repetition gates. Paragraphs key on their normalized
+    // form (lowercase + digit runs → the '0' placeholder, so boilerplate
+    // differing only by counters/dates dedups); the FIRST occurrence
+    // corpus-wide — least (doc, pos) — survives, every later one is cut
+    // from the doc's rebuilt text. The fixture splices a shared footer
+    // paragraph onto every 4th doc (with a doc-varying counter the
+    // normalization must erase) so cross-doc kills happen at corpus
+    // scale and exactly one doc keeps the footer. Spark dedups on the
+    // slim int64 xxhash64 key (q105 posture); the STRING-keyed oracle
+    // would catch a collision merge.
+    QueryDef(
+      "q169_ccnet_paragraph_dedup",
+      (s, dir) => {
+        import graft.operators.Curation
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("\n\nshared footer "),
+                col("doc_id").cast("string"),
+                lit(" all rights reserved")))
+              .otherwise(lit(""))).as("text"))
+        Curation.corpusParagraphDedup(
+            spliced.repartition(s.sparkContext.defaultParallelism,
+              col("doc_id")), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH r AS (SELECT doc_id, text || CASE
+            WHEN doc_id % 4 = 0 THEN
+              e'\n\nshared footer ' || doc_id || ' all rights reserved'
+            ELSE '' END AS text
+          FROM documents),
+        p AS (SELECT doc_id, u.para, u.pos,
+                regexp_replace(lower(u.para), '[0-9]+', '0', 'g') AS np
+              FROM (SELECT doc_id,
+                      string_split(text, chr(10) || chr(10)) AS ps
+                    FROM r) t,
+                   LATERAL (SELECT unnest(ps) AS para,
+                                   unnest(range(0, len(ps))) AS pos) u),
+        k AS (SELECT doc_id, pos, para,
+                ROW_NUMBER() OVER (PARTITION BY np
+                  ORDER BY doc_id, pos) = 1 AS keep
+              FROM p)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_paras,
+               SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               coalesce(string_agg(CASE WHEN keep THEN para END,
+                 chr(10) || chr(10) ORDER BY pos), '') AS text_clean
+        FROM k GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ---- q151: quality-arbitrated dedup — keep the BEST copy of each
     // near-dup cluster (q67's clusters), not the min-id canonical: the
     // survivor is the member with the highest quality score (here

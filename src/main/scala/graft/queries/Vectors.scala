@@ -1304,7 +1304,52 @@ object Vectors {
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
               FROM rr)
         WHERE rank <= 3
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ---- q170: D4 prototypicality pruning (Tirumala et al. 2023;
+    // pruning rule from Sorscher et al. 2022) — the diversification half
+    // of D4 next to q101's SemDeDup half: per cluster, the 20% of points
+    // NEAREST their centroid (most prototypical = most redundant) are
+    // dropped and the diverse tail kept. Assignment and distances are
+    // exact integer L2 over q61's reproducible int8 codes; the cut is a
+    // rank compared by integer cross-multiplication (100·rank >
+    // 20·n_cluster), so boundary clusters compare exactly. The oracle
+    // re-derives codes, assignment, per-cluster ranks and the cut from
+    // the raw floats.
+    QueryDef(
+      "q170_prototypicality_prune",
+      (s, dir) => {
+        val coded = vecs(s, dir).select(col("id"),
+          VectorFunctions.quantizeInt8(col("vec"),
+            VectorFunctions.int8Scale(col("vec"))).as("code"))
+        val cents = coded.filter(col("id") < 8)
+          .select(col("id").as("cid"), col("code"))
+        Similarity.prototypicalityPrune(coded.filter(col("id") >= 8), cents,
+            dropPercent = 20)
+          .orderBy(col("id"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+             c AS (SELECT id, ${sqlCodes("vec")} AS code FROM v),
+             cent AS (SELECT id AS cid, code AS ccode FROM c WHERE id < 8),
+             corpus AS (SELECT * FROM c WHERE id >= 8),
+             scored AS (SELECT corpus.id, cid,
+                          list_sum(list_transform(range(1, 65), i ->
+                            (code[i] - ccode[i]) * (code[i] - ccode[i]))) AS dist
+                        FROM corpus CROSS JOIN cent),
+             assigned AS (SELECT id, cid AS bucket, dist
+                          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist, cid) AS rn FROM scored)
+                          WHERE rn = 1),
+             r AS (SELECT id, bucket, dist,
+                     ROW_NUMBER() OVER (PARTITION BY bucket
+                       ORDER BY dist, id)::BIGINT AS proto_rank,
+                     COUNT(*) OVER (PARTITION BY bucket)::BIGINT AS n_cluster
+                   FROM assigned)
+        SELECT id, bucket, dist::BIGINT AS dist, proto_rank, n_cluster,
+               100 * proto_rank > 20 * n_cluster AS kept
+        FROM r
+        ORDER BY id"""))
   )
 
   /** Build the q156 lake-resident IVF-PQ index: the q143 fold with PQ

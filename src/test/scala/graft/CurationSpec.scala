@@ -424,4 +424,35 @@ class CurationSpec extends SparkSpec {
     // doc 0 keep must be false via the tripped rule alone
     assert(!out(0L).getAs[Boolean]("keep"))
   }
+
+  test("corpusParagraphDedup: first (doc,pos) occurrence wins corpus-wide, " +
+      "digit-placeholder normalization merges counter variants, " +
+      "text rebuilds in original order") {
+    val docs = Seq(
+      (1L, "shared boiler\n\nunique one"),
+      // pos-2 footer normalizes equal to doc 3's pos-0 ("call 0 now");
+      // (2,2) < (3,0) in (doc, pos) order so doc 2 keeps it
+      (2L, "shared boiler\n\nunique two\n\nCall 555 now"),
+      (3L, "call 123 NOW\n\nshared boiler"),
+      // blank-line runs produce EMPTY paragraphs — they dedup too
+      (4L, "a\n\n\n\nb"),
+      (5L, "x\n\n\n\ny"))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusParagraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept") == 2L)
+    assert(out(1L).getAs[String]("text_clean") ==
+      "shared boiler\n\nunique one")
+    assert(out(2L).getAs[Long]("n_paras") == 3L)
+    assert(out(2L).getAs[Long]("n_kept") == 2L)
+    assert(out(2L).getAs[String]("text_clean") ==
+      "unique two\n\nCall 555 now")
+    // doc 3 loses BOTH paragraphs (each first appeared in a lower doc)
+    assert(out(3L).getAs[Long]("n_kept") == 0L)
+    assert(out(3L).getAs[String]("text_clean") == "")
+    // doc 4 owns the first empty paragraph; doc 5's is cut
+    assert(out(4L).getAs[String]("text_clean") == "a\n\n\n\nb")
+    assert(out(5L).getAs[Long]("n_kept") == 2L)
+    assert(out(5L).getAs[String]("text_clean") == "x\n\ny")
+  }
 }

@@ -1492,4 +1492,40 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(rr.toList == List((1, 102L, 100L), (2, 100L, 164L)))
   }
+
+  test("prototypicalityPrune: nearest dropPercent of each cluster cut by " +
+      "exact rank, boundary rank drops, small clusters keep everyone, " +
+      "distance ties break to the lowest id") {
+    val cents = Seq(
+      (0L, Seq(0L, 0L, 0L, 0L)),
+      (1L, Seq(100L, 100L, 100L, 100L))).toDF("cid", "code")
+    val corpus = Seq(
+      // cluster 0: six points, distances 0/1/1/4/9/16 — ids 11 and 15
+      // tie at distance 1 and must rank in id order
+      (10L, Seq(0L, 0L, 0L, 0L)),
+      (11L, Seq(1L, 0L, 0L, 0L)),
+      (15L, Seq(0L, 1L, 0L, 0L)),
+      (12L, Seq(2L, 0L, 0L, 0L)),
+      (13L, Seq(3L, 0L, 0L, 0L)),
+      (14L, Seq(4L, 0L, 0L, 0L)),
+      // cluster 1: two points — 20% of 2 rounds to nobody (100·1 > 40)
+      (20L, Seq(100L, 100L, 100L, 100L)),
+      (21L, Seq(99L, 100L, 100L, 100L))).toDF("id", "code")
+    val out = Similarity.prototypicalityPrune(corpus, cents, dropPercent = 20)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("dist"),
+          r.getAs[Long]("proto_rank"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(10L) == (0L, 0L, 1L, false), "rank 1 of 6 is the cut")
+    assert(out(11L) == (0L, 1L, 2L, true), "tie at d=1: id 11 before 15")
+    assert(out(15L) == (0L, 1L, 3L, true))
+    assert(out(14L) == (0L, 16L, 6L, true))
+    // cluster of 2: the 20% cut lands below rank 1 — everyone survives
+    assert(out(20L)._4 && out(21L)._4)
+    // exact boundary: with n=5 the rank-1 comparison is 100·1 ≤ 20·5 —
+    // equality DROPS (kept is a strict >)
+    val five = Similarity.prototypicalityPrune(
+        corpus.filter(col("id") =!= 15L && col("id") < 20L), cents, 20)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(!five(10L) && five(11L) && five(12L))
+  }
 }
