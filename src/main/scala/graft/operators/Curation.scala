@@ -503,8 +503,17 @@ object Curation {
     *
     * Scale shape: line/paragraph stats are per-doc array expressions
     * (zero shuffle); the n-gram side explodes ≈ 9 windows per word
-    * tagged by n, aggregates on (doc, n, gram) with map-side combine,
-    * and the coverage join ships only duplicated windows' positions.
+    * tagged by n, SPLIT by rule so gram strings never ride a wide
+    * shuffle — the 2..4-gram (top) side carries the string because the
+    * published tie-break is lexicographic on it, while the 5..10-gram
+    * (coverage) side ships only (n, position, int64 xxhash64 key) and
+    * resolves duplicated windows with one window count over the slim
+    * key frame (the q105 span-key posture; collision ≈ windows²/2⁶⁵
+    * per doc, and the string-keyed oracle would catch a merge). Neither
+    * exploded frame is materialized: re-deriving the windows from the
+    * checkpointed token arrays is cheaper than checkpointing a
+    * corpus × 9-windows string frame (measured 14.7 s max tasks at the
+    * 10× probe before this split; linear with bounded tasks after).
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
@@ -531,28 +540,27 @@ object Curation {
       dupChars(split(text, "\n")).as("dup_line_chars"),
       totChars(split(text, "\n")).as("n_line_chars"))
       .localCheckpoint(false)
-    // one window explode for every n: (id, n, i, gram); sequence(1, 0)
-    // would run DESCENDING, so empty-window docs need the guard
-    val windows = base.select(col(idCol),
-        explode(flatten(array((2 to 10).map { n =>
+    // window explodes per rule side; sequence(1, 0) would run
+    // DESCENDING, so empty-window docs need the guard. The 2..4 (top)
+    // side carries the gram STRING — the published argmax tie-break is
+    // lexicographic on it and hash order would diverge from the oracle.
+    val topWin = base.select(col(idCol),
+        explode(flatten(array((2 to 4).map { n =>
           when(size(col("__tk")) >= n,
             transform(sequence(lit(1), size(col("__tk")) - n + 1), i =>
-              struct(lit(n).as("n"), i.as("i"),
+              struct(lit(n).as("n"),
                 array_join(slice(col("__tk"), i, lit(n)), " ").as("gram"))))
-            .otherwise(array().cast(
-              "array<struct<n:int,i:int,gram:string>>"))
+            .otherwise(array().cast("array<struct<n:int,gram:string>>"))
         }: _*))).as("w"))
-      .select(col(idCol), col("w.n").as("n"), col("w.i").as("i"),
-        col("w.gram").as("gram"))
-      .localCheckpoint(false)
-    val counts = windows.groupBy(col(idCol), col("n"), col("gram"))
+      .select(col(idCol), col("w.n").as("n"), col("w.gram").as("gram"))
+    val counts = topWin.groupBy(col(idCol), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     // top n-gram (2..4): chars = cnt · word-chars of the gram (= len −
     // separators); deterministic (cnt desc, gram) argmax
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol), col("n"))
       .orderBy(col("cnt").desc, col("gram"))
-    val top = counts.filter(col("n") <= 4)
+    val top = counts
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") === 1)
       .select(col(idCol), col("n"),
@@ -564,15 +572,30 @@ object Curation {
         sum(when(col("n") === 3, col("chars"))).as("top3_chars"),
         sum(when(col("n") === 4, col("chars"))).as("top4_chars"))
     // duplicated n-grams (5..10): union of covered word positions,
-    // never double-counted — distinct (id, n, pos) before the join
-    val dupWin = windows.filter(col("n") >= 5)
-      .join(counts.filter(col("cnt") >= 2 && col("n") >= 5),
-        Seq(idCol, "n", "gram"))
+    // never double-counted — distinct (id, n, pos) before the join. The
+    // coverage rule never reads the text, so this side ships only the
+    // int64 key; one window count resolves duplication (a groupBy +
+    // join-back would shuffle the frame twice)
+    val dupWin = base.select(col(idCol),
+        explode(flatten(array((5 to 10).map { n =>
+          when(size(col("__tk")) >= n,
+            transform(sequence(lit(1), size(col("__tk")) - n + 1), i =>
+              struct(lit(n).as("n"), i.as("i"),
+                xxhash64(array_join(slice(col("__tk"), i, lit(n)), " "))
+                  .as("gh"))))
+            .otherwise(array().cast("array<struct<n:int,i:int,gh:bigint>>"))
+        }: _*))).as("w"))
+      .select(col(idCol), col("w.n").as("n"), col("w.i").as("i"),
+        col("w.gh").as("gh"))
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("n"), col("gh"))
     val wordLens = base.select(col(idCol),
         posexplode(col("__tk")).as(Seq("pos0", "__w")))
       .select(col(idCol), (col("pos0") + 1).as("p"),
         length(col("__w")).cast(LongType).as("wlen"))
     val covered = dupWin
+      .withColumn("__c", count(lit(1)).over(wDup))
+      .filter(col("__c") >= 2)
       .select(col(idCol), col("n"),
         explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
       .distinct()

@@ -158,4 +158,73 @@ object Sampling {
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__cut"))
       .select(col(groupCol), col(idCol))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total training budget as UNIFORMLY as
+    * possible across languages, subject to a per-language repeat cap —
+    * no language contributes more than `epochCap` epochs of its own
+    * mass. The published algorithm is a waterfill; this is its exact
+    * closed form over languages sorted by capacity: with capacities
+    * cap_l = epochCap·n_l ascending (ties → group asc), prefix sums P
+    * and L languages, language i SATURATES ⟺
+    * cap_i·(L−i+1) ≤ B − P_{i−1} — saturation is provably a prefix of
+    * the sort order (if i fails, B−P_i < cap_i·(L−i) ≤ cap_{i+1}·(L−i),
+    * so i+1 fails) — and the k saturated languages pay P_k, leaving
+    * q = (B−P_k) div (L−k) each for the rest with the remainder going
+    * to the first languages in sort order (largest-remainder, total
+    * allocation ≡ B exactly). An unsaturated language can never exceed
+    * its cap: cap_i·(L−k) > B−P_k ⟹ cap_i ≥ q+1.
+    *
+    * EVERYTHING is int64 arithmetic — budget = mass·budgetNum div
+    * budgetDen, integer floor division and cross-multiplied saturation
+    * tests — so the allocation reproduces bit-for-bit in any engine.
+    *
+    * Output: (group, n_mass, capacity, allocated, capped), one row per
+    * group; Σ allocated = min(B, Σ capacity) by construction.
+    *
+    * Scale shape: one grouped sum over the corpus (map-side combined,
+    * bodies never move), then windows over the GROUP-DOMAIN-sized frame
+    * (tens to thousands of rows — the unpartitioned window sorts that
+    * frame, never the corpus; the q118 group-domain contract).
+    */
+  def unimaxAllocate(df: DataFrame, groupCol: String, weightCol: String,
+      budgetNum: Long, budgetDen: Long, epochCap: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && epochCap > 0,
+      s"budget fraction and epoch cap must be positive: " +
+        s"$budgetNum/$budgetDen, $epochCap")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(sum(col(weightCol).cast("long")).as("n_mass"))
+      .withColumn("capacity", col("n_mass") * epochCap)
+    val wOrd = Window.orderBy(col("capacity"), col(groupCol))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("__t", sum(col("n_mass")).over(wAll))
+      .withColumn("__l", count(lit(1)).over(wAll))
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__pfx", sum(col("capacity")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__b", expr(s"__t * $budgetNum div $budgetDen"))
+      .withColumn("capped",
+        col("capacity") * (col("__l") - col("__i") + 1L) <=
+          col("__b") - (col("__pfx") - col("capacity")))
+      .withColumn("__k", sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("__pk",
+        sum(when(col("capped"), col("capacity")).otherwise(0L)).over(wAll))
+      // greatest(1, L−k) keeps the div total under ANSI when everything
+      // saturates (the quotient is unused on that branch)
+      .withColumn("__q",
+        expr("(__b - __pk) div greatest(1L, __l - __k)"))
+      .withColumn("__r",
+        expr("(__b - __pk) % greatest(1L, __l - __k)"))
+      .withColumn("allocated",
+        when(col("capped"), col("capacity"))
+          .otherwise(col("__q") +
+            when(col("__i") - col("__k") <= col("__r"), 1L).otherwise(0L)))
+      .select(col(groupCol), col("n_mass"), col("capacity"),
+        col("allocated"), col("capped"))
+  }
 }

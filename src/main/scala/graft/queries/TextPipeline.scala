@@ -1138,6 +1138,52 @@ object TextPipeline {
            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
         ORDER BY source, doc_id""")),
 
+    // ---- q172: UniMax language-budget allocation (Chung et al. 2023) —
+    // the OTHER published mixing recipe next to q118's temperature
+    // flattening: spread the budget uniformly across languages subject
+    // to a per-language epoch cap, as an exact int64 waterfill (closed
+    // form over capacity-sorted languages; saturation tests cross-
+    // multiplied, floor division, largest-remainder — Σ allocated ≡
+    // budget exactly). Budget = 9/10 of total character mass at
+    // epochCap 1: the four smaller languages saturate, en absorbs the
+    // rest — both branches of the waterfill run under the gate.
+    QueryDef(
+      "q172_unimax_allocation",
+      (s, dir) =>
+        graft.operators.Sampling.unimaxAllocate(
+            docs(s, dir), "lang", "n_chars",
+            budgetNum = 9L, budgetDen = 10L, epochCap = 1L)
+          .orderBy(col("lang")),
+      Some("""
+        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
+                          (SUM(n_chars) * 1)::BIGINT AS capacity
+                   FROM documents GROUP BY lang),
+        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
+              FROM c),
+        r AS (SELECT c.*, t.tot, t.l, (t.tot * 9) // 10 AS b,
+                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM c CROSS JOIN t),
+        f AS (SELECT *,
+                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+              FROM r),
+        g AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
+                  AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+                  ::BIGINT AS pk
+              FROM f)
+        SELECT lang, n_mass, capacity,
+               (CASE WHEN capped THEN capacity
+                     ELSE (b - pk) // greatest(1, l - k)
+                          + CASE WHEN i - k <= (b - pk) %
+                              greatest(1, l - k) THEN 1 ELSE 0 END
+                END)::BIGINT AS allocated,
+               capped
+        FROM g
+        ORDER BY lang""")),
+
     // ---- q119: deterministic shard plan — the training-shard production
     // step: hash-route every doc to one of 16 shards (first md5 hex digit
     // of the id), report per-shard balance (doc count, token mass) and an
@@ -3597,6 +3643,74 @@ object TextPipeline {
         Curation.corpusParagraphDedup(
             spliced.repartition(s.sparkContext.defaultParallelism,
               col("doc_id")), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH r AS (SELECT doc_id, text || CASE
+            WHEN doc_id % 4 = 0 THEN
+              e'\n\nshared footer ' || doc_id || ' all rights reserved'
+            ELSE '' END AS text
+          FROM documents),
+        p AS (SELECT doc_id, u.para, u.pos,
+                regexp_replace(lower(u.para), '[0-9]+', '0', 'g') AS np
+              FROM (SELECT doc_id,
+                      string_split(text, chr(10) || chr(10)) AS ps
+                    FROM r) t,
+                   LATERAL (SELECT unnest(ps) AS para,
+                                   unnest(range(0, len(ps))) AS pos) u),
+        k AS (SELECT doc_id, pos, para,
+                ROW_NUMBER() OVER (PARTITION BY np
+                  ORDER BY doc_id, pos) = 1 AS keep
+              FROM p)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_paras,
+               SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               coalesce(string_agg(CASE WHEN keep THEN para END,
+                 chr(10) || chr(10) ORDER BY pos), '') AS text_clean
+        FROM k GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ---- q171: incremental paragraph-dedup fold ≡ one-shot CCNet rule
+    // (q169's rewrite lifted to the q153 batching-independence gate):
+    // the spliced corpus folds through a GROWING winner registry in
+    // three id-ordered batches — each batch rewrites its docs against
+    // every paragraph seen before WITHOUT rescanning history text (the
+    // 100 TB posture for continuously-arriving training data). The
+    // oracle is q169's one-shot rule verbatim and knows nothing about
+    // the cuts, so the gate proves the fold is batching-independent.
+    QueryDef(
+      "q171_paragraph_dedup_fold",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        import graft.streaming.DedupIndex
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("\n\nshared footer "),
+                col("doc_id").cast("string"),
+                lit(" all rights reserved")))
+              .otherwise(lit(""))).as("text"))
+        val tmp = stagedFold(dir, "#q171") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_para_fold").toString
+          val maxId = spliced.agg(max(col("doc_id"))).head.getLong(0)
+          // id-ordered thirds emulate arrival order; the oracle is
+          // independent of where these cuts fall
+          val cuts = Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3)
+          cuts.zipWithIndex.foreach { case (cut, i) =>
+            val emitted = DedupIndex.paragraphDedupBatch(s, s"$t/registry",
+                spliced.filter(cut))
+              .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+            if (i == 0) Snapshots.append(emitted, s"$t/kept")
+            else Snapshots.mergeUpsert(s, s"$t/kept", emitted, "doc_id")
+          }
+          t
+        }
+        Snapshots.read(s, s"$tmp/kept")
+          .select(col("doc_id"), col("n_paras"), col("n_kept"),
+            col("text_clean"))
           .orderBy(col("doc_id"))
       },
       Some("""

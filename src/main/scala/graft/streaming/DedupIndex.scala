@@ -181,4 +181,91 @@ object DedupIndex {
     else Snapshots.append(stamped, indexTable)
     survivors
   }
+
+  /** Incremental CCNet paragraph dedup —
+    * [[graft.operators.Curation.corpusParagraphDedup]]'s rule as a lake
+    * fold (the [[lshDedupBatch]] posture lifted from suppress-the-doc to
+    * REWRITE-the-doc): the index table is the winner REGISTRY — one row
+    * (h, wdoc, wpos) per normalized-paragraph key ever seen — and each
+    * arriving batch resolves against it without any corpus rescan:
+    *
+    *  - batch-internal first occurrence: min (doc, pos) per key;
+    *  - keys already registered lose outright (the registered winner is
+    *    earlier under id-monotone arrival);
+    *  - fresh keys keep their batch winner and REGISTER it.
+    *
+    * Emits the batch's rebuilt docs (the q169 output shape: n_paras,
+    * n_kept, text_clean). Replay safety: the registry read first drops
+    * rows won by the replaying batch's own ids (restoring pre-batch
+    * state for those keys), so the batch re-resolves identically and the
+    * keyed mergeUpsert re-writes the same rows — a no-op.
+    *
+    * Under id-monotone arrival the fold over ANY batching equals the
+    * one-shot corpus rule: a key's global winner sits in the earliest
+    * batch containing that key, where it also wins batch-internally
+    * (the min over a subset containing the global min; later batches
+    * only see the key as registered) — which is what the q171 oracle
+    * checks without knowing the batch cuts.
+    *
+    * Scale shape: per-batch cost is the batch's own paragraph pass +
+    * ONE slim key join against the registry (int64 keys and winner
+    * coordinates only — paragraph BODIES never touch the index; at
+    * deployment scale the registry is clustered by key so zone maps
+    * prune the probe) + a fresh-keys-sized mergeUpsert. History text is
+    * never rescanned, and the emitted rewrite is a pure function of
+    * arrival history.
+    */
+  def paragraphDedupBatch(spark: SparkSession, indexTable: String,
+      batchDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val batch = batchDocs.select(col(idCol), col(textCol)).localCheckpoint(true)
+    // one paragraph pass over the BATCH only; feeds winner-resolve AND
+    // the rebuild, so pin it once
+    val paras = batch
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+      .withColumn("h", xxhash64(
+        regexp_replace(lower(col("para")), "[0-9]+", "0")))
+      .localCheckpoint(true)
+    val batchWinners = paras.groupBy(col("h"))
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("w"))
+      .select(col("h"), col("w.d").as("wdoc"), col("w.p").as("wpos"))
+    val indexed = Snapshots.currentVersion(indexTable).isDefined
+    val fresh =
+      if (!indexed) batchWinners
+      else {
+        val hist = Snapshots.read(spark, indexTable)
+          // a replayed batch's own registrations are dropped up front so
+          // the replay resolves against pre-batch state exactly
+          .join(batch.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
+        batchWinners.join(hist.select(col("h")), Seq("h"), "left_anti")
+      }
+    // keep ⟺ the key is FRESH and this row is its batch winner; lost
+    // keys (registered history) null out on the left join
+    val out = paras
+      .join(fresh.select(col("h"), col("wdoc").as("__wd"),
+        col("wpos").as("__wp")), Seq("h"), "left")
+      .withColumn("__keep",
+        col("__wd").isNotNull &&
+          col(idCol) === col("__wd") && col("pos") === col("__wp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("para"))))),
+            x => x("para")),
+          "\n\n").as("text_clean"))
+      // emissions materialize BEFORE the registry commit — a lazy plan
+      // re-read after the upsert would see the batch's own registrations
+      // as history
+      .localCheckpoint(true)
+    val stamped = fresh.withColumn("ts",
+      lit("2024-01-01 00:00:00").cast("timestamp"))
+    if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, "h")
+    else Snapshots.append(stamped, indexTable)
+    out
+  }
 }

@@ -91,7 +91,13 @@ object Scale {
       "q33_simhash", "q50_embedding_neardup", "q55_hyperplane_neardup",
       "q58_decontaminate", "q66_dup_coverage", "q67_dedup_clusters",
       "q86_image_ahash_neardup", "q87_audio_envelope_neardup",
-      "q88_video_envelope_neardup")
+      "q88_video_envelope_neardup",
+      // r18 additions: the repetition battery (window explode + coverage
+      // join), corpus-wide paragraph dedup (key agg + slim join-back) and
+      // prototypicality pruning (centroid broadcast + per-cluster rank) —
+      // each must stay sublinear with bounded max tasks like its family
+      "q168_gopher_repetition", "q169_ccnet_paragraph_dedup",
+      "q170_prototypicality_prune")
       .map(q => q -> SparkEntry.queries(q)) ++ Seq(
       "q50_capped" -> ((s: SparkSession, dir: String) => {
         val v = vecs(s, dir)
@@ -333,6 +339,28 @@ object Scale {
               .write.mode("overwrite").format("noop").save()
           }
           Snapshots.read(s, s"$t/index").select(col("doc_id"))
+        }),
+        // q171's registry fold UN-memoized (fresh registry per
+        // invocation, same rationale as q153_fold): the three batch
+        // passes + winner-registry upserts are timed, not a staged
+        // read-back
+        "q171_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.lake.Snapshots
+          import graft.streaming.DedupIndex
+          val base = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_para").toString
+          val maxBase = base.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxBase / 3,
+            col("doc_id") >= maxBase / 3 && col("doc_id") < 2 * maxBase / 3,
+            col("doc_id") >= 2 * maxBase / 3)
+          cuts.foreach { cut =>
+            DedupIndex.paragraphDedupBatch(s, s"$t/registry", base.filter(cut))
+              .write.mode("overwrite").format("noop").save()
+          }
+          Snapshots.read(s, s"$t/registry").select(col("h"))
         }))
     }
   }

@@ -105,4 +105,35 @@ class SamplingSpec extends SparkSpec {
     // equal counts → every rate is 1 up to fp rounding
     assert(kept >= 2997 && kept <= 3000)
   }
+
+  test("unimaxAllocate: saturated prefix caps out, the rest split evenly " +
+      "with the remainder to the first in sort order, totals hit the " +
+      "budget exactly") {
+    def masses(rows: (String, Long)*) =
+      rows.flatMap { case (g, m) => Seq((g, m)) }.toDF("lang", "w")
+    def alloc(df: org.apache.spark.sql.DataFrame, num: Long, den: Long,
+        cap: Long) =
+      Sampling.unimaxAllocate(df, "lang", "w", num, den, cap)
+        .collect().map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("allocated"), r.getAs[Boolean]("capped"))).toMap
+    // hand-traced waterfill: T=305, B=(305·9) div 10 = 274; caps (E=1)
+    // 5/100/100/100 sorted a,b,c,d. a: 5·4=20 ≤ 274 → capped. b: 300 ≤
+    // 269? no → open. q=(274−5) div 3=89, r=2 → b,c get 90, d gets 89.
+    val out = alloc(masses("a" -> 5L, "b" -> 100L, "c" -> 100L,
+      "d" -> 100L), 9L, 10L, 1L)
+    assert(out("a") == (5L, true))
+    assert(out("b") == (90L, false) && out("c") == (90L, false))
+    assert(out("d") == (89L, false))
+    assert(out.values.map(_._1).sum == 274L, "Σ allocated ≡ budget")
+    // an open language never exceeds its capacity even with the +1
+    // remainder (cap·(L−k) > B−Pk ⟹ cap ≥ q+1): a is the smallest yet
+    // stays within its cap of 10
+    val tight = alloc(masses("a" -> 10L, "b" -> 11L, "c" -> 11L), 9L, 10L, 1L)
+    assert(tight("a") == (10L, false), "q+1 = 10 lands exactly on the cap")
+    assert(tight.values.map(_._1).sum == 28L)
+    // budget above total capacity: everyone saturates (the div-by-zero
+    // guard branch), Σ allocated = Σ capacity
+    val sat = alloc(masses("a" -> 10L, "b" -> 20L), 3L, 1L, 2L)
+    assert(sat("a") == (20L, true) && sat("b") == (40L, true))
+  }
 }

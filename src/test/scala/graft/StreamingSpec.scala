@@ -154,6 +154,40 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
   }
 
+  test("paragraph-dedup registry grows across batches: in-batch winner, " +
+      "cross-batch cut via the registry, counter variants merge under the " +
+      "normalization, idempotent replay") {
+    import graft.streaming.DedupIndex
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_para_idx").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def fold(rows: (Long, String)*) =
+      DedupIndex.paragraphDedupBatch(spark, idxDir, batch(rows: _*))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_kept"), r.getAs[String]("text_clean"))).toMap
+    // batch 1: 100 owns both paragraphs; 101 repeats one IN-batch
+    val b1 = fold(100L -> "shared one\n\nunique a",
+      101L -> "shared one\n\nunique b")
+    assert(b1(100L) == (2L, "shared one\n\nunique a"))
+    assert(b1(101L) == (1L, "unique b"))
+    // batch 2: a registered paragraph (cut via the REGISTRY, history
+    // text never rescanned) + a counter variant of a fresh in-batch
+    // paragraph (normalizes equal — cut to the batch winner) + fresh
+    val b2 = fold(200L -> "call 555 now\n\nunique c",
+      201L -> "unique a\n\ncall 123 now")
+    assert(b2(200L) == (2L, "call 555 now\n\nunique c"))
+    assert(b2(201L) == (0L, ""), "every paragraph of 201 is a dup")
+    // the registry stores ONE slim winner row per distinct key — never
+    // paragraph bodies of suppressed occurrences
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
+    // replaying batch 2 (restart semantics) re-emits identically and the
+    // registry does not grow — exactly-once across restarts
+    val r2 = fold(200L -> "call 555 now\n\nunique c",
+      201L -> "unique a\n\ncall 123 now")
+    assert(r2 == b2)
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
+  }
+
   test("count-min cells accumulate across micro-batches; folded sketch equals batch sketch") {
     import graft.operators.CountMin
     val d = 4
