@@ -238,7 +238,16 @@ object DedupIndex {
           // a replayed batch's own registrations are dropped up front so
           // the replay resolves against pre-batch state exactly
           .join(batch.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
-        batchWinners.join(hist.select(col("h")), Seq("h"), "left_anti")
+        // batch-neighborhood pruning (the lshDedupBatch posture): only
+        // registry keys the batch actually touches can veto a batch
+        // winner, so the registry reduces to a batch-keys-sized frame
+        // via one broadcast semi-join BEFORE the anti join — probe cost
+        // tracks the batch, never the registry (which at deployment
+        // scale is clustered by key, so zone maps prune the scan too)
+        val touched = hist.select(col("h"))
+          .join(broadcast(batchWinners.select(col("h"))), Seq("h"),
+            "left_semi")
+        batchWinners.join(touched, Seq("h"), "left_anti")
       }
     // keep ⟺ the key is FRESH and this row is its batch winner; lost
     // keys (registered history) null out on the left join

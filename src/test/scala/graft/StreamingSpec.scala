@@ -188,6 +188,44 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
   }
 
+  test("gopher batteries are stateless map scans: micro-batch output " +
+      "equals the batch run row-for-row, any cut") {
+    import graft.operators.Curation
+    def keyOf(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")
+    val rows = Seq(
+      // 32 distinct words + the full stopword set: passes BOTH batteries
+      // (mean word length lands exactly on the 3·n boundary)
+      (1L, ((1 to 32).map(i => f"w$i%02d") ++
+        Seq("the", "and", "that", "have", "with", "of", "be", "to"))
+        .mkString(" ")),
+      (2L, "# # # # # # # # # #"),                 // symbol/alpha rules fire
+      (3L, "ba na ba na ba na"))                   // top-2-gram rule fires
+    def both(df: org.apache.spark.sql.DataFrame) =
+      Curation.gopherRules(df, "doc_id", "text", minWords = 5L)
+        .collect().map(keyOf).toMap ->
+        Curation.gopherRepetition(df, "doc_id", "text")
+          .collect().map(keyOf).toMap
+    val (batchQ, batchR) = both(rows.toDF("doc_id", "text"))
+    val gotQ = scala.collection.mutable.Map.empty[Long, Boolean]
+    val gotR = scala.collection.mutable.Map.empty[Long, Boolean]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val (mq, mr) = both(b)
+          gotQ ++= mq; gotR ++= mr
+          ()
+      }.start()
+    input.addData(rows(0)); q.processAllAvailable()
+    input.addData(rows(1), rows(2)); q.processAllAvailable()
+    q.stop()
+    assert(gotQ.toMap == batchQ, "quality battery is cut-independent")
+    assert(gotR.toMap == batchR, "repetition battery is cut-independent")
+    // sanity: the fixtures exercise both outcomes
+    assert(batchQ(1L) && !batchQ(2L) && batchR(1L) && !batchR(3L))
+  }
+
   test("count-min cells accumulate across micro-batches; folded sketch equals batch sketch") {
     import graft.operators.CountMin
     val d = 4
