@@ -509,7 +509,10 @@ object Curation {
     * (coverage) side ships only (n, position, int64 xxhash64 key) and
     * resolves duplicated windows with one window count over the slim
     * key frame (the q105 span-key posture; collision ≈ windows²/2⁶⁵
-    * per doc, and the string-keyed oracle would catch a merge). Neither
+    * per doc, and the string-keyed oracle would catch a merge), level-
+    * CASCADED: duplicated n≥6 grams imply a duplicated 5-gram, so only
+    * the 5-level scans the corpus and the 6..10 levels run over the
+    * 5-flagged docs alone (see the inline proof). Neither
     * exploded frame is materialized: re-deriving the windows from the
     * checkpointed token arrays is cheaper than checkpointing a
     * corpus × 9-windows string frame (measured 14.7 s max tasks at the
@@ -527,7 +530,17 @@ object Curation {
           length(v))
     def totChars(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, v) => acc + length(v))
-    val base = df.select(
+    // id-hash repartition + EAGER checkpoint: the LogicalRDD carries the
+    // hash partitioning, and every keyed operation below clusters on a
+    // key set CONTAINING the id — so the count aggs, both rank windows,
+    // the positions distinct and the coverage join all run with ZERO
+    // further exchanges (the r14 pin-before-checkpoint lesson; with the
+    // lazy form the 30× probe paid three ~11 GB exchange crossings of
+    // the exploded frames — 18 s max tasks of pure shuffle I/O)
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(
       col(idCol),
       tk.as("__tk"),
       totChars(tk).as("n_word_chars"),
@@ -539,7 +552,7 @@ object Curation {
       totChars(split(text, "\n\n")).as("n_para_chars"),
       dupChars(split(text, "\n")).as("dup_line_chars"),
       totChars(split(text, "\n")).as("n_line_chars"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // window explodes per rule side; sequence(1, 0) would run
     // DESCENDING, so empty-window docs need the guard. The 2..4 (top)
     // side carries the gram STRING — the published argmax tie-break is
@@ -575,9 +588,18 @@ object Curation {
     // never double-counted — distinct (id, n, pos) before the join. The
     // coverage rule never reads the text, so this side ships only the
     // int64 key; one window count resolves duplication (a groupBy +
-    // join-back would shuffle the frame twice)
-    val dupWin = base.select(col(idCol),
-        explode(flatten(array((5 to 10).map { n =>
+    // join-back would shuffle the frame twice). LEVEL CASCADE: two equal
+    // n-grams (n ≥ 6) at distinct positions have equal 5-prefixes at
+    // distinct positions, so a doc with ANY duplicated n≥6 gram provably
+    // has a duplicated 5-gram — the n=5 level (1/6 of the window volume)
+    // runs over the whole corpus and the n=6..10 levels run ONLY over
+    // docs the 5-level flagged, a corpus-rare set. (Hash keys can only
+    // ADD phantom n≥6 duplicates via collision — the documented q105
+    // posture — and a collision-free 5-level never loses a true string
+    // duplicate, so the cascade is exact where the flat form was.)
+    def winKeys(src: DataFrame, ns: Seq[Int]): DataFrame = src
+      .select(col(idCol),
+        explode(flatten(array(ns.map { n =>
           when(size(col("__tk")) >= n,
             transform(sequence(lit(1), size(col("__tk")) - n + 1), i =>
               struct(lit(n).as("n"), i.as("i"),
@@ -589,13 +611,26 @@ object Curation {
         col("w.gh").as("gh"))
     val wDup = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol), col("n"), col("gh"))
+    def dupOnly(w: DataFrame): DataFrame = w
+      .withColumn("__c", count(lit(1)).over(wDup))
+      .filter(col("__c") >= 2).drop("__c")
+    // eager pin: dup5 feeds the doc filter AND the union — lazy reuse
+    // would re-run the 5-level exchange+sort twice
+    val dup5 = dupOnly(winKeys(base, Seq(5))).localCheckpoint(true)
+    val dup5Docs = dup5.select(col(idCol)).distinct().localCheckpoint(true)
+    // broadcast the flagged-doc set when it is provably small (count on
+    // the materialized frame — no stats guesswork); an adversarial
+    // all-docs-flagged corpus falls back to a doc-keyed shuffle semi-join
+    val flagged =
+      if (dup5Docs.count() <= 1000000L)
+        base.join(broadcast(dup5Docs), Seq(idCol), "left_semi")
+      else base.join(dup5Docs, Seq(idCol), "left_semi")
+    val dupWin = dup5.unionByName(dupOnly(winKeys(flagged, 6 to 10)))
     val wordLens = base.select(col(idCol),
         posexplode(col("__tk")).as(Seq("pos0", "__w")))
       .select(col(idCol), (col("pos0") + 1).as("p"),
         length(col("__w")).cast(LongType).as("wlen"))
     val covered = dupWin
-      .withColumn("__c", count(lit(1)).over(wDup))
-      .filter(col("__c") >= 2)
       .select(col(idCol), col("n"),
         explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
       .distinct()

@@ -3493,9 +3493,9 @@ object TextPipeline {
             when(col("doc_id") % 6 === 0,
               lit("\n\nrepeat me paragraph\n\nrepeat me paragraph"))
               .otherwise(lit(""))).as("text"))
-        Curation.gopherRepetition(
-            spliced.repartition(s.sparkContext.defaultParallelism,
-              col("doc_id")), "doc_id", "text")
+        // the operator pins its own id-hash repartition + eager
+        // checkpoint (partitioning reuse — see gopherRepetition)
+        Curation.gopherRepetition(spliced, "doc_id", "text")
           .orderBy(col("doc_id"))
       },
       Some(s"""
