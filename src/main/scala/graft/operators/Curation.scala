@@ -530,13 +530,15 @@ object Curation {
           length(v))
     def totChars(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, v) => acc + length(v))
-    // id-hash repartition + EAGER checkpoint: the LogicalRDD carries the
-    // hash partitioning, and every keyed operation below clusters on a
-    // key set CONTAINING the id — so the count aggs, both rank windows,
-    // the positions distinct and the coverage join all run with ZERO
-    // further exchanges (the r14 pin-before-checkpoint lesson; with the
-    // lazy form the 30× probe paid three ~11 GB exchange crossings of
-    // the exploded frames — 18 s max tasks of pure shuffle I/O)
+    // id-hash repartition (single-row-group protection — the corpus
+    // parquets scan as one partition, and base feeds four expansion
+    // consumers) + EAGER checkpoint so the four consumers read the
+    // materialized stats/token frame instead of re-deriving the heavy
+    // per-doc folds. NOTE the r14 partitioning-carry pin does NOT apply
+    // here: AQE re-plans the deduplicated LogicalRDD branches with
+    // UnknownPartitioning, so the downstream keyed exchanges remain —
+    // negative result recorded in SCALING.md (round-18 follow-up); the
+    // scale lever for this operator is the level cascade below.
     val base = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
