@@ -168,7 +168,11 @@ object WordPiece {
       maxPieceChars: Int): DataFrame = {
     require(vocab.nonEmpty, "empty vocabulary")
     require(maxPieceChars >= 1)
-    val mapLit = map(vocab.flatMap(p => Seq(lit(p), lit(1))): _*)
+    // distinct: a trained vocab CAN repeat a string — a corpus word
+    // literally starting "##" puts its full form in `singles` while a
+    // merge can fuse to the same string — and a duplicate key in the map
+    // literal throws at runtime under the default EXCEPTION dedup policy
+    val mapLit = map(vocab.distinct.flatMap(p => Seq(lit(p), lit(1))): _*)
     val tok = col("tok")
     val init = struct(lit(1).as("pos"),
       lit(null).cast(StringType).as("seg"))

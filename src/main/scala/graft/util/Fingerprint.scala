@@ -65,7 +65,14 @@ object Fingerprint {
     map.get(key) match {
       case Some(v) => v
       case None =>
-        for ((k, v) <- map if k.startsWith(dir + "#") && !k.startsWith(fp))
+        // freshness = the key IS this fingerprint (modulo its '#'-framed
+        // suffix) — a bare startsWith(fp) would keep a STALE entry whose
+        // numeric tail textually extends the current one (mtime 1234 vs
+        // 123): the trailing fingerprint fields are not '#'-terminated,
+        // so prefix collisions across fingerprints are possible even
+        // though suffixes are '#'-framed
+        for ((k, v) <- map if k.startsWith(dir + "#") &&
+            !(k == fp || k.startsWith(fp + "#")))
           if (map.remove(k, v)) onEvict(v)
         map.getOrElseUpdate(key, build)
     }

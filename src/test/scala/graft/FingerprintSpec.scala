@@ -74,6 +74,27 @@ class FingerprintSpec extends AnyFunSuite {
     assert(new java.io.File(second, "data").exists())
   }
 
+  test("eviction sweep stays exact on textually prefix-colliding " +
+      "fingerprints (unframed numeric tail)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp4").toString
+    writeCorpus(dir, "v1 corpus")
+    val f = new java.io.File(s"$dir/documents.parquet/part-00000")
+    assert(f.setLastModified(1230000L))
+    val map = TrieMap.empty[String, String]
+    val evicted = scala.collection.mutable.Buffer.empty[String]
+    var builds = 0
+    def get(): String = Fingerprint.memo(map, dir, Seq("documents"), "",
+      (v: String) => evicted += v) { builds += 1; s"a$builds" }
+    assert(get() == "a1")
+    // same bytes + file count, mtime rewound so the NEW fingerprint is a
+    // textual PREFIX of the old one ("…#123000" vs "…#1230000") — a bare
+    // startsWith freshness test would keep the stale entry forever
+    assert(f.setLastModified(123000L))
+    assert(get() == "a2")
+    assert(map.size == 1 && evicted.toSeq == Seq("a1"),
+      "a prefix-colliding stale entry must still be evicted")
+  }
+
   test("suffixes must be '#'-framed so fingerprints cannot prefix-collide") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp3").toString
     writeCorpus(dir, "v1")

@@ -1332,6 +1332,27 @@ class OperatorsSpec extends SparkSpec {
     assert(WordPiece.trainWordPiece(pre, rounds = 50).merges.size <= 4)
   }
 
+  test("wordpiece: a '##'-leading corpus word can train a vocab that " +
+      "repeats a string — encode must dedup the map literal, not throw") {
+    import graft.operators.WordPiece
+    // "##x" → round-0 symbols [#, ###, ##x]; merge 1 fuses (#, ###) →
+    // '##', merge 2 fuses (##, ##x) → '##x' — DUPLICATING the single
+    // '##x' in model.vocab (the published ambiguity the scaladoc
+    // documents). The encode map literal must be built from the
+    // distinct vocab or Spark throws DUPLICATE_MAP_KEY at runtime.
+    val pre = Seq(("##x", 4L)).toDF("tok", "freq")
+    val model = WordPiece.trainWordPiece(pre, rounds = 2)
+    assert(model.vocab.size != model.vocab.distinct.size,
+      "fixture must actually produce a duplicated vocab string")
+    val enc = WordPiece.encodeWordPiece(pre, model)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getBoolean(4)))).toMap
+    // greedy under the raw-length probe width segments it (never UNK —
+    // every single char is in vocab), deterministically
+    assert(!enc("##x")._2)
+    assert(enc("##x")._1 == "# ### ##x")
+  }
+
   test("dpHistogramRelease: bucket assignment is integer-exact above the " +
       "Double mantissa (2^53)") {
     import graft.operators.Privacy
