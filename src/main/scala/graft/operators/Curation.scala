@@ -730,4 +730,163 @@ object Curation {
             x => x("para")),
           "\n\n").as("text_clean"))
   }
+
+  /** The C4 PAGE-CLEANING rule battery (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2) — the half of the published C4 recipe that
+    * [[gopherRules]] (Gopher quality) and [[c4SpanDedup]] (the
+    * cross-document span dedup) do not cover. Line-level rules (a failing
+    * line is REMOVED, the page survives):
+    *
+    *  - `terminal punctuation`: only lines whose last non-whitespace
+    *    char is `.` `!` `?` or `"` are retained;
+    *  - `min words`: only lines with ≥ `minLineWords` whitespace words;
+    *  - `javascript`: any line containing the word "javascript" is
+    *    removed (case-insensitive).
+    *
+    * Page-level rules (a failing page is DROPPED — `keep = false`):
+    *
+    *  - `lorem ipsum`: the page contains the phrase anywhere;
+    *  - `curly brace`: the page contains `{` (code, not prose);
+    *  - `bad words`: any lowered whitespace token of the page is on the
+    *    `badWords` list;
+    *  - `min sentences`: the RETAINED text has ≥ `minSentences`
+    *    sentences.
+    *
+    * Documented deviations (identical in both engines, the q167
+    * precedent): "word" is a lowered whitespace token (the paper's
+    * langdetect/nltk tokenization is not engine-portable); the
+    * javascript/lorem-ipsum tests are substring matches on the lowered
+    * line/page; sentences are counted as terminal-punctuation marks
+    * (`[.!?]`) in the retained text rather than nltk sentence spans; the
+    * published bad-words list is replaced by a caller-supplied
+    * placeholder (the list itself is a config, not an algorithm).
+    *
+    * Returns per doc: the line/sentence counters, one flag per rule
+    * (`f_*` page rules, counter columns for line rules), `keep`, and
+    * `text_clean` (the retained lines re-joined; pages that fail a
+    * page-level rule keep their cleaned text for audit, `keep` is the
+    * verdict). Pure per-doc projection — zero shuffle, the
+    * [[gopherRules]] scale shape.
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Long = 5L, minSentences: Long = 3L,
+      badWords: Seq[String] = Seq("badword1", "badword2")): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    def lineWords(l: Column): Column =
+      size(filter(split(lower(trim(l)), "\\s+"), t => t =!= ""))
+    def endsTerminal(l: Column): Column = {
+      val t = rtrim(l)
+      t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")
+    }
+    def hasJs(l: Column): Column = lower(l).contains("javascript")
+    def keptLine(l: Column): Column =
+      lineWords(l) >= minLineWords && endsTerminal(l) && !hasJs(l)
+    val counted = df.select(
+      col(idCol),
+      size(lines).cast(LongType).as("n_lines"),
+      size(filter(lines, l => keptLine(l))).cast(LongType).as("n_kept_lines"),
+      size(filter(lines, l => lineWords(l) < minLineWords))
+        .cast(LongType).as("n_short_lines"),
+      size(filter(lines, l => !endsTerminal(l)))
+        .cast(LongType).as("n_unpunct_lines"),
+      size(filter(lines, l => hasJs(l))).cast(LongType).as("n_js_lines"),
+      lower(text).contains("lorem ipsum").as("f_lorem"),
+      text.contains("{").as("f_brace"),
+      (size(array_intersect(tokens(text), typedLit(badWords))) > 0)
+        .as("f_bad_words"),
+      array_join(filter(lines, l => keptLine(l)), "\n").as("text_clean"))
+    counted
+      .withColumn("n_sentences",
+        regexp_count(col("text_clean"), lit("[.!?]")).cast(LongType))
+      .withColumn("r_min_sentences", col("n_sentences") >= minSentences)
+      .withColumn("keep",
+        !col("f_lorem") && !col("f_brace") && !col("f_bad_words") &&
+          col("r_min_sentences"))
+  }
+
+  /** The C4 THREE-SENTENCE-SPAN corpus dedup (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once in the data set") — the cross-document rewrite half of the
+    * C4 recipe, at sentence granularity what [[corpusParagraphDedup]] is
+    * at paragraph granularity, with the OVERLAP subtlety of
+    * [[gopherRepetition]]'s coverage rules: spans overlap (every sentence
+    * starts one), so removal is the UNION of sentence positions covered
+    * by any duplicated NON-WINNER span occurrence — the winner (least
+    * (doc, position) corpus-wide) keeps its sentences unless an
+    * overlapping non-winner span in the same doc also covers them.
+    *
+    * Documented deviations (identical in both engines): sentences are
+    * maximal runs ending at a terminal mark — `regexp_extract_all(text,
+    * '[^.!?]*[.!?]')`, trimmed — so a trailing fragment with no terminal
+    * punctuation is not a sentence (the q167 tokenizer precedent vs the
+    * paper's nltk spans); span keys normalize by lowercase only (the
+    * corpus-side match C4 describes is exact).
+    *
+    * Returns per doc: `n_sents`, `n_cut`, and `text_clean` (surviving
+    * sentences re-joined with a single space, original order).
+    *
+    * Scale shape: the sentence frame ships once; spans ride as slim
+    * (doc, pos, int64 xxhash64 key) tuples — never the three-sentence
+    * strings (the q105/q168 posture; the string-keyed oracle would catch
+    * a collision merge); the winner aggregation is distinct-span-sized
+    * with map-side combine; cut positions explode ×3 from flagged spans
+    * and dedup BEFORE the join back; sentence bodies ride exactly one
+    * shuffle (the per-doc rebuild).
+    */
+  def c4SpanDedup(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sentArr = transform(
+      regexp_extract_all(col(textCol), lit("[^.!?]*[.!?]"), lit(0)),
+      s => trim(s))
+    // plain posexplode: a doc with zero sentences (no terminal mark
+    // anywhere) has nothing to dedup and drops from the output — the
+    // oracle's unnest agrees
+    val sents = df
+      .select(col(idCol), posexplode(sentArr).as(Seq("pos", "sent")))
+    // spans: one per position 0..n-3, keyed by the xxhash64 of the
+    // lowered 3-sentence join — derived from the per-doc array so the
+    // span frame never self-joins the sentence frame
+    val spans = df
+      .select(col(idCol), sentArr.as("__sa"))
+      .select(col(idCol), explode(
+        when(size(col("__sa")) >= 3,
+          transform(sequence(lit(0), size(col("__sa")) - 3),
+            i => struct(i.as("pos"),
+              xxhash64(lower(concat_ws(" ",
+                element_at(col("__sa"), i + 1),
+                element_at(col("__sa"), i + 2),
+                element_at(col("__sa"), i + 3)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>")))
+        .as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("__h"))
+    // duplicated spans only: winner = min (doc, pos); count > 1 filters
+    // the frame to actual duplicates before anything joins back
+    val winners = spans
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("w"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("w.d").as("__wdoc"), col("w.p").as("__wpos"))
+    // union coverage: every position under a duplicated NON-winner span
+    val cut = spans.join(winners, Seq("__h"))
+      .filter(!(col(idCol) === col("__wdoc") && col("pos") === col("__wpos")))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
+      .distinct()
+      .withColumn("__cut", lit(true))
+    sents.join(cut, Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sents"),
+        sum(when(col("__cut"), lit(1L)).otherwise(lit(0L))).as("n_cut"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__cut").isNull, struct(col("pos"), col("sent"))))),
+            x => x("sent")),
+          " ").as("text_clean"))
+  }
 }

@@ -3927,6 +3927,187 @@ object TextPipeline {
                 WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2)
         SELECT doc_id FROM d
         WHERE doc_id NOT IN (SELECT id2 FROM sup)
+        ORDER BY doc_id""")),
+
+    // ---- q173: the C4 PAGE-CLEANING rule battery (Raffel et al. 2020
+    // §2.2) — the published half q167 (Gopher quality) doesn't cover:
+    // line rules (terminal punctuation, ≥5 words, javascript) REMOVE the
+    // line; page rules (lorem ipsum, curly brace, bad-word token,
+    // ≥3 sentences in the RETAINED text) DROP the page. Every predicate
+    // exact string/integer arithmetic. The single-line corpus gets
+    // deterministic structure spliced on (the q167 convention, mirrored
+    // in the oracle): two well-formed sentence lines always; then one
+    // mod-class each for lorem / brace / javascript / short+unpunct
+    // lines / bad word / a third sentence (the only class that passes
+    // the min-sentences page rule — both verdicts run at corpus scale).
+    QueryDef(
+      "q173_c4_rules",
+      (s, dir) => {
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit("\nthis spliced line carries enough words to stay." +
+              "\na second spliced line also ends with punctuation!"),
+            when(col("doc_id") % 13 === 0,
+              lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+              .when(col("doc_id") % 11 === 0,
+                lit("\nif (x) { return y; } else stop here."))
+              .when(col("doc_id") % 7 === 0,
+                lit("\nplease enable javascript to continue browsing this page."))
+              .when(col("doc_id") % 5 === 0,
+                lit("\ntoo short." +
+                  "\nthis line lacks terminal punctuation entirely today"))
+              .when(col("doc_id") % 3 === 0,
+                lit("\nthis page mentions badword1 in passing prose."))
+              .when(col("doc_id") % 2 === 0,
+                lit("\na closing third sentence rounds out this page."))
+              .otherwise(lit(""))).as("text"))
+        Curation.c4Rules(spliced, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH r AS (SELECT doc_id, text
+            || e'\nthis spliced line carries enough words to stay.'
+            || e'\na second spliced line also ends with punctuation!'
+            || CASE
+            WHEN doc_id % 13 = 0 THEN
+              e'\nlorem ipsum dolor sit amet consectetur adipiscing elit.'
+            WHEN doc_id % 11 = 0 THEN
+              e'\nif (x) { return y; } else stop here.'
+            WHEN doc_id % 7 = 0 THEN
+              e'\nplease enable javascript to continue browsing this page.'
+            WHEN doc_id % 5 = 0 THEN
+              e'\ntoo short.' ||
+              e'\nthis line lacks terminal punctuation entirely today'
+            WHEN doc_id % 3 = 0 THEN
+              e'\nthis page mentions badword1 in passing prose.'
+            WHEN doc_id % 2 = 0 THEN
+              e'\na closing third sentence rounds out this page.'
+            ELSE '' END AS text
+          FROM documents),
+        t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+                $sqlToks AS tk
+              FROM r),
+        c AS (SELECT doc_id,
+                len(ls)::BIGINT AS n_lines,
+                len(list_filter(ls, l ->
+                  len(list_filter(string_split_regex(lower(trim(l)),
+                    '\\s+'), x -> x <> '')) >= 5
+                  AND (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+                       OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+                  AND NOT contains(lower(l), 'javascript')))::BIGINT
+                  AS n_kept_lines,
+                len(list_filter(ls, l ->
+                  len(list_filter(string_split_regex(lower(trim(l)),
+                    '\\s+'), x -> x <> '')) < 5))::BIGINT AS n_short_lines,
+                len(list_filter(ls, l ->
+                  NOT (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+                       OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')))
+                  ::BIGINT AS n_unpunct_lines,
+                len(list_filter(ls, l ->
+                  contains(lower(l), 'javascript')))::BIGINT AS n_js_lines,
+                contains(lower(text), 'lorem ipsum') AS f_lorem,
+                contains(text, '{') AS f_brace,
+                len(list_filter(['badword1', 'badword2'],
+                  w -> list_contains(tk, w))) > 0 AS f_bad_words,
+                array_to_string(list_filter(ls, l ->
+                  len(list_filter(string_split_regex(lower(trim(l)),
+                    '\\s+'), x -> x <> '')) >= 5
+                  AND (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+                       OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+                  AND NOT contains(lower(l), 'javascript')), chr(10))
+                  AS text_clean
+              FROM t),
+        f AS (SELECT c.*,
+                len(regexp_extract_all(text_clean, '[.!?]'))::BIGINT
+                  AS n_sentences
+              FROM c)
+        SELECT f.*, (n_sentences >= 3) AS r_min_sentences,
+               (NOT f_lorem AND NOT f_brace AND NOT f_bad_words
+                AND n_sentences >= 3) AS keep
+        FROM f
+        ORDER BY doc_id""")),
+
+    // ---- q174: the C4 THREE-SENTENCE-SPAN corpus dedup (Raffel et al.
+    // 2020 §2.2: "discarded all but one of any three-sentence span
+    // occurring more than once") — the cross-document rewrite half of C4
+    // next to q173's page rules; q169's CCNet dedup at sentence
+    // granularity with q168's union-coverage semantics for overlapping
+    // spans. The punctuation-free corpus is sentence-ified
+    // deterministically (6-word sentences, both engines); every 4th doc
+    // appends a shared 3-sentence block (cross-doc kills at corpus
+    // scale, exactly one doc keeps it) and every 10th a 4-sentence
+    // superset (two OVERLAPPING duplicated spans per doc — the union
+    // must cut 4 sentences, not 6). Spark dedups on the slim int64
+    // xxhash64 span key (q105 posture); the STRING-keyed oracle would
+    // catch a collision merge.
+    QueryDef(
+      "q174_c4_span_dedup",
+      (s, dir) => {
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val sents = transform(
+          sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+          i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
+            lit(".")))
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(array_join(sents, " "),
+            when(col("doc_id") % 10 === 0,
+              lit(" shared span alpha one. shared span alpha two." +
+                " shared span alpha three. shared span alpha four."))
+              .when(col("doc_id") % 4 === 0,
+                lit(" shared span alpha one. shared span alpha two." +
+                  " shared span alpha three."))
+              .otherwise(lit(""))).as("text"))
+        Curation.c4SpanDedup(
+            spliced.repartition(s.sparkContext.defaultParallelism,
+              col("doc_id")), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t0 AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        r AS (SELECT doc_id,
+                array_to_string(list_transform(
+                  range(0, ((len(tk) - 1) // 6) + 1),
+                  i -> array_to_string(tk[i*6+1 : i*6+6], ' ') || '.'),
+                  ' ')
+                || CASE
+                WHEN doc_id % 10 = 0 THEN
+                  ' shared span alpha one. shared span alpha two.' ||
+                  ' shared span alpha three. shared span alpha four.'
+                WHEN doc_id % 4 = 0 THEN
+                  ' shared span alpha one. shared span alpha two.' ||
+                  ' shared span alpha three.'
+                ELSE '' END AS text
+              FROM t0),
+        sar AS (SELECT doc_id,
+                  list_transform(regexp_extract_all(text, '[^.!?]*[.!?]'),
+                    x -> trim(x)) AS arr
+                FROM r),
+        p AS (SELECT doc_id, u.sent, u.pos
+              FROM sar, LATERAL (SELECT unnest(arr) AS sent,
+                unnest(range(0, len(arr))) AS pos) u),
+        sp AS (SELECT doc_id, u.i AS pos,
+                 lower(arr[u.i+1] || ' ' || arr[u.i+2] || ' '
+                   || arr[u.i+3]) AS key
+               FROM sar, LATERAL (SELECT unnest(range(0,
+                 CASE WHEN len(arr) >= 3 THEN len(arr) - 2
+                      ELSE 0 END)) AS i) u),
+        k AS (SELECT doc_id, pos, key,
+                COUNT(*) OVER (PARTITION BY key) AS c,
+                ROW_NUMBER() OVER (PARTITION BY key
+                  ORDER BY doc_id, pos) AS rn
+              FROM sp),
+        cut AS (SELECT DISTINCT doc_id, pos + o.off AS pos
+                FROM k, LATERAL (SELECT unnest([0, 1, 2]) AS off) o
+                WHERE c > 1 AND rn > 1)
+        SELECT p.doc_id AS doc_id, COUNT(*)::BIGINT AS n_sents,
+               SUM(CASE WHEN cut.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_cut,
+               coalesce(string_agg(
+                 CASE WHEN cut.doc_id IS NULL THEN p.sent END,
+                 ' ' ORDER BY p.pos), '') AS text_clean
+        FROM p LEFT JOIN cut
+          ON p.doc_id = cut.doc_id AND p.pos = cut.pos
+        GROUP BY p.doc_id
         ORDER BY doc_id"""))
   )
 }

@@ -455,4 +455,103 @@ class CurationSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_kept") == 2L)
     assert(out(5L).getAs[String]("text_clean") == "x\n\ny")
   }
+
+  test("c4Rules: each published C4 line and page rule fires on its " +
+      "fixture and only it") {
+    val docs = Seq(
+      // 3 well-formed lines → everything kept, 3 sentences, page kept
+      (1L, "this page has a good first line today.\n" +
+        "another proper sentence line sits here!\n" +
+        "the third line asks a question, yes?"),
+      // short line (min-words), unpunct line, javascript line — each
+      // removed by its own rule; one good line left → < 3 sentences →
+      // page dropped by the min-sentences rule alone
+      (2L, "too short.\n" +
+        "this line lacks terminal punctuation entirely today\n" +
+        "please enable javascript to continue browsing now.\n" +
+        "only one good sentence line remains here."),
+      // lorem ipsum anywhere on the page → dropped (lines themselves fine)
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "second good line with enough words here.\n" +
+        "third good line with enough words too."),
+      // curly brace → dropped
+      (4L, "if (x) { return y; } else done.\n" +
+        "second good line with enough words here.\n" +
+        "third good line with enough words too."),
+      // bad-word token → dropped
+      (5L, "this page mentions badword1 in passing prose.\n" +
+        "second good line with enough words here.\n" +
+        "third good line with enough words too."),
+      // end-quote is a terminal mark per the published rule
+      (6L, "a line ending with a quote she said \"indeed.\"\n" +
+        "second good line with enough words here.\n" +
+        "third good line with enough words too."))
+      .toDF("doc_id", "text")
+    val out = Curation.c4Rules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_lines") == 3L &&
+      d1.getAs[Long]("n_kept_lines") == 3L)
+    assert(d1.getAs[Long]("n_sentences") == 3L)
+    assert(d1.getAs[Boolean]("keep"))
+    assert(!d1.getAs[Boolean]("f_lorem") && !d1.getAs[Boolean]("f_brace") &&
+      !d1.getAs[Boolean]("f_bad_words"))
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_kept_lines") == 1L)
+    assert(d2.getAs[Long]("n_short_lines") == 1L)   // "too short."
+    assert(d2.getAs[Long]("n_unpunct_lines") == 1L) // the bare line
+    assert(d2.getAs[Long]("n_js_lines") == 1L)
+    assert(d2.getAs[String]("text_clean") ==
+      "only one good sentence line remains here.")
+    assert(d2.getAs[Long]("n_sentences") == 1L)
+    assert(!d2.getAs[Boolean]("r_min_sentences") && !d2.getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("f_lorem") && !out(3L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("n_kept_lines") == 3L) // lines were fine
+    assert(out(4L).getAs[Boolean]("f_brace") && !out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Boolean]("f_bad_words") &&
+      !out(5L).getAs[Boolean]("keep"))
+    val d6 = out(6L)
+    assert(d6.getAs[Long]("n_kept_lines") == 3L) // quote-terminal line kept
+    assert(d6.getAs[Boolean]("keep"))
+  }
+
+  test("c4SpanDedup: first (doc,pos) span occurrence wins corpus-wide, " +
+      "overlapping duplicated spans union their coverage, " +
+      "lowercase normalization matches case variants") {
+    val docs = Seq(
+      (1L, "alpha one. alpha two. alpha three. unique tail one."),
+      // span at pos 0 duplicates doc 1's winner → sentences 0..2 cut
+      (2L, "alpha one. alpha two. alpha three. different ending here."),
+      // the duplicated span sits at pos 1 → sentences 1..3 cut
+      (3L, "prefix sentence. alpha one. alpha two. alpha three."),
+      // zero sentences (no terminal mark) → absent from the output
+      (4L, "no punct at all"),
+      // fewer than 3 sentences → no spans, everything kept
+      (5L, "solo. duo."),
+      // two overlapping spans, BOTH winners here…
+      (6L, "beta one. beta two. beta three. beta four."),
+      // …and both non-winners here: union coverage cuts 4 sentences, not 6
+      (7L, "beta one. beta two. beta three. beta four. extra tail sentence."),
+      // case variants normalize onto doc 1's winner span
+      (8L, "Alpha One. ALPHA TWO. Alpha Three."))
+      .toDF("doc_id", "text")
+    val out = Curation.c4SpanDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L).getAs[Long]("n_cut") == 0L)
+    assert(out(1L).getAs[String]("text_clean") ==
+      "alpha one. alpha two. alpha three. unique tail one.")
+    assert(out(2L).getAs[Long]("n_sents") == 4L &&
+      out(2L).getAs[Long]("n_cut") == 3L)
+    assert(out(2L).getAs[String]("text_clean") == "different ending here.")
+    assert(out(3L).getAs[Long]("n_cut") == 3L)
+    assert(out(3L).getAs[String]("text_clean") == "prefix sentence.")
+    assert(out(5L).getAs[Long]("n_cut") == 0L &&
+      out(5L).getAs[String]("text_clean") == "solo. duo.")
+    assert(out(6L).getAs[Long]("n_cut") == 0L)
+    assert(out(7L).getAs[Long]("n_cut") == 4L)
+    assert(out(7L).getAs[String]("text_clean") == "extra tail sentence.")
+    assert(out(8L).getAs[Long]("n_cut") == 3L &&
+      out(8L).getAs[String]("text_clean") == "")
+  }
 }
