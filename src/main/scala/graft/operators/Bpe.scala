@@ -107,4 +107,61 @@ object Bpe {
     vocab.unpersist(false)
     merges.result()
   }
+
+  /** Tokenizer FERTILITY and cross-language parity metrics under a frozen
+    * merge list — the published tokenizer-evaluation battery (Rust et al.
+    * 2021, "How Good is Your Tokenizer?": fertility = mean subwords per
+    * word; Petrov et al. 2023, "Language Model Tokenizers Introduce
+    * Unfairness": the per-language token-premium relative to a reference
+    * language). Every metric is exact integer sums with at most ONE IEEE
+    * division at the end (the q116 convention):
+    *
+    *  - `fertility`        = n_tokens / n_pretokens
+    *  - `chars_per_token`  = n_chars / n_tokens (compression rate)
+    *  - `premium_vs_en`    = (n_tokens · en_chars) / (n_chars · en_tokens)
+    *    — the tokens-per-char premium over English; int64 products, then
+    *    one division (int64→double conversion is IEEE round-to-nearest,
+    *    identical in any engine even past 2⁵³).
+    *
+    * Trained-on-`en` merges rarely fire on other scripts, so OOV-heavy
+    * languages read fertility ≈ mean pretoken length — exactly the
+    * unfairness the battery measures.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT pretokens (Heaps-
+    * bounded), each encoded ONCE with the frozen merges and broadcast back
+    * (the q136 vocab-cache shape); the per-language aggregation ships
+    * (lang, doc, tok-key) tuples — never text bodies — and the en
+    * reference row broadcasts to the language-domain-sized frame.
+    */
+  def fertilityByLang(df: DataFrame, idCol: String, langCol: String,
+      textCol: String, merges: Seq[BpeMerge]): DataFrame = {
+    import graft.functions.TextFunctions
+    // explode_outer + isNotNull: the decontaminate lesson — a plain
+    // explode invites InferFiltersFromGenerate to clone the pretokenize
+    // regex into the scan's data filters
+    val pts = df.select(col(langCol).as("lang"), col(idCol).as("__doc"),
+        explode_outer(TextFunctions.bpePreTokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val enc = pts.select(col("tok")).distinct()
+      .select(col("tok"), length(col("tok")).cast("long").as("__nc"),
+        size(encodeWithMerges(charSymbols(col("tok")), merges))
+          .cast("long").as("__nb"))
+    val agg = pts.join(broadcast(enc), "tok")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("__doc")).as("n_docs"),
+        count(lit(1)).as("n_pretokens"),
+        sum(col("__nc")).as("n_chars"),
+        sum(col("__nb")).as("n_tokens"))
+    val en = agg.filter(col("lang") === "en")
+      .select(col("n_chars").as("__ec"), col("n_tokens").as("__et"))
+    agg.crossJoin(broadcast(en))
+      .select(col("lang"), col("n_docs"), col("n_pretokens"),
+        col("n_chars"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_pretokens"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_token"),
+        ((col("n_tokens") * col("__ec")).cast("double") /
+          (col("n_chars") * col("__et"))).as("premium_vs_en"))
+  }
 }

@@ -45,6 +45,20 @@ object TextPipeline {
       s"#unigram#v$vocabSize#r$rounds")(
       graft.operators.Unigram.trainUnigram(pre, vocabSize, rounds))
 
+  /** q102/q136/q175's shared trained BPE merge list — the same memo
+    * discipline as [[trainedUnigramModel]] (deterministic training,
+    * result-neutral): all three queries derive the identical en-corpus
+    * pretoken frequency table and train the same 6 rounds.
+    */
+  private val bpeMergeModels = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.operators.Bpe.BpeMerge]]
+
+  private def trainedBpeMerges(dir: String, pre: DataFrame,
+      rounds: Int): Seq[graft.operators.Bpe.BpeMerge] =
+    graft.util.Fingerprint.memo(bpeMergeModels, dir, Seq("documents"),
+      s"#bpe#r$rounds")(
+      graft.operators.Bpe.trainBpe(pre, rounds))
+
   /** q165/q166's shared trained WordPiece model — the same memo
     * discipline as [[trainedUnigramModel]] (deterministic training,
     * result-neutral; re-training per query is pure floor cost).
@@ -2064,7 +2078,7 @@ object TextPipeline {
         val pre = docs(s, dir).filter(col("lang") === "en")
           .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        val merges = Bpe.trainBpe(pre, rounds = 6)
+        val merges = trainedBpeMerges(dir, pre, rounds = 6)
         import s.implicits._
         merges.map(m => (m.round, m.left, m.right, m.cnt))
           .toDF("round", "pair_left", "pair_right", "cnt")
@@ -2675,7 +2689,7 @@ object TextPipeline {
         val pre = en
           .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        val merges = Bpe.trainBpe(pre, rounds = 6)
+        val merges = trainedBpeMerges(dir, pre, rounds = 6)
         // encode each DISTINCT pretoken ONCE and broadcast the resulting
         // (token → symbol count) table — the vocab cache every production
         // tokenizer keeps: the 6-fold merge walk runs |vocab| times, not
@@ -4108,6 +4122,71 @@ object TextPipeline {
         FROM p LEFT JOIN cut
           ON p.doc_id = cut.doc_id AND p.pos = cut.pos
         GROUP BY p.doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q175: tokenizer fertility / cross-language parity battery
+    // (Rust et al. 2021 fertility; Petrov et al. 2023 token premium) —
+    // the EVALUATION step of the tokenizer family (train q102/q163/q165,
+    // encode q136/q164/q166, MEASURE here): the en-trained frozen BPE
+    // merges encode EVERY language, and the per-language ledger reads
+    // fertility (tokens/word), compression (chars/token), and the
+    // token-premium vs English — the published unfairness metric:
+    // merges trained on en rarely fire elsewhere, so other scripts pay
+    // more tokens for the same text. Exact integer sums, one IEEE
+    // division per metric (q116 convention); the merge model is shared
+    // with q102/q136 through the corpus-fingerprint memo.
+    QueryDef(
+      "q175_tokenizer_fertility",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.Bpe
+        val pre = docs(s, dir).filter(col("lang") === "en")
+          .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val merges = trainedBpeMerges(dir, pre, rounds = 6)
+        Bpe.fertilityByLang(docs(s, dir), "doc_id", "lang", "text", merges)
+          .orderBy(col("lang"))
+      },
+      Some {
+        val pat = graft.functions.TextFunctions.BpePreTokenPattern
+          .replace("'", "''")
+        def encRound(k: Int): String = s"""
+        e$k AS (SELECT tok,
+                  list_reduce(list_transform(s, x -> [x]),
+                    (acc, x) -> CASE WHEN acc[-1] = m$k.l AND x[1] = m$k.r
+                                     THEN acc[:-2] || [acc[-1] || x[1]]
+                                     ELSE acc || x END) AS s
+                FROM e${k - 1} CROSS JOIN m$k)"""
+        s"""
+        WITH pt AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok
+                    FROM documents WHERE lang = 'en'),
+        base AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM pt GROUP BY tok),
+        vocab0 AS (SELECT tok, freq,
+            list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS syms
+          FROM base),
+        ${(1 to 6).map(sqlBpeRound).mkString(",\n")},
+        ptd AS (SELECT lang, doc_id,
+                  unnest(regexp_extract_all(text, '$pat')) AS tok
+                FROM documents),
+        dt AS (SELECT DISTINCT tok FROM ptd),
+        e0 AS (SELECT tok,
+                 list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS s
+               FROM dt),
+        ${(1 to 6).map(encRound).mkString(",\n")},
+        enc AS (SELECT tok, length(tok)::BIGINT AS nc, len(s)::BIGINT AS nb
+                FROM e6),
+        a AS (SELECT lang, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                COUNT(*)::BIGINT AS n_pretokens,
+                SUM(nc)::BIGINT AS n_chars, SUM(nb)::BIGINT AS n_tokens
+              FROM ptd JOIN enc USING (tok) GROUP BY lang),
+        en AS (SELECT n_chars AS ec, n_tokens AS et FROM a WHERE lang = 'en')
+        SELECT lang, n_docs, n_pretokens, n_chars, n_tokens,
+               n_tokens::DOUBLE / n_pretokens AS fertility,
+               n_chars::DOUBLE / n_tokens AS chars_per_token,
+               (n_tokens * en.ec)::DOUBLE / (n_chars * en.et)
+                 AS premium_vs_en
+        FROM a CROSS JOIN en
+        ORDER BY lang"""
+      })
   )
 }

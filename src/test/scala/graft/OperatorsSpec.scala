@@ -1211,6 +1211,36 @@ class OperatorsSpec extends SparkSpec {
     assert(novel == Seq("ab", "z"))
   }
 
+  test("fertilityByLang: exact per-language ledgers, premium vs the en " +
+      "reference; OOV language pays character-level fertility") {
+    import graft.operators.Bpe
+    // frozen model: one merge (a,b). GPT-2-style pretokens KEEP the
+    // leading space: "ab ab cd" → ["ab", " ab", " cd"]
+    val merges = Seq(Bpe.BpeMerge(1, "a", "b", 99L))
+    val docs = Seq(
+      (1L, "en", "ab ab cd"), // 1 + 2 + 3 BPE tokens over 2+3+3 chars
+      (2L, "en", "ab"),       // 1 token, 2 chars
+      (3L, "xx", "cd cd"))    // merge never fires → 2 + 3 tokens
+      .toDF("doc_id", "lang", "text")
+    val out = Bpe.fertilityByLang(docs, "doc_id", "lang", "text", merges)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("n_pretokens") == 4L)
+    assert(en.getAs[Long]("n_chars") == 10L)
+    assert(en.getAs[Long]("n_tokens") == 7L)
+    assert(en.getAs[Double]("fertility") == 7.0 / 4.0)
+    assert(en.getAs[Double]("premium_vs_en") == 1.0) // self-reference
+    val xx = out("xx")
+    assert(xx.getAs[Long]("n_pretokens") == 2L)
+    assert(xx.getAs[Long]("n_chars") == 5L)
+    assert(xx.getAs[Long]("n_tokens") == 5L) // every char its own token
+    assert(xx.getAs[Double]("fertility") == 5.0 / 2.0)
+    assert(xx.getAs[Double]("chars_per_token") == 1.0)
+    // tokens-per-char premium: (5/5) / (7/10) = 10/7
+    assert(xx.getAs[Double]("premium_vs_en") == 10.0 / 7.0)
+  }
+
   test("unigram-LM training: hard-EM rounds with exact quantized scores, " +
       "zero-usage pruning, single-char coverage") {
     import graft.operators.Unigram
