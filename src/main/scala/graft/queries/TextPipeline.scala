@@ -4187,6 +4187,106 @@ object TextPipeline {
                  AS premium_vs_en
         FROM a CROSS JOIN en
         ORDER BY lang"""
-      })
+      }),
+
+    // ---- q176: incremental C4 span-dedup fold ≡ one-shot corpus rule
+    // (q174's rewrite lifted to the q153/q171 batching-independence
+    // gate): the sentence-ified spliced corpus folds through a GROWING
+    // span-key registry in three id-ordered batches — each batch
+    // rewrites its docs against registry + in-batch duplicates only
+    // (history text never rescanned, bodies never touch the index) —
+    // and the oracle is q174's one-shot SQL VERBATIM: under id-monotone
+    // arrival the fold over any batching must equal the corpus-wide
+    // rule (see DedupIndex.spanDedupBatch's proof sketch).
+    QueryDef(
+      "q176_c4_span_dedup_fold",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        import graft.streaming.DedupIndex
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val sents = transform(
+          sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+          i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
+            lit(".")))
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(array_join(sents, " "),
+            when(col("doc_id") % 10 === 0,
+              lit(" shared span alpha one. shared span alpha two." +
+                " shared span alpha three. shared span alpha four."))
+              .when(col("doc_id") % 4 === 0,
+                lit(" shared span alpha one. shared span alpha two." +
+                  " shared span alpha three."))
+              .otherwise(lit(""))).as("text"))
+        val tmp = stagedFold(dir, "#q176") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_span_fold").toString
+          val maxId = spliced.agg(max(col("doc_id"))).head.getLong(0)
+          // id-ordered thirds emulate arrival order; the oracle is
+          // independent of where these cuts fall
+          val cuts = Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3)
+          cuts.zipWithIndex.foreach { case (cut, i) =>
+            val emitted = DedupIndex.spanDedupBatch(s, s"$t/registry",
+                spliced.filter(cut))
+              .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+            if (i == 0) Snapshots.append(emitted, s"$t/kept")
+            else Snapshots.mergeUpsert(s, s"$t/kept", emitted, "doc_id")
+          }
+          t
+        }
+        Snapshots.read(s, s"$tmp/kept")
+          .select(col("doc_id"), col("n_sents"), col("n_cut"),
+            col("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t0 AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        r AS (SELECT doc_id,
+                array_to_string(list_transform(
+                  range(0, ((len(tk) - 1) // 6) + 1),
+                  i -> array_to_string(tk[i*6+1 : i*6+6], ' ') || '.'),
+                  ' ')
+                || CASE
+                WHEN doc_id % 10 = 0 THEN
+                  ' shared span alpha one. shared span alpha two.' ||
+                  ' shared span alpha three. shared span alpha four.'
+                WHEN doc_id % 4 = 0 THEN
+                  ' shared span alpha one. shared span alpha two.' ||
+                  ' shared span alpha three.'
+                ELSE '' END AS text
+              FROM t0),
+        sar AS (SELECT doc_id,
+                  list_transform(regexp_extract_all(text, '[^.!?]*[.!?]'),
+                    x -> trim(x)) AS arr
+                FROM r),
+        p AS (SELECT doc_id, u.sent, u.pos
+              FROM sar, LATERAL (SELECT unnest(arr) AS sent,
+                unnest(range(0, len(arr))) AS pos) u),
+        sp AS (SELECT doc_id, u.i AS pos,
+                 lower(arr[u.i+1] || ' ' || arr[u.i+2] || ' '
+                   || arr[u.i+3]) AS key
+               FROM sar, LATERAL (SELECT unnest(range(0,
+                 CASE WHEN len(arr) >= 3 THEN len(arr) - 2
+                      ELSE 0 END)) AS i) u),
+        k AS (SELECT doc_id, pos, key,
+                COUNT(*) OVER (PARTITION BY key) AS c,
+                ROW_NUMBER() OVER (PARTITION BY key
+                  ORDER BY doc_id, pos) AS rn
+              FROM sp),
+        cut AS (SELECT DISTINCT doc_id, pos + o.off AS pos
+                FROM k, LATERAL (SELECT unnest([0, 1, 2]) AS off) o
+                WHERE c > 1 AND rn > 1)
+        SELECT p.doc_id AS doc_id, COUNT(*)::BIGINT AS n_sents,
+               SUM(CASE WHEN cut.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_cut,
+               coalesce(string_agg(
+                 CASE WHEN cut.doc_id IS NULL THEN p.sent END,
+                 ' ' ORDER BY p.pos), '') AS text_clean
+        FROM p LEFT JOIN cut
+          ON p.doc_id = cut.doc_id AND p.pos = cut.pos
+        GROUP BY p.doc_id
+        ORDER BY doc_id"""))
   )
 }

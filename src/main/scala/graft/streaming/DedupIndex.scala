@@ -277,4 +277,107 @@ object DedupIndex {
     else Snapshots.append(stamped, indexTable)
     out
   }
+
+  /** Incremental C4 three-sentence-span dedup —
+    * [[graft.operators.Curation.c4SpanDedup]]'s rule as a lake fold, the
+    * [[paragraphDedupBatch]] posture with the span family's OVERLAP
+    * subtlety: spans share sentences, so a batch occurrence is cut when
+    *
+    *  - its key is already REGISTERED (an earlier batch holds the global
+    *    winner under id-monotone arrival), or
+    *  - the key repeats WITHIN the batch and this occurrence is not the
+    *    batch winner (which, for a fresh key, IS the global winner:
+    *    the earliest batch containing a key holds its least (doc, pos)
+    *    occurrence when batches partition ids monotonically),
+    *
+    * and the doc's removed sentence set is the UNION of cut spans'
+    * positions — exactly the one-shot rule's coverage. A key first seen
+    * ONCE in its batch registers and survives: later duplicates are
+    * strictly later in (doc, pos) order, so the one-shot rule would keep
+    * this occurrence too — which is why the fold over ANY id-monotone
+    * batching ≡ the one-shot corpus rule, and the gate's oracle is
+    * q174's one-shot SQL verbatim, knowing nothing about the cuts.
+    *
+    * Replay safety: the registry read drops rows won by the replaying
+    * batch's own ids first, so the batch re-resolves against pre-batch
+    * state and the keyed mergeUpsert re-writes the same rows — a no-op.
+    *
+    * Scale shape: per-batch cost is the batch's own sentence pass + ONE
+    * slim int64-key join against the batch-touched slice of the registry
+    * (batch-neighborhood pruning via broadcast semi-join — probe cost
+    * tracks the batch, never the registry); sentence BODIES never touch
+    * the index, history text is never rescanned.
+    */
+  def spanDedupBatch(spark: SparkSession, indexTable: String,
+      batchDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val batch = batchDocs.select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    val sentArr = transform(
+      regexp_extract_all(col(textCol), lit("[^.!?]*[.!?]"), lit(0)),
+      s => trim(s))
+    val sents = batch
+      .select(col(idCol), posexplode(sentArr).as(Seq("pos", "sent")))
+      .localCheckpoint(true)
+    val spans = batch
+      .select(col(idCol), sentArr.as("__sa"))
+      .select(col(idCol), explode(
+        when(size(col("__sa")) >= 3,
+          transform(sequence(lit(0), size(col("__sa")) - 3),
+            i => struct(i.as("pos"),
+              xxhash64(lower(concat_ws(" ",
+                element_at(col("__sa"), i + 1),
+                element_at(col("__sa"), i + 2),
+                element_at(col("__sa"), i + 3)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>")))
+        .as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("h"))
+      .localCheckpoint(true)
+    val batchAgg = spans.groupBy(col("h"))
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("w"),
+        count(lit(1)).as("c"))
+      .select(col("h"), col("w.d").as("wdoc"), col("w.p").as("wpos"),
+        col("c"))
+    val indexed = Snapshots.currentVersion(indexTable).isDefined
+    // registry keys the batch touches, with the replaying batch's own
+    // registrations dropped up front (the paragraphDedupBatch posture)
+    val registered =
+      if (!indexed) batchAgg.select(col("h")).limit(0)
+      else Snapshots.read(spark, indexTable)
+        .join(batch.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
+        .select(col("h"))
+        .join(broadcast(batchAgg.select(col("h"))), Seq("h"), "left_semi")
+    val flagged = spans
+      .join(batchAgg.select(col("h"), col("wdoc"), col("wpos"),
+        col("c")), Seq("h"))
+      .join(registered.withColumn("__reg", lit(true)), Seq("h"), "left")
+      .filter(col("__reg").isNotNull ||
+        (col("c") > 1 &&
+          !(col(idCol) === col("wdoc") && col("pos") === col("wpos"))))
+    val cut = flagged
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
+      .distinct()
+      .withColumn("__cut", lit(true))
+    val out = sents.join(cut, Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sents"),
+        sum(when(col("__cut"), lit(1L)).otherwise(lit(0L))).as("n_cut"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__cut").isNull, struct(col("pos"), col("sent"))))),
+            x => x("sent")),
+          " ").as("text_clean"))
+      // emissions materialize BEFORE the registry commit
+      .localCheckpoint(true)
+    val fresh = batchAgg
+      .join(registered, Seq("h"), "left_anti")
+      .select(col("h"), col("wdoc"), col("wpos"))
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    if (indexed) Snapshots.mergeUpsert(spark, indexTable, fresh, "h")
+    else Snapshots.append(fresh, indexTable)
+    out
+  }
 }

@@ -188,6 +188,56 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
   }
 
+  test("span-dedup registry grows across batches: in-batch winner, " +
+      "cross-batch cut via the registry, overlapping cut spans union " +
+      "their coverage, idempotent replay") {
+    import graft.streaming.DedupIndex
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_span_idx").toString
+    def fold(rows: (Long, String)*) =
+      DedupIndex.spanDedupBatch(spark, idxDir, rows.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_sents"), r.getAs[Long]("n_cut"),
+            r.getAs[String]("text_clean")))).toMap
+    // batch 1: 100 owns both its spans; 101 repeats the alpha span
+    // IN-batch → all three sentences cut
+    val b1 = fold(
+      100L -> "alpha one. alpha two. alpha three. tail a.",
+      101L -> "alpha one. alpha two. alpha three.")
+    assert(b1(100L) == ((4L, 0L,
+      "alpha one. alpha two. alpha three. tail a.")))
+    assert(b1(101L) == ((3L, 3L, "")))
+    // batch 2: the alpha span cuts via the REGISTRY (history text never
+    // rescanned); the doc's fresh trailing span survives; a case variant
+    // normalizes onto the registered key; a short doc has no spans
+    val b2 = fold(
+      200L -> "alpha one. alpha two. alpha three. tail b.",
+      201L -> "solo. duo.",
+      202L -> "beta one. beta two. beta three. beta four.",
+      203L -> "ALPHA ONE. Alpha Two. alpha THREE.")
+    assert(b2(200L) == ((4L, 3L, "tail b.")))
+    assert(b2(201L) == ((2L, 0L, "solo. duo.")))
+    assert(b2(202L) == ((4L, 0L,
+      "beta one. beta two. beta three. beta four.")))
+    assert(b2(203L) == ((3L, 3L, "")))
+    // registry: alpha span + 100's tail span (batch 1), 200's tail span
+    // + 202's two overlapping beta spans (batch 2) — one slim row per
+    // distinct key, never sentence bodies
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
+    // batch 3: BOTH registered beta spans cover this doc — the union
+    // cuts 4 sentences (not 6); the fresh trailing span survives
+    val b3 = fold(
+      300L -> "beta one. beta two. beta three. beta four. extra tail.")
+    assert(b3(300L) == ((5L, 4L, "extra tail.")))
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
+    // replaying batch 3 (restart semantics) re-emits identically and the
+    // registry does not grow — exactly-once across restarts
+    val r3 = fold(
+      300L -> "beta one. beta two. beta three. beta four. extra tail.")
+    assert(r3 == b3)
+    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
+  }
+
   test("gopher batteries are stateless map scans: micro-batch output " +
       "equals the batch run row-for-row, any cut") {
     import graft.operators.Curation
