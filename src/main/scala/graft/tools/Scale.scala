@@ -361,6 +361,38 @@ object Scale {
               .write.mode("overwrite").format("noop").save()
           }
           Snapshots.read(s, s"$t/registry").select(col("h"))
+        }),
+        // round-18 session additions: the C4 battery (map-only scan),
+        // the span dedup (slim-key winner agg + union-coverage join —
+        // the q169 class with the ×3 coverage explode), the tokenizer
+        // fertility ledger (distinct-pretoken encode + lang agg), and
+        // q176's registry fold UN-memoized (the q171_fold rationale)
+        "q173_c4_rules" -> SparkEntry.queries("q173_c4_rules"),
+        "q174_c4_span_dedup" -> SparkEntry.queries("q174_c4_span_dedup"),
+        "q175_tokenizer_fertility" ->
+          SparkEntry.queries("q175_tokenizer_fertility"),
+        "q176_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.lake.Snapshots
+          import graft.streaming.DedupIndex
+          val tk = graft.functions.TextFunctions.tokens(col("text"))
+          val sents = transform(
+            sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+            i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
+              lit(".")))
+          val base = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), array_join(sents, " ").as("text"))
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_span").toString
+          val maxBase = base.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxBase / 3,
+            col("doc_id") >= maxBase / 3 && col("doc_id") < 2 * maxBase / 3,
+            col("doc_id") >= 2 * maxBase / 3)
+          cuts.foreach { cut =>
+            DedupIndex.spanDedupBatch(s, s"$t/registry", base.filter(cut))
+              .write.mode("overwrite").format("noop").save()
+          }
+          Snapshots.read(s, s"$t/registry").select(col("h"))
         }))
     }
   }
