@@ -731,6 +731,73 @@ object Curation {
           "\n\n").as("text_clean"))
   }
 
+  /** Length-bucketed batch planning — the padding-minimization step of
+    * sequence batching (the `bucket_by_sequence_length` recipe of the
+    * seq2seq stacks; padding-waste analysis per Krell et al. 2021,
+    * "Efficient Sequence Packing without Cross-contamination"): sequences
+    * batch with SAME-magnitude lengths so the per-batch pad-to-max waste
+    * stays bounded, vs. random batching where one long row pads the
+    * whole batch.
+    *
+    *  - bucket  = the length's binary magnitude (⌊log₂ n⌋ + 1 — computed
+    *    as `length(bin(n))`, exact in any engine; bucket b holds lengths
+    *    [2^(b−1), 2^b), so max/min length ratio within a batch is < 2
+    *    and padding waste is provably < 50% before measurement);
+    *  - batch   = consecutive `batchRows` rows within the bucket in
+    *    deterministic (md5(id), id) order (hash order, not length order
+    *    — batches stay i.i.d. within the bucket, the published caveat
+    *    about curriculum bias from globally length-sorted batches);
+    *  - ledger  = per batch: rows, min/max/sum lengths, `n_pad_tokens` =
+    *    rows·max − sum (the waste materialized padding would cost), and
+    *    `efficiency` = sum / (rows·max) — exact integers, ONE IEEE
+    *    division (q116 convention). A ragged final batch pads to its own
+    *    max over its own rows.
+    *
+    * Scale shape: only (id, length) tuples move, and the within-bucket
+    * rank deliberately does NOT use a bucket-partitioned row_number
+    * window — ~60 buckets exist for any realistic length domain, so one
+    * bucket would be a single window task holding a corpus-sized slice.
+    * Instead the rank is [[Ranking.globalRank]]'s range-sorted
+    * zipWithIndex over (bucket, hash, id) — a bucket's rows occupy
+    * CONTIGUOUS global ranks, so within-bucket rank = global rank minus
+    * the bucket's exclusive prefix count (a ≤63-row broadcast) — the
+    * q145 rank discipline. The (bucket, batch) ledger aggregation
+    * map-side combines. Bodies never shuffle.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+      batchRows: Long): DataFrame = {
+    require(batchRows >= 1, s"batchRows must be >= 1: $batchRows")
+    import org.apache.spark.sql.expressions.Window
+    val slim = df
+      .select(col(idCol), col(tokensCol).cast(LongType).as("__n"))
+      .withColumn("bucket", length(bin(col("__n"))).cast(LongType))
+      .withColumn("__hk", md5(col(idCol).cast(StringType)))
+    val ranked = Ranking.globalRank(slim,
+      Seq(col("bucket"), col("__hk"), col(idCol)), "__gr")
+    // exclusive prefix counts per bucket: the frame is bucket-domain-
+    // sized (≤ 63 rows), so the unpartitioned window is a non-issue
+    val offs = slim.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("__off"))
+    ranked.join(broadcast(offs), Seq("bucket"))
+      .withColumn("__rn", col("__gr") - col("__off"))
+      .withColumn("batch_id", expr(s"(__rn - 1) div ${batchRows}L"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"),
+        sum(col("__n")).as("sum_tokens"))
+      .withColumn("n_pad_tokens",
+        col("n_rows") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("efficiency",
+        col("sum_tokens").cast(DoubleType) /
+          (col("n_rows") * col("max_tokens")))
+  }
+
   /** The C4 PAGE-CLEANING rule battery (Raffel et al. 2020, "Exploring
     * the Limits of Transfer Learning with a Unified Text-to-Text
     * Transformer", §2.2) — the half of the published C4 recipe that

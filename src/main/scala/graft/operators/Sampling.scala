@@ -227,4 +227,46 @@ object Sampling {
       .select(col(groupCol), col("n_mass"), col("capacity"),
         col("allocated"), col("capped"))
   }
+
+  /** APPLY a [[unimaxAllocate]] budget — the selection step that turns
+    * the per-group character allocation into an actual corpus subset
+    * (Chung et al. 2023 §3.2 samples each language to its UniMax budget;
+    * this is that draw made deterministic): within each group, rows take
+    * the budget in md5-hash order (the [[bottomKSample]] convention — a
+    * uniform, reproducible, extension-stable order) and a row survives
+    * iff its INCLUSIVE running weight still fits the group's allocation.
+    * Exact int64 arithmetic throughout; re-running on the same corpus —
+    * or any engine — reproduces the identical subset.
+    *
+    * Returns the kept rows only: (group, id, weight, cum_weight). A
+    * group's kept mass is the largest hash-prefix sum ≤ its allocation
+    * (an epoch-capped group keeps everything: cum ≤ mass ≤ capacity).
+    *
+    * Scale shape: only (group, id, weight) tuples move — one running-sum
+    * window per group (a group-partitioned sort of slim tuples, the
+    * [[graft.operators.Curation.tokenBudgetSelect]] posture) and a
+    * broadcast of the group-domain-sized allocation frame. Bodies never
+    * shuffle; the kept-id set joins back to bodies downstream by id.
+    * KNOWN CEILING, shared with the whole per-group running-sum family:
+    * one group's slim tuples sort in one window task, so at the scale
+    * where a single language's (id, weight) pairs stop fitting a task
+    * (~10⁹ rows), swap the window for the two-pass scan (range-sort by
+    * (group, hash, id), per-partition partials, broadcast the
+    * partition-prefix offsets — the q145/q177 contiguous-range
+    * discipline, with sums in place of ranks).
+    */
+  def unimaxTake(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, alloc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol).cast("string").as(groupCol), col(idCol),
+        col(weightCol).cast("long").as(weightCol))
+      .withColumn("cum_weight", sum(col(weightCol)).over(w))
+      .join(broadcast(alloc.select(col(groupCol).cast("string").as(groupCol),
+        col("allocated"))), Seq(groupCol))
+      .filter(col("cum_weight") <= col("allocated"))
+      .select(col(groupCol), col(idCol), col(weightCol), col("cum_weight"))
+  }
 }

@@ -4287,6 +4287,101 @@ object TextPipeline {
         FROM p LEFT JOIN cut
           ON p.doc_id = cut.doc_id AND p.pos = cut.pos
         GROUP BY p.doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q177: length-bucketed batch planning — the padding-
+    // minimization step of sequence batching (bucket_by_sequence_length;
+    // padding-waste analysis per Krell et al. 2021) next to q59's
+    // budget packing and q85's chunking: binary-magnitude buckets bound
+    // within-batch length spread < 2×, batches are `batchRows`
+    // consecutive rows in md5-hash order (i.i.d. within bucket — no
+    // curriculum bias from global length sort), and the ledger reads the
+    // exact pad-to-max waste per batch. Integer arithmetic + ONE IEEE
+    // division (efficiency).
+    QueryDef(
+      "q177_length_bucket_batches",
+      (s, dir) => {
+        val toks = filter(
+          split(lower(trim(col("text"))), raw"\s+"), x => x =!= "")
+        Curation.lengthBucketBatches(
+            docs(s, dir).select(col("doc_id"),
+              size(toks).cast("long").as("n_toks")),
+            "doc_id", "n_toks", batchRows = 8L)
+          .orderBy(col("bucket"), col("batch_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n
+                   FROM documents),
+        b AS (SELECT doc_id, n, length(bin(n))::BIGINT AS bucket FROM t),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)::BIGINT
+                AS rn
+              FROM b),
+        g AS (SELECT bucket, (rn - 1) // 8 AS batch_id,
+                COUNT(*)::BIGINT AS n_rows,
+                MIN(n)::BIGINT AS min_tokens, MAX(n)::BIGINT AS max_tokens,
+                SUM(n)::BIGINT AS sum_tokens
+              FROM r GROUP BY 1, 2)
+        SELECT bucket, batch_id, n_rows, min_tokens, max_tokens,
+               sum_tokens,
+               (n_rows * max_tokens - sum_tokens)::BIGINT AS n_pad_tokens,
+               sum_tokens::DOUBLE / (n_rows * max_tokens) AS efficiency
+        FROM g
+        ORDER BY bucket, batch_id""")),
+
+    // ---- q178: UniMax budget APPLICATION — the selection step turning
+    // q172's per-language allocation into the actual corpus subset
+    // (Chung et al. 2023 §3.2's sampling draw, made deterministic):
+    // within each language, docs take the budget in md5-hash order and
+    // survive iff their inclusive running character mass fits the
+    // allocation. Same params as q172 (budget 9/10, epoch cap 1): the
+    // four smaller languages saturate and keep everything; en fills to
+    // its waterfill share — both branches run at corpus scale.
+    QueryDef(
+      "q178_unimax_take",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val d = docs(s, dir)
+        val alloc = Sampling.unimaxAllocate(d, "lang", "n_chars",
+          budgetNum = 9L, budgetDen = 10L, epochCap = 1L)
+        Sampling.unimaxTake(d, "doc_id", "lang", "n_chars", alloc)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
+                          (SUM(n_chars) * 1)::BIGINT AS capacity
+                   FROM documents GROUP BY lang),
+        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
+              FROM c),
+        r AS (SELECT c.*, t.tot, t.l, (t.tot * 9) // 10 AS b,
+                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM c CROSS JOIN t),
+        f AS (SELECT *,
+                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+              FROM r),
+        g AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
+                  AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+                  ::BIGINT AS pk
+              FROM f),
+        a AS (SELECT lang,
+                (CASE WHEN capped THEN capacity
+                      ELSE (b - pk) // greatest(1, l - k)
+                           + CASE WHEN i - k <= (b - pk) %
+                               greatest(1, l - k) THEN 1 ELSE 0 END
+                 END)::BIGINT AS allocated
+              FROM g),
+        d AS (SELECT lang, doc_id, n_chars::BIGINT AS n_chars,
+                SUM(n_chars::BIGINT) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_weight
+              FROM documents)
+        SELECT d.lang AS lang, doc_id, n_chars, cum_weight
+        FROM d JOIN a USING (lang)
+        WHERE cum_weight <= allocated
+        ORDER BY lang, doc_id"""))
   )
 }

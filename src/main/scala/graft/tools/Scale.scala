@@ -371,6 +371,9 @@ object Scale {
         "q174_c4_span_dedup" -> SparkEntry.queries("q174_c4_span_dedup"),
         "q175_tokenizer_fertility" ->
           SparkEntry.queries("q175_tokenizer_fertility"),
+        "q177_length_buckets" ->
+          SparkEntry.queries("q177_length_bucket_batches"),
+        "q178_unimax_take" -> SparkEntry.queries("q178_unimax_take"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex

@@ -456,6 +456,46 @@ class CurationSpec extends SparkSpec {
     assert(out(5L).getAs[String]("text_clean") == "x\n\ny")
   }
 
+  test("lengthBucketBatches: binary-magnitude buckets, hash-ordered " +
+      "fixed-row batches, exact padding ledger, ragged final batch") {
+    // md5 order of "1".."4": "4" (a87f…) < "1" (c4ca…) < "2" (c81e…)
+    //   < "3" (eccb…); of "5","6": "6" (1679…) < "5" (e4da…)
+    val docs = Seq(
+      (1L, 4L), (2L, 5L), (3L, 6L), (4L, 7L), // bucket 3: [4, 8)
+      (5L, 8L), (6L, 9L),                     // bucket 4: [8, 16)
+      (7L, 1L))                               // bucket 1: [1, 2)
+      .toDF("doc_id", "n_toks")
+    val out = Curation.lengthBucketBatches(docs, "doc_id", "n_toks",
+        batchRows = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("batch_id")) -> r)
+      .toMap
+    // bucket 3 in hash order 4,1,2,3 → batch 0 = {7,4}, batch 1 = {5,6}
+    val b30 = out((3L, 0L))
+    assert(b30.getAs[Long]("n_rows") == 2L &&
+      b30.getAs[Long]("max_tokens") == 7L &&
+      b30.getAs[Long]("sum_tokens") == 11L &&
+      b30.getAs[Long]("n_pad_tokens") == 3L)
+    assert(b30.getAs[Double]("efficiency") == 11.0 / 14.0)
+    val b31 = out((3L, 1L))
+    assert(b31.getAs[Long]("max_tokens") == 6L &&
+      b31.getAs[Long]("n_pad_tokens") == 1L)
+    // bucket 4 in hash order 6,5 → one full batch {9,8}
+    val b40 = out((4L, 0L))
+    assert(b40.getAs[Long]("n_rows") == 2L &&
+      b40.getAs[Long]("n_pad_tokens") == 1L)
+    // ragged singleton batch pads to its own max — zero waste
+    val b10 = out((1L, 0L))
+    assert(b10.getAs[Long]("n_rows") == 1L &&
+      b10.getAs[Long]("n_pad_tokens") == 0L &&
+      b10.getAs[Double]("efficiency") == 1.0)
+    assert(out.size == 4)
+    // within-batch length spread < 2× by construction (shared bucket)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("max_tokens") < 2L * r.getAs[Long]("min_tokens"))
+    }
+  }
+
   test("c4Rules: each published C4 line and page rule fires on its " +
       "fixture and only it") {
     val docs = Seq(

@@ -136,4 +136,29 @@ class SamplingSpec extends SparkSpec {
     val sat = alloc(masses("a" -> 10L, "b" -> 20L), 3L, 1L, 2L)
     assert(sat("a") == (20L, true) && sat("b") == (40L, true))
   }
+
+  test("unimaxTake: hash-ordered inclusive prefix fills each group's " +
+      "allocation exactly; boundary-exact take; capped groups keep all") {
+    // md5 order: en ids 1,2,3 sort as 1,2,3 (c4ca… < c81e… < eccb…);
+    // xx ids 4,5 sort as 4 (a87f…), 5 (e4da…)
+    val docs = Seq(
+      (1L, "en", 50L), (2L, "en", 30L), (3L, "en", 20L),
+      (4L, "xx", 10L), (5L, "xx", 20L))
+      .toDF("doc_id", "lang", "n_chars")
+    val alloc = Seq(("en", 60L), ("xx", 30L)).toDF("lang", "allocated")
+    val out = Sampling.unimaxTake(docs, "doc_id", "lang", "n_chars", alloc)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("cum_weight"))).toMap
+    // en: cum 50, 80, 100 under allocation 60 → only doc 1 fits
+    // (the INCLUSIVE rule: doc 2 at cum 80 > 60 is out)
+    assert(out.keySet == Set(1L, 4L, 5L))
+    assert(out(1L) == ("en", 50L))
+    // xx: cum 10, 30 — the boundary row (cum == allocated) is KEPT
+    assert(out(4L) == ("xx", 10L) && out(5L) == ("xx", 30L))
+    // composition with the allocator: a saturated group keeps everything
+    val full = Sampling.unimaxTake(docs, "doc_id", "lang", "n_chars",
+      Sampling.unimaxAllocate(docs, "lang", "n_chars", 3L, 1L, 2L))
+    assert(full.count() == 5L, "budget above capacity keeps the corpus")
+  }
 }
