@@ -43,7 +43,7 @@ SIDE_EFFECT_QUERIES = [
     "q121_hll_fold", "q123_sliding_distinct", "q124_kll_fold",
     "q131_bucketed_join", "q133_zorder_pruned", "q143_ivf_lake_fold",
     "q153_lsh_index_fold", "q156_ivfpq_search",
-    "q171_paragraph_dedup_fold",
+    "q171_paragraph_dedup_fold", "q176_c4_span_dedup_fold",
 ]
 
 
