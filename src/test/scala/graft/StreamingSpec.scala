@@ -238,8 +238,8 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
   }
 
-  test("gopher batteries are stateless map scans: micro-batch output " +
-      "equals the batch run row-for-row, any cut") {
+  test("gopher and C4 batteries are stateless map scans: micro-batch " +
+      "output equals the batch run row-for-row, any cut") {
     import graft.operators.Curation
     def keyOf(r: org.apache.spark.sql.Row) =
       r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")
@@ -252,19 +252,22 @@ class StreamingSpec extends SparkSpec {
       (2L, "# # # # # # # # # #"),                 // symbol/alpha rules fire
       (3L, "ba na ba na ba na"))                   // top-2-gram rule fires
     def both(df: org.apache.spark.sql.DataFrame) =
-      Curation.gopherRules(df, "doc_id", "text", minWords = 5L)
-        .collect().map(keyOf).toMap ->
+      (Curation.gopherRules(df, "doc_id", "text", minWords = 5L)
+        .collect().map(keyOf).toMap,
         Curation.gopherRepetition(df, "doc_id", "text")
-          .collect().map(keyOf).toMap
-    val (batchQ, batchR) = both(rows.toDF("doc_id", "text"))
+          .collect().map(keyOf).toMap,
+        Curation.c4Rules(df, "doc_id", "text")
+          .collect().map(keyOf).toMap)
+    val (batchQ, batchR, batchC) = both(rows.toDF("doc_id", "text"))
     val gotQ = scala.collection.mutable.Map.empty[Long, Boolean]
     val gotR = scala.collection.mutable.Map.empty[Long, Boolean]
+    val gotC = scala.collection.mutable.Map.empty[Long, Boolean]
     val input = MemoryStream[(Long, String)](spark)
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream.foreachBatch {
         (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          val (mq, mr) = both(b)
-          gotQ ++= mq; gotR ++= mr
+          val (mq, mr, mc) = both(b)
+          gotQ ++= mq; gotR ++= mr; gotC ++= mc
           ()
       }.start()
     input.addData(rows(0)); q.processAllAvailable()
@@ -272,8 +275,11 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(gotQ.toMap == batchQ, "quality battery is cut-independent")
     assert(gotR.toMap == batchR, "repetition battery is cut-independent")
+    assert(gotC.toMap == batchC, "C4 battery is cut-independent")
     // sanity: the fixtures exercise both outcomes
     assert(batchQ(1L) && !batchQ(2L) && batchR(1L) && !batchR(3L))
+    // the punctuation-free fixtures all fail C4's min-sentences page rule
+    assert(batchC.values.forall(v => !v))
   }
 
   test("count-min cells accumulate across micro-batches; folded sketch equals batch sketch") {
