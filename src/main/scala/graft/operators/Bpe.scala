@@ -146,12 +146,16 @@ object Bpe {
       .select(col("tok"), length(col("tok")).cast("long").as("__nc"),
         size(encodeWithMerges(charSymbols(col("tok")), merges))
           .cast("long").as("__nb"))
+    // the ledger feeds BOTH the output frame and the en reference row —
+    // an eager checkpoint of the language-domain-sized frame keeps the
+    // corpus aggregation from running twice
     val agg = pts.join(broadcast(enc), "tok")
       .groupBy(col("lang"))
       .agg(countDistinct(col("__doc")).as("n_docs"),
         count(lit(1)).as("n_pretokens"),
         sum(col("__nc")).as("n_chars"),
         sum(col("__nb")).as("n_tokens"))
+      .localCheckpoint(true)
     val en = agg.filter(col("lang") === "en")
       .select(col("n_chars").as("__ec"), col("n_tokens").as("__et"))
     agg.crossJoin(broadcast(en))
