@@ -4382,6 +4382,40 @@ object TextPipeline {
         SELECT d.lang AS lang, doc_id, n_chars, cum_weight
         FROM d JOIN a USING (lang)
         WHERE cum_weight <= allocated
-        ORDER BY lang, doc_id"""))
+        ORDER BY lang, doc_id""")),
+
+    // ---- q179: dictionary tagging via the Aho-Corasick automaton
+    // (plans.DictionaryMatches, §2.8's 10th custom expression) — the
+    // published multi-pattern scan behind blocklist filtering / PII
+    // trigger terms / taxonomy tagging at real dictionary sizes: ONE
+    // text pass at O(text + matches) regardless of term count, where
+    // the naive form (and the oracle, deliberately) pays O(terms × text)
+    // per doc. Semantics gate: AC's folded output links must equal
+    // per-term `contains` exactly — overlapping phrases ("slow query" /
+    // "query" would both fire; the list mixes two-word phrases, single
+    // words, and an absent term so the no-match path runs corpus-wide.
+    QueryDef(
+      "q179_dictionary_tags",
+      (s, dir) => {
+        val terms = Seq("slow query", "fast scan", "table join",
+          "hash join", "merge batch", "stream window", "vector",
+          "customer order", "key agg", "sort table", "spark the",
+          "value part", "warehouse lake")
+        docs(s, dir).select(col("doc_id"),
+            explode(graft.plans.DictionaryMatches(col("text"), terms))
+              .as("__i"))
+          .select(col("doc_id"),
+            element_at(typedLit(terms), col("__i") + 1).as("tag"))
+          .orderBy(col("doc_id"), col("tag"))
+      },
+      Some("""
+        SELECT doc_id, t.term AS tag
+        FROM documents CROSS JOIN (SELECT unnest(['slow query',
+          'fast scan', 'table join', 'hash join', 'merge batch',
+          'stream window', 'vector', 'customer order', 'key agg',
+          'sort table', 'spark the', 'value part', 'warehouse lake'])
+          AS term) t
+        WHERE contains(text, t.term)
+        ORDER BY doc_id, tag"""))
   )
 }

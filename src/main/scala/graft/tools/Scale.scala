@@ -374,6 +374,7 @@ object Scale {
         "q177_length_buckets" ->
           SparkEntry.queries("q177_length_bucket_batches"),
         "q178_unimax_take" -> SparkEntry.queries("q178_unimax_take"),
+        "q179_dictionary_tags" -> SparkEntry.queries("q179_dictionary_tags"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex

@@ -1211,6 +1211,41 @@ class OperatorsSpec extends SparkSpec {
     assert(novel == Seq("ab", "z"))
   }
 
+  test("DictionaryMatches: Aho-Corasick scan ≡ naive per-term contains — " +
+      "overlapping terms, failure-link suffixes, randomized cross-check, " +
+      "codegen path") {
+    import graft.plans.DictionaryMatches
+    val terms = Seq("ab", "abc", "b", "bc", "xyz", "ß")
+    def naive(text: String): Seq[Int] =
+      terms.zipWithIndex.filter { case (t, _) => text.contains(t) }.map(_._2)
+    // hand fixtures: overlapping dictionary entries must ALL fire via
+    // the folded output links ("zabcz" ends matches for ab/abc/b/bc at
+    // three different automaton nodes)
+    val texts = Seq("zabcz", "b", "", "qqq", "straße", "ababab", "xy zxyz")
+    val out = texts.toDF("t")
+      .select(col("t"), DictionaryMatches(col("t"), terms).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    texts.foreach { t =>
+      assert(out(t) == naive(t), s"text='$t'")
+    }
+    assert(out("zabcz") == Seq(0, 1, 2, 3))
+    assert(out("") == Seq())
+    // randomized cross-check over a 3-char alphabet (dense overlaps,
+    // failure links exercised hard): deterministic seed, 300 cases
+    val rnd = new scala.util.Random(42)
+    val dict = Seq("a", "aa", "aba", "bab", "bb", "abab", "ba")
+    val rtexts = Seq.fill(300)(
+      (0 until rnd.nextInt(24)).map(_ => "ab" (rnd.nextInt(2))).mkString)
+    val rout = rtexts.distinct.toDF("t")
+      .select(col("t"), DictionaryMatches(col("t"), dict).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    rtexts.distinct.foreach { t =>
+      val expect = dict.zipWithIndex
+        .filter { case (d, _) => t.contains(d) }.map(_._2)
+      assert(rout(t) == expect, s"text='$t'")
+    }
+  }
+
   test("fertilityByLang: exact per-language ledgers, premium vs the en " +
       "reference; OOV language pays character-level fertility") {
     import graft.operators.Bpe
