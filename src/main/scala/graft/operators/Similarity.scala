@@ -245,6 +245,100 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Per-plane signed projections (the values whose signs
+    * [[hyperplaneBits]] takes) — multi-probe needs the MAGNITUDES: a
+    * small |dot| means the vector sits close to that hyperplane, so the
+    * bucket on the other side of it is the most promising extra probe.
+    * Same seeded Rademacher formula and sequential double fold, so any
+    * engine re-derives the values bit-for-bit.
+    */
+  def hyperplaneDots(vec: Column, planes: Int): Column =
+    array((0 until planes).map { j =>
+      aggregate(
+        transform(vec, (x, i) =>
+          x * when(pmod(i * lit(19349663L) + lit(j * 73856093L), lit(97L)) < 48,
+            lit(1.0d)).otherwise(lit(-1.0d))),
+        lit(0.0d), (acc, v) => acc + v)
+    }: _*)
+
+  /** Multi-probe sign-LSH top-k search (Lv et al. 2007's multi-probe
+    * principle applied to sign-random-projection tables — the FALCONN
+    * recipe): each query probes its primary bucket per band PLUS the
+    * `probes` buckets obtained by flipping the lowest-|projection| bits,
+    * in increasing |projection| order (ties to the lower bit index,
+    * deterministic in any engine). Near-boundary vectors land one bit
+    * apart from their neighbors; probing across the closest hyperplanes
+    * recovers exactly those misses, buying IVF-class recall from the
+    * same table WITHOUT more bands (more bands = more index memory;
+    * more probes = more query work — the published trade).
+    *
+    * Candidates from all probed buckets verify by exact cosine; output
+    * is top-`k` per query by (cos desc, id) with a 1-based `rank`.
+    *
+    * Scale shape: the corpus is touched ONCE to build (band, bucket)
+    * keys (the q55 sketch); the query probe frame is
+    * queries × bands × (probes+1) rows — it BROADCASTS, so candidate
+    * generation is a map-side join against the corpus keys, and only
+    * the candidate set (bucket-collision-sized) reaches the exact-score
+    * join. At lake scale the (band, bucket) keys are the stored index
+    * (the q143 layout argument), and probing more buckets reads more
+    * bucket files — never the corpus.
+    */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, bands: Int,
+      rowsPerBand: Int, probes: Int, k: Int): DataFrame = {
+    require(probes >= 0 && probes <= rowsPerBand,
+      s"probes must be in [0, rowsPerBand=$rowsPerBand]: $probes")
+    require(rowsPerBand <= 52, "2^r must stay exact in the double domain")
+    val planes = bands * rowsPerBand
+    val cb = corpus
+      .withColumn("__bits", hyperplaneBits(col("vec"), planes))
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until rowsPerBand).map(r =>
+            col("__bits")(b * rowsPerBand + r) * lit(1L << r)).reduce(_ + _)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val qprobe = queries
+      .withColumn("__dots", hyperplaneDots(col("vec"), planes))
+      .select(col("id").as("qid"), explode(array((0 until bands).map { b =>
+        val dts = (0 until rowsPerBand).map(r =>
+          element_at(col("__dots"), b * rowsPerBand + r + 1))
+        val prim = (0 until rowsPerBand).map(r =>
+          when(dts(r) >= 0, lit(1L << r)).otherwise(lit(0L))).reduce(_ + _)
+        // bit indices by (|projection|, r) — array_sort on the struct
+        // orders by fields left to right
+        val order = array_sort(array((0 until rowsPerBand).map(r =>
+          struct(abs(dts(r)).as("m"), lit(r).as("r"))): _*))
+        // probe p flips the p-th closest plane: prim − 2^r when the bit
+        // is set, prim + 2^r when clear (≡ XOR, in arithmetic both
+        // engines share; 2^r exact — r ≤ 52 by the require above)
+        val flips = (1 to probes).map { p =>
+          val o = element_at(order, p)
+          val dotAt = element_at(array(dts: _*), o("r") + 1)
+          val pow2 = pow(lit(2.0d), o("r")).cast("long")
+          prim + when(dotAt >= 0, -pow2).otherwise(pow2)
+        }
+        struct(lit(b).as("band"), array((prim +: flips): _*).as("bks"))
+      }: _*)).as("pb"))
+      .select(col("qid"), col("pb.band").as("band"),
+        explode(col("pb.bks")).as("bucket"))
+    val cand = cb.join(broadcast(qprobe), Seq("band", "bucket"))
+      .select(col("qid"), col("id")).distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("id").as("qid"),
+        col("vec").as("qv"))), Seq("qid"))
+      .join(corpus.select(col("id"), col("vec").as("cv")), Seq("id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
   /** One Lloyd (k-means) iteration ENTIRELY in the int8 code domain — the
     * centroid-TRAINING step the IVF index (ivfAssign/ivfTopK) consumes.
     * Assignment distance is an exact integer L2 over codes; the centroid

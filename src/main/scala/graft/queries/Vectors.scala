@@ -1349,7 +1349,81 @@ object Vectors {
         SELECT id, bucket, dist::BIGINT AS dist, proto_rank, n_cluster,
                100 * proto_rank > 20 * n_cluster AS kept
         FROM r
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // ---- q180: multi-probe sign-LSH top-k (Lv et al. 2007's multi-probe
+    // principle on the q55 hyperplane table — the FALCONN recipe): each
+    // query probes its primary bucket per band PLUS the buckets across
+    // its 2 closest hyperplanes (lowest |projection|, ties to the lower
+    // bit), recovering the near-boundary misses single-probe LSH drops —
+    // recall from query work instead of index memory (more bands). The
+    // oracle re-derives the projections from the same seeded Rademacher
+    // formula, orders flips by the identical (|dot|, r) key, and probes
+    // the same buckets — candidate sets match exactly, so the verified
+    // top-5 matches bit-for-bit.
+    QueryDef(
+      "q180_multiprobe_lsh",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        Similarity.multiProbeLshTopK(
+            v.filter(col("id") >= 8), v.filter(col("id") < 8),
+            bands = 3, rowsPerBand = 4, probes = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+                   FROM embeddings),
+        q AS (SELECT id AS qid, vec FROM v WHERE id < 8),
+        c AS (SELECT id, vec FROM v WHERE id >= 8),
+        cbits AS (
+          SELECT id, j,
+            CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> vec[i] * CASE WHEN (CAST(i-1 AS BIGINT)*19349663
+                                       + CAST(j AS BIGINT)*73856093) % 97 < 48
+                                 THEN 1.0 ELSE -1.0 END)) >= 0
+                 THEN 1 ELSE 0 END AS bit
+          FROM c CROSS JOIN range(12) t(j)),
+        cband AS (SELECT id, j // 4 AS band,
+                    SUM(bit * (1 << (j % 4)))::BIGINT AS bucket
+                  FROM cbits GROUP BY 1, 2),
+        qdots AS (
+          SELECT qid, j,
+            list_sum(list_transform(range(1, 65),
+              i -> vec[i] * CASE WHEN (CAST(i-1 AS BIGINT)*19349663
+                                       + CAST(j AS BIGINT)*73856093) % 97 < 48
+                                 THEN 1.0 ELSE -1.0 END)) AS dot
+          FROM q CROSS JOIN range(12) t(j)),
+        qb AS (SELECT qid, j // 4 AS band, j % 4 AS r, dot,
+                 CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS bit
+               FROM qdots),
+        prim AS (SELECT qid, band, SUM(bit * (1 << r))::BIGINT AS bucket
+                 FROM qb GROUP BY 1, 2),
+        flips AS (SELECT qid, band, r, dot,
+                    ROW_NUMBER() OVER (PARTITION BY qid, band
+                      ORDER BY abs(dot), r) AS rn
+                  FROM qb),
+        pr AS (SELECT qid, band, bucket FROM prim
+               UNION ALL
+               SELECT f.qid, f.band,
+                      (p.bucket + CASE WHEN f.dot >= 0 THEN -(1 << f.r)
+                                       ELSE (1 << f.r) END)::BIGINT
+               FROM flips f JOIN prim p USING (qid, band)
+               WHERE f.rn <= 2),
+        cand AS (SELECT DISTINCT pr.qid, cb.id
+                 FROM pr JOIN cband cb USING (band, bucket)),
+        sc AS (SELECT cand.qid, cand.id,
+                 ${sqlDot("q.vec", "c.vec")} /
+                 (sqrt(${sqlDot("q.vec", "q.vec")})
+                  * sqrt(${sqlDot("c.vec", "c.vec")})) AS cos
+               FROM cand JOIN q ON q.qid = cand.qid
+                         JOIN c ON c.id = cand.id),
+        rk AS (SELECT qid, id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, id)::BIGINT AS rank
+               FROM sc)
+        SELECT qid, id, cos, rank FROM rk
+        WHERE rank <= 5
+        ORDER BY qid, rank"""))
   )
 
   /** Build the q156 lake-resident IVF-PQ index: the q143 fold with PQ

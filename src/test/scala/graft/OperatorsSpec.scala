@@ -516,6 +516,44 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("multiProbeLshTopK: probes strictly widen the candidate set " +
+      "(monotone recall), probes=0 is the single-probe table, ranks are " +
+      "contiguous and exact-cosine ordered") {
+    val rnd = new scala.util.Random(7)
+    val all = (0L until 40L).map(i => (i, Seq.fill(64)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val queries = all.filter(col("id") < 5)
+    val corpus = all.filter(col("id") >= 5)
+    def run(probes: Int, k: Int) = Similarity
+      .multiProbeLshTopK(corpus, queries, bands = 3, rowsPerBand = 4,
+        probes = probes, k = k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // k large enough to return EVERY candidate: the p0 result set must
+    // be a subset of p2's (flips only ADD probed buckets)
+    val p0 = run(0, 1000).map(t => (t._1, t._2)).toSet
+    val p2all = run(2, 1000)
+    val p2 = p2all.map(t => (t._1, t._2)).toSet
+    assert(p0.subsetOf(p2))
+    // on this seeded fixture the extra probes DO recover new candidates
+    // (deterministic: seeded vectors, seeded planes)
+    assert(p2.size > p0.size,
+      s"expected extra probes to add candidates: p0=${p0.size} p2=${p2.size}")
+    // ranks contiguous 1..n per query and ordered by (cos desc, id)
+    p2all.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rows.length).toSeq)
+      val byScore = rows.sortBy(t => (-t._3, t._2)).map(_._2).toSeq
+      assert(sorted.map(_._2).toSeq == byScore)
+    }
+    // k truncates: top-3 is a prefix of top-1000
+    val top3 = run(2, 3)
+    top3.groupBy(_._1).foreach { case (q, rows) =>
+      val full = p2all.filter(_._1 == q).sortBy(_._4).take(3).map(_._2).toSeq
+      assert(rows.sortBy(_._4).map(_._2).toSeq == full)
+    }
+  }
+
   test("q32 leaves no cached frame behind after the query fn returns") {
     val q = SparkEntry.queries("q32_lsh_jaccard")
     val out = q(spark, sf)
