@@ -731,6 +731,58 @@ object Curation {
           "\n\n").as("text_clean"))
   }
 
+  /** Nested subset manifests — the hash-threshold sampling that makes a
+    * corpus release SHIP ITS OWN ABLATION LADDER (the FineWeb release
+    * convention: sample-10BT ⊂ sample-100BT ⊂ sample-350BT; every
+    * scaling-law suite needs subsets where the smaller corpus is a
+    * strict subset of the larger, so a scale comparison never confounds
+    * data composition with data quantity): a doc belongs to subset `c`
+    * iff its [[hashBucket]] (md5-derived, basis points of 10000) falls
+    * below c's cut — cuts are monotone, so nesting is STRUCTURAL, not
+    * sampled; adding docs never reshuffles existing membership
+    * (extension-stable, the hash-split property).
+    *
+    * Returns one ledger row per subset level: (level, cut_bp,
+    * n_docs, weight_mass) with CUMULATIVE counts — level k's numbers
+    * include every smaller level, which is the nesting made visible.
+    *
+    * Scale shape: one scan bins each doc to its smallest containing
+    * tier (pure projection), one tiny groupBy, cumulative sums over the
+    * tier-domain-sized frame. Bodies never move.
+    */
+  def nestedSubsets(df: DataFrame, idCol: String, weightCol: String,
+      cuts: Seq[(String, Long)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.map(_._2).distinct.size == cuts.size,
+      s"cuts must be strictly increasing basis points: $cuts")
+    require(cuts.last._2 <= 10000L, s"cuts are basis points of 10000: $cuts")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = hashBucket(col(idCol), 10000)
+    // smallest tier containing the doc; docs past the last cut fall out
+    // of every subset (a partial ladder is legal)
+    val tier = cuts.zipWithIndex.foldRight(lit(-1): Column) {
+      case (((_, bp), i), rest) => when(bucket < bp, i).otherwise(rest)
+    }
+    val perTier = df
+      .select(tier.as("__tier"), col(weightCol).cast(LongType).as("__w"))
+      .filter(col("__tier") >= 0)
+      .groupBy(col("__tier"))
+      .agg(count(lit(1)).as("__n"), sum(col("__w")).as("__m"))
+    val wCum = Window.orderBy(col("__tier"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val labels = cuts.zipWithIndex
+      .map { case ((name, bp), i) => (i, name, bp) }
+    val labelDf = df.sparkSession.createDataFrame(labels)
+      .toDF("__tier", "level", "cut_bp")
+    // the frame is tier-domain-sized — the unpartitioned window is fine
+    labelDf.join(perTier, Seq("__tier"), "left")
+      .withColumn("n_docs",
+        sum(coalesce(col("__n"), lit(0L))).over(wCum))
+      .withColumn("weight_mass",
+        sum(coalesce(col("__m"), lit(0L))).over(wCum))
+      .select(col("level"), col("cut_bp"), col("n_docs"), col("weight_mass"))
+  }
+
   /** Length-bucketed batch planning — the padding-minimization step of
     * sequence batching (the `bucket_by_sequence_length` recipe of the
     * seq2seq stacks; padding-waste analysis per Krell et al. 2021,

@@ -4416,6 +4416,40 @@ object TextPipeline {
           'sort table', 'spark the', 'value part', 'warehouse lake'])
           AS term) t
         WHERE contains(text, t.term)
-        ORDER BY doc_id, tag"""))
+        ORDER BY doc_id, tag""")),
+
+    // ---- q181: nested subset manifests — the FineWeb release
+    // convention (sample-10BT ⊂ sample-100BT ⊂ sample-350BT) and the
+    // experimental-design requirement of every scaling-law suite:
+    // hash-threshold tiers whose nesting is STRUCTURAL (monotone cuts
+    // over the q57/q118 md5 bucket), so scale comparisons never
+    // confound composition with quantity; the ledger reads cumulative
+    // doc counts and character mass per level.
+    QueryDef(
+      "q181_nested_subsets",
+      (s, dir) =>
+        Curation.nestedSubsets(docs(s, dir), "doc_id", "n_chars",
+            Seq(("s1pct", 100L), ("s10pct", 1000L), ("s50pct", 5000L),
+              ("s100pct", 10000L)))
+          .orderBy(col("cut_bp")),
+      Some("""
+        WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT % 10000 AS bucket, n_chars
+                   FROM documents),
+        t AS (SELECT CASE WHEN bucket < 100 THEN 0
+                          WHEN bucket < 1000 THEN 1
+                          WHEN bucket < 5000 THEN 2 ELSE 3 END AS tier,
+                COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS m
+              FROM b GROUP BY 1),
+        l AS (SELECT * FROM (VALUES (0, 's1pct', 100), (1, 's10pct', 1000),
+                (2, 's50pct', 5000), (3, 's100pct', 10000))
+              AS v(tier, level, cut_bp))
+        SELECT level, cut_bp::BIGINT AS cut_bp,
+               SUM(coalesce(n, 0)) OVER (ORDER BY l.tier
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS n_docs,
+               SUM(coalesce(m, 0)) OVER (ORDER BY l.tier
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS weight_mass
+        FROM l LEFT JOIN t USING (tier)
+        ORDER BY cut_bp"""))
   )
 }

@@ -456,6 +456,48 @@ class CurationSpec extends SparkSpec {
     assert(out(5L).getAs[String]("text_clean") == "x\n\ny")
   }
 
+  test("nestedSubsets: cumulative ladder, structural nesting against " +
+      "direct membership, extension stability, partial ladders") {
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"), (col("id") % 7 + 1).as("w"))
+    val cuts = Seq(("a", 100L), ("b", 1000L), ("c", 5000L), ("d", 10000L))
+    val out = Curation.nestedSubsets(docs, "doc_id", "w", cuts)
+      .orderBy(col("cut_bp")).collect()
+    assert(out.map(_.getAs[String]("level")).toSeq == Seq("a", "b", "c", "d"))
+    val ns = out.map(_.getAs[Long]("n_docs"))
+    val ms = out.map(_.getAs[Long]("weight_mass"))
+    assert(ns.toSeq == ns.sorted.toSeq && ms.toSeq == ms.sorted.toSeq,
+      "monotone ladder")
+    // the full-corpus level covers everything
+    assert(ns.last == 500L)
+    assert(ms.last == (0L until 500L).map(_ % 7 + 1).sum)
+    // nesting ≡ direct hash membership at every cut
+    cuts.zip(out).foreach { case ((_, bp), row) =>
+      val direct = docs
+        .filter(Curation.hashBucket(col("doc_id"), 10000) < bp).count()
+      assert(row.getAs[Long]("n_docs") == direct, s"cut $bp")
+    }
+    // extension stability: the 250-doc prefix's members at each level
+    // are unchanged by adding 250 more docs (counts add, never reshuffle)
+    val half = Curation.nestedSubsets(
+        docs.filter(col("doc_id") < 250), "doc_id", "w", cuts)
+      .orderBy(col("cut_bp")).collect().map(_.getAs[Long]("n_docs"))
+    val added = Curation.nestedSubsets(
+        docs.filter(col("doc_id") >= 250), "doc_id", "w", cuts)
+      .orderBy(col("cut_bp")).collect().map(_.getAs[Long]("n_docs"))
+    assert(half.zip(added).map { case (a, b) => a + b }.toSeq == ns.toSeq)
+    // a partial ladder (top cut below 10000) drops the tail docs
+    val partial = Curation.nestedSubsets(docs, "doc_id", "w",
+        Seq(("a", 100L), ("b", 1000L)))
+      .orderBy(col("cut_bp")).collect()
+    assert(partial.map(_.getAs[Long]("n_docs")).toSeq == ns.take(2).toSeq)
+    // misordered cuts are rejected loudly
+    intercept[IllegalArgumentException] {
+      Curation.nestedSubsets(docs, "doc_id", "w",
+        Seq(("x", 1000L), ("y", 100L)))
+    }
+  }
+
   test("lengthBucketBatches: binary-magnitude buckets, hash-ordered " +
       "fixed-row batches, exact padding ledger, ragged final batch") {
     // md5 order of "1".."4": "4" (a87f…) < "1" (c4ca…) < "2" (c81e…)
