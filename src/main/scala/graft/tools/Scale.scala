@@ -375,6 +375,8 @@ object Scale {
           SparkEntry.queries("q177_length_bucket_batches"),
         "q178_unimax_take" -> SparkEntry.queries("q178_unimax_take"),
         "q179_dictionary_tags" -> SparkEntry.queries("q179_dictionary_tags"),
+        "q180_multiprobe_lsh" -> SparkEntry.queries("q180_multiprobe_lsh"),
+        "q181_nested_subsets" -> SparkEntry.queries("q181_nested_subsets"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex
