@@ -119,9 +119,15 @@ object Bpe {
     *  - `fertility`        = n_tokens / n_pretokens
     *  - `chars_per_token`  = n_chars / n_tokens (compression rate)
     *  - `premium_vs_en`    = (n_tokens · en_chars) / (n_chars · en_tokens)
-    *    — the tokens-per-char premium over English; int64 products, then
-    *    one division (int64→double conversion is IEEE round-to-nearest,
-    *    identical in any engine even past 2⁵³).
+    *    — the tokens-per-char premium over the reference language; the
+    *    cross-products compute in DECIMAL(38) (≡ the oracle's HUGEINT),
+    *    exact far past the trillion-token corpora where int64 products
+    *    would silently wrap, then ONE division (decimal→double is IEEE
+    *    round-to-nearest in both engines).
+    *
+    * The reference language (`refLang`, default `en`) must be present —
+    * an absent reference fails LOUDLY rather than silently erasing every
+    * language's ledger through the empty reference join.
     *
     * Trained-on-`en` merges rarely fire on other scripts, so OOV-heavy
     * languages read fertility ≈ mean pretoken length — exactly the
@@ -134,7 +140,8 @@ object Bpe {
     * reference row broadcasts to the language-domain-sized frame.
     */
   def fertilityByLang(df: DataFrame, idCol: String, langCol: String,
-      textCol: String, merges: Seq[BpeMerge]): DataFrame = {
+      textCol: String, merges: Seq[BpeMerge],
+      refLang: String = "en"): DataFrame = {
     import graft.functions.TextFunctions
     // explode_outer + isNotNull: the decontaminate lesson — a plain
     // explode invites InferFiltersFromGenerate to clone the pretokenize
@@ -156,8 +163,15 @@ object Bpe {
         sum(col("__nc")).as("n_chars"),
         sum(col("__nb")).as("n_tokens"))
       .localCheckpoint(true)
-    val en = agg.filter(col("lang") === "en")
+    val en = agg.filter(col("lang") === refLang)
       .select(col("n_chars").as("__ec"), col("n_tokens").as("__et"))
+    // the reference row gates the whole ledger through a cross join — an
+    // absent reference must fail loudly, not emit an empty frame (the
+    // checkpointed agg is language-domain-sized, so this probe is free)
+    require(!en.isEmpty,
+      s"fertilityByLang: reference language '$refLang' has no rows — " +
+        "every ledger row would silently vanish through the empty join")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     agg.crossJoin(broadcast(en))
       .select(col("lang"), col("n_docs"), col("n_pretokens"),
         col("n_chars"), col("n_tokens"),
@@ -165,7 +179,11 @@ object Bpe {
           .as("fertility"),
         (col("n_chars").cast("double") / col("n_tokens"))
           .as("chars_per_token"),
-        ((col("n_tokens") * col("__ec")).cast("double") /
-          (col("n_chars") * col("__et"))).as("premium_vs_en"))
+        // DECIMAL(38) cross-products: int64 · int64 wraps silently in
+        // non-ANSI Spark (and raises in the oracle) right at the
+        // trillion-char scale this operator documents
+        ((col("n_tokens").cast(dec) * col("__ec").cast(dec)).cast("double") /
+          (col("n_chars").cast(dec) * col("__et").cast(dec)).cast("double"))
+          .as("premium_vs_en"))
   }
 }

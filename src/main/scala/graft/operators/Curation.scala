@@ -822,6 +822,11 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val slim = df
       .select(col(idCol), col(tokensCol).cast(LongType).as("__n"))
+      // zero-length rows have nothing to batch and would both break the
+      // [2^(b−1), 2^b) bucket invariant (bin(0) = "0" lands next to real
+      // length-1 rows) and make an all-zero batch's efficiency 0/0 —
+      // they are excluded, not mis-bucketed
+      .filter(col("__n") >= 1L)
       .withColumn("bucket", length(bin(col("__n"))).cast(LongType))
       .withColumn("__hk", md5(col(idCol).cast(StringType)))
     val ranked = Ranking.globalRank(slim,
@@ -914,7 +919,11 @@ object Curation {
       size(filter(lines, l => hasJs(l))).cast(LongType).as("n_js_lines"),
       lower(text).contains("lorem ipsum").as("f_lorem"),
       text.contains("{").as("f_brace"),
-      (size(array_intersect(tokens(text), typedLit(badWords))) > 0)
+      // the tokens are lowered, so the list must be too — a mixed-case
+      // blocklist entry would otherwise never match and silently disable
+      // the rule
+      (size(array_intersect(tokens(text),
+        typedLit(badWords.map(_.toLowerCase)))) > 0)
         .as("f_bad_words"),
       array_join(filter(lines, l => keptLine(l)), "\n").as("text_clean"))
     counted
@@ -955,11 +964,35 @@ object Curation {
     * and dedup BEFORE the join back; sentence bodies ride exactly one
     * shuffle (the per-doc rebuild).
     */
+  /** The C4 span rules' sentence extraction: maximal `[^.!?]*[.!?]` runs,
+    * trimmed. ONE definition shared by [[c4SpanDedup]] and the
+    * incremental fold ([[graft.streaming.DedupIndex.spanDedupBatch]]) —
+    * the fold's batching-independence proof requires both to segment
+    * identically, so the regex must not be editable in one place only.
+    */
+  private[graft] def c4SentenceArr(text: Column): Column =
+    transform(regexp_extract_all(text, lit("[^.!?]*[.!?]"), lit(0)),
+      s => trim(s))
+
+  /** The C4 span keys over a sentence-array column: one (pos, h) struct
+    * per position 0..n−3, h = xxhash64 of the LOWERED 3-sentence join.
+    * Shared with the incremental fold for the same reason as
+    * [[c4SentenceArr]] — a normalization edit in one copy would quietly
+    * invalidate the q176 gate's one-shot-equivalence argument.
+    */
+  private[graft] def c4SpanStructs(sa: Column): Column =
+    when(size(sa) >= 3,
+      transform(sequence(lit(0), size(sa) - 3),
+        i => struct(i.as("pos"),
+          xxhash64(lower(concat_ws(" ",
+            element_at(sa, i + 1),
+            element_at(sa, i + 2),
+            element_at(sa, i + 3)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+
   def c4SpanDedup(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val sentArr = transform(
-      regexp_extract_all(col(textCol), lit("[^.!?]*[.!?]"), lit(0)),
-      s => trim(s))
+    val sentArr = c4SentenceArr(col(textCol))
     // plain posexplode: a doc with zero sentences (no terminal mark
     // anywhere) has nothing to dedup and drops from the output — the
     // oracle's unnest agrees
@@ -969,17 +1002,7 @@ object Curation {
     // lowered 3-sentence join — derived from the per-doc array so the
     // span frame never self-joins the sentence frame
     val spans = df
-      .select(col(idCol), sentArr.as("__sa"))
-      .select(col(idCol), explode(
-        when(size(col("__sa")) >= 3,
-          transform(sequence(lit(0), size(col("__sa")) - 3),
-            i => struct(i.as("pos"),
-              xxhash64(lower(concat_ws(" ",
-                element_at(col("__sa"), i + 1),
-                element_at(col("__sa"), i + 2),
-                element_at(col("__sa"), i + 3)))).as("h"))))
-          .otherwise(array().cast("array<struct<pos:int,h:bigint>>")))
-        .as("s"))
+      .select(col(idCol), explode(c4SpanStructs(sentArr)).as("s"))
       .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("__h"))
     // duplicated spans only: winner = min (doc, pos); count > 1 filters
     // the frame to actual duplicates before anything joins back

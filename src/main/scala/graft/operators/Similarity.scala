@@ -199,14 +199,30 @@ object Similarity {
     * bit-identical cross-engine.
     */
   def hyperplaneBits(vec: Column, planes: Int): Column =
-    array((0 until planes).map { j =>
-      val dot = aggregate(
-        transform(vec, (x, i) =>
-          x * when(pmod(i * lit(19349663L) + lit(j * 73856093L), lit(97L)) < 48,
-            lit(1.0d)).otherwise(lit(-1.0d))),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L))
-    }: _*)
+    // derived from hyperplaneDots so the seeded plane formula lives in
+    // exactly one place — a seed edit can never desynchronize the corpus
+    // index bits from multiProbeLshTopK's query projections
+    transform(hyperplaneDots(vec, planes),
+      d => when(d >= 0, lit(1L)).otherwise(lit(0L)))
+
+  /** The per-band (band, bucket) key frame every hyperplane-LSH consumer
+    * indexes on — ONE definition of the bucket layout (bit r weights
+    * 2^r within its band), shared by [[hyperplaneNearDup]] and
+    * [[multiProbeLshTopK]] so the two entry points can never drift onto
+    * different index layouts.
+    */
+  private def hyperplaneBandKeys(vectors: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    vectors
+      .withColumn("__bits", hyperplaneBits(col("vec"), bands * rowsPerBand))
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until rowsPerBand).map(r =>
+            col("__bits")(b * rowsPerBand + r) * lit(1L << r)).reduce(_ + _)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
 
   /** Cosine near-duplicate pairs via banded hyperplane LSH — the
     * cosine-space analogue of MinHash banding ([[graft.operators.Dedup]]):
@@ -224,17 +240,7 @@ object Similarity {
     */
   def hyperplaneNearDup(vectors: DataFrame, bands: Int, rowsPerBand: Int,
       threshold: Double, maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
-    val withBits = vectors
-      .withColumn("__bits", hyperplaneBits(col("vec"), bands * rowsPerBand))
-    val banded = withBits.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          (0 until rowsPerBand).map(r =>
-            col("__bits")(b * rowsPerBand + r) * lit(1L << r)).reduce(_ + _)
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = hyperplaneBandKeys(vectors, bands, rowsPerBand)
     val cand = Dedup.bandedCandidatePairs(banded, "id", Seq("band", "bucket"),
       maxBucketSize)
     cand
@@ -290,16 +296,7 @@ object Similarity {
       s"probes must be in [0, rowsPerBand=$rowsPerBand]: $probes")
     require(rowsPerBand <= 52, "2^r must stay exact in the double domain")
     val planes = bands * rowsPerBand
-    val cb = corpus
-      .withColumn("__bits", hyperplaneBits(col("vec"), planes))
-      .select(col("id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          (0 until rowsPerBand).map(r =>
-            col("__bits")(b * rowsPerBand + r) * lit(1L << r)).reduce(_ + _)
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+    val cb = hyperplaneBandKeys(corpus, bands, rowsPerBand)
     val qprobe = queries
       .withColumn("__dots", hyperplaneDots(col("vec"), planes))
       .select(col("id").as("qid"), explode(array((0 until bands).map { b =>

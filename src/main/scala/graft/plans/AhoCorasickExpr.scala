@@ -47,7 +47,7 @@ case class DictionaryMatches(child: Expression, terms: Seq[String])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "dictionary_matches"
 
-  @transient private lazy val automaton = new AhoCorasick(terms.toArray)
+  @transient private lazy val automaton = AhoCorasick.cached(terms)
 
   /** Public: called from generated code. */
   def matchedIds(s: UTF8String): ArrayData =
@@ -70,65 +70,24 @@ object DictionaryMatches {
     GraftBridge.column(DictionaryMatches(GraftBridge.expression(text), terms))
 }
 
-/** The classic automaton, built once per JVM per expression instance.
-  * Nodes store goto maps (char → node), a failure link, and the matched
-  * term ids ending at the node; after the BFS the failure chain's
-  * outputs are FOLDED into each node (output links flattened), so the
-  * scan touches each node's output array directly — no chain walk per
-  * character.
+/** The classic automaton in frozen form — ONLY the scan-time arrays live
+  * on the instance (the mutable build structures are scoped to
+  * [[AhoCorasick.build]], so a large dictionary doesn't pin a dead
+  * duplicate trie of boxed maps on every executor). Nodes store goto
+  * maps (char → node), a failure link, and the matched term ids ending
+  * at the node; the BFS folds every failure chain's outputs into its
+  * node (output links flattened), so the scan touches one output array
+  * per character — no chain walk.
   */
-private[plans] final class AhoCorasick(terms: Array[String])
-    extends Serializable {
-  import scala.collection.mutable
-
-  private val goto = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
-  private val fail = mutable.ArrayBuffer(0)
-  private val out = mutable.ArrayBuffer(mutable.BitSet.empty)
-
-  // trie
-  terms.zipWithIndex.foreach { case (t, i) =>
-    var node = 0
-    t.foreach { ch =>
-      node = goto(node).getOrElseUpdate(ch, {
-        goto += mutable.HashMap.empty[Char, Int]
-        fail += 0
-        out += mutable.BitSet.empty
-        goto.length - 1
-      })
-    }
-    out(node) += i
-  }
-  // failure links, BFS; outputs fold along the chain
-  private val queue = mutable.Queue.empty[Int]
-  goto(0).valuesIterator.foreach { c => fail(c) = 0; queue += c }
-  while (queue.nonEmpty) {
-    val u = queue.dequeue()
-    goto(u).foreach { case (ch, v) =>
-      // textbook: walk u's failure chain to the deepest proper-suffix
-      // node with a ch-transition; v's failure target is that child
-      // (root when none). The target is strictly shallower than v, so
-      // cand == v is impossible; the guard is belt-and-braces.
-      var f = fail(u)
-      while (f != 0 && !goto(f).contains(ch)) f = fail(f)
-      val cand = goto(f).getOrElse(ch, 0)
-      fail(v) = if (cand == v) 0 else cand
-      out(v) |= out(fail(v))
-      queue += v
-    }
-  }
-  // freeze to immutable arrays for the scan
-  private val gotoF: Array[java.util.HashMap[Character, Integer]] =
-    goto.map { m =>
-      val h = new java.util.HashMap[Character, Integer](m.size * 2)
-      m.foreach { case (k, v) => h.put(k, v) }
-      h
-    }.toArray
-  private val failF: Array[Int] = fail.toArray
-  private val outF: Array[Array[Int]] = out.map(_.toArray.sorted).toArray
+private[plans] final class AhoCorasick private (
+    nTerms: Int,
+    gotoF: Array[java.util.HashMap[Character, Integer]],
+    failF: Array[Int],
+    outF: Array[Array[Int]]) {
 
   /** Sorted distinct ids of every term occurring in `text`. */
   def search(text: String): Array[Int] = {
-    val hits = new java.util.BitSet(terms.length)
+    val hits = new java.util.BitSet(nTerms)
     var node = 0
     var i = 0
     val n = text.length
@@ -150,5 +109,67 @@ private[plans] final class AhoCorasick(terms: Array[String])
     var k = 0
     while (b >= 0) { res(k) = b; k += 1; b = hits.nextSetBit(b + 1) }
     res
+  }
+}
+
+private[plans] object AhoCorasick {
+
+  /** JVM-global automaton cache keyed by the dictionary: the expression
+    * ships in every task binary (the addReferenceObj pattern) and each
+    * deserialized copy would otherwise re-run the O(dictionary) build —
+    * per TASK, not per executor. The cache makes the build truly
+    * once-per-JVM; automata are immutable after construction, so sharing
+    * across concurrently-running tasks is safe.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], AhoCorasick]
+
+  def cached(terms: Seq[String]): AhoCorasick =
+    cache.getOrElseUpdate(terms, build(terms.toArray))
+
+  private def build(terms: Array[String]): AhoCorasick = {
+    import scala.collection.mutable
+    val goto = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    val fail = mutable.ArrayBuffer(0)
+    val out = mutable.ArrayBuffer(mutable.BitSet.empty)
+    // trie
+    terms.zipWithIndex.foreach { case (t, i) =>
+      var node = 0
+      t.foreach { ch =>
+        node = goto(node).getOrElseUpdate(ch, {
+          goto += mutable.HashMap.empty[Char, Int]
+          fail += 0
+          out += mutable.BitSet.empty
+          goto.length - 1
+        })
+      }
+      out(node) += i
+    }
+    // failure links, BFS; outputs fold along the chain
+    val queue = mutable.Queue.empty[Int]
+    goto(0).valuesIterator.foreach { c => fail(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      goto(u).foreach { case (ch, v) =>
+        // textbook: walk u's failure chain to the deepest proper-suffix
+        // node with a ch-transition; v's failure target is that child
+        // (root when none). The target is strictly shallower than v, so
+        // cand == v is impossible; the guard is belt-and-braces.
+        var f = fail(u)
+        while (f != 0 && !goto(f).contains(ch)) f = fail(f)
+        val cand = goto(f).getOrElse(ch, 0)
+        fail(v) = if (cand == v) 0 else cand
+        out(v) |= out(fail(v))
+        queue += v
+      }
+    }
+    // freeze: only these arrays survive onto the instance
+    val gotoF = goto.map { m =>
+      val h = new java.util.HashMap[Character, Integer](m.size * 2)
+      m.foreach { case (k, v) => h.put(k, v) }
+      h
+    }.toArray
+    new AhoCorasick(terms.length, gotoF, fail.toArray,
+      out.map(_.toArray.sorted).toArray)
   }
 }

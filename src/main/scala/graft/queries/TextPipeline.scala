@@ -199,6 +199,82 @@ object TextPipeline {
     * mirrors Spark's sequence(0, size-n) inclusive).
     */
   private def sqlToks = raw"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+  /** q174/q176's shared sentence-ified spliced corpus: 6-word sentences
+    * from the word-salad tokens, plus a shared 3-sentence block on every
+    * 4th doc and a 4-sentence superset on every 10th (two OVERLAPPING
+    * duplicated spans — the union-coverage case). ONE definition for
+    * both gates: q176's batching-independence oracle is q174's one-shot
+    * rule over the IDENTICAL corpus, so the fixture must not fork.
+    */
+  private def c4SpanSpliced(s: SparkSession, dir: String): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    val sents = transform(
+      sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+      i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
+        lit(".")))
+    docs(s, dir).select(col("doc_id"),
+      concat(array_join(sents, " "),
+        when(col("doc_id") % 10 === 0,
+          lit(" shared span alpha one. shared span alpha two." +
+            " shared span alpha three. shared span alpha four."))
+          .when(col("doc_id") % 4 === 0,
+            lit(" shared span alpha one. shared span alpha two." +
+              " shared span alpha three."))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** The ONE-SHOT C4 span-dedup oracle over [[c4SpanSpliced]]'s corpus —
+    * shared verbatim by q174 (gating the one-shot operator) and q176
+    * (gating the incremental fold against the same rule).
+    */
+  private def c4SpanOneShotSql: String = s"""
+        WITH t0 AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        r AS (SELECT doc_id,
+                array_to_string(list_transform(
+                  range(0, ((len(tk) - 1) // 6) + 1),
+                  i -> array_to_string(tk[i*6+1 : i*6+6], ' ') || '.'),
+                  ' ')
+                || CASE
+                WHEN doc_id % 10 = 0 THEN
+                  ' shared span alpha one. shared span alpha two.' ||
+                  ' shared span alpha three. shared span alpha four.'
+                WHEN doc_id % 4 = 0 THEN
+                  ' shared span alpha one. shared span alpha two.' ||
+                  ' shared span alpha three.'
+                ELSE '' END AS text
+              FROM t0),
+        sar AS (SELECT doc_id,
+                  list_transform(regexp_extract_all(text, '[^.!?]*[.!?]'),
+                    x -> trim(x)) AS arr
+                FROM r),
+        p AS (SELECT doc_id, u.sent, u.pos
+              FROM sar, LATERAL (SELECT unnest(arr) AS sent,
+                unnest(range(0, len(arr))) AS pos) u),
+        sp AS (SELECT doc_id, u.i AS pos,
+                 lower(arr[u.i+1] || ' ' || arr[u.i+2] || ' '
+                   || arr[u.i+3]) AS key
+               FROM sar, LATERAL (SELECT unnest(range(0,
+                 CASE WHEN len(arr) >= 3 THEN len(arr) - 2
+                      ELSE 0 END)) AS i) u),
+        k AS (SELECT doc_id, pos, key,
+                COUNT(*) OVER (PARTITION BY key) AS c,
+                ROW_NUMBER() OVER (PARTITION BY key
+                  ORDER BY doc_id, pos) AS rn
+              FROM sp),
+        cut AS (SELECT DISTINCT doc_id, pos + o.off AS pos
+                FROM k, LATERAL (SELECT unnest([0, 1, 2]) AS off) o
+                WHERE c > 1 AND rn > 1)
+        SELECT p.doc_id AS doc_id, COUNT(*)::BIGINT AS n_sents,
+               SUM(CASE WHEN cut.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_cut,
+               coalesce(string_agg(
+                 CASE WHEN cut.doc_id IS NULL THEN p.sent END,
+                 ' ' ORDER BY p.pos), '') AS text_clean
+        FROM p LEFT JOIN cut
+          ON p.doc_id = cut.doc_id AND p.pos = cut.pos
+        GROUP BY p.doc_id
+        ORDER BY doc_id"""
   private def sqlShingles(n: Int): String = {
     val parts = (1 to n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(0, len(tk)-${n - 1}), i -> $parts))"
@@ -4056,73 +4132,13 @@ object TextPipeline {
     // catch a collision merge.
     QueryDef(
       "q174_c4_span_dedup",
-      (s, dir) => {
-        val tk = graft.functions.TextFunctions.tokens(col("text"))
-        val sents = transform(
-          sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
-          i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
-            lit(".")))
-        val spliced = docs(s, dir).select(col("doc_id"),
-          concat(array_join(sents, " "),
-            when(col("doc_id") % 10 === 0,
-              lit(" shared span alpha one. shared span alpha two." +
-                " shared span alpha three. shared span alpha four."))
-              .when(col("doc_id") % 4 === 0,
-                lit(" shared span alpha one. shared span alpha two." +
-                  " shared span alpha three."))
-              .otherwise(lit(""))).as("text"))
+      (s, dir) =>
         Curation.c4SpanDedup(
-            spliced.repartition(s.sparkContext.defaultParallelism,
-              col("doc_id")), "doc_id", "text")
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH t0 AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-        r AS (SELECT doc_id,
-                array_to_string(list_transform(
-                  range(0, ((len(tk) - 1) // 6) + 1),
-                  i -> array_to_string(tk[i*6+1 : i*6+6], ' ') || '.'),
-                  ' ')
-                || CASE
-                WHEN doc_id % 10 = 0 THEN
-                  ' shared span alpha one. shared span alpha two.' ||
-                  ' shared span alpha three. shared span alpha four.'
-                WHEN doc_id % 4 = 0 THEN
-                  ' shared span alpha one. shared span alpha two.' ||
-                  ' shared span alpha three.'
-                ELSE '' END AS text
-              FROM t0),
-        sar AS (SELECT doc_id,
-                  list_transform(regexp_extract_all(text, '[^.!?]*[.!?]'),
-                    x -> trim(x)) AS arr
-                FROM r),
-        p AS (SELECT doc_id, u.sent, u.pos
-              FROM sar, LATERAL (SELECT unnest(arr) AS sent,
-                unnest(range(0, len(arr))) AS pos) u),
-        sp AS (SELECT doc_id, u.i AS pos,
-                 lower(arr[u.i+1] || ' ' || arr[u.i+2] || ' '
-                   || arr[u.i+3]) AS key
-               FROM sar, LATERAL (SELECT unnest(range(0,
-                 CASE WHEN len(arr) >= 3 THEN len(arr) - 2
-                      ELSE 0 END)) AS i) u),
-        k AS (SELECT doc_id, pos, key,
-                COUNT(*) OVER (PARTITION BY key) AS c,
-                ROW_NUMBER() OVER (PARTITION BY key
-                  ORDER BY doc_id, pos) AS rn
-              FROM sp),
-        cut AS (SELECT DISTINCT doc_id, pos + o.off AS pos
-                FROM k, LATERAL (SELECT unnest([0, 1, 2]) AS off) o
-                WHERE c > 1 AND rn > 1)
-        SELECT p.doc_id AS doc_id, COUNT(*)::BIGINT AS n_sents,
-               SUM(CASE WHEN cut.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                 ::BIGINT AS n_cut,
-               coalesce(string_agg(
-                 CASE WHEN cut.doc_id IS NULL THEN p.sent END,
-                 ' ' ORDER BY p.pos), '') AS text_clean
-        FROM p LEFT JOIN cut
-          ON p.doc_id = cut.doc_id AND p.pos = cut.pos
-        GROUP BY p.doc_id
-        ORDER BY doc_id""")),
+            c4SpanSpliced(s, dir).repartition(
+              s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(c4SpanOneShotSql)),
 
     // ---- q175: tokenizer fertility / cross-language parity battery
     // (Rust et al. 2021 fertility; Petrov et al. 2023 token premium) —
@@ -4183,8 +4199,8 @@ object TextPipeline {
         SELECT lang, n_docs, n_pretokens, n_chars, n_tokens,
                n_tokens::DOUBLE / n_pretokens AS fertility,
                n_chars::DOUBLE / n_tokens AS chars_per_token,
-               (n_tokens * en.ec)::DOUBLE / (n_chars * en.et)
-                 AS premium_vs_en
+               (n_tokens::HUGEINT * en.ec)::DOUBLE
+                 / (n_chars::HUGEINT * en.et)::DOUBLE AS premium_vs_en
         FROM a CROSS JOIN en
         ORDER BY lang"""
       }),
@@ -4203,20 +4219,7 @@ object TextPipeline {
       (s, dir) => {
         import graft.lake.Snapshots
         import graft.streaming.DedupIndex
-        val tk = graft.functions.TextFunctions.tokens(col("text"))
-        val sents = transform(
-          sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
-          i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
-            lit(".")))
-        val spliced = docs(s, dir).select(col("doc_id"),
-          concat(array_join(sents, " "),
-            when(col("doc_id") % 10 === 0,
-              lit(" shared span alpha one. shared span alpha two." +
-                " shared span alpha three. shared span alpha four."))
-              .when(col("doc_id") % 4 === 0,
-                lit(" shared span alpha one. shared span alpha two." +
-                  " shared span alpha three."))
-              .otherwise(lit(""))).as("text"))
+        val spliced = c4SpanSpliced(s, dir)
         val tmp = stagedFold(dir, "#q176") {
           val t = java.nio.file.Files
             .createTempDirectory("graft_span_fold").toString
@@ -4241,53 +4244,7 @@ object TextPipeline {
             col("text_clean"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""
-        WITH t0 AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-        r AS (SELECT doc_id,
-                array_to_string(list_transform(
-                  range(0, ((len(tk) - 1) // 6) + 1),
-                  i -> array_to_string(tk[i*6+1 : i*6+6], ' ') || '.'),
-                  ' ')
-                || CASE
-                WHEN doc_id % 10 = 0 THEN
-                  ' shared span alpha one. shared span alpha two.' ||
-                  ' shared span alpha three. shared span alpha four.'
-                WHEN doc_id % 4 = 0 THEN
-                  ' shared span alpha one. shared span alpha two.' ||
-                  ' shared span alpha three.'
-                ELSE '' END AS text
-              FROM t0),
-        sar AS (SELECT doc_id,
-                  list_transform(regexp_extract_all(text, '[^.!?]*[.!?]'),
-                    x -> trim(x)) AS arr
-                FROM r),
-        p AS (SELECT doc_id, u.sent, u.pos
-              FROM sar, LATERAL (SELECT unnest(arr) AS sent,
-                unnest(range(0, len(arr))) AS pos) u),
-        sp AS (SELECT doc_id, u.i AS pos,
-                 lower(arr[u.i+1] || ' ' || arr[u.i+2] || ' '
-                   || arr[u.i+3]) AS key
-               FROM sar, LATERAL (SELECT unnest(range(0,
-                 CASE WHEN len(arr) >= 3 THEN len(arr) - 2
-                      ELSE 0 END)) AS i) u),
-        k AS (SELECT doc_id, pos, key,
-                COUNT(*) OVER (PARTITION BY key) AS c,
-                ROW_NUMBER() OVER (PARTITION BY key
-                  ORDER BY doc_id, pos) AS rn
-              FROM sp),
-        cut AS (SELECT DISTINCT doc_id, pos + o.off AS pos
-                FROM k, LATERAL (SELECT unnest([0, 1, 2]) AS off) o
-                WHERE c > 1 AND rn > 1)
-        SELECT p.doc_id AS doc_id, COUNT(*)::BIGINT AS n_sents,
-               SUM(CASE WHEN cut.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                 ::BIGINT AS n_cut,
-               coalesce(string_agg(
-                 CASE WHEN cut.doc_id IS NULL THEN p.sent END,
-                 ' ' ORDER BY p.pos), '') AS text_clean
-        FROM p LEFT JOIN cut
-          ON p.doc_id = cut.doc_id AND p.pos = cut.pos
-        GROUP BY p.doc_id
-        ORDER BY doc_id""")),
+      Some(c4SpanOneShotSql)),
 
     // ---- q177: length-bucketed batch planning — the padding-
     // minimization step of sequence batching (bucket_by_sequence_length;
@@ -4312,7 +4269,8 @@ object TextPipeline {
       Some(s"""
         WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n
                    FROM documents),
-        b AS (SELECT doc_id, n, length(bin(n))::BIGINT AS bucket FROM t),
+        b AS (SELECT doc_id, n, length(bin(n))::BIGINT AS bucket FROM t
+              WHERE n >= 1),
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)::BIGINT
                 AS rn

@@ -313,24 +313,16 @@ object DedupIndex {
       textCol: String = "text"): DataFrame = {
     val batch = batchDocs.select(col(idCol), col(textCol))
       .localCheckpoint(true)
-    val sentArr = transform(
-      regexp_extract_all(col(textCol), lit("[^.!?]*[.!?]"), lit(0)),
-      s => trim(s))
+    // sentence segmentation and span keying come from Curation — ONE
+    // definition with the one-shot rule, which is what makes the fold ≡
+    // one-shot argument hold by construction rather than copy discipline
+    val sentArr = graft.operators.Curation.c4SentenceArr(col(textCol))
     val sents = batch
       .select(col(idCol), posexplode(sentArr).as(Seq("pos", "sent")))
       .localCheckpoint(true)
     val spans = batch
-      .select(col(idCol), sentArr.as("__sa"))
-      .select(col(idCol), explode(
-        when(size(col("__sa")) >= 3,
-          transform(sequence(lit(0), size(col("__sa")) - 3),
-            i => struct(i.as("pos"),
-              xxhash64(lower(concat_ws(" ",
-                element_at(col("__sa"), i + 1),
-                element_at(col("__sa"), i + 2),
-                element_at(col("__sa"), i + 3)))).as("h"))))
-          .otherwise(array().cast("array<struct<pos:int,h:bigint>>")))
-        .as("s"))
+      .select(col(idCol),
+        explode(graft.operators.Curation.c4SpanStructs(sentArr)).as("s"))
       .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("h"))
       .localCheckpoint(true)
     val batchAgg = spans.groupBy(col("h"))

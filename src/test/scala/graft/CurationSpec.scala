@@ -536,6 +536,13 @@ class CurationSpec extends SparkSpec {
     out.values.foreach { r =>
       assert(r.getAs[Long]("max_tokens") < 2L * r.getAs[Long]("min_tokens"))
     }
+    // zero-length rows are EXCLUDED, not mis-bucketed next to length-1
+    // rows (they'd break the [2^(b−1), 2^b) invariant and make an
+    // all-zero batch's efficiency 0/0)
+    val withZero = docs.union(Seq((8L, 0L)).toDF("doc_id", "n_toks"))
+    val zout = Curation.lengthBucketBatches(withZero, "doc_id", "n_toks",
+      batchRows = 2L)
+    assert(zout.agg(sum(col("n_rows"))).head.getLong(0) == 7L)
   }
 
   test("c4Rules: each published C4 line and page rule fires on its " +
@@ -595,6 +602,13 @@ class CurationSpec extends SparkSpec {
     val d6 = out(6L)
     assert(d6.getAs[Long]("n_kept_lines") == 3L) // quote-terminal line kept
     assert(d6.getAs[Boolean]("keep"))
+    // a mixed-case blocklist still fires: the operator lowers the list
+    // to match the lowered tokens (a verbatim compare would silently
+    // disable the rule)
+    val mixed = Curation.c4Rules(docs, "doc_id", "text",
+        badWords = Seq("BadWord1"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(mixed(5L).getAs[Boolean]("f_bad_words"))
   }
 
   test("c4SpanDedup: first (doc,pos) span occurrence wins corpus-wide, " +

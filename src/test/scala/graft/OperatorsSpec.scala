@@ -1312,6 +1312,12 @@ class OperatorsSpec extends SparkSpec {
     assert(xx.getAs[Double]("chars_per_token") == 1.0)
     // tokens-per-char premium: (5/5) / (7/10) = 10/7
     assert(xx.getAs[Double]("premium_vs_en") == 10.0 / 7.0)
+    // an absent reference language fails LOUDLY instead of silently
+    // erasing every ledger row through the empty reference join
+    val noEn = docs.filter(col("lang") =!= "en")
+    intercept[IllegalArgumentException] {
+      Bpe.fertilityByLang(noEn, "doc_id", "lang", "text", merges)
+    }
   }
 
   test("unigram-LM training: hard-EM rounds with exact quantized scores, " +
