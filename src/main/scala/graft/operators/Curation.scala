@@ -240,6 +240,46 @@ object Curation {
       floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
   }
 
+  /** Pack MANIFESTS with document-boundary offsets — the artifact packed
+    * training actually consumes ([[packByBudget]] assigns docs to packs;
+    * this emits, per pack, the cumulative token offsets where each doc
+    * ENDS — exactly the segment boundaries an attention mask needs to
+    * stop cross-document contamination inside a packed sequence, the
+    * failure mode Krell et al. 2021 ("Efficient Sequence Packing without
+    * Cross-contamination") quantify). Offsets render as a CSV string
+    * (the q61 code-list convention — exact integers, engine-portable).
+    *
+    * Returns per (partition, pack): `n_docs`, `total_tokens` (may
+    * overshoot the budget by part of one document — packs hold whole
+    * docs; the mask, not the packer, handles the tail), and
+    * `boundaries_csv`.
+    *
+    * Scale shape: the [[packByBudget]] running-sum window plus one more
+    * over the same partitioning (no extra sort), then a (partition,
+    * pack)-keyed aggregation of slim (order, offset) pairs — per-pack
+    * state is one pack's docs, bounded by budget/min-doc-length.
+    */
+  def packManifest(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, partitionCol: String, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = packByBudget(df, idCol, tokensCol, budget,
+      partitionCol, orderCol)
+    val wIn = Window.partitionBy(col(partitionCol), col("pack_id"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed
+      .withColumn("__off", sum(col(tokensCol)).over(wIn))
+      .groupBy(col(partitionCol), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("total_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col("__off")))),
+            x => x("__off").cast(StringType)),
+          ",").as("boundaries_csv"))
+  }
+
   /** Sliding-window document chunking — [[packByBudget]]'s complement:
     * where packing joins short documents up to a token budget, chunking
     * splits long documents into overlapping `maxTokens`-token windows at

@@ -4408,6 +4408,48 @@ object TextPipeline {
                SUM(coalesce(m, 0)) OVER (ORDER BY l.tier
                  ROWS UNBOUNDED PRECEDING)::BIGINT AS weight_mass
         FROM l LEFT JOIN t USING (tier)
-        ORDER BY cut_bp"""))
+        ORDER BY cut_bp""")),
+
+    // ---- q182: pack manifests with document-boundary offsets — the
+    // artifact packed training consumes (q59 assigns docs to packs; this
+    // emits the per-pack cumulative offsets where each doc ENDS, i.e.
+    // the attention-mask segment boundaries that stop cross-document
+    // contamination inside a packed sequence — Krell et al. 2021's
+    // failure mode). Offsets ship as the q61-convention CSV string;
+    // exact integers end to end.
+    QueryDef(
+      "q182_pack_manifest",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("n_tokens",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+        Curation.packManifest(d, "doc_id", "n_tokens",
+            budget = 512L, partitionCol = "lang", orderCol = "doc_id")
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 512.0) AS BIGINT) AS pack_id
+          FROM t
+        ),
+        o AS (
+          SELECT lang, pack_id, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang, pack_id
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS off
+          FROM p
+        )
+        SELECT lang, pack_id, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
+        FROM o
+        GROUP BY lang, pack_id
+        ORDER BY lang, pack_id"""))
   )
 }

@@ -456,6 +456,23 @@ class CurationSpec extends SparkSpec {
     assert(out(5L).getAs[String]("text_clean") == "x\n\ny")
   }
 
+  test("packManifest: per-pack boundary offsets are the cumulative doc " +
+      "ends, whole docs may overshoot the budget, order is the pack order") {
+    val docs = Seq(
+      (1L, "en", 300L), (2L, "en", 300L), (3L, "en", 100L),
+      (4L, "en", 500L), (5L, "en", 100L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = Curation.packManifest(docs, "doc_id", "n_tokens",
+        budget = 512L, partitionCol = "lang", orderCol = "doc_id")
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[String]("boundaries_csv")))).toMap
+    // exclusive prefixes 0/300/600/700/1200 → packs 0/0/1/1/2
+    assert(out(0L) == ((2L, 600L, "300,600"))) // doc 2 overshoots 512
+    assert(out(1L) == ((2L, 600L, "100,600")))
+    assert(out(2L) == ((1L, 100L, "100")))
+  }
+
   test("nestedSubsets: cumulative ladder, structural nesting against " +
       "direct membership, extension stability, partial ladders") {
     val docs = spark.range(0, 500)
