@@ -832,9 +832,11 @@ object Curation {
     * whole batch.
     *
     *  - bucket  = the length's binary magnitude (⌊log₂ n⌋ + 1 — computed
-    *    as `length(bin(n))`, exact in any engine; bucket b holds lengths
-    *    [2^(b−1), 2^b), so max/min length ratio within a batch is < 2
-    *    and padding waste is provably < 50% before measurement);
+    *    as `length(bin(n))`, exact in any engine; bucket b ≥ 1 holds
+    *    lengths [2^(b−1), 2^b), so max/min length ratio within a batch
+    *    is < 2 and padding waste is provably < 50% before measurement;
+    *    zero-length rows get their own bucket 0 with efficiency 1.0 —
+    *    nothing to pad);
     *  - batch   = consecutive `batchRows` rows within the bucket in
     *    deterministic (md5(id), id) order (hash order, not length order
     *    — batches stay i.i.d. within the bucket, the published caveat
@@ -862,12 +864,15 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val slim = df
       .select(col(idCol), col(tokensCol).cast(LongType).as("__n"))
-      // zero-length rows have nothing to batch and would both break the
-      // [2^(b−1), 2^b) bucket invariant (bin(0) = "0" lands next to real
-      // length-1 rows) and make an all-zero batch's efficiency 0/0 —
-      // they are excluded, not mis-bucketed
-      .filter(col("__n") >= 1L)
-      .withColumn("bucket", length(bin(col("__n"))).cast(LongType))
+      // zero-length rows get their OWN bucket 0 rather than polluting
+      // bucket 1 (bin(0) = "0" has length 1, which would break the
+      // [2^(b−1), 2^b) invariant next to genuine length-1 rows). A
+      // filter would be cleaner but a predicate over a derived
+      // collection expression pushes into the FileScan's data filters
+      // and re-evaluates the tokenize per row — the PlanShapeSpec trap.
+      .withColumn("bucket",
+        when(col("__n") <= 0L, lit(0L))
+          .otherwise(length(bin(col("__n"))).cast(LongType)))
       .withColumn("__hk", md5(col(idCol).cast(StringType)))
     val ranked = Ranking.globalRank(slim,
       Seq(col("bucket"), col("__hk"), col(idCol)), "__gr")
@@ -890,9 +895,13 @@ object Curation {
         sum(col("__n")).as("sum_tokens"))
       .withColumn("n_pad_tokens",
         col("n_rows") * col("max_tokens") - col("sum_tokens"))
+      // bucket 0 (all-zero-length batches) has nothing to pad: its
+      // efficiency is 1.0 by definition, not 0/0
       .withColumn("efficiency",
-        col("sum_tokens").cast(DoubleType) /
-          (col("n_rows") * col("max_tokens")))
+        when(col("max_tokens") > 0L,
+          col("sum_tokens").cast(DoubleType) /
+            (col("n_rows") * col("max_tokens")))
+          .otherwise(lit(1.0d)))
   }
 
   /** The C4 PAGE-CLEANING rule battery (Raffel et al. 2020, "Exploring

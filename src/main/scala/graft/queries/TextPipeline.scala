@@ -4269,8 +4269,10 @@ object TextPipeline {
       Some(s"""
         WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n
                    FROM documents),
-        b AS (SELECT doc_id, n, length(bin(n))::BIGINT AS bucket FROM t
-              WHERE n >= 1),
+        b AS (SELECT doc_id, n,
+                CASE WHEN n <= 0 THEN 0
+                     ELSE length(bin(n)) END::BIGINT AS bucket
+              FROM t),
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)::BIGINT
                 AS rn
@@ -4283,7 +4285,9 @@ object TextPipeline {
         SELECT bucket, batch_id, n_rows, min_tokens, max_tokens,
                sum_tokens,
                (n_rows * max_tokens - sum_tokens)::BIGINT AS n_pad_tokens,
-               sum_tokens::DOUBLE / (n_rows * max_tokens) AS efficiency
+               CASE WHEN max_tokens > 0
+                    THEN sum_tokens::DOUBLE / (n_rows * max_tokens)
+                    ELSE 1.0 END AS efficiency
         FROM g
         ORDER BY bucket, batch_id""")),
 

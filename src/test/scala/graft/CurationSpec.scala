@@ -553,13 +553,21 @@ class CurationSpec extends SparkSpec {
     out.values.foreach { r =>
       assert(r.getAs[Long]("max_tokens") < 2L * r.getAs[Long]("min_tokens"))
     }
-    // zero-length rows are EXCLUDED, not mis-bucketed next to length-1
-    // rows (they'd break the [2^(b−1), 2^b) invariant and make an
-    // all-zero batch's efficiency 0/0)
+    // zero-length rows land in their OWN bucket 0 (not next to genuine
+    // length-1 rows, which would break the [2^(b−1), 2^b) invariant)
+    // with a DEFINED efficiency of 1.0 — nothing to pad, not 0/0
     val withZero = docs.union(Seq((8L, 0L)).toDF("doc_id", "n_toks"))
-    val zout = Curation.lengthBucketBatches(withZero, "doc_id", "n_toks",
-      batchRows = 2L)
-    assert(zout.agg(sum(col("n_rows"))).head.getLong(0) == 7L)
+    val zrows = Curation.lengthBucketBatches(withZero, "doc_id", "n_toks",
+        batchRows = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("batch_id")) -> r)
+      .toMap
+    val z0 = zrows((0L, 0L))
+    assert(z0.getAs[Long]("n_rows") == 1L &&
+      z0.getAs[Long]("max_tokens") == 0L &&
+      z0.getAs[Double]("efficiency") == 1.0)
+    // the non-zero buckets are untouched by the zero row
+    assert(zrows((1L, 0L)).getAs[Long]("n_rows") == 1L)
   }
 
   test("c4Rules: each published C4 line and page rule fires on its " +
