@@ -377,6 +377,7 @@ object Scale {
         "q179_dictionary_tags" -> SparkEntry.queries("q179_dictionary_tags"),
         "q180_multiprobe_lsh" -> SparkEntry.queries("q180_multiprobe_lsh"),
         "q181_nested_subsets" -> SparkEntry.queries("q181_nested_subsets"),
+        "q182_pack_manifest" -> SparkEntry.queries("q182_pack_manifest"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex
