@@ -1423,7 +1423,105 @@ object Vectors {
                FROM sc)
         SELECT qid, id, cos, rank FROM rk
         WHERE rank <= 5
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ---- q183: multi-probe recall gate — q180's "probing recovers the
+    // near-boundary misses" claim as MEASURED numbers (the q94
+    // comparison-class pattern): recall@10 of the probed candidate set
+    // vs exact brute-force truth, at probes ∈ {0, 2} per query. Hit
+    // counts are integers, recall one division; the oracle re-derives
+    // truth, projections, both probe sets and the hit counts from raw
+    // floats. Single-probe candidates are a SUBSET of multi-probe's by
+    // construction, so per-query recall must weakly grow with probes —
+    // the quality/cost dial, gated.
+    QueryDef(
+      "q183_multiprobe_recall",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val corpus = v.filter(col("id") >= 8)
+        val queries = v.filter(col("id") < 8)
+        val truth = Similarity.exactNeighbors(corpus, queries, k = 10)
+        val perProbe = Seq(0, 2).map { p =>
+          // k past the corpus size: the ranked frame IS the full
+          // verified candidate set for this probe level
+          val cand = Similarity.multiProbeLshTopK(corpus, queries,
+              bands = 3, rowsPerBand = 4, probes = p, k = Int.MaxValue)
+            .select(col("qid"), col("id").as("neighbor"))
+          truth
+            .join(cand.withColumn("__hit", lit(1L)),
+              Seq("qid", "neighbor"), "left")
+            .groupBy(col("qid"))
+            .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+            .withColumn("probes", lit(p.toLong))
+        }
+        perProbe.reduce(_ unionByName _)
+          .withColumn("recall", col("n_hits").cast("double") / 10.0d)
+          .select(col("probes"), col("qid"), col("n_hits"), col("recall"))
+          .orderBy(col("probes"), col("qid"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+                   FROM embeddings),
+        q AS (SELECT id AS qid, vec FROM v WHERE id < 8),
+        c AS (SELECT id, vec FROM v WHERE id >= 8),
+        truth AS (SELECT qid, id AS neighbor
+                  FROM (SELECT q.qid, c.id,
+                          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                            ${sqlDot("q.vec", "c.vec")} /
+                            (sqrt(${sqlDot("q.vec", "q.vec")})
+                             * sqrt(${sqlDot("c.vec", "c.vec")})) DESC,
+                            c.id) AS rnk
+                        FROM c CROSS JOIN q)
+                  WHERE rnk <= 10),
+        cbits AS (
+          SELECT id, j,
+            CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> vec[i] * CASE WHEN (CAST(i-1 AS BIGINT)*19349663
+                                       + CAST(j AS BIGINT)*73856093) % 97 < 48
+                                 THEN 1.0 ELSE -1.0 END)) >= 0
+                 THEN 1 ELSE 0 END AS bit
+          FROM c CROSS JOIN range(12) t(j)),
+        cband AS (SELECT id, j // 4 AS band,
+                    SUM(bit * (1 << (j % 4)))::BIGINT AS bucket
+                  FROM cbits GROUP BY 1, 2),
+        qdots AS (
+          SELECT qid, j,
+            list_sum(list_transform(range(1, 65),
+              i -> vec[i] * CASE WHEN (CAST(i-1 AS BIGINT)*19349663
+                                       + CAST(j AS BIGINT)*73856093) % 97 < 48
+                                 THEN 1.0 ELSE -1.0 END)) AS dot
+          FROM q CROSS JOIN range(12) t(j)),
+        qb AS (SELECT qid, j // 4 AS band, j % 4 AS r, dot,
+                 CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS bit
+               FROM qdots),
+        prim AS (SELECT qid, band, SUM(bit * (1 << r))::BIGINT AS bucket
+                 FROM qb GROUP BY 1, 2),
+        flips AS (SELECT qid, band, r, dot,
+                    ROW_NUMBER() OVER (PARTITION BY qid, band
+                      ORDER BY abs(dot), r) AS rn
+                  FROM qb),
+        pr AS (SELECT 0 AS probes, qid, band, bucket FROM prim
+               UNION ALL
+               SELECT 2, qid, band, bucket FROM prim
+               UNION ALL
+               SELECT 2, f.qid, f.band,
+                      (p.bucket + CASE WHEN f.dot >= 0 THEN -(1 << f.r)
+                                       ELSE (1 << f.r) END)::BIGINT
+               FROM flips f JOIN prim p USING (qid, band)
+               WHERE f.rn <= 2),
+        cand AS (SELECT DISTINCT pr.probes, pr.qid, cb.id AS neighbor
+                 FROM pr JOIN cband cb USING (band, bucket)),
+        lv AS (SELECT * FROM (VALUES (0), (2)) AS l(probes))
+        SELECT lv.probes::BIGINT AS probes, t.qid,
+               SUM(CASE WHEN cand.neighbor IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+               SUM(CASE WHEN cand.neighbor IS NOT NULL
+                        THEN 1 ELSE 0 END)::DOUBLE / 10.0 AS recall
+        FROM truth t CROSS JOIN lv
+        LEFT JOIN cand ON cand.probes = lv.probes AND cand.qid = t.qid
+                      AND cand.neighbor = t.neighbor
+        GROUP BY lv.probes, t.qid
+        ORDER BY probes, t.qid"""))
   )
 
   /** Build the q156 lake-resident IVF-PQ index: the q143 fold with PQ

@@ -378,6 +378,8 @@ object Scale {
         "q180_multiprobe_lsh" -> SparkEntry.queries("q180_multiprobe_lsh"),
         "q181_nested_subsets" -> SparkEntry.queries("q181_nested_subsets"),
         "q182_pack_manifest" -> SparkEntry.queries("q182_pack_manifest"),
+        "q183_multiprobe_recall" ->
+          SparkEntry.queries("q183_multiprobe_recall"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex
