@@ -771,6 +771,42 @@ object Curation {
           "\n\n").as("text_clean"))
   }
 
+  /** Dataset release DIFF ledger — the versioning primitive a corpus
+    * release pipeline needs between two editions (what the lake's MVCC
+    * time travel exposes as versions, this compares as DATA): a full
+    * outer join on the primary key classifies every row as `added`
+    * (new key), `removed` (key gone), `changed` (key present in both,
+    * any content column differs — compared via xxhash64 over the
+    * canonical struct, so wide rows diff without shipping both copies
+    * through the join twice), or `unchanged`. Training pipelines diff
+    * releases to re-process exactly the delta (and to audit that a
+    * "minor" release didn't silently rewrite half the corpus).
+    *
+    * Returns the NON-unchanged rows: (pk, status) — the delta ledger;
+    * count the statuses downstream for the audit summary. Hash compare
+    * means a 2⁻⁶⁴ collision reads as unchanged (the q105 posture —
+    * callers wanting certainty re-verify the `changed` set by value).
+    *
+    * Scale shape: each side reduces to (pk, hash) before the join — one
+    * slim shuffle per side, bodies never move; the join is pk-keyed
+    * (co-partitioned when both editions share the lake's clustering).
+    */
+  def datasetDiff(a: DataFrame, b: DataFrame, pkCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "datasetDiff needs content columns")
+    def slim(df: DataFrame, side: String): DataFrame =
+      df.select(col(pkCol),
+        xxhash64(struct(contentCols.map(col): _*)).as(s"__h$side"))
+    slim(a, "A").join(slim(b, "B"), Seq(pkCol), "full_outer")
+      .withColumn("status",
+        when(col("__hA").isNull, "added")
+          .when(col("__hB").isNull, "removed")
+          .when(col("__hA") =!= col("__hB"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col(pkCol), col("status"))
+  }
+
   /** Nested subset manifests — the hash-threshold sampling that makes a
     * corpus release SHIP ITS OWN ABLATION LADDER (the FineWeb release
     * convention: sample-10BT ⊂ sample-100BT ⊂ sample-350BT; every

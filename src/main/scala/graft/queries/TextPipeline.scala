@@ -4454,6 +4454,47 @@ object TextPipeline {
                string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
         FROM o
         GROUP BY lang, pack_id
-        ORDER BY lang, pack_id"""))
+        ORDER BY lang, pack_id""")),
+
+    // ---- q184: dataset release diff — the corpus-versioning ledger
+    // between two editions (re-process exactly the delta; audit that a
+    // "minor" release didn't rewrite half the corpus). Edition B is
+    // derived deterministically in BOTH engines: every 13th doc removed,
+    // every 7th survivor's text revised, every 11th doc re-added under a
+    // new id. Spark diffs on xxhash64 content hashes (slim shuffles,
+    // bodies never ride the join); the oracle diffs by VALUE — a hash
+    // collision misread as unchanged would hash-mismatch the gate.
+    QueryDef(
+      "q184_dataset_diff",
+      (s, dir) => {
+        val a = docs(s, dir).select(col("doc_id"), col("text"))
+        val b = a.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" revised edition.")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(a.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Curation.datasetDiff(a, b, "doc_id", Seq("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH a AS (SELECT doc_id, text FROM documents),
+        b AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || ' revised edition.'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 11 = 0),
+        d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.text <> b.text THEN 'changed'
+                     ELSE 'unchanged' END AS status
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT doc_id, status FROM d
+        WHERE status <> 'unchanged'
+        ORDER BY doc_id"""))
   )
 }

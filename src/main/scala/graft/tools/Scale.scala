@@ -380,6 +380,7 @@ object Scale {
         "q182_pack_manifest" -> SparkEntry.queries("q182_pack_manifest"),
         "q183_multiprobe_recall" ->
           SparkEntry.queries("q183_multiprobe_recall"),
+        "q184_dataset_diff" -> SparkEntry.queries("q184_dataset_diff"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex

@@ -456,6 +456,25 @@ class CurationSpec extends SparkSpec {
     assert(out(5L).getAs[String]("text_clean") == "x\n\ny")
   }
 
+  test("datasetDiff: added/removed/changed classified on slim hashes, " +
+      "unchanged rows drop, multi-column content and nulls diff") {
+    val a = Seq((1L, "same", "x"), (2L, "old", "x"), (3L, "gone", "x"),
+      (5L, "same", "x"), (6L, "same", null: String))
+      .toDF("id", "t1", "t2")
+    val b = Seq((1L, "same", "x"), (2L, "new", "x"), (4L, "fresh", "x"),
+      (5L, "same", "y"), (6L, "same", "z"))
+      .toDF("id", "t1", "t2")
+    val out = Curation.datasetDiff(a, b, "id", Seq("t1", "t2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      2L -> "changed",  // first content col differs
+      3L -> "removed",
+      4L -> "added",
+      5L -> "changed",  // second content col differs
+      6L -> "changed")) // null → value counts as a change
+    assert(!out.contains(1L), "unchanged rows never reach the ledger")
+  }
+
   test("packManifest: per-pack boundary offsets are the cumulative doc " +
       "ends, whole docs may overshoot the budget, order is the pack order") {
     val docs = Seq(
