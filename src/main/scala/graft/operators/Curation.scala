@@ -794,9 +794,17 @@ object Curation {
   def datasetDiff(a: DataFrame, b: DataFrame, pkCol: String,
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "datasetDiff needs content columns")
+    // Spark's hash expressions SKIP null struct fields without perturbing
+    // the running seed, so ('x', null) and (null, 'x') would hash equal —
+    // a deterministic false "unchanged", not the documented 2⁻⁶⁴
+    // collision. Interleaving each column's isNull flag (never null
+    // itself) restores positional sensitivity: a value moving between
+    // adjacent nullable columns now changes the hash.
     def slim(df: DataFrame, side: String): DataFrame =
       df.select(col(pkCol),
-        xxhash64(struct(contentCols.map(col): _*)).as(s"__h$side"))
+        xxhash64(struct(
+          contentCols.flatMap(c => Seq(col(c).isNull, col(c))): _*))
+          .as(s"__h$side"))
     slim(a, "A").join(slim(b, "B"), Seq(pkCol), "full_outer")
       .withColumn("status",
         when(col("__hA").isNull, "added")

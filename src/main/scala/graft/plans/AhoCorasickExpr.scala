@@ -120,12 +120,29 @@ private[plans] object AhoCorasick {
     * per TASK, not per executor. The cache makes the build truly
     * once-per-JVM; automata are immutable after construction, so sharing
     * across concurrently-running tasks is safe.
+    *
+    * Bounded: a long-lived executor that sees many DISTINCT
+    * dynamically-built dictionaries must not retain every automaton (plus
+    * its key Seq) forever, so the cache clears wholesale past
+    * [[MaxCachedAutomata]] entries. Automata are rebuildable from their
+    * terms, so eviction only costs the O(dictionary) rebuild; the common
+    * steady state (a handful of long-lived dictionaries) never overflows.
     */
+  private val MaxCachedAutomata = 64
+
   private val cache =
     scala.collection.concurrent.TrieMap.empty[Seq[String], AhoCorasick]
 
-  def cached(terms: Seq[String]): AhoCorasick =
-    cache.getOrElseUpdate(terms, build(terms.toArray))
+  def cached(terms: Seq[String]): AhoCorasick = {
+    cache.get(terms) match {
+      case Some(a) => a
+      case None =>
+        // racy size check is fine: worst case two threads both clear, and
+        // the bound is a hygiene cap, not an exact LRU
+        if (cache.size >= MaxCachedAutomata) cache.clear()
+        cache.getOrElseUpdate(terms, build(terms.toArray))
+    }
+  }
 
   private def build(terms: Array[String]): AhoCorasick = {
     import scala.collection.mutable

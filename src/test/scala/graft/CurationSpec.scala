@@ -475,6 +475,21 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(1L), "unchanged rows never reach the ledger")
   }
 
+  test("datasetDiff: a value moving between adjacent nullable columns is " +
+      "changed — null fields must perturb the content hash positionally") {
+    // Spark's xxhash64 skips null struct fields without advancing the
+    // seed, so without per-column null markers ('x', null) and (null,
+    // 'x') hash identically — a deterministic false 'unchanged'
+    val a = Seq((1L, "x", null: String), (2L, null: String, null: String))
+      .toDF("id", "t1", "t2")
+    val b = Seq((1L, null: String, "x"), (2L, null: String, null: String))
+      .toDF("id", "t1", "t2")
+    val out = Curation.datasetDiff(a, b, "id", Seq("t1", "t2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed"), "null-swap must diff; all-null " +
+      "rows identical on both sides stay unchanged")
+  }
+
   test("packManifest: per-pack boundary offsets are the cumulative doc " +
       "ends, whole docs may overshoot the budget, order is the pack order") {
     val docs = Seq(
