@@ -225,6 +225,95 @@ object Snapshots {
     else readEntries(spark, table, snap.entries, mergeSchema, snap.schema).limit(0)
   }
 
+  /** Key-probe pruned read for REGISTRY tables (int64-keyed lookaside
+    * indexes — the dedup fold's span/paragraph registries): plan a scan
+    * over only the files whose `keyCol` zone-map range contains at least
+    * one key of `probeKeys` — the read path that makes a growing
+    * registry's per-batch probe read a file subset once commits cluster
+    * on the key ([[append]]/[[mergeUpsert]] `clusterBy`, [[recluster]]
+    * maintenance).
+    *
+    * Never collects the probe keys: the manifest's per-file (min, max)
+    * ranges — metadata-sized — broadcast against the key frame as a
+    * range join, and only the touched FILE indices come back to the
+    * driver (bounded by the table's file count, never by the batch).
+    * Files without usable long-typed `keyCol` stats are always kept
+    * (pruning is an optimization, never a correctness gate — the
+    * [[readWhere]] contract). Callers still apply their real key
+    * join/filter; file skipping is coarse.
+    *
+    * Effectiveness regime (uniform hash keys): a file kept ⟺ ≥1 probe
+    * key lands in its range, so kept ≈ min(distinct probe keys, files
+    * whose ranges are disjoint) — the probe reads a bounded subset when
+    * the batch's key count is BELOW the registry's file count (the
+    * micro-batch-vs-compacted-registry regime), and degrades gracefully
+    * to the full registry scan above it, where the subsequent broadcast
+    * semi-join still bounds the SHUFFLE by the batch. Measured in
+    * SCALING.md ("registry probe pruning").
+    *
+    * @return (pruned frame, kept file count, total file count)
+    */
+  def readKeyProbe(spark: SparkSession, table: String, keyCol: String,
+      probeKeys: DataFrame): (DataFrame, Int, Int) = {
+    val snap = current(table).getOrElse(sys.error(s"no snapshot committed at $table"))
+    val entries = snap.entries
+    val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
+      for {
+        st <- e.stats
+        c <- st.cols.get(keyCol)
+        if c.typ == 'l'
+        mn <- c.min
+        mx <- c.max
+      } yield (i, mn.asInstanceOf[java.lang.Long].longValue,
+        mx.asInstanceOf[java.lang.Long].longValue)
+    }
+    val blind = entries.indices.toSet -- ranged.map(_._1)
+    val touched: Set[Int] =
+      if (ranged.isEmpty) Set.empty[Int]
+      else {
+        val ranges = broadcast(spark.createDataFrame(ranged)
+          .toDF("__fidx", "__kmin", "__kmax"))
+        probeKeys.toDF("__k")
+          .join(ranges,
+            col("__k") >= col("__kmin") && col("__k") <= col("__kmax"))
+          .select(col("__fidx")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
+    val keptIdx = blind ++ touched
+    val kept = entries.zipWithIndex.collect { case (e, i) if keptIdx(i) => e }
+    val df =
+      if (kept.nonEmpty)
+        readEntries(spark, table, kept, mergeSchema = false, snap.schema)
+      // every file pruned: keep the snapshot's schema, read no data
+      else readEntries(spark, table, entries, mergeSchema = false,
+        snap.schema).limit(0)
+    (df, kept.size, entries.size)
+  }
+
+  /** Re-cluster the ENTIRE table on `cols` into `nFiles` range-disjoint
+    * sorted files in ONE atomic commit — Iceberg's
+    * `rewrite_data_files(strategy => 'sort')` maintenance action. This is
+    * what restores [[readKeyProbe]] pruning power on a registry that has
+    * accrued many per-commit runs (each commit's files are range-disjoint
+    * WITHIN the commit but overlap across commits; after reclustering a
+    * point key touches one file table-wide). Pinned readers keep their
+    * file set; [[expireSnapshots]] reclaims the replaced files later.
+    *
+    * Single-hour tables (registries use a constant hour — an index is
+    * keyed by content hash, not time) recluster with no cross-hour file
+    * fan-out; multi-hour tables should prefer [[compactSmallFiles]],
+    * which clusters on the hour.
+    */
+  def recluster(spark: SparkSession, table: String, cols: Seq[String],
+      nFiles: Int): Int = {
+    val rewritten = read(spark, table)
+      .repartitionByRange(nFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .drop(Lake.PartitionCol)
+    val staged = stage(rewritten, table)
+    commit(table, Some(dataSchema(rewritten)))(_ => staged)
+  }
+
   private def readEntries(spark: SparkSession, table: String,
       entries: Seq[Entry], mergeSchema: Boolean,
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
@@ -467,8 +556,15 @@ object Snapshots {
     * size-gated (backfill-scale updates fall back to a shuffle join under
     * AQE).
     */
+  /** @param clusterBy range-cluster the staged insert AND rewrite files
+    *   on these columns (the [[append]] clustering applied to merge
+    *   commits) — what keeps a keyed registry's files [[readKeyProbe]]-
+    *   prunable as it grows through per-batch upserts. Wide merges
+    *   (touched hours above the shuffle-partition count) prepend the
+    *   hour so staged tasks keep disjoint hour ranges.
+    */
   def mergeUpsert(spark: SparkSession, table: String, updatesIn: DataFrame,
-      pk: String): Int = {
+      pk: String, clusterBy: Seq[String] = Nil): Int = {
     // the update frame feeds FOUR separate actions (pk-uniqueness check,
     // match probe, rewrite join build side, insert anti-join) — without a
     // persist an expensive update derivation re-executes per action
@@ -476,7 +572,7 @@ object Snapshots {
     // pipeline at 10x scale before this, see SCALING.md)
     val updates = updatesIn.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeUpsertImpl(spark, table, updates, pk)
+    try mergeUpsertImpl(spark, table, updates, pk, clusterBy)
     finally updates.unpersist(false)
   }
 
@@ -488,7 +584,20 @@ object Snapshots {
   private val SmallMergeRows = 4096
 
   private def mergeUpsertImpl(spark: SparkSession, table: String,
-      updates: DataFrame, pk: String): Int = {
+      updates: DataFrame, pk: String, clusterBy: Seq[String]): Int = {
+    // staging clustering: narrow merges range-cluster on `clusterBy`
+    // alone (registries are single-hour, so no cross-hour fan-out); wide
+    // merges prepend the hour — the wide-merge lesson composed with key
+    // clustering. No clusterBy keeps the exact pre-existing paths.
+    def clusterStaged(df: DataFrame, wide: Boolean): DataFrame =
+      if (clusterBy.nonEmpty) {
+        val keys = (if (wide) Seq(col(Lake.PartitionCol)) else Nil) ++
+          clusterBy.map(col)
+        val base = if (wide) Lake.withHourPartition(df) else df
+        base.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      } else if (wide)
+        Lake.withHourPartition(df).repartitionByRange(col(Lake.PartitionCol))
+      else df
     def dbg[A](name: String)(f: => A): A =
       if (!sys.env.contains("GRAFT_MERGE_DEBUG")) f
       else {
@@ -554,11 +663,8 @@ object Snapshots {
               (d, c) => d.withColumn(c, coalesce(col("__u_" + c), col(c)))
             }
             .drop(updates.columns.map("__u_" + _).toIndexedSeq: _*)
-          val rewritten =
-            if (touched.size > spark.sessionState.conf.numShufflePartitions)
-              Lake.withHourPartition(rewritten0)
-                .repartitionByRange(col(Lake.PartitionCol))
-            else rewritten0
+          val rewritten = clusterStaged(rewritten0,
+            wide = touched.size > spark.sessionState.conf.numShufflePartitions)
           dbg("stage_rewrite")(stage(rewritten, table))
         }
       // insert existence and membership are known DRIVER-SIDE: a null
@@ -573,7 +679,8 @@ object Snapshots {
             if (matchedPks.isEmpty) updates
             else updates.filter(col(pk).isNull ||
               !col(pk).isInCollection(matchedPks))
-          dbg("stage_insert")(stage(insertDf, table))
+          dbg("stage_insert")(stage(clusterStaged(insertDf, wide = false),
+            table))
         }
       return commit(table, Some(merged))(prev =>
         prev.filterNot(e => touched(e.hour)) ++ stagedRewrites ++ stagedInserts)
@@ -605,11 +712,8 @@ object Snapshots {
           // hour ranges, at the cost of one shuffle of the rewritten rows;
           // narrow merges (the common streaming case) keep the
           // no-shuffle path.
-          val rewritten =
-            if (touched.size > spark.sessionState.conf.numShufflePartitions)
-              Lake.withHourPartition(rewritten0)
-                .repartitionByRange(col(Lake.PartitionCol))
-            else rewritten0
+          val rewritten = clusterStaged(rewritten0,
+            wide = touched.size > spark.sessionState.conf.numShufflePartitions)
           dbg("stage_rewrite")(stage(rewritten, table))
         }
       val inserts = renamed.join(matched.select(col(pk)).distinct(),
@@ -621,11 +725,8 @@ object Snapshots {
       // can coalesce to a handful of cached partitions — without the range
       // shuffle ONE task then writes a file into every hour (measured as a
       // 158 s single-task stage at 10x scale, SCALING.md)
-      val insertDf =
-        if (touched.size > spark.sessionState.conf.numShufflePartitions)
-          Lake.withHourPartition(insertDf0)
-            .repartitionByRange(col(Lake.PartitionCol))
-        else insertDf0
+      val insertDf = clusterStaged(insertDf0,
+        wide = touched.size > spark.sessionState.conf.numShufflePartitions)
       val stagedInserts =
         if (dbg("insert_empty?")(insertDf.isEmpty)) Vector.empty
         else dbg("stage_insert")(stage(insertDf, table))

@@ -39,6 +39,37 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** Observability hook: the last registry key-probe's (kept files,
+    * total files) as reported by [[graft.lake.Snapshots.readKeyProbe]] —
+    * the number a deployment exports as its probe-pruning metric, and
+    * what the specs/SCALING probes assert on. Best-effort under
+    * concurrent folds (last writer wins); None until a probe has run.
+    */
+  @volatile var lastProbeFiles: Option[(Int, Int)] = None
+
+  /** Measurement/debug toggle: false falls back to full-registry reads
+    * (no file skipping) — the counterfactual the SCALING "registry probe
+    * pruning" table compares against. Production folds leave this true;
+    * results are identical either way (file skipping is sound), only the
+    * I/O differs.
+    */
+  @volatile var keyProbeEnabled: Boolean = true
+
+  /** The registries' pruned read: zone-map key probe over the h-clustered
+    * files, recording (kept, total) in [[lastProbeFiles]].
+    */
+  private def probeRead(spark: SparkSession, table: String,
+      probeKeys: DataFrame): DataFrame = {
+    val (reg, kept, total) =
+      if (keyProbeEnabled) Snapshots.readKeyProbe(spark, table, "h", probeKeys)
+      else {
+        val n = Snapshots.current(table).map(_.entries.size).getOrElse(0)
+        (Snapshots.read(spark, table), n, n)
+      }
+    lastProbeFiles = Some((kept, total))
+    reg
+  }
+
   /** Process one micro-batch of aHash rows (`idCol`, b0..b3) against the
     * growing index at `indexTable`: returns the batch's SURVIVORS
     * (materialized — safe to consume after the commit below), and commits
@@ -209,11 +240,13 @@ object DedupIndex {
     *
     * Scale shape: per-batch cost is the batch's own paragraph pass +
     * ONE slim key join against the registry (int64 keys and winner
-    * coordinates only — paragraph BODIES never touch the index; at
-    * deployment scale the registry is clustered by key so zone maps
-    * prune the probe) + a fresh-keys-sized mergeUpsert. History text is
-    * never rescanned, and the emitted rewrite is a pure function of
-    * arrival history.
+    * coordinates only — paragraph BODIES never touch the index) + a
+    * fresh-keys-sized mergeUpsert. The registry commits key-CLUSTERED
+    * and the read is [[graft.lake.Snapshots.readKeyProbe]]-pruned, so
+    * the scan itself skips files outside the batch's key ranges (gated
+    * by StreamingSpec; measured in SCALING.md "registry probe
+    * pruning"). History text is never rescanned, and the emitted
+    * rewrite is a pure function of arrival history.
     */
   def paragraphDedupBatch(spark: SparkSession, indexTable: String,
       batchDocs: DataFrame, idCol: String = "doc_id",
@@ -234,16 +267,23 @@ object DedupIndex {
     val fresh =
       if (!indexed) batchWinners
       else {
-        val hist = Snapshots.read(spark, indexTable)
+        // registry SCAN pruning first: commits cluster the registry's
+        // files on the key (clusterBy below), so the zone-map key probe
+        // plans only the files whose h range intersects the batch's
+        // keys — in the micro-batch-vs-compacted-registry regime the
+        // probe reads a batch-keys-sized file subset, never the whole
+        // registry (measured in SCALING.md "registry probe pruning")
+        val hist = probeRead(spark, indexTable,
+          batchWinners.select(col("h")))
           // a replayed batch's own registrations are dropped up front so
           // the replay resolves against pre-batch state exactly
           .join(batch.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
-        // batch-neighborhood pruning (the lshDedupBatch posture): only
-        // registry keys the batch actually touches can veto a batch
-        // winner, so the registry reduces to a batch-keys-sized frame
-        // via one broadcast semi-join BEFORE the anti join — probe cost
-        // tracks the batch, never the registry (which at deployment
-        // scale is clustered by key, so zone maps prune the scan too)
+        // batch-neighborhood ROW pruning (the lshDedupBatch posture):
+        // only registry keys the batch actually touches can veto a batch
+        // winner, so the surviving files reduce to a batch-keys-sized
+        // frame via one broadcast semi-join BEFORE the anti join — the
+        // shuffle tracks the batch even when file skipping kept
+        // everything (file pruning is coarse; this is exact)
         val touched = hist.select(col("h"))
           .join(broadcast(batchWinners.select(col("h"))), Seq("h"),
             "left_semi")
@@ -273,8 +313,13 @@ object DedupIndex {
       .localCheckpoint(true)
     val stamped = fresh.withColumn("ts",
       lit("2024-01-01 00:00:00").cast("timestamp"))
-    if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, "h")
-    else Snapshots.append(stamped, indexTable)
+    // key-clustered commits: each commit's files carry disjoint h ranges
+    // so the next batch's readKeyProbe can skip files (recluster() is the
+    // maintenance action that merges per-commit runs into one table-wide
+    // sorted layout)
+    if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, "h",
+      clusterBy = Seq("h"))
+    else Snapshots.append(stamped, indexTable, clusterBy = Seq("h"))
     out
   }
 
@@ -304,9 +349,11 @@ object DedupIndex {
     *
     * Scale shape: per-batch cost is the batch's own sentence pass + ONE
     * slim int64-key join against the batch-touched slice of the registry
-    * (batch-neighborhood pruning via broadcast semi-join — probe cost
-    * tracks the batch, never the registry); sentence BODIES never touch
-    * the index, history text is never rescanned.
+    * (file-level zone-map pruning via key-clustered commits +
+    * [[graft.lake.Snapshots.readKeyProbe]], then batch-neighborhood row
+    * pruning via broadcast semi-join — probe cost tracks the batch,
+    * never the registry); sentence BODIES never touch the index, history
+    * text is never rescanned.
     */
   def spanDedupBatch(spark: SparkSession, indexTable: String,
       batchDocs: DataFrame, idCol: String = "doc_id",
@@ -332,10 +379,13 @@ object DedupIndex {
         col("c"))
     val indexed = Snapshots.currentVersion(indexTable).isDefined
     // registry keys the batch touches, with the replaying batch's own
-    // registrations dropped up front (the paragraphDedupBatch posture)
+    // registrations dropped up front (the paragraphDedupBatch posture).
+    // The scan is zone-map key-probe pruned first (commits cluster the
+    // registry on h — see the commit below), then the broadcast semi-join
+    // bounds the shuffle by the batch exactly (file pruning is coarse)
     val registered =
       if (!indexed) batchAgg.select(col("h")).limit(0)
-      else Snapshots.read(spark, indexTable)
+      else probeRead(spark, indexTable, batchAgg.select(col("h")))
         .join(batch.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
         .select(col("h"))
         .join(broadcast(batchAgg.select(col("h"))), Seq("h"), "left_semi")
@@ -368,8 +418,11 @@ object DedupIndex {
       .join(registered, Seq("h"), "left_anti")
       .select(col("h"), col("wdoc"), col("wpos"))
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
-    if (indexed) Snapshots.mergeUpsert(spark, indexTable, fresh, "h")
-    else Snapshots.append(fresh, indexTable)
+    // key-clustered commits keep the registry readKeyProbe-prunable as
+    // it grows (recluster() merges per-commit runs at maintenance time)
+    if (indexed) Snapshots.mergeUpsert(spark, indexTable, fresh, "h",
+      clusterBy = Seq("h"))
+    else Snapshots.append(fresh, indexTable, clusterBy = Seq("h"))
     out
   }
 }

@@ -426,4 +426,107 @@ class SnapshotsSpec extends SparkSpec {
       .where(col("x") < 8 && col("y") < 8).count()
     assert(n == 64)
   }
+
+  private def keyRows(ids: Range) =
+    ids.map(i => (i.toLong, s"v$i", ts("2024-01-01 00:10:00")))
+      .toDF("k", "name", "ts")
+
+  test("readKeyProbe: a point-key probe against a key-clustered table " +
+      "reads ≤2 files per probed key, returns every matching row, and an " +
+      "empty probe reads nothing but keeps the schema") {
+    val t = Files.createTempDirectory("snap_keyprobe").toString
+    // 8 range-disjoint sorted files over keys 0..7999
+    Snapshots.append(keyRows(0 until 8000), t,
+      clusterBy = Seq("k"), clusterPartitions = Some(8))
+    val probe = Seq(100L, 4100L).toDF("k")
+    val (df, kept, total) = Snapshots.readKeyProbe(spark, t, "k", probe)
+    assert(total == 8, s"layout should be 8 files, was $total")
+    assert(kept <= 2, s"two point keys must keep ≤2 clustered files, kept $kept")
+    // completeness: every probed key's rows present (file skipping is
+    // coarse — callers still apply the real filter)
+    val hit = df.where(col("k").isin(100L, 4100L)).collect()
+    assert(hit.length == 2)
+    // soundness: the pruned frame is a subset of the table
+    assert(df.count() <= 8000 && df.count() >= 2)
+    // empty probe: nothing read, schema intact
+    val (empty, keptE, totalE) =
+      Snapshots.readKeyProbe(spark, t, "k", Seq.empty[Long].toDF("k"))
+    assert(keptE == 0 && totalE == 8 && empty.isEmpty)
+    assert(empty.columns.contains("name"))
+  }
+
+  test("readKeyProbe: files without usable key stats are always kept — " +
+      "pruning never drops a blind file") {
+    val t = Files.createTempDirectory("snap_keyprobe_blind").toString
+    // a string-keyed column under the probe's long-typed contract: stats
+    // exist but with typ 's', so every file is probe-blind
+    val rows = (0 until 100).map(i => (s"s$i", ts("2024-01-01 00:10:00")))
+      .toDF("k", "ts")
+    Snapshots.append(rows, t)
+    val (df, kept, total) = Snapshots.readKeyProbe(spark, t, "k",
+      Seq(1L).toDF("k"))
+    assert(kept == total, "blind files must all be kept")
+    assert(df.count() == 100)
+  }
+
+  test("recluster: per-commit runs overlap in key range (probe keeps all " +
+      "files) until one atomic recluster restores disjoint ranges — rows " +
+      "identical before and after") {
+    val t = Files.createTempDirectory("snap_recluster").toString
+    // three commits, each clustered internally into 4 files — but every
+    // commit spans the full key range, so a point key touches one file
+    // PER COMMIT
+    Snapshots.append(keyRows(0 until 4000 by 3), t,
+      clusterBy = Seq("k"), clusterPartitions = Some(4))
+    Snapshots.append(keyRows(1 until 4000 by 3), t,
+      clusterBy = Seq("k"), clusterPartitions = Some(4))
+    Snapshots.append(keyRows(2 until 4000 by 3), t,
+      clusterBy = Seq("k"), clusterPartitions = Some(4))
+    val before = Snapshots.read(spark, t)
+      .select("k", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (_, keptRuns, totalRuns) =
+      Snapshots.readKeyProbe(spark, t, "k", Seq(2000L).toDF("k"))
+    assert(totalRuns == 12)
+    // at most one file per commit-run contains the key (a run whose file
+    // boundary gap straddles the key legitimately prunes to zero)
+    assert(keptRuns <= 3 && keptRuns >= 1,
+      s"≤1 file per commit-run expected, kept $keptRuns of $totalRuns")
+    Snapshots.recluster(spark, t, Seq("k"), nFiles = 8)
+    val (_, keptAfter, totalAfter) =
+      Snapshots.readKeyProbe(spark, t, "k", Seq(2000L).toDF("k"))
+    assert(totalAfter == 8)
+    assert(keptAfter <= 2, s"reclustered point probe must keep ≤2 files, kept $keptAfter")
+    val after = Snapshots.read(spark, t)
+      .select("k", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "recluster must not change table content")
+    // pinned reader on the pre-recluster version still sees the old files
+    assert(Snapshots.read(spark, t, version = Some(3)).count() == 4000)
+  }
+
+  test("mergeUpsert clusterBy: insert-only merge commits stage key-" +
+      "clustered files, so the registry stays probe-prunable as it grows") {
+    val t = Files.createTempDirectory("snap_merge_cluster").toString
+    Snapshots.append(keyRows(0 until 4000), t,
+      clusterBy = Seq("k"), clusterPartitions = Some(4))
+    // big-path merge (above the small-merge threshold) of fresh keys only
+    Snapshots.mergeUpsert(spark, t, keyRows(4000 until 9000), "k",
+      clusterBy = Seq("k"))
+    val snap = Snapshots.current(t).get
+    // the merge's staged files must carry k stats and be range-disjoint
+    val mergeFiles = snap.entries.filterNot(e =>
+      Snapshots.snapshot(t, 1).entries.map(_.file).contains(e.file))
+    assert(mergeFiles.nonEmpty)
+    val ranges = mergeFiles.flatMap(_.stats.flatMap(_.cols.get("k")))
+      .map(c => (c.min.get.asInstanceOf[Long].longValue,
+        c.max.get.asInstanceOf[Long].longValue)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"merge-staged files must be range-disjoint: $ranges")
+      case _ =>
+    }
+    // and a point probe into the merged range keeps ≤2 files total
+    val (_, kept, _) = Snapshots.readKeyProbe(spark, t, "k", Seq(6000L).toDF("k"))
+    assert(kept <= 2, s"probe into merged keys kept $kept files")
+    assert(Snapshots.read(spark, t).count() == 9000)
+  }
 }

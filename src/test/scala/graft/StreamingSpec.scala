@@ -238,6 +238,65 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
   }
 
+  test("span-registry probe pruning: key-clustered commits + recluster " +
+      "let a small batch's zone-map key probe read a bounded file subset " +
+      "of the registry — and the fold output is unchanged") {
+    import graft.streaming.DedupIndex
+    import graft.lake.Snapshots
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_span_probe").toString
+    // a large first batch: 600 unique docs × 2 span keys each register
+    // 1200 uniform int64 keys
+    def doc(i: Long) = i -> s"aa$i bb$i. cc$i dd$i. ee$i ff$i. gg$i hh$i."
+    DedupIndex.spanDedupBatch(spark, idxDir,
+      (0L until 600L).map(doc).toDF("doc_id", "text"))
+    // maintenance: merge per-commit runs into one 16-file sorted layout
+    Snapshots.recluster(spark, idxDir, Seq("h"), nFiles = 16)
+    // a SMALL batch: one doc repeating a registered doc's spans + one
+    // fresh doc — 4 probe keys against a 16-file registry
+    val out = DedupIndex.spanDedupBatch(spark, idxDir, Seq(
+        1000L -> doc(5L)._2,
+        1001L -> "zz fresh. yy fresh. xx fresh. ww fresh.")
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cut"), r.getAs[String]("text_clean")))).toMap
+    val (kept, total) = DedupIndex.lastProbeFiles.get
+    assert(total == 16, s"reclustered registry should be 16 files, was $total")
+    assert(kept <= 4,
+      s"a 4-key batch probe must read ≤4 of $total registry files, read $kept")
+    // correctness is untouched by the pruning: the repeated doc cuts
+    // fully via the registry, the fresh doc survives untouched
+    assert(out(1000L) == ((4L, "")))
+    assert(out(1001L) ==
+      ((0L, "zz fresh. yy fresh. xx fresh. ww fresh.")))
+  }
+
+  test("paragraph-registry probe pruning: the q171 registry reads a " +
+      "bounded file subset for a small batch after recluster") {
+    import graft.streaming.DedupIndex
+    import graft.lake.Snapshots
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_para_probe").toString
+    // paragraph keys DIGIT-NORMALIZE (the CCNet recipe), so distinct
+    // paragraphs must differ in letters: base-26 alpha ids
+    def alpha(i: Long): String = java.lang.Long.toString(i, 26)
+      .map(c => if (c.isDigit) ('a' + (c - '0')).toChar else (c + 10).toChar)
+    DedupIndex.paragraphDedupBatch(spark, idxDir,
+      (0L until 600L).map(i => i -> s"para a ${alpha(i)}\n\npara b ${alpha(i)}")
+        .toDF("doc_id", "text"))
+    Snapshots.recluster(spark, idxDir, Seq("h"), nFiles = 16)
+    val out = DedupIndex.paragraphDedupBatch(spark, idxDir,
+        Seq(1000L -> s"para a ${alpha(5L)}\n\nfresh x").toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("text_clean")))).toMap
+    val (kept, total) = DedupIndex.lastProbeFiles.get
+    assert(total == 16, s"reclustered registry should be 16 files, was $total")
+    assert(kept <= 2,
+      s"a 2-key batch probe must read ≤2 of $total registry files, read $kept")
+    assert(out(1000L) == ((1L, "fresh x")),
+      "registered paragraph cut, fresh paragraph kept")
+  }
+
   test("gopher and C4 batteries are stateless map scans: micro-batch " +
       "output equals the batch run row-for-row, any cut") {
     import graft.operators.Curation
