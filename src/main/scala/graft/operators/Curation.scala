@@ -1049,13 +1049,15 @@ object Curation {
     * Returns per doc: `n_sents`, `n_cut`, and `text_clean` (surviving
     * sentences re-joined with a single space, original order).
     *
-    * Scale shape: the sentence frame ships once; spans ride as slim
-    * (doc, pos, int64 xxhash64 key) tuples — never the three-sentence
-    * strings (the q105/q168 posture; the string-keyed oracle would catch
-    * a collision merge); the winner aggregation is distinct-span-sized
-    * with map-side combine; cut positions explode ×3 from flagged spans
-    * and dedup BEFORE the join back; sentence bodies ride exactly one
-    * shuffle (the per-doc rebuild).
+    * Scale shape: the corpus tokenizes ONCE ([[c4LeadFrame]] — span keys
+    * derive from the exploded sentence frame via lead(), not a second
+    * `regexp_extract_all` pass); spans ride as slim (doc, pos, int64
+    * xxhash64 key) tuples — never the three-sentence strings (the
+    * q105/q168 posture; the string-keyed oracle would catch a collision
+    * merge); the winner aggregation is distinct-span-sized with map-side
+    * combine; cut positions explode ×3 from flagged spans and dedup
+    * BEFORE the join back; sentence bodies ride exactly one shuffle (the
+    * lead window's doc partitioning is reused by the per-doc rebuild).
     */
   /** The C4 span rules' sentence extraction: maximal `[^.!?]*[.!?]` runs,
     * trimmed. ONE definition shared by [[c4SpanDedup]] and the
@@ -1067,36 +1069,53 @@ object Curation {
     transform(regexp_extract_all(text, lit("[^.!?]*[.!?]"), lit(0)),
       s => trim(s))
 
-  /** The C4 span keys over a sentence-array column: one (pos, h) struct
-    * per position 0..n−3, h = xxhash64 of the LOWERED 3-sentence join.
-    * Shared with the incremental fold for the same reason as
-    * [[c4SentenceArr]] — a normalization edit in one copy would quietly
-    * invalidate the q176 gate's one-shot-equivalence argument.
+  /** The C4 span KEY: xxhash64 of the LOWERED space-joined 3-sentence
+    * window. The ONE definition shared by the one-shot rule and the
+    * incremental fold ([[graft.streaming.DedupIndex.spanDedupBatch]]) —
+    * a normalization edit in one copy would quietly invalidate the q176
+    * gate's one-shot-equivalence argument.
     */
-  private[graft] def c4SpanStructs(sa: Column): Column =
-    when(size(sa) >= 3,
-      transform(sequence(lit(0), size(sa) - 3),
-        i => struct(i.as("pos"),
-          xxhash64(lower(concat_ws(" ",
-            element_at(sa, i + 1),
-            element_at(sa, i + 2),
-            element_at(sa, i + 3)))).as("h"))))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+  private[graft] def c4SpanKey(s0: Column, s1: Column, s2: Column): Column =
+    xxhash64(lower(concat_ws(" ", s0, s1, s2)))
+
+  /** ONE-pass sentence + span-key derivation: the sentence array
+    * tokenizes ONCE and explodes; span keys derive from the exploded
+    * frame via `lead(sent, 1/2)` over (doc, pos) — rows where `__s2` is
+    * null have no span starting at their position (the 0..n−3 contract).
+    * The window's (doc) hash partitioning is exactly what the final
+    * per-doc rebuild needs, so sentence bodies still ride ONE shuffle —
+    * this replaces the earlier two-frame form whose span branch re-ran
+    * `regexp_extract_all` over every doc (a second full tokenize pass;
+    * measured −0.3+ s at sf0.1, BENCHNOTES round 19).
+    */
+  private[graft] def c4LeadFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    df.select(col(idCol),
+        posexplode(c4SentenceArr(col(textCol))).as(Seq("pos", "sent")))
+      .withColumn("__s1", lead(col("sent"), 1).over(w))
+      .withColumn("__s2", lead(col("sent"), 2).over(w))
+  }
 
   def c4SpanDedup(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val sentArr = c4SentenceArr(col(textCol))
     // plain posexplode: a doc with zero sentences (no terminal mark
     // anywhere) has nothing to dedup and drops from the output — the
-    // oracle's unnest agrees
-    val sents = df
-      .select(col(idCol), posexplode(sentArr).as(Seq("pos", "sent")))
-    // spans: one per position 0..n-3, keyed by the xxhash64 of the
-    // lowered 3-sentence join — derived from the per-doc array so the
-    // span frame never self-joins the sentence frame
-    val spans = df
-      .select(col(idCol), explode(c4SpanStructs(sentArr)).as("s"))
-      .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("__h"))
+    // oracle's unnest agrees. The lead frame feeds three consumers and
+    // per-branch filters defeat exchange reuse, so each re-derives it —
+    // checkpointing it here measured NEUTRAL twice (r18 and r19,
+    // BENCHNOTES: the wide frame's materialization costs what the
+    // recompute costs at sf0.1); the incremental fold, whose batches
+    // feed registry commits too, DOES pin it (one materialization per
+    // batch, measured −0.8 s on the 3-batch fold)
+    val leads = c4LeadFrame(df, idCol, textCol)
+    val sents = leads.select(col(idCol), col("pos"), col("sent"))
+    // spans: one per position 0..n-3 as slim (doc, pos, int64 key) rows —
+    // sentence bodies never enter the span branch's shuffles
+    val spans = leads.filter(col("__s2").isNotNull)
+      .select(col(idCol), col("pos"),
+        c4SpanKey(col("sent"), col("__s1"), col("__s2")).as("__h"))
     // duplicated spans only: winner = min (doc, pos); count > 1 filters
     // the frame to actual duplicates before anything joins back
     val winners = spans

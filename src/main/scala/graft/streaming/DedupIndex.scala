@@ -360,18 +360,18 @@ object DedupIndex {
       textCol: String = "text"): DataFrame = {
     val batch = batchDocs.select(col(idCol), col(textCol))
       .localCheckpoint(true)
-    // sentence segmentation and span keying come from Curation — ONE
-    // definition with the one-shot rule, which is what makes the fold ≡
-    // one-shot argument hold by construction rather than copy discipline
-    val sentArr = graft.operators.Curation.c4SentenceArr(col(textCol))
-    val sents = batch
-      .select(col(idCol), posexplode(sentArr).as(Seq("pos", "sent")))
-      .localCheckpoint(true)
-    val spans = batch
-      .select(col(idCol),
-        explode(graft.operators.Curation.c4SpanStructs(sentArr)).as("s"))
-      .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("h"))
-      .localCheckpoint(true)
+    // sentence segmentation and span keying come from Curation's ONE-pass
+    // lead frame — one definition with the one-shot rule, which is what
+    // makes the fold ≡ one-shot argument hold by construction rather
+    // than copy discipline; ONE materialization feeds both the sentence
+    // and the span branch (the batch tokenizes once)
+    val leads = graft.operators.Curation
+      .c4LeadFrame(batch, idCol, textCol).localCheckpoint(true)
+    val sents = leads.select(col(idCol), col("pos"), col("sent"))
+    val spans = leads.filter(col("__s2").isNotNull)
+      .select(col(idCol), col("pos"),
+        graft.operators.Curation
+          .c4SpanKey(col("sent"), col("__s1"), col("__s2")).as("h"))
     val batchAgg = spans.groupBy(col("h"))
       .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("w"),
         count(lit(1)).as("c"))
