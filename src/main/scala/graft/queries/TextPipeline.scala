@@ -4502,6 +4502,112 @@ object TextPipeline {
               FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         SELECT doc_id, status FROM d
         WHERE status <> 'unchanged'
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q185: the COMPOSED release pipeline — q181's structural
+    // subset cuts feed q172/q178's UniMax budget, whose selection packs
+    // into q182's boundary manifests, and two editions' manifests diff
+    // through q184's ledger — ONE query with snapshot-lake round-trips
+    // at every stage boundary (the q95/q113 composition discipline:
+    // composition is where stage-boundary bugs live). Edition A = the
+    // 10% hash tier, edition B = the 50% tier (A's corpus ⊂ B's by
+    // construction, yet B's bigger per-language masses shift the
+    // waterfill, the take prefixes, and every downstream pack). The
+    // oracle re-derives the ENTIRE chain from the raw documents table —
+    // tiers, waterfill, hash-order take, packing, boundary CSVs, and a
+    // full-outer VALUE diff — so drift in any stage breaks the
+    // string-exact boundary compare.
+    QueryDef(
+      "q185_release_pipeline",
+      (s, dir) => {
+        import graft.operators.Release
+        val tmp = stagedFold(dir, "#q185") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_release").toString
+          Release.buildEdition(s, docs(s, dir), "doc_id", "lang",
+            "n_chars", cutBp = 1000L, budgetNum = 9L, budgetDen = 10L,
+            epochCap = 1L, table = s"$t/editionA")
+          Release.buildEdition(s, docs(s, dir), "doc_id", "lang",
+            "n_chars", cutBp = 5000L, budgetNum = 9L, budgetDen = 10L,
+            epochCap = 1L, table = s"$t/editionB")
+          Release.packEdition(s, s"$t/editionA", "doc_id", "lang",
+            "n_chars", packBudget = 2048L, outTable = s"$t/manifestA")
+          Release.packEdition(s, s"$t/editionB", "doc_id", "lang",
+            "n_chars", packBudget = 2048L, outTable = s"$t/manifestB")
+          t
+        }
+        Release.manifestDiff(s, s"$tmp/manifestA", s"$tmp/manifestB")
+          .orderBy(col("pack_key"))
+      },
+      Some("""
+        WITH e AS (SELECT 'A' AS ed, 1000 AS cut
+                   UNION ALL SELECT 'B', 5000),
+        d0 AS (SELECT e.ed, doc_id, lang, n_chars::BIGINT AS w
+               FROM documents CROSS JOIN e
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 10000 < e.cut),
+        c AS (SELECT ed, lang, SUM(w)::BIGINT AS n_mass,
+                     (SUM(w) * 1)::BIGINT AS capacity
+              FROM d0 GROUP BY ed, lang),
+        t AS (SELECT ed, SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
+              FROM c GROUP BY ed),
+        r AS (SELECT c.*, t.tot, t.l, (t.tot * 9) // 10 AS b,
+                ROW_NUMBER() OVER (PARTITION BY c.ed
+                  ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (PARTITION BY c.ed
+                  ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM c JOIN t ON c.ed = t.ed),
+        f AS (SELECT *,
+                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+              FROM r),
+        g AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY ed)::BIGINT AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END)
+                  OVER (PARTITION BY ed)::BIGINT AS pk
+              FROM f),
+        a AS (SELECT ed, lang,
+                (CASE WHEN capped THEN capacity
+                      ELSE (b - pk) // greatest(1, l - k)
+                           + CASE WHEN i - k <= (b - pk) %
+                               greatest(1, l - k) THEN 1 ELSE 0 END
+                 END)::BIGINT AS allocated
+              FROM g),
+        wnd AS (SELECT ed, lang, doc_id, w,
+                  SUM(w) OVER (PARTITION BY ed, lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM d0),
+        sel AS (SELECT wnd.ed, wnd.lang, doc_id, w
+                FROM wnd JOIN a ON wnd.ed = a.ed AND wnd.lang = a.lang
+                WHERE cum <= allocated),
+        p AS (SELECT ed, lang, doc_id, w,
+                CAST(floor(COALESCE(SUM(w) OVER (PARTITION BY ed, lang
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                  PRECEDING), 0) / 2048.0) AS BIGINT) AS pack_id
+              FROM sel),
+        o AS (SELECT ed, lang, pack_id, doc_id, w,
+                SUM(w) OVER (PARTITION BY ed, lang, pack_id
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS off
+              FROM p),
+        m AS (SELECT ed, lang || '#' || pack_id AS pack_key,
+                COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS total_tokens,
+                string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
+              FROM o GROUP BY ed, lang, pack_id),
+        ma AS (SELECT * FROM m WHERE ed = 'A'),
+        mb AS (SELECT * FROM m WHERE ed = 'B'),
+        dd AS (SELECT coalesce(ma.pack_key, mb.pack_key) AS pack_key,
+                 CASE WHEN ma.pack_key IS NULL THEN 'added'
+                      WHEN mb.pack_key IS NULL THEN 'removed'
+                      WHEN ma.n_docs <> mb.n_docs
+                           OR ma.total_tokens <> mb.total_tokens
+                           OR ma.boundaries_csv <> mb.boundaries_csv
+                        THEN 'changed'
+                      ELSE 'unchanged' END AS status
+               FROM ma FULL OUTER JOIN mb ON ma.pack_key = mb.pack_key)
+        SELECT pack_key, status FROM dd
+        WHERE status <> 'unchanged'
+        ORDER BY pack_key"""))
   )
 }

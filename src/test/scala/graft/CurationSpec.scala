@@ -490,6 +490,39 @@ class CurationSpec extends SparkSpec {
       "rows identical on both sides stay unchanged")
   }
 
+  test("release pipeline corners: identical editions diff empty, an " +
+      "empty tier diffs as pure adds, budget > corpus selects everything") {
+    import graft.operators.Release
+    import graft.lake.Snapshots
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "en" else "fr", 100L + i))
+      .toDF("doc_id", "lang", "n_chars")
+    // identical cuts → identical editions → empty ledger
+    val t1 = java.nio.file.Files.createTempDirectory("rel_same").toString
+    val same = Release.releaseDiffPipeline(spark, docs, "doc_id", "lang",
+      "n_chars", cutA = 5000L, cutB = 5000L, budgetNum = 9L,
+      budgetDen = 10L, epochCap = 1L, packBudget = 500L, baseDir = t1)
+    assert(same.isEmpty, "identical editions must produce an empty ledger")
+    // empty tier (cut 0 admits nothing) → every B pack is 'added'
+    val t2 = java.nio.file.Files.createTempDirectory("rel_empty").toString
+    val adds = Release.releaseDiffPipeline(spark, docs, "doc_id", "lang",
+      "n_chars", cutA = 0L, cutB = 10000L, budgetNum = 9L,
+      budgetDen = 10L, epochCap = 1L, packBudget = 500L, baseDir = t2)
+      .collect()
+    assert(adds.nonEmpty && adds.forall(_.getString(1) == "added"),
+      "an empty previous edition must diff as pure adds")
+    val bPacks = Snapshots.read(spark, s"$t2/manifestB").count()
+    assert(adds.length.toLong == bPacks)
+    // budget > corpus capacity → every language saturates at its epoch
+    // cap and the edition keeps its whole tier corpus
+    val t3 = java.nio.file.Files.createTempDirectory("rel_sat").toString
+    Release.buildEdition(spark, docs, "doc_id", "lang", "n_chars",
+      cutBp = 10000L, budgetNum = 30L, budgetDen = 10L, epochCap = 1L,
+      table = s"$t3/edition")
+    assert(Snapshots.read(spark, s"$t3/edition").count() == 40L,
+      "an over-budget edition must select the entire corpus")
+  }
+
   test("packManifest: per-pack boundary offsets are the cumulative doc " +
       "ends, whole docs may overshoot the budget, order is the pack order") {
     val docs = Seq(
