@@ -207,6 +207,41 @@ object TextPipeline {
     * both gates: q176's batching-independence oracle is q174's one-shot
     * rule over the IDENTICAL corpus, so the fixture must not fork.
     */
+  /** q172's one-shot UniMax waterfill oracle over the whole documents
+    * table — shared VERBATIM by q186, whose incremental registry fold
+    * must equal the one-shot allocation on the union regardless of
+    * batch cuts (the c4SpanOneShotSql sharing discipline).
+    */
+  private def unimaxOneShotSql: String = """
+        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
+                          (SUM(n_chars) * 1)::BIGINT AS capacity
+                   FROM documents GROUP BY lang),
+        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
+              FROM c),
+        r AS (SELECT c.*, t.tot, t.l, (t.tot * 9) // 10 AS b,
+                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM c CROSS JOIN t),
+        f AS (SELECT *,
+                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+              FROM r),
+        g AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
+                  AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+                  ::BIGINT AS pk
+              FROM f)
+        SELECT lang, n_mass, capacity,
+               (CASE WHEN capped THEN capacity
+                     ELSE (b - pk) // greatest(1, l - k)
+                          + CASE WHEN i - k <= (b - pk) %
+                              greatest(1, l - k) THEN 1 ELSE 0 END
+                END)::BIGINT AS allocated,
+               capped
+        FROM g
+        ORDER BY lang"""
+
   private def c4SpanSpliced(s: SparkSession, dir: String): DataFrame = {
     val tk = graft.functions.TextFunctions.tokens(col("text"))
     // zero-token guard: Spark's (0-1)/6 truncates to 0 (sequence(0,0) →
@@ -1251,35 +1286,7 @@ object TextPipeline {
             docs(s, dir), "lang", "n_chars",
             budgetNum = 9L, budgetDen = 10L, epochCap = 1L)
           .orderBy(col("lang")),
-      Some("""
-        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
-                          (SUM(n_chars) * 1)::BIGINT AS capacity
-                   FROM documents GROUP BY lang),
-        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
-              FROM c),
-        r AS (SELECT c.*, t.tot, t.l, (t.tot * 9) // 10 AS b,
-                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
-                SUM(capacity) OVER (ORDER BY capacity, lang
-                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
-              FROM c CROSS JOIN t),
-        f AS (SELECT *,
-                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
-              FROM r),
-        g AS (SELECT *,
-                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
-                  AS k,
-                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
-                  ::BIGINT AS pk
-              FROM f)
-        SELECT lang, n_mass, capacity,
-               (CASE WHEN capped THEN capacity
-                     ELSE (b - pk) // greatest(1, l - k)
-                          + CASE WHEN i - k <= (b - pk) %
-                              greatest(1, l - k) THEN 1 ELSE 0 END
-                END)::BIGINT AS allocated,
-               capped
-        FROM g
-        ORDER BY lang""")),
+      Some(unimaxOneShotSql)),
 
     // ---- q119: deterministic shard plan — the training-shard production
     // step: hash-route every doc to one of 16 shards (first md5 hex digit
@@ -4608,6 +4615,45 @@ object TextPipeline {
                FROM ma FULL OUTER JOIN mb ON ma.pack_key = mb.pack_key)
         SELECT pack_key, status FROM dd
         WHERE status <> 'unchanged'
-        ORDER BY pack_key"""))
+        ORDER BY pack_key""")),
+
+    // ---- q186: incremental UniMax re-allocation fold — q172's
+    // waterfill over a GROWING corpus (the q171/q176 lake-fold family
+    // applied to the budget stage): three id-ordered batches fold their
+    // per-language masses into a (group, batch)-keyed registry and the
+    // closed-form allocation re-derives from the registry after each
+    // batch — one group-domain-sized job, the corpus never rescanned.
+    // The oracle is q172's one-shot SQL VERBATIM: the waterfill is a
+    // pure function of per-language totals and totals are
+    // batching-independent sums, so the final fold allocation must
+    // equal the one-shot allocation on the union whatever the cuts.
+    QueryDef(
+      "q186_unimax_fold",
+      (s, dir) => {
+        import graft.streaming.AllocationFold
+        val d = docs(s, dir)
+        val tmp = stagedFold(dir, "#q186") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_unimax_fold").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3)
+          cuts.zipWithIndex.foreach { case (cut, i) =>
+            AllocationFold.unimaxBatch(s, s"$t/registry", d.filter(cut),
+                batchId = s"b$i", "lang", "n_chars",
+                budgetNum = 9L, budgetDen = 10L, epochCap = 1L)
+              .write.mode("overwrite").format("noop").save()
+          }
+          t
+        }
+        graft.operators.Sampling.unimaxAllocate(
+            graft.lake.Snapshots.read(s, s"$tmp/registry"),
+            "lang", "n_mass", budgetNum = 9L, budgetDen = 10L,
+            epochCap = 1L)
+          .orderBy(col("lang"))
+      },
+      Some(unimaxOneShotSql))
   )
 }

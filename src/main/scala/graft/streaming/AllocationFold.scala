@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.lake.Snapshots
+import graft.operators.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental UniMax re-allocation over a GROWING corpus — how a live
+  * pipeline actually consumes [[graft.operators.Sampling.unimaxAllocate]]
+  * (the q171/q176 lake-fold posture applied to the budget stage): each
+  * arriving batch folds its per-language mass into a registry table and
+  * the closed-form waterfill re-derives from the registry — one
+  * group-domain-sized job per batch, the corpus itself never rescanned.
+  *
+  * Registry row = (pk = group#batchId, group, n_mass, ts): masses key by
+  * (group, batch), NOT by group alone, because a sum is not idempotent —
+  * a replayed batch re-upserts the same keyed rows (a no-op, the
+  * exactly-once-across-restarts contract of the dedup folds) where a
+  * mass += fold would double-count. The allocation sums the registry per
+  * group first (that IS [[Sampling.unimaxAllocate]]'s own grouped sum),
+  * so fold-after-any-batching ≡ one-shot over the union holds by
+  * construction: the waterfill is a pure function of per-group TOTALS,
+  * and totals are batching-independent sums — which is what the q186
+  * gate checks with q172's one-shot oracle, knowing nothing about the
+  * cuts.
+  *
+  * Scale shape: per batch, ONE map-side-combined grouped sum over the
+  * batch (bodies never move), a groups-sized mergeUpsert, and a
+  * waterfill over the registry — groups × batches rows, tens to
+  * thousands; the unpartitioned window inside unimaxAllocate stays on
+  * that domain-sized frame (the q118 contract).
+  */
+object AllocationFold {
+
+  /** Fold one batch's masses into `registryTable` and return the UniMax
+    * allocation over everything folded so far (one row per group:
+    * n_mass, capacity, allocated, capped — [[Sampling.unimaxAllocate]]'s
+    * shape over the union corpus).
+    */
+  def unimaxBatch(spark: SparkSession, registryTable: String,
+      batch: DataFrame, batchId: String, groupCol: String,
+      weightCol: String, budgetNum: Long, budgetDen: Long,
+      epochCap: Long): DataFrame = {
+    val masses = batch.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(sum(col(weightCol).cast("long")).as("n_mass"))
+      .withColumn("pk", concat(col(groupCol), lit("#"), lit(batchId)))
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    if (Snapshots.currentVersion(registryTable).isDefined)
+      Snapshots.mergeUpsert(spark, registryTable, masses, "pk")
+    else Snapshots.append(masses, registryTable)
+    Sampling.unimaxAllocate(Snapshots.read(spark, registryTable),
+      groupCol, "n_mass", budgetNum, budgetDen, epochCap)
+  }
+}

@@ -238,6 +238,55 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
   }
 
+  test("UniMax allocation fold: per-batch registry fold equals the " +
+      "one-shot waterfill on the union for ANY batching, mid-fold " +
+      "allocations match prefix unions, replays are keyed no-ops") {
+    import graft.streaming.AllocationFold
+    import graft.operators.Sampling
+    val rows = (1L to 90L)
+      .map(i => (i, Seq("en", "fr", "de")((i % 3).toInt), 50L + i * 7 % 400))
+      .toDF("doc_id", "lang", "n_chars")
+    def alloc(df: org.apache.spark.sql.DataFrame): List[(String, Long)] =
+      Sampling.unimaxAllocate(df, "lang", "n_chars", 9L, 10L, 1L)
+        .collect().map(r => (r.getString(0), r.getLong(3))).toList.sorted
+    def foldOver(cuts: Seq[org.apache.spark.sql.Column]) = {
+      val t = java.nio.file.Files.createTempDirectory("unimax_fold").toString
+      var last: List[(String, Long)] = Nil
+      cuts.zipWithIndex.foreach { case (cut, i) =>
+        val out = AllocationFold.unimaxBatch(spark, s"$t/reg",
+          rows.filter(cut), s"b$i", "lang", "n_chars", 9L, 10L, 1L)
+        last = out.collect().map(r => (r.getString(0), r.getLong(3)))
+          .toList.sorted
+      }
+      (t, last)
+    }
+    // uneven thirds vs halves: final allocation identical (= one-shot)
+    val (t1, cut3) = foldOver(Seq(col("doc_id") <= 10,
+      col("doc_id") > 10 && col("doc_id") <= 70, col("doc_id") > 70))
+    val (_, cut2) = foldOver(Seq(col("doc_id") % 2 === 0,
+      col("doc_id") % 2 =!= 0))
+    val oneShot = alloc(rows)
+    assert(cut3 == oneShot && cut2 == oneShot,
+      "fold must equal the one-shot allocation for any batching")
+    // mid-fold check: after batch 1 of the halves fold the allocation
+    // equals the one-shot over that prefix alone
+    val tMid = java.nio.file.Files.createTempDirectory("unimax_mid").toString
+    val mid = AllocationFold.unimaxBatch(spark, s"$tMid/reg",
+        rows.filter(col("doc_id") <= 40), "b0", "lang", "n_chars",
+        9L, 10L, 1L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toList.sorted
+    assert(mid == alloc(rows.filter(col("doc_id") <= 40)))
+    // replaying the last batch re-upserts the same keyed rows: the
+    // registry does not grow and the allocation is unchanged
+    val regBefore = graft.lake.Snapshots.read(spark, s"$t1/reg").count()
+    val replay = AllocationFold.unimaxBatch(spark, s"$t1/reg",
+        rows.filter(col("doc_id") > 70), "b2", "lang", "n_chars",
+        9L, 10L, 1L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toList.sorted
+    assert(replay == oneShot)
+    assert(graft.lake.Snapshots.read(spark, s"$t1/reg").count() == regBefore)
+  }
+
   test("span-registry probe pruning: key-clustered commits + recluster " +
       "let a small batch's zone-map key probe read a bounded file subset " +
       "of the registry — and the fold output is unchanged") {
