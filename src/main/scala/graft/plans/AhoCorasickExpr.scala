@@ -79,7 +79,7 @@ object DictionaryMatches {
   * node (output links flattened), so the scan touches one output array
   * per character — no chain walk.
   */
-private[plans] final class AhoCorasick private (
+private[graft] final class AhoCorasick private (
     nTerms: Int,
     gotoF: Array[java.util.HashMap[Character, Integer]],
     failF: Array[Int],
@@ -112,7 +112,7 @@ private[plans] final class AhoCorasick private (
   }
 }
 
-private[plans] object AhoCorasick {
+private[graft] object AhoCorasick {
 
   /** JVM-global automaton cache keyed by the dictionary: the expression
     * ships in every task binary (the addReferenceObj pattern) and each
@@ -130,6 +130,12 @@ private[plans] object AhoCorasick {
     */
   private val MaxCachedAutomata = 64
 
+  /** Observability/test hook: total automaton BUILDS in this JVM — the
+    * once-per-executor contract made assertable (a 32-partition scan
+    * over a fresh dictionary must increment this exactly once).
+    */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val cache =
     scala.collection.concurrent.TrieMap.empty[Seq[String], AhoCorasick]
 
@@ -145,6 +151,7 @@ private[plans] object AhoCorasick {
   }
 
   private def build(terms: Array[String]): AhoCorasick = {
+    builds.incrementAndGet()
     import scala.collection.mutable
     val goto = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
     val fail = mutable.ArrayBuffer(0)

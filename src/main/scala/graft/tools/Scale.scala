@@ -375,6 +375,20 @@ object Scale {
           SparkEntry.queries("q177_length_bucket_batches"),
         "q178_unimax_take" -> SparkEntry.queries("q178_unimax_take"),
         "q179_dictionary_tags" -> SparkEntry.queries("q179_dictionary_tags"),
+        // q179 at REAL blocklist scale: a 10k-term dictionary (the C4
+        // badwords-list size) as a plan-literal automaton — the scan
+        // must stay a map-only pass whose cost tracks the text, not the
+        // dictionary (r18 verdict Next #6). Terms are three-word vocab
+        // phrases, so a third of every doc's positions match.
+        "q179_dict10k" -> ((s: SparkSession, dir: String) => {
+          val terms = (for { a <- Vocab; b <- Vocab; c <- Vocab }
+            yield s"$a $b $c").take(10000)
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"),
+              explode(graft.plans.DictionaryMatches(col("text"), terms))
+                .as("i"))
+            .groupBy(col("i")).agg(count(lit(1)).as("n"))
+        }),
         "q180_multiprobe_lsh" -> SparkEntry.queries("q180_multiprobe_lsh"),
         "q181_nested_subsets" -> SparkEntry.queries("q181_nested_subsets"),
         "q182_pack_manifest" -> SparkEntry.queries("q182_pack_manifest"),

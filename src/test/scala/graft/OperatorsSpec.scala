@@ -1284,6 +1284,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("DictionaryMatches at blocklist scale: a 10k-term dictionary " +
+      "builds its automaton once per JVM (no rebuilds across multi-" +
+      "partition scans) and matches the naive pass on a sample") {
+    import graft.plans.{AhoCorasick, DictionaryMatches}
+    // 10k deterministic three-word phrases over a 5-word alphabet plus a
+    // numeric suffix — fresh (never cached by another test), C4
+    // badwords-list scale
+    val ws = Seq("alpha", "beta", "gamma", "delta", "omega")
+    val terms = (0 until 10000).map(i =>
+      s"${ws(i % 5)} ${ws(i / 5 % 5)} ${ws(i / 25 % 5)} t$i")
+    val texts = (0L until 64L).map(i =>
+      (i, s"prefix ${terms((i * 157 % 10000).toInt)} suffix"))
+    val before = AhoCorasick.builds.get()
+    // warm on one partition: exactly one cold build (concurrent cold
+    // tasks could legitimately race-build; a single task cannot)
+    val warm = texts.take(1).toDF("id", "t").coalesce(1)
+      .select(DictionaryMatches(col("t"), terms).as("ids"))
+      .collect()
+    assert(AhoCorasick.builds.get() == before + 1, "one cold build")
+    assert(warm.head.getSeq[Int](0).size == 1)
+    // two 32-partition scans: the executor-cached automaton serves every
+    // task — zero further builds
+    val out = texts.toDF("id", "t").repartition(32)
+      .select(col("id"), DictionaryMatches(col("t"), terms).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    texts.toDF("id", "t").repartition(32)
+      .select(DictionaryMatches(col("t"), terms)).collect()
+    assert(AhoCorasick.builds.get() == before + 1,
+      "multi-partition scans must not rebuild the automaton")
+    // sample semantics vs naive contains (full-equivalence is gated by
+    // the randomized test above and the q179 oracle)
+    texts.take(8).foreach { case (i, t) =>
+      val expect = terms.zipWithIndex
+        .filter { case (term, _) => t.contains(term) }.map(_._2)
+      assert(out(i) == expect, s"text='$t'")
+    }
+  }
+
   test("fertilityByLang: exact per-language ledgers, premium vs the en " +
       "reference; OOV language pays character-level fertility") {
     import graft.operators.Bpe
