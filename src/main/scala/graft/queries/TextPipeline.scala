@@ -142,6 +142,18 @@ object TextPipeline {
                                      ELSE acc || x END) AS syms
                 FROM vocab${r - 1} v CROSS JOIN m$r m)"""
 
+  /** BPE greedy ENCODE round k as SQL (apply merge m$k to e${k-1}) —
+    * shared by q175's fertility battery and q187's vocab-size sweep
+    * (which reads the chain at depths 2/4/6).
+    */
+  private def sqlBpeEncRound(k: Int): String = s"""
+        e$k AS (SELECT tok,
+                  list_reduce(list_transform(s, x -> [x]),
+                    (acc, x) -> CASE WHEN acc[-1] = m$k.l AND x[1] = m$k.r
+                                     THEN acc[:-2] || [acc[-1] || x[1]]
+                                     ELSE acc || x END) AS s
+                FROM e${k - 1} CROSS JOIN m$k)"""
+
   /** q97's deterministic zh fixture: real (space-free) Chinese sentences
     * built from closed-class function characters, plus one distinctive
     * content character per doc for vocabulary diversity. Shared verbatim
@@ -4180,13 +4192,7 @@ object TextPipeline {
       Some {
         val pat = graft.functions.TextFunctions.BpePreTokenPattern
           .replace("'", "''")
-        def encRound(k: Int): String = s"""
-        e$k AS (SELECT tok,
-                  list_reduce(list_transform(s, x -> [x]),
-                    (acc, x) -> CASE WHEN acc[-1] = m$k.l AND x[1] = m$k.r
-                                     THEN acc[:-2] || [acc[-1] || x[1]]
-                                     ELSE acc || x END) AS s
-                FROM e${k - 1} CROSS JOIN m$k)"""
+        def encRound(k: Int): String = sqlBpeEncRound(k)
         s"""
         WITH pt AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok
                     FROM documents WHERE lang = 'en'),
@@ -4654,6 +4660,124 @@ object TextPipeline {
             epochCap = 1L)
           .orderBy(col("lang"))
       },
-      Some(unimaxOneShotSql))
+      Some(unimaxOneShotSql)),
+
+    // ---- q187: tokenizer vocab-size sweep — the published evaluation
+    // CURVE (fertility vs vocabulary size; the Rust et al. 2021 "How
+    // Good is Your Tokenizer?" comparison axis) as one gated query over
+    // the MEMOIZED 6-round BPE model: a greedy BPE merge list's k-prefix
+    // IS the k-round model (training is sequential), so depths 2/4/6 —
+    // vocab = alphabet + k — sweep without retraining. Fertility falls
+    // monotonically with depth per language; the per-language premium
+    // ordering is what a vocab-size selection reads off the curve.
+    QueryDef(
+      "q187_bpe_vocab_sweep",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.Bpe
+        val pre = docs(s, dir).filter(col("lang") === "en")
+          .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val merges = trainedBpeMerges(dir, pre, rounds = 6)
+        Seq(2, 4, 6).map { k =>
+          Bpe.fertilityByLang(docs(s, dir), "doc_id", "lang", "text",
+              merges.take(k))
+            .withColumn("n_merges", lit(k.toLong))
+        }.reduce(_ unionByName _)
+          .select(col("n_merges"), col("lang"), col("n_pretokens"),
+            col("n_tokens"), col("fertility"))
+          .orderBy(col("n_merges"), col("lang"))
+      },
+      Some {
+        val pat = graft.functions.TextFunctions.BpePreTokenPattern
+          .replace("'", "''")
+        def depth(k: Int): String = s"""
+        SELECT $k::BIGINT AS n_merges, lang,
+               COUNT(*)::BIGINT AS n_pretokens,
+               SUM(nb$k)::BIGINT AS n_tokens,
+               SUM(nb$k)::DOUBLE / COUNT(*) AS fertility
+        FROM ptd JOIN enc USING (tok) GROUP BY lang"""
+        s"""
+        WITH pt AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok
+                    FROM documents WHERE lang = 'en'),
+        base AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM pt GROUP BY tok),
+        vocab0 AS (SELECT tok, freq,
+            list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS syms
+          FROM base),
+        ${(1 to 6).map(sqlBpeRound).mkString(",\n")},
+        ptd AS (SELECT lang, doc_id,
+                  unnest(regexp_extract_all(text, '$pat')) AS tok
+                FROM documents),
+        dt AS (SELECT DISTINCT tok FROM ptd),
+        e0 AS (SELECT tok,
+                 list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS s
+               FROM dt),
+        ${(1 to 6).map(sqlBpeEncRound).mkString(",\n")},
+        enc AS (SELECT e6.tok, len(e2.s)::BIGINT AS nb2,
+                  len(e4.s)::BIGINT AS nb4, len(e6.s)::BIGINT AS nb6
+                FROM e6 JOIN e4 ON e6.tok = e4.tok
+                        JOIN e2 ON e6.tok = e2.tok)
+        ${Seq(2, 4, 6).map(depth).mkString("\nUNION ALL\n")}
+        ORDER BY n_merges, lang"""
+      }),
+
+    // ---- q188: word-vocabulary OOV sweep — the companion curve to
+    // q187 (OOV rate + char-fallback fertility vs vocab size, the
+    // classic closed-vocabulary trade-off): vocabulary = top-k corpus
+    // tokens by (frequency desc, token asc), an in-vocab occurrence
+    // costs 1 unit, an OOV occurrence falls back to characters (costs
+    // its length). Sizes 4/8/16 sit below this corpus's ~31-word
+    // vocabulary so every size produces a distinct OOV regime; the
+    // rank window is vocabulary-domain-sized (the q118 contract).
+    QueryDef(
+      "q188_word_vocab_oov",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val occ = docs(s, dir)
+          .select(col("lang"), explode(tk).as("tok"))
+        val rk = occ.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+          .withColumn("__r", row_number().over(
+            Window.orderBy(col("__c").desc, col("tok"))).cast("long"))
+          .select(col("tok"), col("__r"))
+        val sizes = s.createDataFrame(Seq(4L, 8L, 16L).map(Tuple1(_)))
+          .toDF("vocab_size")
+        occ.join(broadcast(rk), Seq("tok"))
+          .crossJoin(broadcast(sizes))
+          .groupBy(col("vocab_size"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("__r") > col("vocab_size"), 1L).otherwise(0L))
+              .as("n_oov"),
+            sum(when(col("__r") <= col("vocab_size"), 1L)
+              .otherwise(length(col("tok")).cast("long"))).as("n_units"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens"))
+          .withColumn("fertility",
+            col("n_units").cast("double") / col("n_tokens"))
+          .orderBy(col("vocab_size"), col("lang"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT lang, unnest($sqlToks) AS tok FROM documents),
+        f AS (SELECT tok, COUNT(*)::BIGINT AS c FROM tk GROUP BY tok),
+        rk AS (SELECT tok,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, tok)::BIGINT AS r
+               FROM f),
+        occ AS (SELECT lang, tk.tok, r, length(tk.tok)::BIGINT AS ln
+                FROM tk JOIN rk ON tk.tok = rk.tok),
+        s AS (SELECT unnest([4, 8, 16]) AS vocab_size)
+        SELECT s.vocab_size::BIGINT AS vocab_size, lang,
+               COUNT(*)::BIGINT AS n_tokens,
+               SUM(CASE WHEN r > s.vocab_size THEN 1 ELSE 0 END)::BIGINT
+                 AS n_oov,
+               SUM(CASE WHEN r <= s.vocab_size THEN 1 ELSE ln END)::BIGINT
+                 AS n_units,
+               SUM(CASE WHEN r > s.vocab_size THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*) AS oov_rate,
+               SUM(CASE WHEN r <= s.vocab_size THEN 1 ELSE ln END)::DOUBLE
+                 / COUNT(*) AS fertility
+        FROM occ CROSS JOIN s
+        GROUP BY 1, 2
+        ORDER BY vocab_size, lang"""))
   )
 }
