@@ -395,6 +395,46 @@ object Scale {
         "q183_multiprobe_recall" ->
           SparkEntry.queries("q183_multiprobe_recall"),
         "q184_dataset_diff" -> SparkEntry.queries("q184_dataset_diff"),
+        // round-19 session additions: the composed release pipeline and
+        // the UniMax fold UN-memoized (fresh lake tables per invocation,
+        // the q171_fold rationale — build cost is what must scale), plus
+        // the two tokenizer sweep curves (map/agg scans)
+        "q185_release" -> ((s: SparkSession, dir: String) => {
+          import graft.operators.Release
+          val d = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_rel").toString
+          Release.buildEdition(s, d, "doc_id", "lang", "n_chars",
+            1000L, 9L, 10L, 1L, s"$t/editionA")
+          Release.buildEdition(s, d, "doc_id", "lang", "n_chars",
+            5000L, 9L, 10L, 1L, s"$t/editionB")
+          Release.packEdition(s, s"$t/editionA", "doc_id", "lang",
+            "n_chars", 2048L, s"$t/manifestA")
+          Release.packEdition(s, s"$t/editionB", "doc_id", "lang",
+            "n_chars", 2048L, s"$t/manifestB")
+          Release.manifestDiff(s, s"$t/manifestA", s"$t/manifestB")
+        }),
+        "q186_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.streaming.AllocationFold
+          val d = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_alloc").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3).zipWithIndex
+            .foreach { case (cut, i) =>
+              AllocationFold.unimaxBatch(s, s"$t/reg", d.filter(cut),
+                  s"b$i", "lang", "n_chars", 9L, 10L, 1L)
+                .write.mode("overwrite").format("noop").save()
+            }
+          graft.lake.Snapshots.read(s, s"$t/reg").select(col("n_mass"))
+        }),
+        "q187_vocab_sweep" -> SparkEntry.queries("q187_bpe_vocab_sweep"),
+        "q188_word_oov" -> SparkEntry.queries("q188_word_vocab_oov"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex
