@@ -280,6 +280,37 @@ object Curation {
           ",").as("boundaries_csv"))
   }
 
+  /** Pack PAYLOAD materialization — the emission half of packing
+    * ([[packManifest]] ships the boundary ledger; this ships the packed
+    * SEQUENCES a trainer reads): per (partition, pack), the member
+    * documents' texts concatenated in pack order with a newline
+    * separator, next to the manifest's counts. The q84 emission posture:
+    * this is the one pack-family operator whose output carries bodies,
+    * so it exists separately from the manifest — ledgers stay slim,
+    * payloads materialize only when a run actually exports shards.
+    *
+    * Scale shape: one [[packByBudget]] running-sum window, then bodies
+    * ride EXACTLY ONE shuffle (to their (partition, pack) group — the
+    * same move a shard writer pays); per-pack state is one pack's docs,
+    * bounded by budget/min-doc-length.
+    */
+  def packPayloads(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, partitionCol: String, orderCol: String,
+      textCol: String): DataFrame = {
+    val packed = packByBudget(df, idCol, tokensCol, budget,
+      partitionCol, orderCol)
+    packed
+      .groupBy(col(partitionCol), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("total_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            x => x(textCol)),
+          "\n").as("payload"))
+  }
+
   /** Sliding-window document chunking — [[packByBudget]]'s complement:
     * where packing joins short documents up to a token budget, chunking
     * splits long documents into overlapping `maxTokens`-token windows at

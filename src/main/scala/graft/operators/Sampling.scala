@@ -269,4 +269,56 @@ object Sampling {
       .filter(col("cum_weight") <= col("allocated"))
       .select(col(groupCol), col(idCol), col(weightCol), col("cum_weight"))
   }
+
+  /** EPOCH-REPEAT schedule — the artifact a trainer actually consumes
+    * when [[unimaxAllocate]] runs with `epochCap` > 1 (Chung et al. 2023
+    * train each language for UP TO its epoch cap; a multi-epoch
+    * allocation is consumed as whole-corpus repeats plus one partial
+    * pass): per group, the allocation factors exactly into
+    *
+    *  - `n_full_epochs` = allocated div n_mass — whole-corpus repeats
+    *    (≤ epochCap by construction, = epochCap for capped groups);
+    *  - `partial_target` = allocated mod n_mass — the leftover mass,
+    *    taken as ONE deterministic hash-order prefix (the [[unimaxTake]]
+    *    convention: uniform, reproducible, extension-stable), reported
+    *    as `partial_docs` / `partial_mass` (largest prefix with
+    *    inclusive running weight ≤ the target).
+    *
+    * Exact int64 throughout; Σ consumed = n_full_epochs·n_mass +
+    * partial_mass ≤ allocated, with the shortfall < the first excluded
+    * document's weight (prefix-take semantics). Zero-mass groups guard
+    * the division (greatest(1, n_mass)) and schedule nothing.
+    *
+    * Scale shape: the schedule derives from the group-domain-sized
+    * allocation frame (broadcast); the partial prefix is [[unimaxTake]]'s
+    * slim-tuple per-group running-sum window; bodies never move.
+    */
+  def unimaxEpochSchedule(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, alloc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sched = alloc
+      .select(col(groupCol).cast("string").as(groupCol), col("n_mass"),
+        col("allocated"))
+      .withColumn("n_full_epochs",
+        expr("allocated div greatest(1L, n_mass)"))
+      .withColumn("partial_target",
+        expr("allocated % greatest(1L, n_mass)"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = df
+      .select(col(groupCol).cast("string").as(groupCol),
+        col(idCol), col(weightCol).cast("long").as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .join(broadcast(sched.select(col(groupCol), col("partial_target"))),
+        Seq(groupCol))
+      .filter(col("__cum") <= col("partial_target"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("partial_docs"), sum(col("__w")).as("partial_mass"))
+    sched.join(partial, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_mass"), col("allocated"),
+        col("n_full_epochs"), col("partial_target"),
+        coalesce(col("partial_docs"), lit(0L)).as("partial_docs"),
+        coalesce(col("partial_mass"), lit(0L)).as("partial_mass"))
+  }
 }

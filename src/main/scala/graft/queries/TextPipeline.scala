@@ -4778,6 +4778,108 @@ object TextPipeline {
                  / COUNT(*) AS fertility
         FROM occ CROSS JOIN s
         GROUP BY 1, 2
-        ORDER BY vocab_size, lang"""))
+        ORDER BY vocab_size, lang""")),
+
+    // ---- q189: UniMax epoch-repeat schedule — the artifact a trainer
+    // consumes when the allocator runs MULTI-epoch (epochCap 2, budget
+    // 17/10 of total mass: smaller languages saturate at exactly 2 full
+    // epochs, en lands between 1 and 2 — so whole-corpus repeats AND
+    // the hash-order partial pass both run under the gate). allocated
+    // factors exactly into n_full_epochs·n_mass + a partial prefix; the
+    // oracle re-derives the waterfill at cap 2 and the prefix take.
+    QueryDef(
+      "q189_epoch_schedule",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val d = docs(s, dir)
+        val alloc = Sampling.unimaxAllocate(d, "lang", "n_chars",
+          budgetNum = 17L, budgetDen = 10L, epochCap = 2L)
+        Sampling.unimaxEpochSchedule(d, "doc_id", "lang", "n_chars", alloc)
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
+                          (SUM(n_chars) * 2)::BIGINT AS capacity
+                   FROM documents GROUP BY lang),
+        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
+              FROM c),
+        r AS (SELECT c.*, t.tot, t.l, (t.tot * 17) // 10 AS b,
+                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM c CROSS JOIN t),
+        f AS (SELECT *,
+                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+              FROM r),
+        g AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
+                  AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+                  ::BIGINT AS pk
+              FROM f),
+        a AS (SELECT lang, n_mass,
+                (CASE WHEN capped THEN capacity
+                      ELSE (b - pk) // greatest(1, l - k)
+                           + CASE WHEN i - k <= (b - pk) %
+                               greatest(1, l - k) THEN 1 ELSE 0 END
+                 END)::BIGINT AS allocated
+              FROM g),
+        sch AS (SELECT lang, n_mass, allocated,
+                  allocated // greatest(1, n_mass) AS n_full_epochs,
+                  allocated % greatest(1, n_mass) AS partial_target
+                FROM a),
+        w AS (SELECT lang, doc_id, n_chars::BIGINT AS w,
+                SUM(n_chars::BIGINT) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM documents),
+        p AS (SELECT w.lang, COUNT(*)::BIGINT AS partial_docs,
+                SUM(w.w)::BIGINT AS partial_mass
+              FROM w JOIN sch ON w.lang = sch.lang
+              WHERE cum <= partial_target GROUP BY w.lang)
+        SELECT sch.lang AS lang, n_mass, allocated,
+               n_full_epochs::BIGINT AS n_full_epochs,
+               partial_target::BIGINT AS partial_target,
+               coalesce(partial_docs, 0)::BIGINT AS partial_docs,
+               coalesce(partial_mass, 0)::BIGINT AS partial_mass
+        FROM sch LEFT JOIN p ON sch.lang = p.lang
+        ORDER BY lang""")),
+
+    // ---- q190: pack PAYLOAD materialization — the emission half of
+    // packing (q182 ships the boundary ledger; this ships the packed
+    // sequences a trainer reads: member texts concatenated in pack
+    // order). The one pack-family operator whose output carries bodies
+    // (the q84 emission posture) — gated by exact string equality of
+    // every payload, so pack assignment, ordering, and the separator
+    // convention all sit under the hash.
+    QueryDef(
+      "q190_pack_payloads",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("n_tokens",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+        Curation.packPayloads(d, "doc_id", "n_tokens", budget = 512L,
+            partitionCol = "lang", orderCol = "doc_id", textCol = "text")
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 CAST(len($sqlToks) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, lang, text, n_tokens,
+                 CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 512.0) AS BIGINT) AS pack_id
+          FROM t
+        )
+        SELECT lang, pack_id, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               string_agg(text, chr(10) ORDER BY doc_id) AS payload
+        FROM p
+        GROUP BY lang, pack_id
+        ORDER BY lang, pack_id"""))
   )
 }

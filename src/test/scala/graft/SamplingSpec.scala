@@ -161,4 +161,58 @@ class SamplingSpec extends SparkSpec {
       Sampling.unimaxAllocate(docs, "lang", "n_chars", 3L, 1L, 2L))
     assert(full.count() == 5L, "budget above capacity keeps the corpus")
   }
+
+  test("unimaxEpochSchedule: capped groups read exactly cap full epochs " +
+      "with no partial; uncapped groups factor into floor-epochs + a " +
+      "hash-order partial prefix; consumed mass never exceeds allocated") {
+    // en mass 60, fr mass 10; cap 3, budget 80 (of 70 total ⇒ b = 80
+    // via 8/7): fr saturates at 30 (3 epochs), en gets 50 = 0 full + 50
+    val docs = ((1L to 6L).map(i => (i, "en", 10L)) ++
+      (11L to 12L).map(i => (i, "fr", 5L))).toDF("doc_id", "lang", "n_chars")
+    val alloc = Sampling.unimaxAllocate(docs, "lang", "n_chars", 8L, 7L, 3L)
+    val out = Sampling.unimaxEpochSchedule(docs, "doc_id", "lang",
+        "n_chars", alloc)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val fr = out("fr")
+    assert(fr.getAs[Long]("n_full_epochs") == 3L)
+    assert(fr.getAs[Long]("partial_target") == 0L)
+    assert(fr.getAs[Long]("partial_docs") == 0L)
+    val en = out("en")
+    assert(en.getAs[Long]("allocated") == 50L)
+    assert(en.getAs[Long]("n_full_epochs") == 0L)
+    assert(en.getAs[Long]("partial_target") == 50L)
+    assert(en.getAs[Long]("partial_docs") == 5L,
+      "five 10-weight docs fit the 50 partial target")
+    assert(en.getAs[Long]("partial_mass") == 50L)
+    // consumed ≤ allocated identity on every row
+    out.values.foreach { r =>
+      val consumed = r.getAs[Long]("n_full_epochs") * r.getAs[Long]("n_mass") +
+        r.getAs[Long]("partial_mass")
+      assert(consumed <= r.getAs[Long]("allocated"))
+    }
+    // the partial prefix is the unimaxTake hash order: same five docs
+    val takeIds = Sampling.unimaxTake(docs.filter(col("lang") === "en"),
+        "doc_id", "lang", "n_chars",
+        alloc.filter(col("lang") === "en")
+          .withColumn("allocated", lit(50L)))
+      .collect().map(_.getLong(1)).toSet
+    assert(takeIds.size == 5)
+  }
+
+  test("packPayloads: payloads are the pack members' texts joined in " +
+      "order; grouping matches packManifest exactly") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "en", 300L, "one"), (2L, "en", 300L, "two"),
+      (3L, "en", 100L, "three"), (4L, "en", 500L, "four"))
+      .toDF("doc_id", "lang", "n_tokens", "text")
+    val out = Curation.packPayloads(docs, "doc_id", "n_tokens",
+        budget = 512L, partitionCol = "lang", orderCol = "doc_id",
+        textCol = "text")
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[String]("payload")))).toMap
+    // exclusive prefixes 0/300/600/700 → packs 0/0/1/1
+    assert(out(0L) == ((2L, "one\ntwo")))
+    assert(out(1L) == ((2L, "three\nfour")))
+  }
 }
