@@ -435,6 +435,8 @@ object Scale {
         }),
         "q187_vocab_sweep" -> SparkEntry.queries("q187_bpe_vocab_sweep"),
         "q188_word_oov" -> SparkEntry.queries("q188_word_vocab_oov"),
+        "q189_epochs" -> SparkEntry.queries("q189_epoch_schedule"),
+        "q190_payloads" -> SparkEntry.queries("q190_pack_payloads"),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex
