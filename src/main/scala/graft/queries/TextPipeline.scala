@@ -219,6 +219,37 @@ object TextPipeline {
     * both gates: q176's batching-independence oracle is q174's one-shot
     * rule over the IDENTICAL corpus, so the fixture must not fork.
     */
+  /** q182's one-shot pack-manifest oracle (budget 512 whitespace tokens,
+    * per-lang doc_id order) — shared VERBATIM by q191, whose incremental
+    * contribution fold must aggregate to the one-shot manifest for any
+    * id-monotone batching (the c4SpanOneShotSql sharing discipline).
+    */
+  private def packManifestSql: String = s"""
+        WITH t AS (
+          SELECT doc_id, lang, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 512.0) AS BIGINT) AS pack_id
+          FROM t
+        ),
+        o AS (
+          SELECT lang, pack_id, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang, pack_id
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS off
+          FROM p
+        )
+        SELECT lang, pack_id, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
+        FROM o
+        GROUP BY lang, pack_id
+        ORDER BY lang, pack_id"""
+
   /** q172's one-shot UniMax waterfill oracle over the whole documents
     * table — shared VERBATIM by q186, whose incremental registry fold
     * must equal the one-shot allocation on the union regardless of
@@ -4450,31 +4481,7 @@ object TextPipeline {
             budget = 512L, partitionCol = "lang", orderCol = "doc_id")
           .orderBy(col("lang"), col("pack_id"))
       },
-      Some(s"""
-        WITH t AS (
-          SELECT doc_id, lang, CAST(len($sqlToks) AS BIGINT) AS n_tokens
-          FROM documents
-        ),
-        p AS (
-          SELECT doc_id, lang, n_tokens,
-                 CAST(floor(COALESCE(SUM(n_tokens) OVER (
-                   PARTITION BY lang ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   / 512.0) AS BIGINT) AS pack_id
-          FROM t
-        ),
-        o AS (
-          SELECT lang, pack_id, doc_id, n_tokens,
-                 SUM(n_tokens) OVER (PARTITION BY lang, pack_id
-                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS off
-          FROM p
-        )
-        SELECT lang, pack_id, COUNT(*)::BIGINT AS n_docs,
-               SUM(n_tokens)::BIGINT AS total_tokens,
-               string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
-        FROM o
-        GROUP BY lang, pack_id
-        ORDER BY lang, pack_id""")),
+      Some(packManifestSql)),
 
     // ---- q184: dataset release diff — the corpus-versioning ledger
     // between two editions (re-process exactly the delta; audit that a
@@ -4880,6 +4887,43 @@ object TextPipeline {
                string_agg(text, chr(10) ORDER BY doc_id) AS payload
         FROM p
         GROUP BY lang, pack_id
-        ORDER BY lang, pack_id"""))
+        ORDER BY lang, pack_id""")),
+
+    // ---- q191: incremental pack-manifest fold — q182's packing over a
+    // GROWING corpus (the q171/q176/q186 lake-fold family, completing
+    // the release stages' fold coverage): three id-ordered batches
+    // extend each language's pack stream through a per-language
+    // (running total, last-pack head) registry; a pack that STRADDLES a
+    // batch boundary continues its in-pack offsets via the carried head
+    // state rather than restarting — the stage-boundary bug this gate
+    // exists to catch. Contributions are (group, pack, batch)-keyed
+    // (replays are keyed no-ops); the manifest aggregation must equal
+    // q182's one-shot oracle VERBATIM, which knows nothing about cuts.
+    QueryDef(
+      "q191_pack_fold",
+      (s, dir) => {
+        import graft.streaming.PackFold
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        val tmp = stagedFold(dir, "#q191") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_pack_fold").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3)
+          cuts.zipWithIndex.foreach { case (cut, i) =>
+            PackFold.packBatch(s, s"$t/registry", s"$t/contrib",
+              d.filter(cut), s"b$i", "doc_id", "lang", "n_tokens",
+              budget = 512L)
+          }
+          t
+        }
+        PackFold.manifest(s, s"$tmp/contrib", "lang")
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some(packManifestSql))
   )
 }

@@ -287,6 +287,65 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, s"$t1/reg").count() == regBefore)
   }
 
+  test("pack-manifest fold: straddled packs continue offsets across " +
+      "batches (including a whole batch inside one pack), fold equals " +
+      "one-shot for any batching, replays are keyed no-ops") {
+    import graft.streaming.PackFold
+    import graft.operators.Curation
+    // budget 100; doc weights chosen so pack 0 straddles batches 1 AND 2
+    // (batch 2 sits ENTIRELY inside pack 0 — the carry-the-carry case)
+    val rows = Seq(
+      (1L, "en", 40L), (2L, "en", 30L),   // batch 1: pack 0 (excl 0, 40)
+      (3L, "en", 20L),                    // batch 2: pack 0 (excl 70) — whole batch in pack 0
+      (4L, "en", 50L), (5L, "en", 60L),   // batch 3: 4 → pack 0 (excl 90); 5 → pack 1 (excl 140)
+      (11L, "fr", 100L),                  // fr pack 0 closes exactly at the boundary
+      (12L, "fr", 10L))                   // fr pack 1
+      .toDF("doc_id", "lang", "n_tokens")
+    def oneShot = Curation.packManifest(rows, "doc_id", "n_tokens",
+        budget = 100L, partitionCol = "lang", orderCol = "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[String]("boundaries_csv")))).toMap
+    def foldOver(cuts: Seq[org.apache.spark.sql.Column]): (String,
+        Map[(String, Long), (Long, Long, String)]) = {
+      val t = java.nio.file.Files.createTempDirectory("pack_fold").toString
+      cuts.zipWithIndex.foreach { case (cut, i) =>
+        PackFold.packBatch(spark, s"$t/reg", s"$t/contrib",
+          rows.filter(cut), s"b$i", "doc_id", "lang", "n_tokens", 100L)
+      }
+      (t, PackFold.manifest(spark, s"$t/contrib", "lang")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+            r.getAs[String]("boundaries_csv")))).toMap)
+    }
+    val expect = oneShot
+    // en pack 0 = docs 1,2,3,4 (offsets 40,70,90,140); en pack 1 = doc 5
+    assert(expect(("en", 0L)) == ((4L, 140L, "40,70,90,140")))
+    assert(expect(("en", 1L)) == ((1L, 60L, "60")))
+    assert(expect(("fr", 0L)) == ((1L, 100L, "100")))
+    assert(expect(("fr", 1L)) == ((1L, 10L, "10")))
+    val (t1, threeCuts) = foldOver(Seq(
+      col("doc_id") <= 2 || col("doc_id") === 11L,
+      col("doc_id") === 3L,
+      col("doc_id") >= 4 && col("doc_id") =!= 11L))
+    assert(threeCuts == expect, "3-cut fold must equal the one-shot manifest")
+    val (_, twoCuts) = foldOver(Seq(
+      col("doc_id") <= 3 || col("doc_id") === 11L,
+      col("doc_id") > 3 && col("doc_id") =!= 11L))
+    assert(twoCuts == expect, "2-cut fold must equal the one-shot manifest")
+    // replaying the LAST batch re-writes the same keyed rows: manifest
+    // unchanged, contribution table does not grow
+    val before = graft.lake.Snapshots.read(spark, s"$t1/contrib").count()
+    PackFold.packBatch(spark, s"$t1/reg", s"$t1/contrib",
+      rows.filter(col("doc_id") >= 4 && col("doc_id") =!= 11L), "b2",
+      "doc_id", "lang", "n_tokens", 100L)
+    assert(PackFold.manifest(spark, s"$t1/contrib", "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[String]("boundaries_csv")))).toMap == expect)
+    assert(graft.lake.Snapshots.read(spark, s"$t1/contrib").count() == before)
+  }
+
   test("span-registry probe pruning: key-clustered commits + recluster " +
       "let a small batch's zone-map key probe read a bounded file subset " +
       "of the registry — and the fold output is unchanged") {
