@@ -437,6 +437,27 @@ object Scale {
         "q188_word_oov" -> SparkEntry.queries("q188_word_vocab_oov"),
         "q189_epochs" -> SparkEntry.queries("q189_epoch_schedule"),
         "q190_payloads" -> SparkEntry.queries("q190_pack_payloads"),
+        // q191 UN-memoized (fresh registry/contrib tables per invocation,
+        // the q171_fold rationale)
+        "q191_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.streaming.PackFold
+          val d = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("lang"),
+              size(graft.functions.TextFunctions.tokens(col("text")))
+                .cast("long").as("n_tokens"))
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_pack").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3).zipWithIndex
+            .foreach { case (cut, i) =>
+              PackFold.packBatch(s, s"$t/reg", s"$t/contrib",
+                d.filter(cut), s"b$i", "doc_id", "lang", "n_tokens", 512L)
+            }
+          PackFold.manifest(s, s"$t/contrib", "lang")
+        }),
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex
