@@ -79,9 +79,15 @@ object DedupIndex {
   def dedupBatch(spark: SparkSession, indexTable: String, batchHashes: DataFrame,
       idCol: String = "doc_id", maxHamming: Int = 6,
       maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    // two-level layout (the lshDedupBatch posture): `main` holds the full
+    // hash rows clustered by id; `keys` is the slim (bk, id) inverted
+    // side-table clustered by bk, so the per-batch probe reads a file
+    // SUBSET of both tables instead of scanning the index
+    val mainTable = s"$indexTable/main"
+    val keysTable = s"$indexTable/keys"
     val batch = batchHashes.select(col(idCol), col("b0"), col("b1"),
       col("b2"), col("b3")).localCheckpoint(true)
-    val indexed = Snapshots.currentVersion(indexTable).isDefined
+    val indexed = Snapshots.currentVersion(mainTable).isDefined
     def bands(df: DataFrame, keepId: Boolean): DataFrame =
       (0 to 3).map { k =>
         val cols = (if (keepId) Seq(col(idCol)) else Nil) ++
@@ -91,20 +97,26 @@ object DedupIndex {
     val all =
       if (!indexed) batch
       else {
-        val idx = Snapshots.read(spark, indexTable)
-          .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"))
-          // a replayed batch is already in the index: same-id rows would
-          // band-bucket together and double candidates — drop them up front
+        val batchBk = bands(batch, keepId = false).distinct()
+          .select(xxhash64(col("band"), col("sig")).as("bk"))
+        val (keysRead, keptK, totalK) =
+          Snapshots.readKeyProbe(spark, keysTable, "bk", batchBk)
+        lastProbeFiles = Some((keptK, totalK))
+        // a replayed batch is already indexed: same-id rows would
+        // band-bucket together and double candidates — drop them up
+        // front; then exact bucket adjacency (a bk collision only ADDS a
+        // touched id, which the exact hamming verify rejects — sound)
+        val touched = keysRead
           .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
-        // prune index rows sharing NO band signature with the batch before
-        // the pairing — a candidate pair needs a common band, so only
-        // batch-adjacent buckets matter, and per-batch probe cost tracks
-        // the batch's neighborhood, not the whole index
-        val touched = bands(idx, keepId = true)
-          .join(broadcast(bands(batch, keepId = false).distinct()),
-            Seq("band", "sig"), "left_semi")
+          .join(broadcast(batchBk), Seq("bk"), "left_semi")
           .select(col(idCol)).distinct()
-        idx.join(touched, Seq(idCol), "left_semi").unionByName(batch)
+        val (mainRead, _, _) = Snapshots.readKeyProbe(spark, mainTable,
+          idCol, touched)
+        val idx = mainRead
+          .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"))
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+          .join(touched, Seq(idCol), "left_semi")
+        idx.unionByName(batch)
       }
     val pairs = Multimodal.aHashNearDup(all, idCol, maxHamming, maxBucketSize)
     val suppressed = pairs
@@ -115,11 +127,24 @@ object DedupIndex {
     val survivors = batch.join(suppressed, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     // the index rows need only a constant hour partition — an index is
-    // keyed by content hash, not by time (a deployment would cluster by
-    // band signature instead; hour partitioning is the lake's contract)
-    val stamped = batch.withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
-    if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, idCol)
-    else Snapshots.append(stamped, indexTable)
+    // keyed by content hash, not by time; the CLUSTERING carries the
+    // probe layout (id for main, bk for keys)
+    val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val stamped = batch.withColumn("ts", ts0)
+    val stampedKeys = bands(batch, keepId = true)
+      .select(
+        concat(col(idCol), lit("#"), col("band")).as("pk"),
+        xxhash64(col("band"), col("sig")).as("bk"),
+        col(idCol), ts0.as("ts"))
+    if (indexed) {
+      Snapshots.mergeUpsert(spark, mainTable, stamped, idCol,
+        clusterBy = Seq(idCol))
+      Snapshots.mergeUpsert(spark, keysTable, stampedKeys, "pk",
+        clusterBy = Seq("bk"))
+    } else {
+      Snapshots.append(stamped, mainTable, clusterBy = Seq(idCol))
+      Snapshots.append(stampedKeys, keysTable, clusterBy = Seq("bk"))
+    }
     survivors
   }
 
@@ -130,14 +155,17 @@ object DedupIndex {
     * variant above covers perceptual payloads; this one covers text via
     * the q31/q32 shingle→MinHash→band machinery).
     *
-    * Index row = (id, band0..band{bands-1}, sh, n_sh, ts): the band
-    * signatures are STORED (computed once, on arrival — the read path is
-    * a cheap unpivot, not a corpus re-hash), and the distinct shingle set
-    * is stored next to them so candidate pairs verify by EXACT Jaccard —
-    * which keeps the fold bit-identical to the one-shot rule and hence
-    * oracle-checkable. A deployment trading exactness for index weight
-    * would store the k-element MinHash signature instead and verify on
-    * estimated Jaccard; the fold's structure is unchanged.
+    * Index layout (two tables under `indexTable`): `main` row = (id,
+    * band0..band{bands-1}, sh, n_sh, ts), clustered by id — the band
+    * signatures are STORED (computed once, on arrival) and the distinct
+    * shingle set next to them so candidate pairs verify by EXACT Jaccard,
+    * keeping the fold bit-identical to the one-shot rule and hence
+    * oracle-checkable; `keys` row = (bk = xxhash64(band, sig), id),
+    * clustered by bk — the slim inverted side-table that makes the
+    * per-batch probe a [[graft.lake.Snapshots.readKeyProbe]] file subset
+    * instead of an index scan. A deployment trading exactness for index
+    * weight would store the k-element MinHash signature instead and
+    * verify on estimated Jaccard; the fold's structure is unchanged.
     *
     * Same contract as [[dedupBatch]]: suppression is a pure function of
     * arrival history ("suppress iff a lower-id near-dup exists" — over
@@ -149,18 +177,31 @@ object DedupIndex {
     * that without knowing the batch cuts.
     *
     * Scale shape: per-batch cost is the batch's own shingle pass + ONE
-    * band-bucket pairing restricted to the batch's neighborhood — index
-    * rows sharing no band signature with the batch are semi-join-pruned
-    * before the pair join (at deployment scale the index table is
-    * clustered by band signature so zone maps prune the scan itself) —
-    * plus one batch-sized mergeUpsert. Never all-pairs, never a corpus
-    * rescan of text.
+    * band-bucket pairing restricted to the batch's neighborhood — the
+    * keys table is zone-map-probed by the batch's band keys (file
+    * skipping), exact bucket adjacency reduces it to touched ids, and
+    * only THOSE ids' main files are read (a second key probe) — plus two
+    * batch-sized mergeUpserts. Never all-pairs, never a corpus rescan of
+    * text, and in the micro-batch-vs-compacted-index regime never an
+    * index scan either (SCALING.md "registry probe pruning").
     */
   def lshDedupBatch(spark: SparkSession, indexTable: String, batchDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       minJaccard: Double = 0.2, shingleN: Int = 2,
       bands: Int = 2, rowsPerBand: Int = 3,
       maxBucketSize: Option[Int] = Some(1000)): DataFrame = {
+    // TWO-LEVEL index layout (round 19, the span-registry probe applied
+    // to the heavy text index): `main` holds the full rows (id, band
+    // signatures, shingle set) clustered by id; `keys` is a slim
+    // inverted side-table — one (bk = xxhash64(band, sig), id) row per
+    // band — clustered by bk. A batch probe then reads ONLY:
+    //   1. the keys files whose bk range intersects the batch's band
+    //      keys (readKeyProbe — bucket-adjacency at FILE granularity);
+    //   2. the main files holding the touched ids (readKeyProbe by id).
+    // A bk collision can only ADD a touched id (the exact (band, sig)
+    // bucket join downstream rejects it) — pruning stays sound.
+    val mainTable = s"$indexTable/main"
+    val keysTable = s"$indexTable/keys"
     val batch = batchDocs.select(col(idCol), col(textCol)).localCheckpoint(true)
     // one shingle + minhash pass over the BATCH only; both frames feed
     // two consumers each (pairing + commit), so pin them once
@@ -169,29 +210,33 @@ object DedupIndex {
     val bWide = Dedup.lshBandSignatures(bSets, bands, rowsPerBand)
       .localCheckpoint(true)
     val bKeys = Dedup.explodeBandSignatures(bWide, bands)
-    val indexed = Snapshots.currentVersion(indexTable).isDefined
+    val indexed = Snapshots.currentVersion(mainTable).isDefined
     val (allSets, allKeys) =
       if (!indexed) (bSets, bKeys)
       else {
-        val idx = Snapshots.read(spark, indexTable)
-          // a replayed batch is already in the index — drop same-id rows
-          // up front so a replay never self-suppresses
+        val batchBk = bKeys
+          .select(xxhash64(col("band"), col("sig")).as("bk")).distinct()
+        val (keysRead, keptK, totalK) =
+          Snapshots.readKeyProbe(spark, keysTable, "bk", batchBk)
+        lastProbeFiles = Some((keptK, totalK))
+        // a replayed batch is already indexed — drop same-id rows up
+        // front so a replay never self-suppresses; then exact row-level
+        // bucket adjacency via the broadcast semi-join
+        val touched = keysRead
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+          .join(broadcast(batchBk), Seq("bk"), "left_semi")
+          .select(col(idCol).as("doc")).distinct()
+        val (mainRead, _, _) = Snapshots.readKeyProbe(spark, mainTable,
+          idCol, touched.select(col("doc")))
+        val idx = mainRead
           .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
           .withColumnRenamed(idCol, "doc")
+          .join(touched, Seq("doc"), "left_semi")
         val idxKeys = Dedup.explodeBandSignatures(
           idx.select((col("doc") +: (0 until bands).map(b => col(s"band$b"))): _*),
           bands)
-        // batch-neighborhood pruning: a candidate pair needs a common
-        // band signature, so only index rows in batch-touched buckets
-        // can pair — probe cost tracks the batch, not the index
-        val touched = idxKeys
-          .join(broadcast(bKeys.select(col("band"), col("sig")).distinct()),
-            Seq("band", "sig"), "left_semi")
-          .select(col("doc")).distinct()
         val prunedSets = idx.select(col("doc"), col("sh"), col("n_sh"))
-          .join(touched, Seq("doc"), "left_semi")
-        val prunedKeys = idxKeys.join(touched, Seq("doc"), "left_semi")
-        (prunedSets.unionByName(bSets), prunedKeys.unionByName(bKeys))
+        (prunedSets.unionByName(bSets), idxKeys.unionByName(bKeys))
       }
     val cands = Dedup.bandedCandidatePairs(allKeys, "doc", Seq("band", "sig"),
       maxBucketSize)
@@ -203,13 +248,25 @@ object DedupIndex {
     // after the upsert would see the batch's own rows as history
     val survivors = batch.join(suppressed, Seq(idCol), "left_anti")
       .select(col(idCol)).localCheckpoint(true)
+    val ts0 = lit("2024-01-01 00:00:00").cast("timestamp")
     val stamped = bSets.join(bWide, "doc")
       .select((col("doc").as(idCol) +:
         ((0 until bands).map(b => col(s"band$b")) ++
-          Seq(col("sh"), col("n_sh"),
-            lit("2024-01-01 00:00:00").cast("timestamp").as("ts")))): _*)
-    if (indexed) Snapshots.mergeUpsert(spark, indexTable, stamped, idCol)
-    else Snapshots.append(stamped, indexTable)
+          Seq(col("sh"), col("n_sh"), ts0.as("ts")))): _*)
+    val stampedKeys = Dedup.explodeBandSignatures(bWide, bands)
+      .select(
+        concat(col("doc"), lit("#"), col("band")).as("pk"),
+        xxhash64(col("band"), col("sig")).as("bk"),
+        col("doc").as(idCol), ts0.as("ts"))
+    if (indexed) {
+      Snapshots.mergeUpsert(spark, mainTable, stamped, idCol,
+        clusterBy = Seq(idCol))
+      Snapshots.mergeUpsert(spark, keysTable, stampedKeys, "pk",
+        clusterBy = Seq("bk"))
+    } else {
+      Snapshots.append(stamped, mainTable, clusterBy = Seq(idCol))
+      Snapshots.append(stampedKeys, keysTable, clusterBy = Seq("bk"))
+    }
     survivors
   }
 

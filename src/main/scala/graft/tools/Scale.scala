@@ -338,7 +338,7 @@ object Scale {
             DedupIndex.lshDedupBatch(s, s"$t/index", base.filter(cut))
               .write.mode("overwrite").format("noop").save()
           }
-          Snapshots.read(s, s"$t/index").select(col("doc_id"))
+          Snapshots.read(s, s"$t/index/main").select(col("doc_id"))
         }),
         // q171's registry fold UN-memoized (fresh registry per
         // invocation, same rationale as q153_fold): the three batch

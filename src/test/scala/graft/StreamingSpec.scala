@@ -116,16 +116,19 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(survived.toList == List(100L, 200L, 301L),
       s"cross-batch suppression failed: $survived")
-    // the index holds EVERY arrival (survivors and suppressed)
-    val idxCount = graft.lake.Snapshots.read(spark, idxDir).count()
+    // the main index holds EVERY arrival (survivors and suppressed);
+    // the keys side-table carries one row per (id, band)
+    val idxCount = graft.lake.Snapshots.read(spark, s"$idxDir/main").count()
     assert(idxCount == 5L)
+    assert(graft.lake.Snapshots.read(spark, s"$idxDir/keys").count() == 20L)
     // replaying batch 3 (restart semantics) yields the same survivors and
     // the index does not grow — exactly-once across restarts
     val replay = DedupIndex.dedupBatch(spark, idxDir,
       hash(Seq(300L -> twin(2), 301L -> img(9))))
       .collect().map(_.getAs[Long]("doc_id")).toList
     assert(replay == List(301L))
-    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 5L)
+    assert(graft.lake.Snapshots.read(spark, s"$idxDir/main").count() == 5L)
+    assert(graft.lake.Snapshots.read(spark, s"$idxDir/keys").count() == 20L)
   }
 
   test("LSH text dedup index grows across batches: intra-batch order, cross-batch suppression, idempotent replay") {
@@ -146,12 +149,15 @@ class StreamingSpec extends SparkSpec {
     // batch 3: a duplicate of a BATCH 2 survivor + a novel doc — only a
     // grown index can suppress 300 (a static seed never saw t2)
     assert(fold(300L -> t2, 301L -> t3) == List(301L))
-    // the index holds EVERY arrival (survivors and suppressed)
-    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
+    // the main index holds EVERY arrival (survivors and suppressed);
+    // the keys side-table carries one row per (doc, band)
+    assert(graft.lake.Snapshots.read(spark, s"$idxDir/main").count() == 6L)
+    assert(graft.lake.Snapshots.read(spark, s"$idxDir/keys").count() == 12L)
     // replaying batch 3 (restart semantics) re-derives the same survivors
     // and the index does not grow — exactly-once across restarts
     assert(fold(300L -> t2, 301L -> t3) == List(301L))
-    assert(graft.lake.Snapshots.read(spark, idxDir).count() == 6L)
+    assert(graft.lake.Snapshots.read(spark, s"$idxDir/main").count() == 6L)
+    assert(graft.lake.Snapshots.read(spark, s"$idxDir/keys").count() == 12L)
   }
 
   test("paragraph-dedup registry grows across batches: in-batch winner, " +
@@ -285,6 +291,37 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(3))).toList.sorted
     assert(replay == oneShot)
     assert(graft.lake.Snapshots.read(spark, s"$t1/reg").count() == regBefore)
+  }
+
+  test("LSH index probe pruning: the two-level layout (bk-clustered keys " +
+      "side-table + id-clustered main) reads a bounded file subset for a " +
+      "small batch after recluster, and suppression is unchanged") {
+    import graft.streaming.DedupIndex
+    import graft.lake.Snapshots
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_lsh_probe").toString
+    def alpha(i: Long): String = java.lang.Long.toString(i, 26)
+      .map(c => if (c.isDigit) ('a' + (c - '0')).toChar else (c + 10).toChar)
+    def doc(i: Long): (Long, String) =
+      i -> (s"qq${alpha(i)} ww${alpha(i)} ee${alpha(i)} rr${alpha(i)} " +
+        s"tt${alpha(i)} yy${alpha(i)} uu${alpha(i)} ii${alpha(i)}")
+    DedupIndex.lshDedupBatch(spark, idxDir,
+      (0L until 600L).map(doc).toDF("doc_id", "text"))
+    Snapshots.recluster(spark, s"$idxDir/keys", Seq("bk"), nFiles = 16)
+    Snapshots.recluster(spark, s"$idxDir/main", Seq("doc_id"), nFiles = 16)
+    // small batch: one exact duplicate of a registered doc + one novel —
+    // 2 docs × 2 band keys probe a 16-file keys table
+    val out = DedupIndex.lshDedupBatch(spark, idxDir, Seq(
+        1000L -> doc(7L)._2,
+        1001L -> "zz fresh aa fresh bb fresh cc fresh dd fresh ee fresh")
+      .toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    val (kept, total) = DedupIndex.lastProbeFiles.get
+    assert(total == 16, s"reclustered keys table should be 16 files, was $total")
+    assert(kept <= 4,
+      s"a 4-key batch probe must read ≤4 of $total keys files, read $kept")
+    assert(out == Set(1001L),
+      "the duplicate suppresses via the pruned index; the novel survives")
   }
 
   test("pack-manifest fold: straddled packs continue offsets across " +
