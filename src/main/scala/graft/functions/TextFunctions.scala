@@ -20,6 +20,25 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
 
+  /** Sentence-ified word salad: six-word '.'-terminated sentences from
+    * [[tokens]] — the SHARED span-dedup fixture (the q174/q176 gated
+    * corpus, the Scale q176_fold probe corpus, and the RegistryProbe
+    * sweep corpus must all be the same text; a normalization edit in one
+    * copy would silently diverge the SCALING probes from the oracle-gated
+    * fixture). Zero-token docs emit an empty sentence list — Spark's
+    * truncating (0−1)/6 would otherwise produce a spurious "." where
+    * DuckDB's flooring division produces nothing.
+    */
+  private[graft] def sixWordSentences(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) > 0,
+      transform(
+        sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+        i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
+          lit("."))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Scripts that whitespace tokenization cannot split — route these
     * through [[charNGrams]] (zh/ja have no word spaces; th spaces mark
     * phrases, not words).

@@ -306,12 +306,21 @@ object Snapshots {
     */
   def recluster(spark: SparkSession, table: String, cols: Seq[String],
       nFiles: Int): Int = {
-    val rewritten = read(spark, table)
+    val snap = current(table).getOrElse(
+      sys.error(s"no snapshot committed at $table"))
+    val rewritten = readEntries(spark, table, snap.entries,
+        mergeSchema = false, snap.schema)
       .repartitionByRange(nFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .drop(Lake.PartitionCol)
     val staged = stage(rewritten, table)
-    commit(table, Some(dataSchema(rewritten)))(_ => staged)
+    // replace exactly the files this rewrite READ; entries committed
+    // concurrently between our pinned read and the commit carry forward
+    // (the compactSmallFiles discipline — `_ => staged` would silently
+    // drop a racing fold's fresh registrations on commit retry)
+    val rewrittenFiles = snap.entries.map(_.file).toSet
+    commit(table, Some(dataSchema(rewritten)))(prev =>
+      prev.filterNot(e => rewrittenFiles(e.file)) ++ staged)
   }
 
   private def readEntries(spark: SparkSession, table: String,

@@ -236,8 +236,16 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partitionCol)).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("pack_id",
-      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
+    // exact integer floor division (not floor of a double quotient): the
+    // incremental fold (streaming.PackFold) assigns packs with int64
+    // `div`, and a group's cumulative token total past 2⁵³ would round
+    // the double path onto a different pack at the boundary — both sides
+    // must share the exact arithmetic for fold ≡ one-shot to hold at any
+    // scale (equal below 2⁵³ either way, so the DuckDB oracles agree)
+    df.withColumn("__pack_excl",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__pack_excl div ${budget}L"))
+      .drop("__pack_excl")
   }
 
   /** Pack MANIFESTS with document-boundary offsets — the artifact packed

@@ -306,12 +306,19 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // join the (broadcast, group-domain) targets BEFORE the window and
+    // drop zero-target groups first: with a high epoch cap most groups
+    // saturate, and their docs must not pay the md5 sort + running sum
+    // just to be filtered — the window runs only over groups that
+    // actually take a partial pass
+    val partialTargets = sched
+      .filter(col("partial_target") > 0)
+      .select(col(groupCol), col("partial_target"))
     val partial = df
       .select(col(groupCol).cast("string").as(groupCol),
         col(idCol), col(weightCol).cast("long").as("__w"))
+      .join(broadcast(partialTargets), Seq(groupCol))
       .withColumn("__cum", sum(col("__w")).over(w))
-      .join(broadcast(sched.select(col(groupCol), col("partial_target"))),
-        Seq(groupCol))
       .filter(col("__cum") <= col("partial_target"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("partial_docs"), sum(col("__w")).as("partial_mass"))

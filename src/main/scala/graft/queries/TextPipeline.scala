@@ -286,18 +286,10 @@ object TextPipeline {
         ORDER BY lang"""
 
   private def c4SpanSpliced(s: SparkSession, dir: String): DataFrame = {
-    val tk = graft.functions.TextFunctions.tokens(col("text"))
-    // zero-token guard: Spark's (0-1)/6 truncates to 0 (sequence(0,0) →
-    // one spurious "." sentence) while DuckDB's (0-1)//6 floors to -1
-    // (empty range). genDocuments happens to guarantee 10-100 words, but
-    // the fixture must not silently depend on that — empty docs emit an
-    // empty sentence list on both sides.
-    val sents = when(size(tk) > 0,
-      transform(
-        sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
-        i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
-          lit("."))))
-      .otherwise(array().cast("array<string>"))
+    // ONE fixture definition (TextFunctions.sixWordSentences) shared with
+    // the Scale q176_fold probe and RegistryProbe — the SCALING corpora
+    // must be the oracle-gated corpus, not a drifting copy
+    val sents = graft.functions.TextFunctions.sixWordSentences(col("text"))
     docs(s, dir).select(col("doc_id"),
       concat(array_join(sents, " "),
         when(col("doc_id") % 10 === 0,

@@ -55,18 +55,23 @@ object DedupIndex {
     */
   @volatile var keyProbeEnabled: Boolean = true
 
-  /** The registries' pruned read: zone-map key probe over the h-clustered
-    * files, recording (kept, total) in [[lastProbeFiles]].
+  /** The registries'/indexes' pruned read: zone-map key probe over the
+    * key-clustered files, honoring [[keyProbeEnabled]] (the SCALING
+    * counterfactual toggle) and recording (kept, total) in
+    * [[lastProbeFiles]] when `record` (the two-level indexes record their
+    * FIRST-level keys probe, not the id-domain main probe, so the metric
+    * reads bucket-adjacency pruning).
     */
-  private def probeRead(spark: SparkSession, table: String,
-      probeKeys: DataFrame): DataFrame = {
+  private def probeRead(spark: SparkSession, table: String, keyCol: String,
+      probeKeys: DataFrame, record: Boolean = true): DataFrame = {
     val (reg, kept, total) =
-      if (keyProbeEnabled) Snapshots.readKeyProbe(spark, table, "h", probeKeys)
+      if (keyProbeEnabled)
+        Snapshots.readKeyProbe(spark, table, keyCol, probeKeys)
       else {
         val n = Snapshots.current(table).map(_.entries.size).getOrElse(0)
         (Snapshots.read(spark, table), n, n)
       }
-    lastProbeFiles = Some((kept, total))
+    if (record) lastProbeFiles = Some((kept, total))
     reg
   }
 
@@ -85,6 +90,12 @@ object DedupIndex {
     // SUBSET of both tables instead of scanning the index
     val mainTable = s"$indexTable/main"
     val keysTable = s"$indexTable/keys"
+    // a pre-two-level index (snapshot at the table ROOT) must not be
+    // silently treated as empty — that would re-admit every historical
+    // near-duplicate; fail loudly with the migration path instead
+    require(Snapshots.currentVersion(indexTable).isEmpty,
+      s"$indexTable holds a legacy single-table index; migrate its rows " +
+        s"to $indexTable/main and rebuild $indexTable/keys before folding")
     val batch = batchHashes.select(col(idCol), col("b0"), col("b1"),
       col("b2"), col("b3")).localCheckpoint(true)
     val indexed = Snapshots.currentVersion(mainTable).isDefined
@@ -99,19 +110,19 @@ object DedupIndex {
       else {
         val batchBk = bands(batch, keepId = false).distinct()
           .select(xxhash64(col("band"), col("sig")).as("bk"))
-        val (keysRead, keptK, totalK) =
-          Snapshots.readKeyProbe(spark, keysTable, "bk", batchBk)
-        lastProbeFiles = Some((keptK, totalK))
+        val keysRead = probeRead(spark, keysTable, "bk", batchBk)
         // a replayed batch is already indexed: same-id rows would
         // band-bucket together and double candidates — drop them up
         // front; then exact bucket adjacency (a bk collision only ADDS a
         // touched id, which the exact hamming verify rejects — sound)
+        // touched feeds TWO consumers (the main-probe's driver-side file
+        // selection and the survivors plan) — pin the small id frame once
         val touched = keysRead
           .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
           .join(broadcast(batchBk), Seq("bk"), "left_semi")
-          .select(col(idCol)).distinct()
-        val (mainRead, _, _) = Snapshots.readKeyProbe(spark, mainTable,
-          idCol, touched)
+          .select(col(idCol)).distinct().localCheckpoint(true)
+        val mainRead = probeRead(spark, mainTable, idCol, touched,
+          record = false)
         val idx = mainRead
           .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"))
           .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
@@ -136,6 +147,11 @@ object DedupIndex {
         concat(col(idCol), lit("#"), col("band")).as("pk"),
         xxhash64(col("band"), col("sig")).as("bk"),
         col(idCol), ts0.as("ts"))
+    // two commits are NOT one atomic commit: a crash between them leaves
+    // keys missing this batch's rows. The foreachBatch contract heals it —
+    // the checkpoint only advances after this function returns, so the
+    // batch REPLAYS and both mergeUpserts are keyed no-ops/compensations;
+    // consumers that skip replays would under-suppress until re-folded
     if (indexed) {
       Snapshots.mergeUpsert(spark, mainTable, stamped, idCol,
         clusterBy = Seq(idCol))
@@ -202,6 +218,12 @@ object DedupIndex {
     // bucket join downstream rejects it) — pruning stays sound.
     val mainTable = s"$indexTable/main"
     val keysTable = s"$indexTable/keys"
+    // a pre-two-level index (snapshot at the table ROOT) must not be
+    // silently treated as empty — that would re-admit every historical
+    // near-duplicate; fail loudly with the migration path instead
+    require(Snapshots.currentVersion(indexTable).isEmpty,
+      s"$indexTable holds a legacy single-table index; migrate its rows " +
+        s"to $indexTable/main and rebuild $indexTable/keys before folding")
     val batch = batchDocs.select(col(idCol), col(textCol)).localCheckpoint(true)
     // one shingle + minhash pass over the BATCH only; both frames feed
     // two consumers each (pairing + commit), so pin them once
@@ -216,18 +238,18 @@ object DedupIndex {
       else {
         val batchBk = bKeys
           .select(xxhash64(col("band"), col("sig")).as("bk")).distinct()
-        val (keysRead, keptK, totalK) =
-          Snapshots.readKeyProbe(spark, keysTable, "bk", batchBk)
-        lastProbeFiles = Some((keptK, totalK))
+        val keysRead = probeRead(spark, keysTable, "bk", batchBk)
         // a replayed batch is already indexed — drop same-id rows up
         // front so a replay never self-suppresses; then exact row-level
         // bucket adjacency via the broadcast semi-join
+        // touched feeds TWO consumers (the main-probe's driver-side file
+        // selection and the pairing plan) — pin the small id frame once
         val touched = keysRead
           .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
           .join(broadcast(batchBk), Seq("bk"), "left_semi")
-          .select(col(idCol).as("doc")).distinct()
-        val (mainRead, _, _) = Snapshots.readKeyProbe(spark, mainTable,
-          idCol, touched.select(col("doc")))
+          .select(col(idCol).as("doc")).distinct().localCheckpoint(true)
+        val mainRead = probeRead(spark, mainTable, idCol,
+          touched.select(col("doc")), record = false)
         val idx = mainRead
           .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
           .withColumnRenamed(idCol, "doc")
@@ -258,6 +280,8 @@ object DedupIndex {
         concat(col("doc"), lit("#"), col("band")).as("pk"),
         xxhash64(col("band"), col("sig")).as("bk"),
         col("doc").as(idCol), ts0.as("ts"))
+    // two commits, one crash window — healed by batch replay (see the
+    // dedupBatch commit note; both upserts are keyed no-ops on replay)
     if (indexed) {
       Snapshots.mergeUpsert(spark, mainTable, stamped, idCol,
         clusterBy = Seq(idCol))
@@ -330,7 +354,7 @@ object DedupIndex {
         // keys — in the micro-batch-vs-compacted-registry regime the
         // probe reads a batch-keys-sized file subset, never the whole
         // registry (measured in SCALING.md "registry probe pruning")
-        val hist = probeRead(spark, indexTable,
+        val hist = probeRead(spark, indexTable, "h",
           batchWinners.select(col("h")))
           // a replayed batch's own registrations are dropped up front so
           // the replay resolves against pre-batch state exactly
@@ -442,7 +466,7 @@ object DedupIndex {
     // bounds the shuffle by the batch exactly (file pruning is coarse)
     val registered =
       if (!indexed) batchAgg.select(col("h")).limit(0)
-      else probeRead(spark, indexTable, batchAgg.select(col("h")))
+      else probeRead(spark, indexTable, "h", batchAgg.select(col("h")))
         .join(batch.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
         .select(col("h"))
         .join(broadcast(batchAgg.select(col("h"))), Seq("h"), "left_semi")

@@ -149,11 +149,18 @@ object PackFold {
       .select(col("pk"), col(groupCol), col("batch"), col("batch_mass"),
         col("max_doc"), col("last_pack_id"), col("last_pack_start"),
         col("ts"))
+    // REGISTRY commits FIRST: the two commits are not one atomic commit,
+    // and the failure modes are asymmetric — registry-without-contrib
+    // (crash between them, batch never replayed) leaves the manifest
+    // missing one batch's rows but keeps every SUBSEQUENT batch's packing
+    // correct, while contrib-without-registry would shift every later
+    // pack id/offset permanently. Under the foreachBatch replay contract
+    // both upserts are keyed no-ops and the window heals entirely.
+    if (indexed) Snapshots.mergeUpsert(spark, registryTable, stamped, "pk")
+    else Snapshots.append(stamped, registryTable)
     if (Snapshots.currentVersion(contribTable).isDefined)
       Snapshots.mergeUpsert(spark, contribTable, contrib, "pk")
     else Snapshots.append(contrib, contribTable)
-    if (indexed) Snapshots.mergeUpsert(spark, registryTable, stamped, "pk")
-    else Snapshots.append(stamped, registryTable)
     contrib
   }
 

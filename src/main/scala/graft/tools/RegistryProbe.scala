@@ -37,15 +37,10 @@ object RegistryProbe {
     */
   private val KeysPerFile = 3300L
 
-  private def sentenceified(docs: DataFrame): DataFrame = {
-    val tk = graft.functions.TextFunctions.tokens(col("text"))
-    val sents = when(size(tk) > 0,
-      transform(sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
-        i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
-          lit("."))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), array_join(sents, " ").as("text"))
-  }
+  private def sentenceified(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(graft.functions.TextFunctions.sixWordSentences(col("text")),
+        " ").as("text"))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

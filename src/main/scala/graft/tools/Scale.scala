@@ -461,11 +461,8 @@ object Scale {
         "q176_fold" -> ((s: SparkSession, dir: String) => {
           import graft.lake.Snapshots
           import graft.streaming.DedupIndex
-          val tk = graft.functions.TextFunctions.tokens(col("text"))
-          val sents = transform(
-            sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
-            i => concat(concat_ws(" ", slice(tk, i * 6 + 1, lit(6))),
-              lit(".")))
+          val sents = graft.functions.TextFunctions
+            .sixWordSentences(col("text"))
           val base = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), array_join(sents, " ").as("text"))
           val t = java.nio.file.Files
