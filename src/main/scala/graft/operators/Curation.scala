@@ -288,6 +288,34 @@ object Curation {
           ",").as("boundaries_csv"))
   }
 
+  /** Curriculum / annealing PHASE assignment — the data-ORDERING knob of
+    * a training run (curriculum learning per Bengio et al. 2009; the
+    * modern anneal recipe trains highest-quality data LAST — the
+    * mid-training/annealing phase of the published open recipes): docs
+    * split into `nPhases` equal-count phases by ascending score, phase =
+    * ⌊nPhases·(rank−1)/N⌋ over the exact global rank — integer
+    * arithmetic, so the split reproduces bit-for-bit in any engine and
+    * adding one doc shifts at most one doc per boundary. Consumers train
+    * phases in order and shuffle WITHIN a phase by hash (the q177
+    * i.i.d.-within-bucket caveat: score-sorted order inside a phase
+    * would add curriculum bias at a granularity the recipe doesn't ask
+    * for).
+    *
+    * Scale shape: one slim (id, score) scan + [[Ranking.globalRank]]'s
+    * range-sorted zipWithIndex (the q145 rank discipline — no
+    * corpus-sized window task) + one count action. Bodies never move.
+    */
+  def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
+      nPhases: Int): DataFrame = {
+    require(nPhases >= 1, s"nPhases must be >= 1: $nPhases")
+    val slim = df.select(col(idCol),
+      col(scoreCol).cast(LongType).as(scoreCol))
+    val n = math.max(1L, slim.count())
+    Ranking.globalRank(slim, Seq(col(scoreCol), col(idCol)), "__rk")
+      .withColumn("phase", expr(s"(${nPhases}L * (__rk - 1)) div ${n}L"))
+      .drop("__rk")
+  }
+
   /** Pack PAYLOAD materialization — the emission half of packing
     * ([[packManifest]] ships the boundary ledger; this ships the packed
     * SEQUENCES a trainer reads): per (partition, pack), the member

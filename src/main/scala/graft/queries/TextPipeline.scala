@@ -4916,6 +4916,41 @@ object TextPipeline {
         PackFold.manifest(s, s"$tmp/contrib", "lang")
           .orderBy(col("lang"), col("pack_id"))
       },
-      Some(packManifestSql))
+      Some(packManifestSql)),
+
+    // ---- q192: curriculum / annealing phase assignment — the data-
+    // ordering knob (train highest-quality data LAST, the published
+    // anneal recipe; curriculum learning per Bengio 2009): equal-count
+    // phases by ascending quality over the EXACT global rank, integer
+    // arithmetic end to end. Quality here = distinct-token permille (a
+    // deterministic lexical-diversity proxy; any exact integer score
+    // plugs in). The oracle re-derives score, rank and the phase floor
+    // division per doc.
+    QueryDef(
+      "q192_curriculum_phases",
+      (s, dir) => {
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val scored = docs(s, dir)
+          .select(col("doc_id"),
+            size(array_distinct(tk)).cast("long").as("__d"),
+            greatest(lit(1L), size(tk).cast("long")).as("__t"))
+          .withColumn("score", expr("1000L * __d div __t"))
+          .select(col("doc_id"), col("score"))
+        Curation.curriculumPhases(scored, "doc_id", "score", nPhases = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        sc AS (SELECT doc_id,
+                 (1000 * len(list_distinct(tk)))
+                   // greatest(1, len(tk)) AS score
+               FROM t),
+        r AS (SELECT doc_id, score::BIGINT AS score,
+                ROW_NUMBER() OVER (ORDER BY score, doc_id)::BIGINT AS rk,
+                COUNT(*) OVER ()::BIGINT AS n
+              FROM sc)
+        SELECT doc_id, score, ((3 * (rk - 1)) // n)::BIGINT AS phase
+        FROM r
+        ORDER BY doc_id"""))
   )
 }

@@ -490,6 +490,27 @@ class CurationSpec extends SparkSpec {
       "rows identical on both sides stay unchanged")
   }
 
+  test("curriculumPhases: equal-count phases by ascending score with an " +
+      "uneven remainder to the FIRST phases, ties broken by id, single " +
+      "phase is identity") {
+    // 10 docs, scores make rank order = id order
+    val docs = (1L to 10L).map(i => (i, i * 10L)).toDF("id", "s")
+    val out = Curation.curriculumPhases(docs, "id", "s", nPhases = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // (3·(rk−1)) div 10: ranks 1-4 → 0, 5-7 → 1, 8-10 → 2
+    assert((1L to 4L).forall(out(_) == 0L))
+    assert((5L to 7L).forall(out(_) == 1L))
+    assert((8L to 10L).forall(out(_) == 2L))
+    // score ties: id ascending breaks them deterministically
+    val tied = Seq((5L, 1L), (1L, 1L), (3L, 1L)).toDF("id", "s")
+    val t = Curation.curriculumPhases(tied, "id", "s", nPhases = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t == Map(1L -> 0L, 3L -> 1L, 5L -> 2L))
+    // nPhases = 1: everything phase 0
+    assert(Curation.curriculumPhases(docs, "id", "s", nPhases = 1)
+      .collect().forall(_.getLong(2) == 0L))
+  }
+
   test("release pipeline corners: identical editions diff empty, an " +
       "empty tier diffs as pure adds, budget > corpus selects everything") {
     import graft.operators.Release
