@@ -436,6 +436,7 @@ object Scale {
         "q187_vocab_sweep" -> SparkEntry.queries("q187_bpe_vocab_sweep"),
         "q188_word_oov" -> SparkEntry.queries("q188_word_vocab_oov"),
         "q189_epochs" -> SparkEntry.queries("q189_epoch_schedule"),
+        "q192_curriculum" -> SparkEntry.queries("q192_curriculum_phases"),
         "q190_payloads" -> SparkEntry.queries("q190_pack_payloads"),
         // q191 UN-memoized (fresh registry/contrib tables per invocation,
         // the q171_fold rationale)
