@@ -29,13 +29,17 @@ import org.apache.spark.sql.functions._
   *    the q96 oracle checks without knowing the batch boundaries.
   *
   * Scale shape: the per-batch cost is the banded-LSH pairing of
-  * index ∪ batch — bucket-capped like every near-dup operator — and ONE
-  * mergeUpsert of batch-sized updates. The pairing only needs pairs whose
-  * higher id is in the batch; the band buckets that contain no batch row
-  * are dropped before the pair join, so index-only work does not grow the
-  * probe (the index side still rescans per batch: at deployment scale the
-  * index table would be clustered by band signature so zone maps prune
-  * that scan).
+  * index ∪ batch — bucket-capped like every near-dup operator — and
+  * batch-sized mergeUpserts. The pairing only needs pairs whose higher id
+  * is in the batch; the band buckets that contain no batch row are
+  * dropped before the pair join, so index-only work does not grow the
+  * probe — and the index SCAN itself is zone-map-pruned: every index here
+  * commits key-clustered and reads via
+  * [[graft.lake.Snapshots.readKeyProbe]] (the h-keyed registries
+  * directly; the multi-band indexes through a two-level bk-keys/main
+  * layout), so a micro-batch against a compacted index reads a
+  * batch-sized file subset, never the index (SCALING.md "registry probe
+  * pruning").
   */
 object DedupIndex {
 
