@@ -250,6 +250,48 @@ object TextPipeline {
         GROUP BY lang, pack_id
         ORDER BY lang, pack_id"""
 
+  /** q178's one-shot UniMax TAKE oracle (allocation + hash-order
+    * inclusive-prefix selection over the whole documents table) — shared
+    * VERBATIM by q193, whose slim-registry re-derivation fold must equal
+    * the one-shot take on the union for any batching.
+    */
+  private def unimaxTakeOneShotSql: String = """
+        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
+                          (SUM(n_chars) * 1)::BIGINT AS capacity
+                   FROM documents GROUP BY lang),
+        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
+              FROM c),
+        r AS (SELECT c.*, t.tot, t.l, (t.tot * 9) // 10 AS b,
+                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM c CROSS JOIN t),
+        f AS (SELECT *,
+                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+              FROM r),
+        g AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
+                  AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+                  ::BIGINT AS pk
+              FROM f),
+        a AS (SELECT lang,
+                (CASE WHEN capped THEN capacity
+                      ELSE (b - pk) // greatest(1, l - k)
+                           + CASE WHEN i - k <= (b - pk) %
+                               greatest(1, l - k) THEN 1 ELSE 0 END
+                 END)::BIGINT AS allocated
+              FROM g),
+        d AS (SELECT lang, doc_id, n_chars::BIGINT AS n_chars,
+                SUM(n_chars::BIGINT) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_weight
+              FROM documents)
+        SELECT d.lang AS lang, doc_id, n_chars, cum_weight
+        FROM d JOIN a USING (lang)
+        WHERE cum_weight <= allocated
+        ORDER BY lang, doc_id"""
+
   /** q172's one-shot UniMax waterfill oracle over the whole documents
     * table — shared VERBATIM by q186, whose incremental registry fold
     * must equal the one-shot allocation on the union regardless of
@@ -4352,42 +4394,7 @@ object TextPipeline {
         Sampling.unimaxTake(d, "doc_id", "lang", "n_chars", alloc)
           .orderBy(col("lang"), col("doc_id"))
       },
-      Some("""
-        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
-                          (SUM(n_chars) * 1)::BIGINT AS capacity
-                   FROM documents GROUP BY lang),
-        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
-              FROM c),
-        r AS (SELECT c.*, t.tot, t.l, (t.tot * 9) // 10 AS b,
-                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
-                SUM(capacity) OVER (ORDER BY capacity, lang
-                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
-              FROM c CROSS JOIN t),
-        f AS (SELECT *,
-                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
-              FROM r),
-        g AS (SELECT *,
-                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
-                  AS k,
-                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
-                  ::BIGINT AS pk
-              FROM f),
-        a AS (SELECT lang,
-                (CASE WHEN capped THEN capacity
-                      ELSE (b - pk) // greatest(1, l - k)
-                           + CASE WHEN i - k <= (b - pk) %
-                               greatest(1, l - k) THEN 1 ELSE 0 END
-                 END)::BIGINT AS allocated
-              FROM g),
-        d AS (SELECT lang, doc_id, n_chars::BIGINT AS n_chars,
-                SUM(n_chars::BIGINT) OVER (PARTITION BY lang
-                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_weight
-              FROM documents)
-        SELECT d.lang AS lang, doc_id, n_chars, cum_weight
-        FROM d JOIN a USING (lang)
-        WHERE cum_weight <= allocated
-        ORDER BY lang, doc_id""")),
+      Some(unimaxTakeOneShotSql)),
 
     // ---- q179: dictionary tagging via the Aho-Corasick automaton
     // (plans.DictionaryMatches, §2.8's 10th custom expression) — the
@@ -4951,6 +4958,45 @@ object TextPipeline {
               FROM sc)
         SELECT doc_id, score, ((3 * (rk - 1)) // n)::BIGINT AS phase
         FROM r
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q193: incremental UniMax TAKE fold — the selection over a
+    // GROWING corpus. The take is a GLOBAL function (each arrival shifts
+    // its group's allocation and hash-order cutoff, potentially EVICTING
+    // earlier selections), so the honest fold re-derives from a slim
+    // (id, group, weight) registry per batch — document bodies never
+    // rescanned, replays keyed no-ops on id. The oracle is q178's
+    // one-shot SQL VERBATIM: re-derivation over the union registry ≡
+    // the one-shot take for any batching by construction, and the gate
+    // pins that the registry fold actually preserves it.
+    QueryDef(
+      "q193_unimax_take_fold",
+      (s, dir) => {
+        import graft.streaming.AllocationFold
+        val d = docs(s, dir)
+        val tmp = stagedFold(dir, "#q193") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_take_fold").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3)
+          cuts.foreach { cut =>
+            AllocationFold.unimaxTakeBatch(s, s"$t/registry", d.filter(cut),
+                "doc_id", "lang", "n_chars",
+                budgetNum = 9L, budgetDen = 10L, epochCap = 1L)
+              .write.mode("overwrite").format("noop").save()
+          }
+          t
+        }
+        val reg = graft.lake.Snapshots.read(s, s"$tmp/registry")
+        val alloc = graft.operators.Sampling.unimaxAllocate(reg, "lang",
+          "n_chars", budgetNum = 9L, budgetDen = 10L, epochCap = 1L)
+        graft.operators.Sampling
+          .unimaxTake(reg, "doc_id", "lang", "n_chars", alloc)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(unimaxTakeOneShotSql))
   )
 }

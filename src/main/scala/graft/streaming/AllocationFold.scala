@@ -52,4 +52,40 @@ object AllocationFold {
     Sampling.unimaxAllocate(Snapshots.read(spark, registryTable),
       groupCol, "n_mass", budgetNum, budgetDen, epochCap)
   }
+
+  /** Incremental UniMax TAKE — the selection re-derived over a growing
+    * corpus. Unlike packing (q191), the take is a GLOBAL function of the
+    * corpus: every arrival shifts its group's allocation, which moves
+    * the hash-order cutoff, which can EVICT previously selected docs —
+    * so no per-batch delta emission exists and the honest fold is
+    * re-derivation from a SLIM registry: per batch, upsert the batch's
+    * (id, group, weight) tuples (pk = id: docs arrive once, replays are
+    * keyed no-ops), then re-run allocate + take over the registry.
+    * Document BODIES are never rescanned — the registry is three
+    * columns — and the per-batch window cost is the registry's
+    * slim-tuple sort (the unimaxTake scale posture; the selection being
+    * global makes an O(registry-tuples) re-derivation the floor, not an
+    * implementation shortcut).
+    *
+    * Returns the CURRENT selection ([[Sampling.unimaxTake]]'s shape over
+    * everything folded so far) — by construction ≡ the one-shot take on
+    * the union for any batching, which is what the q193 gate checks with
+    * q178's oracle verbatim.
+    */
+  def unimaxTakeBatch(spark: SparkSession, registryTable: String,
+      batch: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, budgetNum: Long, budgetDen: Long,
+      epochCap: Long): DataFrame = {
+    val tuples = batch.where(col(groupCol).isNotNull)
+      .select(col(idCol), col(groupCol).cast("string").as(groupCol),
+        col(weightCol).cast("long").as(weightCol))
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    if (Snapshots.currentVersion(registryTable).isDefined)
+      Snapshots.mergeUpsert(spark, registryTable, tuples, idCol)
+    else Snapshots.append(tuples, registryTable)
+    val reg = Snapshots.read(spark, registryTable)
+    val alloc = Sampling.unimaxAllocate(reg, groupCol, weightCol,
+      budgetNum, budgetDen, epochCap)
+    Sampling.unimaxTake(reg, idCol, groupCol, weightCol, alloc)
+  }
 }

@@ -437,6 +437,25 @@ object Scale {
         "q188_word_oov" -> SparkEntry.queries("q188_word_vocab_oov"),
         "q189_epochs" -> SparkEntry.queries("q189_epoch_schedule"),
         "q192_curriculum" -> SparkEntry.queries("q192_curriculum_phases"),
+        // q193 UN-memoized (fresh registry per invocation)
+        "q193_take_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.streaming.AllocationFold
+          val d = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_take").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3)
+            .foreach { cut =>
+              AllocationFold.unimaxTakeBatch(s, s"$t/reg", d.filter(cut),
+                  "doc_id", "lang", "n_chars", 9L, 10L, 1L)
+                .write.mode("overwrite").format("noop").save()
+            }
+          graft.lake.Snapshots.read(s, s"$t/reg").select(col("doc_id"))
+        }),
         "q190_payloads" -> SparkEntry.queries("q190_pack_payloads"),
         // q191 UN-memoized (fresh registry/contrib tables per invocation,
         // the q171_fold rationale)

@@ -383,6 +383,41 @@ class StreamingSpec extends SparkSpec {
     assert(graft.lake.Snapshots.read(spark, s"$t1/contrib").count() == before)
   }
 
+  test("UniMax take fold: per-batch re-derivation from the slim registry " +
+      "equals the one-shot take at every prefix (evictions included), " +
+      "replay leaves registry and selection unchanged") {
+    import graft.streaming.AllocationFold
+    import graft.operators.Sampling
+    val rows = (1L to 60L)
+      .map(i => (i, Seq("en", "fr")((i % 2).toInt), 10L + i % 7))
+      .toDF("doc_id", "lang", "n_chars")
+    def oneShot(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val a = Sampling.unimaxAllocate(df, "lang", "n_chars", 1L, 2L, 1L)
+      Sampling.unimaxTake(df, "doc_id", "lang", "n_chars", a)
+        .collect().map(_.getLong(1)).toSet
+    }
+    val t = java.nio.file.Files.createTempDirectory("take_fold").toString
+    def fold(cut: org.apache.spark.sql.Column): Set[Long] =
+      AllocationFold.unimaxTakeBatch(spark, s"$t/reg", rows.filter(cut),
+        "doc_id", "lang", "n_chars", 1L, 2L, 1L)
+        .collect().map(_.getLong(1)).toSet
+    val sel1 = fold(col("doc_id") <= 20)
+    assert(sel1 == oneShot(rows.filter(col("doc_id") <= 20)),
+      "mid-fold selection must equal the one-shot take over the prefix")
+    val sel2 = fold(col("doc_id") > 20)
+    assert(sel2 == oneShot(rows),
+      "final selection must equal the one-shot take over the union")
+    // the take is GLOBAL: batch 2 must have evicted at least one of
+    // batch 1's selections (hash-order cutoffs move as the corpus grows)
+    // — if this fixture ever stops evicting, pick different weights
+    assert((sel1 -- sel2).nonEmpty,
+      s"expected an eviction between prefixes: sel1=$sel1 sel2=$sel2")
+    // replay of the last batch: keyed no-op, same selection
+    val regBefore = graft.lake.Snapshots.read(spark, s"$t/reg").count()
+    assert(fold(col("doc_id") > 20) == sel2)
+    assert(graft.lake.Snapshots.read(spark, s"$t/reg").count() == regBefore)
+  }
+
   test("span-registry probe pruning: key-clustered commits + recluster " +
       "let a small batch's zone-map key probe read a bounded file subset " +
       "of the registry — and the fold output is unchanged") {
