@@ -319,8 +319,22 @@ object Snapshots {
     // (the compactSmallFiles discipline — `_ => staged` would silently
     // drop a racing fold's fresh registrations on commit retry)
     val rewrittenFiles = snap.entries.map(_.file).toSet
-    commit(table, Some(dataSchema(rewritten)))(prev =>
-      prev.filterNot(e => rewrittenFiles(e.file)) ++ staged)
+    commit(table, Some(dataSchema(rewritten))) { prev =>
+      // conflict validation (Iceberg rewrite_data_files semantics): every
+      // file this rewrite READ must still be live. A concurrent mergeUpsert
+      // that rewrote one of them has already superseded its rows — blindly
+      // re-adding our staged copy would resurrect the pre-merge versions
+      // alongside the merged ones. Abort instead; the caller re-runs
+      // against the new snapshot (staged files are orphans the next
+      // expireSnapshots sweep reclaims).
+      val live = prev.iterator.map(_.file).toSet
+      val gone = rewrittenFiles.filterNot(live)
+      if (gone.nonEmpty)
+        sys.error(s"recluster conflict at $table: ${gone.size} file(s) " +
+          s"read by this rewrite were rewritten concurrently (e.g. " +
+          s"${gone.head}); re-run recluster against the current snapshot")
+      prev.filterNot(e => rewrittenFiles(e.file)) ++ staged
+    }
   }
 
   private def readEntries(spark: SparkSession, table: String,

@@ -308,8 +308,13 @@ object Curation {
   def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
       nPhases: Int): DataFrame = {
     require(nPhases >= 1, s"nPhases must be >= 1: $nPhases")
+    // pinned (multi-consumer convention): the slim frame feeds BOTH the
+    // count and the rank — without the pin an expensive upstream
+    // derivation re-runs per action, and a non-deterministic input could
+    // make n disagree with the ranked frame, skewing phase boundaries
     val slim = df.select(col(idCol),
-      col(scoreCol).cast(LongType).as(scoreCol))
+        col(scoreCol).cast(LongType).as(scoreCol))
+      .localCheckpoint(true)
     val n = math.max(1L, slim.count())
     Ranking.globalRank(slim, Seq(col(scoreCol), col(idCol)), "__rk")
       .withColumn("phase", expr(s"(${nPhases}L * (__rk - 1)) div ${n}L"))

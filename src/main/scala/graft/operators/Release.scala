@@ -41,6 +41,19 @@ object Release {
 
   private val EditionTs = "2024-01-01 00:00:00"
 
+  /** Release artifacts are IMMUTABLE: re-running a build against a table
+    * that already has a committed snapshot would append a second copy of
+    * every row and silently corrupt the manifests and the release diff
+    * (the [[graft.streaming.DedupIndex]] legacy-layout posture — fail
+    * loudly with the migration path, never corrupt quietly).
+    */
+  private def requireFresh(table: String): Unit =
+    require(Snapshots.currentVersion(table).isEmpty,
+      s"release table $table already has a committed snapshot — editions " +
+        "and manifests are immutable artifacts; write to a fresh table " +
+        "(or delete the old table's directory) instead of re-building " +
+        "in place")
+
   /** Build one edition: subset `docs` to the hash tier below `cutBp`
     * basis points, waterfill `budgetNum/budgetDen` of its mass across
     * `groupCol` under `epochCap`, take per-group allocations in hash
@@ -51,6 +64,7 @@ object Release {
       groupCol: String, weightCol: String, cutBp: Long,
       budgetNum: Long, budgetDen: Long, epochCap: Long,
       table: String): Int = {
+    requireFresh(table) // editions are immutable releases, never appended-to
     val corpus = docs.filter(Curation.hashBucket(col(idCol), 10000) < cutBp)
     val alloc = Sampling.unimaxAllocate(corpus, groupCol, weightCol,
       budgetNum, budgetDen, epochCap)
@@ -67,6 +81,7 @@ object Release {
   def packEdition(spark: SparkSession, editionTable: String, idCol: String,
       groupCol: String, weightCol: String, packBudget: Long,
       outTable: String): Int = {
+    requireFresh(outTable)
     val sel = Snapshots.read(spark, editionTable)
     val manifest = Curation.packManifest(sel, idCol, weightCol,
         packBudget, groupCol, idCol)

@@ -123,10 +123,12 @@ private[graft] object AhoCorasick {
     *
     * Bounded: a long-lived executor that sees many DISTINCT
     * dynamically-built dictionaries must not retain every automaton (plus
-    * its key Seq) forever, so the cache clears wholesale past
-    * [[MaxCachedAutomata]] entries. Automata are rebuildable from their
-    * terms, so eviction only costs the O(dictionary) rebuild; the common
-    * steady state (a handful of long-lived dictionaries) never overflows.
+    * its key Seq) forever, so past [[MaxCachedAutomata]] entries the cache
+    * evicts single arbitrary entries until under the cap (never a
+    * wholesale clear — hot dictionaries stay resident). Automata are
+    * rebuildable from their terms, so eviction only costs the
+    * O(dictionary) rebuild; the common steady state (a handful of
+    * long-lived dictionaries) never overflows.
     */
   private val MaxCachedAutomata = 64
 
@@ -143,9 +145,17 @@ private[graft] object AhoCorasick {
     cache.get(terms) match {
       case Some(a) => a
       case None =>
-        // racy size check is fine: worst case two threads both clear, and
-        // the bound is a hygiene cap, not an exact LRU
-        if (cache.size >= MaxCachedAutomata) cache.clear()
+        // racy size check is fine: worst case two threads each evict one
+        // entry, and the bound is a hygiene cap, not an exact LRU. Evict
+        // ONE arbitrary entry (not clear()): a workload alternating among
+        // >64 live dictionaries must not rebuild every hot automaton after
+        // each overflow, and concurrent tasks must not wipe each other's
+        // just-built entries wholesale.
+        while (cache.size >= MaxCachedAutomata)
+          cache.headOption match {
+            case Some((k, _)) => cache.remove(k)
+            case None => // drained concurrently
+          }
         cache.getOrElseUpdate(terms, build(terms.toArray))
     }
   }

@@ -92,9 +92,12 @@ object RegistryProbe {
       val pruned = foldBatch(reg, fresh(n, 5))
       val (kept, total) = DedupIndex.lastProbeFiles.get
       val bKeys = Snapshots.read(spark, reg).count() - keys // fresh registrations
+      // try/finally: a counterfactual fold that throws must not leave
+      // probe pruning disabled JVM-wide for everything sharing the session
       DedupIndex.keyProbeEnabled = false
-      val full = foldBatch(reg, fresh(n + 5, 5))
-      DedupIndex.keyProbeEnabled = true
+      val full =
+        try foldBatch(reg, fresh(n + 5, 5))
+        finally DedupIndex.keyProbeEnabled = true
       println(f"${"registry"}%-9s $f%6d $keys%9d $total%6d ${5}%6d " +
         f"$bKeys%7d $kept%6d $pruned%9.2f $full%7.2f")
     }
