@@ -31,6 +31,34 @@ object Bpe {
   def charSymbols(tok: Column): Column =
     transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1)))
 
+  /** A pretoken as its UTF-8 BYTE symbols — the round-0 state of the
+    * byte-level BPE variant (GPT-2's production form, Radford et al.
+    * 2019 §2.2; Llama's default): merges operate on bytes, so the base
+    * alphabet is ≤256 symbols and NO input is out-of-vocabulary by
+    * construction. Symbols are uppercase hex pairs ("C3", "A9"), so the
+    * existing merge machinery applies untouched: fusing is string
+    * concatenation (hex pairs are fixed-width, so concatenation of hex
+    * IS concatenation of bytes), and the (cnt DESC, l, r) tie-break is a
+    * deterministic ASCII compare in any engine. A multi-byte character
+    * may split ACROSS merges — an intermediate symbol need not be valid
+    * UTF-8 on its own; only the full concatenation round-trips (the
+    * decode side is [[bytesToString]]).
+    */
+  def byteSymbols(tok: Column): Column = {
+    val h = hex(encode(tok, "UTF-8"))
+    transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
+      i => h.substr(i * lit(2) - lit(1), lit(2)))
+  }
+
+  /** Decode a byte-symbol array (uppercase hex-pair strings, possibly
+    * multi-byte after merges) back to the original string: concatenation
+    * of the hex symbols IS the UTF-8 byte stream. The round-trip
+    * invariant `bytesToString(encodeWithMerges(byteSymbols(t), m)) = t`
+    * holds for EVERY merge list — merges only regroup the byte stream.
+    */
+  def bytesToString(syms: Column): Column =
+    decode(unhex(concat_ws("", syms)), "UTF-8")
+
   /** Apply ONE learned merge to a symbol array: every adjacent (l, r)
     * occurrence fuses, left to right, non-overlapping — "aaa" under
     * (a, a) becomes [aa, a], and the fused symbol never re-merges within
@@ -73,10 +101,22 @@ object Bpe {
     * vocabulary never grows (merges only shrink symbol arrays), and the
     * corpus is never touched after the initial pretoken groupBy.
     */
-  def trainBpe(pretokens: DataFrame, rounds: Int): Seq[BpeMerge] = {
+  def trainBpe(pretokens: DataFrame, rounds: Int): Seq[BpeMerge] =
+    train(pretokens, charSymbols, rounds)
+
+  /** [[trainBpe]] over UTF-8 byte symbols — the byte-level production
+    * variant ([[byteSymbols]]): identical greedy loop, identical
+    * determinism, but the base alphabet is bytes so the trained model
+    * has no OOV path. Merge symbols are uppercase hex strings.
+    */
+  def trainByteBpe(pretokens: DataFrame, rounds: Int): Seq[BpeMerge] =
+    train(pretokens, byteSymbols, rounds)
+
+  private def train(pretokens: DataFrame, symsOf: Column => Column,
+      rounds: Int): Seq[BpeMerge] = {
     var vocab = pretokens
       .select(col("tok"), col("freq").cast("long").as("freq"),
-        charSymbols(col("tok")).as("syms"))
+        symsOf(col("tok")).as("syms"))
       .localCheckpoint(false)
     val merges = Seq.newBuilder[BpeMerge]
     var round = 0

@@ -321,6 +321,32 @@ object Curation {
       .drop("__rk")
   }
 
+  /** Curriculum × packing — the annealing schedule as a CONSUMABLE batch
+    * plan: [[curriculumPhases]] assigns each doc its phase, then packs
+    * build PER PHASE ([[packManifest]] partitioned on the phase, docs in
+    * id order within it), so a phase boundary can never split a pack —
+    * the trainer walks phases in order and reads each phase's packs as
+    * ordinary q182 manifests. Returns per (phase, pack): `n_docs`,
+    * `total_tokens`, `boundaries_csv`.
+    *
+    * Scale shape: the phase assignment is [[curriculumPhases]]'s slim
+    * rank pass; packing adds one per-phase running-sum window over slim
+    * (id, tokens, phase) tuples. Bodies never move (manifests, not
+    * payloads — the q182→q190 split). nPhases is small, so per-phase
+    * windows inherit the [[packByBudget]] single-stratum-task ceiling;
+    * a corpus whose single phase outgrows a task pre-shards phases into
+    * (phase, shard) strata exactly as packByBudget documents.
+    */
+  def curriculumPackPlan(df: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, nPhases: Int, packBudget: Long): DataFrame = {
+    val phased = curriculumPhases(
+      df.select(col(idCol), col(scoreCol)), idCol, scoreCol, nPhases)
+    val joined = df.select(col(idCol), col(tokensCol))
+      .join(phased.select(col(idCol), col("phase")), Seq(idCol))
+    packManifest(joined, idCol, tokensCol, packBudget,
+      partitionCol = "phase", orderCol = idCol)
+  }
+
   /** Pack PAYLOAD materialization — the emission half of packing
     * ([[packManifest]] ships the boundary ledger; this ships the packed
     * SEQUENCES a trainer reads): per (partition, pack), the member

@@ -328,4 +328,85 @@ object Sampling {
         coalesce(col("partial_docs"), lit(0L)).as("partial_docs"),
         coalesce(col("partial_mass"), lit(0L)).as("partial_mass"))
   }
+
+  /** EMIT the epoch schedule — [[unimaxEpochSchedule]] ships the ledger;
+    * this ships the membership a trainer iterates: one (group, epoch,
+    * id, weight) row per scheduled occurrence. Epochs 0 ..
+    * n_full_epochs−1 each contain the ENTIRE group (whole-corpus
+    * repeats — a capped group appears exactly epochCap times); epoch
+    * n_full_epochs, present only when the allocation has a remainder,
+    * is the deterministic hash-order prefix (the [[unimaxTake]]
+    * convention — the partial epoch of a bigger budget EXTENDS the
+    * partial epoch of a smaller one).
+    *
+    * Scale shape: slim (group, id, weight) tuples explode by the
+    * epoch count (≤ epochCap — the inherent emission multiplicity);
+    * the partial prefix pays [[unimaxTake]]'s per-group running-sum
+    * window only over groups that actually take one. Bodies never
+    * move — join them back by id downstream (or via
+    * [[unimaxEpochPackPayloads]], which packs them per epoch).
+    */
+  def unimaxEpochEmission(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, alloc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sched = alloc
+      .select(col(groupCol).cast("string").as(groupCol), col("n_mass"),
+        col("allocated"))
+      .withColumn("n_full_epochs",
+        expr("allocated div greatest(1L, n_mass)"))
+      .withColumn("partial_target",
+        expr("allocated % greatest(1L, n_mass)"))
+    val slim = df.select(col(groupCol).cast("string").as(groupCol),
+      col(idCol), col(weightCol).cast("long").as(weightCol))
+    val full = slim
+      .join(broadcast(sched.filter(col("n_full_epochs") > 0)
+        .select(col(groupCol), col("n_full_epochs"))), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col(weightCol),
+        explode(sequence(lit(0L), col("n_full_epochs") - 1L)).as("epoch"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = slim
+      .join(broadcast(sched.filter(col("partial_target") > 0)
+        .select(col(groupCol), col("n_full_epochs"), col("partial_target"))),
+        Seq(groupCol))
+      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") <= col("partial_target"))
+      .select(col(groupCol), col(idCol), col(weightCol),
+        col("n_full_epochs").as("epoch"))
+    full.unionByName(partial)
+  }
+
+  /** The multi-epoch TRAINING ORDER as one readable table: epoch
+    * membership ([[unimaxEpochEmission]]) composed into per-epoch pack
+    * payloads ([[graft.operators.Curation.packPayloads]] semantics, the
+    * q182→q190 manifest/payload split) — per (group, epoch, pack): doc
+    * count, token total, and the member texts concatenated in pack
+    * order. Packing is PER (group, epoch), so an epoch boundary never
+    * splits a pack and every full epoch of a group packs identically.
+    *
+    * Scale shape: membership is slim-tuple work; bodies join back by id
+    * ONCE and ride one shuffle to their (group, epoch, pack) group —
+    * multiplied by the epoch count, which is the artifact's inherent
+    * size (a trainer reads every repeat).
+    */
+  def unimaxEpochPackPayloads(df: DataFrame, idCol: String,
+      groupCol: String, weightCol: String, textCol: String,
+      alloc: DataFrame, packBudget: Long): DataFrame = {
+    val em = unimaxEpochEmission(df, idCol, groupCol, weightCol, alloc)
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("__stratum",
+        concat(col(groupCol), lit("#"), col("epoch").cast("string")))
+    Curation.packByBudget(em, idCol, weightCol, packBudget,
+        "__stratum", idCol)
+      .groupBy(col(groupCol), col("epoch"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("total_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            x => x(textCol)),
+          "\n").as("payload"))
+  }
 }

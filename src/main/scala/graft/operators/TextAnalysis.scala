@@ -416,4 +416,77 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("n_bigrams"),
         (col("__sum") / col("n_bigrams")).as("familiarity"))
   }
+
+  /** Registrable domain (eTLD+1) of a host under a configurable public-
+    * suffix list — the key of every URL-level curation decision
+    * (RefinedWeb §3.1's blocklist filtering; C4's badword domains): the
+    * longest suffix in `suffixes` that the host ends with, plus the one
+    * label left of it. Longest-match-wins is the publicsuffix.org
+    * algorithm ('co.uk' beats 'uk', so 'media.news.co.uk' →
+    * 'news.co.uk'); a host matching no listed suffix falls back to its
+    * last two labels (single-label hosts pass through whole). IDN hosts
+    * pass through in punycode form — 'xn--' labels are ordinary labels,
+    * never decoded (decoding would make the key engine- and
+    * locale-dependent).
+    *
+    * A pure codegen'd when-cascade sized by the suffix LIST (config,
+    * not data) — usable inside higher-order-function lambdas, so callers
+    * can map it over per-doc URL arrays without any shuffle.
+    */
+  def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "registrableDomain needs a suffix list")
+    val labs = split(host, "\\.")
+    val fallback = when(size(labs) >= 2,
+      array_join(slice(labs, -2, 2), ".")).otherwise(host)
+    // longest first (label count, then char length): 'co.uk' before 'uk'
+    val ordered = suffixes.distinct
+      .sortBy(s => (-s.count(_ == '.'), -s.length, s))
+    ordered.foldRight(fallback) { (s, acc) =>
+      val k = s.count(_ == '.') + 1 // labels in the suffix
+      when(host.endsWith("." + s),
+        array_join(slice(labs, -(k + 1), k + 1), ".")).otherwise(acc)
+    }
+  }
+
+  /** URL/domain filtering — the curation stage upstream of the content
+    * gates (RefinedWeb §3.1; C4's domain blocklist): extract every URL
+    * from the text, key each on its [[registrableDomain]], and block on
+    * (a) registrable-domain membership in `blockedDomains` and (b) URL
+    * SUBSTRING hits against `blockedSubstrings` via the Aho-Corasick
+    * automaton ([[graft.plans.DictionaryMatches]] — one pass per URL at
+    * O(bytes + matches), dictionary-size independent; measured flat at
+    * 10k terms). Returns one ledger row per doc: URL count, sorted
+    * distinct registrable domains as CSV, per-blocklist hit counts, and
+    * the keep decision (no URL blocked either way).
+    *
+    * Scale shape: ZERO shuffle — URL extraction, the domain cascade, and
+    * both block checks all run inside per-row array lambdas (the
+    * registrable-domain cascade and the automaton scan are plain
+    * expressions, so they compose into `transform`/`filter`), making the
+    * stage a pure map pass like [[stripHtml]].
+    */
+  def urlDomainFilter(df: DataFrame, idCol: String, textCol: String,
+      suffixes: Seq[String], blockedDomains: Seq[String],
+      blockedSubstrings: Seq[String]): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit("https?://[^\\s]+"), lit(0))
+    val doms = transform(col("__urls"), u =>
+      registrableDomain(regexp_extract(u, "https?://([^/?#]+)", 1), suffixes))
+    val blockedSub =
+      if (blockedSubstrings.isEmpty) lit(0)
+      else size(filter(col("__urls"), u =>
+        size(graft.plans.DictionaryMatches(u, blockedSubstrings)) > 0))
+    df.select(col(idCol), urls.as("__urls"))
+      .select(col(idCol), col("__urls"), doms.as("__doms"),
+        blockedSub.cast(LongType).as("n_blocked_substring"))
+      .select(col(idCol),
+        size(col("__urls")).cast(LongType).as("n_urls"),
+        array_join(array_sort(array_distinct(col("__doms"))), ",")
+          .as("domains_csv"),
+        (if (blockedDomains.isEmpty) lit(0)
+         else size(filter(col("__doms"), d => d.isin(blockedDomains: _*))))
+          .cast(LongType).as("n_blocked_domain"),
+        col("n_blocked_substring"))
+      .withColumn("keep",
+        col("n_blocked_domain") === 0L && col("n_blocked_substring") === 0L)
+  }
 }

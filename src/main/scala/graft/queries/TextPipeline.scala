@@ -59,6 +59,32 @@ object TextPipeline {
       s"#bpe#r$rounds")(
       graft.operators.Bpe.trainBpe(pre, rounds))
 
+  /** q195/q196's shared BYTE-level BPE model (same memo discipline; the
+    * byte variant trains on the multi-byte-spliced en corpus, so its
+    * suffix keys separately from the char model's).
+    */
+  private def trainedByteBpeMerges(dir: String, pre: DataFrame,
+      rounds: Int): Seq[graft.operators.Bpe.BpeMerge] =
+    graft.util.Fingerprint.memo(bpeMergeModels, dir, Seq("documents"),
+      s"#bytebpe#r$rounds")(
+      graft.operators.Bpe.trainByteBpe(pre, rounds))
+
+  /** q195/q196's shared fixture: the en corpus with a multi-byte UTF-8
+    * splice on every 4th doc, so 2-byte characters actually flow through
+    * the byte-level merge machinery in both engines.
+    */
+  private def byteBpeCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("lang") === "en")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" café für naïve")).otherwise(lit("")))
+          .as("text"))
+
+  private val byteBpeSpliceSql =
+    "text || CASE WHEN doc_id % 4 = 0 THEN ' café für " +
+      "naïve' ELSE '' END AS text"
+
   /** q165/q166's shared trained WordPiece model — the same memo
     * discipline as [[trainedUnigramModel]] (deterministic training,
     * result-neutral; re-training per query is pure floor cost).
@@ -4997,6 +5023,350 @@ object TextPipeline {
           .unimaxTake(reg, "doc_id", "lang", "n_chars", alloc)
           .orderBy(col("lang"), col("doc_id"))
       },
-      Some(unimaxTakeOneShotSql))
+      Some(unimaxTakeOneShotSql)),
+
+    // ---- q194: URL/domain filtering — the curation stage UPSTREAM of
+    // the content gates (RefinedWeb §3.1's blocklist filtering; C4's
+    // badword domains): every URL keys on its registrable domain (eTLD+1
+    // under a configurable suffix list, longest-match-wins so 'co.uk'
+    // beats 'uk'; punycode 'xn--' labels pass through undecoded) and the
+    // doc blocks on domain-blocklist membership OR URL-substring hits
+    // via the q179 automaton. The plain-text corpus gets URLs spliced by
+    // doc_id residue — multi-label suffix, punycode host, blocked
+    // domain, blocked path substring, unknown-suffix fallback, and a
+    // mixed two-URL doc — identical on the oracle side. Zero shuffle:
+    // extraction, the domain cascade, and both block checks run inside
+    // per-row array lambdas.
+    QueryDef(
+      "q194_url_domain_filter",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val spliced = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0,
+              lit(" see https://media.news.co.uk/article?id=1 end"))
+              .when(col("doc_id") % 10 === 1,
+                lit(" see https://shop.xn--bcher-kva.de/kaufen end"))
+              .when(col("doc_id") % 10 === 2,
+                lit(" see http://spam.example.net/promo end"))
+              .when(col("doc_id") % 10 === 3,
+                lit(" see https://ok.example.com/free-casino-chips end"))
+              .when(col("doc_id") % 10 === 4,
+                lit(" see https://files.internal/x end"))
+              .when(col("doc_id") % 10 === 5,
+                lit(" see https://a.example.org/x and" +
+                  " http://spam.example.net/y end"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.urlDomainFilter(spliced, "doc_id", "text",
+            suffixes = Seq("com", "net", "org", "de", "uk", "co.uk", "io"),
+            blockedDomains = Seq("example.net", "badsite.co.uk"),
+            blockedSubstrings = Seq("casino", "bet now"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH r AS (SELECT doc_id, text || CASE
+            WHEN doc_id % 10 = 0
+              THEN ' see https://media.news.co.uk/article?id=1 end'
+            WHEN doc_id % 10 = 1
+              THEN ' see https://shop.xn--bcher-kva.de/kaufen end'
+            WHEN doc_id % 10 = 2
+              THEN ' see http://spam.example.net/promo end'
+            WHEN doc_id % 10 = 3
+              THEN ' see https://ok.example.com/free-casino-chips end'
+            WHEN doc_id % 10 = 4
+              THEN ' see https://files.internal/x end'
+            WHEN doc_id % 10 = 5
+              THEN ' see https://a.example.org/x and' ||
+                   ' http://spam.example.net/y end'
+            ELSE '' END AS text
+          FROM documents),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                'https?://[^\s]+')) AS url
+              FROM r),
+        g AS (SELECT doc_id, url,
+                string_split(regexp_extract(url, 'https?://([^/?#]+)', 1),
+                  '.') AS labs,
+                regexp_extract(url, 'https?://([^/?#]+)', 1) AS host
+              FROM u),
+        d AS (SELECT doc_id, url,
+                CASE WHEN ends_with(host, '.co.uk')
+                       THEN array_to_string(labs[-3:], '.')
+                     WHEN ends_with(host, '.com')
+                       THEN array_to_string(labs[-2:], '.')
+                     WHEN ends_with(host, '.net')
+                       THEN array_to_string(labs[-2:], '.')
+                     WHEN ends_with(host, '.org')
+                       THEN array_to_string(labs[-2:], '.')
+                     WHEN ends_with(host, '.de')
+                       THEN array_to_string(labs[-2:], '.')
+                     WHEN ends_with(host, '.uk')
+                       THEN array_to_string(labs[-2:], '.')
+                     WHEN ends_with(host, '.io')
+                       THEN array_to_string(labs[-2:], '.')
+                     WHEN len(labs) >= 2
+                       THEN array_to_string(labs[-2:], '.')
+                     ELSE host END AS dom
+              FROM g),
+        f AS (SELECT doc_id, dom,
+                (dom IN ('example.net', 'badsite.co.uk')) AS bdom,
+                (contains(url, 'casino') OR contains(url, 'bet now'))
+                  AS bsub
+              FROM d),
+        a AS (SELECT doc_id, COUNT(*)::BIGINT AS n_urls,
+                array_to_string(list_sort(list_distinct(list(dom))), ',')
+                  AS domains_csv,
+                SUM(CASE WHEN bdom THEN 1 ELSE 0 END)::BIGINT
+                  AS n_blocked_domain,
+                SUM(CASE WHEN bsub THEN 1 ELSE 0 END)::BIGINT
+                  AS n_blocked_substring
+              FROM f GROUP BY doc_id)
+        SELECT r.doc_id, coalesce(n_urls, 0)::BIGINT AS n_urls,
+               coalesce(domains_csv, '') AS domains_csv,
+               coalesce(n_blocked_domain, 0)::BIGINT AS n_blocked_domain,
+               coalesce(n_blocked_substring, 0)::BIGINT
+                 AS n_blocked_substring,
+               (coalesce(n_blocked_domain, 0) = 0
+                AND coalesce(n_blocked_substring, 0) = 0) AS keep
+        FROM r LEFT JOIN a USING (doc_id)
+        ORDER BY r.doc_id""")),
+
+    // ---- q195: BYTE-level BPE training — the production variant
+    // (GPT-2 / Llama: merges over UTF-8 bytes, base alphabet ≤256, no
+    // OOV by construction). The q102 greedy loop runs untouched over
+    // hex-pair byte symbols (fixed-width hex makes byte concatenation =
+    // string concatenation, and the (cnt DESC, l, r) tie-break a plain
+    // ASCII compare); the fixture splices 2-byte characters onto every
+    // 4th doc so multi-byte sequences actually flow through the merge
+    // table in both engines. The oracle unrolls the identical 6 rounds
+    // over hex(encode(tok)) slices.
+    QueryDef(
+      "q195_byte_bpe_train",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val pre = byteBpeCorpus(s, dir)
+          .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val merges = trainedByteBpeMerges(dir, pre, rounds = 6)
+        import s.implicits._
+        merges.map(m => (m.round, m.left, m.right, m.cnt))
+          .toDF("round", "pair_left", "pair_right", "cnt")
+          .orderBy(col("round"))
+      },
+      Some {
+        val pat = graft.functions.TextFunctions.BpePreTokenPattern
+          .replace("'", "''")
+        s"""
+        WITH sp AS (SELECT doc_id, $byteBpeSpliceSql
+                    FROM documents WHERE lang = 'en'),
+        pt AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok
+               FROM sp),
+        base AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM pt GROUP BY tok),
+        b2 AS (SELECT tok, freq, hex(encode(tok)) AS h FROM base),
+        vocab0 AS (SELECT tok, freq,
+            list_transform(range(1, strlen(tok) + 1),
+              i -> h[i*2-1 : i*2]) AS syms
+          FROM b2),
+        ${(1 to 6).map(sqlBpeRound).mkString(",\n")}
+        SELECT * FROM (
+          ${(1 to 6).map(r =>
+            s"SELECT $r AS round, l AS pair_left, r AS pair_right, cnt FROM m$r")
+            .mkString("\n          UNION ALL ")}
+        )
+        ORDER BY round"""
+      }),
+
+    // ---- q196: BYTE-level BPE ENCODE — the apply half of q195 (frozen
+    // byte merges, the q136 vocab-cache shape: each DISTINCT pretoken
+    // encodes once and broadcasts back). Ledger per doc: pretokens,
+    // UTF-8 BYTES, byte-BPE tokens — on the multi-byte-spliced corpus,
+    // so n_bytes > n_chars on the spliced docs and the byte accounting
+    // is actually gated.
+    QueryDef(
+      "q196_byte_bpe_encode",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.Bpe
+        val sp = byteBpeCorpus(s, dir)
+        val pre = sp
+          .select(explode(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val merges = trainedByteBpeMerges(dir, pre, rounds = 6)
+        val enc = pre.select(col("tok"),
+          octet_length(col("tok")).cast("long").as("__nb0"),
+          size(Bpe.encodeWithMerges(Bpe.byteSymbols(col("tok")), merges))
+            .cast("long").as("__nt"))
+        sp.select(col("doc_id"),
+            explode_outer(TextFunctions.bpePreTokens(col("text"))).as("tok"))
+          .filter(col("tok").isNotNull)
+          .join(broadcast(enc), "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pretokens"),
+            sum(col("__nb0")).as("n_bytes_pretok"),
+            sum(col("__nt")).as("n_byte_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val pat = graft.functions.TextFunctions.BpePreTokenPattern
+          .replace("'", "''")
+        s"""
+        WITH sp AS (SELECT doc_id, $byteBpeSpliceSql
+                    FROM documents WHERE lang = 'en'),
+        pt AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok
+               FROM sp),
+        base AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM pt GROUP BY tok),
+        b2 AS (SELECT tok, freq, hex(encode(tok)) AS h FROM base),
+        vocab0 AS (SELECT tok, freq,
+            list_transform(range(1, strlen(tok) + 1),
+              i -> h[i*2-1 : i*2]) AS syms
+          FROM b2),
+        ${(1 to 6).map(sqlBpeRound).mkString(",\n")},
+        ptd AS (SELECT doc_id,
+                  unnest(regexp_extract_all(text, '$pat')) AS tok
+                FROM sp),
+        dt AS (SELECT DISTINCT tok FROM ptd),
+        d2 AS (SELECT tok, hex(encode(tok)) AS h FROM dt),
+        e0 AS (SELECT tok,
+                 list_transform(range(1, strlen(tok) + 1),
+                   i -> h[i*2-1 : i*2]) AS s
+               FROM d2),
+        ${(1 to 6).map(sqlBpeEncRound).mkString(",\n")}
+        SELECT doc_id, count(*)::BIGINT AS n_pretokens,
+               sum(strlen(tok))::BIGINT AS n_bytes_pretok,
+               sum(len(s))::BIGINT AS n_byte_tokens
+        FROM ptd JOIN e6 USING (tok)
+        GROUP BY doc_id
+        ORDER BY doc_id"""
+      }),
+
+    // ---- q197: epoch-schedule EMISSION — q189 ships the ledger; this
+    // ships the artifact a trainer iterates: per-epoch membership (full
+    // whole-corpus repeats + the hash-order partial prefix) composed
+    // into q190's pack payloads, so the multi-epoch training order is
+    // ONE readable table (lang, epoch, pack → payload). q189's params
+    // (budget 17/10, cap 2): small languages repeat exactly twice, en
+    // runs one full epoch plus a partial — so repeats, the partial
+    // prefix, and per-epoch packing all sit under the gate. The oracle
+    // re-derives the waterfill, the epoch factoring, the prefix take,
+    // and every payload by value.
+    QueryDef(
+      "q197_epoch_emission",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val d = docs(s, dir)
+        val alloc = Sampling.unimaxAllocate(d, "lang", "n_chars",
+          budgetNum = 17L, budgetDen = 10L, epochCap = 2L)
+        Sampling.unimaxEpochPackPayloads(d, "doc_id", "lang", "n_chars",
+            "text", alloc, packBudget = 2048L)
+          .orderBy(col("lang"), col("epoch"), col("pack_id"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, SUM(n_chars)::BIGINT AS n_mass,
+                          (SUM(n_chars) * 2)::BIGINT AS capacity
+                   FROM documents GROUP BY lang),
+        t AS (SELECT SUM(n_mass)::BIGINT AS tot, COUNT(*)::BIGINT AS l
+              FROM c),
+        r AS (SELECT c.*, t.tot, t.l, (t.tot * 17) // 10 AS b,
+                ROW_NUMBER() OVER (ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM c CROSS JOIN t),
+        f AS (SELECT *,
+                capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+              FROM r),
+        g AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT
+                  AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+                  ::BIGINT AS pk
+              FROM f),
+        a AS (SELECT lang, n_mass,
+                (CASE WHEN capped THEN capacity
+                      ELSE (b - pk) // greatest(1, l - k)
+                           + CASE WHEN i - k <= (b - pk) %
+                               greatest(1, l - k) THEN 1 ELSE 0 END
+                 END)::BIGINT AS allocated
+              FROM g),
+        sch AS (SELECT lang, n_mass, allocated,
+                  allocated // greatest(1, n_mass) AS n_full_epochs,
+                  allocated % greatest(1, n_mass) AS partial_target
+                FROM a),
+        fe AS (SELECT d.lang, d.doc_id, d.n_chars::BIGINT AS w, d.text,
+                 e.epoch
+               FROM documents d JOIN sch ON d.lang = sch.lang,
+                    LATERAL (SELECT unnest(range(0, sch.n_full_epochs))
+                             AS epoch) e),
+        wnd AS (SELECT lang, doc_id, n_chars::BIGINT AS w, text,
+                  SUM(n_chars::BIGINT) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM documents),
+        pe AS (SELECT w.lang, doc_id, w.w, w.text,
+                 sch.n_full_epochs AS epoch
+               FROM wnd w JOIN sch ON w.lang = sch.lang
+               WHERE sch.partial_target > 0 AND cum <= sch.partial_target),
+        em AS (SELECT * FROM fe UNION ALL SELECT * FROM pe),
+        p AS (SELECT lang, epoch, doc_id, w, text,
+                (COALESCE(SUM(w) OVER (PARTITION BY lang, epoch
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 2048)::BIGINT AS pack_id
+              FROM em)
+        SELECT lang, epoch::BIGINT AS epoch, pack_id,
+               COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS total_tokens,
+               string_agg(text, chr(10) ORDER BY doc_id) AS payload
+        FROM p GROUP BY lang, epoch, pack_id
+        ORDER BY lang, epoch, pack_id""")),
+
+    // ---- q198: curriculum × packing — q192's phase assignment composed
+    // into q182's pack manifests so the annealing schedule becomes a
+    // consumable batch plan: packs build PER PHASE (docs in id order
+    // within their phase), so a phase boundary can NEVER split a pack —
+    // the structural guarantee this gate (and its spec corner) pins.
+    // Score = q192's distinct-token permille; the oracle re-derives
+    // rank, phase floor division, per-phase packing, and the boundary
+    // CSVs.
+    QueryDef(
+      "q198_curriculum_packs",
+      (s, dir) => {
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val scored = docs(s, dir)
+          .select(col("doc_id"),
+            size(array_distinct(tk)).cast("long").as("__d"),
+            greatest(lit(1L), size(tk).cast("long")).as("__t"),
+            size(tk).cast("long").as("n_tokens"))
+          .withColumn("score", expr("1000L * __d div __t"))
+          .select(col("doc_id"), col("score"), col("n_tokens"))
+        Curation.curriculumPackPlan(scored, "doc_id", "score", "n_tokens",
+            nPhases = 3, packBudget = 512L)
+          .orderBy(col("phase"), col("pack_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+        sc AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                 (1000 * len(list_distinct(tk)))
+                   // greatest(1, len(tk)) AS score
+               FROM t),
+        r AS (SELECT doc_id, n_tokens,
+                ROW_NUMBER() OVER (ORDER BY score, doc_id)::BIGINT AS rk,
+                COUNT(*) OVER ()::BIGINT AS n
+              FROM sc),
+        ph AS (SELECT doc_id, n_tokens,
+                 ((3 * (rk - 1)) // n)::BIGINT AS phase
+               FROM r),
+        p AS (SELECT doc_id, phase, n_tokens,
+                (COALESCE(SUM(n_tokens) OVER (PARTITION BY phase
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 512)::BIGINT AS pack_id
+              FROM ph),
+        o AS (SELECT phase, pack_id, doc_id, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY phase, pack_id
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS off
+              FROM p)
+        SELECT phase, pack_id, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
+        FROM o GROUP BY phase, pack_id
+        ORDER BY phase, pack_id"""))
   )
 }

@@ -763,4 +763,52 @@ class CurationSpec extends SparkSpec {
     assert(out(8L).getAs[Long]("n_cut") == 3L &&
       out(8L).getAs[String]("text_clean") == "")
   }
+
+  test("urlDomainFilter: longest-suffix registrable domains (co.uk beats " +
+      "uk), punycode labels pass through undecoded, unknown suffix falls " +
+      "back to last two labels, substring and domain blocklists compose") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // multi-label suffix: registrable must be news.co.uk, NOT co.uk
+      (1L, "a https://media.news.co.uk/article b"),
+      // punycode host: xn-- label is an ordinary label, never decoded
+      (2L, "a https://shop.xn--bcher-kva.de/kaufen b"),
+      // blocked registrable domain (spam.example.net → example.net)
+      (3L, "a http://spam.example.net/promo b"),
+      // clean domain, blocked SUBSTRING in the path
+      (4L, "a https://ok.example.com/free-casino-chips b"),
+      // unknown suffix: fallback = last two labels
+      (5L, "a https://files.internal/x b"),
+      // single-label host: passes through whole
+      (6L, "a http://localhost/x b"),
+      // two URLs, one blocked — domain csv sorted, counts split
+      (7L, "a https://a.example.org/x http://spam.example.net/y b"),
+      // no URL at all
+      (8L, "plain text only")).toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomainFilter(docs, "doc_id", "text",
+        suffixes = Seq("com", "net", "org", "de", "uk", "co.uk"),
+        blockedDomains = Seq("example.net"),
+        blockedSubstrings = Seq("casino", "bet now"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("domains_csv") == "news.co.uk" &&
+      out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[String]("domains_csv") == "xn--bcher-kva.de" &&
+      out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[String]("domains_csv") == "example.net" &&
+      out(3L).getAs[Long]("n_blocked_domain") == 1L &&
+      !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Long]("n_blocked_domain") == 0L &&
+      out(4L).getAs[Long]("n_blocked_substring") == 1L &&
+      !out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[String]("domains_csv") == "files.internal")
+    assert(out(6L).getAs[String]("domains_csv") == "localhost")
+    assert(out(7L).getAs[Long]("n_urls") == 2L &&
+      out(7L).getAs[String]("domains_csv") == "example.net,example.org" &&
+      out(7L).getAs[Long]("n_blocked_domain") == 1L &&
+      !out(7L).getAs[Boolean]("keep"))
+    assert(out(8L).getAs[Long]("n_urls") == 0L &&
+      out(8L).getAs[String]("domains_csv") == "" &&
+      out(8L).getAs[Boolean]("keep"))
+  }
 }

@@ -1249,6 +1249,47 @@ class OperatorsSpec extends SparkSpec {
     assert(novel == Seq("ab", "z"))
   }
 
+  test("byte-level BPE: UTF-8 byte symbols, a multi-byte character split " +
+      "ACROSS merges round-trips, byte training has no OOV path") {
+    import graft.operators.Bpe
+    // 'é' = C3 A9: round-0 symbols are hex byte pairs
+    val syms = Seq(Tuple1("hé")).toDF("tok")
+      .select(Bpe.byteSymbols(col("tok"))).head.getSeq[String](0)
+    assert(syms == Seq("68", "C3", "A9"))
+    // merges that SPLIT the 2-byte char across rounds: (68,C3) fuses the
+    // ASCII byte with é's FIRST byte — the intermediate symbol "68C3" is
+    // not valid UTF-8 on its own — then (68C3,A9) completes it. The full
+    // concatenation must still round-trip to the original string.
+    val crossMerges = Seq(
+      Bpe.BpeMerge(1, "68", "C3", 0L), Bpe.BpeMerge(2, "68C3", "A9", 0L))
+    val rt = Seq(Tuple1("hé")).toDF("tok")
+      .select(
+        Bpe.encodeWithMerges(Bpe.byteSymbols(col("tok")), crossMerges)
+          .as("s"))
+      .select(col("s"), Bpe.bytesToString(col("s")).as("back"))
+      .head
+    assert(rt.getSeq[String](0) == Seq("68C3A9")) // one merged symbol
+    assert(rt.getString(1) == "hé")               // bytes round-trip
+    // byte training: the dominant byte pair wins round 1 with hex-string
+    // tie-breaks; every input (ASCII or not) starts in-vocabulary
+    val pre = Seq(("héé", 5L), ("hé", 2L)).toDF("tok", "freq")
+    val merges = Bpe.trainByteBpe(pre, rounds = 2)
+    // pairs round 1: (68,C3)=7, (C3,A9)=12, (A9,C3)=5 → (C3,A9) wins
+    assert(merges.head.left == "C3" && merges.head.right == "A9" &&
+      merges.head.cnt == 12L)
+    // after round 1, "héé" = [68, C3A9, C3A9]: (C3A9,C3A9)=5, (68,C3A9)=7
+    assert(merges(1).left == "68" && merges(1).right == "C3A9" &&
+      merges(1).cnt == 7L)
+    // an arbitrary unseen string encodes losslessly (no OOV): partial
+    // merge coverage, full byte round-trip
+    val enc = Seq(Tuple1("zhé!")).toDF("tok")
+      .select(Bpe.encodeWithMerges(Bpe.byteSymbols(col("tok")), merges)
+        .as("s"))
+      .select(col("s"), Bpe.bytesToString(col("s")).as("back")).head
+    assert(enc.getSeq[String](0) == Seq("7A", "68C3A9", "21"))
+    assert(enc.getString(1) == "zhé!")
+  }
+
   test("DictionaryMatches: Aho-Corasick scan ≡ naive per-term contains — " +
       "overlapping terms, failure-link suffixes, randomized cross-check, " +
       "codegen path") {

@@ -215,4 +215,64 @@ class SamplingSpec extends SparkSpec {
     assert(out(0L) == ((2L, "one\ntwo")))
     assert(out(1L) == ((2L, "three\nfour")))
   }
+
+  test("unimaxEpochEmission: a capped group's docs appear exactly cap " +
+      "times; the partial epoch is the unimaxTake hash-order prefix; " +
+      "full epochs carry the whole group") {
+    // same fixture as the schedule spec: fr saturates at 3 epochs,
+    // en factors into 0 full + a 50-mass partial (5 of its 6 docs)
+    val docs = ((1L to 6L).map(i => (i, "en", 10L)) ++
+      (11L to 12L).map(i => (i, "fr", 5L))).toDF("doc_id", "lang", "n_chars")
+    val alloc = Sampling.unimaxAllocate(docs, "lang", "n_chars", 8L, 7L, 3L)
+    val em = Sampling.unimaxEpochEmission(docs, "doc_id", "lang",
+      "n_chars", alloc).collect()
+    val fr = em.filter(_.getString(0) == "fr")
+    // every fr doc appears in epochs 0,1,2 — exactly cap occurrences
+    assert(fr.groupBy(_.getLong(1)).view.mapValues(
+      _.map(_.getAs[Long]("epoch")).sorted.toSeq).toMap ==
+      Map(11L -> Seq(0L, 1L, 2L), 12L -> Seq(0L, 1L, 2L)))
+    val en = em.filter(_.getString(0) == "en")
+    // en: no full epoch, one partial at epoch 0 = the unimaxTake prefix
+    assert(en.forall(_.getAs[Long]("epoch") == 0L))
+    val takeIds = Sampling.unimaxTake(docs.filter(col("lang") === "en"),
+        "doc_id", "lang", "n_chars",
+        alloc.filter(col("lang") === "en"))
+      .collect().map(_.getLong(1)).toSet
+    assert(en.map(_.getLong(1)).toSet == takeIds && takeIds.size == 5)
+    // pack payloads: per-epoch packing means every full epoch of a
+    // group packs identically, and epochs never share a pack
+    val withText = docs.withColumn("text",
+      concat(lit("d"), col("doc_id").cast("string")))
+    val packs = Sampling.unimaxEpochPackPayloads(withText, "doc_id",
+        "lang", "n_chars", "text", alloc, packBudget = 8L)
+      .collect()
+    val frPacks = packs.filter(_.getString(0) == "fr")
+      .groupBy(_.getAs[Long]("epoch")).view
+      .mapValues(_.map(r => (r.getAs[Long]("pack_id"),
+        r.getAs[Long]("n_docs"), r.getAs[String]("payload"))).sorted.toSeq)
+      .toMap
+    assert(frPacks.keySet == Set(0L, 1L, 2L))
+    assert(frPacks(0L) == frPacks(1L) && frPacks(1L) == frPacks(2L))
+  }
+
+  test("curriculumPackPlan: packs never straddle a phase boundary and " +
+      "pack ids restart per phase") {
+    import graft.operators.Curation
+    // scores force phases: ids 1..9, score = id → phases 0/1/2 by rank
+    val docs = (1L to 9L).map(i => (i, i, 4L))
+      .toDF("doc_id", "score", "n_tokens")
+    val out = Curation.curriculumPackPlan(docs, "doc_id", "score",
+        "n_tokens", nPhases = 3, packBudget = 8L)
+      .collect()
+      .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("pack_id")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[String]("boundaries_csv"))))
+      .toMap
+    // 3 docs of 4 tokens per phase, budget 8 → packs of 2 + 1 per phase;
+    // pack ids restart at 0 in every phase (never straddling a boundary)
+    assert(out.keySet ==
+      Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+    assert(out((0L, 0L)) == ((2L, "4,8")))
+    assert(out((0L, 1L)) == ((1L, "4")))
+    assert(out((2L, 0L)) == ((2L, "4,8")))
+  }
 }
