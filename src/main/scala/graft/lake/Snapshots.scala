@@ -337,6 +337,65 @@ object Snapshots {
     }
   }
 
+  /** Fraction of a snapshot's files whose `keyCol` zone-map range
+    * OVERLAPS the previous file's range when sorted by range start —
+    * the direct measure of lost [[readKeyProbe]] pruning power (a fully
+    * reclustered table reads 0.0: every point key touches one file; a
+    * table of n interleaved per-commit runs reads → 1.0: every key
+    * touches every run). Files without usable long-typed stats count as
+    * overlapping (they are never prunable). Metadata-only — no data
+    * files are read.
+    */
+  def keyOverlapFraction(table: String, keyCol: String): Double = {
+    val entries = current(table).map(_.entries).getOrElse(Vector.empty)
+    if (entries.size <= 1) return 0.0
+    val ranged = entries.flatMap { e =>
+      for {
+        st <- e.stats; c <- st.cols.get(keyCol); if c.typ == 'l'
+        mn <- c.min; mx <- c.max
+      } yield (mn.asInstanceOf[java.lang.Long].longValue,
+        mx.asInstanceOf[java.lang.Long].longValue)
+    }
+    val blind = entries.size - ranged.size
+    val sorted = ranged.sortBy(r => (r._1, r._2))
+    val overlapping = sorted.iterator.sliding(2).withPartial(false)
+      .count { case Seq((_, aMax), (bMin, _)) => aMax >= bMin }
+    (overlapping + blind).toDouble / entries.size
+  }
+
+  /** Scheduled-run-safe registry maintenance — [[compactSmallFiles]]'
+    * no-op discipline applied to key clustering: measure
+    * [[keyOverlapFraction]] on `cols.head` and run ONE atomic
+    * [[recluster]] only when fragmentation exceeds `maxOverlapFrac`
+    * (per-commit clustered runs overlap ACROSS commits; a fold sequence
+    * that commits k batches accrues k interleaved runs and probe reads
+    * degrade toward full scans until a rewrite restores disjoint
+    * ranges). Below the threshold the call is a metadata-only no-op, so
+    * it is safe — and intended — to invoke after every fold batch.
+    * Returns the recluster commit version, or None on no-op.
+    *
+    * `nFiles` ≤ 0 derives the target from `keysPerFile` (file count
+    * grows with the registry, file SIZE stays constant — the 128 MB
+    * geometry [[graft.tools.RegistryProbe]] measures).
+    */
+  def reclusterIfFragmented(spark: SparkSession, table: String,
+      cols: Seq[String], maxOverlapFrac: Double = 0.3,
+      nFiles: Int = 0, keysPerFile: Long = 3300L): Option[Int] = {
+    require(cols.nonEmpty, "reclusterIfFragmented needs cluster columns")
+    val snap = current(table).getOrElse(
+      sys.error(s"no snapshot committed at $table"))
+    if (snap.entries.size <= 1) return None
+    if (keyOverlapFraction(table, cols.head) <= maxOverlapFrac) return None
+    val target =
+      if (nFiles > 0) nFiles
+      else {
+        val rows = snap.entries.iterator.flatMap(_.stats).map(_.rows).sum
+        math.max(1L, math.min(rows / math.max(1L, keysPerFile),
+          Int.MaxValue.toLong)).toInt
+      }
+    Some(recluster(spark, table, cols, target))
+  }
+
   private def readEntries(spark: SparkSession, table: String,
       entries: Seq[Entry], mergeSchema: Boolean,
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {

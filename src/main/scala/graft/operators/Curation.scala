@@ -841,11 +841,17 @@ object Curation {
     * paragraph (the q105 int64-key posture: collision ≈ n²/2⁶⁵; the
     * string-keyed oracle would catch a merge).
     */
-  def corpusParagraphDedup(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  /** @param sep the paragraph separator (regex). The default `\n\n` is
+    *   the plain-text convention; pipelines running AFTER a line-rejoin
+    *   stage (e.g. [[c4Rules]], whose `text_clean` joins kept lines with
+    *   a single newline) pass `\n` — which is also CCNet's actual unit:
+    *   in WET extractions a "paragraph" IS a line (Wenzek et al. 2020).
+    */
+  def corpusParagraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
     val paras = df
       .select(col(idCol),
-        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
       .withColumn("__h", xxhash64(
         regexp_replace(lower(col("para")), "[0-9]+", "0")))
     // first occurrence corpus-wide: min (doc, pos) per normalized key —
@@ -866,7 +872,7 @@ object Curation {
             array_sort(collect_list(
               when(col("__keep"), struct(col("pos"), col("para"))))),
             x => x("para")),
-          "\n\n").as("text_clean"))
+          sep).as("text_clean"))
   }
 
   /** Dataset release DIFF ledger — the versioning primitive a corpus

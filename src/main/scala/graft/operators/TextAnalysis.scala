@@ -354,6 +354,25 @@ object TextAnalysis {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** [[stripHtml]] preserving LINE structure — the pipeline variant: a
+    * web-curation chain's later stages (Gopher line/paragraph rules,
+    * CCNet paragraph dedup, C4 line rules) consume newlines as structure,
+    * so the hygiene pass must not collapse them the way [[stripHtml]]'s
+    * final `\s+ → ' '` does. Same block/tag/entity chain; horizontal
+    * whitespace collapses, spaces adjacent to newlines drop, newlines
+    * stay. Still one codegen'd expression chain, zero shuffle.
+    */
+  def stripHtmlKeepLines(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", "")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", "")
+    val unescaped = htmlEntities.foldLeft(noTags) {
+      case (acc, (ent, ch)) => regexp_replace(acc, ent, ch)
+    }
+    trim(regexp_replace(
+      regexp_replace(unescaped, "[ \t]+", " "), " ?\n ?", "\n"))
+  }
+
   /** Bigram language-model familiarity — the LM-based quality filter of
     * the published web-curation recipes (score each document by how
     * predictable its token sequence is under a corpus-trained n-gram

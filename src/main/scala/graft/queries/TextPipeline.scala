@@ -85,6 +85,372 @@ object TextPipeline {
     "text || CASE WHEN doc_id % 4 = 0 THEN ' café für " +
       "naïve' ELSE '' END AS text"
 
+  /** q199's composed web-curation corpus: the sentence-ified base (the
+    * q174 fixture transformation) + one always-splice (Gopher stopwords
+    * + one more sentence) + one kill/rewrite class per doc_id mod 17 +
+    * the q174 shared-span splices + the q111 HTML wrap — ONE fixture
+    * where every pipeline stage finds real work, mirrored verbatim in
+    * [[webPipelineOracleSql]].
+    */
+  private def webPipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val sents = graft.functions.TextFunctions.sixWordSentences(col("text"))
+    val id = col("doc_id")
+    val base = concat(
+      array_join(sents, " "),
+      lit(" the words to be of and that have with stay here."),
+      when(id % 17 === 1, lit(" see http://spam.example.net/promo now."))
+        .when(id % 17 === 2, lit(" " + "#" * 40 + " noise ahead."))
+        .when(id % 17 === 3,
+          lit(" " + Seq.fill(12)("repeat me").mkString(" ") + " then stop."))
+        .when(id % 17 === 4, lit(" lorem ipsum dolor sit amet."))
+        .when(id % 17 === 5, lit(" code sample { x } here."))
+        .when(id % 17 === 6, concat(lit("\nshared footer "),
+          id.cast("string"), lit(" all rights reserved today.")))
+        .when(id % 17 === 7,
+          lit(" contact agent 555-123-4567 or fax 555 987 6543 now."))
+        .otherwise(lit("")),
+      when(id % 10 === 0,
+        lit(" shared span alpha one. shared span alpha two." +
+          " shared span alpha three. shared span alpha four."))
+        .when(id % 4 === 0,
+          lit(" shared span alpha one. shared span alpha two." +
+            " shared span alpha three."))
+        .otherwise(lit("")))
+    val wrapped = when(id % 9 === 0,
+        concat(lit("<script type=\"text/javascript\">var x = 1;</script>" +
+          "<div class=\"wrap\"><p>"), base,
+          lit("</p> &amp; <b>tail.</b></div>")))
+      .when(id % 3 === 0,
+        concat(lit("<div class=\"wrap\"><p>"), base,
+          lit("</p> &amp; <b>tail.</b></div>")))
+      .otherwise(base)
+    docs(s, dir).select(id, col("lang"), wrapped.as("text"))
+  }
+
+  /** The composed web-curation oracle: re-derives ALL ten stages from the
+    * raw documents table — fixture, URL blocklists, line-preserving HTML
+    * strip, langid argmax, both Gopher batteries, C4 line+page rules,
+    * line-level CCNet paragraph dedup, C4 span dedup, the full
+    * LSH → Jaccard → recursive-CC → canonical chain, and PII redaction —
+    * then emits the per-stage attrition ledger. Every stage CTE is
+    * MATERIALIZED: the ledger references each stage several times, and
+    * inlined CTEs would recompute each stage per reference, compounding
+    * per level (the prototype ran >300 s inlined, 0.9 s materialized).
+    */
+  private def webPipelineOracleSql: String = {
+    val hashes = "#" * 40
+    val repeats = Seq.fill(12)("repeat me").mkString(" ")
+    val langs = graft.operators.TextAnalysis.lexicons.toSeq.sortBy(_._1)
+    val ratios = langs.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> x IN ($in)))" +
+        s"::DOUBLE / len(tk) ELSE 0.0 END AS r_$l"
+    }.mkString(",\n         ")
+    val packs = langs.map { case (l, _) =>
+      s"struct_pack(r := r_$l, l := '$l')" }.mkString(", ")
+    def stat(i: Int, name: String, prev: String, cur: String): String = s"""
+      SELECT ${i}::BIGINT AS stage_id, '$name' AS stage,
+        (SELECT count(*) FROM $prev)::BIGINT AS n_in,
+        (SELECT count(*) FROM $cur)::BIGINT AS n_kept,
+        (SELECT coalesce(sum(len($sqlToks)), 0) FROM $cur)::BIGINT
+          AS tokens_kept,
+        (SELECT coalesce(sum(length(text)), 0) FROM $cur)::BIGINT
+          AS chars_kept,
+        (SELECT coalesce(bit_xor(('0x' || substr(md5(text), 1, 15))
+          ::BIGINT), 0) FROM $cur) AS text_fp"""
+    val stages = Seq("raw" -> ("s0", "s0"), "url_filter" -> ("s0", "s1"),
+      "html_clean" -> ("s1", "s2"), "langid" -> ("s2", "s3"),
+      "gopher_quality" -> ("s3", "s4"),
+      "gopher_repetition" -> ("s4", "s5"), "c4_rules" -> ("s5", "s6"),
+      "paragraph_dedup" -> ("s6", "s7"), "span_dedup" -> ("s7", "s8"),
+      "near_dup" -> ("s8", "s9"), "pii_redact" -> ("s9", "s10"))
+    val ledger = stages.zipWithIndex.map { case ((n, (p, c)), i) =>
+      stat(i, n, p, c) }.mkString("\nUNION ALL\n")
+    s"""
+    WITH RECURSIVE
+    t0 AS MATERIALIZED (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
+    fx AS MATERIALIZED (SELECT doc_id, lang,
+        array_to_string(list_transform(
+          range(0, ((len(tk) - 1) // 6) + 1),
+          i -> array_to_string(tk[i*6+1 : i*6+6], ' ') || '.'), ' ')
+        || ' the words to be of and that have with stay here.'
+        || CASE doc_id % 17
+           WHEN 1 THEN ' see http://spam.example.net/promo now.'
+           WHEN 2 THEN ' $hashes noise ahead.'
+           WHEN 3 THEN ' $repeats then stop.'
+           WHEN 4 THEN ' lorem ipsum dolor sit amet.'
+           WHEN 5 THEN ' code sample { x } here.'
+           WHEN 6 THEN e'\\nshared footer ' || doc_id
+                       || ' all rights reserved today.'
+           WHEN 7 THEN ' contact agent 555-123-4567 or fax 555 987 6543 now.'
+           ELSE '' END
+        || CASE WHEN doc_id % 10 = 0 THEN
+             ' shared span alpha one. shared span alpha two.' ||
+             ' shared span alpha three. shared span alpha four.'
+           WHEN doc_id % 4 = 0 THEN
+             ' shared span alpha one. shared span alpha two.' ||
+             ' shared span alpha three.'
+           ELSE '' END AS t
+      FROM t0),
+    s0 AS MATERIALIZED (SELECT doc_id, lang,
+        CASE WHEN doc_id % 9 = 0 THEN
+               '<script type="text/javascript">var x = 1;</script><div class="wrap"><p>'
+               || t || '</p> &amp; <b>tail.</b></div>'
+             WHEN doc_id % 3 = 0 THEN
+               '<div class="wrap"><p>' || t || '</p> &amp; <b>tail.</b></div>'
+             ELSE t END AS text
+      FROM fx),
+    u1 AS MATERIALIZED (SELECT doc_id,
+        unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
+      FROM s0),
+    g1 AS MATERIALIZED (SELECT doc_id, url,
+        string_split(regexp_extract(url, 'https?://([^/?#]+)', 1), '.') AS labs,
+        regexp_extract(url, 'https?://([^/?#]+)', 1) AS host
+      FROM u1),
+    d1 AS MATERIALIZED (SELECT doc_id, url,
+        CASE WHEN ends_with(host, '.co.uk') THEN array_to_string(labs[-3:], '.')
+             WHEN ends_with(host, '.com') THEN array_to_string(labs[-2:], '.')
+             WHEN ends_with(host, '.net') THEN array_to_string(labs[-2:], '.')
+             WHEN ends_with(host, '.org') THEN array_to_string(labs[-2:], '.')
+             WHEN len(labs) >= 2 THEN array_to_string(labs[-2:], '.')
+             ELSE host END AS dom
+      FROM g1),
+    b1 AS MATERIALIZED (SELECT DISTINCT doc_id FROM d1
+      WHERE dom IN ('example.net', 'badsite.co.uk')
+         OR contains(url, 'casino')),
+    s1 AS MATERIALIZED (SELECT s0.* FROM s0 LEFT JOIN b1 USING (doc_id)
+      WHERE b1.doc_id IS NULL),
+    s2 AS MATERIALIZED (SELECT doc_id, lang,
+        trim(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(text,
+              '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'g'),
+              '<[^>]*>', '', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&amp;', '&'),
+          '[ \\t]+', ' ', 'g'), ' ?\\n ?', e'\\n', 'g')) AS text
+      FROM s1),
+    t3 AS MATERIALIZED (SELECT doc_id, lang, text, $sqlToks AS tk FROM s2),
+    r3 AS MATERIALIZED (SELECT doc_id, lang, text,
+         $ratios
+       FROM t3),
+    b3 AS MATERIALIZED (SELECT *, list_max([$packs]) AS best FROM r3),
+    s3 AS MATERIALIZED (SELECT doc_id, lang, text FROM b3
+      WHERE best.r >= 0.08 AND best.l = 'en'),
+    t4 AS MATERIALIZED (SELECT doc_id, lang, text, $sqlToks AS tk,
+        string_split(text, chr(10)) AS ls
+      FROM s3),
+    c4q AS MATERIALIZED (SELECT doc_id, lang, text,
+        len(tk)::BIGINT AS n_words,
+        coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::BIGINT
+          AS n_word_chars,
+        (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.'))
+          + len(regexp_extract_all(text, '…')))::BIGINT AS n_symbols,
+        len(ls)::BIGINT AS n_lines,
+        len(list_filter(ls, l ->
+          substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::BIGINT
+          AS n_bullet_lines,
+        len(list_filter(ls, l ->
+          rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))::BIGINT
+          AS n_ellipsis_lines,
+        (len(ls) - len(list_distinct(ls)))::BIGINT AS n_dup_lines,
+        len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::BIGINT
+          AS n_alpha_words,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+          sw -> list_contains(tk, sw)))::BIGINT AS n_stopwords
+      FROM t4),
+    s4 AS MATERIALIZED (SELECT doc_id, lang, text FROM c4q
+      WHERE (n_words BETWEEN 50 AND 100000)
+        AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+        AND (10 * n_symbols <= n_words)
+        AND (10 * n_bullet_lines <= 9 * n_lines)
+        AND (10 * n_ellipsis_lines <= 3 * n_lines)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stopwords >= 2)
+        AND (10 * n_dup_lines <= 3 * n_lines)),
+    t5 AS MATERIALIZED (SELECT doc_id, lang, text, $sqlToks AS tk,
+        string_split(text, chr(10) || chr(10)) AS ps,
+        string_split(text, chr(10)) AS ls
+      FROM s4),
+    base5 AS MATERIALIZED (SELECT doc_id,
+        coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::BIGINT
+          AS n_word_chars,
+        len(ps)::BIGINT AS n_paras,
+        (len(ps) - len(list_distinct(ps)))::BIGINT AS n_dup_paras,
+        coalesce(list_sum(list_transform(list_distinct(ps), v ->
+          (len(list_filter(ps, x -> x = v)) - 1) * length(v))), 0)::BIGINT
+          AS dup_para_chars,
+        coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::BIGINT
+          AS n_para_chars,
+        coalesce(list_sum(list_transform(list_distinct(ls), v ->
+          (len(list_filter(ls, x -> x = v)) - 1) * length(v))), 0)::BIGINT
+          AS dup_line_chars,
+        coalesce(list_sum(list_transform(ls, x -> length(x))), 0)::BIGINT
+          AS n_line_chars
+      FROM t5),
+    w5 AS MATERIALIZED (SELECT doc_id,
+        2 + z.uu // len(tk) AS n,
+        1 + z.uu % len(tk) AS i,
+        array_to_string(tk[(1 + z.uu % len(tk)) :
+          (1 + z.uu % len(tk)) + (1 + z.uu // len(tk))], ' ') AS gram
+      FROM t5, LATERAL (SELECT unnest(range(0, 9 * len(tk))) AS uu) z
+      WHERE (1 + z.uu % len(tk)) + (1 + z.uu // len(tk)) <= len(tk)),
+    counts5 AS MATERIALIZED (SELECT doc_id, n, gram, COUNT(*)::BIGINT AS cnt
+      FROM w5 GROUP BY 1, 2, 3),
+    top5 AS MATERIALIZED (SELECT doc_id,
+        SUM(CASE WHEN n = 2 THEN chars ELSE 0 END)::BIGINT AS top2_chars,
+        SUM(CASE WHEN n = 3 THEN chars ELSE 0 END)::BIGINT AS top3_chars,
+        SUM(CASE WHEN n = 4 THEN chars ELSE 0 END)::BIGINT AS top4_chars
+      FROM (SELECT doc_id, n,
+              (cnt * (length(gram) - (n - 1)))::BIGINT AS chars,
+              ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                ORDER BY cnt DESC, gram) AS rn
+            FROM counts5 WHERE n <= 4)
+      WHERE rn = 1 GROUP BY doc_id),
+    dupw5 AS MATERIALIZED (SELECT w5.doc_id, w5.n, w5.i
+      FROM w5 JOIN counts5 c ON c.doc_id = w5.doc_id AND c.n = w5.n
+        AND c.gram = w5.gram
+      WHERE c.cnt >= 2 AND w5.n >= 5),
+    cov5 AS MATERIALIZED (SELECT DISTINCT doc_id, n, z.p
+      FROM dupw5, LATERAL (SELECT unnest(range(i, i + n)) AS p) z),
+    wl5 AS MATERIALIZED (SELECT doc_id, u.p, length(u.wd)::BIGINT AS wlen
+      FROM t5, LATERAL (SELECT unnest(tk) AS wd,
+        unnest(range(1, len(tk) + 1)) AS p) u),
+    dupc5 AS MATERIALIZED (SELECT cov5.doc_id,
+        SUM(CASE WHEN n = 5 THEN wlen ELSE 0 END)::BIGINT AS dup5_chars,
+        SUM(CASE WHEN n = 6 THEN wlen ELSE 0 END)::BIGINT AS dup6_chars,
+        SUM(CASE WHEN n = 7 THEN wlen ELSE 0 END)::BIGINT AS dup7_chars,
+        SUM(CASE WHEN n = 8 THEN wlen ELSE 0 END)::BIGINT AS dup8_chars,
+        SUM(CASE WHEN n = 9 THEN wlen ELSE 0 END)::BIGINT AS dup9_chars,
+        SUM(CASE WHEN n = 10 THEN wlen ELSE 0 END)::BIGINT AS dup10_chars
+      FROM cov5 JOIN wl5 ON wl5.doc_id = cov5.doc_id AND wl5.p = cov5.p
+      GROUP BY cov5.doc_id),
+    j5 AS MATERIALIZED (SELECT base5.doc_id,
+        n_word_chars, n_paras, n_dup_paras, dup_para_chars, n_para_chars,
+        dup_line_chars, n_line_chars,
+        coalesce(top2_chars, 0)::BIGINT AS top2_chars,
+        coalesce(top3_chars, 0)::BIGINT AS top3_chars,
+        coalesce(top4_chars, 0)::BIGINT AS top4_chars,
+        coalesce(dup5_chars, 0)::BIGINT AS dup5_chars,
+        coalesce(dup6_chars, 0)::BIGINT AS dup6_chars,
+        coalesce(dup7_chars, 0)::BIGINT AS dup7_chars,
+        coalesce(dup8_chars, 0)::BIGINT AS dup8_chars,
+        coalesce(dup9_chars, 0)::BIGINT AS dup9_chars,
+        coalesce(dup10_chars, 0)::BIGINT AS dup10_chars
+      FROM base5 LEFT JOIN top5 USING (doc_id)
+      LEFT JOIN dupc5 USING (doc_id)),
+    k5 AS MATERIALIZED (SELECT doc_id FROM j5
+      WHERE (10 * n_dup_paras <= 3 * n_paras)
+        AND (100 * dup_para_chars <= 20 * n_para_chars)
+        AND (100 * dup_line_chars <= 20 * n_line_chars)
+        AND (100 * top2_chars <= 20 * n_word_chars)
+        AND (100 * top3_chars <= 18 * n_word_chars)
+        AND (100 * top4_chars <= 16 * n_word_chars)
+        AND (100 * dup5_chars <= 15 * n_word_chars)
+        AND (100 * dup6_chars <= 14 * n_word_chars)
+        AND (100 * dup7_chars <= 13 * n_word_chars)
+        AND (100 * dup8_chars <= 12 * n_word_chars)
+        AND (100 * dup9_chars <= 11 * n_word_chars)
+        AND (100 * dup10_chars <= 10 * n_word_chars)),
+    s5 AS MATERIALIZED (SELECT t5.doc_id, t5.lang, t5.text
+      FROM t5 JOIN k5 USING (doc_id)),
+    t6 AS MATERIALIZED (SELECT doc_id, lang, text,
+        string_split(text, chr(10)) AS ls, $sqlToks AS tk FROM s5),
+    c6 AS MATERIALIZED (SELECT doc_id, lang,
+        contains(lower(text), 'lorem ipsum') AS f_lorem,
+        contains(text, '{') AS f_brace,
+        len(list_filter(['badword1', 'badword2'],
+          w -> list_contains(tk, w))) > 0 AS f_bad,
+        array_to_string(list_filter(ls, l ->
+          len(list_filter(string_split_regex(lower(trim(l)), '\\s+'),
+            x -> x <> '')) >= 5
+          AND (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+               OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+          AND NOT contains(lower(l), 'javascript')), chr(10)) AS text_clean
+      FROM t6),
+    s6 AS MATERIALIZED (SELECT doc_id, lang, text_clean AS text FROM c6
+      WHERE NOT f_lorem AND NOT f_brace AND NOT f_bad
+        AND len(regexp_extract_all(text_clean, '[.!?]')) >= 3),
+    p7 AS MATERIALIZED (SELECT doc_id, lang, u.para, u.pos,
+        regexp_replace(lower(u.para), '[0-9]+', '0', 'g') AS np
+      FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS ps
+            FROM s6) t,
+           LATERAL (SELECT unnest(ps) AS para,
+                           unnest(range(0, len(ps))) AS pos) u),
+    k7 AS MATERIALIZED (SELECT doc_id, lang, pos, para,
+        ROW_NUMBER() OVER (PARTITION BY np ORDER BY doc_id, pos) = 1
+          AS keep
+      FROM p7),
+    s7 AS MATERIALIZED (SELECT doc_id, any_value(lang) AS lang,
+        coalesce(string_agg(CASE WHEN keep THEN para END,
+          chr(10) ORDER BY pos), '') AS text
+      FROM k7 GROUP BY doc_id),
+    sar8 AS MATERIALIZED (SELECT doc_id, lang,
+        list_transform(regexp_extract_all(text, '[^.!?]*[.!?]'),
+          x -> trim(x)) AS arr
+      FROM s7),
+    p8 AS MATERIALIZED (SELECT doc_id, u.sent, u.pos
+      FROM sar8, LATERAL (SELECT unnest(arr) AS sent,
+        unnest(range(0, len(arr))) AS pos) u),
+    sp8 AS MATERIALIZED (SELECT doc_id, u.i AS pos,
+        lower(arr[u.i+1] || ' ' || arr[u.i+2] || ' ' || arr[u.i+3]) AS key
+      FROM sar8, LATERAL (SELECT unnest(range(0,
+        CASE WHEN len(arr) >= 3 THEN len(arr) - 2 ELSE 0 END)) AS i) u),
+    k8 AS MATERIALIZED (SELECT doc_id, pos, key,
+        COUNT(*) OVER (PARTITION BY key) AS c,
+        ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+      FROM sp8),
+    cut8 AS MATERIALIZED (SELECT DISTINCT doc_id, pos + o.off AS pos
+      FROM k8, LATERAL (SELECT unnest([0, 1, 2]) AS off) o
+      WHERE c > 1 AND rn > 1),
+    s8 AS MATERIALIZED (SELECT p8.doc_id, any_value(sar8.lang) AS lang,
+        coalesce(string_agg(CASE WHEN cut8.doc_id IS NULL THEN p8.sent END,
+          ' ' ORDER BY p8.pos), '') AS text
+      FROM p8
+      LEFT JOIN cut8 ON p8.doc_id = cut8.doc_id AND p8.pos = cut8.pos
+      JOIN sar8 ON sar8.doc_id = p8.doc_id
+      GROUP BY p8.doc_id),
+    t9 AS MATERIALIZED (SELECT doc_id, $sqlToks AS tk FROM s8),
+    sh9 AS MATERIALIZED (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t9),
+    h9 AS MATERIALIZED (SELECT doc_id, ${sqlHashArr(0)} AS hs0,
+        ${sqlHashArr(1)} AS hs1 FROM sh9),
+    m9 AS MATERIALIZED (SELECT doc_id,
+        ${sqlMhChunk(0)} || '#' || ${sqlMhChunk(1)} || '#' || ${sqlMhChunk(2)} AS band0,
+        ${sqlMhChunk(3)} || '#' || ${sqlMhChunk(4)} || '#' || ${sqlMhChunk(5)} AS band1
+      FROM h9),
+    e9 AS MATERIALIZED (SELECT doc_id, 0 AS band, band0 AS sig FROM m9
+      UNION ALL SELECT doc_id, 1, band1 FROM m9),
+    cand9 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM e9 a JOIN e9 b ON a.band = b.band AND a.sig = b.sig
+        AND a.doc_id < b.doc_id),
+    j9 AS MATERIALIZED (SELECT id1, id2, len(s1.sh) AS n1, len(s2.sh) AS n2,
+        len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS common
+      FROM cand9 JOIN sh9 s1 ON s1.doc_id = id1
+                 JOIN sh9 s2 ON s2.doc_id = id2),
+    jp9 AS MATERIALIZED (SELECT id1, id2 FROM j9
+      WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+    ed9 AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM jp9
+      UNION SELECT id2, id1 FROM jp9),
+    reach9(id, r) AS (
+      SELECT doc_id, doc_id FROM s8
+      UNION
+      SELECT e.dst, reach9.r FROM reach9 JOIN ed9 e ON reach9.id = e.src),
+    lab9 AS MATERIALIZED (SELECT id, min(r) AS cluster_id
+      FROM reach9 GROUP BY id),
+    s9 AS MATERIALIZED (SELECT s8.* FROM s8 JOIN lab9 ON s8.doc_id = lab9.id
+      WHERE lab9.id = lab9.cluster_id),
+    s10 AS MATERIALIZED (SELECT doc_id, lang,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '${graft.operators.Privacy.EmailRe}', '<EMAIL>', 'g'),
+          '${graft.operators.Privacy.Ipv4Re}', '<IP>', 'g'),
+          '${graft.operators.Privacy.PhoneRe}', '<PHONE>', 'g') AS text
+      FROM s9)
+    SELECT * FROM (
+    $ledger
+    ) ORDER BY stage_id"""
+  }
+
   /** q165/q166's shared trained WordPiece model — the same memo
     * discipline as [[trainedUnigramModel]] (deterministic training,
     * result-neutral; re-training per query is pure floor cost).
@@ -5367,6 +5733,38 @@ object TextPipeline {
                SUM(n_tokens)::BIGINT AS total_tokens,
                string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
         FROM o GROUP BY phase, pack_id
-        ORDER BY phase, pack_id"""))
+        ORDER BY phase, pack_id""")),
+
+    // ---- q199: the FULL published web-curation pipeline as ONE gated
+    // query — URL/domain filter → line-preserving HTML clean → langid →
+    // Gopher quality → Gopher repetition → C4 line+page rules →
+    // line-level CCNet paragraph dedup → C4 span dedup → LSH near-dup +
+    // CC + canonical emission → PII redaction, with snapshot-lake
+    // round-trips at EVERY stage boundary (operators.WebCuration).
+    // Every stage is gated solo (q194/q111/q79/q167/q168/q173/q169/
+    // q174/q84/q64); composition is where stage-boundary bugs live (the
+    // q185 lesson), and this chain is THE artifact the §2.9 surface
+    // exists for. The fixture gives every stage real work (one kill or
+    // rewrite class per doc_id mod 17, plus the span/HTML splices); the
+    // oracle re-derives ALL ten stages from raw documents and emits the
+    // same attrition ledger — doc/token/char mass plus an order-
+    // independent corpus fingerprint per stage, so a drift in any
+    // stage's KILL SET or REWRITE moves a gated value.
+    QueryDef(
+      "q199_web_pipeline",
+      (s, dir) => {
+        import graft.operators.WebCuration
+        val tmp = stagedFold(dir, "#q199") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_web_pipeline").toString
+          WebCuration.run(s, webPipelineCorpus(s, dir), t,
+            suffixes = Seq("com", "net", "org", "de", "uk", "co.uk", "io"),
+            blockedDomains = Seq("example.net", "badsite.co.uk"),
+            blockedSubstrings = Seq("casino", "bet now"))
+          t
+        }
+        WebCuration.ledger(s, tmp).orderBy(col("stage_id"))
+      },
+      Some(webPipelineOracleSql))
   )
 }

@@ -529,4 +529,47 @@ class SnapshotsSpec extends SparkSpec {
     assert(kept <= 2, s"probe into merged keys kept $kept files")
     assert(Snapshots.read(spark, t).count() == 9000)
   }
+
+  test("reclusterIfFragmented: no-op on a freshly clustered table, fires " +
+      "after interleaved per-commit runs accrue, restores probe pruning, " +
+      "and the next scheduled call no-ops again") {
+    val t = Files.createTempDirectory("snap_autoreclus").toString
+    Snapshots.append(keyRows(0 until 4000), t,
+      clusterBy = Seq("k"), clusterPartitions = Some(4))
+    // one clustered commit: ranges disjoint, overlap 0 → scheduled run
+    // is a metadata-only no-op
+    assert(Snapshots.keyOverlapFraction(t, "k") == 0.0)
+    assert(Snapshots.reclusterIfFragmented(spark, t, Seq("k")).isEmpty)
+    val v1 = Snapshots.current(t).get.version
+    // three more commits, each internally clustered but spanning the
+    // full key range — per-commit runs interleave, fragmentation rises
+    for (r <- 1 to 3)
+      Snapshots.append(keyRows(r until 4000 by 7), t,
+        clusterBy = Seq("k"), clusterPartitions = Some(4))
+    assert(Snapshots.current(t).get.version == v1 + 3)
+    assert(Snapshots.keyOverlapFraction(t, "k") > 0.3,
+      "interleaved runs must read as fragmented")
+    val before = Snapshots.read(spark, t).select("k", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 7 consecutive probe keys (one per by-7 residue class) so every
+    // interleaved run is guaranteed a containing file — a single point
+    // key can legitimately fall in one run's file-boundary gap
+    val probe = (1999L to 2005L).toDF("k")
+    val (_, keptFrag, _) = Snapshots.readKeyProbe(spark, t, "k", probe)
+    assert(keptFrag >= 3, s"fragmented probe should touch one file per " +
+      s"overlapping run, kept $keptFrag")
+    // the scheduled run fires exactly one atomic sort-rewrite
+    val v = Snapshots.reclusterIfFragmented(spark, t, Seq("k"), nFiles = 8)
+    assert(v.nonEmpty)
+    assert(Snapshots.keyOverlapFraction(t, "k") == 0.0)
+    val (_, keptAfter, totalAfter) =
+      Snapshots.readKeyProbe(spark, t, "k", probe)
+    assert(totalAfter == 8 && keptAfter <= 2,
+      s"pruning restored: kept $keptAfter of $totalAfter")
+    assert(Snapshots.read(spark, t).select("k", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "maintenance must not change table content")
+    // steady state: the next scheduled call is a no-op again
+    assert(Snapshots.reclusterIfFragmented(spark, t, Seq("k")).isEmpty)
+  }
 }
