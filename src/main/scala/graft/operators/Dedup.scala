@@ -353,6 +353,12 @@ object Dedup {
       // fused native count: hash set of the smaller side, membership scan
       // of the other — no intermediate intersection array per pair
       .withColumn("common", graft.plans.CommonCount(col("sh1"), col("sh2")).cast("long"))
+      // a pair of two EMPTY shingle sets has denominator 0 — Jaccard is
+      // undefined and the pair carries no similarity evidence, so it is
+      // EXCLUDED (not scored 1.0, not an ANSI divide-by-zero). Such pairs
+      // reach here when a pipeline stage empties a doc's text and the
+      // pairing schedule buckets the empties together (q199 at 10×)
+      .filter(col("n1") + col("n2") > 0)
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= minJaccard)

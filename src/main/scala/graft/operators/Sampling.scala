@@ -390,6 +390,67 @@ object Sampling {
     * multiplied by the epoch count, which is the artifact's inherent
     * size (a trainer reads every repeat).
     */
+  /** Hashed-feature importance-ratio selection — the LINEAR-SPACE INTEGER
+    * SURROGATE of DSIR, shipped under an honest name: this is NOT DSIR
+    * (Xie et al. 2023). DSIR weights docs by a SUM OF LOG-ratios of
+    * hashed-n-gram probabilities and resamples with Gumbel noise; `ln`
+    * is not correctly-rounded across engines (the repo's oracle
+    * discipline bans transcendentals — see SURVEY §2.9's DSIR note for
+    * why the quantized-basis trick that rescued unigram-LM does not
+    * apply), and random resampling breaks determinism. The surrogate
+    * keeps DSIR's structure — hashed token features, a target-vs-raw
+    * frequency ratio per feature, per-doc accumulation, top-k selection
+    * — but scores in LINEAR space with exact integer arithmetic:
+    *
+    *   w_f   = (t_f · R · scale) div (r_f · T)   [DECIMAL(38) products]
+    *   score = Σ_{token occurrences} w_{feature(token)}
+    *
+    * and selects the top `k` docs by (score DESC, id ASC) — the no-rand
+    * discipline in place of Gumbel. Linear-space accumulation weights
+    * high-ratio features more aggressively than DSIR's log-space sum —
+    * a DIFFERENT estimator with the same selection intent.
+    *
+    * Scale shape: the feature table is bucket-domain-sized (`buckets`
+    * rows) → broadcasts; scoring is one map-side join over exploded
+    * (doc, feature) tokens plus a per-doc sum (one slim shuffle); the
+    * top-k is a TakeOrdered. Bodies never move.
+    */
+  def importanceResampleIntSurrogate(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int, scale: Long,
+      k: Int): DataFrame = {
+    require(buckets > 0 && scale > 0 && k > 0,
+      s"buckets/scale/k must be positive: $buckets/$scale/$k")
+    import graft.functions.TextFunctions
+    def feats(df: DataFrame, cols: Column*): DataFrame = df
+      .select(cols :+
+        explode_outer(TextFunctions.tokens(col(textCol))).as("__tok"): _*)
+      .filter(col("__tok").isNotNull)
+      .withColumn("__f", Curation.hashBucket(col("__tok"), buckets))
+    val tf = feats(target).groupBy(col("__f"))
+      .agg(count(lit(1)).as("__t"))
+      .localCheckpoint(true) // feeds the total AND the weight table
+    val bigT = math.max(1L, tf.agg(sum(col("__t"))).head.getLong(0))
+    val rawFeats = feats(raw, col(idCol))
+      .localCheckpoint(true) // feeds the totals AND the scoring join
+    val rf = rawFeats.groupBy(col("__f"))
+      .agg(count(lit(1)).as("__r"))
+      .localCheckpoint(true)
+    val bigR = math.max(1L, rf.agg(sum(col("__r"))).head.getLong(0))
+    // per-feature integer weight: DECIMAL(38) cross-products (the q165
+    // HUGEINT-parity posture — int64 would wrap at web-scale counts),
+    // one exact floor division; features absent from the target weigh 0
+    val w = rf.join(tf, Seq("__f"), "left")
+      .select(col("__f"), expr(
+        s"cast((cast(coalesce(__t, 0L) as decimal(38,0)) * ${bigR}L * " +
+          s"${scale}L) div (cast(__r as decimal(38,0)) * ${bigT}L) " +
+          "as bigint)").as("__w"))
+    rawFeats.join(broadcast(w), Seq("__f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def unimaxEpochPackPayloads(df: DataFrame, idCol: String,
       groupCol: String, weightCol: String, textCol: String,
       alloc: DataFrame, packBudget: Long): DataFrame = {

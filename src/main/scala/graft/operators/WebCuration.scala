@@ -137,8 +137,14 @@ object WebCuration {
       col("doc_id"))
     val sets = Dedup.shingleFrame(s8, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pair only docs WITH shingles: a doc the upstream rewrites emptied
+    // carries no similarity evidence and survives as its own cluster —
+    // the oracle agrees structurally (an empty set's band signature is
+    // NULL there and never joins; Spark's concat_ws gives empties a ""
+    // sentinel sig that would bucket them together, q199's 10× lesson)
+    val pairable = sets.filter(col("n_sh") > 0)
     val cands = Dedup.blockedCandidatePairs(
-      Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
+      Dedup.lshKeyedBuckets(pairable, bands = 2, rowsPerBand = 3),
       "doc", Seq("band", "sig"), blockSize = 256)
     val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
       .select(col("id1"), col("id2"))

@@ -92,7 +92,7 @@ object TextPipeline {
     * where every pipeline stage finds real work, mirrored verbatim in
     * [[webPipelineOracleSql]].
     */
-  private def webPipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def webPipelineCorpus(s: SparkSession, dir: String): DataFrame = {
     val sents = graft.functions.TextFunctions.sixWordSentences(col("text"))
     val id = col("doc_id")
     val base = concat(
@@ -5765,6 +5765,53 @@ object TextPipeline {
         }
         WebCuration.ledger(s, tmp).orderBy(col("stage_id"))
       },
-      Some(webPipelineOracleSql))
+      Some(webPipelineOracleSql)),
+
+    // ---- q200: hashed-feature importance-ratio selection — the
+    // LINEAR-SPACE INTEGER SURROGATE of DSIR, gated under an honest
+    // name (it is NOT DSIR: see the operator scaladoc and SURVEY §2.9's
+    // DSIR note — log-ratio weights need `ln`, which the cross-engine
+    // oracle discipline bans, and Gumbel resampling needs randomness).
+    // Target domain = the en docs in the 30% hash tier; raw pool = all
+    // en docs; 64 hashed token features; per-feature weight
+    // (t·R·10⁶) div (r·T) in DECIMAL(38), per-doc linear accumulation,
+    // deterministic top-25 by (score DESC, id). The oracle re-derives
+    // feature counts, HUGEINT ratio weights, scores, and the pick.
+    QueryDef(
+      "q200_importance_surrogate",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val en = docs(s, dir).filter(col("lang") === "en")
+        val target = en.filter(
+          Curation.hashBucket(col("doc_id"), 10000) < 3000)
+        Sampling.importanceResampleIntSurrogate(en, target, "doc_id",
+            "text", buckets = 64, scale = 1000000L, k = 25)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(s"""
+        WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        rawtok AS (SELECT doc_id,
+            ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % 64 AS f
+          FROM en, LATERAL (SELECT unnest($sqlToks) AS tok) u),
+        tgttok AS (SELECT r.f
+          FROM en JOIN rawtok r USING (doc_id)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 10000 < 3000),
+        tf AS (SELECT f, COUNT(*)::BIGINT AS t FROM tgttok GROUP BY f),
+        rf AS (SELECT f, COUNT(*)::BIGINT AS r FROM rawtok GROUP BY f),
+        tot AS (SELECT greatest(1, (SELECT coalesce(sum(t), 0) FROM tf))
+                  ::BIGINT AS bigt,
+                greatest(1, (SELECT coalesce(sum(r), 0) FROM rf))
+                  ::BIGINT AS bigr),
+        w AS (SELECT rf.f,
+                ((coalesce(tf.t, 0)::HUGEINT * tot.bigr * 1000000)
+                 // (rf.r::HUGEINT * tot.bigt))::BIGINT AS w
+              FROM rf LEFT JOIN tf USING (f) CROSS JOIN tot)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               SUM(w.w)::BIGINT AS score
+        FROM rawtok JOIN w USING (f)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 25"""))
   )
 }

@@ -497,6 +497,33 @@ object Scale {
               .write.mode("overwrite").format("noop").save()
           }
           Snapshots.read(s, s"$t/registry").select(col("h"))
+        }),
+        // round-20 session additions: the URL filter (map-only), the
+        // byte-BPE pair (vocabulary-sized training loop + vocab-cache
+        // encode), the epoch/curriculum serving artifacts, the
+        // importance surrogate (bucket-domain weight broadcast), and
+        // the composed web-curation pipeline UN-memoized (fresh lake
+        // dir per invocation — the q185 rationale: the ten stage
+        // round-trips are what must scale)
+        "q194_url_filter" -> SparkEntry.queries("q194_url_domain_filter"),
+        "q195_byte_bpe_train" -> SparkEntry.queries("q195_byte_bpe_train"),
+        "q196_byte_bpe_encode" ->
+          SparkEntry.queries("q196_byte_bpe_encode"),
+        "q197_epochs" -> SparkEntry.queries("q197_epoch_emission"),
+        "q198_curriculum_packs" ->
+          SparkEntry.queries("q198_curriculum_packs"),
+        "q200_importance" ->
+          SparkEntry.queries("q200_importance_surrogate"),
+        "q199_pipeline" -> ((s: SparkSession, dir: String) => {
+          import graft.operators.WebCuration
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_webpipe").toString
+          WebCuration.run(s,
+            graft.queries.TextPipeline.webPipelineCorpus(s, dir), t,
+            suffixes = Seq("com", "net", "org", "de", "uk", "co.uk", "io"),
+            blockedDomains = Seq("example.net", "badsite.co.uk"),
+            blockedSubstrings = Seq("casino", "bet now"))
+          WebCuration.ledger(s, t)
         }))
     }
   }

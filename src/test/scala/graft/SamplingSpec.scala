@@ -255,6 +255,20 @@ class SamplingSpec extends SparkSpec {
     assert(frPacks(0L) == frPacks(1L) && frPacks(1L) == frPacks(2L))
   }
 
+  test("importanceResampleIntSurrogate: exact integer ratio weights, " +
+      "target-absent features weigh zero, deterministic top-k") {
+    val raw = Seq((1L, "hot cold"), (2L, "cold cold"), (3L, "hot hot"))
+      .toDF("doc_id", "text")
+    val target = Seq(Tuple1("hot hot hot")).toDF("text")
+    val out = Sampling.importanceResampleIntSurrogate(raw, target,
+        "doc_id", "text", buckets = 64, scale = 1000000L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // T=3 (hot x3), R=6; w_hot = (3*6*1e6) div (3*3) = 2e6, w_cold = 0
+    // (absent from target) -> scores: doc3 = 4e6, doc1 = 2e6, doc2 = 0;
+    // top-k order (score DESC, id ASC) is total and engine-portable
+    assert(out.toSeq == Seq((3L, 4000000L), (1L, 2000000L), (2L, 0L)))
+  }
+
   test("curriculumPackPlan: packs never straddle a phase boundary and " +
       "pack ids restart per phase") {
     import graft.operators.Curation
