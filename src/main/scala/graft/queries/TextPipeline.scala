@@ -127,6 +127,21 @@ object TextPipeline {
     docs(s, dir).select(id, col("lang"), wrapped.as("text"))
   }
 
+  /** The staged (committed) q199 pipeline dir — memoized per corpus
+    * fingerprint and SHARED by q199 (ledger) and q201 (release diff over
+    * the curated corpus): both read the same committed stage tables.
+    */
+  private def webPipelineStaged(s: SparkSession, dir: String): String =
+    stagedFold(dir, "#q199") {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_web_pipeline").toString
+      graft.operators.WebCuration.run(s, webPipelineCorpus(s, dir), t,
+        suffixes = Seq("com", "net", "org", "de", "uk", "co.uk", "io"),
+        blockedDomains = Seq("example.net", "badsite.co.uk"),
+        blockedSubstrings = Seq("casino", "bet now"))
+      t
+    }
+
   /** The composed web-curation oracle: re-derives ALL ten stages from the
     * raw documents table — fixture, URL blocklists, line-preserving HTML
     * strip, langid argmax, both Gopher batteries, C4 line+page rules,
@@ -137,7 +152,11 @@ object TextPipeline {
     * inlined CTEs would recompute each stage per reference, compounding
     * per level (the prototype ran >300 s inlined, 0.9 s materialized).
     */
-  private def webPipelineOracleSql: String = {
+  /** The ten-stage CTE body shared by q199's ledger oracle and q201's
+    * release-diff oracle (both re-derive the identical pipeline; only
+    * the final SELECT differs).
+    */
+  private def webPipelineStagesCte: String = {
     val hashes = "#" * 40
     val repeats = Seq.fill(12)("repeat me").mkString(" ")
     val langs = graft.operators.TextAnalysis.lexicons.toSeq.sortBy(_._1)
@@ -148,26 +167,7 @@ object TextPipeline {
     }.mkString(",\n         ")
     val packs = langs.map { case (l, _) =>
       s"struct_pack(r := r_$l, l := '$l')" }.mkString(", ")
-    def stat(i: Int, name: String, prev: String, cur: String): String = s"""
-      SELECT ${i}::BIGINT AS stage_id, '$name' AS stage,
-        (SELECT count(*) FROM $prev)::BIGINT AS n_in,
-        (SELECT count(*) FROM $cur)::BIGINT AS n_kept,
-        (SELECT coalesce(sum(len($sqlToks)), 0) FROM $cur)::BIGINT
-          AS tokens_kept,
-        (SELECT coalesce(sum(length(text)), 0) FROM $cur)::BIGINT
-          AS chars_kept,
-        (SELECT coalesce(bit_xor(('0x' || substr(md5(text), 1, 15))
-          ::BIGINT), 0) FROM $cur) AS text_fp"""
-    val stages = Seq("raw" -> ("s0", "s0"), "url_filter" -> ("s0", "s1"),
-      "html_clean" -> ("s1", "s2"), "langid" -> ("s2", "s3"),
-      "gopher_quality" -> ("s3", "s4"),
-      "gopher_repetition" -> ("s4", "s5"), "c4_rules" -> ("s5", "s6"),
-      "paragraph_dedup" -> ("s6", "s7"), "span_dedup" -> ("s7", "s8"),
-      "near_dup" -> ("s8", "s9"), "pii_redact" -> ("s9", "s10"))
-    val ledger = stages.zipWithIndex.map { case ((n, (p, c)), i) =>
-      stat(i, n, p, c) }.mkString("\nUNION ALL\n")
     s"""
-    WITH RECURSIVE
     t0 AS MATERIALIZED (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
     fx AS MATERIALIZED (SELECT doc_id, lang,
         array_to_string(list_transform(
@@ -445,7 +445,30 @@ object TextPipeline {
           '${graft.operators.Privacy.EmailRe}', '<EMAIL>', 'g'),
           '${graft.operators.Privacy.Ipv4Re}', '<IP>', 'g'),
           '${graft.operators.Privacy.PhoneRe}', '<PHONE>', 'g') AS text
-      FROM s9)
+      FROM s9)"""
+  }
+
+  private def webPipelineOracleSql: String = {
+    def stat(i: Int, name: String, prev: String, cur: String): String = s"""
+      SELECT ${i}::BIGINT AS stage_id, '$name' AS stage,
+        (SELECT count(*) FROM $prev)::BIGINT AS n_in,
+        (SELECT count(*) FROM $cur)::BIGINT AS n_kept,
+        (SELECT coalesce(sum(len($sqlToks)), 0) FROM $cur)::BIGINT
+          AS tokens_kept,
+        (SELECT coalesce(sum(length(text)), 0) FROM $cur)::BIGINT
+          AS chars_kept,
+        (SELECT coalesce(bit_xor(('0x' || substr(md5(text), 1, 15))
+          ::BIGINT), 0) FROM $cur) AS text_fp"""
+    val stages = Seq("raw" -> ("s0", "s0"), "url_filter" -> ("s0", "s1"),
+      "html_clean" -> ("s1", "s2"), "langid" -> ("s2", "s3"),
+      "gopher_quality" -> ("s3", "s4"),
+      "gopher_repetition" -> ("s4", "s5"), "c4_rules" -> ("s5", "s6"),
+      "paragraph_dedup" -> ("s6", "s7"), "span_dedup" -> ("s7", "s8"),
+      "near_dup" -> ("s8", "s9"), "pii_redact" -> ("s9", "s10"))
+    val ledger = stages.zipWithIndex.map { case ((n, (p, c)), i) =>
+      stat(i, n, p, c) }.mkString("\nUNION ALL\n")
+    s"""
+    WITH RECURSIVE $webPipelineStagesCte
     SELECT * FROM (
     $ledger
     ) ORDER BY stage_id"""
@@ -5752,19 +5775,8 @@ object TextPipeline {
     // stage's KILL SET or REWRITE moves a gated value.
     QueryDef(
       "q199_web_pipeline",
-      (s, dir) => {
-        import graft.operators.WebCuration
-        val tmp = stagedFold(dir, "#q199") {
-          val t = java.nio.file.Files
-            .createTempDirectory("graft_web_pipeline").toString
-          WebCuration.run(s, webPipelineCorpus(s, dir), t,
-            suffixes = Seq("com", "net", "org", "de", "uk", "co.uk", "io"),
-            blockedDomains = Seq("example.net", "badsite.co.uk"),
-            blockedSubstrings = Seq("casino", "bet now"))
-          t
-        }
-        WebCuration.ledger(s, tmp).orderBy(col("stage_id"))
-      },
+      (s, dir) => graft.operators.WebCuration
+        .ledger(s, webPipelineStaged(s, dir)).orderBy(col("stage_id")),
       Some(webPipelineOracleSql)),
 
     // ---- q200: hashed-feature importance-ratio selection — the
@@ -5812,6 +5824,122 @@ object TextPipeline {
         FROM rawtok JOIN w USING (f)
         GROUP BY doc_id
         ORDER BY score DESC, doc_id
-        LIMIT 25"""))
+        LIMIT 25""")),
+
+    // ---- q201: the DATA FACTORY end to end — q199's curated corpus fed
+    // through q185's release machinery, diffed against the same release
+    // built from the RAW corpus: curate → UniMax budget → hash-order
+    // take → pack → manifest diff, so the gated artifact answers the
+    // production question "which packed training sequences did curation
+    // change?" at pack granularity. Both editions run the FULL release
+    // chain (waterfill shifts because curation changed per-language
+    // masses; the curated edition is en-only, so every non-en pack reads
+    // 'removed'); stage boundaries round-trip the snapshot lake (q199's
+    // committed stage tables + four release tables). The oracle
+    // re-derives EVERYTHING from raw documents: all ten curation stages,
+    // both waterfills, both takes, both packings, and the value diff.
+    QueryDef(
+      "q201_curation_release_diff",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        import graft.operators.Release
+        val tmp = stagedFold(dir, "#q201") {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_factory").toString
+          val t199 = webPipelineStaged(s, dir)
+          def withTokens(k: Int) = Snapshots.read(s, s"$t199/s$k")
+            .select(col("doc_id"), col("lang"),
+              size(graft.functions.TextFunctions.tokens(col("text")))
+                .cast("long").as("n_tokens"))
+          Release.buildEdition(s, withTokens(0), "doc_id", "lang",
+            "n_tokens", cutBp = 10000L, budgetNum = 9L, budgetDen = 10L,
+            epochCap = 1L, table = s"$base/editionRaw")
+          Release.buildEdition(s, withTokens(10), "doc_id", "lang",
+            "n_tokens", cutBp = 10000L, budgetNum = 9L, budgetDen = 10L,
+            epochCap = 1L, table = s"$base/editionCur")
+          Release.packEdition(s, s"$base/editionRaw", "doc_id", "lang",
+            "n_tokens", packBudget = 2048L,
+            outTable = s"$base/manifestRaw")
+          Release.packEdition(s, s"$base/editionCur", "doc_id", "lang",
+            "n_tokens", packBudget = 2048L,
+            outTable = s"$base/manifestCur")
+          base
+        }
+        Release.manifestDiff(s, s"$tmp/manifestRaw", s"$tmp/manifestCur")
+          .orderBy(col("pack_key"))
+      },
+      Some(s"""
+        WITH RECURSIVE $webPipelineStagesCte,
+        wr AS MATERIALIZED (
+          SELECT 'raw' AS ed, doc_id, lang, len($sqlToks)::BIGINT AS w
+          FROM s0
+          UNION ALL
+          SELECT 'cur', doc_id, lang, len($sqlToks)::BIGINT FROM s10),
+        rc AS (SELECT ed, lang, SUM(w)::BIGINT AS n_mass,
+                 (SUM(w) * 1)::BIGINT AS capacity
+               FROM wr GROUP BY ed, lang),
+        rt AS (SELECT ed, SUM(n_mass)::BIGINT AS tot,
+                 COUNT(*)::BIGINT AS l
+               FROM rc GROUP BY ed),
+        rr AS (SELECT rc.*, rt.tot, rt.l, (rt.tot * 9) // 10 AS b,
+                ROW_NUMBER() OVER (PARTITION BY rc.ed
+                  ORDER BY capacity, lang)::BIGINT AS i,
+                SUM(capacity) OVER (PARTITION BY rc.ed
+                  ORDER BY capacity, lang
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+              FROM rc JOIN rt ON rc.ed = rt.ed),
+        rf2 AS (SELECT *,
+                 capacity * (l - i + 1) <= b - (pfx - capacity) AS capped
+               FROM rr),
+        rg AS (SELECT *,
+                SUM(CASE WHEN capped THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY ed)::BIGINT AS k,
+                SUM(CASE WHEN capped THEN capacity ELSE 0 END)
+                  OVER (PARTITION BY ed)::BIGINT AS pk
+              FROM rf2),
+        ra AS (SELECT ed, lang,
+                (CASE WHEN capped THEN capacity
+                      ELSE (b - pk) // greatest(1, l - k)
+                           + CASE WHEN i - k <= (b - pk) %
+                               greatest(1, l - k) THEN 1 ELSE 0 END
+                 END)::BIGINT AS allocated
+              FROM rg),
+        rwnd AS (SELECT ed, lang, doc_id, w,
+                  SUM(w) OVER (PARTITION BY ed, lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM wr),
+        rsel AS (SELECT rwnd.ed, rwnd.lang, doc_id, w
+                 FROM rwnd JOIN ra ON rwnd.ed = ra.ed
+                   AND rwnd.lang = ra.lang
+                 WHERE cum <= allocated),
+        rp AS (SELECT ed, lang, doc_id, w,
+                CAST(floor(COALESCE(SUM(w) OVER (PARTITION BY ed, lang
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                  PRECEDING), 0) / 2048.0) AS BIGINT) AS pack_id
+              FROM rsel),
+        ro AS (SELECT ed, lang, pack_id, doc_id, w,
+                SUM(w) OVER (PARTITION BY ed, lang, pack_id
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS off
+              FROM rp),
+        rm AS (SELECT ed, lang || '#' || pack_id AS pack_key,
+                COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS total_tokens,
+                string_agg(off, ',' ORDER BY doc_id) AS boundaries_csv
+              FROM ro GROUP BY ed, lang, pack_id),
+        rma AS (SELECT * FROM rm WHERE ed = 'raw'),
+        rmb AS (SELECT * FROM rm WHERE ed = 'cur'),
+        rdd AS (SELECT coalesce(rma.pack_key, rmb.pack_key) AS pack_key,
+                 CASE WHEN rma.pack_key IS NULL THEN 'added'
+                      WHEN rmb.pack_key IS NULL THEN 'removed'
+                      WHEN rma.n_docs <> rmb.n_docs
+                           OR rma.total_tokens <> rmb.total_tokens
+                           OR rma.boundaries_csv <> rmb.boundaries_csv
+                        THEN 'changed'
+                      ELSE 'unchanged' END AS status
+               FROM rma FULL OUTER JOIN rmb
+                 ON rma.pack_key = rmb.pack_key)
+        SELECT pack_key, status FROM rdd
+        WHERE status <> 'unchanged'
+        ORDER BY pack_key"""))
   )
 }

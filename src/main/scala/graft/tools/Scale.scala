@@ -524,6 +524,34 @@ object Scale {
             blockedDomains = Seq("example.net", "badsite.co.uk"),
             blockedSubstrings = Seq("casino", "bet now"))
           WebCuration.ledger(s, t)
+        }),
+        // q201 UN-memoized release tail only (the curation stages are
+        // q199_pipeline's probe; this times the raw-vs-curated double
+        // release chain over a fresh lake dir)
+        "q201_factory_diff" -> ((s: SparkSession, dir: String) => {
+          import graft.lake.Snapshots
+          import graft.operators.{Release, WebCuration}
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_factory").toString
+          WebCuration.run(s,
+            graft.queries.TextPipeline.webPipelineCorpus(s, dir),
+            s"$t/pipe",
+            suffixes = Seq("com", "net", "org", "de", "uk", "co.uk", "io"),
+            blockedDomains = Seq("example.net", "badsite.co.uk"),
+            blockedSubstrings = Seq("casino", "bet now"))
+          def withTokens(k: Int) = Snapshots.read(s, s"$t/pipe/s$k")
+            .select(col("doc_id"), col("lang"),
+              size(graft.functions.TextFunctions.tokens(col("text")))
+                .cast("long").as("n_tokens"))
+          Release.buildEdition(s, withTokens(0), "doc_id", "lang",
+            "n_tokens", 10000L, 9L, 10L, 1L, s"$t/editionRaw")
+          Release.buildEdition(s, withTokens(10), "doc_id", "lang",
+            "n_tokens", 10000L, 9L, 10L, 1L, s"$t/editionCur")
+          Release.packEdition(s, s"$t/editionRaw", "doc_id", "lang",
+            "n_tokens", 2048L, s"$t/manifestRaw")
+          Release.packEdition(s, s"$t/editionCur", "doc_id", "lang",
+            "n_tokens", 2048L, s"$t/manifestCur")
+          Release.manifestDiff(s, s"$t/manifestRaw", s"$t/manifestCur")
         }))
     }
   }
