@@ -162,6 +162,85 @@ object WebCuration {
         col("redacted").as("text")), baseDir, 10)
   }
 
+  /** ONE micro-batch of the pipeline — the INCREMENTAL twin of [[run]]
+    * for continuously-arriving data (the q171/q176/q153 lake-fold family
+    * applied to the WHOLE composition): stages 1–6 are per-doc gates and
+    * rewrites (batch-local by construction); stages 7–9 fold through the
+    * growing lake registries ([[graft.streaming.DedupIndex]] — history
+    * text never rescanned, probe-pruned registry reads); survivors land
+    * in `baseDir/kept` via keyed mergeUpsert (replays are no-ops).
+    *
+    * Near-dup semantics: the fold uses [[graft.streaming.DedupIndex
+    * .lshDedupBatch]]'s ARRIVAL-HISTORY rule — suppress a doc iff a
+    * lower-id verified near-dup exists (over index + earlier in-batch
+    * rows) — which under id-monotone arrival equals the one-shot
+    * PAIRWISE rule on the union. That rule differs from [[run]]'s
+    * CC-canonical emission exactly on transitive components whose
+    * middle member has no DIRECT lower-id pair (CC keeps only the
+    * component min; pairwise also keeps such members) — the honest
+    * price of incrementality: component structure is a global property,
+    * pairwise suppression is arrival-local. The q202 gate's oracle uses
+    * the pairwise rule for this reason.
+    *
+    * Under id-monotone batches the WHOLE fold is batching-independent:
+    * per-doc stages commute with batching trivially, and each registry
+    * stage's fold ≡ its one-shot rule on the union (their solo gates'
+    * argument), so each stage's per-doc OUTPUT text equals the one-shot
+    * stage output — inductively the final kept table equals the one-shot
+    * pipeline with pairwise dedup, for ANY batch cuts.
+    */
+  def runBatch(spark: SparkSession, batchDocs: DataFrame, baseDir: String,
+      suffixes: Seq[String], blockedDomains: Seq[String],
+      blockedSubstrings: Seq[String]): Unit = {
+    val b0 = batchDocs.select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(true)
+    val urlKeep = TextAnalysis.urlDomainFilter(b0, "doc_id", "text",
+        suffixes, blockedDomains, blockedSubstrings)
+      .filter(col("keep")).select(col("doc_id"))
+    val b2 = b0.join(urlKeep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.stripHtmlKeepLines(col("text")).as("text"))
+    val b3 = TextAnalysis.languageIdMulti(b2, "text")
+      .filter(col("lang_pred") === "en")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gqKeep = Curation.gopherRules(b3, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val b4 = b3.join(gqKeep, Seq("doc_id"), "left_semi")
+    val grKeep = Curation.gopherRepetition(
+        b4.repartition(spark.sparkContext.defaultParallelism,
+          col("doc_id")), "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val b5 = b4.join(grKeep, Seq("doc_id"), "left_semi")
+    val b6 = Curation.c4Rules(b5, "doc_id", "text")
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .join(b5.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(true)
+    val b7 = graft.streaming.DedupIndex.paragraphDedupBatch(spark,
+        s"$baseDir/paraReg", b6, sep = "\n")
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .join(b6.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(true)
+    val b8 = graft.streaming.DedupIndex.spanDedupBatch(spark,
+        s"$baseDir/spanReg", b7)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .join(b7.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(true)
+    val survivors = graft.streaming.DedupIndex.lshDedupBatch(spark,
+      s"$baseDir/lshIdx", b8)
+    val b10 = Privacy.redactPii(
+        b8.join(survivors, Seq("doc_id"), "left_semi"), "text")
+      .select(col("doc_id"), col("lang"), col("redacted").as("text"))
+      .withColumn("ts", lit(StageTs).cast("timestamp"))
+      .localCheckpoint(true) // materialize before the kept-table commit
+    if (Snapshots.currentVersion(s"$baseDir/kept").isDefined)
+      Snapshots.mergeUpsert(spark, s"$baseDir/kept", b10, "doc_id")
+    else Snapshots.append(b10, s"$baseDir/kept")
+  }
+
   /** The attrition LEDGER over the committed stage tables: per stage,
     * docs in/kept, token and char mass kept, and the order-independent
     * corpus fingerprint. Ten one-row aggregations over slim scans.

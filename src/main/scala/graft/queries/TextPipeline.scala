@@ -410,7 +410,13 @@ object TextPipeline {
       FROM p8
       LEFT JOIN cut8 ON p8.doc_id = cut8.doc_id AND p8.pos = cut8.pos
       JOIN sar8 ON sar8.doc_id = p8.doc_id
-      GROUP BY p8.doc_id),
+      GROUP BY p8.doc_id)"""
+  }
+
+  /** The LSH candidate/verify core over the stage-8 corpus (t9..jp9) —
+    * shared by the CC tail (q199/q201) and q202's pairwise tail.
+    */
+  private def webPipelineLshCoreCte: String = s"""
     t9 AS MATERIALIZED (SELECT doc_id, $sqlToks AS tk FROM s8),
     sh9 AS MATERIALIZED (SELECT doc_id, ${sqlShingles(2)} AS sh FROM t9),
     h9 AS MATERIALIZED (SELECT doc_id, ${sqlHashArr(0)} AS hs0,
@@ -429,7 +435,13 @@ object TextPipeline {
       FROM cand9 JOIN sh9 s1 ON s1.doc_id = id1
                  JOIN sh9 s2 ON s2.doc_id = id2),
     jp9 AS MATERIALIZED (SELECT id1, id2 FROM j9
-      WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2),
+      WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.2)"""
+
+  /** The connected-components + canonical + PII tail (q199/q201's
+    * near-dup semantics; q202's incremental twin uses the pairwise
+    * suppression rule instead — see its QueryDef).
+    */
+  private def webPipelineCcTailCte: String = s"""
     ed9 AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM jp9
       UNION SELECT id2, id1 FROM jp9),
     reach9(id, r) AS (
@@ -446,7 +458,6 @@ object TextPipeline {
           '${graft.operators.Privacy.Ipv4Re}', '<IP>', 'g'),
           '${graft.operators.Privacy.PhoneRe}', '<PHONE>', 'g') AS text
       FROM s9)"""
-  }
 
   private def webPipelineOracleSql: String = {
     def stat(i: Int, name: String, prev: String, cur: String): String = s"""
@@ -468,7 +479,9 @@ object TextPipeline {
     val ledger = stages.zipWithIndex.map { case ((n, (p, c)), i) =>
       stat(i, n, p, c) }.mkString("\nUNION ALL\n")
     s"""
-    WITH RECURSIVE $webPipelineStagesCte
+    WITH RECURSIVE $webPipelineStagesCte,
+    $webPipelineLshCoreCte,
+    $webPipelineCcTailCte
     SELECT * FROM (
     $ledger
     ) ORDER BY stage_id"""
@@ -5870,6 +5883,8 @@ object TextPipeline {
       },
       Some(s"""
         WITH RECURSIVE $webPipelineStagesCte,
+        $webPipelineLshCoreCte,
+        $webPipelineCcTailCte,
         wr AS MATERIALIZED (
           SELECT 'raw' AS ed, doc_id, lang, len($sqlToks)::BIGINT AS w
           FROM s0
@@ -5940,6 +5955,64 @@ object TextPipeline {
                  ON rma.pack_key = rmb.pack_key)
         SELECT pack_key, status FROM rdd
         WHERE status <> 'unchanged'
-        ORDER BY pack_key"""))
+        ORDER BY pack_key""")),
+
+    // ---- q202: the composed pipeline run INCREMENTALLY — q199's ten
+    // stages as a lake fold over three id-ordered batches (the
+    // q171/q176/q153 batching-independence family applied to the WHOLE
+    // composition): per-doc gates run batch-locally; paragraph/span/LSH
+    // stages fold through growing registries (history text never
+    // rescanned, probe-pruned reads); survivors mergeUpsert into the
+    // kept table. The oracle knows NOTHING about the cuts: it re-derives
+    // the one-shot pipeline over the union — with the PAIRWISE near-dup
+    // rule (suppress iff a lower-id verified near-dup exists), the
+    // arrival-history semantics the fold honestly implements (CC
+    // canonical emission needs global component structure; see
+    // WebCuration.runBatch's scaladoc for the exact divergence class).
+    // Gated on the FULL final corpus by value: every kept doc's exact
+    // rewritten, redacted text.
+    QueryDef(
+      "q202_web_pipeline_fold",
+      (s, dir) => {
+        import graft.lake.Snapshots
+        import graft.operators.WebCuration
+        val d = webPipelineCorpus(s, dir)
+        val tmp = stagedFold(dir, "#q202") {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_web_fold").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          val cuts = Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3)
+          cuts.foreach { cut =>
+            WebCuration.runBatch(s, d.filter(cut), t,
+              suffixes = Seq("com", "net", "org", "de", "uk", "co.uk",
+                "io"),
+              blockedDomains = Seq("example.net", "badsite.co.uk"),
+              blockedSubstrings = Seq("casino", "bet now"))
+          }
+          t
+        }
+        Snapshots.read(s, s"$tmp/kept")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $webPipelineStagesCte,
+        $webPipelineLshCoreCte,
+        sup AS MATERIALIZED (SELECT DISTINCT id2 FROM jp9),
+        s9p AS MATERIALIZED (SELECT s8.* FROM s8
+          LEFT JOIN sup ON s8.doc_id = sup.id2
+          WHERE sup.id2 IS NULL),
+        s10p AS MATERIALIZED (SELECT doc_id, lang,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '${graft.operators.Privacy.EmailRe}', '<EMAIL>', 'g'),
+              '${graft.operators.Privacy.Ipv4Re}', '<IP>', 'g'),
+              '${graft.operators.Privacy.PhoneRe}', '<PHONE>', 'g')
+            AS text
+          FROM s9p)
+        SELECT doc_id, lang, text FROM s10p
+        ORDER BY doc_id"""))
   )
 }

@@ -333,15 +333,20 @@ object DedupIndex {
     * pruning"). History text is never rescanned, and the emitted
     * rewrite is a pure function of arrival history.
     */
+  /** @param sep the paragraph separator (regex) — `\n\n` for plain text,
+    *   `\n` for the line-level CCNet unit (the
+    *   [[graft.operators.Curation.corpusParagraphDedup]] param mirrored,
+    *   so the incremental pipeline twin folds the same rule).
+    */
   def paragraphDedupBatch(spark: SparkSession, indexTable: String,
       batchDocs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", sep: String = "\n\n"): DataFrame = {
     val batch = batchDocs.select(col(idCol), col(textCol)).localCheckpoint(true)
     // one paragraph pass over the BATCH only; feeds winner-resolve AND
     // the rebuild, so pin it once
     val paras = batch
       .select(col(idCol),
-        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
       .withColumn("h", xxhash64(
         regexp_replace(lower(col("para")), "[0-9]+", "0")))
       .localCheckpoint(true)
@@ -391,7 +396,7 @@ object DedupIndex {
             array_sort(collect_list(
               when(col("__keep"), struct(col("pos"), col("para"))))),
             x => x("para")),
-          "\n\n").as("text_clean"))
+          sep).as("text_clean"))
       // emissions materialize BEFORE the registry commit — a lazy plan
       // re-read after the upsert would see the batch's own registrations
       // as history

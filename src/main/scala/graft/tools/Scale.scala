@@ -552,6 +552,26 @@ object Scale {
           Release.packEdition(s, s"$t/editionCur", "doc_id", "lang",
             "n_tokens", 2048L, s"$t/manifestCur")
           Release.manifestDiff(s, s"$t/manifestRaw", s"$t/manifestCur")
+        }),
+        // q202 UN-memoized (fresh registries per invocation — the
+        // three-batch incremental pipeline is what must scale)
+        "q202_fold" -> ((s: SparkSession, dir: String) => {
+          import graft.operators.WebCuration
+          val d = graft.queries.TextPipeline.webPipelineCorpus(s, dir)
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_scale_webfold").toString
+          val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+          Seq(
+            col("doc_id") < maxId / 3,
+            col("doc_id") >= maxId / 3 && col("doc_id") < 2 * maxId / 3,
+            col("doc_id") >= 2 * maxId / 3).foreach { cut =>
+            WebCuration.runBatch(s, d.filter(cut), t,
+              suffixes = Seq("com", "net", "org", "de", "uk", "co.uk",
+                "io"),
+              blockedDomains = Seq("example.net", "badsite.co.uk"),
+              blockedSubstrings = Seq("casino", "bet now"))
+          }
+          graft.lake.Snapshots.read(s, s"$t/kept").select(col("doc_id"))
         }))
     }
   }

@@ -109,4 +109,50 @@ class WebCurationSpec extends SparkSpec {
     assert(ledger.map(_.getAs[Long]("n_in")).toSeq ==
       Seq(10L, 10L, 9L, 9L, 8L, 7L, 6L, 5L, 5L, 5L, 4L))
   }
+
+  test("incremental runBatch: cross-batch paragraph cut and near-dup " +
+      "suppression via the registries, replay is a keyed no-op, final " +
+      "kept table equals the one-shot outcome") {
+    val d1 = baseSents("one", en).mkString(" ")
+    // the one-shot spec's docs 1/7/8/9/10 (the survivors + the footer
+    // pair + the reversed near-dup), split so every registry stage has
+    // a CROSS-batch case: batch 1 = ids ≤ 7 (footer winner 7, canonical
+    // 1), batch 2 = ids ≥ 8 (doc 8's footer must be cut via the
+    // paragraph REGISTRY, doc 9 suppressed via the LSH INDEX)
+    val docs = Seq(
+      (1L, "en", d1),
+      (7L, "en", baseSents("sev", en).mkString(" ") +
+        "\nshared footer 7 all rights reserved today."),
+      (8L, "en", baseSents("eig", en).mkString(" ") +
+        "\nshared footer 8 all rights reserved today."),
+      (9L, "en", baseSents("one", en).reverse.mkString(" ")),
+      (10L, "en", baseSents("ten", en).mkString(" ") +
+        " contact agent 555-123-4567 now.")
+    ).toDF("doc_id", "lang", "text")
+    val t = java.nio.file.Files
+      .createTempDirectory("web_curation_fold_spec").toString
+    def batch(cut: org.apache.spark.sql.Column): Unit =
+      WebCuration.runBatch(spark, docs.filter(cut), t,
+        suffixes = Seq("com", "net", "org", "co.uk"),
+        blockedDomains = Seq("example.net"),
+        blockedSubstrings = Seq("casino"))
+    batch(col("doc_id") <= 7L)
+    batch(col("doc_id") >= 8L)
+    def kept: Map[Long, String] =
+      Snapshots.read(spark, s"$t/kept").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val k = kept
+    assert(k.keySet == Set(1L, 7L, 8L, 10L),
+      "doc 9 suppressed cross-batch by the LSH index (near-dup of 1)")
+    assert(k(7L).contains("shared footer"),
+      "batch-1 footer occurrence wins")
+    assert(!k(8L).contains("shared footer"),
+      "batch-2 footer cut via the paragraph registry, not a rescan")
+    assert(k(10L).contains("<PHONE>"))
+    assert(k(1L) == d1, "the clean doc's text unchanged end to end")
+    // replay of batch 2: registries drop the batch's own registrations
+    // first, resolution repeats exactly, mergeUpsert is a keyed no-op
+    batch(col("doc_id") >= 8L)
+    assert(kept == k, "replay must not change the kept table")
+  }
 }

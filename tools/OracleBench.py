@@ -67,7 +67,7 @@ SIDE_EFFECT_QUERIES = [
     "q171_paragraph_dedup_fold", "q176_c4_span_dedup_fold",
     "q185_release_pipeline", "q186_unimax_fold", "q191_pack_fold",
     "q193_unimax_take_fold", "q199_web_pipeline",
-    "q201_curation_release_diff",
+    "q201_curation_release_diff", "q202_web_pipeline_fold",
 ]
 
 
