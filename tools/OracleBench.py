@@ -235,9 +235,12 @@ def main():
     # single-thread hash-fold reads ~0.1-0.2 s; 2x drift between probes
     # of one run means another workload stole the core).
     calibs = [v for k, v in window.items() if k.startswith("calib_sec")]
+    # 1.8x drift threshold: a round-20 run with calib 0.100 -> 0.050
+    # (1.99x, genuinely degraded — spark steady +43% vs the quiet run on
+    # identical code) slipped under the original 2.0x
     window["contended"] = bool(
         window["load_start"][0] > args.load_flag
-        or (min(calibs) > 0 and max(calibs) / min(calibs) > 2.0))
+        or (min(calibs) > 0 and max(calibs) / min(calibs) > 1.8))
 
     summary = {
         "metric": "oracle_total",
