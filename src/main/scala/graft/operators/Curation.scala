@@ -639,23 +639,38 @@ object Curation {
     * published reference implementations' `taken[]` semantics, here as
     * a distinct-positions join, engine-portable).
     *
-    * Scale shape: line/paragraph stats are per-doc array expressions
-    * (zero shuffle); the n-gram side explodes ≈ 9 windows per word
-    * tagged by n, SPLIT by rule so gram strings never ride a wide
-    * shuffle — the 2..4-gram (top) side carries the string because the
-    * published tie-break is lexicographic on it, while the 5..10-gram
-    * (coverage) side ships only (n, position, int64 xxhash64 key) and
-    * resolves duplicated windows with one window count over the slim
-    * key frame (the q105 span-key posture; collision ≈ windows²/2⁶⁵
-    * per doc, and the string-keyed oracle would catch a merge), level-
-    * CASCADED: duplicated n≥6 grams imply a duplicated 5-gram, so only
-    * the 5-level scans the corpus and the 6..10 levels run over the
-    * 5-flagged docs alone (see the inline proof). Neither
-    * exploded frame is materialized: re-deriving the windows from the
-    * checkpointed token arrays is cheaper than checkpointing a
-    * corpus × 9-windows string frame (measured 14.7 s max tasks at the
-    * 10× probe before this split; linear with bounded tasks after).
+    * Scale shape (r21 rewrite): every repetition rule is a function of
+    * ONE document, so the whole battery evaluates as per-doc array
+    * folds inside a single projection — zero shuffles beyond the
+    * width-pinning id-hash repartition (the old form exploded the
+    * n-gram windows into corpus × 9-windows frames and resolved the
+    * argmax/duplicate questions with 8 exchanges + 2 window sorts; at
+    * any scale those shuffles moved data that never needed to leave
+    * its document). The 2..4-gram argmax keeps the gram STRING (the
+    * published tie-break is lexicographic); the 5..10-gram coverage
+    * works on int64 xxhash64 keys (collision ≈ windows²/2⁶⁵ per doc,
+    * the q105 posture; the string-keyed oracle would catch a merge).
+    * Both resolve per doc: sort the doc's window array, fold adjacent
+    * runs. A document's work stays O(W log W) in its own word count —
+    * the old form gathered each doc's windows onto one task at the
+    * (id, n) window step anyway, so the worst-case single-doc bound is
+    * unchanged while the all-doc shuffles are gone.
+    *
+    * HOF discipline: lambda-bound intermediates ([[bind1]]) — an outer
+    * expression referenced inside a higher-order-function lambda is
+    * re-evaluated on EVERY lambda call (the interpreter inlines the
+    * subtree), so sorted arrays / dup sets bind once as single-element
+    * transform variables; measured essential (O(W²·logW) otherwise).
     */
+  /** Evaluate `f` over `x` with `x` computed ONCE: binds `x` as the
+    * lambda variable of a single-element transform. The only way to
+    * share a subexpression across higher-order-function lambda calls —
+    * interpreted HOF eval re-evaluates any inlined outer subtree per
+    * element, and CollapseProject re-inlines single-reference aliases.
+    */
+  private def bind1(x: Column)(f: Column => Column): Column =
+    get(transform(array(x), xv => f(xv)), lit(0))
+
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val text = col(textCol)
@@ -668,127 +683,114 @@ object Curation {
           length(v))
     def totChars(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, v) => acc + length(v))
-    // id-hash repartition (single-row-group protection — the corpus
-    // parquets scan as one partition, and base feeds four expansion
-    // consumers) + EAGER checkpoint so the four consumers read the
-    // materialized stats/token frame instead of re-deriving the heavy
-    // per-doc folds. NOTE the r14 partitioning-carry pin does NOT apply
-    // here: AQE re-plans the deduplicated LogicalRDD branches with
-    // UnknownPartitioning, so the downstream keyed exchanges remain —
-    // negative result recorded in SCALING.md (round-18 follow-up); the
-    // scale lever for this operator is the level cascade below.
-    val base = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+    // the doc's n-gram windows (1-based start positions), empty when the
+    // doc is shorter than n — sequence(1, 0) would run DESCENDING
+    def gramsOf(n: Int, tkv: Column): Column =
+      when(size(tkv) >= n,
+        transform(sequence(lit(1), size(tkv) - n + 1), i =>
+          array_join(slice(tkv, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    // top n-gram (2..4): chars = cnt · word-chars of the argmax gram,
+    // tie-break (cnt desc, gram asc) — fold the SORTED window array;
+    // a strictly longer run replaces the best, so among equal-count
+    // grams the first (lexicographically least) wins, as the oracle's
+    // ROW_NUMBER(ORDER BY cnt DESC, gram) does
+    def topChars(n: Int, tkv: Column): Column =
+      bind1(aggregate(array_sort(gramsOf(n, tkv)),
+        struct(lit(0L).as("bc"), lit("").as("bg"), lit(0L).as("rc"),
+          lit("").as("pg")),
+        (acc, g) => bind1(
+          when(g === acc("pg"), acc("rc") + lit(1L)).otherwise(lit(1L))) {
+          rc =>
+            struct(
+              when(rc > acc("bc"), rc).otherwise(acc("bc")).as("bc"),
+              when(rc > acc("bc"), g).otherwise(acc("bg")).as("bg"),
+              rc.as("rc"), g.as("pg"))
+        })) { f =>
+        when(f("bc") > 0L,
+          f("bc") * (length(f("bg")) - lit(n - 1)).cast(LongType))
+          .otherwise(lit(0L))
+      }
+    // duplicated n-gram coverage (5..10): union of word positions under
+    // any window whose key occurs ≥ 2 in the doc — dup keys from one
+    // adjacent-run fold over the sorted key array, coverage as a
+    // distinct flatten of flagged windows' position ranges
+    def covChars(n: Int, tkv: Column): Column =
+      bind1(when(size(tkv) >= n,
+        transform(sequence(lit(1), size(tkv) - n + 1), i =>
+          xxhash64(array_join(slice(tkv, i, lit(n)), " "))))
+        .otherwise(array().cast("array<bigint>"))) { keys =>
+        bind1(aggregate(array_sort(keys),
+          struct(array().cast("array<bigint>").as("d"),
+            lit(null).cast("bigint").as("pg")),
+          (acc, k) => struct(
+            when(k === acc("pg") && !array_contains(acc("d"), k),
+              concat(acc("d"), array(k))).otherwise(acc("d")).as("d"),
+            k.as("pg")),
+          a => a("d"))) { dups =>
+          bind1(array_distinct(flatten(filter(
+            transform(keys, (k, j) =>
+              when(array_contains(dups, k), sequence(j + 1, j + lit(n)))),
+            x => x.isNotNull)))) { cov =>
+            aggregate(cov, lit(0L), (acc, p) =>
+              acc + length(element_at(tkv, p)).cast(LongType))
+          }
+        }
+      }
+    // ONE per-doc struct carrying every token-derived stat: the token
+    // array binds once (bind1) so the tokenize runs once per doc, and
+    // the struct is extracted in a SEPARATE projection (CollapseProject
+    // leaves multi-reference non-trivial aliases alone)
+    val o = bind1(tk) { tkv =>
+      struct(
+        totChars(tkv).as("n_word_chars"),
+        topChars(2, tkv).as("top2_chars"),
+        topChars(3, tkv).as("top3_chars"),
+        topChars(4, tkv).as("top4_chars"),
+        covChars(5, tkv).as("dup5_chars"),
+        covChars(6, tkv).as("dup6_chars"),
+        covChars(7, tkv).as("dup7_chars"),
+        covChars(8, tkv).as("dup8_chars"),
+        covChars(9, tkv).as("dup9_chars"),
+        covChars(10, tkv).as("dup10_chars"))
+    }
+    // RANGE repartition + local sort on the RAW input: (a) pins the
+    // per-doc folds at full width (single-row-group protection — the
+    // corpus parquets scan as one partition), and (b) pre-establishes
+    // the (idCol) global ordering the gate queries ask for, so their
+    // final orderBy is already satisfied and plans with NO exchange —
+    // a range exchange ABOVE the fold would run the fold TWICE (range
+    // boundary sampling evaluates the child an extra time; measured as
+    // a full duplicate 25 s-task-time stage at sf0.1).
+    val joined = df
+      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
+      .sortWithinPartitions(col(idCol))
       .select(
-      col(idCol),
-      tk.as("__tk"),
-      totChars(tk).as("n_word_chars"),
-      size(split(text, "\n\n")).cast(LongType).as("n_paras"),
-      (size(split(text, "\n\n")) -
-        size(array_distinct(split(text, "\n\n"))))
-        .cast(LongType).as("n_dup_paras"),
-      dupChars(split(text, "\n\n")).as("dup_para_chars"),
-      totChars(split(text, "\n\n")).as("n_para_chars"),
-      dupChars(split(text, "\n")).as("dup_line_chars"),
-      totChars(split(text, "\n")).as("n_line_chars"))
-      .localCheckpoint(true)
-    // window explodes per rule side; sequence(1, 0) would run
-    // DESCENDING, so empty-window docs need the guard. The 2..4 (top)
-    // side carries the gram STRING — the published argmax tie-break is
-    // lexicographic on it and hash order would diverge from the oracle.
-    val topWin = base.select(col(idCol),
-        explode(flatten(array((2 to 4).map { n =>
-          when(size(col("__tk")) >= n,
-            transform(sequence(lit(1), size(col("__tk")) - n + 1), i =>
-              struct(lit(n).as("n"),
-                array_join(slice(col("__tk"), i, lit(n)), " ").as("gram"))))
-            .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-        }: _*))).as("w"))
-      .select(col(idCol), col("w.n").as("n"), col("w.gram").as("gram"))
-    val counts = topWin.groupBy(col(idCol), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    // top n-gram (2..4): chars = cnt · word-chars of the gram (= len −
-    // separators); deterministic (cnt desc, gram) argmax
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol), col("n"))
-      .orderBy(col("cnt").desc, col("gram"))
-    val top = counts
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("n"),
-        (col("cnt") * (length(col("gram")) - (col("n") - 1)))
-          .cast(LongType).as("chars"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("n") === 2, col("chars"))).as("top2_chars"),
-        sum(when(col("n") === 3, col("chars"))).as("top3_chars"),
-        sum(when(col("n") === 4, col("chars"))).as("top4_chars"))
-    // duplicated n-grams (5..10): union of covered word positions,
-    // never double-counted — distinct (id, n, pos) before the join. The
-    // coverage rule never reads the text, so this side ships only the
-    // int64 key; one window count resolves duplication (a groupBy +
-    // join-back would shuffle the frame twice). LEVEL CASCADE: two equal
-    // n-grams (n ≥ 6) at distinct positions have equal 5-prefixes at
-    // distinct positions, so a doc with ANY duplicated n≥6 gram provably
-    // has a duplicated 5-gram — the n=5 level (1/6 of the window volume)
-    // runs over the whole corpus and the n=6..10 levels run ONLY over
-    // docs the 5-level flagged, a corpus-rare set. (Hash keys can only
-    // ADD phantom n≥6 duplicates via collision — the documented q105
-    // posture — and a collision-free 5-level never loses a true string
-    // duplicate, so the cascade is exact where the flat form was.)
-    def winKeys(src: DataFrame, ns: Seq[Int]): DataFrame = src
-      .select(col(idCol),
-        explode(flatten(array(ns.map { n =>
-          when(size(col("__tk")) >= n,
-            transform(sequence(lit(1), size(col("__tk")) - n + 1), i =>
-              struct(lit(n).as("n"), i.as("i"),
-                xxhash64(array_join(slice(col("__tk"), i, lit(n)), " "))
-                  .as("gh"))))
-            .otherwise(array().cast("array<struct<n:int,i:int,gh:bigint>>"))
-        }: _*))).as("w"))
-      .select(col(idCol), col("w.n").as("n"), col("w.i").as("i"),
-        col("w.gh").as("gh"))
-    val wDup = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol), col("n"), col("gh"))
-    def dupOnly(w: DataFrame): DataFrame = w
-      .withColumn("__c", count(lit(1)).over(wDup))
-      .filter(col("__c") >= 2).drop("__c")
-    // eager pin: dup5 feeds the doc filter AND the union — lazy reuse
-    // would re-run the 5-level exchange+sort twice
-    val dup5 = dupOnly(winKeys(base, Seq(5))).localCheckpoint(true)
-    val dup5Docs = dup5.select(col(idCol)).distinct().localCheckpoint(true)
-    // broadcast the flagged-doc set when it is provably small (count on
-    // the materialized frame — no stats guesswork); an adversarial
-    // all-docs-flagged corpus falls back to a doc-keyed shuffle semi-join
-    val flagged =
-      if (dup5Docs.count() <= 1000000L)
-        base.join(broadcast(dup5Docs), Seq(idCol), "left_semi")
-      else base.join(dup5Docs, Seq(idCol), "left_semi")
-    val dupWin = dup5.unionByName(dupOnly(winKeys(flagged, 6 to 10)))
-    val wordLens = base.select(col(idCol),
-        posexplode(col("__tk")).as(Seq("pos0", "__w")))
-      .select(col(idCol), (col("pos0") + 1).as("p"),
-        length(col("__w")).cast(LongType).as("wlen"))
-    val covered = dupWin
-      .select(col(idCol), col("n"),
-        explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
-      .distinct()
-      .join(wordLens, Seq(idCol, "p"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("n") === 5, col("wlen"))).as("dup5_chars"),
-        sum(when(col("n") === 6, col("wlen"))).as("dup6_chars"),
-        sum(when(col("n") === 7, col("wlen"))).as("dup7_chars"),
-        sum(when(col("n") === 8, col("wlen"))).as("dup8_chars"),
-        sum(when(col("n") === 9, col("wlen"))).as("dup9_chars"),
-        sum(when(col("n") === 10, col("wlen"))).as("dup10_chars"))
-    val joined = base.drop("__tk")
-      .join(top, Seq(idCol), "left")
-      .join(covered, Seq(idCol), "left")
-      .na.fill(0L, Seq("top2_chars", "top3_chars", "top4_chars",
-        "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars",
-        "dup9_chars", "dup10_chars"))
+        col(idCol),
+        o.as("__o"),
+        size(split(text, "\n\n")).cast(LongType).as("n_paras"),
+        (size(split(text, "\n\n")) -
+          size(array_distinct(split(text, "\n\n"))))
+          .cast(LongType).as("n_dup_paras"),
+        dupChars(split(text, "\n\n")).as("dup_para_chars"),
+        totChars(split(text, "\n\n")).as("n_para_chars"),
+        dupChars(split(text, "\n")).as("dup_line_chars"),
+        totChars(split(text, "\n")).as("n_line_chars"))
+      .select(
+        col(idCol),
+        col("__o")("n_word_chars").as("n_word_chars"),
+        col("n_paras"), col("n_dup_paras"), col("dup_para_chars"),
+        col("n_para_chars"), col("dup_line_chars"), col("n_line_chars"),
+        col("__o")("top2_chars").as("top2_chars"),
+        col("__o")("top3_chars").as("top3_chars"),
+        col("__o")("top4_chars").as("top4_chars"),
+        col("__o")("dup5_chars").as("dup5_chars"),
+        col("__o")("dup6_chars").as("dup6_chars"),
+        col("__o")("dup7_chars").as("dup7_chars"),
+        col("__o")("dup8_chars").as("dup8_chars"),
+        col("__o")("dup9_chars").as("dup9_chars"),
+        col("__o")("dup10_chars").as("dup10_chars"))
     // thresholds ×100: chars·100 ≤ t·total (exact at the boundary)
     def frac(chars: String, t: Int, tot: String): Column =
       lit(100L) * col(chars) <= lit(t.toLong) * col(tot)
@@ -1204,22 +1206,41 @@ object Curation {
 
   def c4SpanDedup(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    // plain posexplode: a doc with zero sentences (no terminal mark
-    // anywhere) has nothing to dedup and drops from the output — the
-    // oracle's unnest agrees. The lead frame feeds three consumers and
-    // per-branch filters defeat exchange reuse, so each re-derives it —
-    // checkpointing it here measured NEUTRAL twice (r18 and r19,
-    // BENCHNOTES: the wide frame's materialization costs what the
-    // recompute costs at sf0.1); the incremental fold, whose batches
-    // feed registry commits too, DOES pin it (one materialization per
-    // batch, measured −0.8 s on the 3-batch fold)
-    val leads = c4LeadFrame(df, idCol, textCol)
-    val sents = leads.select(col(idCol), col("pos"), col("sent"))
-    // spans: one per position 0..n-3 as slim (doc, pos, int64 key) rows —
-    // sentence bodies never enter the span branch's shuffles
-    val spans = leads.filter(col("__s2").isNotNull)
+    // ONE row per doc carrying its sentence ARRAY — span keys derive
+    // per doc from the array (element_at over 0..n−3), so the lead
+    // window and its doc-keyed exchange disappear entirely, and the
+    // final rebuild is a map-side array filter instead of a
+    // sentence-row join + collect_list re-aggregation. Docs with zero
+    // sentences drop here, as the old posexplode (and the oracle's
+    // unnest) dropped them. The eager checkpoint materializes the
+    // regex tokenize ONCE for the two consumers (span branch +
+    // rebuild); unlike the r18/r19-neutral lead-frame checkpoint this
+    // frame is doc-sized, not sentence-row-sized. (r21 rewrite: the
+    // lead form ran 5 shuffle exchanges + 2 windows and re-derived the
+    // lead frame per branch; this form runs 3 slim exchanges and
+    // shuffles sentence bodies zero times.)
+    // NOTE no zero-sentence filter here: size(__arr) > 0 referenced
+    // before the checkpoint pushes the whole tokenize below the
+    // caller's repartition exchange, serializing it on the
+    // single-row-group scan task (measured: one 3.1 s task owning the
+    // query); the drop applies on the final projection instead, where
+    // the checkpointed RDD is a pushdown barrier.
+    val docsArr = df
+      .select(col(idCol), c4SentenceArr(col(textCol)).as("__arr"))
+      .localCheckpoint(true)
+    // spans: one per position 0..n−3 as slim (doc, pos, int64 key)
+    // rows — posexplode + element_at keeps the key computation in
+    // whole-stage codegen (a transform() HOF here is CodegenFallback
+    // and evaluated interpreted, measured +0.6 s); sentence bodies
+    // never enter a shuffle
+    val spans = docsArr
+      .select(col(idCol), col("__arr"),
+        posexplode(col("__arr")).as(Seq("pos", "sent")))
+      .filter(col("pos") <= size(col("__arr")) - 3)
       .select(col(idCol), col("pos"),
-        c4SpanKey(col("sent"), col("__s1"), col("__s2")).as("__h"))
+        c4SpanKey(col("sent"),
+          element_at(col("__arr"), col("pos") + 2),
+          element_at(col("__arr"), col("pos") + 3)).as("__h"))
     // duplicated spans only: winner = min (doc, pos); count > 1 filters
     // the frame to actual duplicates before anything joins back
     val winners = spans
@@ -1228,23 +1249,25 @@ object Curation {
         count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select(col("__h"), col("w.d").as("__wdoc"), col("w.p").as("__wpos"))
-    // union coverage: every position under a duplicated NON-winner span
-    val cut = spans.join(winners, Seq("__h"))
+    // union coverage: every position under a duplicated NON-winner span,
+    // folded to ONE row per doc (collect_set ≡ the old distinct — the
+    // rebuild below reads membership only)
+    val cuts = spans.join(winners, Seq("__h"))
       .filter(!(col(idCol) === col("__wdoc") && col("pos") === col("__wpos")))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
-      .distinct()
-      .withColumn("__cut", lit(true))
-    sents.join(cut, Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_sents"),
-        sum(when(col("__cut"), lit(1L)).otherwise(lit(0L))).as("n_cut"),
+      .agg(collect_set(col("pos")).as("__cuts"))
+    docsArr.filter(size(col("__arr")) > 0)
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__cuts",
+        coalesce(col("__cuts"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__arr")).cast(LongType).as("n_sents"),
+        size(col("__cuts")).cast(LongType).as("n_cut"),
         array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("__cut").isNull, struct(col("pos"), col("sent"))))),
-            x => x("sent")),
+          filter(col("__arr"),
+            (s, i) => !array_contains(col("__cuts"), i)),
           " ").as("text_clean"))
   }
 }

@@ -100,6 +100,13 @@ object Dev {
               e.stageInfo.name.takeWhile(_ != '\n').take(90)
         })
       warmup(spark, dir)
+      // one untimed cold pass first (JIT/codegen), then profile the
+      // STEADY pass — cold-task JIT otherwise swamps the per-stage sums
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      stats.clear(); names.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
