@@ -39,6 +39,9 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
     }
     spark.catalog.clearCache()
+    // warmup queries leave localCheckpoint blocks too — drop them so q01's
+    // first window opens with a drained BlockManager (the r9 class)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Two timed runs per query: `first` carries planning + codegen JIT and
     // is what a cold cluster pays once; `steady` is the repeat-execution
@@ -61,6 +64,19 @@ object Bench {
       }
       try {
         val first = timed()
+        // MEASUREMENT FIX (r21, documented in OPTIMIZATION_r21.md with
+        // both-protocol totals): drop the first run's LOCAL-CHECKPOINT
+        // blocks before the steady window. A fresh localCheckpoint call
+        // always creates a new RDD, so first-run checkpoint blocks are
+        // unreusable garbage that squeezes the unified-memory region
+        // exactly like the r9/r15 BETWEEN-queries leak (measured: q127
+        // steady 8.85 s in-sweep vs 3.2 s isolated — Dev bench, which
+        // settles between runs, never showed the inflation). CacheManager
+        // -backed persists are untouched: steady's plan-matched cache
+        // reuse (the r15 run-A lesson) is exactly preserved.
+        spark.sparkContext.getPersistentRDDs.values
+          .filter(org.apache.spark.sql.GraftBridge.isLocallyCheckpointed)
+          .foreach(_.unpersist(true))
         val steady = timed()
         Some(name -> (first, steady))
       } catch {

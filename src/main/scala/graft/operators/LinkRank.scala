@@ -52,8 +52,13 @@ object LinkRank {
     // the loop's only corpus-sized frame, materialized once (see
     // Dedup.duplicateClusters for the same contract)
     val ed = edges.join(deg, "src").localCheckpoint(true)
+    // NO per-round checkpoints (r21): unlike duplicateClusters, whose
+    // convergence probe fires an ACTION every round (and therefore
+    // needs each round pinned), this loop runs a FIXED round count
+    // with one terminal action — the rounds unroll into one plan whose
+    // exchanges each materialize exactly once, and the per-round
+    // checkpoint jobs were pure dispatch floor (~2 jobs/round).
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
-      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val contrib = ed.join(ranks, ed("src") === ranks("id"))
         .select(col("dst"), expr("rank div deg").as("c"))
@@ -63,7 +68,6 @@ object LinkRank {
         .select(col("id"),
           (expr(s"${3L * scale} div 20") +
             expr("(17 * coalesce(c, 0)) div 20")).as("rank"))
-        .localCheckpoint(eager = false)
     }
     ranks.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("degree"),

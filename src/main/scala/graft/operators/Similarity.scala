@@ -36,8 +36,18 @@ object Similarity {
     * centroid id). `centroids`: (cid, cvec). Adds a `bucket` column.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(
-        centroids.select(col("cid"), col("cvec"))))
+    // id-hash repartition BEFORE the centroid cross: the argmin window
+    // below demands hashpartitioning(id) anyway, so moving the exchange
+    // under the scoring (a) ships 1x raw vectors instead of the
+    // x|centroids| scored blowup and (b) runs the L2 forest at full
+    // width instead of on the corpus parquet's single scan partition
+    // (measured: a 0.83 s one-task stage owning q63's critical path).
+    // The window then needs only a local sort — the exchange COUNT is
+    // unchanged.
+    val scored = vectors
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
       .withColumn("dist", l2sq(col("vec"), col("cvec")))
     val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cid"))
     scored.withColumn("rn", row_number().over(w))

@@ -248,7 +248,7 @@ object LogAnalytics {
             col("http.response.body.bytes").as("resp_bytes"))
           // same hoisted-parse trap as q46: pin the partition count so the
           // grok forest runs full-width after the range exchange
-          .repartitionByRange(32, col("event_id"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
           .sortWithinPartitions(col("event_id"))
       },
       Some("""
@@ -373,7 +373,7 @@ object LogAnalytics {
           // parallelism — the hoisted parse then runs 32-wide — and
           // range-disjoint + sorted partitions still give the same total
           // order.
-          .repartitionByRange(32, col("event_id"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
           .sortWithinPartitions(col("event_id"))
       },
       Some("""

@@ -2065,14 +2065,15 @@ object TextPipeline {
           .filter(length(col("payload")) >= 16)
           .withColumn("w", lit(16))
           .select("doc_id", "payload", "w")
+        // EAGER pin, not lazy persist: aHashNearDup fans hashes into a
+        // 4-band union BEFORE any action, and a lazy persist's first
+        // materialization races across the union branches — each branch
+        // re-ran the full hash pass (4 identical decode stages per run)
         val hashes = Multimodal.aHash(s, d, "doc_id", "payload", "w")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          .localCheckpoint(true)
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
             maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
-          .localCheckpoint(true) // pairing reads hashes 3x; decode runs once
-        hashes.unpersist(false)
-        out
       },
       Some("""
         WITH d AS (
@@ -2153,14 +2154,16 @@ object TextPipeline {
           .withColumn("payload", encode(col("text"), "utf-8"))
           .select("doc_id", "payload")
         val wav = Multimodal.encodePcm16Wav(s, d, "doc_id", "payload", sampleRate = 16000)
+        // EAGER pin (the q86 rationale): the 4-band union otherwise
+        // re-runs the WAV encode+decode once per branch. NO repartition
+        // here — javax.sound provider lookup is per-partition init and
+        // 32 inits outweigh this corpus's serialized decode (r17
+        // negative result, BENCHNOTES).
         val hashes = Multimodal.audioEnvelopeHash(s, wav, "doc_id", "wav")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          .localCheckpoint(true)
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
             maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
-          .localCheckpoint(true) // codec decode runs once, not per reference
-        hashes.unpersist(false)
-        out
       },
       Some("""
         WITH d AS (
@@ -2246,16 +2249,21 @@ object TextPipeline {
         val d = base.unionAll(twins)
           .withColumn("payload", encode(col("text"), "utf-8"))
           .select("doc_id", "payload")
+          // 32-wide GIF encode+decode (the r17 PNG/GIF finding: ImageIO
+          // parallelizes cleanly, unlike the WAV provider — q87): the
+          // docs scan is 1-2 partitions and the codec pass was the
+          // query's serial floor
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         val gifs = Multimodal.encodeFramesGif(s, d, "doc_id", "payload",
           frameW = 16, frameH = 4)
+        // EAGER pin (the q86 rationale): the 4-band union otherwise
+        // re-runs the frame encode+decode once per branch (measured:
+        // four identical 0.75 s 2-task decode stages per run)
         val hashes = Multimodal.videoEnvelopeHash(s, gifs, "doc_id", "gif")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          .localCheckpoint(true)
+        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
             maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
-          .localCheckpoint(true) // frame decode runs once, not per reference
-        hashes.unpersist(false)
-        out
       },
       Some("""
         WITH d AS (
@@ -2528,8 +2536,13 @@ object TextPipeline {
               element_at(array(zhSents.map(lit): _*), (k % 3 + 1).cast("int")),
               element_at(array(zhChars.map(lit): _*), (k % 10 + 1).cast("int"))))
             .otherwise(col("text")))
-        val lid = TextAnalysis.languageIdMulti(d, "text",
-          TextAnalysis.lexiconsCjk, charGramLangs = Set("zh"))
+        // pinned repartition before the lexicon/char-gram forest: the
+        // corpus scans as ONE partition and the whole langid + tokenize
+        // otherwise serializes on a single task (measured 1.24 s = the
+        // query's critical path)
+        val lid = TextAnalysis.languageIdMulti(
+          d.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "text", TextAnalysis.lexiconsCjk, charGramLangs = Set("zh"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang_pred")).orderBy(col("cnt").desc, col("tok").asc)
         lid.select(col("lang_pred"),

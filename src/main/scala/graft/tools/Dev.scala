@@ -78,8 +78,9 @@ object Dev {
     case "stages" :: rest =>
       // per-stage task profile: where does the wall time (and the max
       // task) actually sit? The straggler-hunting view Scale's single
-      // max-task number points at but can't localize.
-      val name = rest.head
+      // max-task number points at but can't localize. Accepts a
+      // comma-separated query list (one session, profiled in turn).
+      val stageNames = rest.head.split(',').toSeq
       val dir = rest.lift(1).getOrElse("/root/testdata/sf0.01")
       val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       val stats = scala.collection.concurrent.TrieMap
@@ -100,21 +101,25 @@ object Dev {
               e.stageInfo.name.takeWhile(_ != '\n').take(90)
         })
       warmup(spark, dir)
-      // one untimed cold pass first (JIT/codegen), then profile the
-      // STEADY pass — cold-task JIT otherwise swamps the per-stage sums
-      SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      stats.clear(); names.clear()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      println(f"[stages] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      Thread.sleep(2000) // listener bus drain
-      println(f"${"stage"}%6s ${"tasks"}%6s ${"sum_s"}%8s ${"max_s"}%8s  site")
-      stats.toSeq.sortBy(-_._2._1).take(20).foreach { case (sid, (s, m, n)) =>
-        println(f"$sid%6d $n%6d ${s / 1e3}%8.2f ${m / 1e3}%8.2f  ${names.getOrElse(sid, "?")}")
+      for (name <- stageNames if SparkEntry.queries.contains(name)) {
+        // one untimed cold pass first (JIT/codegen), then profile the
+        // STEADY pass — cold-task JIT otherwise swamps the per-stage sums
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        stats.clear(); names.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[stages] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        Thread.sleep(2000) // listener bus drain
+        println(f"${"stage"}%6s ${"tasks"}%6s ${"sum_s"}%8s ${"max_s"}%8s  site")
+        stats.toSeq.sortBy(-_._2._1).take(12).foreach { case (sid, (s, m, n)) =>
+          println(f"$sid%6d $n%6d ${s / 1e3}%8.2f ${m / 1e3}%8.2f  ${names.getOrElse(sid, "?")}")
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
       spark.stop()
 

@@ -42,4 +42,16 @@ object GraftBridge {
   def applyExtensionFunctions(e: SparkSessionExtensions,
       reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     e.registerFunctions(reg)
+
+  /** Whether an RDD holds local-checkpoint data (`isLocallyCheckpointed`
+    * is private[spark]). Lets the bench sweep drop dead checkpoint
+    * blocks between a query's paired runs WITHOUT touching
+    * CacheManager-backed persisted frames — a locally-checkpointed RDD
+    * is never plan-matched by a repeat execution (each localCheckpoint
+    * call creates a fresh RDD), so its first-run blocks are pure
+    * eviction pressure on the steady window.
+    */
+  def isLocallyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    rdd.checkpointData.exists(
+      _.isInstanceOf[org.apache.spark.rdd.LocalRDDCheckpointData[_]])
 }
