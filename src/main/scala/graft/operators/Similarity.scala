@@ -406,7 +406,14 @@ object Similarity {
       dropPercent: Int): DataFrame = {
     require(dropPercent >= 0 && dropPercent <= 100,
       s"dropPercent must be a percentage: $dropPercent")
+    // same exchange placement as ivfAssign: the assign window demands
+    // hashpartitioning(id) anyway — moving it below the centroid cross
+    // runs the integer-L2 forest full-width instead of on the corpus
+    // scan's single partition (measured: a 1.0 s one-task stage owning
+    // q170) and ships 1x codes instead of the x|centroids| blowup
     val scored = corpusCodes.select(col("id"), col("code"))
+      .repartition(
+        corpusCodes.sparkSession.sparkContext.defaultParallelism, col("id"))
       .crossJoin(broadcast(
         centroidCodes.select(col("cid"), col("code").as("ccode"))))
       .withColumn("dist", l2sqInt(col("code"), col("ccode")))

@@ -48,6 +48,13 @@ object Vectors {
     cuts.foreach { cut =>
       val assigned = Similarity.ivfAssign(corpus.filter(cut), centroids)
         .withColumn(Lake.PartitionCol, concat(lit("b"), col("bucket")))
+        // cluster rows by partition value so each bucket directory is
+        // written by ONE task (the write distribution an Iceberg sink
+        // would request): ivfAssign now runs 32-wide, and an unclustered
+        // append would write |parallelism| tiny files per bucket — the
+        // probe read then pays per-file open cost (measured: q143
+        // steady 0.7 -> 2.9 s from exactly that, guide §6 small files)
+        .repartition(col(Lake.PartitionCol))
       Snapshots.append(assigned, table)
     }
   }
@@ -80,11 +87,17 @@ object Vectors {
                  (SELECT cid, list(x ORDER BY dim) AS ccode
                   FROM upd$r GROUP BY cid) u ON u.cid = p.cid)"""
 
-  /** q154/q155 shared: the corpus in q61's int8 code domain. */
+  /** q154/q155 shared: the corpus in q61's int8 code domain. Width-
+    * pinned: the embeddings parquet scans as ONE partition, so without
+    * the repartition the quantize pass serializes on a single task
+    * (measured 0.9 s at the q161 checkpoint site).
+    */
   private def pqCoded(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).select(col("id"),
-      VectorFunctions.quantizeInt8(col("vec"),
-        VectorFunctions.int8Scale(col("vec"))).as("code"))
+    vecs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        VectorFunctions.quantizeInt8(col("vec"),
+          VectorFunctions.int8Scale(col("vec"))).as("code"))
 
   /** The 8-row frozen PQ codebook (q63's corpus-rows-as-centroids
     * contract): collected once — bounded by construction (codebooks are
