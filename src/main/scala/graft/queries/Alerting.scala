@@ -467,8 +467,13 @@ object Alerting {
             .select("rule_name", "dedupe").distinct()
           val retro = graft.plans.AnchoredSession.aggregate(s, m, cfg)
             .join(lateKeys, Seq("rule_name", "dedupe"), "left_semi")
+          // clusterBy here too: the retro update also spans the whole
+          // event-time range, and an unclustered merge staged tasks x
+          // hours tiny files — the steady read then paid 721 file opens
+          // (44.8 s of task time) for ~4.5k alert rows (guide §6)
           Snapshots.mergeUpsert(s, t,
-            retro.withColumn("ts", col("first_matched_at")), "alert_id")
+            retro.withColumn("ts", col("first_matched_at")), "alert_id",
+            clusterBy = Seq("ts"))
           t
         })
         Snapshots.read(s, tmp)
