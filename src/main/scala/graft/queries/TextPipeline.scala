@@ -2065,15 +2065,25 @@ object TextPipeline {
           .filter(length(col("payload")) >= 16)
           .withColumn("w", lit(16))
           .select("doc_id", "payload", "w")
-        // EAGER pin, not lazy persist: aHashNearDup fans hashes into a
-        // 4-band union BEFORE any action, and a lazy persist's first
-        // materialization races across the union branches — each branch
-        // re-ran the full hash pass (4 identical decode stages per run)
+        // persist + EAGER count, not lazy persist and not localCheckpoint:
+        // aHashNearDup fans hashes into a 4-band union BEFORE any action,
+        // and a lazy persist's first materialization races across the
+        // union branches (each branch re-ran the full hash pass — 4
+        // identical decode stages per run); a localCheckpoint kills the
+        // race but loses the cache's size statistics, flipping the
+        // hamming-verify joins from broadcast to sort-merge at 10× (the
+        // quadratic candidate set then shuffles — measured 12 → 35 s at
+        // the 10× probe). The count materializes the cache once, keeping
+        // both the single decode AND the broadcast verify joins.
         val hashes = Multimodal.aHash(s, d, "doc_id", "payload", "w")
-          .localCheckpoint(true)
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hashes.count()
+        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
             maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
+          .localCheckpoint(true) // materialize before the scoped unpersist
+        hashes.unpersist(false)
+        out
       },
       Some("""
         WITH d AS (
@@ -2154,16 +2164,20 @@ object TextPipeline {
           .withColumn("payload", encode(col("text"), "utf-8"))
           .select("doc_id", "payload")
         val wav = Multimodal.encodePcm16Wav(s, d, "doc_id", "payload", sampleRate = 16000)
-        // EAGER pin (the q86 rationale): the 4-band union otherwise
-        // re-runs the WAV encode+decode once per branch. NO repartition
-        // here — javax.sound provider lookup is per-partition init and
-        // 32 inits outweigh this corpus's serialized decode (r17
-        // negative result, BENCHNOTES).
+        // persist + eager count (the q86 rationale — single decode AND
+        // stats-bearing cache for the broadcast verify joins). NO
+        // repartition here — javax.sound provider lookup is
+        // per-partition init and 32 inits outweigh this corpus's
+        // serialized decode (r17 negative result, BENCHNOTES).
         val hashes = Multimodal.audioEnvelopeHash(s, wav, "doc_id", "wav")
-          .localCheckpoint(true)
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hashes.count()
+        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
             maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
+          .localCheckpoint(true) // materialize before the scoped unpersist
+        hashes.unpersist(false)
+        out
       },
       Some("""
         WITH d AS (
@@ -2256,14 +2270,20 @@ object TextPipeline {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         val gifs = Multimodal.encodeFramesGif(s, d, "doc_id", "payload",
           frameW = 16, frameH = 4)
-        // EAGER pin (the q86 rationale): the 4-band union otherwise
-        // re-runs the frame encode+decode once per branch (measured:
-        // four identical 0.75 s 2-task decode stages per run)
+        // persist + eager count (the q86 rationale): single decode before
+        // the 4-band fan-out, and the cache's size statistics keep the
+        // hamming-verify joins broadcast at scale (a localCheckpoint here
+        // read 12 → 35 s at the 10× probe: the stats-less LogicalRDD
+        // planned sort-merge and shuffled the quadratic candidate set)
         val hashes = Multimodal.videoEnvelopeHash(s, gifs, "doc_id", "gif")
-          .localCheckpoint(true)
-        Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hashes.count()
+        val out = Multimodal.aHashNearDup(hashes, "doc_id", maxHamming = 6,
             maxBucketSize = None)
           .orderBy(col("id1"), col("id2"))
+          .localCheckpoint(true) // materialize before the scoped unpersist
+        hashes.unpersist(false)
+        out
       },
       Some("""
         WITH d AS (
