@@ -714,11 +714,22 @@ object Curation {
     // duplicated n-gram coverage (5..10): union of word positions under
     // any window whose key occurs ≥ 2 in the doc — dup keys from one
     // adjacent-run fold over the sorted key array, coverage as a
-    // distinct flatten of flagged windows' position ranges
-    def covChars(n: Int, tkv: Column): Column =
-      bind1(when(size(tkv) >= n,
-        transform(sequence(lit(1), size(tkv) - n + 1), i =>
-          xxhash64(array_join(slice(tkv, i, lit(n)), " "))))
+    // distinct flatten of flagged windows' position ranges. Window keys
+    // are one VARIADIC xxhash64 over the window's ONCE-hashed tokens —
+    // order-sensitive, same per-doc collision posture as the earlier
+    // xxhash64-of-gram-string (windows²/2⁶⁴; the string-keyed oracle
+    // catches a merge), without re-building and re-hashing ~6 gram
+    // strings per word (measured: the string form's 10× max task was
+    // 10.8 s). NOTE each operand must appear exactly once in the
+    // lambda body: a reduceLeft of two-use combines (rotate-xor)
+    // duplicates the prefix subtree per step — interpreted HOF eval
+    // then re-evaluates it per use, a 2ⁿ blowup (measured 3× slower
+    // than even the string form). `thv` binds once per doc and is
+    // shared by all six levels.
+    def covChars(n: Int, thv: Column, tkv: Column): Column =
+      bind1(when(size(thv) >= n,
+        transform(sequence(lit(1), size(thv) - n + 1), i =>
+          xxhash64((0 until n).map(j => element_at(thv, i + j)): _*)))
         .otherwise(array().cast("array<bigint>"))) { keys =>
         bind1(aggregate(array_sort(keys),
           struct(array().cast("array<bigint>").as("d"),
@@ -742,17 +753,19 @@ object Curation {
     // the struct is extracted in a SEPARATE projection (CollapseProject
     // leaves multi-reference non-trivial aliases alone)
     val o = bind1(tk) { tkv =>
-      struct(
-        totChars(tkv).as("n_word_chars"),
-        topChars(2, tkv).as("top2_chars"),
-        topChars(3, tkv).as("top3_chars"),
-        topChars(4, tkv).as("top4_chars"),
-        covChars(5, tkv).as("dup5_chars"),
-        covChars(6, tkv).as("dup6_chars"),
-        covChars(7, tkv).as("dup7_chars"),
-        covChars(8, tkv).as("dup8_chars"),
-        covChars(9, tkv).as("dup9_chars"),
-        covChars(10, tkv).as("dup10_chars"))
+      bind1(transform(tkv, t => xxhash64(t))) { thv =>
+        struct(
+          totChars(tkv).as("n_word_chars"),
+          topChars(2, tkv).as("top2_chars"),
+          topChars(3, tkv).as("top3_chars"),
+          topChars(4, tkv).as("top4_chars"),
+          covChars(5, thv, tkv).as("dup5_chars"),
+          covChars(6, thv, tkv).as("dup6_chars"),
+          covChars(7, thv, tkv).as("dup7_chars"),
+          covChars(8, thv, tkv).as("dup8_chars"),
+          covChars(9, thv, tkv).as("dup9_chars"),
+          covChars(10, thv, tkv).as("dup10_chars"))
+      }
     }
     // RANGE repartition + local sort on the RAW input: (a) pins the
     // per-doc folds at full width (single-row-group protection — the
