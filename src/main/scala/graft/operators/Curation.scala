@@ -1168,15 +1168,16 @@ object Curation {
     * Returns per doc: `n_sents`, `n_cut`, and `text_clean` (surviving
     * sentences re-joined with a single space, original order).
     *
-    * Scale shape: the corpus tokenizes ONCE ([[c4LeadFrame]] — span keys
-    * derive from the exploded sentence frame via lead(), not a second
-    * `regexp_extract_all` pass); spans ride as slim (doc, pos, int64
-    * xxhash64 key) tuples — never the three-sentence strings (the
-    * q105/q168 posture; the string-keyed oracle would catch a collision
-    * merge); the winner aggregation is distinct-span-sized with map-side
-    * combine; cut positions explode ×3 from flagged spans and dedup
-    * BEFORE the join back; sentence bodies ride exactly one shuffle (the
-    * lead window's doc partitioning is reused by the per-doc rebuild).
+    * Scale shape (r21 array form, shared with the incremental fold):
+    * the corpus tokenizes ONCE into a per-doc sentence array (eager
+    * checkpoint); span keys derive per doc via posexplode + element_at
+    * and ride as slim (doc, pos, int64 xxhash64 key) tuples — never the
+    * three-sentence strings (the q105/q168 posture; the string-keyed
+    * oracle would catch a collision merge); the winner aggregation is
+    * distinct-span-sized with map-side combine; cut positions explode
+    * ×3 from flagged spans and fold to one per-doc set BEFORE the join
+    * back; the rebuild is a map-side indexed array filter — sentence
+    * bodies never enter a shuffle at all.
     */
   /** The C4 span rules' sentence extraction: maximal `[^.!?]*[.!?]` runs,
     * trimmed. ONE definition shared by [[c4SpanDedup]] and the
@@ -1196,26 +1197,6 @@ object Curation {
     */
   private[graft] def c4SpanKey(s0: Column, s1: Column, s2: Column): Column =
     xxhash64(lower(concat_ws(" ", s0, s1, s2)))
-
-  /** ONE-pass sentence + span-key derivation: the sentence array
-    * tokenizes ONCE and explodes; span keys derive from the exploded
-    * frame via `lead(sent, 1/2)` over (doc, pos) — rows where `__s2` is
-    * null have no span starting at their position (the 0..n−3 contract).
-    * The window's (doc) hash partitioning is exactly what the final
-    * per-doc rebuild needs, so sentence bodies still ride ONE shuffle —
-    * this replaces the earlier two-frame form whose span branch re-ran
-    * `regexp_extract_all` over every doc (a second full tokenize pass;
-    * measured −0.3+ s at sf0.1, BENCHNOTES round 19).
-    */
-  private[graft] def c4LeadFrame(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    df.select(col(idCol),
-        posexplode(c4SentenceArr(col(textCol))).as(Seq("pos", "sent")))
-      .withColumn("__s1", lead(col("sent"), 1).over(w))
-      .withColumn("__s2", lead(col("sent"), 2).over(w))
-  }
 
   def c4SpanDedup(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {

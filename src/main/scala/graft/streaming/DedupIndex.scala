@@ -448,20 +448,28 @@ object DedupIndex {
   def spanDedupBatch(spark: SparkSession, indexTable: String,
       batchDocs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val batch = batchDocs.select(col(idCol), col(textCol))
+    // sentence segmentation and span keying come from Curation's shared
+    // definitions (c4SentenceArr/c4SpanKey) — one definition with the
+    // one-shot rule, which is what makes the fold ≡ one-shot argument
+    // hold by construction rather than copy discipline. The r21 array
+    // form (the c4SpanDedup rewrite): ONE row per doc carries the
+    // sentence array, span keys derive per doc via posexplode +
+    // element_at, and the rebuild is a map-side indexed array filter —
+    // the lead window, its doc-keyed exchange, and the sentence-row
+    // join all disappear; the batch still tokenizes exactly once (the
+    // eager checkpoint).
+    val docsArr = batchDocs
+      .select(col(idCol),
+        graft.operators.Curation.c4SentenceArr(col(textCol)).as("__arr"))
       .localCheckpoint(true)
-    // sentence segmentation and span keying come from Curation's ONE-pass
-    // lead frame — one definition with the one-shot rule, which is what
-    // makes the fold ≡ one-shot argument hold by construction rather
-    // than copy discipline; ONE materialization feeds both the sentence
-    // and the span branch (the batch tokenizes once)
-    val leads = graft.operators.Curation
-      .c4LeadFrame(batch, idCol, textCol).localCheckpoint(true)
-    val sents = leads.select(col(idCol), col("pos"), col("sent"))
-    val spans = leads.filter(col("__s2").isNotNull)
+    val spans = docsArr
+      .select(col(idCol), col("__arr"),
+        posexplode(col("__arr")).as(Seq("pos", "sent")))
+      .filter(col("pos") <= size(col("__arr")) - 3)
       .select(col(idCol), col("pos"),
-        graft.operators.Curation
-          .c4SpanKey(col("sent"), col("__s1"), col("__s2")).as("h"))
+        graft.operators.Curation.c4SpanKey(col("sent"),
+          element_at(col("__arr"), col("pos") + 2),
+          element_at(col("__arr"), col("pos") + 3)).as("h"))
     val batchAgg = spans.groupBy(col("h"))
       .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("w"),
         count(lit(1)).as("c"))
@@ -476,7 +484,7 @@ object DedupIndex {
     val registered =
       if (!indexed) batchAgg.select(col("h")).limit(0)
       else probeRead(spark, indexTable, "h", batchAgg.select(col("h")))
-        .join(batch.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
+        .join(docsArr.select(col(idCol).as("wdoc")), Seq("wdoc"), "left_anti")
         .select(col("h"))
         .join(broadcast(batchAgg.select(col("h"))), Seq("h"), "left_semi")
     val flagged = spans
@@ -486,21 +494,21 @@ object DedupIndex {
       .filter(col("__reg").isNotNull ||
         (col("c") > 1 &&
           !(col(idCol) === col("wdoc") && col("pos") === col("wpos"))))
-    val cut = flagged
+    val cuts = flagged
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
-      .distinct()
-      .withColumn("__cut", lit(true))
-    val out = sents.join(cut, Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_sents"),
-        sum(when(col("__cut"), lit(1L)).otherwise(lit(0L))).as("n_cut"),
+      .agg(collect_set(col("pos")).as("__cuts"))
+    val out = docsArr.filter(size(col("__arr")) > 0)
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__cuts",
+        coalesce(col("__cuts"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__arr")).cast("long").as("n_sents"),
+        size(col("__cuts")).cast("long").as("n_cut"),
         array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("__cut").isNull, struct(col("pos"), col("sent"))))),
-            x => x("sent")),
+          filter(col("__arr"),
+            (s, i) => !array_contains(col("__cuts"), i)),
           " ").as("text_clean"))
       // emissions materialize BEFORE the registry commit
       .localCheckpoint(true)
