@@ -43,6 +43,7 @@ object Bench {
     // first window opens with a drained BlockManager (the r9 class)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val steadyReusesCache = scala.collection.mutable.ArrayBuffer.empty[String]
     // Two timed runs per query: `first` carries planning + codegen JIT and
     // is what a cold cluster pays once; `steady` is the repeat-execution
     // cost and is the cross-round comparison basis (first-run numbers swing
@@ -73,10 +74,25 @@ object Bench {
         // steady 8.85 s in-sweep vs 3.2 s isolated — Dev bench, which
         // settles between runs, never showed the inflation). CacheManager
         // -backed persists are untouched: steady's plan-matched cache
-        // reuse (the r15 run-A lesson) is exactly preserved.
+        // reuse (the r15 run-A lesson) is exactly preserved. INVARIANT
+        // this relies on: no query memoizes a LIVE locally-checkpointed
+        // DataFrame across invocations (memo maps hold staged dirs and
+        // driver values only) — a cached checkpointed frame would fail
+        // the steady run with a missing-checkpoint-block error, since
+        // truncated lineage cannot recompute.
         spark.sparkContext.getPersistentRDDs.values
           .filter(org.apache.spark.sql.GraftBridge.isLocallyCheckpointed)
           .foreach(_.unpersist(true))
+        // Declared steady-cache asymmetry (r22, VERDICT item 9): a query
+        // whose plan persist()s an intermediate keeps that CacheManager
+        // entry across the first→steady pair (warm-repeat contract), so
+        // its steady run reuses the first run's cache. Record WHICH
+        // queries that covers (detected, not hand-listed) so the numbers
+        // can be read correctly: any persistent RDD alive here that is
+        // NOT a localCheckpoint block is a CacheManager-backed persist
+        // the steady run may reuse.
+        if (spark.sparkContext.getPersistentRDDs.nonEmpty)
+          steadyReusesCache += name
         val steady = timed()
         Some(name -> (first, steady))
       } catch {
@@ -112,7 +128,24 @@ object Bench {
     val totalSteady = results.values.map(_._2).sum
     // "queries"/"value" stay first-run (the driver's historical schema);
     // "queries_steady"/"total_steady" are the stable comparison columns
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._1)},"total_steady":$totalSteady,"queries_steady":${jsonMap(_._2)},"errors":$errs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._1)},"total_steady":$totalSteady,"queries_steady":${jsonMap(_._2)},"errors":$errs,"sf":"$sfDir","steady_reuses_first_run_cache":${steadyReusesCache.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    println(fullLine)
+    // CONTRACT FIX (r22, declared in OPTIMIZATION_r22.md): the full line
+    // above carries two 197-entry maps (~12 KB) and the driver keeps only
+    // the tail of stdout, so its head was cut off and it NEVER parsed
+    // (BENCH_r01..r21 all have parsed:null). The per-query detail now
+    // also lands in bench_detail.json next to the build, and a compact
+    // totals-only JSON — a few hundred bytes, same "metric"/"value"/
+    // "unit" meanings — is printed as the FINAL program stdout line so
+    // the tail window always contains one complete parseable line. The
+    // timed regions, query set, sink, and methodology are unchanged; the
+    // full line (old schema, old numbers) still prints first.
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_detail.json: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"n_queries":${results.size},"errors":$errs,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

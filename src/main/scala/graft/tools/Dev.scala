@@ -101,6 +101,8 @@ object Dev {
               e.stageInfo.name.takeWhile(_ != '\n').take(90)
         })
       warmup(spark, dir)
+      stageNames.filterNot(SparkEntry.queries.contains)
+        .foreach(n => System.err.println(s"[stages] unknown query: $n (skipped)"))
       for (name <- stageNames if SparkEntry.queries.contains(name)) {
         // one untimed cold pass first (JIT/codegen), then profile the
         // STEADY pass — cold-task JIT otherwise swamps the per-stage sums
