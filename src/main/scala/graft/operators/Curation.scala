@@ -656,117 +656,24 @@ object Curation {
     * (id, n) window step anyway, so the worst-case single-doc bound is
     * unchanged while the all-doc shuffles are gone.
     *
-    * HOF discipline: lambda-bound intermediates ([[bind1]]) — an outer
-    * expression referenced inside a higher-order-function lambda is
-    * re-evaluated on EVERY lambda call (the interpreter inlines the
-    * subtree), so sorted arrays / dup sets bind once as single-element
-    * transform variables; measured essential (O(W²·logW) otherwise).
+    * Codegen (r22): the folds run as native compiled expressions
+    * ([[graft.plans.GopherRepStats]]/[[graft.plans.DupValueStats]] —
+    * one static call per row inside whole-stage codegen). The r21 form
+    * expressed the same folds as `aggregate`/`transform` higher-order
+    * functions, which are CodegenFallback: every doc paid the
+    * interpreted expression evaluator (plus an O(dups²) accumulator in
+    * the coverage fold) — at scale the per-row interpreter was the new
+    * ceiling once the shuffles were gone. Results are identical
+    * (GopherFoldsSpec checks cell-for-cell against an independent
+    * reference; the oracle re-gates q168/q199/q202), with one
+    * strictly-tighter detail: duplicate 5..10-gram detection compares
+    * windows EXACTLY instead of by variadic xxhash64 of token hashes —
+    * identical output modulo 64-bit collisions, which only the exact
+    * form cannot suffer.
     */
-  /** Evaluate `f` over `x` with `x` computed ONCE: binds `x` as the
-    * lambda variable of a single-element transform. The only way to
-    * share a subexpression across higher-order-function lambda calls —
-    * interpreted HOF eval re-evaluates any inlined outer subtree per
-    * element, and CollapseProject re-inlines single-reference aliases.
-    */
-  private def bind1(x: Column)(f: Column => Column): Column =
-    get(transform(array(x), xv => f(xv)), lit(0))
-
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val text = col(textCol)
-    val tk = tokens(text)
-    // occurrences-beyond-the-first chars of repeated values, as one
-    // array expression (O(|arr|²) per doc — lines/paragraphs are dozens)
-    def dupChars(arr: Column): Column =
-      aggregate(array_distinct(arr), lit(0L), (acc, v) =>
-        acc + (size(filter(arr, x => x === v)) - 1).cast(LongType) *
-          length(v))
-    def totChars(arr: Column): Column =
-      aggregate(arr, lit(0L), (acc, v) => acc + length(v))
-    // the doc's n-gram windows (1-based start positions), empty when the
-    // doc is shorter than n — sequence(1, 0) would run DESCENDING
-    def gramsOf(n: Int, tkv: Column): Column =
-      when(size(tkv) >= n,
-        transform(sequence(lit(1), size(tkv) - n + 1), i =>
-          array_join(slice(tkv, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    // top n-gram (2..4): chars = cnt · word-chars of the argmax gram,
-    // tie-break (cnt desc, gram asc) — fold the SORTED window array;
-    // a strictly longer run replaces the best, so among equal-count
-    // grams the first (lexicographically least) wins, as the oracle's
-    // ROW_NUMBER(ORDER BY cnt DESC, gram) does
-    def topChars(n: Int, tkv: Column): Column =
-      bind1(aggregate(array_sort(gramsOf(n, tkv)),
-        struct(lit(0L).as("bc"), lit("").as("bg"), lit(0L).as("rc"),
-          lit("").as("pg")),
-        (acc, g) => bind1(
-          when(g === acc("pg"), acc("rc") + lit(1L)).otherwise(lit(1L))) {
-          rc =>
-            struct(
-              when(rc > acc("bc"), rc).otherwise(acc("bc")).as("bc"),
-              when(rc > acc("bc"), g).otherwise(acc("bg")).as("bg"),
-              rc.as("rc"), g.as("pg"))
-        })) { f =>
-        when(f("bc") > 0L,
-          f("bc") * (length(f("bg")) - lit(n - 1)).cast(LongType))
-          .otherwise(lit(0L))
-      }
-    // duplicated n-gram coverage (5..10): union of word positions under
-    // any window whose key occurs ≥ 2 in the doc — dup keys from one
-    // adjacent-run fold over the sorted key array, coverage as a
-    // distinct flatten of flagged windows' position ranges. Window keys
-    // are one VARIADIC xxhash64 over the window's ONCE-hashed tokens —
-    // order-sensitive, same per-doc collision posture as the earlier
-    // xxhash64-of-gram-string (windows²/2⁶⁴; the string-keyed oracle
-    // catches a merge), without re-building and re-hashing ~6 gram
-    // strings per word (measured: the string form's 10× max task was
-    // 10.8 s). NOTE each operand must appear exactly once in the
-    // lambda body: a reduceLeft of two-use combines (rotate-xor)
-    // duplicates the prefix subtree per step — interpreted HOF eval
-    // then re-evaluates it per use, a 2ⁿ blowup (measured 3× slower
-    // than even the string form). `thv` binds once per doc and is
-    // shared by all six levels.
-    def covChars(n: Int, thv: Column, tkv: Column): Column =
-      bind1(when(size(thv) >= n,
-        transform(sequence(lit(1), size(thv) - n + 1), i =>
-          xxhash64((0 until n).map(j => element_at(thv, i + j)): _*)))
-        .otherwise(array().cast("array<bigint>"))) { keys =>
-        bind1(aggregate(array_sort(keys),
-          struct(array().cast("array<bigint>").as("d"),
-            lit(null).cast("bigint").as("pg")),
-          (acc, k) => struct(
-            when(k === acc("pg") && !array_contains(acc("d"), k),
-              concat(acc("d"), array(k))).otherwise(acc("d")).as("d"),
-            k.as("pg")),
-          a => a("d"))) { dups =>
-          bind1(array_distinct(flatten(filter(
-            transform(keys, (k, j) =>
-              when(array_contains(dups, k), sequence(j + 1, j + lit(n)))),
-            x => x.isNotNull)))) { cov =>
-            aggregate(cov, lit(0L), (acc, p) =>
-              acc + length(element_at(tkv, p)).cast(LongType))
-          }
-        }
-      }
-    // ONE per-doc struct carrying every token-derived stat: the token
-    // array binds once (bind1) so the tokenize runs once per doc, and
-    // the struct is extracted in a SEPARATE projection (CollapseProject
-    // leaves multi-reference non-trivial aliases alone)
-    val o = bind1(tk) { tkv =>
-      bind1(transform(tkv, t => xxhash64(t))) { thv =>
-        struct(
-          totChars(tkv).as("n_word_chars"),
-          topChars(2, tkv).as("top2_chars"),
-          topChars(3, tkv).as("top3_chars"),
-          topChars(4, tkv).as("top4_chars"),
-          covChars(5, thv, tkv).as("dup5_chars"),
-          covChars(6, thv, tkv).as("dup6_chars"),
-          covChars(7, thv, tkv).as("dup7_chars"),
-          covChars(8, thv, tkv).as("dup8_chars"),
-          covChars(9, thv, tkv).as("dup9_chars"),
-          covChars(10, thv, tkv).as("dup10_chars"))
-      }
-    }
     // RANGE repartition + local sort on the RAW input: (a) pins the
     // per-doc folds at full width (single-row-group protection — the
     // corpus parquets scan as one partition), and (b) pre-establishes
@@ -774,27 +681,27 @@ object Curation {
     // final orderBy is already satisfied and plans with NO exchange —
     // a range exchange ABOVE the fold would run the fold TWICE (range
     // boundary sampling evaluates the child an extra time; measured as
-    // a full duplicate 25 s-task-time stage at sf0.1).
+    // a full duplicate 25 s-task-time stage at sf0.1). The three fold
+    // structs are extracted in a SEPARATE projection (CollapseProject
+    // leaves multi-reference non-trivial aliases alone).
     val joined = df
       .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
       .sortWithinPartitions(col(idCol))
       .select(
         col(idCol),
-        o.as("__o"),
-        size(split(text, "\n\n")).cast(LongType).as("n_paras"),
-        (size(split(text, "\n\n")) -
-          size(array_distinct(split(text, "\n\n"))))
-          .cast(LongType).as("n_dup_paras"),
-        dupChars(split(text, "\n\n")).as("dup_para_chars"),
-        totChars(split(text, "\n\n")).as("n_para_chars"),
-        dupChars(split(text, "\n")).as("dup_line_chars"),
-        totChars(split(text, "\n")).as("n_line_chars"))
+        graft.plans.GopherRepStats(tokens(text)).as("__o"),
+        graft.plans.DupValueStats(split(text, "\n\n")).as("__p"),
+        graft.plans.DupValueStats(split(text, "\n")).as("__l"))
       .select(
         col(idCol),
         col("__o")("n_word_chars").as("n_word_chars"),
-        col("n_paras"), col("n_dup_paras"), col("dup_para_chars"),
-        col("n_para_chars"), col("dup_line_chars"), col("n_line_chars"),
+        col("__p")("n").as("n_paras"),
+        col("__p")("n_dup").as("n_dup_paras"),
+        col("__p")("dup_chars").as("dup_para_chars"),
+        col("__p")("tot_chars").as("n_para_chars"),
+        col("__l")("dup_chars").as("dup_line_chars"),
+        col("__l")("tot_chars").as("n_line_chars"),
         col("__o")("top2_chars").as("top2_chars"),
         col("__o")("top3_chars").as("top3_chars"),
         col("__o")("top4_chars").as("top4_chars"),
