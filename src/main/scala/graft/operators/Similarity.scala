@@ -44,6 +44,14 @@ object Similarity {
     // (measured: a 0.83 s one-task stage owning q63's critical path).
     // The window then needs only a local sort — the exchange COUNT is
     // unchanged.
+    // Width is EXPLICIT deliberately (r22 re-audit): an AQE-coalescible
+    // repartition(col("id")) was measured and reverted — AQE coalesces
+    // the ~MB-scale bench corpus to one partition and every DOWNSTREAM
+    // consumer inherits that width (broadcast probe joins are narrow),
+    // so q63's int8 quantize+scoring serialized (isolated steady 1.33
+    // -> 2.1 s) while the floor-class callers gained only 0.1-0.2 s of
+    // dispatch. At production scale the two forms plan identically
+    // (corpus-sized input -> full width either way).
     val scored = vectors
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism,
         col("id"))
@@ -300,14 +308,18 @@ object Similarity {
     * (the q143 layout argument), and probing more buckets reads more
     * bucket files — never the corpus.
     */
-  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, bands: Int,
-      rowsPerBand: Int, probes: Int, k: Int): DataFrame = {
+  /** Per-query probe buckets with their probe ORDINAL: 0 = the primary
+    * band bucket, p ≥ 1 = the bucket with the p-th closest hyperplane
+    * bit flipped. (qid, band, ordinal, bucket) — the shared derivation
+    * of [[multiProbeLshTopK]] and [[multiProbeLshCandidates]].
+    */
+  private def multiProbeBuckets(queries: DataFrame, bands: Int,
+      rowsPerBand: Int, probes: Int): DataFrame = {
     require(probes >= 0 && probes <= rowsPerBand,
       s"probes must be in [0, rowsPerBand=$rowsPerBand]: $probes")
     require(rowsPerBand <= 52, "2^r must stay exact in the double domain")
     val planes = bands * rowsPerBand
-    val cb = hyperplaneBandKeys(corpus, bands, rowsPerBand)
-    val qprobe = queries
+    queries
       .withColumn("__dots", hyperplaneDots(col("vec"), planes))
       .select(col("id").as("qid"), explode(array((0 until bands).map { b =>
         val dts = (0 until rowsPerBand).map(r =>
@@ -330,7 +342,35 @@ object Similarity {
         struct(lit(b).as("band"), array((prim +: flips): _*).as("bks"))
       }: _*)).as("pb"))
       .select(col("qid"), col("pb.band").as("band"),
-        explode(col("pb.bks")).as("bucket"))
+        posexplode(col("pb.bks")))
+      .select(col("qid"), col("band"), col("pos").as("ordinal"),
+        col("col").as("bucket"))
+  }
+
+  /** Candidate (qid, id) pairs of the multi-probe bucket join, with the
+    * MINIMUM probe ordinal that reaches each pair (`min_probe` = 0 when
+    * a primary bucket matches, else the smallest flip ordinal). A
+    * probes=p run's candidate set is exactly `min_probe <= p`, so a
+    * recall SWEEP over probe levels derives band keys, runs the bucket
+    * join, and dedups ONCE instead of once per level — the per-level
+    * plans in a union re-execute the whole chain per branch (no
+    * cross-branch subtree sharing), which at any scale re-scans the
+    * corpus per level.
+    */
+  def multiProbeLshCandidates(corpus: DataFrame, queries: DataFrame,
+      bands: Int, rowsPerBand: Int, probes: Int): DataFrame = {
+    val cb = hyperplaneBandKeys(corpus, bands, rowsPerBand)
+    val qprobe = multiProbeBuckets(queries, bands, rowsPerBand, probes)
+    cb.join(broadcast(qprobe), Seq("band", "bucket"))
+      .groupBy(col("qid"), col("id"))
+      .agg(min(col("ordinal")).cast("long").as("min_probe"))
+  }
+
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, bands: Int,
+      rowsPerBand: Int, probes: Int, k: Int): DataFrame = {
+    val cb = hyperplaneBandKeys(corpus, bands, rowsPerBand)
+    val qprobe = multiProbeBuckets(queries, bands, rowsPerBand, probes)
+      .select(col("qid"), col("band"), col("bucket"))
     val cand = cb.join(broadcast(qprobe), Seq("band", "bucket"))
       .select(col("qid"), col("id")).distinct()
     val scored = cand

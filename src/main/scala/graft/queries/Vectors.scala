@@ -1454,20 +1454,29 @@ object Vectors {
         val corpus = v.filter(col("id") >= 8)
         val queries = v.filter(col("id") < 8)
         val truth = Similarity.exactNeighbors(corpus, queries, k = 10)
-        val perProbe = Seq(0, 2).map { p =>
-          // k past the corpus size: the ranked frame IS the full
-          // verified candidate set for this probe level
-          val cand = Similarity.multiProbeLshTopK(corpus, queries,
-              bands = 3, rowsPerBand = 4, probes = p, k = Int.MaxValue)
-            .select(col("qid"), col("id").as("neighbor"))
-          truth
-            .join(cand.withColumn("__hit", lit(1L)),
-              Seq("qid", "neighbor"), "left")
-            .groupBy(col("qid"))
-            .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-            .withColumn("probes", lit(p.toLong))
-        }
-        perProbe.reduce(_ unionByName _)
+        // ONE candidate derivation for the whole probe sweep (r22):
+        // level p's candidate set is exactly min_probe <= p, so the
+        // band keys, bucket join, and dedup run once — the old
+        // per-level union re-ran the full multiProbeLshTopK chain per
+        // branch, including a corpus scoring join + window sort whose
+        // ranks the recall count never used (k = MaxValue kept every
+        // row). One left join against truth + two conditional sums
+        // replace two join+aggregate branches; 0 windows beyond truth's.
+        val cands = Similarity.multiProbeLshCandidates(corpus, queries,
+          bands = 3, rowsPerBand = 4, probes = 2)
+        truth
+          .join(cands.withColumnRenamed("id", "neighbor"),
+            Seq("qid", "neighbor"), "left")
+          .groupBy(col("qid"))
+          .agg(
+            sum(when(col("min_probe") <= 0L, 1L).otherwise(0L)).as("__h0"),
+            sum(when(col("min_probe") <= 2L, 1L).otherwise(0L)).as("__h2"))
+          .select(col("qid"), explode(array(
+            struct(lit(0L).as("probes"), col("__h0").as("n_hits")),
+            struct(lit(2L).as("probes"), col("__h2").as("n_hits"))))
+            .as("pr"))
+          .select(col("pr.probes").as("probes"), col("qid"),
+            col("pr.n_hits").as("n_hits"))
           .withColumn("recall", col("n_hits").cast("double") / 10.0d)
           .select(col("probes"), col("qid"), col("n_hits"), col("recall"))
           .orderBy(col("probes"), col("qid"))
