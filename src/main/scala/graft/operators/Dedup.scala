@@ -104,6 +104,26 @@ object Dedup {
   def lshKeyedBuckets(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     explodeBandSignatures(lshBandSignatures(sets, bands, rowsPerBand), bands)
 
+  /** [[lshKeyedBuckets]] carrying each doc's FULL ordered band-signature
+    * array (`__sigs`) on every bucket row — the input shape
+    * [[blockedCandidatePairs]]' `crossBandDedup` mode needs to dedup
+    * pairs across bands WITHOUT a pair-set distinct (guide §2.4): a pair
+    * sharing several band buckets is emitted only from its FIRST shared
+    * band, decided per emitted pair from the two sig arrays, so the
+    * quadratic pair space never pays a dedup exchange. Cost: `bands`
+    * extra sig strings ride each (linear-sized) bucket row.
+    */
+  def lshKeyedBucketsWithSigs(sets: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val wide = lshBandSignatures(sets, bands, rowsPerBand)
+    wide.select(col("doc"),
+        array((0 until bands).map(b => col(s"band$b")): _*).as("__sigs"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("__sigs"))
+  }
+
   /** The shared banded-LSH pairing core — ONE implementation for every
     * banded family (MinHash here, hyperplane sign sketches, perceptual
     * hashes): cap hot buckets, pair ids within each bucket, dedup across
@@ -188,9 +208,30 @@ object Dedup {
     */
   def blockedCandidatePairs(keyed: DataFrame, idCol: String,
       keyCols: Seq[String], blockSize: Int = 1024,
-      hotThreshold: Int = 4096): DataFrame = {
+      hotThreshold: Int = 4096, crossBandDedup: Option[Int] = None): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
+    // crossBandDedup = Some(bands): the keyed frame carries each doc's
+    // ordered band-signature array (`__sigs` — lshKeyedBucketsWithSigs),
+    // and a pair colliding in SEVERAL bands is emitted only from the
+    // FIRST shared band — decided per emitted pair from the two arrays,
+    // so the final pair-set `distinct()` (a full exchange of the
+    // QUADRATIC pair space, guide §2.4) disappears; only the linear
+    // bucket rows widen by `bands` sig strings. The pair SET is
+    // identical: within one bucket a pair is produced once (id1 < id2
+    // over distinct ids), and across bands exactly one shared band is
+    // the first.
+    crossBandDedup.foreach { bands =>
+      require(bands >= 1, s"crossBandDedup bands must be >= 1: $bands")
+      require(keyed.columns.contains("__sigs") && keyCols.contains("band"),
+        "crossBandDedup needs a __sigs column (lshKeyedBucketsWithSigs) " +
+          "and 'band' among keyCols")
+    }
+    def firstSharedBand(bands: Int): Column =
+      coalesce((0 until bands).map(b =>
+        when(element_at(col("__sg1"), b + 1) ===
+          element_at(col("__sg2"), b + 1), lit(b))) :+ lit(-1): _*)
+    val carry = if (crossBandDedup.isDefined) Seq("__sigs") else Nil
     val nParts = keyed.sparkSession.sessionState.conf.numShufflePartitions
     // The parallelism pin lives in the checkpoint materialization, paid
     // once: repartition on the bucket key BEFORE checkpointing, so the
@@ -297,12 +338,21 @@ object Dedup {
     // uniform case returns the plain bucket join outright: skew
     // insurance is only priced when skew exists (PairBench gates the
     // premium).
+    def pairGate: Column = crossBandDedup match {
+      case Some(bands) => col("id1") < col("id2") &&
+        firstSharedBand(bands) === col("band")
+      case None => col("id1") < col("id2")
+    }
+    def dedupOut(pairs: DataFrame): DataFrame =
+      if (crossBandDedup.isDefined) pairs.select(col("id1"), col("id2"))
+      else pairs.select(col("id1"), col("id2")).distinct()
     if (candidates.isEmpty) {
-      return pinned.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
-        .join(pinned.select(keyCols.map(col) :+ col(idCol).as("id2"): _*),
-          keyCols)
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2")).distinct()
+      return dedupOut(pinned
+        .select(keyCols.map(col) ++ Seq(col(idCol).as("id1")) ++
+          carry.map(c => col(c).as("__sg1")): _*)
+        .join(pinned.select(keyCols.map(col) ++ Seq(col(idCol).as("id2")) ++
+          carry.map(c => col(c).as("__sg2")): _*), keyCols)
+        .filter(pairGate))
     }
     // codegen'd set-membership filters, not anti/semi joins: every row
     // routes to exactly one branch by its bucket hash. If a pathological
@@ -314,10 +364,11 @@ object Dedup {
     val small = pinned.filter(!isHot)
     val hot = pinned.filter(isHot)
     val smallPairs = small
-      .select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
-      .join(small.select(keyCols.map(col) :+ col(idCol).as("id2"): _*),
-        keyCols)
-      .filter(col("id1") < col("id2"))
+      .select(keyCols.map(col) ++ Seq(col(idCol).as("id1")) ++
+        carry.map(c => col(c).as("__sg1")): _*)
+      .join(small.select(keyCols.map(col) ++ Seq(col(idCol).as("id2")) ++
+        carry.map(c => col(c).as("__sg2")): _*), keyCols)
+      .filter(pairGate)
       .select(col("id1"), col("id2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
@@ -329,15 +380,20 @@ object Dedup {
     val cellKey = keyCols :+ "__cell"
     val left = chunked.select(
         keyCols.map(col) ++ Seq(col(idCol).as("id1"), col("__chunk").as("__ca"),
-          explode(sequence(col("__chunk"), col("__nchunks") - 1)).as("__cell")): _*)
+          explode(sequence(col("__chunk"), col("__nchunks") - 1)).as("__cell")) ++
+          carry.map(c => col(c).as("__sg1")): _*)
       .repartition(nParts, cellKey.map(col): _*)
     val right = chunked.select(
-        keyCols.map(col) ++ Seq(col(idCol).as("id2"), col("__chunk").as("__cell")): _*)
+        keyCols.map(col) ++ Seq(col(idCol).as("id2"), col("__chunk").as("__cell")) ++
+          carry.map(c => col(c).as("__sg2")): _*)
       .repartition(nParts, cellKey.map(col): _*)
     val hotPairs = left.join(right, cellKey)
       .filter(col("__ca") < col("__cell") || col("id1") < col("id2"))
+      .filter(crossBandDedup.map(firstSharedBand(_) === col("band"))
+        .getOrElse(lit(true)))
       .select(col("id1"), col("id2"))
-    smallPairs.unionAll(hotPairs).distinct()
+    if (crossBandDedup.isDefined) smallPairs.unionAll(hotPairs)
+    else smallPairs.unionAll(hotPairs).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: fetch both shingle arrays

@@ -144,8 +144,8 @@ object WebCuration {
     // sentinel sig that would bucket them together, q199's 10× lesson)
     val pairable = sets.filter(col("n_sh") > 0)
     val cands = Dedup.blockedCandidatePairs(
-      Dedup.lshKeyedBuckets(pairable, bands = 2, rowsPerBand = 3),
-      "doc", Seq("band", "sig"), blockSize = 256)
+      Dedup.lshKeyedBucketsWithSigs(pairable, bands = 2, rowsPerBand = 3),
+      "doc", Seq("band", "sig"), blockSize = 256, crossBandDedup = Some(2))
     val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
       .select(col("id1"), col("id2"))
       .localCheckpoint(true)

@@ -624,9 +624,11 @@ object TextPipeline {
     // the complete pair set, and blocking delivers it without the
     // uncapped join's one-task-per-hot-bucket straggler (q140 probe:
     // identical pairs, max task 7.8 s → 2.0 s at 10×)
+    // crossBandDedup: pairs dedup across bands from the sig arrays at
+    // emission, so the quadratic pair set never pays a distinct exchange
     val cands = Dedup.blockedCandidatePairs(
-      Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
-      "doc", Seq("band", "sig"), blockSize = 256)
+      Dedup.lshKeyedBucketsWithSigs(sets, bands = 2, rowsPerBand = 3),
+      "doc", Seq("band", "sig"), blockSize = 256, crossBandDedup = Some(2))
     val pairs = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
       .select(col("id1"), col("id2"))
       .localCheckpoint(true)
@@ -1009,8 +1011,8 @@ object TextPipeline {
         // blocked schedule (identical pair set to the uncapped join,
         // without its hot-bucket straggler — see q140)
         val cands = Dedup.blockedCandidatePairs(
-          Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
-          "doc", Seq("band", "sig"), blockSize = 256)
+          Dedup.lshKeyedBucketsWithSigs(sets, bands = 2, rowsPerBand = 3),
+          "doc", Seq("band", "sig"), blockSize = 256, crossBandDedup = Some(2))
         val out = Dedup.jaccardVerify(sets, cands, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id1"), col("id2"))
           .localCheckpoint(true)
@@ -1060,8 +1062,8 @@ object TextPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // exhaustive candidates via the blocked schedule (see q140)
         val cands = Dedup.blockedCandidatePairs(
-          Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
-          "doc", Seq("band", "sig"), blockSize = 256)
+          Dedup.lshKeyedBucketsWithSigs(sets, bands = 2, rowsPerBand = 3),
+          "doc", Seq("band", "sig"), blockSize = 256, crossBandDedup = Some(2))
         val out = Dedup.editDistanceVerify(
             docs(s, dir).select(col("doc_id"), col("text")), cands,
             "doc_id", "text", maxDist = 40)
@@ -3389,8 +3391,8 @@ object TextPipeline {
             "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = Dedup.blockedCandidatePairs(
-          Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
-          "doc", Seq("band", "sig"), blockSize = 8,
+          Dedup.lshKeyedBucketsWithSigs(sets, bands = 2, rowsPerBand = 3),
+          "doc", Seq("band", "sig"), blockSize = 8, crossBandDedup = Some(2),
           // demonstration query: tile buckets past 64 rows (the
           // production default is 4096) so real multi-block schedules
           // run at test scale WITHOUT tiling every 2-row bucket — at

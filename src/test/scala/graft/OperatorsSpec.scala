@@ -118,6 +118,46 @@ class OperatorsSpec extends SparkSpec {
     } finally coloc.unpersist()
   }
 
+  test("crossBandDedup emits the distinct()-identical pair set, once per pair") {
+    // real shingle sets: near-dup docs collide in BOTH bands, so the
+    // cross-band dedup actually has duplicates to kill
+    val sets = Dedup.shingleFrame(
+      Tables.load(spark, sf, "documents"), "doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val old = pairsOf(Dedup.blockedCandidatePairs(
+      Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
+      "doc", Seq("band", "sig"), blockSize = 256))
+    val keyedSigs = Dedup.lshKeyedBucketsWithSigs(sets, bands = 2, rowsPerBand = 3)
+    for (hot <- Seq(4096, 3)) { // plain route AND forced tiling route
+      val neu = pairsOf(Dedup.blockedCandidatePairs(keyedSigs,
+        "doc", Seq("band", "sig"), blockSize = 3, hotThreshold = hot,
+        crossBandDedup = Some(2)))
+      assert(neu.toSet == old.toSet, s"hot=$hot")
+      assert(neu.size == neu.toSet.size, s"hot=$hot: duplicate pairs emitted")
+    }
+    // plan shape (the r22 point of the mode): the final pair-set
+    // distinct() — a HashAggregate pair + full exchange of the QUADRATIC
+    // pair space — is gone; the old form carries it
+    val oldPlan = Dedup.blockedCandidatePairs(
+      Dedup.lshKeyedBuckets(sets, bands = 2, rowsPerBand = 3),
+      "doc", Seq("band", "sig"), blockSize = 256)
+      .queryExecution.executedPlan.toString
+    val neuPlan = Dedup.blockedCandidatePairs(keyedSigs,
+      "doc", Seq("band", "sig"), blockSize = 256, crossBandDedup = Some(2))
+      .queryExecution.executedPlan.toString
+    assert(oldPlan.contains("HashAggregate"), oldPlan)
+    assert(!neuPlan.contains("HashAggregate"), neuPlan)
+    // and there ARE cross-band collisions in the fixture, so the dedup
+    // path was actually exercised (a pair sharing BOTH band sigs)
+    val wide = Dedup.lshBandSignatures(sets, bands = 2, rowsPerBand = 3)
+    val both = wide.as("a").join(wide.as("b"),
+      col("a.doc") < col("b.doc") &&
+        col("a.band0") === col("b.band0") &&
+        col("a.band1") === col("b.band1")).count()
+    assert(both > 0, "fixture has no cross-band collisions; dedup untested")
+  }
+
   test("keepBest keeps the highest-score member per cluster, ties to lowest id") {
     val df = Seq((1L, 10L, "a"), (2L, 30L, "b"), (3L, 30L, "c"), (4L, 5L, "d"))
       .toDF("id", "score", "body")
