@@ -45,16 +45,31 @@ object Vectors {
       col("id") < maxId / 3,
       col("id") >= maxId / 3 && col("id") < 2 * maxId / 3,
       col("id") >= 2 * maxId / 3)
+    // Write distribution (guide §2.5 skew + §6 file sizing, r22): hash
+    // on (bucket, id-salt) so a bucket directory is written by up to
+    // `fanout` tasks. fanout is DERIVED FROM DATA VOLUME — estimated
+    // batch bytes per bucket over the target output file size — so at
+    // bench scale it is 1 (one file per bucket per batch, exactly the
+    // r21 layout: an unclustered append wrote |parallelism| tiny files
+    // per bucket and q143 paid 0.7 -> 2.9 s of per-file open cost,
+    // and a fixed parallelism/8 fanout re-paid a third of that), while
+    // at production scale a HOT bucket fans across enough writers to
+    // keep each output file near the target instead of serializing the
+    // whole bucket through ONE task (the r21 form's skew hazard). The
+    // salt is a deterministic id-hash — never rand(): task retries
+    // must reproduce the row→file assignment (guide §2.5).
+    val targetFileBytes = s.conf.get(
+      "spark.graft.ivf.targetFileBytes", (128L << 20).toString).toLong
+    val batchBytesPerBucket = (corpus.queryExecution.optimizedPlan
+      .stats.sizeInBytes / (8 * cuts.size)).toLong
+    val fanout = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      (batchBytesPerBucket + targetFileBytes - 1) / targetFileBytes))
     cuts.foreach { cut =>
       val assigned = Similarity.ivfAssign(corpus.filter(cut), centroids)
         .withColumn(Lake.PartitionCol, concat(lit("b"), col("bucket")))
-        // cluster rows by partition value so each bucket directory is
-        // written by ONE task (the write distribution an Iceberg sink
-        // would request): ivfAssign now runs 32-wide, and an unclustered
-        // append would write |parallelism| tiny files per bucket — the
-        // probe read then pays per-file open cost (measured: q143
-        // steady 0.7 -> 2.9 s from exactly that, guide §6 small files)
-        .repartition(col(Lake.PartitionCol))
+        .repartition(col(Lake.PartitionCol),
+          pmod(xxhash64(col("id")), lit(fanout)))
       Snapshots.append(assigned, table)
     }
   }
