@@ -494,6 +494,16 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     val labelType = labels.schema("label").dataType
+    // Scoped checkpoint release (r22): each round's label checkpoint is
+    // DEAD the moment the next round's lazy checkpoint materializes in
+    // the convergence count() — nothing downstream reads it — yet its
+    // blocks otherwise sit in the unified-memory region until the
+    // ContextCleaner or a harness-level settle drains them (the r9
+    // sweep class: 60 queries in, accumulated blocks degraded the
+    // checkpoint-loop queries 6x). Blocking-unpersist the superseded
+    // round inside the loop so a long-lived session bounds its block
+    // count at O(1) rounds, with no reliance on the bench's settle.
+    var superseded = org.apache.spark.sql.GraftBridge.checkpointRdd(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -522,9 +532,17 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
         .localCheckpoint(eager = false)
       converged = proposed.filter(col("label") =!= col("__old")).count() == 0
+      // the count materialized this round's checkpoint — the previous
+      // round's blocks are now unreachable by any future plan
+      superseded.foreach(_.unpersist(true))
+      superseded = org.apache.spark.sql.GraftBridge.checkpointRdd(proposed)
       labels = proposed.select("id", "label")
     }
     roundsOut.foreach(_.set(round))
+    // the edge checkpoint served only the loop; the returned frame
+    // derives from the FINAL round's labels alone
+    org.apache.spark.sql.GraftBridge.checkpointRdd(edges)
+      .foreach(_.unpersist(true))
     // A partially-converged labeling would place transitively-linked docs
     // in different clusters and be consumed as correct — fail loudly.
     if (!converged) sys.error(

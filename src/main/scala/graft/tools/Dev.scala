@@ -59,6 +59,10 @@ object Dev {
       val runs = flagMap.get("runs").map(_.toInt).getOrElse(3)
       val (known, unknown) = names.partition(SparkEntry.queries.contains)
       unknown.foreach(n => System.err.println(s"[bench] unknown query: $n (skipped)"))
+      // --settle=false: SKIP the between-run block drain — the probe for
+      // engine-side scoped checkpoint release (a long-lived session has
+      // no harness settling for it; steady times must not inflate)
+      val settle = flagMap.get("settle").forall(_.toBoolean)
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
       val spark = session(cpus)
       warmup(spark, sfDir)
@@ -68,10 +72,14 @@ object Dev {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        println(f"[bench] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-        spark.catalog.clearCache()
-        // localCheckpoint blocks bypass catalog cache — free them too
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        val blocks = spark.sparkContext.getPersistentRDDs.size
+        println(f"[bench] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          (if (settle) "" else s" (resident persistent RDDs: $blocks)"))
+        if (settle) {
+          spark.catalog.clearCache()
+          // localCheckpoint blocks bypass catalog cache — free them too
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
       }
       spark.stop()
 

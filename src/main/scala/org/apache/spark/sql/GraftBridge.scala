@@ -54,4 +54,15 @@ object GraftBridge {
   def isLocallyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
     rdd.checkpointData.exists(
       _.isInstanceOf[org.apache.spark.rdd.LocalRDDCheckpointData[_]])
+
+  /** The RDD behind a checkpointed DataFrame's LogicalRDD leaf, if any —
+    * lets an iterative operator release a SUPERSEDED round's checkpoint
+    * blocks as soon as the next round materializes (engine-side scoped
+    * unpersist), instead of leaking every round's blocks until a
+    * harness-level settle drains them.
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }
