@@ -684,15 +684,17 @@ object Dedup {
 
   /** Per-doc duplicated-token coverage: the number of token positions
     * covered by at least one duplicated span (union of [start, start+w)
-    * intervals). Exploding only the DUPLICATED spans bounds the blowup to
-    * w × dup-span count; counts are exact integers → oracle-portable.
+    * intervals). One aggregation shipping each START once, with the
+    * interval union computed natively per doc (r22 — the explode form
+    * multiplied the coverage shuffle by w and paid a distinct-aggregate
+    * exchange on (doc, position) rows); counts are exact integers →
+    * oracle-portable.
     */
   def dupSpanCoverage(dupSpans: DataFrame, w: Int): DataFrame =
     dupSpans
-      .select(col("doc"),
-        explode(sequence(col("start"), col("start") + (w - 1))).as("p"))
       .groupBy(col("doc"))
-      .agg(countDistinct(col("p")).as("covered_tokens"))
+      .agg(graft.plans.SpanCoverage(collect_list(col("start")), w)
+        .as("covered_tokens"))
 
   /** Substring-dedup EMISSION — detection became deletion at the SPAN
     * level (document-level keepCanonical can't remove boilerplate from

@@ -176,17 +176,31 @@ object Search {
               s.sparkContext.defaultParallelism, col("doc_id")),
             "doc_id", "text", w)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // EAGER materialization (the q86 lesson, r22): the final plan
+        // fans this frame into THREE consumers before any action, and a
+        // lazy persist's first materialization races across them — the
+        // tokenize+shingle+hash pass ran up to 3x in parallel (stage
+        // profile showed three ~5-8 s-task-sum derivation stages).
+        // count() materializes the cache once and keeps its size
+        // statistics (a localCheckpoint would lose them).
+        spans.count()
         val nspans = spans.groupBy(col("doc"))
           .agg(count(lit(1)).as("n_spans"))
         val dups = Dedup.duplicatedSpans(spans)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dups.count() // two consumers below — same race, same fix
+        // ONE aggregation over the dup spans (r22): counts, cross-doc
+        // split, and the coverage union — the native per-doc interval
+        // sweep (SpanCoverage) replaces the exploded ×w position rows +
+        // countDistinct exchange, and fusing it here drops a second
+        // (doc)-keyed exchange and a third join
         val perDoc = dups.groupBy(col("doc")).agg(
           count(lit(1)).as("n_dup_spans"),
-          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_crossdoc_spans"))
-        val cov = Dedup.dupSpanCoverage(dups, w)
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_crossdoc_spans"),
+          graft.plans.SpanCoverage(collect_list(col("start")), w)
+            .as("covered_tokens"))
         val out = nspans
           .join(perDoc, Seq("doc"), "left")
-          .join(cov, Seq("doc"), "left")
           .select(col("doc").as("doc_id"), col("n_spans"),
             coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
             coalesce(col("n_crossdoc_spans"), lit(0L)).as("n_crossdoc_spans"),
@@ -446,12 +460,17 @@ object Search {
             d.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
             "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // EAGER (q86 lesson, r22): three consumers fan off this frame in
+        // ONE final plan — a lazy persist's first materialization races
+        // across the branches and re-runs the tokenize per branch
+        tok.count()
         // the span-hash frame feeds BOTH detection sides (the occurrence
         // count and the join-back that re-attaches (doc, start)) — without
         // a persist the posexplode+md5 pass runs twice (the q104
         // shared-frame lesson applied here too)
         val spans = Dedup.spanTableFromTokens(tok, w)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        spans.count() // two consumers — same race, same fix
         val clean = Dedup.removeDuplicatedSpansFromTokens(tok,
           Dedup.duplicatedSpansLite(spans), w)
         // per-doc token count straight off the cached token arrays — no
