@@ -598,7 +598,14 @@ object Vectors {
     QueryDef(
       "q93_kmeans_step",
       (s, dir) => {
-        val coded = vecs(s, dir).select(col("id"),
+        val coded = vecs(s, dir)
+          // width pin BEFORE the quantize (the pqCoded lesson, r22): the
+          // embeddings parquet scans as one partition, and the first
+          // exchange otherwise sits ABOVE this projection - the two-pass
+          // scale+quantize ran as one task on the critical path
+          // (q101 stage profile: a 0.71 s single-task checkpoint stage)
+          .repartition(s.sparkContext.defaultParallelism, col("id"))
+          .select(col("id"),
           VectorFunctions.quantizeInt8(col("vec"),
             VectorFunctions.int8Scale(col("vec"))).as("code"))
         val cents = coded.filter(col("id") < 8)
@@ -731,7 +738,14 @@ object Vectors {
       (s, dir) => {
         import graft.lake.Snapshots
         import org.apache.spark.sql.expressions.Window
-        val coded = vecs(s, dir).select(col("id"),
+        val coded = vecs(s, dir)
+          // width pin BEFORE the quantize (the pqCoded lesson, r22): the
+          // embeddings parquet scans as one partition, and the first
+          // exchange otherwise sits ABOVE this projection - the two-pass
+          // scale+quantize ran as one task on the critical path
+          // (q101 stage profile: a 0.71 s single-task checkpoint stage)
+          .repartition(s.sparkContext.defaultParallelism, col("id"))
+          .select(col("id"),
           VectorFunctions.quantizeInt8(col("vec"),
             VectorFunctions.int8Scale(col("vec"))).as("code"))
         val tmp = memoV(pipeDirs, dir,
@@ -840,7 +854,14 @@ object Vectors {
         // re-read and re-quantized by each consumer (3x the dominant map
         // cost; the Lloyd loop's internal checkpoint only covered its own
         // rounds)
-        val coded = vecs(s, dir).select(col("id"),
+        val coded = vecs(s, dir)
+          // width pin BEFORE the quantize (the pqCoded lesson, r22): the
+          // embeddings parquet scans as one partition, and the first
+          // exchange otherwise sits ABOVE this projection - the two-pass
+          // scale+quantize ran as one task on the critical path
+          // (q101 stage profile: a 0.71 s single-task checkpoint stage)
+          .repartition(s.sparkContext.defaultParallelism, col("id"))
+          .select(col("id"),
           VectorFunctions.quantizeInt8(col("vec"),
             VectorFunctions.int8Scale(col("vec"))).as("code"))
           .localCheckpoint(true)
@@ -1347,7 +1368,14 @@ object Vectors {
     QueryDef(
       "q170_prototypicality_prune",
       (s, dir) => {
-        val coded = vecs(s, dir).select(col("id"),
+        val coded = vecs(s, dir)
+          // width pin BEFORE the quantize (the pqCoded lesson, r22): the
+          // embeddings parquet scans as one partition, and the first
+          // exchange otherwise sits ABOVE this projection - the two-pass
+          // scale+quantize ran as one task on the critical path
+          // (q101 stage profile: a 0.71 s single-task checkpoint stage)
+          .repartition(s.sparkContext.defaultParallelism, col("id"))
+          .select(col("id"),
           VectorFunctions.quantizeInt8(col("vec"),
             VectorFunctions.int8Scale(col("vec"))).as("code"))
         val cents = coded.filter(col("id") < 8)
