@@ -521,8 +521,36 @@ object Similarity {
       .getOrElse(exactNeighbors(assigned, queries, k)
         .localCheckpoint(true)) // tiny (k·|queries| ids); read twice below
     val truthCounts = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+    // ONE scored candidate frame serves every probe level (r22): buckets
+    // partition the corpus, so a candidate's bucket holds exactly one
+    // rank in its query's centroid ordering (__mp), and level np's
+    // ivfTopK candidate set is exactly __mp <= np. The per-level union
+    // re-ran the bucket join + cosine scoring once PER level (union
+    // branches share no subtrees); now scoring runs once and each level
+    // is a filter + rank over the checkpointed (tiny) scored frame —
+    // identical ranking semantics (cos desc, neighbor id asc, top k).
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dist"), col("cid"))
+    val qProbe = queries
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .withColumn("dist", l2sq(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobes.max)
+      .select(col("id").as("qid"), col("vec").as("qv"),
+        col("cid").as("bucket"), col("rn").as("__mp"))
+    val scoredOnce = assigned
+      .select(col("id").as("__cid"), col("vec").as("cv"), col("bucket"))
+      .join(broadcast(qProbe), Seq("bucket"))
+      .filter(col("__cid") =!= col("qid"))
+      .select(col("qid"), col("__cid").as("neighbor"),
+        cosine(col("qv"), col("cv")).as("cos"), col("__mp"))
+      .localCheckpoint(true)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
     val hits = nprobes.map { np =>
-      ivfTopK(assigned, queries, centroids, k, np)
+      scoredOnce.filter(col("__mp") <= np)
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
         .select(lit(np).as("nprobe"), col("qid"), col("neighbor"))
     }.reduce(_ unionAll _)
       .join(truth, Seq("qid", "neighbor"), "left_semi")
