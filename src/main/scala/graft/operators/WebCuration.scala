@@ -243,21 +243,32 @@ object WebCuration {
 
   /** The attrition LEDGER over the committed stage tables: per stage,
     * docs in/kept, token and char mass kept, and the order-independent
-    * corpus fingerprint. Ten one-row aggregations over slim scans.
+    * corpus fingerprint. ONE aggregation job over the union of the
+    * eleven slim stage scans (r22): the per-stage `.head` form paid
+    * eleven sequential driver round-trips of pure job dispatch — the
+    * whole q199 steady window was this ledger; a stage missing from the
+    * grouped result (an empty stage table) reads as all-zero, exactly
+    * what the per-stage aggregation's coalesce produced.
     */
   def ledger(spark: SparkSession, baseDir: String): DataFrame = {
-    val stats = stageNames.indices.map { k =>
-      val t = readStage(spark, baseDir, k)
-      val row = t.agg(
+    val byStage = stageNames.indices.map { k =>
+      readStage(spark, baseDir, k).select(lit(k).as("__k"), col("text"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("__k"))
+      .agg(
         count(lit(1)).as("n"),
         coalesce(sum(size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long")), lit(0L)).as("tok"),
         coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("ch"),
         coalesce(expr(
           "bit_xor(cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint))"),
-          lit(0L)).as("fp")).head
-      (k.toLong, stageNames(k), row.getLong(0), row.getLong(1),
-        row.getLong(2), row.getLong(3))
+          lit(0L)).as("fp"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val stats = stageNames.indices.map { k =>
+      val (n, tok, ch, fp) = byStage.getOrElse(k, (0L, 0L, 0L, 0L))
+      (k.toLong, stageNames(k), n, tok, ch, fp)
     }
     val ledgerRows = stats.zipWithIndex.map { case (s, i) =>
       val nIn = if (i == 0) s._3 else stats(i - 1)._3
